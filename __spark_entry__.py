@@ -1,10 +1,14 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+The driver's verify runs ``entry(spark)`` as a smoke check, runs each
+``queries()[name]`` at sf=0.01 and compares it against the matching
+``oracle_sql()[name]`` via DuckDB (row-count + schema + order-insensitive
+value-hash -> CORRECTNESS_r{N}.json).
+
+Queries map 1:1 to SURVEY.md §2's inventory; each docstring names the
+reference pattern it covers.  Streams are carved out of the ``events``
+table by ``event_type`` (click/view/purchase/error/signup), mirroring how
+the reference wires multiple iterables into one run (processor.py:197-206).
 """
 
 from __future__ import annotations
@@ -12,27 +16,505 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from async_stream_processing_spark.operators.dedup import demux_summary, first_seen
+from async_stream_processing_spark.operators.feedback import feedback_orders
+from async_stream_processing_spark.operators.merge import positional_zip
+from async_stream_processing_spark.operators.positions import mark_to_market, positions
+from async_stream_processing_spark.operators.running import running_combine, spread
+from async_stream_processing_spark.operators.session_state import cart_fold, cart_totals
+from async_stream_processing_spark.operators.windows import (
+    cumulative_sum,
+    resample,
+    sliding_weighted_mean,
+)
+from async_stream_processing_spark.plans.event_relation import events_relation
+from async_stream_processing_spark.sources.parquet import load_table
+from async_stream_processing_spark.sources.synthetic import timer_ticks
+
+SF0001 = "/root/testdata/sf0.001"
+
+# The events table's props column is a JSON blob {"k": <int>}; volume/qty
+# := k + 1 (strictly positive so weighted means never divide by zero).
+_VOL = "CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT) + 1"
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return events_relation(spark, sf_dir).withColumn("vol", F.expr(_VOL))
+
+
+def _stream(spark: SparkSession, sf_dir: str, kind: str) -> DataFrame:
+    return _events(spark, sf_dir).filter(F.col("event_type") == kind)
+
+
+# --------------------------------------------------------------------------
+# Reference-surface queries (SURVEY §2.A/§2.B)
+# --------------------------------------------------------------------------
+
+def q_vwap_2min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B9/B10 flagship: per-user 2-minute sliding volume-weighted mean of
+    ``value`` + per-user cumulative volume (MovingAverage, e2_stats.py:35-65;
+    cumulative volume e2_stats.py:87-96)."""
+    df = _events(spark, sf_dir)
+    df = sliding_weighted_mean(
+        df, value="value", weight="vol", interval_seconds=120,
+        partition_by=["user_id"], out="vwap_2min",
+    )
+    df = cumulative_sum(df, value="vol", order=["ts", "seq"],
+                        partition_by=["user_id"], out="cum_vol", scale=0)
+    return df.select(
+        "event_id", "ts", "user_id", "value", "vol", "vwap_2min",
+        F.col("cum_vol").cast("long").alias("cum_vol"),
+    )
+
+
+def q_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B1 Greeter (common.py:25-34): first event per user."""
+    df = first_seen(_events(spark, sf_dir), "user_id")
+    return df.select("user_id", F.col("ts").alias("first_ts"),
+                     F.col("event_type").alias("first_event_type"))
+
+
+def q_positional_zip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B2 merge_timeseries (common.py:18-22): click zipped with view by
+    position; row i stamped with click's i-th timestamp."""
+    return positional_zip(
+        {"x": _stream(spark, sf_dir, "click"), "y": _stream(spark, sf_dir, "view")}
+    )
+
+
+def q_running_combine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B3 Calculator (e2_ticking.py:10-27): on each click/view tick emit
+    last_x + last_y and the running accumulator."""
+    out = running_combine(
+        _stream(spark, sf_dir, "click"), _stream(spark, sf_dir, "view")
+    )
+    return out.select("ts", "seq", "x", "y", "xy_sum", "accum")
+
+
+def q_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B4 spread = ask - bid (e3_show_graph.py:11-29), click=bid view=ask."""
+    out = spread(_stream(spark, sf_dir, "click"), _stream(spark, sf_dir, "view"))
+    return out.select("ts", "seq", "bid", "ask", "spread")
+
+
+def q_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B5 Positions (e4_trade_pnl.py:19-33) keyed by event_type."""
+    trades = _events(spark, sf_dir)
+    return positions(trades, key="event_type", qty="vol", price="value")
+
+
+def q_trade_pnl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B6 Book mark-to-market (e4_trade_pnl.py:36-70): purchases marked at
+    the latest view value as of the purchase time, per user (as-of join)."""
+    trades = _stream(spark, sf_dir, "purchase").select(
+        "event_id", "ts", "seq", "user_id",
+        F.col("vol").alias("qty"), F.col("value").alias("price"),
+    )
+    quotes = _stream(spark, sf_dir, "view").select(
+        "user_id", "ts", "seq", F.col("value").alias("mid")
+    )
+    out = mark_to_market(trades, quotes, on=["user_id"])
+    return out.select("event_id", "ts", "user_id", "qty", "price", "mid", "pnl")
+
+
+def q_cart_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B7 CartManager relational view (e5_retail_cart.py:34-68): signed
+    qty/cost fold with event-time discount window (1 h from first event)."""
+    return cart_totals(_events(spark, sf_dir))
+
+
+def q_cart_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B7 faithful FIFO cart state machine via applyInPandas (non-SQL;
+    rows-only check)."""
+    return cart_fold(_events(spark, sf_dir))
+
+
+def q_feedback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B8 feedback loop (e1_feedback.py:27-59) unrolled as a closed-form
+    recurrence anchored at the first event time."""
+    t0 = load_table(spark, sf_dir, "events").agg(F.min("ts")).collect()[0][0]
+    return feedback_orders(spark, t0, n_orders=10, ack_delay_ms=700, react_delay_ms=300)
+
+
+def q_resample_1min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B10 periodic sampling (e2_stats.py:73-96): per-minute event count and
+    exact value sum."""
+    from async_stream_processing_spark.functions.numeric import exact_sum
+
+    return resample(
+        _events(spark, sf_dir), every="1 minute",
+        aggs={"n_events": F.count(F.lit(1)), "sum_value": exact_sum("value")},
+    )
+
+
+def q_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B11 filter + A8 unpack/projection: purchases with value >= 50,
+    props JSON field extracted as a column."""
+    df = _stream(spark, sf_dir, "purchase").filter(F.col("value") >= 50)
+    return df.select(
+        "event_id", "ts", "user_id", "value",
+        (F.col("vol") - 1).alias("k"),
+    )
+
+
+def q_demux(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B12 dynamic demux (e1_dynamic.py:32-40): per runtime-discovered key,
+    first-seen time + event count + exact value sum."""
+    from async_stream_processing_spark.functions.numeric import exact_sum
+
+    return demux_summary(
+        _events(spark, sf_dir), "event_type",
+        aggs={"n_events": F.count(F.lit(1)), "sum_value": exact_sum("value")},
+    )
+
+
+def q_timer_ticks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 timer (processor.py:140-150): 1-hour ticks spanning the events
+    table; first fire at start+step, inclusive end (test_past.py:104-119)."""
+    bounds = load_table(spark, sf_dir, "events").agg(
+        F.min("ts").alias("lo"), F.max("ts").alias("hi")
+    ).collect()[0]
+    return timer_ticks(spark, bounds["lo"], bounds["hi"], step="1 hour")
+
+
+# --------------------------------------------------------------------------
+# Relational breadth on the TPC-H-ish tables (joins, group-bys, top-k)
+# --------------------------------------------------------------------------
+
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary: keyed aggregation with exact decimal
+    sums (map-side partials, one shuffle)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ep = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(13,2)")
+    tax = F.col("l_tax").cast("decimal(13,2)")
+    disc_price = (ep * (F.lit(1).cast("decimal(1,0)") - disc)).cast("decimal(18,4)")
+    charge = disc_price * (F.lit(1).cast("decimal(1,0)") + tax)
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(ep).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            (F.sum(qty).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            (F.sum(ep).cast("double") / F.count(F.lit(1))).alias("avg_price"),
+            (F.sum(disc).cast("double") / F.count(F.lit(1))).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_top_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style top-k: revenue per order joined to order metadata,
+    top 10 by (revenue desc, orderkey).  Join is broadcast-able on the
+    aggregated side at small k; at scale AQE picks the strategy."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    rev = li.groupBy("l_orderkey").agg(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (F.lit(1).cast("decimal(1,0)") - F.col("l_discount").cast("decimal(13,2)"))
+        ).cast("double").alias("revenue")
+    )
+    return (
+        rev.join(orders, rev.l_orderkey == orders.o_orderkey)
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style multiway join: lineitem -> orders -> customer ->
+    nation -> region with small dims broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1).cast("decimal(1,0)") - F.col("l_discount").cast("decimal(13,2)"))
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi/anti join breadth: per market segment, customers with and
+    without orders."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    with_orders = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+        .groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n_with_orders"))
+    )
+    total = cust.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n_customers"))
+    return (
+        total.join(with_orders, "c_mktsegment", "left")
+        .select(
+            "c_mktsegment", "n_customers",
+            F.coalesce("n_with_orders", F.lit(0)).alias("n_with_orders"),
+            (F.col("n_customers") - F.coalesce("n_with_orders", F.lit(0))).alias("n_without_orders"),
+        )
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q_vwap_2min(spark, SF0001)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "vwap_2min": q_vwap_2min,
+        "first_seen": q_first_seen,
+        "positional_zip": q_positional_zip,
+        "running_combine": q_running_combine,
+        "spread_bid_ask": q_spread,
+        "positions_by_key": q_positions,
+        "trade_pnl_asof": q_trade_pnl,
+        "cart_totals": q_cart_totals,
+        "cart_fold_state": q_cart_fold,
+        "feedback_orders": q_feedback,
+        "resample_1min": q_resample_1min,
+        "filter_project": q_filter_project,
+        "demux_counts": q_demux,
+        "timer_ticks": q_timer_ticks,
+        "tpch_q1": q_tpch_q1,
+        "top_revenue": q_top_revenue,
+        "revenue_by_nation": q_revenue_by_nation,
+        "semi_anti_join": q_semi_anti,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_EVENTS_VOL = f"(SELECT *, {_VOL} AS vol, event_id AS seq FROM events)"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "vwap_2min": f"""
+            SELECT
+                event_id, ts, user_id, value, vol,
+                CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(vol AS DECIMAL(18,0)))
+                         OVER w_range AS DOUBLE)
+                    / CAST(SUM(CAST(vol AS DECIMAL(18,0))) OVER w_range AS DOUBLE)
+                    AS vwap_2min,
+                CAST(SUM(vol) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS cum_vol
+            FROM {_EVENTS_VOL}
+            WINDOW w_range AS (
+                PARTITION BY user_id ORDER BY epoch_us(ts)
+                RANGE BETWEEN 120000000 PRECEDING AND CURRENT ROW)
+        """,
+        "first_seen": """
+            SELECT user_id, ts AS first_ts, event_type AS first_event_type
+            FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                               ORDER BY ts, event_id) AS rn
+                  FROM events)
+            WHERE rn = 1
+        """,
+        "positional_zip": """
+            WITH xs AS (SELECT ROW_NUMBER() OVER (ORDER BY ts, event_id) AS rn,
+                               ts, value AS x FROM events WHERE event_type = 'click'),
+                 ys AS (SELECT ROW_NUMBER() OVER (ORDER BY ts, event_id) AS rn,
+                               value AS y FROM events WHERE event_type = 'view')
+            SELECT xs.rn, xs.ts, xs.x, ys.y FROM xs JOIN ys USING (rn)
+        """,
+        "running_combine": """
+            WITH s AS (
+                SELECT ts, event_id AS seq,
+                       CASE WHEN event_type = 'click' THEN value END AS x,
+                       CASE WHEN event_type = 'view'  THEN value END AS y
+                FROM events WHERE event_type IN ('click', 'view')),
+            carried AS (
+                SELECT ts, seq,
+                       LAST_VALUE(x IGNORE NULLS) OVER w AS x,
+                       LAST_VALUE(y IGNORE NULLS) OVER w AS y
+                FROM s
+                WINDOW w AS (ORDER BY ts, seq
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+            summed AS (
+                SELECT *, CAST(x AS DECIMAL(18,2)) + CAST(y AS DECIMAL(18,2)) AS xy_dec
+                FROM carried)
+            SELECT ts, seq, x, y, CAST(xy_dec AS DOUBLE) AS xy_sum,
+                   CAST(SUM(xy_dec) OVER (ORDER BY ts, seq
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                       AS accum
+            FROM summed
+        """,
+        "spread_bid_ask": """
+            WITH s AS (
+                SELECT ts, event_id AS seq,
+                       CASE WHEN event_type = 'click' THEN value END AS bid,
+                       CASE WHEN event_type = 'view'  THEN value END AS ask
+                FROM events WHERE event_type IN ('click', 'view')),
+            carried AS (
+                SELECT ts, seq,
+                       LAST_VALUE(bid IGNORE NULLS) OVER w AS bid,
+                       LAST_VALUE(ask IGNORE NULLS) OVER w AS ask
+                FROM s
+                WINDOW w AS (ORDER BY ts, seq
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+            SELECT ts, seq, bid, ask,
+                   CAST(CAST(ask AS DECIMAL(18,2)) - CAST(bid AS DECIMAL(18,2))
+                        AS DOUBLE) AS spread
+            FROM carried WHERE bid IS NOT NULL AND ask IS NOT NULL
+        """,
+        "positions_by_key": f"""
+            SELECT event_type,
+                   CAST(SUM(CAST(vol AS DECIMAL(18,0))) AS BIGINT) AS total_qty,
+                   CAST(SUM(CAST(vol AS DECIMAL(18,0)) * CAST(value AS DECIMAL(18,2)))
+                        AS DOUBLE) AS total_qty_price,
+                   CAST(SUM(CAST(vol AS DECIMAL(18,0)) * CAST(value AS DECIMAL(18,2)))
+                        AS DOUBLE)
+                       / CAST(SUM(CAST(vol AS DECIMAL(18,0))) AS DOUBLE) AS avg_cost
+            FROM {_EVENTS_VOL}
+            GROUP BY event_type
+        """,
+        "trade_pnl_asof": f"""
+            WITH s AS (
+                SELECT user_id, ts, seq, event_id,
+                       CASE WHEN event_type = 'purchase' THEN vol END AS qty,
+                       CASE WHEN event_type = 'purchase' THEN value END AS price,
+                       CASE WHEN event_type = 'view' THEN value END AS quote,
+                       CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS side
+                FROM {_EVENTS_VOL} WHERE event_type IN ('purchase', 'view')),
+            carried AS (
+                SELECT *, LAST_VALUE(quote IGNORE NULLS) OVER (
+                           PARTITION BY user_id ORDER BY ts, seq, side
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mid
+                FROM s)
+            SELECT event_id, ts, user_id, qty, price, mid,
+                   CAST(CAST(qty AS DECIMAL(18,0))
+                        * (CAST(mid AS DECIMAL(18,2)) - CAST(price AS DECIMAL(18,2)))
+                        AS DOUBLE) AS pnl
+            FROM carried WHERE side = 1
+        """,
+        "cart_totals": f"""
+            WITH t0 AS (SELECT MIN(ts) AS t0 FROM events
+                        WHERE event_type IN ('click', 'error')),
+            relevant AS (
+                SELECT e.*, (e.ts < t0.t0 + INTERVAL 3600 SECONDS) AS in_window
+                FROM {_EVENTS_VOL} e CROSS JOIN t0
+                WHERE event_type IN ('click', 'error'))
+            SELECT user_id,
+                   CAST(SUM(CASE WHEN event_type = 'click'
+                            THEN CAST(vol AS DECIMAL(18,0)) * CAST(value AS DECIMAL(18,2))
+                                 * CAST(CASE WHEN in_window THEN 0.9 ELSE 1.0 END
+                                        AS DECIMAL(3,2))
+                            ELSE -(CAST(vol AS DECIMAL(18,0)) * CAST(value AS DECIMAL(18,2))
+                                   * CAST(1.0 AS DECIMAL(3,2))) END)
+                        AS DOUBLE) AS cart_value,
+                   CAST(SUM(CASE WHEN event_type = 'click'
+                            THEN CAST(vol AS DECIMAL(18,0))
+                            ELSE -CAST(vol AS DECIMAL(18,0)) END) AS BIGINT) AS cart_qty,
+                   COUNT(*) AS n_updates
+            FROM relevant
+            GROUP BY user_id
+        """,
+        "feedback_orders": """
+            WITH t0 AS (SELECT MIN(ts) AS t0 FROM events)
+            SELECT i AS order_id,
+                   t0.t0 + i * INTERVAL 1000 MILLISECONDS AS send_ts,
+                   t0.t0 + i * INTERVAL 1000 MILLISECONDS
+                         + INTERVAL 700 MILLISECONDS AS ack_ts
+            FROM t0, generate_series(0, 9) AS g(i)
+        """,
+        "resample_1min": """
+            SELECT date_trunc('minute', ts) AS bucket_start,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+            FROM events GROUP BY 1
+        """,
+        "filter_project": f"""
+            SELECT event_id, ts, user_id, value, vol - 1 AS k
+            FROM {_EVENTS_VOL}
+            WHERE event_type = 'purchase' AND value >= 50
+        """,
+        "demux_counts": """
+            SELECT event_type, MIN(ts) AS first_ts, COUNT(*) AS n_events,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+            FROM events GROUP BY event_type
+        """,
+        "timer_ticks": """
+            SELECT unnest(generate_series(
+                       (SELECT MIN(ts) + INTERVAL 1 HOUR FROM events),
+                       (SELECT MAX(ts) FROM events),
+                       INTERVAL 1 HOUR)) AS tick_ts
+        """,
+        "tpch_q1": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                       AS sum_base_price,
+                   CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                            * (1 - CAST(l_discount AS DECIMAL(13,2)))
+                            AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+                   CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                            * (1 - CAST(l_discount AS DECIMAL(13,2)))
+                            AS DECIMAL(18,4))
+                            * (1 + CAST(l_tax AS DECIMAL(13,2)))) AS DOUBLE)
+                       AS sum_charge,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+                       AS avg_qty,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+                       AS avg_price,
+                   CAST(SUM(CAST(l_discount AS DECIMAL(13,2))) AS DOUBLE) / COUNT(*)
+                       AS avg_disc,
+                   COUNT(*) AS count_order
+            FROM lineitem
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "top_revenue": """
+            SELECT l_orderkey,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                            * (1 - CAST(l_discount AS DECIMAL(13,2)))) AS DOUBLE)
+                       AS revenue,
+                   ANY_VALUE(o_orderdate) AS o_orderdate,
+                   ANY_VALUE(o_orderpriority) AS o_orderpriority
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY l_orderkey
+            ORDER BY revenue DESC, l_orderkey ASC
+            LIMIT 10
+        """,
+        "revenue_by_nation": """
+            SELECT r_name, n_name,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                            * (1 - CAST(l_discount AS DECIMAL(13,2)))) AS DOUBLE)
+                       AS revenue,
+                   COUNT(*) AS n_items
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            GROUP BY r_name, n_name
+        """,
+        "semi_anti_join": """
+            SELECT c_mktsegment,
+                   COUNT(*) AS n_customers,
+                   COUNT(*) FILTER (WHERE has_order) AS n_with_orders,
+                   COUNT(*) FILTER (WHERE NOT has_order) AS n_without_orders
+            FROM (SELECT c_mktsegment,
+                         EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+                             AS has_order
+                  FROM customer)
+            GROUP BY c_mktsegment
+        """,
+    }

@@ -1,0 +1,123 @@
+"""Per-key session state machine with timed expiry (SURVEY §2 B7).
+
+Port of ``CartManager`` (``/root/reference/examples/csp/01_basics/
+e5_retail_cart.py:34-68``): per-user cart where additions are discounted
+while a discount window is active (a timer armed at run start flips it off
+60 s in -- e5:106-108), removals deplete quantities FIFO (e5:54-65), and
+every event re-emits the cart total and item count.
+
+Two implementations, deliberately:
+
+* :func:`cart_totals` -- the SQL-expressible aggregate view (discount is an
+  event-time predicate; removals are signed quantities).  Fully declarative,
+  oracle-checkable, scales as a keyed aggregation.
+* :func:`cart_fold` -- the faithful FIFO state machine as ``applyInPandas``
+  over user partitions, the batch analog of the streaming
+  ``transformWithStateInPandas`` handler in ``streaming/cart.py``.  This is
+  the pattern to reach for when semantics genuinely can't be expressed
+  relationally; state stays bounded per key and keys are distributed.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.numeric import dec
+
+
+def cart_totals(
+    events: DataFrame,
+    user: str = "user_id",
+    kind: str = "event_type",
+    add_kind: str = "click",
+    remove_kind: str = "error",
+    qty: str = "vol",
+    price: str = "value",
+    discount: float = 0.9,
+    discount_seconds: int = 3600,
+) -> DataFrame:
+    """Final cart value per user, discount applied to adds inside the window.
+
+    The discount window starts at the global first event (the reference arms
+    its timer at engine start via ``on_start``, e5:106-108).  Additions in
+    the window cost ``qty*price*discount``; removals subtract at full price
+    (the reference removes at the recorded per-item cost; the signed-sum
+    view prices removals undiscounted -- a documented simplification that
+    keeps the operator relational).
+    """
+    win_start = F.min(F.when(F.col(kind).isin(add_kind, remove_kind), F.col("ts")))
+    bounds = events.agg(win_start.alias("t0"))
+    df = events.join(F.broadcast(bounds), how="cross")
+    in_window = F.col("ts") < F.col("t0") + F.expr(f"INTERVAL {discount_seconds} SECONDS")
+    disc = F.when(in_window, F.lit(discount)).otherwise(F.lit(1.0)).cast("decimal(3,2)")
+    signed_cost = (
+        F.when(F.col(kind) == add_kind, dec(qty, 0) * dec(price, 2) * disc)
+        .when(F.col(kind) == remove_kind, -dec(qty, 0) * dec(price, 2))
+    )
+    signed_qty = (
+        F.when(F.col(kind) == add_kind, dec(qty, 0))
+        .when(F.col(kind) == remove_kind, -dec(qty, 0))
+    )
+    return (
+        df.filter(F.col(kind).isin(add_kind, remove_kind))
+        .groupBy(user)
+        .agg(
+            F.sum(signed_cost).cast("double").alias("cart_value"),
+            F.sum(signed_qty).cast("long").alias("cart_qty"),
+            F.count(F.lit(1)).alias("n_updates"),
+        )
+    )
+
+
+_CART_SCHEMA = (
+    "user_id BIGINT, n_updates BIGINT, cart_qty BIGINT, cart_value DOUBLE"
+)
+
+
+def cart_fold(
+    events: DataFrame,
+    discount: float = 0.9,
+    discount_seconds: int = 3600,
+    add_kind: str = "click",
+    remove_kind: str = "error",
+) -> DataFrame:
+    """Faithful FIFO cart fold (e5_retail_cart.py:34-68) via applyInPandas.
+
+    Adds append ``(item=event_id, qty, cost)`` with cost discounted while
+    the window is active; removes deplete from the oldest entries
+    (e5:54-65 ``remove_item``); output is each user's final cart.  Discount
+    window is anchored at the user's first event.  Keys distribute across
+    executors; per-key state is the pandas group -- bounded and spill-free.
+    """
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "seq"], kind="mergesort")
+        t0 = pdf["ts"].iloc[0]
+        cart: list[list] = []  # [qty, unit_cost] FIFO
+        n = 0
+        for _, row in pdf.iterrows():
+            qty = int(row["vol"])
+            if row["event_type"] == add_kind:
+                unit = float(row["value"])
+                if (row["ts"] - t0).total_seconds() < discount_seconds:
+                    unit *= discount
+                cart.append([qty, unit])
+            else:
+                while qty > 0 and cart:
+                    take = min(qty, cart[0][0])
+                    cart[0][0] -= take
+                    qty -= take
+                    if cart[0][0] == 0:
+                        cart.pop(0)
+            n += 1
+        total_qty = sum(q for q, _ in cart)
+        total_val = round(sum(q * c for q, c in cart), 6)
+        return pd.DataFrame(
+            [[int(pdf["user_id"].iloc[0]), n, total_qty, total_val]],
+            columns=["user_id", "n_updates", "cart_qty", "cart_value"],
+        )
+
+    relevant = events.filter(F.col("event_type").isin(add_kind, remove_kind))
+    return relevant.groupBy("user_id").applyInPandas(fold, schema=_CART_SCHEMA)

@@ -1,0 +1,52 @@
+"""SparkSession factory tuned for this engine.
+
+The reference engine (``/root/reference/src/async_stream_processing/processor.py:197-206``,
+``asp.run``) owns a single global event loop; our analog is a SparkSession with
+event-time-friendly defaults.  Settings are chosen for correctness first
+(ANSI off so overflow/parse behavior matches DuckDB defaults is NOT needed --
+we keep ANSI on, Spark 4 default) and for scale: AQE on, shuffle partitions
+sized for the local harness but overridable for a real cluster.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "async-stream-processing-spark",
+    shuffle_partitions: int | None = None,
+    master: str | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    On a real cluster, pass ``master=None`` and let spark-submit decide;
+    ``shuffle_partitions`` should be ~2-3x total executor cores there
+    (driver harness uses 32 local threads).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
+        # Runtime re-planning: coalesce tiny shuffle partitions, split skewed
+        # joins -- essential at 100 TB, harmless locally.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Arrow for every pandas_udf / applyInPandas boundary.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        # Driver test parquet stores TIMESTAMP(NANOS); read as long and
+        # repair in sources.parquet.load_table.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+    )
+    if master is not None:
+        builder = builder.master(master)
+    elif "SPARK_GRAFT_LOCAL" in os.environ or not os.environ.get("SPARK_MASTER"):
+        builder = builder.master(f"local[{cpus}]")
+    return builder.getOrCreate()

@@ -1,0 +1,48 @@
+"""Benchmark harness: runs the engine's headline queries end-to-end.
+
+Prints ONE JSON line:
+``{"metric": "...", "value": <total sec>, "unit": "sec", "queries": {...}, "sf": ...}``
+
+Env: ``SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1),
+``SPARK_GRAFT_CPUS`` (default 32).  Each query is forced with a noop sink
+(full execution, zero driver collection) and timed individually.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    import __spark_entry__ as entrymod
+    from async_stream_processing_spark import get_spark
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    for name, fn in entrymod.queries().items():
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,163 @@
+"""Operator semantics tests mirroring the reference's test scenarios
+(``/root/reference/tests/test_past.py``) as *exact* event-time assertions --
+we drop the reference's 1 ms processing-time tolerance because our results
+are pure event-time (SURVEY §5).
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+from pyspark.sql import functions as F
+
+from async_stream_processing_spark.operators.asof import asof_join
+from async_stream_processing_spark.operators.dedup import first_seen, mark_first_seen
+from async_stream_processing_spark.operators.feedback import feedback_orders
+from async_stream_processing_spark.operators.merge import last_value_merge, positional_zip
+from async_stream_processing_spark.operators.running import running_combine, spread
+from async_stream_processing_spark.operators.session_state import cart_fold
+from async_stream_processing_spark.operators.windows import sliding_weighted_mean
+from async_stream_processing_spark.sources.synthetic import timer_ticks, timestamps
+
+T0 = datetime(2024, 1, 1)
+
+
+def _ts(seconds: float) -> datetime:
+    return T0 + timedelta(seconds=seconds)
+
+
+def _stream(spark, rows, stream_id=0):
+    """rows: list of (seconds_offset, value) -> event relation."""
+    return spark.createDataFrame(
+        [(_ts(s), (stream_id << 40) + i + 1, float(v)) for i, (s, v) in enumerate(rows)],
+        "ts timestamp, seq long, value double",
+    )
+
+
+def test_timer_fires_exactly_n_times(spark):
+    """Reference contract: 10 s window, 1 s step -> exactly 10 firings,
+    first at start+step, end inclusive (tests/test_past.py:104-119)."""
+    out = timer_ticks(spark, T0, _ts(10), step="1 second").collect()
+    assert len(out) == 10
+    assert out[0]["tick_ts"] == _ts(1)
+    assert out[-1]["tick_ts"] == _ts(10)
+
+
+def test_timestamps_evenly_spaced(spark):
+    """testing.timestamps analog (testing.py:6-10)."""
+    out = timestamps(spark, T0, "2 seconds", 5).collect()
+    assert [r["ts"] for r in out] == [_ts(0), _ts(2), _ts(4), _ts(6), _ts(8)]
+
+
+def test_first_seen_greeter(spark):
+    """Greeter: hello on first occurrence, hello-again after (common.py:25-34)."""
+    df = spark.createDataFrame(
+        [(_ts(1), 1, "ann"), (_ts(2), 2, "bob"), (_ts(3), 3, "ann")],
+        "ts timestamp, seq long, name string",
+    )
+    firsts = {r["name"]: r["ts"] for r in first_seen(df, "name").collect()}
+    assert firsts == {"ann": _ts(1), "bob": _ts(2)}
+    marked = {(r["name"], r["seq"]): r["is_first"]
+              for r in mark_first_seen(df, "name").collect()}
+    assert marked == {("ann", 1): True, ("bob", 2): True, ("ann", 3): False}
+
+
+def test_positional_zip_stops_at_shortest(spark):
+    """merge_timeseries zips by position, keeps series-1 timestamps,
+    truncates to the shortest input (common.py:18-22; SURVEY B2)."""
+    x = _stream(spark, [(0, 10), (5, 11), (9, 12)], stream_id=0)
+    y = _stream(spark, [(1, 20), (2, 21)], stream_id=1)
+    out = positional_zip({"x": x, "y": y}).orderBy("rn").collect()
+    assert [(r["rn"], r["ts"], r["x"], r["y"]) for r in out] == [
+        (1, _ts(0), 10.0, 20.0),
+        (2, _ts(5), 11.0, 21.0),
+    ]
+
+
+def test_last_value_merge_carry_forward(spark):
+    """The intended csp merge: every event sees the freshest value of every
+    stream; nulls before a stream's first tick (SURVEY B2')."""
+    x = _stream(spark, [(0, 1), (4, 2)], stream_id=0)
+    y = _stream(spark, [(2, 9)], stream_id=1)
+    out = last_value_merge({"x": x, "y": y}).orderBy("ts", "seq").collect()
+    assert [(r["x"], r["y"]) for r in out] == [(1.0, None), (1.0, 9.0), (2.0, 9.0)]
+
+
+def test_running_combine_matches_reference_example(spark):
+    """e2_ticking.py:10-27: emit x+y and a cumulative accumulator on every
+    tick of either input."""
+    x = _stream(spark, [(0, 1), (2, 3)], stream_id=0)
+    y = _stream(spark, [(1, 10)], stream_id=1)
+    out = running_combine(x, y).orderBy("ts", "seq").collect()
+    assert [(r["xy_sum"], r["accum"]) for r in out] == [
+        (None, None),          # only x has ticked
+        (11.0, 11.0),          # x=1, y=10
+        (13.0, 24.0),          # x=3, y=10
+    ]
+
+
+def test_spread_requires_both_sides(spark):
+    """e3_show_graph.py:11-29: spread emitted once both bid and ask ticked."""
+    bid = _stream(spark, [(0, 100), (3, 101)], stream_id=0)
+    ask = _stream(spark, [(1, 102)], stream_id=1)
+    out = spread(bid, ask).orderBy("ts", "seq").collect()
+    assert [(r["ts"], r["spread"]) for r in out] == [(_ts(1), 2.0), (_ts(3), 1.0)]
+
+
+def test_asof_join_takes_latest_right(spark):
+    """Book mark-to-market shape (e4_trade_pnl.py:36-70): each left row sees
+    the most recent right value; none before the first quote."""
+    trades = _stream(spark, [(1, 0), (5, 0)], stream_id=0)
+    quotes = _stream(spark, [(2, 50), (4, 60)], stream_id=1).withColumnRenamed(
+        "value", "mid"
+    )
+    out = asof_join(trades, quotes, right_cols=["mid"]).orderBy("ts").collect()
+    assert [r["mid"] for r in out] == [None, 60.0]
+
+
+def test_sliding_weighted_mean_window_prunes(spark):
+    """MovingAverage (e2_stats.py:35-65): only events inside the trailing
+    interval contribute; boundary (t - interval) is inclusive."""
+    df = _stream(spark, [(0, 10), (60, 20), (121, 30)]).withColumn(
+        "w", F.lit(1).cast("long")
+    )
+    out = sliding_weighted_mean(
+        df, value="value", weight="w", interval_seconds=120, out="m"
+    ).orderBy("ts").collect()
+    # event at 121 s: frame covers [1 s, 121 s] -> events at 60 and 121 only
+    assert [r["m"] for r in out] == [10.0, 15.0, 25.0]
+
+
+def test_feedback_recurrence_timing(spark):
+    """e1_feedback.py:27-59: order i at t0 + i*(0.3+0.7)s, ACK 0.7 s later,
+    10 orders total (~1 s per round trip, SURVEY B8)."""
+    out = feedback_orders(spark, T0).orderBy("order_id").collect()
+    assert len(out) == 10
+    assert out[3]["send_ts"] == _ts(3.0)
+    assert out[3]["ack_ts"] == _ts(3.7)
+
+
+def test_cart_fold_fifo_removal(spark):
+    """e5_retail_cart.py:34-68: removals deplete oldest entries first;
+    discount applies inside the window only."""
+    rows = [
+        # user 1: add 2 @ 10.0 (discounted: 9.0), add 1 @ 20.0 (after window),
+        # remove 2 -> depletes the first entry entirely
+        (_ts(0), 1, 1, "click", 10.0, 2),
+        (_ts(7200), 2, 1, "click", 20.0, 1),
+        (_ts(7300), 3, 1, "error", 0.0, 2),
+    ]
+    df = spark.createDataFrame(
+        rows, "ts timestamp, seq long, user_id long, event_type string, value double, vol long"
+    )
+    out = cart_fold(df, discount=0.9, discount_seconds=3600).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["cart_qty"], r["cart_value"], r["n_updates"]) == (1, 20.0, 3)
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as entrymod
+
+    df = entrymod.entry(spark)
+    assert df.count() > 0
