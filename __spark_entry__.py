@@ -273,6 +273,9 @@ def q_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from llm_queries import LLM_QUERIES, llm_oracle_sql  # noqa: E402
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_vwap_2min(spark, SF0001)
@@ -298,6 +301,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_revenue": q_top_revenue,
         "revenue_by_nation": q_revenue_by_nation,
         "semi_anti_join": q_semi_anti,
+        **LLM_QUERIES,
     }
 
 
@@ -306,6 +310,7 @@ _EVENTS_VOL = f"(SELECT *, {_VOL} AS vol, event_id AS seq FROM events)"
 
 def oracle_sql() -> dict[str, str]:
     return {
+        **llm_oracle_sql(),
         "vwap_2min": f"""
             SELECT
                 event_id, ts, user_id, value, vol,

@@ -1,0 +1,68 @@
+"""Text primitives shared by the LLM-pipeline operators.
+
+All column expressions here have exact ANSI-SQL twins (the ``sql_*``
+renderings) so every text operator stays oracle-checkable.  Tokenization is
+whitespace-based (the driver's ``documents.text`` is space-separated), with
+a regex fallback for token *counting* that approximates a BPE pre-tokenizer
+(letter runs / digit runs / single punctuation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def tokens(col: Column | str = "text") -> Column:
+    """Lower-cased whitespace tokens."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.lower(F.trim(c)), " +")
+
+
+def sql_tokens(expr: str = "text") -> str:
+    return f"string_split_regex(lower(trim({expr})), ' +')"
+
+
+def shingles(col: Column | str = "text", n: int = 3) -> Column:
+    """Word n-gram shingles as strings (space-joined).
+
+    Spark ``transform`` lambda index is 0-based: shingle i covers words
+    ``[i+1, i+n]`` (1-based slice).  Documents shorter than ``n`` words
+    yield an empty array.
+    """
+    w = tokens(col)
+    return F.filter(
+        F.transform(w, lambda _, i: F.when(
+            i + n <= F.size(w), F.concat_ws(" ", F.slice(w, i + 1, n))
+        )),
+        lambda x: x.isNotNull(),
+    )
+
+
+def sql_shingles(expr: str = "text", n: int = 3) -> str:
+    """DuckDB twin of :func:`shingles`; lambda index is 1-based there.
+    The token-list expression is inlined (DuckDB lambdas can't hold
+    subqueries); pair with a CTE exposing one ``words`` column to keep
+    oracle SQL readable: ``sql_shingles('words')``."""
+    w = expr
+    joined = " || ' ' || ".join(f"({w})[i + {k}]" for k in range(n))
+    return (
+        f"list_filter(list_transform({w}, (x, i) -> "
+        f"CASE WHEN i + {n - 1} <= len({w}) THEN {joined} END), "
+        f"x -> x IS NOT NULL)"
+    )
+
+
+# A deliberately tiny, documented stopword table for language ID -- the
+# operator demonstrates the n-gram/stopword-voting heuristic, not a
+# production model (swap in fastText/CLD3 off-Spark for real runs).
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "zu"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es"],
+    "fr": ["le", "la", "et", "les", "des", "un", "une", "est"],
+    "zh": ["的", "是", "不", "了", "在", "人", "有", "我"],
+}
+
+#: BPE-ish pre-tokenizer: letter runs, digit runs, single non-alnum marks.
+BPE_TOKEN_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"

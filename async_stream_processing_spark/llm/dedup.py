@@ -1,0 +1,193 @@
+"""Document deduplication: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Training-data dedup at 100 TB is the motivating workload (BASELINE.json
+north star).  Plan shapes:
+
+* **exact**: hash-groupBy on a normalized fingerprint -- one shuffle,
+  map-side partial agg; the canonical doc is ``min(doc_id)``.
+* **MinHash + LSH**: shingle -> 60-bit hash -> K permuted min-hashes ->
+  band buckets -> self-join on (band, band-signature) -> candidate pairs ->
+  exact-Jaccard verification.  Only the bucket join shuffles, and only
+  same-bucket docs ever pair -- never all-pairs.  This is the scalable
+  near-dup path (Broder 1997; the GPT-3/C4-style pipeline).
+* **SimHash**: per-doc 64-bit signature by majority vote of token-hash
+  bits (Charikar 2002; Manku et al. 2007 for the Hamming-band trick).
+* **n-gram Jaccard**: exact pairwise similarity *within a blocking key*
+  (here ``source``) via shingle-explode + co-group join -- quadratic only
+  inside a block, used to validate the LSH recall.
+
+Everything is built from ``functions.hashing``/``functions.text`` so every
+operator has a bit-exact DuckDB oracle (md5-based hashing -- see
+hashing.py; swap ``hash_mode='xxhash64'`` for production speed).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import (
+    MINHASH_P,
+    minhash_coeffs,
+    minhash_term,
+    stable_hash60,
+)
+from ..functions.text import shingles
+
+N_MINHASH = 16
+#: 8 bands x 2 rows: for planted near-dups at J>=0.8 the miss probability is
+#: (1 - J^2)^8 < 0.1%, while J~0.05 background pairs stay ~99% filtered.
+LSH_BANDS = 8
+
+
+def _shingle_hash(mode: str) -> Column:
+    if mode == "xxhash64":
+        # production path: cheaper, not oracle-portable
+        return F.abs(F.xxhash64(F.col("shingle")))
+    return stable_hash60(F.col("shingle"))
+
+
+def exact_dedup(docs: DataFrame, text: str = "text") -> DataFrame:
+    """Canonical doc per distinct normalized text + duplicate count."""
+    key = F.md5(F.lower(F.trim(F.col(text))))
+    return (
+        docs.groupBy(key.alias("fingerprint"))
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def doc_shingle_hashes(docs: DataFrame, n: int = 3, hash_mode: str = "md5") -> DataFrame:
+    """(doc_id, h): distinct hashed word-n-gram shingles per document."""
+    return (
+        docs.select("doc_id", F.explode(shingles("text", n)).alias("shingle"))
+        .select("doc_id", _shingle_hash(hash_mode).alias("h"))
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame, n_hashes: int = N_MINHASH, n: int = 3, hash_mode: str = "md5"
+) -> DataFrame:
+    """One row per doc: doc_id, mh_0 .. mh_{k-1} (the minhash signature).
+
+    Single explode + single groupBy; the K permutations are K cheap column
+    expressions over the same hash, aggregated map-side.
+    """
+    sh = doc_shingle_hashes(docs, n, hash_mode)
+    coeffs = minhash_coeffs(n_hashes)
+    aggs = [
+        F.min(minhash_term(F.col("h"), a, b)).alias(f"mh_{j}")
+        for j, (a, b) in enumerate(coeffs)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, n_hashes: int = N_MINHASH, bands: int = LSH_BANDS
+) -> DataFrame:
+    """Distinct (doc_a < doc_b) pairs agreeing on ALL rows of >= 1 band.
+
+    Implemented as explode-to-(band, band_sig) + self-join on the bucket --
+    the join key includes the full band signature, so bucket skew is the
+    only skew (salt or raise ``bands`` if a degenerate corpus hits it).
+    """
+    rows = n_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        sig = F.concat_ws(
+            "_", *[F.col(f"mh_{b * rows + r}") for r in range(rows)]
+        )
+        band_cols.append(F.struct(F.lit(b).alias("band"), sig.alias("sig")))
+    buckets = signatures.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.sig").alias("sig"))
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (
+        a.join(b, ["band", "sig"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def jaccard_for_pairs(
+    pairs: DataFrame, shingle_hashes: DataFrame
+) -> DataFrame:
+    """Exact Jaccard for given candidate pairs from their shingle-hash sets.
+
+    ``intersection / (|A| + |B| - intersection)`` -- all integers until one
+    final double division, so bit-exact everywhere.
+    """
+    sizes = shingle_hashes.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        pairs.join(shingle_hashes.alias("sa"), pairs.doc_a == F.col("sa.doc_id"))
+        .join(
+            shingle_hashes.alias("sb"),
+            (pairs.doc_b == F.col("sb.doc_id")) & (F.col("sa.h") == F.col("sb.h")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        pairs.join(inter, ["doc_a", "doc_b"], "left")
+        .na.fill({"n_common": 0})
+        .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "n_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "n_b"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
+        )
+    )
+
+
+def minhash_dedup_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    n_hashes: int = N_MINHASH,
+    bands: int = LSH_BANDS,
+    hash_mode: str = "md5",
+) -> DataFrame:
+    """Full near-dup pipeline: LSH candidates verified at ``threshold``."""
+    sh = doc_shingle_hashes(docs, hash_mode=hash_mode)
+    sigs = minhash_signatures(docs, n_hashes, hash_mode=hash_mode)
+    cands = lsh_candidate_pairs(sigs, n_hashes, bands)
+    verified = jaccard_for_pairs(cands, sh)
+    return verified.filter(F.col("jaccard") >= threshold).select(
+        "doc_a", "doc_b", "n_common", "n_a", "n_b", "jaccard"
+    )
+
+
+def simhash(docs: DataFrame, bits: int = 32, hash_mode: str = "md5") -> DataFrame:
+    """Per-doc SimHash: bit j set iff the majority of the doc's (distinct)
+    token hashes have bit j set.  Ties (exactly half) -> bit set, a fixed
+    documented convention.
+
+    Implemented as one explode + one groupBy with ``bits`` conditional-sum
+    columns (all map-side combinable); the signature is assembled with
+    shift-adds -- no UDF.
+    """
+    toks = (
+        docs.select("doc_id", F.explode(F.split(F.lower(F.trim(F.col("text"))), " +")).alias("tok"))
+        .distinct()
+    )
+    h = stable_hash60(F.col("tok")) if hash_mode == "md5" else F.abs(F.xxhash64("tok"))
+    toks = toks.select("doc_id", h.alias("h"))
+    votes = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tok"),
+        *[
+            F.sum(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1))).alias(f"v_{j}")
+            for j in range(bits)
+        ],
+    )
+    sig = F.lit(0).cast("long")
+    for j in range(bits):
+        bit = (F.col(f"v_{j}") * 2 >= F.col("n_tok")).cast("long")
+        sig = sig + F.shiftleft(bit, j)
+    return votes.select("doc_id", sig.alias("simhash"), "n_tok")

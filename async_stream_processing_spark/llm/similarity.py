@@ -1,0 +1,154 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+* :func:`cosine` -- exact cosine via a **sequential left fold** in double
+  precision (``aggregate``/``zip_with``).  The fold order is part of the
+  contract: DuckDB's ``list_reduce`` folds left too, so oracle results are
+  bit-identical.  (The decimal-sum trick from ``functions.numeric`` does
+  NOT apply to float inputs -- their doubles carry ~17 significant digits
+  and Spark/DuckDB round double->decimal differently there.)
+* :func:`knn_bruteforce` -- baseline top-k: broadcast the (small) query
+  set against the corpus, one dot product per (query, candidate), window
+  rank.  Linear scan; the right answer up to ~10^7 x 10^3 work units.
+* :func:`lsh_buckets` / :func:`knn_lsh` -- the scale path: random-
+  hyperplane LSH (Charikar 2002).  Hyperplane weights are deterministic
+  integers ``((131*j + 137*d) % 19) - 9`` so the oracle can re-derive them;
+  candidates are restricted to bucket-mates, turning O(N*Q) into
+  O(N*Q / 2^planes) with recall tunable by ``n_planes`` / multi-probe.
+  At 100 TB: bucket the corpus once (write bucketed parquet), then each
+  query batch joins on ``bucket`` -- a co-partitioned join, no broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _as_double(arr: Column) -> Column:
+    return F.transform(arr, lambda x: x.cast("double"))
+
+
+def _fold_sum(arr: Column) -> Column:
+    """Sequential left fold -- bit-equal to DuckDB list_reduce."""
+    return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def dot(a: Column, b: Column) -> Column:
+    return _fold_sum(F.zip_with(_as_double(a), _as_double(b), lambda x, y: x * y))
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(_fold_sum(F.transform(_as_double(a), lambda x: x * x)))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def sql_dot(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_transform(list_zip({a}, {b}), "
+        f"p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)"
+    )
+
+
+def sql_norm(a: str) -> str:
+    return (
+        f"sqrt(list_reduce(list_transform({a}, "
+        f"x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y))"
+    )
+
+
+def sql_cosine(a: str, b: str) -> str:
+    return f"({sql_dot(a, b)} / ({sql_norm(a)} * {sql_norm(b)}))"
+
+
+def knn_bruteforce(
+    embeddings: DataFrame, n_queries: int = 10, k: int = 5
+) -> DataFrame:
+    """Exact top-k neighbors (cosine) for the first ``n_queries`` vectors.
+
+    The query side is broadcast (it is small by construction); the corpus
+    streams through one stage -- no shuffle of the corpus itself.
+    """
+    q = embeddings.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    c = embeddings.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos", cosine(F.col("q_emb"), F.col("c_emb")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.col("cos").alias("cosine"))
+    )
+
+
+def _plane_weight(j: int, idx0: Column) -> Column:
+    """Deterministic integer hyperplane weight for plane j, 0-based dim."""
+    return ((F.lit(131 * j) + F.lit(137) * idx0) % 19 - F.lit(9)).cast("double")
+
+
+def lsh_buckets(embeddings: DataFrame, n_planes: int = 6) -> DataFrame:
+    """Random-hyperplane bucket id per vector (sign-bit concatenation)."""
+    emb = _as_double(F.col("embedding"))
+    bucket = F.lit(0).cast("long")
+
+    def weigh(j):
+        # closure (not a default arg) -- pyspark counts lambda params to
+        # pick the higher-order-function arity.
+        return lambda x, i: x * _plane_weight(j, i)
+
+    for j in range(n_planes):
+        dot_j = F.aggregate(
+            F.transform(emb, weigh(j)), F.lit(0.0), lambda acc, x: acc + x
+        )
+        bucket = bucket + F.shiftleft((dot_j >= 0).cast("long"), j)
+    return embeddings.select("vec_id", "label", bucket.alias("bucket"))
+
+
+def sql_lsh_bucket(emb: str, n_planes: int = 6) -> str:
+    """DuckDB twin of the bucket id (lambda index is 1-based -> d = i-1)."""
+    terms = []
+    for j in range(n_planes):
+        fold = (
+            f"list_reduce(list_transform({emb}, (x, i) -> "
+            f"CAST(x AS DOUBLE) * CAST((({131 * j} + 137 * (i - 1)) % 19) - 9 AS DOUBLE)), "
+            f"(a, b) -> a + b)"
+        )
+        terms.append(f"(CASE WHEN {fold} >= 0 THEN {1 << j} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
+
+def knn_lsh(
+    embeddings: DataFrame, n_queries: int = 10, k: int = 3, n_planes: int = 6
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH bucket."""
+    b = lsh_buckets(embeddings, n_planes)
+    withb = embeddings.join(b.select("vec_id", "bucket"), "vec_id")
+    q = withb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("bucket"),
+    )
+    c = withb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("bucket"),
+    )
+    scored = (
+        c.join(q, "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos", cosine(F.col("q_emb"), F.col("c_emb")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.col("cos").alias("cosine"))
+    )

@@ -1,0 +1,444 @@
+"""LLM-data-pipeline query declarations + DuckDB oracles.
+
+Split out of ``__spark_entry__`` for readability; imported there.  Each
+query exercises one operator from ``async_stream_processing_spark.llm`` on
+the driver's ``documents`` / ``embeddings`` tables, with a bit-exact ANSI
+SQL twin (see functions/hashing.py + llm/similarity.py for the portability
+contracts: md5-based 60-bit hashing, sequential-left-fold float math).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from async_stream_processing_spark.functions.hashing import (
+    MINHASH_P,
+    minhash_coeffs,
+    sql_minhash_term,
+    sql_stable_hash60,
+)
+from async_stream_processing_spark.functions.text import (
+    BPE_TOKEN_RE,
+    LANG_STOPWORDS,
+    sql_shingles,
+)
+from async_stream_processing_spark.llm.dedup import (
+    LSH_BANDS,
+    N_MINHASH,
+    exact_dedup,
+    minhash_dedup_pairs,
+    simhash,
+)
+from async_stream_processing_spark.llm.multimodal import (
+    decode_image_meta,
+    frame_sample_stub,
+    with_binary_payload,
+)
+from async_stream_processing_spark.llm.similarity import (
+    knn_bruteforce,
+    knn_lsh,
+    lsh_buckets,
+    sql_cosine,
+    sql_lsh_bucket,
+)
+from async_stream_processing_spark.llm.text_analysis import (
+    fingerprints,
+    lang_id,
+    quality_score,
+    text_stats,
+    token_counts,
+)
+from async_stream_processing_spark.sources.parquet import load_table
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings")
+
+
+# -- queries ---------------------------------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup: hash-groupBy on normalized text (SURVEY §7.2-7)."""
+    return exact_dedup(_docs(spark, sf_dir))
+
+
+def q_dedup_minhash(spark, sf_dir):
+    """MinHash(16)+LSH(8x2) near-dup pairs verified at Jaccard >= 0.25."""
+    return minhash_dedup_pairs(_docs(spark, sf_dir), threshold=0.25)
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    """Exact 3-gram Jaccard pairs >= 0.25 via shingle equi-join (the
+    blocking IS the shared-shingle join -- no all-pairs)."""
+    from async_stream_processing_spark.llm.dedup import (
+        doc_shingle_hashes,
+        jaccard_for_pairs,
+    )
+
+    sh = doc_shingle_hashes(_docs(spark, sf_dir))
+    pairs = (
+        sh.alias("a")
+        .join(sh.alias("b"), "h")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    return (
+        jaccard_for_pairs(pairs, sh)
+        .filter(F.col("jaccard") >= 0.25)
+        .select("doc_a", "doc_b", "n_common", "n_a", "n_b", "jaccard")
+    )
+
+
+def q_simhash(spark, sf_dir):
+    """Per-doc 32-bit SimHash fingerprint (Charikar 2002)."""
+    return simhash(_docs(spark, sf_dir), bits=32)
+
+
+def q_knn_bruteforce(spark, sf_dir):
+    """Exact cosine top-5 for the first 10 query vectors."""
+    return knn_bruteforce(_emb(spark, sf_dir), n_queries=10, k=5)
+
+
+def q_ann_buckets(spark, sf_dir):
+    """Random-hyperplane LSH bucket per vector (6 planes -> 64 buckets)."""
+    return lsh_buckets(_emb(spark, sf_dir), n_planes=6)
+
+
+def q_knn_lsh(spark, sf_dir):
+    """ANN top-3 restricted to LSH bucket-mates."""
+    return knn_lsh(_emb(spark, sf_dir), n_queries=10, k=3, n_planes=6)
+
+
+def q_embedding_dedup(spark, sf_dir):
+    """Embedding near-dup: bucket-mate pairs with cosine >= 0.35."""
+    from async_stream_processing_spark.llm.similarity import cosine
+
+    b = lsh_buckets(_emb(spark, sf_dir), n_planes=6)
+    withb = _emb(spark, sf_dir).join(b.select("vec_id", "bucket"), "vec_id")
+    a = withb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"), "bucket")
+    c = withb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"), "bucket")
+    return (
+        a.join(c, "bucket")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cos", cosine(F.col("ea"), F.col("eb")))
+        .filter(F.col("cos") >= 0.35)
+        .select("vec_a", "vec_b", F.col("cos").alias("cosine"))
+    )
+
+
+def q_text_stats(spark, sf_dir):
+    return text_stats(_docs(spark, sf_dir))
+
+
+def q_quality_score(spark, sf_dir):
+    return quality_score(_docs(spark, sf_dir))
+
+
+def q_lang_id(spark, sf_dir):
+    return lang_id(_docs(spark, sf_dir))
+
+
+def q_token_counts(spark, sf_dir):
+    return token_counts(_docs(spark, sf_dir))
+
+
+def q_fingerprints(spark, sf_dir):
+    return fingerprints(_docs(spark, sf_dir))
+
+
+def q_multimodal_meta(spark, sf_dir):
+    """Binary-column plumbing: mapInPandas pseudo-decode over payload bytes."""
+    return decode_image_meta(with_binary_payload(_docs(spark, sf_dir)))
+
+
+def q_frame_sample(spark, sf_dir):
+    """Video-style one-to-many frame index expansion."""
+    return frame_sample_stub(with_binary_payload(_docs(spark, sf_dir)))
+
+
+LLM_QUERIES = {
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash_lsh": q_dedup_minhash,
+    "ngram_jaccard_pairs": q_ngram_jaccard,
+    "simhash_fingerprint": q_simhash,
+    "knn_bruteforce": q_knn_bruteforce,
+    "ann_lsh_buckets": q_ann_buckets,
+    "knn_lsh": q_knn_lsh,
+    "embedding_dedup": q_embedding_dedup,
+    "text_stats": q_text_stats,
+    "quality_score": q_quality_score,
+    "lang_id": q_lang_id,
+    "token_counts": q_token_counts,
+    "doc_fingerprints": q_fingerprints,
+    "multimodal_meta": q_multimodal_meta,
+    "frame_sample": q_frame_sample,
+}
+
+
+# -- oracle SQL ------------------------------------------------------------
+
+def _sql_doc_shingles() -> str:
+    """CTE fragment: (doc_id, h) distinct hashed 3-gram shingles."""
+    return f"""
+        words AS (SELECT doc_id,
+                         string_split_regex(lower(trim(text)), ' +') AS w
+                  FROM documents),
+        sh AS (SELECT DISTINCT doc_id,
+                      {sql_stable_hash60('s')} AS h
+               FROM (SELECT doc_id, unnest({sql_shingles('w', 3)}) AS s
+                     FROM words))
+    """
+
+
+def _sql_minhash_sig() -> str:
+    coeffs = minhash_coeffs(N_MINHASH)
+    mins = ",\n                   ".join(
+        f"MIN({sql_minhash_term('h', a, b)}) AS mh_{j}"
+        for j, (a, b) in enumerate(coeffs)
+    )
+    return f"""
+        sig AS (SELECT doc_id,
+                   {mins}
+                FROM sh GROUP BY doc_id)
+    """
+
+
+def _sql_lsh_pairs(threshold: float) -> str:
+    rows = N_MINHASH // LSH_BANDS
+    band_rows = []
+    for b in range(LSH_BANDS):
+        cols = " || '_' || ".join(
+            f"CAST(mh_{b * rows + r} AS VARCHAR)" for r in range(rows)
+        )
+        band_rows.append(f"SELECT doc_id, {b} AS band, {cols} AS sig FROM sig")
+    buckets = " UNION ALL ".join(band_rows)
+    return f"""
+        buckets AS ({buckets}),
+        cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                 FROM buckets a JOIN buckets b
+                   ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+                  FROM cand c
+                  JOIN sh sa ON sa.doc_id = c.doc_a
+                  JOIN sh sb ON sb.doc_id = c.doc_b AND sa.h = sb.h
+                  GROUP BY c.doc_a, c.doc_b),
+        jac AS (SELECT c.doc_a, c.doc_b,
+                       COALESCE(i.n_common, 0) AS n_common,
+                       za.n AS n_a, zb.n AS n_b,
+                       CAST(COALESCE(i.n_common, 0) AS DOUBLE)
+                           / CAST(za.n + zb.n - COALESCE(i.n_common, 0) AS DOUBLE)
+                           AS jaccard
+                FROM cand c
+                LEFT JOIN inter i USING (doc_a, doc_b)
+                JOIN sizes za ON za.doc_id = c.doc_a
+                JOIN sizes zb ON zb.doc_id = c.doc_b)
+    """
+
+
+def _lang_hits_sql(lang: str) -> str:
+    stops = ", ".join(f"'{s}'" for s in LANG_STOPWORDS[lang])
+    return (
+        f"len(list_filter(string_split_regex(lower(trim(text)), ' +'), "
+        f"x -> list_contains([{stops}], x)))"
+    )
+
+
+def llm_oracle_sql() -> dict[str, str]:
+    langs = sorted(LANG_STOPWORDS)
+    max_hits = "GREATEST(" + ", ".join(f"h_{lang}" for lang in langs) + ")"
+    winner = "LEAST(" + ", ".join(
+        f"CASE WHEN h_{lang} = {max_hits} THEN '{lang}' END" for lang in langs
+    ) + ")"
+    simhash_bits = 32
+    simhash_votes = ",\n                   ".join(
+        f"SUM((h >> {j}) & 1) AS v_{j}" for j in range(simhash_bits)
+    )
+    simhash_val = " + ".join(
+        f"(CASE WHEN v_{j} * 2 >= n_tok THEN 1 ELSE 0 END * {1 << j})"
+        for j in range(simhash_bits)
+    )
+    return {
+        "dedup_exact": """
+            SELECT md5(lower(trim(text))) AS fingerprint,
+                   MIN(doc_id) AS canonical_doc_id,
+                   COUNT(*) AS n_copies
+            FROM documents GROUP BY 1
+        """,
+        "dedup_minhash_lsh": f"""
+            WITH {_sql_doc_shingles()},
+            {_sql_minhash_sig()},
+            {_sql_lsh_pairs(0.25)}
+            SELECT doc_a, doc_b, n_common, n_a, n_b, jaccard
+            FROM jac WHERE jaccard >= 0.25
+        """,
+        "ngram_jaccard_pairs": f"""
+            WITH {_sql_doc_shingles()},
+            cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                     FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id),
+            sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+                      FROM cand c
+                      JOIN sh sa ON sa.doc_id = c.doc_a
+                      JOIN sh sb ON sb.doc_id = c.doc_b AND sa.h = sb.h
+                      GROUP BY c.doc_a, c.doc_b)
+            SELECT c.doc_a, c.doc_b, i.n_common, za.n AS n_a, zb.n AS n_b,
+                   CAST(i.n_common AS DOUBLE)
+                       / CAST(za.n + zb.n - i.n_common AS DOUBLE) AS jaccard
+            FROM cand c
+            JOIN inter i USING (doc_a, doc_b)
+            JOIN sizes za ON za.doc_id = c.doc_a
+            JOIN sizes zb ON zb.doc_id = c.doc_b
+            WHERE CAST(i.n_common AS DOUBLE)
+                      / CAST(za.n + zb.n - i.n_common AS DOUBLE) >= 0.25
+        """,
+        "simhash_fingerprint": f"""
+            WITH toks AS (
+                SELECT DISTINCT doc_id,
+                       unnest(string_split_regex(lower(trim(text)), ' +')) AS tok
+                FROM documents),
+            hashed AS (SELECT doc_id, {sql_stable_hash60('tok')} AS h FROM toks),
+            votes AS (SELECT doc_id, COUNT(*) AS n_tok,
+                   {simhash_votes}
+                FROM hashed GROUP BY doc_id)
+            SELECT doc_id, CAST({simhash_val} AS BIGINT) AS simhash, n_tok
+            FROM votes
+        """,
+        "knn_bruteforce": f"""
+            WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb
+                       FROM embeddings WHERE vec_id < 10),
+            scored AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+                              {sql_cosine('q.q_emb', 'e.embedding')} AS cosine
+                       FROM embeddings e CROSS JOIN q
+                       WHERE e.vec_id != q.query_id),
+            ranked AS (SELECT *, ROW_NUMBER() OVER (
+                           PARTITION BY query_id
+                           ORDER BY cosine DESC, neighbor_id ASC) AS rank
+                       FROM scored)
+            SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cosine
+            FROM ranked WHERE rank <= 5
+        """,
+        "ann_lsh_buckets": f"""
+            SELECT vec_id, label,
+                   CAST({sql_lsh_bucket('embedding', 6)} AS BIGINT) AS bucket
+            FROM embeddings
+        """,
+        "knn_lsh": f"""
+            WITH b AS (SELECT vec_id, embedding,
+                              {sql_lsh_bucket('embedding', 6)} AS bucket
+                       FROM embeddings),
+            q AS (SELECT vec_id AS query_id, embedding AS q_emb, bucket
+                  FROM b WHERE vec_id < 10),
+            scored AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+                              {sql_cosine('q.q_emb', 'c.embedding')} AS cosine
+                       FROM b c JOIN q ON c.bucket = q.bucket
+                       WHERE c.vec_id != q.query_id),
+            ranked AS (SELECT *, ROW_NUMBER() OVER (
+                           PARTITION BY query_id
+                           ORDER BY cosine DESC, neighbor_id ASC) AS rank
+                       FROM scored)
+            SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cosine
+            FROM ranked WHERE rank <= 3
+        """,
+        "embedding_dedup": f"""
+            WITH b AS (SELECT vec_id, embedding,
+                              {sql_lsh_bucket('embedding', 6)} AS bucket
+                       FROM embeddings)
+            SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
+                   {sql_cosine('a.embedding', 'c.embedding')} AS cosine
+            FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+            WHERE {sql_cosine('a.embedding', 'c.embedding')} >= 0.35
+        """,
+        "text_stats": """
+            WITH w AS (SELECT doc_id, length(text) AS n_chars,
+                              string_split_regex(lower(trim(text)), ' +') AS words
+                       FROM documents)
+            SELECT doc_id, n_chars,
+                   len(words) AS n_words,
+                   len(list_distinct(words)) AS n_unique_words,
+                   CAST(len(list_distinct(words)) AS DOUBLE)
+                       / CAST(len(words) AS DOUBLE) AS type_token_ratio,
+                   CAST(list_reduce(list_transform(words, x -> length(x)),
+                                    (a, b) -> a + b) AS DOUBLE)
+                       / CAST(len(words) AS DOUBLE) AS avg_word_len
+            FROM w
+        """,
+        "quality_score": f"""
+            WITH w AS (SELECT doc_id, text,
+                              string_split_regex(lower(trim(text)), ' +') AS words
+                       FROM documents),
+            c AS (SELECT doc_id, text, len(words) AS n_words,
+                         len(list_filter(words, x -> list_contains(
+                             [{', '.join(repr(s) for s in LANG_STOPWORDS['en'])}], x)))
+                             AS n_stopwords,
+                         length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))
+                             AS n_punct,
+                         length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+                             AS n_digit
+                  FROM w)
+            SELECT doc_id, n_words, n_stopwords,
+                   CAST(n_stopwords AS DOUBLE) / CAST(n_words AS DOUBLE)
+                       AS stopword_ratio,
+                   CAST(n_punct AS DOUBLE) / CAST(length(text) AS DOUBLE)
+                       AS punct_ratio,
+                   CAST(n_digit AS DOUBLE) / CAST(length(text) AS DOUBLE)
+                       AS digit_ratio,
+                   100.0 * (0.5 * LEAST(CAST(n_stopwords AS DOUBLE)
+                                        / CAST(n_words AS DOUBLE) * 5, 1.0)
+                          + 0.25 * (1.0 - LEAST(CAST(n_punct AS DOUBLE)
+                                        / CAST(length(text) AS DOUBLE) * 10, 1.0))
+                          + 0.25 * (1.0 - LEAST(CAST(n_digit AS DOUBLE)
+                                        / CAST(length(text) AS DOUBLE) * 10, 1.0)))
+                       AS quality_score
+            FROM c
+        """,
+        "lang_id": f"""
+            WITH h AS (SELECT doc_id, lang AS lang_label,
+                   {", ".join(f'{_lang_hits_sql(lang)} AS h_{lang}' for lang in langs)}
+                       FROM documents)
+            SELECT doc_id,
+                   CASE WHEN {max_hits} > 0 THEN {winner} ELSE 'und' END AS lang_pred,
+                   CAST({max_hits} AS INT) AS n_hits,
+                   lang_label
+            FROM h
+        """,
+        "token_counts": f"""
+            SELECT doc_id,
+                   len(string_split_regex(lower(trim(text)), ' +')) AS n_ws_tokens,
+                   len(regexp_extract_all(text, '{BPE_TOKEN_RE}')) AS n_bpe_tokens,
+                   CAST(length(text) AS DOUBLE) / 4.0 AS n_tok_est
+            FROM documents
+        """,
+        "doc_fingerprints": f"""
+            WITH w AS (SELECT doc_id, lower(trim(text)) AS norm,
+                              string_split_regex(lower(trim(text)), ' +') AS wds
+                       FROM documents)
+            SELECT doc_id, md5(norm) AS md5_fingerprint,
+                   list_min(list_transform(({sql_shingles('wds', 3)})[1:8],
+                                           s -> md5(s))) AS winnow_fingerprint,
+                   {sql_stable_hash60('norm')} AS hash60
+            FROM w
+        """,
+        "multimodal_meta": """
+            SELECT doc_id,
+                   strlen(text) AS n_bytes,
+                   CASE strlen(text) % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                        ELSE 'webp' END AS format,
+                   CAST((ascii(substr(text, 1, 1)) % 64 + 1) * 10 AS INT) AS width,
+                   CAST((ascii(substr(text, 2, 1)) % 64 + 1) * 10 AS INT) AS height,
+                   (strlen(text) * 2654435761) % 2147483647 AS checksum
+            FROM documents
+        """,
+        "frame_sample": """
+            SELECT doc_id, n_frames,
+                   unnest(range(0, CAST(n_frames AS BIGINT), 10)) AS frame_idx
+            FROM (SELECT doc_id, strlen(text) % 100 + 1 AS n_frames
+                  FROM documents)
+        """,
+    }
