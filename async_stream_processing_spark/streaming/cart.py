@@ -1,0 +1,193 @@
+"""Live per-key session state with event-time timers (SURVEY §2 B7 live).
+
+``CartManager`` (``/root/reference/examples/csp/01_basics/
+e5_retail_cart.py:34-68``) holds a per-user cart and arms a timer that
+flips the discount off 60 s after start (e5:106-108).  Two Spark-native
+implementations:
+
+* :func:`cart_stream` -- ``applyInPandasWithState`` (GroupState API):
+  keyed state + ``EventTimeTimeout`` as the timer.  This is the default
+  path; it needs nothing beyond pyspark itself.
+* :class:`CartProcessor` -- the Spark 4 ``transformWithStateInPandas``
+  StatefulProcessor (value state + ``registerTimer``), the forward path
+  with finer state primitives.  Its Python state-server protocol requires
+  ``protobuf``, absent in this container, so it is exported but
+  auto-selected only when importable (``HAS_TWS``).
+
+Both apply the discount by comparing each event's time to the per-user
+deadline (event-time exact even when the whole history lands in one
+micro-batch) and use the timer/timeout to emit a ``discount_ended`` marker
+when the watermark crosses the deadline -- the observable analog of the
+reference's timer callback.  State is keyed by user: the state store
+shards across executors (RocksDB provider for 100 TB runs).
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Iterator
+
+import pandas as pd
+
+try:  # transformWithStateInPandas needs the protobuf state-server protocol
+    from google.protobuf import descriptor  # noqa: F401
+
+    HAS_TWS = True
+except ImportError:  # pragma: no cover
+    HAS_TWS = False
+
+#: Output schema: one row per processed event (running totals) plus a
+#: marker row when the discount timer fires.
+CART_OUTPUT_SCHEMA = (
+    "user_id BIGINT, event_kind STRING, cart_qty BIGINT, cart_value DOUBLE"
+)
+CART_STATE_SCHEMA = "blob STRING"
+
+
+def _fold_events(st: dict, pdf: pd.DataFrame, discount: float,
+                 discount_seconds: int) -> list[tuple]:
+    """Shared FIFO fold (e5_retail_cart.py:34-68): adds append
+    (qty, unit_cost) with in-window discount; removes deplete oldest."""
+    out = []
+    pdf = pdf.sort_values("ts")
+    for _, row in pdf.iterrows():
+        ts_us = int(row["ts"].value // 1_000)
+        if st["t0"] is None:
+            st["t0"] = ts_us
+        in_window = ts_us < st["t0"] + discount_seconds * 1_000_000
+        qty = int(row["vol"])
+        if row["event_type"] == "click":
+            unit = float(row["value"]) * (discount if in_window else 1.0)
+            st["items"].append([qty, unit])
+        else:
+            while qty > 0 and st["items"]:
+                take = min(qty, st["items"][0][0])
+                st["items"][0][0] -= take
+                qty -= take
+                if st["items"][0][0] == 0:
+                    st["items"].pop(0)
+        out.append(
+            (int(row["user_id"]), str(row["event_type"]),
+             sum(q for q, _ in st["items"]),
+             round(sum(q * c for q, c in st["items"]), 6))
+        )
+    return out
+
+
+def cart_stream(stream, discount: float = 0.9, discount_seconds: int = 60,
+                watermark: str = "0 seconds"):
+    """Stateful cart over a (ts, user_id, event_type, value, vol) stream.
+
+    The ``EventTimeTimeout`` is the reference's ``call_later`` (A6): armed
+    at ``t0 + discount_seconds``; when the watermark passes it, the handler
+    runs with ``state.hasTimedOut`` and emits the marker row.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fold(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        user_id = int(key[0])
+        if state.hasTimedOut:
+            blob = state.get[0] if state.exists else None
+            st = json.loads(blob) if blob else {"items": [], "t0": None}
+            yield pd.DataFrame(
+                [(user_id, "discount_ended",
+                  sum(q for q, _ in st["items"]),
+                  round(sum(q * c for q, c in st["items"]), 6))],
+                columns=["user_id", "event_kind", "cart_qty", "cart_value"],
+            )
+            return
+        st = json.loads(state.get[0]) if state.exists else {"items": [], "t0": None}
+        first_event = st["t0"] is None
+        out: list[tuple] = []
+        for pdf in pdfs:
+            out.extend(_fold_events(st, pdf, discount, discount_seconds))
+        state.update((json.dumps(st),))
+        if first_event and st["t0"] is not None:
+            state.setTimeoutTimestamp(st["t0"] // 1000 + discount_seconds * 1000)
+        yield pd.DataFrame(
+            out, columns=["user_id", "event_kind", "cart_qty", "cart_value"]
+        )
+
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fold,
+            outputStructType=CART_OUTPUT_SCHEMA,
+            stateStructType=CART_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+class CartProcessor:
+    """``transformWithStateInPandas`` StatefulProcessor variant (Spark 4).
+
+    Selected via :func:`cart_stream_tws` when protobuf is available
+    (``HAS_TWS``); same fold, value-state + ``registerTimer`` primitives.
+    """
+
+    def __init__(self, discount: float = 0.9, discount_seconds: int = 60):
+        self.discount = discount
+        self.discount_seconds = discount_seconds
+
+    def init(self, handle) -> None:
+        from pyspark.sql.types import StringType, StructField, StructType
+
+        self.handle = handle
+        self.state = handle.getValueState(
+            "cart", StructType([StructField("blob", StringType(), True)])
+        )
+
+    def _load(self) -> dict:
+        if self.state.exists():
+            return json.loads(self.state.get()[0])
+        return {"items": [], "t0": None}
+
+    def handleInputRows(self, key, rows, timer_values) -> Iterator[pd.DataFrame]:
+        st = self._load()
+        first_event = st["t0"] is None
+        out: list[tuple] = []
+        for pdf in rows:
+            out.extend(_fold_events(st, pdf, self.discount, self.discount_seconds))
+        self.state.update((json.dumps(st),))
+        if first_event and st["t0"] is not None:
+            self.handle.registerTimer(
+                st["t0"] // 1000 + self.discount_seconds * 1000
+            )
+        yield pd.DataFrame(
+            out, columns=["user_id", "event_kind", "cart_qty", "cart_value"]
+        )
+
+    def handleExpiredTimer(self, key, timer_values, expired_timer_info):
+        st = self._load()
+        yield pd.DataFrame(
+            [(int(key[0]), "discount_ended",
+              sum(q for q, _ in st["items"]),
+              round(sum(q * c for q, c in st["items"]), 6))],
+            columns=["user_id", "event_kind", "cart_qty", "cart_value"],
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def cart_stream_tws(stream, discount: float = 0.9, discount_seconds: int = 60,
+                    watermark: str = "0 seconds"):  # pragma: no cover
+    """Spark 4 transformWithStateInPandas wiring (requires protobuf)."""
+    if not HAS_TWS:
+        raise ImportError(
+            "transformWithStateInPandas needs the 'protobuf' package; "
+            "use cart_stream (applyInPandasWithState) in this container"
+        )
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=CartProcessor(discount, discount_seconds),
+            outputStructType=CART_OUTPUT_SCHEMA,
+            outputMode="Append",
+            timeMode="EventTime",
+        )
+    )

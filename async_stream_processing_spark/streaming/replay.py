@@ -1,0 +1,147 @@
+"""Streaming replay: the past -> live lifecycle on Structured Streaming.
+
+The reference's core loop replays a historical iterable at maximum speed,
+fires ``on_live_start``, then consumes an async iterator live
+(``/root/reference/src/async_stream_processing/processor.py:185-194``).
+Spark-native equivalents, in order of fidelity:
+
+* :func:`replay_stream` -- a file-source streaming DataFrame over the same
+  parquet the batch path reads.  ``Trigger.AvailableNow`` drains the entire
+  backlog (the "past" phase) and stops; omitting it keeps the query alive
+  for files that arrive later (the "live" phase).  maxFilesPerTrigger
+  bounds micro-batch size so backfill paces itself.
+* :func:`process_stream` -- the reference's A3 entry point re-expressed:
+  bind a per-batch callback (``foreachBatch``), with ``on_start`` /
+  ``on_live_start`` lifecycle hooks.  Live-start is detected the way the
+  engine itself does it: the first micro-batch that arrives after the
+  initial backlog drains (tracked via a zero-row or post-start batch id).
+* :func:`merge_streams_live` -- union of streaming sources; the global
+  ``(ts, seq)`` order of the batch engine becomes watermark-ordered
+  processing (late rows beyond the watermark are dropped -- the reference
+  has NO late tolerance at all, SURVEY §2 note on late data, so any
+  watermark is strictly more forgiving).
+
+Streaming state at scale: every stateful op here keys its state (user,
+symbol) -- state stores shard by key across executors; use RocksDB
+(``spark.sql.streaming.stateStore.providerClass``) for 100 TB runs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.event_relation import SEQ
+
+
+def replay_stream(
+    spark: SparkSession,
+    path: str,
+    schema: str | Any,
+    ts_col: str = "ts",
+    watermark: str | None = None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming DataFrame replaying a parquet directory as the 'past'.
+
+    ``watermark=None`` leaves watermarking to the downstream stateful
+    operator (Spark forbids redefining it); pass e.g. ``"0 seconds"`` for a
+    bare replay-to-sink pipeline -- the reference processes events at their
+    stated event time with no reordering buffer (SURVEY §4.2), so 0 is the
+    faithful setting.
+    """
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.parquet(path)
+    if watermark is not None:
+        df = df.withWatermark(ts_col, watermark)
+    return df
+
+
+def process_stream(
+    stream: DataFrame,
+    callback: Callable[[DataFrame, int], None],
+    on_start: Callable[[], None] | None = None,
+    on_live_start: Callable[[], None] | None = None,
+    checkpoint: str | None = None,
+    available_now: bool = True,
+):
+    """A3 ``process_stream`` (processor.py:169-194) on foreachBatch.
+
+    ``callback(batch_df, batch_id)`` replaces the per-event callback --
+    batch-at-a-time is the Spark-native contract (vectorized, not
+    row-at-a-time).  ``on_start`` fires before the query starts;
+    ``on_live_start`` fires on the first batch after the initial backlog
+    (batch 0 is the drained past when the source has history).
+    Returns the StreamingQuery; with ``available_now`` the caller should
+    ``awaitTermination()`` to emulate a pure-past run.
+    """
+    if on_start is not None:
+        on_start()
+    seen_first = {"done": False}
+
+    def _each(batch_df: DataFrame, batch_id: int) -> None:
+        if seen_first["done"] and on_live_start is not None and batch_id == 1:
+            on_live_start()
+        callback(batch_df, batch_id)
+        seen_first["done"] = True
+
+    writer = stream.writeStream.foreachBatch(_each)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def merge_streams_live(*streams: DataFrame) -> DataFrame:
+    """Union live streams by name (null-filled), the streaming analog of
+    plans.event_relation.merge_streams."""
+    out = streams[0]
+    for s in streams[1:]:
+        out = out.unionByName(s, allowMissingColumns=True)
+    return out
+
+
+def stream_dedup_within_watermark(
+    stream: DataFrame, keys: list[str], watermark_col: str = "ts", delay: str = "10 minutes"
+) -> DataFrame:
+    """B1 first-seen, live: state-bounded dedup -- duplicates arriving
+    within the watermark horizon are dropped; state for old keys is
+    evicted (bounded memory at any scale)."""
+    return stream.withWatermark(watermark_col, delay).dropDuplicatesWithinWatermark(keys)
+
+
+def sliding_window_agg(
+    stream: DataFrame,
+    window: str = "2 minutes",
+    slide: str = "1 minute",
+    watermark: str = "2 minutes",
+    value: str = "value",
+    partition_by: list[str] | None = None,
+) -> DataFrame:
+    """B9/B10 live: sliding-window weighted stats with watermark-driven
+    state eviction (the reference prunes its Polars buffer on insert,
+    e2_stats.py:63-65; the watermark is the same bound, engine-managed)."""
+    keys = [F.window("ts", window, slide).alias("win")] + [
+        F.col(c) for c in (partition_by or [])
+    ]
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col(value).cast("decimal(18,2)")).cast("double").alias("sum_value"),
+            F.avg(value).alias("avg_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            *[F.col(c) for c in (partition_by or [])],
+            "n_events", "sum_value", "avg_value",
+        )
+    )

@@ -1,0 +1,202 @@
+"""Structured Streaming layer tests: replay lifecycle, windowed aggs,
+watermark dedup, stateful cart with timers, and the custom socket source.
+
+Each test drains a bounded stream (``availableNow`` / stop-after-batches)
+so the suite stays deterministic and fast.
+"""
+
+from __future__ import annotations
+
+import socket
+import threading
+import time
+from datetime import datetime, timedelta
+
+import pytest
+from pyspark.sql import functions as F
+
+from async_stream_processing_spark.streaming.cart import cart_stream
+from async_stream_processing_spark.streaming.replay import (
+    process_stream,
+    replay_stream,
+    sliding_window_agg,
+    stream_dedup_within_watermark,
+)
+
+T0 = datetime(2024, 1, 1)
+EVENTS_SCHEMA = "ts timestamp, user_id long, event_type string, value double, vol long"
+
+
+def _write_events(spark, path, rows, n_files=1):
+    df = spark.createDataFrame(rows, EVENTS_SCHEMA)
+    df.repartition(n_files).write.mode("overwrite").parquet(path)
+
+
+def _rows(n=20, step=30):
+    return [
+        (T0 + timedelta(seconds=i * step), i % 3, "click" if i % 2 else "view",
+         float(10 + i), 1 + i % 4)
+        for i in range(n)
+    ]
+
+
+def test_replay_stream_drains_past(spark, tmp_path):
+    """A3 past phase: the whole backlog replays through foreachBatch and
+    on_start fires before any batch (processor.py:185-189)."""
+    src = str(tmp_path / "src")
+    _write_events(spark, src, _rows(20))
+    seen = {"rows": 0, "batches": 0, "start": False}
+
+    def cb(batch_df, batch_id):
+        seen["rows"] += batch_df.count()
+        seen["batches"] += 1
+
+    q = process_stream(
+        replay_stream(spark, src, EVENTS_SCHEMA),
+        cb,
+        on_start=lambda: seen.__setitem__("start", True),
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+    assert seen["start"] is True
+    assert seen["rows"] == 20
+    assert seen["batches"] >= 1
+
+
+def test_sliding_window_agg_streaming_matches_batch(spark, tmp_path):
+    """B9 live: streaming sliding-window counts equal the batch groupBy
+    over the same data (complete drain)."""
+    src = str(tmp_path / "src")
+    rows = _rows(30)
+    _write_events(spark, src, rows)
+    out = []
+
+    def cb(batch_df, _):
+        out.extend(batch_df.collect())
+
+    q = process_stream(
+        sliding_window_agg(replay_stream(spark, src, EVENTS_SCHEMA),
+                           window="2 minutes", slide="1 minute"),
+        cb,
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+    batch = spark.createDataFrame(rows, EVENTS_SCHEMA)
+    expected = {
+        (r["win"]["start"], r["win"]["end"]): r["n"]
+        for r in batch.groupBy(F.window("ts", "2 minutes", "1 minute").alias("win"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    # append-mode emits only watermark-closed windows: every emitted window
+    # must match the batch aggregate exactly; the trailing (still-open)
+    # windows near max_ts - watermark never fire in a bounded drain.
+    assert len(out) >= len(expected) - 5
+    for r in out:
+        assert expected[(r["window_start"], r["window_end"])] == r["n_events"]
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """B1 live: duplicates inside the watermark horizon are dropped."""
+    src = str(tmp_path / "src")
+    rows = [
+        (T0, 1, "click", 1.0, 1),
+        (T0 + timedelta(seconds=5), 1, "click", 1.0, 1),   # dup key (user 1)
+        (T0 + timedelta(seconds=10), 2, "view", 2.0, 1),
+    ]
+    _write_events(spark, src, rows)
+    out = []
+    q = process_stream(
+        stream_dedup_within_watermark(
+            replay_stream(spark, src, EVENTS_SCHEMA), ["user_id"]
+        ),
+        lambda b, _: out.extend(b.collect()),
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+    assert sorted(r["user_id"] for r in out) == [1, 2]
+
+
+def test_cart_stream_stateful_fold(spark, tmp_path):
+    """B7 live: transformWithStateInPandas keeps per-user FIFO cart state
+    across events; discount applies inside the 60 s window."""
+    src = str(tmp_path / "src")
+    rows = [
+        (T0, 1, "click", 10.0, 2),                          # +2 @ 9.0 (disc)
+        (T0 + timedelta(seconds=90), 1, "click", 20.0, 1),  # +1 @ 20.0
+        (T0 + timedelta(seconds=100), 1, "error", 0.0, 2),  # -2 FIFO
+        (T0 + timedelta(seconds=50), 2, "click", 5.0, 1),   # user 2: 4.5
+    ]
+    _write_events(spark, src, rows)
+    out = []
+    q = process_stream(
+        cart_stream(replay_stream(spark, src, EVENTS_SCHEMA),
+                    discount=0.9, discount_seconds=60),
+        lambda b, _: out.extend(b.collect()),
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(180)
+    finals = {}
+    for r in out:
+        if r["event_kind"] != "discount_ended":
+            finals[r["user_id"]] = (r["cart_qty"], r["cart_value"])
+    assert finals[1] == (1, 20.0)   # FIFO removed the discounted pair
+    assert finals[2] == (1, 4.5)
+
+
+def test_linesocket_source_end_to_end(spark, tmp_path):
+    """B13: custom Python DataSource reads a live TCP text stream."""
+    from async_stream_processing_spark.sources.websocket import register_sources
+
+    register_sources(spark)
+
+    server = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    server.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    server.bind(("127.0.0.1", 0))
+    port = server.getsockname()[1]
+    server.listen(1)
+
+    def serve():
+        conn, _ = server.accept()
+        for i in range(5):
+            conn.sendall(f"msg-{i}\n".encode())
+            time.sleep(0.05)
+        conn.close()
+
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+
+    out = []
+    stream = (
+        spark.readStream.format("linesocket")
+        .option("port", str(port))
+        .option("timeout", "0.5")
+        .load()
+    )
+    q = (
+        stream.writeStream.foreachBatch(lambda b, _: out.extend(b.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    deadline = time.time() + 60
+    while time.time() < deadline and len(out) < 5:
+        time.sleep(0.5)
+    q.stop()
+    t.join(timeout=5)
+    server.close()
+    assert [r["value"] for r in out[:5]] == [f"msg-{i}" for i in range(5)]
+
+
+def test_websocket_source_gated_import(spark):
+    """The websocket adapter registers, and explains itself when the
+    websockets package is absent."""
+    from async_stream_processing_spark.sources.websocket import _WebSocketReader
+
+    try:
+        import websockets  # noqa: F401
+
+        pytest.skip("websockets installed; gate not exercised")
+    except ImportError:
+        pass
+    with pytest.raises(ImportError, match="linesocket"):
+        _WebSocketReader({"uri": "ws://x"})
