@@ -147,6 +147,36 @@ def jaccard_for_pairs(
     )
 
 
+def jaccard_pairs_direct(
+    shingle_hashes: DataFrame, threshold: float = 0.25
+) -> DataFrame:
+    """Exact Jaccard pairs in ONE pass: the shared-shingle self-join both
+    discovers candidates and counts the intersection (vs. candidates-then-
+    re-join, which touches the shingle table three times).  Pairs sharing
+    zero shingles have Jaccard 0 and can never pass a positive threshold,
+    so skipping them is exact, and the join itself is the blocking."""
+    sizes = shingle_hashes.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = shingle_hashes.alias("a")
+    b = shingle_hashes.alias("b")
+    inter = (
+        a.join(b, "h")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "n_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "n_b"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "n_common", "n_a", "n_b", "jaccard")
+    )
+
+
 def minhash_dedup_pairs(
     docs: DataFrame,
     threshold: float = 0.5,
@@ -154,9 +184,17 @@ def minhash_dedup_pairs(
     bands: int = LSH_BANDS,
     hash_mode: str = "md5",
 ) -> DataFrame:
-    """Full near-dup pipeline: LSH candidates verified at ``threshold``."""
-    sh = doc_shingle_hashes(docs, hash_mode=hash_mode)
-    sigs = minhash_signatures(docs, n_hashes, hash_mode=hash_mode)
+    """Full near-dup pipeline: LSH candidates verified at ``threshold``.
+
+    The shingle-hash relation feeds both the signatures and the Jaccard
+    verification -- persist it so the explode+md5 scan runs once."""
+    sh = doc_shingle_hashes(docs, hash_mode=hash_mode).persist()
+    sigs = sh.groupBy("doc_id").agg(
+        *[
+            F.min(minhash_term(F.col("h"), a, b)).alias(f"mh_{j}")
+            for j, (a, b) in enumerate(minhash_coeffs(n_hashes))
+        ]
+    )
     cands = lsh_candidate_pairs(sigs, n_hashes, bands)
     verified = jaccard_for_pairs(cands, sh)
     return verified.filter(F.col("jaccard") >= threshold).select(

@@ -16,7 +16,8 @@ from ..functions.text import BPE_TOKEN_RE, LANG_STOPWORDS, tokens
 def text_stats(docs: DataFrame, text: str = "text") -> DataFrame:
     """Per-doc size/quality fundamentals: chars, words, unique words,
     type-token ratio, mean word length."""
-    w = tokens(text)
+    docs = docs.withColumn("__words", tokens(text))
+    w = F.col("__words")
     n_words = F.size(w)
     n_unique = F.size(F.array_distinct(w))
     total_len = F.aggregate(
@@ -38,7 +39,8 @@ def quality_score(docs: DataFrame, text: str = "text") -> DataFrame:
     0-100 score.  Deterministic integer counts -> one double division each.
     """
     t = F.col(text)
-    w = tokens(text)
+    docs = docs.withColumn("__words", tokens(text))
+    w = F.col("__words")
     n_words = F.size(w)
     en_stop = F.array(*[F.lit(s) for s in LANG_STOPWORDS["en"]])
     n_stop = F.size(F.filter(w, lambda x: F.array_contains(en_stop, x)))
@@ -68,8 +70,12 @@ def lang_id(docs: DataFrame, text: str = "text") -> DataFrame:
     """Stopword-voting language ID: per language, count token hits in a
     tiny stopword table; argmax with lexicographic tiebreak; 'und' when no
     language scores a hit.  A demonstrator of the heuristic shape -- swap a
-    real model (fastText) behind the same signature for production."""
-    w = tokens(text)
+    real model (fastText) behind the same signature for production.
+
+    The token array is materialized once (``__words``) so Catalyst doesn't
+    re-split the text for each of the 5 language votes."""
+    docs = docs.withColumn("__words", tokens(text))
+    w = F.col("__words")
     def contains(arr):
         return lambda x: F.array_contains(arr, x)
 
@@ -114,13 +120,14 @@ def fingerprints(docs: DataFrame, text: str = "text") -> DataFrame:
     from ..functions.hashing import stable_hash60
     from ..functions.text import shingles
 
-    sh = shingles(text, 3)
-    window_min = F.array_min(
-        F.transform(F.slice(sh, 1, 8), lambda s: F.md5(s))
+    # materialize the normalized text and shingle array once each
+    docs = docs.withColumn("__norm", F.lower(F.trim(F.col(text)))).withColumn(
+        "__sh8", F.slice(shingles(text, 3), 1, 8)
     )
+    window_min = F.array_min(F.transform(F.col("__sh8"), lambda s: F.md5(s)))
     return docs.select(
         "doc_id",
-        F.md5(F.lower(F.trim(F.col(text)))).alias("md5_fingerprint"),
+        F.md5(F.col("__norm")).alias("md5_fingerprint"),
         window_min.alias("winnow_fingerprint"),
-        stable_hash60(F.lower(F.trim(F.col(text)))).alias("hash60"),
+        stable_hash60(F.col("__norm")).alias("hash60"),
     )

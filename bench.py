@@ -28,6 +28,11 @@ def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # Warm the session (JVM, codegen, file listing) outside any query's
+    # timing -- the engine's steady-state cost is what bench measures.
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.read.parquet(f"{sf_dir}/events.parquet").count()
+
     timings: dict[str, float] = {}
     for name, fn in entrymod.queries().items():
         t0 = time.time()

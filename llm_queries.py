@@ -74,25 +74,14 @@ def q_dedup_minhash(spark, sf_dir):
 
 def q_ngram_jaccard(spark, sf_dir):
     """Exact 3-gram Jaccard pairs >= 0.25 via shingle equi-join (the
-    blocking IS the shared-shingle join -- no all-pairs)."""
+    blocking IS the shared-shingle join -- no all-pairs; intersection
+    counted in the same join that discovers the pair)."""
     from async_stream_processing_spark.llm.dedup import (
         doc_shingle_hashes,
-        jaccard_for_pairs,
+        jaccard_pairs_direct,
     )
 
-    sh = doc_shingle_hashes(_docs(spark, sf_dir))
-    pairs = (
-        sh.alias("a")
-        .join(sh.alias("b"), "h")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
-    return (
-        jaccard_for_pairs(pairs, sh)
-        .filter(F.col("jaccard") >= 0.25)
-        .select("doc_a", "doc_b", "n_common", "n_a", "n_b", "jaccard")
-    )
+    return jaccard_pairs_direct(doc_shingle_hashes(_docs(spark, sf_dir)), 0.25)
 
 
 def q_simhash(spark, sf_dir):
