@@ -273,6 +273,88 @@ def q_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def q_event_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window breadth: lag/lead/gap + value rank per user (absent
+    from the reference -- SURVEY §2 checklist -- native here)."""
+    from async_stream_processing_spark.operators.analytics import event_deltas
+
+    out = event_deltas(_events(spark, sf_dir), ["user_id"])
+    return out.select(
+        "user_id", "ts", "seq", "value", "prev_ts", "next_ts", "gap_us",
+        F.col("value_rank").cast("long").alias("value_rank"),
+    )
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (gaps-and-islands, 30-min gap): per-user sessions
+    with start/end/count/exact sum."""
+    from async_stream_processing_spark.operators.analytics import sessionize
+
+    return sessionize(_events(spark, sf_dir), gap_seconds=1800).select(
+        "user_id", F.col("session_id").cast("long").alias("session_id"),
+        "session_start", "session_end", "n_events", "sum_value",
+    )
+
+
+def q_sessionize_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's native session_window -- same oracle as q_sessionize proves
+    the two formulations agree (and this one streams with watermarks)."""
+    from async_stream_processing_spark.operators.analytics import sessionize_native
+
+    return sessionize_native(_events(spark, sf_dir), gap_seconds=1800)
+
+
+def q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP subtotals over region/nation revenue (grouping sets family)."""
+    from async_stream_processing_spark.operators.analytics import rollup_agg
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1).cast("decimal(1,0)") - F.col("l_discount").cast("decimal(13,2)"))
+    )
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return rollup_agg(
+        joined, ["r_name", "n_name"],
+        {"revenue": F.sum(rev).cast("double"), "n_items": F.count(F.lit(1))},
+    )
+
+
+def q_topk_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders by total price within each priority (distributed
+    top-k-per-group via window row_number)."""
+    from async_stream_processing_spark.operators.analytics import top_k_per_group
+
+    orders = load_table(spark, sf_dir, "orders")
+    out = top_k_per_group(
+        orders, ["o_orderpriority"],
+        [F.desc("o_totalprice"), F.asc("o_orderkey")], k=3,
+    )
+    return out.select(
+        "o_orderpriority", "o_orderkey", "o_totalprice",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs via Hamming-band candidates (Manku WWW'07)."""
+    from async_stream_processing_spark.llm.dedup import simhash_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_pairs(docs, max_hamming=3)
+
+
 from llm_queries import LLM_QUERIES, llm_oracle_sql  # noqa: E402
 
 
@@ -301,6 +383,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_revenue": q_top_revenue,
         "revenue_by_nation": q_revenue_by_nation,
         "semi_anti_join": q_semi_anti,
+        "event_deltas": q_event_deltas,
+        "sessionize": q_sessionize,
+        "sessionize_native": q_sessionize_native,
+        "revenue_rollup": q_revenue_rollup,
+        "topk_per_priority": q_topk_per_priority,
+        "simhash_pairs": q_simhash_pairs,
         **LLM_QUERIES,
     }
 
@@ -308,9 +396,106 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _EVENTS_VOL = f"(SELECT *, {_VOL} AS vol, event_id AS seq FROM events)"
 
 
+
+
+def _simhash_pairs_sql() -> str:
+    from async_stream_processing_spark.functions.hashing import sql_stable_hash60
+
+    bits, chunk_bits, max_hamming = 32, 8, 3
+    votes = ",\n                   ".join(
+        f"SUM((h >> {j}) & 1) AS v_{j}" for j in range(bits)
+    )
+    val = " + ".join(
+        f"(CASE WHEN v_{j} * 2 >= n_tok THEN 1 ELSE 0 END * {1 << j})"
+        for j in range(bits)
+    )
+    chunk_vals = ", ".join(f"({i})" for i in range(bits // chunk_bits))
+    mask = (1 << chunk_bits) - 1
+    return f"""
+        WITH toks AS (
+            SELECT DISTINCT doc_id,
+                   unnest(string_split_regex(lower(trim(text)), ' +')) AS tok
+            FROM documents),
+        hashed AS (SELECT doc_id, {sql_stable_hash60('tok')} AS h FROM toks),
+        votes AS (SELECT doc_id, COUNT(*) AS n_tok, {votes}
+                  FROM hashed GROUP BY doc_id),
+        sigs AS (SELECT doc_id, CAST({val} AS BIGINT) AS simhash FROM votes),
+        chunks AS (SELECT doc_id, simhash, i.idx,
+                          (simhash >> (i.idx * {chunk_bits})) & {mask} AS val
+                   FROM sigs, (VALUES {chunk_vals}) AS i(idx)),
+        cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                        a.simhash AS sig_a, b.simhash AS sig_b
+                 FROM chunks a JOIN chunks b
+                   ON a.idx = b.idx AND a.val = b.val AND a.doc_id < b.doc_id)
+        SELECT doc_a, doc_b, sig_a, sig_b,
+               CAST(bit_count(xor(sig_a, sig_b)) AS INT) AS hamming
+        FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= {max_hamming}
+    """
+
+
+_SIMHASH_PAIRS_SQL = _simhash_pairs_sql()
+
+
 def oracle_sql() -> dict[str, str]:
-    return {
+    out = {
         **llm_oracle_sql(),
+        "event_deltas": f"""
+            SELECT user_id, ts, seq, value,
+                   LAG(ts)  OVER w AS prev_ts,
+                   LEAD(ts) OVER w AS next_ts,
+                   epoch_us(ts) - epoch_us(LAG(ts) OVER w) AS gap_us,
+                   CAST(RANK() OVER (PARTITION BY user_id
+                                     ORDER BY value DESC, seq ASC) AS BIGINT)
+                       AS value_rank
+            FROM {_EVENTS_VOL}
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, seq)
+        """,
+        "sessionize": f"""
+            WITH m AS (
+                SELECT user_id, ts, seq, value,
+                       CASE WHEN LAG(ts) OVER w IS NULL
+                              OR epoch_us(ts) - epoch_us(LAG(ts) OVER w)
+                                 >= 1800000000
+                            THEN 1 ELSE 0 END AS is_new
+                FROM {_EVENTS_VOL}
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, seq)),
+            s AS (SELECT *, SUM(is_new) OVER (
+                      PARTITION BY user_id ORDER BY ts, seq
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS session_id
+                  FROM m)
+            SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+                   MIN(ts) AS session_start,
+                   MAX(ts) + INTERVAL 1800 SECONDS AS session_end,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+            FROM s GROUP BY user_id, session_id
+        """,
+        # native session_window must agree with the relational formulation
+        "sessionize_native": None,  # filled below (same SQL as sessionize)
+        "revenue_rollup": """
+            SELECT r_name, n_name,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                            * (1 - CAST(l_discount AS DECIMAL(13,2)))) AS DOUBLE)
+                       AS revenue,
+                   COUNT(*) AS n_items
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            GROUP BY ROLLUP (r_name, n_name)
+        """,
+        "topk_per_priority": """
+            SELECT o_orderpriority, o_orderkey, o_totalprice,
+                   CAST(rank AS BIGINT) AS rank
+            FROM (SELECT *, ROW_NUMBER() OVER (
+                      PARTITION BY o_orderpriority
+                      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+                  FROM orders)
+            WHERE rank <= 3
+        """,
+        "simhash_pairs": _SIMHASH_PAIRS_SQL,
         "vwap_2min": f"""
             SELECT
                 event_id, ts, user_id, value, vol,
@@ -523,3 +708,5 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY c_mktsegment
         """,
     }
+    out["sessionize_native"] = out["sessionize"]
+    return out

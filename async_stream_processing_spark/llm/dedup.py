@@ -229,3 +229,55 @@ def simhash(docs: DataFrame, bits: int = 32, hash_mode: str = "md5") -> DataFram
         bit = (F.col(f"v_{j}") * 2 >= F.col("n_tok")).cast("long")
         sig = sig + F.shiftleft(bit, j)
     return votes.select("doc_id", sig.alias("simhash"), "n_tok")
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    max_hamming: int = 6,
+    bits: int = 32,
+    chunk_bits: int = 8,
+    hash_mode: str = "md5",
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance, banded for scale.
+
+    Manku et al. (WWW'07): two signatures within Hamming distance d of
+    each other must agree exactly on at least one of ceil(bits/chunk)
+    chunks when d < bits/chunk_bits * 1 ... here 32 bits in 4 chunks of 8
+    guarantees recall for d <= 3 and probabilistically catches most d <= 6;
+    candidates join on (chunk_idx, chunk_value), then exact
+    ``bit_count(xor)`` filters.  Never all-pairs.
+    """
+    sigs = simhash(docs, bits=bits, hash_mode=hash_mode).persist()
+    n_chunks = bits // chunk_bits
+    mask = (1 << chunk_bits) - 1
+    chunks = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("idx"),
+                    F.shiftright(F.col("simhash"), i * chunk_bits)
+                    .bitwiseAND(F.lit(mask))
+                    .alias("val"),
+                )
+                for i in range(n_chunks)
+            ])
+        ).alias("c"),
+    ).select("doc_id", "simhash", F.col("c.idx").alias("idx"), F.col("c.val").alias("val"))
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    pairs = (
+        a.join(b, ["idx", "val"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.expr("sig_a ^ sig_b")))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    return pairs.select("doc_a", "doc_b", "sig_a", "sig_b", "hamming")

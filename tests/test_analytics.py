@@ -1,0 +1,63 @@
+"""Semantics tests for the analytic-breadth operators."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+from pyspark.sql import functions as F
+
+from async_stream_processing_spark.operators.analytics import (
+    event_deltas,
+    sessionize,
+    sessionize_native,
+    top_k_per_group,
+)
+
+T0 = datetime(2024, 1, 1)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        [(T0 + timedelta(seconds=s), i + 1, u, float(v)) for i, (s, u, v) in enumerate(rows)],
+        "ts timestamp, seq long, user_id long, value double",
+    )
+
+
+def test_sessionize_gap_splits(spark):
+    df = _events(spark, [
+        (0, 1, 10), (60, 1, 20),       # session 1 (gap < 30 min)
+        (60 * 60, 1, 30),              # session 2 (gap 59 min)
+        (0, 2, 5),                     # user 2, one session
+    ])
+    out = {(r["user_id"], r["session_id"]): r for r in sessionize(df, gap_seconds=1800).collect()}
+    assert len(out) == 3
+    assert out[(1, 1)]["n_events"] == 2 and out[(1, 1)]["sum_value"] == 30.0
+    assert out[(1, 2)]["n_events"] == 1
+    assert out[(1, 1)]["session_end"] == T0 + timedelta(seconds=60 + 1800)
+
+
+def test_sessionize_native_agrees_with_relational(spark):
+    rows = [(s, u, v) for u in (1, 2, 3) for s, v in
+            [(0, 1), (100, 2), (2000, 3), (2100, 4), (9000, 5)]]
+    df = _events(spark, rows)
+    a = {tuple(r) for r in sessionize(df, gap_seconds=1800).collect()}
+    b = {tuple(r) for r in sessionize_native(df, gap_seconds=1800).collect()}
+    assert a == b
+
+
+def test_event_deltas_lag_lead(spark):
+    df = _events(spark, [(0, 1, 5), (10, 1, 9), (25, 1, 7)])
+    out = sorted(event_deltas(df, ["user_id"]).collect(), key=lambda r: r["seq"])
+    assert out[0]["prev_ts"] is None and out[0]["next_ts"] == T0 + timedelta(seconds=10)
+    assert out[1]["gap_us"] == 10_000_000
+    assert [r["value_rank"] for r in out] == [3, 1, 2]
+
+
+def test_top_k_per_group(spark):
+    df = spark.createDataFrame(
+        [("a", i, float(i % 5)) for i in range(20)], "g string, id long, v double"
+    )
+    out = top_k_per_group(df, ["g"], [F.desc("v"), F.asc("id")], k=2).collect()
+    assert [(r["id"], r["v"]) for r in sorted(out, key=lambda r: r["rank"])] == [
+        (4, 4.0), (9, 4.0)
+    ]
