@@ -1,0 +1,79 @@
+"""Corpus shaping: term statistics, repetition filters, deterministic
+stratified sampling -- the "mix and filter" half of a training-data
+pipeline.
+
+All log-free by design: natural-log TF-IDF scores are NOT bit-portable
+across engines (libm vs JVM ``Math.log`` differ in final ulps), so scores
+that need cross-engine verification stay rational (counts and ratios);
+rank-by-count gives the same ordering TF-IDF would within a source.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import stable_hash60
+from ..functions.text import shingles, tokens
+
+
+def top_terms_per_source(docs: DataFrame, k: int = 10) -> DataFrame:
+    """Top-k terms by in-source frequency, with document frequency.
+
+    One explode + two aggregations; the per-source rank is a window over
+    the (small) term-count relation.  The classic TF-IDF shape without the
+    log (rank order inside a source is identical).
+    """
+    terms = docs.select(
+        "source", "doc_id", F.explode(tokens("text")).alias("term")
+    )
+    tf = terms.groupBy("source", "term").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.countDistinct("doc_id").alias("df_in_source"),
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("tf"), F.asc("term"))
+    return (
+        tf.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("source", "term", "tf", "df_in_source",
+                F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def repetition_stats(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Gopher-style repetition signals: the fraction of n-gram occurrences
+    belonging to the most frequent n-gram, and the duplicate-shingle ratio.
+    Heavily repeated boilerplate -> high values -> filter candidates."""
+    sh = docs.select("doc_id", F.explode(shingles("text", n)).alias("s"))
+    per = sh.groupBy("doc_id", "s").agg(F.count(F.lit(1)).alias("c"))
+    agg = per.groupBy("doc_id").agg(
+        F.sum("c").alias("n_shingles"),
+        F.max("c").alias("top_shingle_count"),
+        F.count(F.lit(1)).alias("n_distinct_shingles"),
+    )
+    return agg.select(
+        "doc_id", "n_shingles", "top_shingle_count", "n_distinct_shingles",
+        (F.col("top_shingle_count").cast("double")
+         / F.col("n_shingles").cast("double")).alias("top_shingle_ratio"),
+        (F.lit(1.0) - F.col("n_distinct_shingles").cast("double")
+         / F.col("n_shingles").cast("double")).alias("dup_shingle_ratio"),
+    )
+
+
+def stratified_sample(docs: DataFrame, mod: int = 1000) -> DataFrame:
+    """Deterministic per-source mixture sampling: doc kept iff
+    ``stable_hash60(text) % mod < rate(source)``.
+
+    The rate is derived from the source id (here: 100 + (src_num % 5)*150
+    permille -- a stand-in for a configured mixture table).  Hash-gated
+    sampling is reproducible across runs/engines/cluster sizes -- the
+    property training-data pipelines need that ``rand()`` sampling lacks.
+    """
+    src_num = F.regexp_extract("source", "([0-9]+)", 1).cast("int")
+    rate = (F.lit(100) + (src_num % 5) * F.lit(150)).alias("rate_permille")
+    gate = stable_hash60(F.col("text")) % mod
+    return (
+        docs.select("doc_id", "source", rate, gate.alias("gate"))
+        .filter(F.col("gate") < F.col("rate_permille"))
+        .select("doc_id", "source", "rate_permille")
+    )

@@ -1,0 +1,68 @@
+"""Scale utilities: skew-safe joins and co-located (bucketed) storage.
+
+These are the knobs a 100 TB deployment reaches for when AQE alone isn't
+enough.  None change results -- only physical plans -- so they carry no
+oracle queries; tests assert result-equality against the plain operator.
+
+* :func:`salted_join` -- explicit skew-salting for a hot-key equi-join:
+  replicate the small side R times, scatter the big side's hot keys across
+  R salt buckets.  AQE's skew-join split handles *shuffle-partition* skew;
+  salting is for single-key pathologies (one key > an executor's memory).
+* :func:`write_bucketed` / :func:`read_bucketed` -- persist a relation
+  bucketed by join key so repeated joins/aggregations on that key avoid
+  the shuffle entirely (Spark reuses the bucketing as the required
+  distribution).  The 100 TB pattern: land ingest tables bucketed by their
+  dominant join key once, amortize across every downstream query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    salt: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with the big side's keys scattered over ``salt`` buckets.
+
+    The small side is exploded x``salt`` (cheap when it is genuinely the
+    small side); the big side picks a deterministic pseudo-random bucket
+    per row, so a single hot key spreads over ``salt`` shuffle partitions.
+    """
+    salted_small = small.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+    )
+    salted_big = big.withColumn(
+        "__salt", (F.abs(F.xxhash64(F.monotonically_increasing_id())) % salt).cast("int")
+    )
+    return (
+        salted_big.join(salted_small, [on, "__salt"], how).drop("__salt")
+    )
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_by: str,
+    n_buckets: int = 64,
+    sort_by: str | None = None,
+    path: str | None = None,
+) -> None:
+    """Persist bucketed-by-key (saveAsTable -- bucket metadata needs the
+    catalog).  Joins between two tables bucketed the same way skip the
+    shuffle; sorted buckets also skip the sort of a sort-merge join."""
+    writer = df.write.mode("overwrite").bucketBy(n_buckets, bucket_by)
+    if sort_by:
+        writer = writer.sortBy(sort_by)
+    if path:
+        writer = writer.option("path", path)
+    writer.format("parquet").saveAsTable(table)
+
+
+def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
+    return spark.table(table)

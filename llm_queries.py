@@ -121,6 +121,27 @@ def q_embedding_dedup(spark, sf_dir):
     )
 
 
+def q_top_terms(spark, sf_dir):
+    """Term statistics per source (log-free TF-IDF shape)."""
+    from async_stream_processing_spark.llm.sampling import top_terms_per_source
+
+    return top_terms_per_source(_docs(spark, sf_dir), k=10)
+
+
+def q_repetition(spark, sf_dir):
+    """Gopher-style repetition/boilerplate signals per doc."""
+    from async_stream_processing_spark.llm.sampling import repetition_stats
+
+    return repetition_stats(_docs(spark, sf_dir))
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic hash-gated mixture sampling per source."""
+    from async_stream_processing_spark.llm.sampling import stratified_sample
+
+    return stratified_sample(_docs(spark, sf_dir))
+
+
 def q_text_stats(spark, sf_dir):
     return text_stats(_docs(spark, sf_dir))
 
@@ -160,6 +181,9 @@ LLM_QUERIES = {
     "ann_lsh_buckets": q_ann_buckets,
     "knn_lsh": q_knn_lsh,
     "embedding_dedup": q_embedding_dedup,
+    "top_terms_per_source": q_top_terms,
+    "repetition_stats": q_repetition,
+    "stratified_sample": q_stratified_sample,
     "text_stats": q_text_stats,
     "quality_score": q_quality_score,
     "lang_id": q_lang_id,
@@ -343,6 +367,46 @@ def llm_oracle_sql() -> dict[str, str]:
                    {sql_cosine('a.embedding', 'c.embedding')} AS cosine
             FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
             WHERE {sql_cosine('a.embedding', 'c.embedding')} >= 0.35
+        """,
+        "top_terms_per_source": """
+            WITH terms AS (
+                SELECT source, doc_id,
+                       unnest(string_split_regex(lower(trim(text)), ' +')) AS term
+                FROM documents),
+            tf AS (SELECT source, term, COUNT(*) AS tf,
+                          COUNT(DISTINCT doc_id) AS df_in_source
+                   FROM terms GROUP BY source, term)
+            SELECT source, term, tf, df_in_source, CAST(rank AS BIGINT) AS rank
+            FROM (SELECT *, ROW_NUMBER() OVER (
+                      PARTITION BY source ORDER BY tf DESC, term ASC) AS rank
+                  FROM tf)
+            WHERE rank <= 10
+        """,
+        "repetition_stats": f"""
+            WITH words AS (SELECT doc_id,
+                                  string_split_regex(lower(trim(text)), ' +') AS w
+                           FROM documents),
+            sh AS (SELECT doc_id, unnest({sql_shingles('w', 3)}) AS s FROM words),
+            per AS (SELECT doc_id, s, COUNT(*) AS c FROM sh GROUP BY doc_id, s),
+            agg AS (SELECT doc_id, SUM(c) AS n_shingles, MAX(c) AS top_shingle_count,
+                           COUNT(*) AS n_distinct_shingles
+                    FROM per GROUP BY doc_id)
+            SELECT doc_id, CAST(n_shingles AS BIGINT) AS n_shingles,
+                   CAST(top_shingle_count AS BIGINT) AS top_shingle_count,
+                   n_distinct_shingles,
+                   CAST(top_shingle_count AS DOUBLE) / CAST(n_shingles AS DOUBLE)
+                       AS top_shingle_ratio,
+                   1.0 - CAST(n_distinct_shingles AS DOUBLE)
+                       / CAST(n_shingles AS DOUBLE) AS dup_shingle_ratio
+            FROM agg
+        """,
+        "stratified_sample": f"""
+            SELECT doc_id, source,
+                   CAST(100 + (CAST(regexp_extract(source, '([0-9]+)', 1) AS INT) % 5)
+                        * 150 AS INT) AS rate_permille
+            FROM documents
+            WHERE {sql_stable_hash60('text')} % 1000
+                  < 100 + (CAST(regexp_extract(source, '([0-9]+)', 1) AS INT) % 5) * 150
         """,
         "text_stats": """
             WITH w AS (SELECT doc_id, length(text) AS n_chars,
