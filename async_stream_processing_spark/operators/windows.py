@@ -96,9 +96,17 @@ def resample(
     as a streaming aggregation when fed a streaming DataFrame with a
     watermark (swap date_trunc for ``window()`` there -- see streaming/).
     """
-    unit = every.split()[-1].rstrip("s")  # "1 minute" -> "minute"
-    keys = [F.date_trunc(unit, F.col("ts")).alias("bucket_start")] + [
-        F.col(c) for c in (partition_by or [])
-    ]
+    qty_s, unit = every.split()
+    qty = int(qty_s)
+    unit = unit.rstrip("s")  # "1 minute" -> "minute"
+    if qty == 1:
+        bucket = F.date_trunc(unit, F.col("ts"))
+    else:
+        step_us = qty * {"second": 10**6, "minute": 60 * 10**6,
+                         "hour": 3600 * 10**6, "day": 86400 * 10**6}[unit]
+        bucket = F.timestamp_micros(
+            (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("ts")) % step_us)
+        )
+    keys = [bucket.alias("bucket_start")] + [F.col(c) for c in (partition_by or [])]
     aggs = aggs or {"n_events": F.count(F.lit(1))}
     return df.groupBy(*keys).agg(*[v.alias(k) for k, v in aggs.items()])

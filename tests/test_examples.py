@@ -1,0 +1,32 @@
+"""Every example runs end-to-end in one shared session (the reference's
+examples are not CI-gated -- SURVEY §5 -- ours are)."""
+
+from __future__ import annotations
+
+import importlib
+import sys
+from pathlib import Path
+
+import pytest
+
+EXAMPLES = [
+    "e01_past_greeter",
+    "e02_ticking",
+    "e03_spread",
+    "e04_trade_pnl",
+    "e05_retail_cart",
+    "e06_feedback",
+    "e07_stats_vwap",
+    "e08_dynamic_demux",
+    "e09_past_to_live",
+    "e10_live_socket",
+]
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "examples"))
+
+
+@pytest.mark.parametrize("name", EXAMPLES)
+def test_example_runs(spark, name):
+    mod = importlib.import_module(name)
+    result = mod.main(spark)
+    assert result is not None

@@ -1,0 +1,104 @@
+"""Property-based tests: operators vs brute-force Python references on
+random inputs (the reference repo has none -- SURVEY §5; these pin our
+semantics harder than fixtures can)."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from async_stream_processing_spark.operators.analytics import (
+    sessionize,
+    sessionize_native,
+)
+from async_stream_processing_spark.operators.asof import asof_join
+from async_stream_processing_spark.operators.merge import last_value_merge
+
+T0 = datetime(2024, 1, 1)
+
+# (seconds, value) event lists; seconds may collide to exercise tie-breaks
+events_strategy = st.lists(
+    st.tuples(st.integers(0, 120), st.integers(0, 100)), min_size=1, max_size=25
+)
+
+SLOW = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _df(spark, rows, stream_id=0, value_col="value"):
+    return spark.createDataFrame(
+        [
+            (T0 + timedelta(seconds=s), (stream_id << 40) + i + 1, float(v))
+            for i, (s, v) in enumerate(rows)
+        ],
+        f"ts timestamp, seq long, {value_col} double",
+    )
+
+
+@given(left=events_strategy, right=events_strategy)
+@SLOW
+def test_asof_join_matches_bruteforce(spark, left, right):
+    trades = _df(spark, left, stream_id=1)
+    quotes = _df(spark, right, stream_id=0, value_col="mid")
+    out = {
+        r["seq"]: r["mid"]
+        for r in asof_join(trades, quotes, right_cols=["mid"]).collect()
+    }
+    # brute force: latest right event with (ts, seq) <= (ts, seq) of left
+    rkeys = sorted(
+        (T0 + timedelta(seconds=s), i + 1, float(v))
+        for i, (s, v) in enumerate(right)
+    )
+    for i, (s, v) in enumerate(left):
+        lt, lseq = T0 + timedelta(seconds=s), (1 << 40) + i + 1
+        best = None
+        for rt, rseq, rv in rkeys:
+            if (rt, rseq) <= (lt, lseq):
+                best = rv
+        assert out[lseq] == best
+
+
+@given(xs=events_strategy, ys=events_strategy)
+@SLOW
+def test_last_value_merge_matches_bruteforce(spark, xs, ys):
+    merged = last_value_merge(
+        {"x": _df(spark, xs, 0), "y": _df(spark, ys, 1)}
+    ).collect()
+    tagged = sorted(
+        [(T0 + timedelta(seconds=s), i + 1, "x", float(v)) for i, (s, v) in enumerate(xs)]
+        + [(T0 + timedelta(seconds=s), (1 << 40) + i + 1, "y", float(v))
+           for i, (s, v) in enumerate(ys)]
+    )
+    lastx = lasty = None
+    expected = {}
+    for ts, seq, which, v in tagged:
+        if which == "x":
+            lastx = v
+        else:
+            lasty = v
+        expected[seq] = (lastx, lasty)
+    for r in merged:
+        assert (r["x"], r["y"]) == expected[r["seq"]]
+
+
+@given(rows=st.lists(
+    st.tuples(st.integers(0, 3600 * 4), st.integers(1, 3), st.integers(0, 50)),
+    min_size=1, max_size=30,
+))
+@SLOW
+def test_sessionize_native_equals_relational(spark, rows):
+    df = spark.createDataFrame(
+        [
+            (T0 + timedelta(seconds=s), i + 1, u, float(v))
+            for i, (s, u, v) in enumerate(rows)
+        ],
+        "ts timestamp, seq long, user_id long, value double",
+    )
+    a = sorted(map(tuple, sessionize(df, gap_seconds=1800).collect()))
+    b = sorted(map(tuple, sessionize_native(df, gap_seconds=1800).collect()))
+    assert a == b
