@@ -90,7 +90,7 @@ def frame_sample_stub(docs_bin: DataFrame, every_n: int = 10) -> DataFrame:
     """Video frame-sampling plumbing: explode a deterministic frame index
     per payload (stub for ffmpeg keyframe extraction).  Shows the
     one-to-many mapInPandas/explode shape used for frame tables."""
-    n_frames = (F.octet_length("payload") % 100 + 1).alias("n_frames")
+    n_frames = (F.octet_length("payload") % 100 + 1).cast("long").alias("n_frames")
     frames = docs_bin.select("doc_id", n_frames).withColumn(
         "frame_idx", F.explode(F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_n)))
     )

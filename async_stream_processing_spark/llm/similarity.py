@@ -85,7 +85,7 @@ def knn_bruteforce(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", F.col("cos").alias("cosine"))
+        .select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), F.col("cos").alias("cosine"))
     )
 
 
@@ -150,5 +150,5 @@ def knn_lsh(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", F.col("cos").alias("cosine"))
+        .select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), F.col("cos").alias("cosine"))
     )

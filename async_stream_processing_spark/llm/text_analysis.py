@@ -25,9 +25,9 @@ def text_stats(docs: DataFrame, text: str = "text") -> DataFrame:
     )
     return docs.select(
         "doc_id",
-        F.length(F.col(text)).alias("n_chars"),
-        n_words.alias("n_words"),
-        n_unique.alias("n_unique_words"),
+        F.length(F.col(text)).cast("long").alias("n_chars"),
+        n_words.cast("long").alias("n_words"),
+        n_unique.cast("long").alias("n_unique_words"),
         (n_unique.cast("double") / n_words.cast("double")).alias("type_token_ratio"),
         (total_len.cast("double") / n_words.cast("double")).alias("avg_word_len"),
     )
@@ -57,8 +57,8 @@ def quality_score(docs: DataFrame, text: str = "text") -> DataFrame:
     )
     return docs.select(
         "doc_id",
-        n_words.alias("n_words"),
-        n_stop.alias("n_stopwords"),
+        n_words.cast("long").alias("n_words"),
+        n_stop.cast("long").alias("n_stopwords"),
         stop_ratio.alias("stopword_ratio"),
         punct_ratio.alias("punct_ratio"),
         digit_ratio.alias("digit_ratio"),
@@ -106,8 +106,8 @@ def token_counts(docs: DataFrame, text: str = "text") -> DataFrame:
     n_bpe = F.size(F.expr(f"regexp_extract_all({text}, '{BPE_TOKEN_RE}', 0)"))
     return docs.select(
         "doc_id",
-        n_ws.alias("n_ws_tokens"),
-        n_bpe.alias("n_bpe_tokens"),
+        n_ws.cast("long").alias("n_ws_tokens"),
+        n_bpe.cast("long").alias("n_bpe_tokens"),
         (F.length(F.col(text)).cast("double") / F.lit(4.0)).alias("n_tok_est"),
     )
 

@@ -36,7 +36,7 @@ def positional_zip(named_streams: dict[str, DataFrame], value_col: str = "value"
     for i, name in enumerate(names):
         s = named_streams[name]
         w = Window.orderBy(F.col(TS), F.col(SEQ))
-        cols = [F.row_number().over(w).alias("rn"), F.col(value_col).alias(name)]
+        cols = [F.row_number().over(w).cast("long").alias("rn"), F.col(value_col).alias(name)]
         if i == 0:
             cols.insert(1, F.col(TS))
         s = s.select(*cols)

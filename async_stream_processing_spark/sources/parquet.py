@@ -44,4 +44,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # integer ns -> us narrowing (DuckDB truncates the same way);
         # MUST be integer DIV -- double division loses ULPs at 1e18.
         df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` DIV 1000")))
+    # micros-precision columns come back TIMESTAMP_NTZ (isAdjustedToUTC =
+    # false); normalize to TIMESTAMP -- under the UTC session the wall
+    # values are identical, and the engine speaks one timestamp type.
+    for field in df.schema.fields:
+        if field.dataType.typeName() == "timestamp_ntz":
+            df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
     return df
