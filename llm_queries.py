@@ -162,6 +162,34 @@ def q_fingerprints(spark, sf_dir):
     return fingerprints(_docs(spark, sf_dir))
 
 
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: corpus docs sharing any 8-gram with the
+    eval set (docs 0-19 stand in for the benchmark)."""
+    from async_stream_processing_spark.llm.decontaminate import decontaminate
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") < 20).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    return decontaminate(docs, bench, n=8)
+
+
+def q_redact_pii(spark, sf_dir):
+    """PII-style scrubbing over text with synthetic contact strings
+    (the corpus itself is clean word-salad, so the query plants
+    deterministic emails/numbers first, then redacts them)."""
+    from async_stream_processing_spark.llm.decontaminate import redact
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "text",
+        F.concat(
+            F.col("text"), F.lit(" contact user"), F.col("doc_id"),
+            F.lit("@mail.com ref "), (F.col("doc_id") * 7).cast("string"),
+        ),
+    )
+    return redact(docs)
+
+
 def q_multimodal_meta(spark, sf_dir):
     """Binary-column plumbing: mapInPandas pseudo-decode over payload bytes."""
     return decode_image_meta(with_binary_payload(_docs(spark, sf_dir)))
@@ -189,6 +217,8 @@ LLM_QUERIES = {
     "lang_id": q_lang_id,
     "token_counts": q_token_counts,
     "doc_fingerprints": q_fingerprints,
+    "decontaminate": q_decontaminate,
+    "redact_pii": q_redact_pii,
     "multimodal_meta": q_multimodal_meta,
     "frame_sample": q_frame_sample,
 }
@@ -477,6 +507,37 @@ def llm_oracle_sql() -> dict[str, str]:
                                            s -> md5(s))) AS winnow_fingerprint,
                    {sql_stable_hash60('norm')} AS hash60
             FROM w
+        """,
+        "decontaminate": f"""
+            WITH words AS (SELECT doc_id,
+                                  string_split_regex(lower(trim(text)), ' +') AS w
+                           FROM documents),
+            cg AS (SELECT DISTINCT doc_id, {sql_stable_hash60('g')} AS h
+                   FROM (SELECT doc_id, unnest({sql_shingles('w', 8)}) AS g
+                         FROM words)),
+            bg AS (SELECT DISTINCT doc_id AS bench_id, {sql_stable_hash60('g')} AS h
+                   FROM (SELECT doc_id, unnest({sql_shingles('w', 8)}) AS g
+                         FROM words WHERE doc_id < 20))
+            SELECT cg.doc_id, bg.bench_id, COUNT(*) AS n_collisions
+            FROM cg JOIN bg ON cg.h = bg.h
+            GROUP BY cg.doc_id, bg.bench_id
+        """,
+        "redact_pii": """
+            WITH pii AS (SELECT doc_id,
+                                text || ' contact user' || CAST(doc_id AS VARCHAR)
+                                     || '@mail.com ref '
+                                     || CAST(doc_id * 7 AS VARCHAR) AS text
+                         FROM documents)
+            SELECT doc_id,
+                   regexp_replace(
+                       regexp_replace(text, '[a-zA-Z0-9.]+@[a-zA-Z0-9.]+',
+                                      '<EMAIL>', 'g'),
+                       '[0-9]+', '<NUM>', 'g') AS clean_text,
+                   CAST(len(regexp_extract_all(text, '[a-zA-Z0-9.]+@[a-zA-Z0-9.]+'))
+                        AS BIGINT) AS n_emails_redacted,
+                   CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT)
+                       AS n_numbers_redacted
+            FROM pii
         """,
         "multimodal_meta": """
             SELECT doc_id,
