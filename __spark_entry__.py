@@ -347,6 +347,32 @@ def q_topk_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles per key (both engines interpolate linearly --
+    verified bit-identical).  At 100 TB swap for approx_percentile and
+    accept the sketch tolerance."""
+    df = _events(spark, sf_dir)
+    return df.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("p50"),
+        F.expr("percentile(value, 0.9)").alias("p90"),
+        F.expr("percentile(value, 0.99)").alias("p99"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+
+
+def q_cardinality_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog cardinality sketch vs exact count per key (the 100 TB
+    distinct-count path; sketches aren't cross-engine portable, so this is
+    a rows-only check -- the test suite bounds the relative error)."""
+    df = _events(spark, sf_dir)
+    return df.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("value", rsd=0.02).alias("approx_values"),
+    )
+
+
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs via Hamming-band candidates (Manku WWW'07)."""
     from async_stream_processing_spark.llm.dedup import simhash_pairs
@@ -388,6 +414,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_native": q_sessionize_native,
         "revenue_rollup": q_revenue_rollup,
         "topk_per_priority": q_topk_per_priority,
+        "value_percentiles": q_value_percentiles,
+        "cardinality_sketch": q_cardinality_sketch,
         "simhash_pairs": q_simhash_pairs,
         **LLM_QUERIES,
     }
@@ -494,6 +522,15 @@ def oracle_sql() -> dict[str, str]:
                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
                   FROM orders)
             WHERE rank <= 3
+        """,
+        "value_percentiles": f"""
+            SELECT event_type,
+                   quantile_cont(value, 0.5) AS p50,
+                   quantile_cont(value, 0.9) AS p90,
+                   quantile_cont(value, 0.99) AS p99,
+                   MIN(value) AS min_value,
+                   MAX(value) AS max_value
+            FROM events GROUP BY event_type
         """,
         "simhash_pairs": _SIMHASH_PAIRS_SQL,
         "vwap_2min": f"""

@@ -145,3 +145,35 @@ def sliding_window_agg(
             "n_events", "sum_value", "avg_value",
         )
     )
+
+
+def stream_static_enrich(stream: DataFrame, dim: DataFrame, on: list[str]) -> DataFrame:
+    """Stream-static join: enrich each micro-batch against a (slowly
+    changing) dimension.  Spark re-plans the static side per batch, so a
+    small dim broadcasts -- zero stream shuffle.  The reference's analog is
+    a callback closing over a lookup dict."""
+    return stream.join(dim, on, "left")
+
+
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    within: str = "1 minute",
+    left_watermark: str = "2 minutes",
+    right_watermark: str = "2 minutes",
+) -> DataFrame:
+    """Stream-stream inner join keyed on ``on``, right event within
+    ``[left.ts - within, left.ts]`` (the streaming cousin of the as-of
+    join: both sides buffer in the state store, watermarks bound eviction).
+    """
+    from pyspark.sql import functions as F
+
+    lt = left.withWatermark("ts", left_watermark).alias("l")
+    rt = right.withWatermark("ts", right_watermark).alias("r")
+    return lt.join(
+        rt,
+        F.expr(
+            f"l.{on} = r.{on} AND r.ts BETWEEN l.ts - INTERVAL {within} AND l.ts"
+        ),
+    )

@@ -61,3 +61,14 @@ def test_top_k_per_group(spark):
     assert [(r["id"], r["v"]) for r in sorted(out, key=lambda r: r["rank"])] == [
         (4, 4.0), (9, 4.0)
     ]
+
+
+def test_cardinality_sketch_tolerance(spark):
+    """HLL approx within its error bound of the exact count."""
+    import sys
+    sys.path.insert(0, ".")
+    import __spark_entry__ as m
+
+    out = m.queries()["cardinality_sketch"](spark, "/root/testdata/sf0.001").collect()
+    for r in out:
+        assert abs(r["approx_users"] - r["exact_users"]) <= max(3, 0.1 * r["exact_users"])

@@ -200,3 +200,64 @@ def test_websocket_source_gated_import(spark):
         pass
     with pytest.raises(ImportError, match="linesocket"):
         _WebSocketReader({"uri": "ws://x"})
+
+
+def test_stream_static_enrich(spark, tmp_path):
+    """Stream-static join: micro-batches enriched against a dimension."""
+    from async_stream_processing_spark.streaming.replay import stream_static_enrich
+
+    src = str(tmp_path / "src")
+    _write_events(spark, src, _rows(6))
+    dim = spark.createDataFrame(
+        [(0, "bronze"), (1, "silver"), (2, "gold")], "user_id long, tier string"
+    )
+    out = []
+    q = process_stream(
+        stream_static_enrich(replay_stream(spark, src, EVENTS_SCHEMA), dim, ["user_id"]),
+        lambda b, _: out.extend(b.collect()),
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+    assert len(out) == 6
+    assert all(r["tier"] in {"bronze", "silver", "gold"} for r in out)
+
+
+def test_stream_stream_join_time_bounded(spark, tmp_path):
+    """Stream-stream join with watermark-bounded state: views matched to
+    clicks of the same user within the preceding minute."""
+    from async_stream_processing_spark.streaming.replay import stream_stream_join
+
+    rows = [
+        (T0, 1, "click", 1.0, 1),
+        (T0 + timedelta(seconds=30), 1, "view", 2.0, 1),      # joins (30s gap)
+        (T0 + timedelta(seconds=300), 1, "view", 3.0, 1),     # no click within 1m
+        (T0 + timedelta(seconds=300), 2, "view", 4.0, 1),     # other user, no click
+        (T0 + timedelta(seconds=600), 9, "click", 9.0, 1),    # advances watermark
+        (T0 + timedelta(seconds=600), 9, "view", 9.0, 1),
+    ]
+    src = str(tmp_path / "src")
+    _write_events(spark, src, rows)
+    base = replay_stream(spark, src, EVENTS_SCHEMA)
+    clicks = base.filter("event_type = 'click'").select("ts", "user_id", "value")
+    views = (
+        replay_stream(spark, src, EVENTS_SCHEMA)
+        .filter("event_type = 'view'")
+        .select(F.col("ts").alias("vts"), F.col("user_id").alias("vuser"),
+                F.col("value").alias("vvalue"))
+        .withColumnRenamed("vts", "ts")
+        .withColumnRenamed("vuser", "user_id")
+    )
+    out = []
+    joined = stream_stream_join(
+        views, clicks.withColumnRenamed("value", "click_value"), "user_id",
+        within="1 minute",
+    )
+    q = process_stream(
+        joined, lambda b, _: out.extend(b.collect()),
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(180)
+    pairs = sorted((r["vvalue"], r["click_value"]) for r in out)
+    assert (2.0, 1.0) in pairs          # the 30s-gap match
+    assert (9.0, 9.0) in pairs          # simultaneous same-user
+    assert all(v != 3.0 and v != 4.0 for v, _ in pairs)  # out-of-window
