@@ -347,6 +347,56 @@ def q_topk_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """resample_1min EXECUTED BY THE STREAMING ENGINE: the events table
+    replayed through readStream -> tumbling window agg -> complete-mode
+    drain; hash-matched against the same ANSI-SQL oracle as the batch
+    query -- streaming execution under the correctness gate."""
+    from async_stream_processing_spark.sources.parquet import stream_table
+    from async_stream_processing_spark.streaming.replay import drain
+
+    s = stream_table(spark, sf_dir, "events")
+    agg = (
+        s.groupBy(F.window("ts", "1 minute").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("bucket_start"), "n_events", "sum_value")
+    )
+    return drain(agg)
+
+
+def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization EXECUTED BY THE STREAMING ENGINE (native
+    session_window state merging in the micro-batch engine), drained and
+    hash-matched against the same gaps-and-islands SQL oracle."""
+    from pyspark.sql import Window
+    from async_stream_processing_spark.sources.parquet import stream_table
+    from async_stream_processing_spark.streaming.replay import drain
+
+    s = stream_table(spark, sf_dir, "events")
+    sw = (
+        s.groupBy("user_id", F.session_window("ts", "1800 seconds").alias("sw"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+    )
+    out = drain(sw).select(
+        "user_id",
+        F.col("sw.start").alias("session_start"),
+        F.col("sw.end").alias("session_end"),
+        "n_events",
+        "sum_value",
+    )
+    w = Window.partitionBy("user_id").orderBy("session_start")
+    return out.withColumn(
+        "session_id", F.row_number().over(w).cast("long")
+    ).select("user_id", "session_id", "session_start", "session_end",
+             "n_events", "sum_value")
+
+
 def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact percentiles per key (both engines interpolate linearly --
     verified bit-identical).  At 100 TB swap for approx_percentile and
@@ -414,6 +464,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_native": q_sessionize_native,
         "revenue_rollup": q_revenue_rollup,
         "topk_per_priority": q_topk_per_priority,
+        "stream_resample_1min": q_stream_resample,
+        "stream_sessionize": q_stream_sessionize,
         "value_percentiles": q_value_percentiles,
         "cardinality_sketch": q_cardinality_sketch,
         "simhash_pairs": q_simhash_pairs,
@@ -746,4 +798,6 @@ def oracle_sql() -> dict[str, str]:
         """,
     }
     out["sessionize_native"] = out["sessionize"]
+    out["stream_sessionize"] = out["sessionize"]
+    out["stream_resample_1min"] = out["resample_1min"]
     return out

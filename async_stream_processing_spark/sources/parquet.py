@@ -51,3 +51,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if field.dataType.typeName() == "timestamp_ntz":
             df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
     return df
+
+
+def stream_table(spark: SparkSession, sf_dir: str, name: str,
+                 max_files_per_trigger: int | None = None) -> DataFrame:
+    """Streaming twin of :func:`load_table`: same parquet, same ns/NTZ
+    timestamp repair, as a file-source streaming DataFrame."""
+    path = f"{sf_dir}/{name}.parquet"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(path).schema
+    # the driver tables are single FILES; the file streaming source wants a
+    # directory, so stream the parent with a glob pinned to this table.
+    reader = spark.readStream.schema(raw_schema).option(
+        "pathGlobFilter", f"{name}.parquet"
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.parquet(sf_dir)
+    for col in _nano_ts_columns(path):
+        df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` DIV 1000")))
+    for field in df.schema.fields:
+        if field.dataType.typeName() == "timestamp_ntz":
+            df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
+    return df

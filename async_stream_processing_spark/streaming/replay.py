@@ -177,3 +177,28 @@ def stream_stream_join(
             f"l.{on} = r.{on} AND r.ts BETWEEN l.ts - INTERVAL {within} AND l.ts"
         ),
     )
+
+
+def drain(stream_df: DataFrame, output_mode: str = "complete",
+          timeout_s: int = 300) -> DataFrame:
+    """Run a streaming plan to completion over its current source contents
+    and return the final result as a batch DataFrame (memory sink +
+    ``Trigger.AvailableNow``).
+
+    This is how streaming execution itself goes under the batch/SQL
+    oracle: the plan runs through the micro-batch engine (state store,
+    incremental aggregation), not the batch planner, and the drained
+    result must still hash-match the oracle.
+    """
+    import uuid
+
+    name = "drain_" + uuid.uuid4().hex[:12]
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    return stream_df.sparkSession.table(name)
