@@ -253,6 +253,83 @@ def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-style forecast revenue: tight filter + single exact sum
+    (the pushdown showcase -- all three predicates reach the parquet scan)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * F.col("l_discount").cast("decimal(13,2)")
+    out = (
+        li.filter(
+            (F.col("l_shipdate") >= "1995-01-01")
+            & (F.col("l_discount").between(0.02, 0.06))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.sum(rev).cast("double").alias("revenue"),
+             F.count(F.lit(1)).alias("n_items"))
+    )
+    return out
+
+
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-style: per linestatus, priority-split counts via
+    conditional aggregation over an orders join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-style promo ratio: conditional revenue share of one part
+    type family -- exact decimal sums, one double division at the end."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(1,0)") - F.col("l_discount").cast("decimal(13,2)")
+    )
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    promo = F.col("p_type").startswith("PROMO")
+    return joined.agg(
+        (
+            F.lit(100.0)
+            * F.sum(F.when(promo, rev).otherwise(F.lit(0).cast("decimal(1,0)"))).cast("double")
+            / F.sum(rev).cast("double")
+        ).alias("promo_revenue_pct"),
+        F.sum(F.when(promo, 1).otherwise(0)).alias("promo_items"),
+        F.count(F.lit(1)).alias("total_items"),
+    )
+
+
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-style large-volume orders: HAVING over a grouped join,
+    top 20 by quantity."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 150)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name", "o_orderkey", "o_orderdate", "o_totalprice",
+            F.col("sum_qty").cast("double").alias("sum_qty"),
+        )
+        .orderBy(F.desc("sum_qty"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
 def q_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi/anti join breadth: per market segment, customers with and
     without orders."""
@@ -458,6 +535,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": q_tpch_q1,
         "top_revenue": q_top_revenue,
         "revenue_by_nation": q_revenue_by_nation,
+        "tpch_q6": q_tpch_q6,
+        "tpch_q12": q_tpch_q12,
+        "tpch_q14": q_tpch_q14,
+        "tpch_q18": q_tpch_q18,
         "semi_anti_join": q_semi_anti,
         "event_deltas": q_event_deltas,
         "sessionize": q_sessionize,
@@ -784,6 +865,52 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation   ON c_nationkey = n_nationkey
             JOIN region   ON n_regionkey = r_regionkey
             GROUP BY r_name, n_name
+        """,
+        "tpch_q6": """
+            SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                            * CAST(l_discount AS DECIMAL(13,2))) AS DOUBLE)
+                       AS revenue,
+                   COUNT(*) AS n_items
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+              AND l_discount BETWEEN 0.02 AND 0.06
+              AND l_quantity < 24
+        """,
+        "tpch_q12": """
+            SELECT l_linestatus,
+                   CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                   CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY l_linestatus
+        """,
+        "tpch_q14": """
+            SELECT 100.0 * CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+                         THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                              * (1 - CAST(l_discount AS DECIMAL(13,2)))
+                         ELSE CAST(0 AS DECIMAL(1,0)) END) AS DOUBLE)
+                       / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                              * (1 - CAST(l_discount AS DECIMAL(13,2)))) AS DOUBLE)
+                       AS promo_revenue_pct,
+                   CAST(SUM(CASE WHEN p_type LIKE 'PROMO%' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS promo_items,
+                   COUNT(*) AS total_items
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+        """,
+        "tpch_q18": """
+            WITH big AS (
+                SELECT l_orderkey,
+                       SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+                FROM lineitem GROUP BY l_orderkey
+                HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150)
+            SELECT c_name, o_orderkey, o_orderdate, o_totalprice,
+                   CAST(sum_qty AS DOUBLE) AS sum_qty
+            FROM big
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            ORDER BY sum_qty DESC, o_orderkey ASC
+            LIMIT 20
         """,
         "semi_anti_join": """
             SELECT c_mktsegment,

@@ -261,3 +261,37 @@ def test_stream_stream_join_time_bounded(spark, tmp_path):
     assert (2.0, 1.0) in pairs          # the 30s-gap match
     assert (9.0, 9.0) in pairs          # simultaneous same-user
     assert all(v != 3.0 and v != 4.0 for v, _ in pairs)  # out-of-window
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Late-data semantics: an event older than the watermark horizon when
+    its micro-batch arrives is dropped from windowed aggregation.  (The
+    reference has NO late tolerance -- SURVEY §4.2 -- so any watermark is
+    strictly more forgiving than the semantics we port.)"""
+    src = str(tmp_path / "src")
+    on_time = [(T0 + timedelta(minutes=m), 1, "click", 1.0, 1) for m in range(10)]
+    _write_events(spark, src, on_time)
+    out = []
+    q = process_stream(
+        sliding_window_agg(
+            replay_stream(spark, src, EVENTS_SCHEMA),
+            window="1 minute", slide="1 minute", watermark="2 minutes",
+        ),
+        lambda b, _: out.extend(b.collect()),
+        checkpoint=str(tmp_path / "ckpt"),
+        available_now=False,
+    )
+    deadline = time.time() + 60
+    while time.time() < deadline and len(out) < 7:
+        time.sleep(0.5)
+    n_before = len(out)
+    # a VERY late straggler: far behind the current watermark (~8 min)
+    late = [(T0 + timedelta(minutes=1, seconds=30), 7, "click", 99.0, 1)]
+    spark.createDataFrame(late, EVENTS_SCHEMA).write.mode("append").parquet(src)
+    time.sleep(5)
+    q.processAllAvailable()
+    q.stop()
+    # the late row's window (minute 1) already closed and emitted without it
+    minute1 = [r for r in out if r["window_start"] == T0 + timedelta(minutes=1)]
+    assert len(minute1) == 1 and minute1[0]["n_events"] == 1
+    assert len(out) >= n_before  # no retraction, no duplicate emission
