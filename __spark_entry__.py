@@ -56,13 +56,16 @@ def q_vwap_2min(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B9/B10 flagship: per-user 2-minute sliding volume-weighted mean of
     ``value`` + per-user cumulative volume (MovingAverage, e2_stats.py:35-65;
     cumulative volume e2_stats.py:87-96)."""
-    df = _events(spark, sf_dir)
+    df = _events(spark, sf_dir).withColumn("ts_us", F.unix_micros("ts"))
+    # cumulative first: its sort key (user, ts_us, seq) is a superset of the
+    # range window's (user, ts_us), so Spark elides the second sort -- one
+    # exchange + ONE sort for both windows.
+    df = cumulative_sum(df, value="vol", order=["ts_us", "seq"],
+                        partition_by=["user_id"], out="cum_vol", scale=0)
     df = sliding_weighted_mean(
         df, value="value", weight="vol", interval_seconds=120,
-        partition_by=["user_id"], out="vwap_2min",
+        partition_by=["user_id"], out="vwap_2min", order_col="ts_us",
     )
-    df = cumulative_sum(df, value="vol", order=["ts", "seq"],
-                        partition_by=["user_id"], out="cum_vol", scale=0)
     return df.select(
         "event_id", "ts", "user_id", "value", "vol", "vwap_2min",
         F.col("cum_vol").cast("long").alias("cum_vol"),

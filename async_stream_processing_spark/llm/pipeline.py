@@ -1,0 +1,62 @@
+"""The composed training-data pipeline: one declarative plan from raw
+corpus to training-mix statistics.
+
+``training_pipeline`` chains the individually verified operators --
+quality gate -> exact dedup -> MinHash-LSH near-dedup -> deterministic
+mixture sampling -> per-source accounting -- into a single DataFrame plan.
+Catalyst sees the whole pipeline at once: filters push below the dedup
+joins where legal, the LSH stages reuse the filtered scan, and nothing
+materializes between steps.  This is the shape a 100 TB curation run has:
+one job, one lineage, restartable, with every stage's semantics already
+oracle-checked in isolation AND the composition itself oracle-checked
+end-to-end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import stable_hash60
+from ..functions.text import tokens
+from .dedup import minhash_dedup_pairs
+
+
+def training_pipeline(
+    docs: DataFrame,
+    min_words: int = 40,
+    dedup_threshold: float = 0.5,
+    sample_mod: int = 1000,
+) -> DataFrame:
+    """Per-source docs-kept / token totals after the full curation chain.
+
+    Near-dedup drops the higher doc_id of every verified pair (canonical =
+    lowest id; deterministic, chain-safe: any doc appearing as a ``doc_b``
+    is dropped exactly once regardless of pair order).
+    """
+    docs = docs.withColumn("n_words", F.size(tokens("text")).cast("long"))
+    kept = docs.filter(F.col("n_words") >= min_words)
+
+    # exact dedup: first doc per normalized text
+    w = Window.partitionBy(F.md5(F.lower(F.trim(F.col("text"))))).orderBy("doc_id")
+    canon = (
+        kept.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+    # near-dedup on the surviving corpus
+    pairs = minhash_dedup_pairs(canon, threshold=dedup_threshold)
+    to_drop = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    survivors = canon.join(to_drop, "doc_id", "left_anti")
+
+    # deterministic mixture sampling (llm/sampling.py rate rule)
+    src_num = F.regexp_extract("source", "([0-9]+)", 1).cast("int")
+    rate = F.lit(100) + (src_num % 5) * F.lit(150)
+    sampled = survivors.filter(stable_hash60(F.col("text")) % sample_mod < rate)
+
+    return sampled.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").alias("sum_words"),
+        F.min("doc_id").alias("min_doc_id"),
+    )

@@ -24,12 +24,15 @@ from pyspark.sql import functions as F
 from ..functions.numeric import dec
 
 
-def _range_window(partition_by: list[str], seconds: int):
+def _range_window(partition_by: list[str], seconds: int, order_col: str | None = None):
     w = Window.partitionBy(*partition_by) if partition_by else Window.partitionBy()
     # RANGE frame over epoch-MICROseconds (full timestamp precision; the
     # reference prunes on raw datetimes, e2_stats.py:63-65).  Peers with
     # equal ts share a frame in both Spark and ANSI SQL, so tie-stable.
-    return w.orderBy(F.unix_micros("ts")).rangeBetween(-seconds * 1_000_000, 0)
+    # Passing a materialized ``order_col`` lets downstream windows ordering
+    # by (order_col, ...) reuse this window's sort (same attribute id).
+    order = F.col(order_col) if order_col else F.unix_micros("ts")
+    return w.orderBy(order).rangeBetween(-seconds * 1_000_000, 0)
 
 
 def sliding_weighted_mean(
@@ -41,6 +44,7 @@ def sliding_weighted_mean(
     out: str = "wmean",
     value_scale: int = 2,
     weight_scale: int = 0,
+    order_col: str | None = None,
 ) -> DataFrame:
     """Per-event ``sum(v*w)/sum(w)`` over the trailing ``interval_seconds``.
 
@@ -49,7 +53,7 @@ def sliding_weighted_mean(
     scales so totals stay within double-exact range (numeric.py rule).
     """
     partition_by = partition_by or []
-    w = _range_window(partition_by, interval_seconds)
+    w = _range_window(partition_by, interval_seconds, order_col)
     v = F.col(value)
     if weight is None:
         num = F.sum(dec(v, value_scale)).over(w).cast("double")
@@ -66,7 +70,7 @@ def sliding_weighted_mean(
 def cumulative_sum(
     df: DataFrame,
     value: str = "value",
-    order: list[str] = ("ts", "seq"),
+    order: list[str | Column] = ("ts", "seq"),
     partition_by: list[str] | None = None,
     out: str = "cum_sum",
     scale: int = 6,
@@ -74,10 +78,14 @@ def cumulative_sum(
     """Running total in the reference's strict event order (SURVEY §3.4).
 
     Mirrors the cumulative-volume accumulator of e2_stats.py:87-96 and the
-    ``accum`` of e2_ticking.py:10-27.
+    ``accum`` of e2_ticking.py:10-27.  ``order`` accepts Columns so a
+    caller stacking this on a range-frame window can share its sort key
+    (e.g. ``[F.unix_micros("ts"), "seq"]`` -- Spark then elides the second
+    per-partition sort because the first's key is a prefix).
     """
     base = Window.partitionBy(*(partition_by or []))
-    w = base.orderBy(*[F.col(c) for c in order]).rowsBetween(Window.unboundedPreceding, 0)
+    keys = [F.col(c) if isinstance(c, str) else c for c in order]
+    w = base.orderBy(*keys).rowsBetween(Window.unboundedPreceding, 0)
     return df.withColumn(out, F.sum(dec(value, scale)).over(w).cast("double"))
 
 

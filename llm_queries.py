@@ -190,6 +190,15 @@ def q_redact_pii(spark, sf_dir):
     return redact(docs)
 
 
+def q_pipeline(spark, sf_dir):
+    """END-TO-END curation pipeline: quality gate -> exact dedup ->
+    MinHash-LSH near-dedup -> deterministic sampling -> per-source stats,
+    as ONE composed plan, oracle-checked as a whole."""
+    from async_stream_processing_spark.llm.pipeline import training_pipeline
+
+    return training_pipeline(_docs(spark, sf_dir))
+
+
 def q_multimodal_meta(spark, sf_dir):
     """Binary-column plumbing: mapInPandas pseudo-decode over payload bytes."""
     return decode_image_meta(with_binary_payload(_docs(spark, sf_dir)))
@@ -219,6 +228,7 @@ LLM_QUERIES = {
     "doc_fingerprints": q_fingerprints,
     "decontaminate": q_decontaminate,
     "redact_pii": q_redact_pii,
+    "pipeline_end_to_end": q_pipeline,
     "multimodal_meta": q_multimodal_meta,
     "frame_sample": q_frame_sample,
 }
@@ -226,12 +236,12 @@ LLM_QUERIES = {
 
 # -- oracle SQL ------------------------------------------------------------
 
-def _sql_doc_shingles() -> str:
+def _sql_doc_shingles(src: str = "documents") -> str:
     """CTE fragment: (doc_id, h) distinct hashed 3-gram shingles."""
     return f"""
         words AS (SELECT doc_id,
                          string_split_regex(lower(trim(text)), ' +') AS w
-                  FROM documents),
+                  FROM {src}),
         sh AS (SELECT DISTINCT doc_id,
                       {sql_stable_hash60('s')} AS h
                FROM (SELECT doc_id, unnest({sql_shingles('w', 3)}) AS s
@@ -538,6 +548,35 @@ def llm_oracle_sql() -> dict[str, str]:
                    CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT)
                        AS n_numbers_redacted
             FROM pii
+        """,
+        "pipeline_end_to_end": f"""
+            WITH kept AS (
+                SELECT *, CAST(len(string_split_regex(lower(trim(text)), ' +'))
+                               AS BIGINT) AS n_words
+                FROM documents
+                WHERE len(string_split_regex(lower(trim(text)), ' +')) >= 40),
+            canon AS (
+                SELECT * FROM (
+                    SELECT *, ROW_NUMBER() OVER (
+                        PARTITION BY md5(lower(trim(text)))
+                        ORDER BY doc_id) AS rn
+                    FROM kept)
+                WHERE rn = 1),
+            {_sql_doc_shingles('canon')},
+            {_sql_minhash_sig()},
+            {_sql_lsh_pairs(0.5)},
+            dropped AS (SELECT DISTINCT doc_b AS doc_id FROM jac
+                        WHERE jaccard >= 0.5),
+            survivors AS (SELECT * FROM canon
+                          WHERE doc_id NOT IN (SELECT doc_id FROM dropped)),
+            sampled AS (
+                SELECT * FROM survivors
+                WHERE {sql_stable_hash60('text')} % 1000
+                      < 100 + (CAST(regexp_extract(source, '([0-9]+)', 1) AS INT)
+                               % 5) * 150)
+            SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_words) AS BIGINT) AS sum_words,
+                   MIN(doc_id) AS min_doc_id
+            FROM sampled GROUP BY source
         """,
         "multimodal_meta": """
             SELECT doc_id,
