@@ -152,3 +152,68 @@ def knn_lsh(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), F.col("cos").alias("cosine"))
     )
+
+
+def ivf_assign(embeddings: DataFrame, n_centroids: int = 8) -> DataFrame:
+    """IVF-flat cell assignment with deterministic centroids (the first
+    ``n_centroids`` vectors -- a fixed-seed stand-in for trained k-means;
+    swap in persisted centroids for production).  Each vector joins the
+    broadcast centroid set and keeps its max-cosine cell.  One scan of the
+    corpus; at 100 TB, write the corpus bucketed by ``centroid_id`` so
+    query probes are partition-pruned reads."""
+    cents = embeddings.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_emb")
+    )
+    scored = embeddings.join(F.broadcast(cents)).withColumn(
+        "cos", cosine(F.col("embedding"), F.col("c_emb"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("centroid_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select("vec_id", "centroid_id", F.col("cos").alias("centroid_cosine"))
+    )
+
+
+def knn_ivf(
+    embeddings: DataFrame,
+    n_queries: int = 10,
+    k: int = 3,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF approximate top-k: each query probes its ``nprobe`` nearest
+    cells and ranks only vectors assigned there -- the classic
+    recall/cost dial (nprobe=n_centroids degenerates to brute force)."""
+    assign = ivf_assign(embeddings, n_centroids)
+    cents = embeddings.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_emb")
+    )
+    q = embeddings.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    probe_scored = q.join(F.broadcast(cents)).withColumn(
+        "cos", cosine(F.col("q_emb"), F.col("c_emb"))
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("centroid_id"))
+    probes = (
+        probe_scored.withColumn("rnk", F.row_number().over(wq))
+        .filter(F.col("rnk") <= nprobe)
+        .select("query_id", "q_emb", "centroid_id")
+    )
+    cands = (
+        assign.join(embeddings, "vec_id")
+        .select("vec_id", "embedding", "centroid_id")
+        .join(F.broadcast(probes), "centroid_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cos", cosine(F.col("q_emb"), F.col("embedding")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", F.col("vec_id").alias("neighbor_id"),
+            F.col("rank").cast("long").alias("rank"), F.col("cos").alias("cosine"),
+        )
+    )

@@ -104,6 +104,20 @@ def q_knn_lsh(spark, sf_dir):
     return knn_lsh(_emb(spark, sf_dir), n_queries=10, k=3, n_planes=6)
 
 
+def q_ivf_assign(spark, sf_dir):
+    """IVF-flat cell assignment (deterministic centroids, broadcast join)."""
+    from async_stream_processing_spark.llm.similarity import ivf_assign
+
+    return ivf_assign(_emb(spark, sf_dir), n_centroids=8)
+
+
+def q_knn_ivf(spark, sf_dir):
+    """IVF ANN top-3 with nprobe=2 cell probing."""
+    from async_stream_processing_spark.llm.similarity import knn_ivf
+
+    return knn_ivf(_emb(spark, sf_dir), n_queries=10, k=3, n_centroids=8, nprobe=2)
+
+
 def q_embedding_dedup(spark, sf_dir):
     """Embedding near-dup: bucket-mate pairs with cosine >= 0.35."""
     from async_stream_processing_spark.llm.similarity import cosine
@@ -217,6 +231,8 @@ LLM_QUERIES = {
     "knn_bruteforce": q_knn_bruteforce,
     "ann_lsh_buckets": q_ann_buckets,
     "knn_lsh": q_knn_lsh,
+    "ivf_assign": q_ivf_assign,
+    "knn_ivf": q_knn_ivf,
     "embedding_dedup": q_embedding_dedup,
     "top_terms_per_source": q_top_terms,
     "repetition_stats": q_repetition,
@@ -397,6 +413,51 @@ def llm_oracle_sql() -> dict[str, str]:
                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
                        FROM scored)
             SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cosine
+            FROM ranked WHERE rank <= 3
+        """,
+        "ivf_assign": f"""
+            WITH cents AS (SELECT vec_id AS centroid_id, embedding AS c_emb
+                           FROM embeddings WHERE vec_id < 8),
+            scored AS (SELECT e.vec_id, c.centroid_id,
+                              {sql_cosine('e.embedding', 'c.c_emb')} AS cos
+                       FROM embeddings e CROSS JOIN cents c),
+            ranked AS (SELECT *, ROW_NUMBER() OVER (
+                           PARTITION BY vec_id
+                           ORDER BY cos DESC, centroid_id ASC) AS rnk
+                       FROM scored)
+            SELECT vec_id, centroid_id, cos AS centroid_cosine
+            FROM ranked WHERE rnk = 1
+        """,
+        "knn_ivf": f"""
+            WITH cents AS (SELECT vec_id AS centroid_id, embedding AS c_emb
+                           FROM embeddings WHERE vec_id < 8),
+            assign AS (SELECT vec_id, centroid_id FROM (
+                           SELECT e.vec_id, c.centroid_id,
+                                  ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                      ORDER BY {sql_cosine('e.embedding', 'c.c_emb')} DESC,
+                                               c.centroid_id ASC) AS rnk
+                           FROM embeddings e CROSS JOIN cents c)
+                       WHERE rnk = 1),
+            q AS (SELECT vec_id AS query_id, embedding AS q_emb
+                  FROM embeddings WHERE vec_id < 10),
+            probes AS (SELECT query_id, q_emb, centroid_id FROM (
+                           SELECT q.query_id, q.q_emb, c.centroid_id,
+                                  ROW_NUMBER() OVER (PARTITION BY q.query_id
+                                      ORDER BY {sql_cosine('q.q_emb', 'c.c_emb')} DESC,
+                                               c.centroid_id ASC) AS rnk
+                           FROM q CROSS JOIN cents c)
+                       WHERE rnk <= 2),
+            cands AS (SELECT p.query_id, e.vec_id,
+                             {sql_cosine('p.q_emb', 'e.embedding')} AS cos
+                      FROM assign a
+                      JOIN embeddings e ON e.vec_id = a.vec_id
+                      JOIN probes p ON p.centroid_id = a.centroid_id
+                      WHERE e.vec_id != p.query_id),
+            ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                           ORDER BY cos DESC, vec_id ASC) AS rank
+                       FROM cands)
+            SELECT query_id, vec_id AS neighbor_id,
+                   CAST(rank AS BIGINT) AS rank, cos AS cosine
             FROM ranked WHERE rank <= 3
         """,
         "embedding_dedup": f"""
