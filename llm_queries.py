@@ -104,6 +104,13 @@ def q_knn_lsh(spark, sf_dir):
     return knn_lsh(_emb(spark, sf_dir), n_queries=10, k=3, n_planes=6)
 
 
+def q_knn_lsh_multiprobe(spark, sf_dir):
+    """Multi-probe LSH ANN (own bucket + all Hamming-1 buckets)."""
+    from async_stream_processing_spark.llm.similarity import knn_lsh_multiprobe
+
+    return knn_lsh_multiprobe(_emb(spark, sf_dir), n_queries=10, k=3, n_planes=6)
+
+
 def q_ivf_assign(spark, sf_dir):
     """IVF-flat cell assignment (deterministic centroids, broadcast join)."""
     from async_stream_processing_spark.llm.similarity import ivf_assign
@@ -231,6 +238,7 @@ LLM_QUERIES = {
     "knn_bruteforce": q_knn_bruteforce,
     "ann_lsh_buckets": q_ann_buckets,
     "knn_lsh": q_knn_lsh,
+    "knn_lsh_multiprobe": q_knn_lsh_multiprobe,
     "ivf_assign": q_ivf_assign,
     "knn_ivf": q_knn_ivf,
     "embedding_dedup": q_embedding_dedup,
@@ -408,6 +416,27 @@ def llm_oracle_sql() -> dict[str, str]:
                               {sql_cosine('q.q_emb', 'c.embedding')} AS cosine
                        FROM b c JOIN q ON c.bucket = q.bucket
                        WHERE c.vec_id != q.query_id),
+            ranked AS (SELECT *, ROW_NUMBER() OVER (
+                           PARTITION BY query_id
+                           ORDER BY cosine DESC, neighbor_id ASC) AS rank
+                       FROM scored)
+            SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cosine
+            FROM ranked WHERE rank <= 3
+        """,
+        "knn_lsh_multiprobe": f"""
+            WITH b AS (SELECT vec_id, embedding,
+                              {sql_lsh_bucket('embedding', 6)} AS bucket
+                       FROM embeddings),
+            q AS (SELECT vec_id AS query_id, embedding AS q_emb,
+                         unnest([bucket, xor(bucket, 1), xor(bucket, 2), xor(bucket, 4), xor(bucket, 8), xor(bucket, 16), xor(bucket, 32)]) AS bucket
+                  FROM b WHERE vec_id < 10),
+            cand AS (SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id,
+                            q.q_emb, c.embedding AS c_emb
+                     FROM b c JOIN q ON c.bucket = q.bucket
+                     WHERE c.vec_id != q.query_id),
+            scored AS (SELECT query_id, neighbor_id,
+                              {sql_cosine('q_emb', 'c_emb')} AS cosine
+                       FROM cand),
             ranked AS (SELECT *, ROW_NUMBER() OVER (
                            PARTITION BY query_id
                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
