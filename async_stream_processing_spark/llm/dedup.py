@@ -59,13 +59,38 @@ def exact_dedup(docs: DataFrame, text: str = "text") -> DataFrame:
     )
 
 
-def doc_shingle_hashes(docs: DataFrame, n: int = 3, hash_mode: str = "md5") -> DataFrame:
-    """(doc_id, h): distinct hashed word-n-gram shingles per document."""
-    return (
+def doc_shingle_hashes(
+    docs: DataFrame,
+    n: int = 3,
+    hash_mode: str = "md5",
+    max_doc_ratio: float | None = None,
+) -> DataFrame:
+    """(doc_id, h): distinct hashed word-n-gram shingles per document.
+
+    ``max_doc_ratio`` enables the stop-shingle filter (SCALE.md): shingles
+    present in more than that fraction of documents are dropped before any
+    banding/joining.  Boilerplate shingles are exactly the ones that blow
+    up LSH buckets and shared-shingle joins (bucket cost is sum of
+    bucket^2), and they carry no dedup signal -- near-identical pairs still
+    share plenty of rare shingles.  This is the skew guard for degenerate
+    corpora at 100 TB.
+    """
+    sh = (
         docs.select("doc_id", F.explode(shingles("text", n)).alias("shingle"))
         .select("doc_id", _shingle_hash(hash_mode).alias("h"))
         .distinct()
     )
+    if max_doc_ratio is not None:
+        n_docs = docs.select("doc_id").distinct().count()
+        cap = int(n_docs * max_doc_ratio)
+        hot = (
+            sh.groupBy("h")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > cap)
+            .select("h")
+        )
+        sh = sh.join(hot, "h", "left_anti")
+    return sh
 
 
 def minhash_signatures(

@@ -34,8 +34,6 @@ from typing import Any
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..plans.event_relation import SEQ
-
 
 def replay_stream(
     spark: SparkSession,

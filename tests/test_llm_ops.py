@@ -119,3 +119,25 @@ def test_multimodal_stub_plumbing(spark):
     assert out[1]["format"] == "png"  # 3 bytes % 3 == 0
     with pytest.raises(NotImplementedError):
         decode_image_real(df)
+
+
+def test_stop_shingle_filter_preserves_near_dup_detection(spark):
+    """Boilerplate shingles shared by every doc are dropped; planted
+    near-dups still pair on their rare shingles."""
+    from async_stream_processing_spark.llm.dedup import (
+        doc_shingle_hashes,
+        jaccard_pairs_direct,
+    )
+
+    boiler = "standard header boilerplate text appears everywhere always "
+    docs = _docs(spark, [
+        boiler + "unique alpha beta gamma delta epsilon zeta eta " * 2,
+        boiler + "unique alpha beta gamma delta epsilon zeta iota " * 2,
+        boiler + "totally different payload nothing shared here at all",
+        boiler + "another unrelated body of words for the corpus fine",
+    ])
+    sh_all = doc_shingle_hashes(docs)
+    sh_filt = doc_shingle_hashes(docs, max_doc_ratio=0.9)
+    assert sh_filt.count() < sh_all.count()  # boilerplate shingles dropped
+    pairs = jaccard_pairs_direct(sh_filt, threshold=0.3).collect()
+    assert [(r["doc_a"], r["doc_b"]) for r in pairs] == [(0, 1)]
