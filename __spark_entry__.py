@@ -333,6 +333,126 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-style volume shipping: the same dimension (nation) joined in
+    two roles (supplier's vs customer's), revenue per direction per ship
+    year.  Dims are filtered BEFORE touching the fact tables so the big
+    lineitem<->orders shuffle carries only qualifying rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.select(F.col("n_nationkey").alias("s_nkey"),
+                       F.col("n_name").alias("supp_nation"))
+    n2 = nation.select(F.col("n_nationkey").alias("c_nkey"),
+                       F.col("n_name").alias("cust_nation"))
+    pair = ("NATION_1", "NATION_2")
+    supp_f = (
+        supp.join(F.broadcast(n1), supp.s_nationkey == n1.s_nkey)
+        .filter(F.col("supp_nation").isin(*pair))
+        .select("s_suppkey", "supp_nation")
+    )
+    cust_f = (
+        cust.join(F.broadcast(n2), cust.c_nationkey == n2.c_nkey)
+        .filter(F.col("cust_nation").isin(*pair))
+        .select("c_custkey", "cust_nation")
+    )
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1).cast("decimal(1,0)") - F.col("l_discount").cast("decimal(13,2)"))
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(supp_f, li.l_suppkey == supp_f.s_suppkey)
+        .join(cust_f, orders.o_custkey == cust_f.c_custkey)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation", "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(F.sum(rev).cast("double").alias("revenue"),
+             F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-style top supplier: aggregate-of-aggregate (max over a
+    grouped revenue view) via a broadcast 1-row scalar join -- no
+    single-partition sort, no driver collect.  Decimal equality keeps the
+    tie semantics exact across engines."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    rev_expr = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1).cast("decimal(1,0)") - F.col("l_discount").cast("decimal(13,2)"))
+    )
+    rev = li.groupBy("l_suppkey").agg(F.sum(rev_expr).alias("total_rev"))
+    mx = rev.agg(F.max("total_rev").alias("max_rev"))
+    return (
+        rev.join(F.broadcast(mx), rev.total_rev == mx.max_rev)
+        .join(supp, rev.l_suppkey == supp.s_suppkey)
+        .select("s_suppkey", "s_name",
+                F.col("total_rev").cast("double").alias("total_revenue"))
+    )
+
+
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-style small-quantity revenue: correlated per-part average
+    (lineitems with qty < 0.2 * avg qty of their part) as a self-join
+    against the per-part aggregate.  The comparison is cross-multiplied
+    (5*qty*n < sum_qty) so it stays in exact decimal space -- no division,
+    no float drift."""
+    part_f = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#1")
+        .select("p_partkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    li_b = li.join(F.broadcast(part_f), li.l_partkey == F.col("p_partkey"))
+    qty = F.col("l_quantity").cast("decimal(12,2)")
+    stats = li_b.groupBy("p_partkey").agg(
+        F.sum(qty).alias("sum_qty"), F.count(F.lit(1)).alias("n_li")
+    ).withColumnRenamed("p_partkey", "sp_partkey")
+    small = li_b.join(stats, li_b.l_partkey == F.col("sp_partkey")).filter(
+        qty * F.lit(5).cast("decimal(2,0)") * F.col("n_li").cast("decimal(10,0)")
+        < F.col("sum_qty")
+    )
+    return small.agg(
+        (F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+         / F.lit(7.0)).alias("avg_yearly"),
+        F.count(F.lit(1)).alias("n_small_items"),
+    )
+
+
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-style wealthy inactive customers: anti-join (customers with
+    no orders) + scalar-average subquery (balance above the positive-balance
+    mean), grouped by nation.  "Inactive" = no order since 1999-01-01 (the
+    date filter pushes to the orders scan before the anti-join).  The mean
+    comparison is cross-multiplied (bal * n > sum) to stay exact-decimal."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= "1999-01-01"
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    bal = F.col("c_acctbal").cast("decimal(18,2)")
+    stats = cust.filter(bal > 0).agg(
+        F.sum(bal).alias("sum_bal"), F.count(F.lit(1)).alias("n_bal")
+    )
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .crossJoin(F.broadcast(stats))
+        .filter(bal * F.col("n_bal").cast("decimal(12,0)") > F.col("sum_bal"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_custs"),
+             F.sum(bal).cast("double").alias("total_acctbal"))
+    )
+
+
 def q_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi/anti join breadth: per market segment, customers with and
     without orders."""
@@ -477,6 +597,23 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
              "n_events", "sum_value")
 
 
+def q_stream_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B1 first-seen EXECUTED BY THE STREAMING ENGINE: keyed min/min_by
+    aggregation over the replayed events stream (state store holds one row
+    per user), drained and hash-matched against the same SQL oracle as the
+    batch ``first_seen``.  ``min_by`` over ``struct(ts, event_id)`` is the
+    deterministic tie-break -- arrival order never matters."""
+    from async_stream_processing_spark.sources.parquet import stream_table
+    from async_stream_processing_spark.streaming.replay import drain
+
+    s = stream_table(spark, sf_dir, "events")
+    agg = s.groupBy("user_id").agg(
+        F.min("ts").alias("first_ts"),
+        F.min_by("event_type", F.struct("ts", "event_id")).alias("first_event_type"),
+    )
+    return drain(agg)
+
+
 def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact percentiles per key (both engines interpolate linearly --
     verified bit-identical).  At 100 TB swap for approx_percentile and
@@ -542,6 +679,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q12": q_tpch_q12,
         "tpch_q14": q_tpch_q14,
         "tpch_q18": q_tpch_q18,
+        "tpch_q7": q_tpch_q7,
+        "tpch_q15": q_tpch_q15,
+        "tpch_q17": q_tpch_q17,
+        "tpch_q22": q_tpch_q22,
         "semi_anti_join": q_semi_anti,
         "event_deltas": q_event_deltas,
         "sessionize": q_sessionize,
@@ -550,6 +691,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_per_priority": q_topk_per_priority,
         "stream_resample_1min": q_stream_resample,
         "stream_sessionize": q_stream_sessionize,
+        "stream_first_seen": q_stream_first_seen,
         "value_percentiles": q_value_percentiles,
         "cardinality_sketch": q_cardinality_sketch,
         "simhash_pairs": q_simhash_pairs,
@@ -915,6 +1057,75 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY sum_qty DESC, o_orderkey ASC
             LIMIT 20
         """,
+        "tpch_q7": """
+            WITH supp_f AS (
+                SELECT s_suppkey, n_name AS supp_nation
+                FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                WHERE n_name IN ('NATION_1', 'NATION_2')),
+            cust_f AS (
+                SELECT c_custkey, n_name AS cust_nation
+                FROM customer JOIN nation ON c_nationkey = n_nationkey
+                WHERE n_name IN ('NATION_1', 'NATION_2'))
+            SELECT supp_nation, cust_nation,
+                   CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                            * (1 - CAST(l_discount AS DECIMAL(13,2)))) AS DOUBLE)
+                       AS revenue,
+                   COUNT(*) AS n_items
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN supp_f ON l_suppkey = s_suppkey
+            JOIN cust_f ON o_custkey = c_custkey
+            WHERE supp_nation <> cust_nation
+            GROUP BY supp_nation, cust_nation, l_year
+        """,
+        "tpch_q15": """
+            WITH rev AS (
+                SELECT l_suppkey,
+                       SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                           * (1 - CAST(l_discount AS DECIMAL(13,2)))) AS total_rev
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l_shipdate <  TIMESTAMP '1996-04-01'
+                GROUP BY l_suppkey)
+            SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+            FROM rev JOIN supplier ON l_suppkey = s_suppkey
+            WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
+        """,
+        "tpch_q17": """
+            WITH li_b AS (
+                SELECT l_partkey, l_quantity, l_extendedprice
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+                WHERE p_brand = 'Brand#1'),
+            stats AS (
+                SELECT l_partkey AS sp_partkey,
+                       SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty,
+                       COUNT(*) AS n_li
+                FROM li_b GROUP BY l_partkey)
+            SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+                       AS avg_yearly,
+                   COUNT(*) AS n_small_items
+            FROM li_b JOIN stats ON l_partkey = sp_partkey
+            WHERE CAST(l_quantity AS DECIMAL(12,2)) * 5 * n_li < sum_qty
+        """,
+        "tpch_q22": """
+            WITH stats AS (
+                SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS sum_bal,
+                       COUNT(*) AS n_bal
+                FROM customer WHERE CAST(c_acctbal AS DECIMAL(18,2)) > 0)
+            SELECT n_name,
+                   COUNT(*) AS n_custs,
+                   CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                       AS total_acctbal
+            FROM customer
+            CROSS JOIN stats
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND o_orderdate >= TIMESTAMP '1999-01-01')
+              AND CAST(c_acctbal AS DECIMAL(18,2)) * n_bal > sum_bal
+            GROUP BY n_name
+        """,
         "semi_anti_join": """
             SELECT c_mktsegment,
                    COUNT(*) AS n_customers,
@@ -930,4 +1141,5 @@ def oracle_sql() -> dict[str, str]:
     out["sessionize_native"] = out["sessionize"]
     out["stream_sessionize"] = out["sessionize"]
     out["stream_resample_1min"] = out["resample_1min"]
+    out["stream_first_seen"] = out["first_seen"]
     return out
