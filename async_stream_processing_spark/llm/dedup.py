@@ -59,6 +59,22 @@ def exact_dedup(docs: DataFrame, text: str = "text") -> DataFrame:
     )
 
 
+def _exploded_shingle_hashes(
+    docs: DataFrame, n: int = 3, hash_mode: str = "md5"
+) -> DataFrame:
+    """(doc_id, h) WITH duplicates: the raw explode+hash scan, no shuffle.
+
+    Duplicate-insensitive consumers (minhash: ``min`` over a multiset
+    equals ``min`` over its set) use this directly and skip the distinct's
+    full (doc_id, h) shuffle; set-semantics consumers (Jaccard counting)
+    go through :func:`doc_shingle_hashes`.
+    """
+    return (
+        docs.select("doc_id", F.explode(shingles("text", n)).alias("shingle"))
+        .select("doc_id", _shingle_hash(hash_mode).alias("h"))
+    )
+
+
 def doc_shingle_hashes(
     docs: DataFrame,
     n: int = 3,
@@ -75,11 +91,7 @@ def doc_shingle_hashes(
     share plenty of rare shingles.  This is the skew guard for degenerate
     corpora at 100 TB.
     """
-    sh = (
-        docs.select("doc_id", F.explode(shingles("text", n)).alias("shingle"))
-        .select("doc_id", _shingle_hash(hash_mode).alias("h"))
-        .distinct()
-    )
+    sh = _exploded_shingle_hashes(docs, n, hash_mode).distinct()
     if max_doc_ratio is not None:
         n_docs = docs.select("doc_id").distinct().count()
         cap = int(n_docs * max_doc_ratio)
@@ -99,9 +111,12 @@ def minhash_signatures(
     """One row per doc: doc_id, mh_0 .. mh_{k-1} (the minhash signature).
 
     Single explode + single groupBy; the K permutations are K cheap column
-    expressions over the same hash, aggregated map-side.
+    expressions over the same hash, aggregated map-side.  Works on the
+    NON-distinct shingle scan: ``min`` is duplicate-insensitive, so the
+    signature path pays ONE shuffle (the keyed min-agg, heavily compressed
+    by map-side partials) instead of distinct + agg.
     """
-    sh = doc_shingle_hashes(docs, n, hash_mode)
+    sh = _exploded_shingle_hashes(docs, n, hash_mode)
     coeffs = minhash_coeffs(n_hashes)
     aggs = [
         F.min(minhash_term(F.col("h"), a, b)).alias(f"mh_{j}")
@@ -214,10 +229,24 @@ def minhash_dedup_pairs(
     The shingle relation is deliberately NOT persisted: A/B-measured 1.5-2x
     faster recomputing the cheap explode+md5 scan than paying eager
     materialization + memory serialization (which also blocks pipelining).
+
+    Verification distinct-ifies shingle sets only for docs that appear in
+    some candidate pair (semi-join first): the full-corpus (doc_id, h)
+    distinct shuffle -- the old dominant cost -- shrinks to the candidate
+    subset, which LSH keeps tiny by construction.
     """
-    sh = doc_shingle_hashes(docs, hash_mode=hash_mode)
     sigs = minhash_signatures(docs, n_hashes, hash_mode=hash_mode)
     cands = lsh_candidate_pairs(sigs, n_hashes, bands)
+    cand_docs = (
+        cands.select(F.col("doc_a").alias("doc_id"))
+        .union(cands.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh = (
+        _exploded_shingle_hashes(docs, hash_mode=hash_mode)
+        .join(cand_docs, "doc_id", "left_semi")
+        .distinct()
+    )
     verified = jaccard_for_pairs(cands, sh)
     return verified.filter(F.col("jaccard") >= threshold).select(
         "doc_a", "doc_b", "n_common", "n_a", "n_b", "jaccard"
