@@ -614,6 +614,48 @@ def q_stream_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drain(agg)
 
 
+def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join EXECUTED BY THE STREAMING ENGINE: each
+    purchase matched to the same user's views in the preceding hour
+    (both sides buffer in the state store; watermarks bound eviction),
+    drained in append mode and hash-matched against a plain SQL join
+    oracle.  The reference's closest shape is the quote/trade pairing of
+    e4_trade_pnl (B6) -- this is its live form."""
+    from async_stream_processing_spark.sources.parquet import stream_table
+    from async_stream_processing_spark.streaming.replay import drain, stream_stream_join
+
+    purchases = stream_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    ).select("event_id", "ts", "user_id", "value")
+    views = stream_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "view"
+    ).select("event_id", "ts", "user_id", "value")
+    joined = stream_stream_join(purchases, views, on="user_id",
+                                within="3600 seconds",
+                                left_watermark="2 hours",
+                                right_watermark="2 hours")
+    out = joined.select(
+        F.col("l.event_id").alias("purchase_id"),
+        F.col("l.ts").alias("purchase_ts"),
+        F.col("l.user_id").alias("user_id"),
+        F.col("l.value").alias("purchase_value"),
+        F.col("r.event_id").alias("view_id"),
+        F.col("r.ts").alias("view_ts"),
+        F.col("r.value").alias("view_value"),
+    )
+    # A stream-stream join runs 4 state-store instances per shuffle
+    # partition; at local scale the store setup dominates the tiny state,
+    # so run THIS query's micro-batches on fewer partitions (restored
+    # after the drain -- partition count never changes results, only the
+    # state sharding).  On a real cluster size this to executor count.
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        return drain(out, output_mode="append")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
 def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact percentiles per key (both engines interpolate linearly --
     verified bit-identical).  At 100 TB swap for approx_percentile and
@@ -692,6 +734,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_resample_1min": q_stream_resample,
         "stream_sessionize": q_stream_sessionize,
         "stream_first_seen": q_stream_first_seen,
+        "stream_join_1h": q_stream_join,
         "value_percentiles": q_value_percentiles,
         "cardinality_sketch": q_cardinality_sketch,
         "simhash_pairs": q_simhash_pairs,
@@ -1142,4 +1185,13 @@ def oracle_sql() -> dict[str, str]:
     out["stream_sessionize"] = out["sessionize"]
     out["stream_resample_1min"] = out["resample_1min"]
     out["stream_first_seen"] = out["first_seen"]
+    out["stream_join_1h"] = """
+        SELECT p.event_id AS purchase_id, p.ts AS purchase_ts,
+               p.user_id AS user_id, p.value AS purchase_value,
+               v.event_id AS view_id, v.ts AS view_ts, v.value AS view_value
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        JOIN (SELECT * FROM events WHERE event_type = 'view') v
+          ON p.user_id = v.user_id
+         AND v.ts BETWEEN p.ts - INTERVAL 3600 SECONDS AND p.ts
+    """
     return out
