@@ -656,6 +656,63 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-operation breadth (INTERSECT / EXCEPT -- absent from the
+    reference, SURVEY §2 checklist): audience segments as distinct-user
+    set algebra between event types."""
+    def users(kind: str) -> DataFrame:
+        return (
+            load_table(spark, sf_dir, "events")
+            .filter(F.col("event_type") == kind)
+            .select("user_id").distinct()
+        )
+
+    click, purchase, error = users("click"), users("purchase"), users("error")
+    seg = lambda name, df: df.agg(  # noqa: E731
+        F.lit(name).alias("segment"), F.count(F.lit(1)).alias("n_users")
+    )
+    return (
+        seg("click_and_purchase", click.intersect(purchase))
+        .unionByName(seg("click_not_purchase", click.exceptAll(purchase).distinct()))
+        .unionByName(seg("error_not_click", error.exceptAll(click).distinct()))
+    )
+
+
+def q_sliding_2min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (hopping) window aggregation: 2-minute windows every 1
+    minute -- each event lands in exactly two windows.  The native
+    ``window()`` slide form of the B9/B10 family."""
+    return (
+        _events(spark, sf_dir)
+        .groupBy(F.window("ts", "2 minutes", "1 minute").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"),
+                F.col("w.end").alias("window_end"), "n_events", "sum_value")
+    )
+
+
+def q_stream_sliding_2min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same sliding-window aggregation EXECUTED BY THE STREAMING
+    ENGINE, drained and hash-matched against the identical SQL oracle."""
+    from async_stream_processing_spark.sources.parquet import stream_table
+    from async_stream_processing_spark.streaming.replay import drain
+
+    s = stream_table(spark, sf_dir, "events")
+    agg = (
+        s.groupBy(F.window("ts", "2 minutes", "1 minute").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"),
+                F.col("w.end").alias("window_end"), "n_events", "sum_value")
+    )
+    return drain(agg)
+
+
 def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact percentiles per key (both engines interpolate linearly --
     verified bit-identical).  At 100 TB swap for approx_percentile and
@@ -735,6 +792,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_sessionize": q_stream_sessionize,
         "stream_first_seen": q_stream_first_seen,
         "stream_join_1h": q_stream_join,
+        "set_ops_segments": q_set_ops,
+        "sliding_2min": q_sliding_2min,
+        "stream_sliding_2min": q_stream_sliding_2min,
         "value_percentiles": q_value_percentiles,
         "cardinality_sketch": q_cardinality_sketch,
         "simhash_pairs": q_simhash_pairs,
@@ -1185,6 +1245,35 @@ def oracle_sql() -> dict[str, str]:
     out["stream_sessionize"] = out["sessionize"]
     out["stream_resample_1min"] = out["resample_1min"]
     out["stream_first_seen"] = out["first_seen"]
+    out["set_ops_segments"] = """
+        SELECT 'click_and_purchase' AS segment, COUNT(*) AS n_users
+        FROM ((SELECT DISTINCT user_id FROM events WHERE event_type = 'click')
+              INTERSECT
+              (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'))
+        UNION ALL
+        SELECT 'click_not_purchase', COUNT(*)
+        FROM ((SELECT DISTINCT user_id FROM events WHERE event_type = 'click')
+              EXCEPT
+              (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'))
+        UNION ALL
+        SELECT 'error_not_click', COUNT(*)
+        FROM ((SELECT DISTINCT user_id FROM events WHERE event_type = 'error')
+              EXCEPT
+              (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'))
+    """
+    out["sliding_2min"] = """
+        WITH shifted AS (
+            SELECT date_trunc('minute', ts) AS ws, value FROM events
+            UNION ALL
+            SELECT date_trunc('minute', ts) - INTERVAL 1 MINUTE AS ws, value
+            FROM events)
+        SELECT ws AS window_start,
+               ws + INTERVAL 2 MINUTES AS window_end,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM shifted GROUP BY ws
+    """
+    out["stream_sliding_2min"] = out["sliding_2min"]
     out["stream_join_1h"] = """
         SELECT p.event_id AS purchase_id, p.ts AS purchase_ts,
                p.user_id AS user_id, p.value AS purchase_value,
