@@ -1036,6 +1036,64 @@ def oracle_sql() -> dict[str, str]:
             FROM relevant
             GROUP BY user_id
         """,
+        # The FIFO cart fold in closed form: effective removals R follow the
+        # capped recurrence R += min(r, adds_before - R) (a recursive CTE over
+        # each user's remove sequence); the surviving quantity of add-lot i is
+        # then clamp(cum_added_i - R_final, 0, qty_i).  Money in integer
+        # tenth-cents end to end -- one float division at the very end.
+        "cart_fold_state": f"""
+            WITH RECURSIVE relevant AS (
+                SELECT user_id, event_type, vol AS qty, value, ts,
+                       ROW_NUMBER() OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS rn
+                FROM {_EVENTS_VOL}
+                WHERE event_type IN ('click', 'error')),
+            firsts AS (
+                SELECT user_id, MIN(ts) AS t0, COUNT(*) AS n_updates
+                FROM relevant GROUP BY user_id),
+            flagged AS (
+                SELECT r.*, f.t0,
+                       SUM(CASE WHEN event_type = 'click' THEN qty ELSE 0 END)
+                           OVER (PARTITION BY r.user_id ORDER BY rn
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND CURRENT ROW) AS cum_add
+                FROM relevant r JOIN firsts f USING (user_id)),
+            adds AS (
+                SELECT user_id, qty, cum_add,
+                       CAST(ROUND(value * 100) AS BIGINT)
+                         * (CASE WHEN ts < t0 + INTERVAL 3600 SECONDS
+                                 THEN 9 ELSE 10 END) AS unit_tc
+                FROM flagged WHERE event_type = 'click'),
+            removes AS (
+                SELECT user_id, qty, cum_add AS a_before,
+                       ROW_NUMBER() OVER (PARTITION BY user_id
+                                          ORDER BY rn) AS k
+                FROM flagged WHERE event_type = 'error'),
+            reff AS (
+                SELECT user_id, 0 AS k, CAST(0 AS BIGINT) AS r FROM firsts
+                UNION ALL
+                SELECT rm.user_id, rm.k,
+                       reff.r + LEAST(rm.qty, GREATEST(rm.a_before - reff.r, 0))
+                FROM reff JOIN removes rm
+                  ON rm.user_id = reff.user_id AND rm.k = reff.k + 1),
+            rfinal AS (
+                SELECT user_id, r FROM (
+                    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                                 ORDER BY k DESC) AS rk
+                    FROM reff) WHERE rk = 1),
+            peruser AS (
+                SELECT a.user_id,
+                       SUM(LEAST(a.qty, GREATEST(a.cum_add - rf.r, 0)))
+                           AS cart_qty,
+                       SUM(LEAST(a.qty, GREATEST(a.cum_add - rf.r, 0))
+                           * a.unit_tc) AS value_tc
+                FROM adds a JOIN rfinal rf USING (user_id)
+                GROUP BY a.user_id)
+            SELECT f.user_id, f.n_updates,
+                   CAST(COALESCE(p.cart_qty, 0) AS BIGINT) AS cart_qty,
+                   COALESCE(p.value_tc, 0) / 1000.0 AS cart_value
+            FROM firsts f LEFT JOIN peruser p USING (user_id)
+        """,
         "feedback_orders": """
             WITH t0 AS (SELECT MIN(ts) AS t0 FROM events)
             SELECT i AS order_id,

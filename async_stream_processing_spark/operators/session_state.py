@@ -90,6 +90,16 @@ def cart_fold(
     (e5:54-65 ``remove_item``); output is each user's final cart.  Discount
     window is anchored at the user's first event.  Keys distribute across
     executors; per-key state is the pandas group -- bounded and spill-free.
+
+    Money is held in integer tenth-cents (``round(value*100) * 10 *
+    discount`` must stay integral -- true for the 2-dp driver data and any
+    discount with <= 1 decimal): integer sums are order-independent and
+    exact, so the final ``/ 1000.0`` is the only float op and the result
+    bit-matches the recursive-CTE SQL oracle (``cart_fold_state``).  The
+    FIFO fold itself has a closed form the oracle exploits: with effective
+    removals ``R`` (the capped recurrence ``R += min(r, A_before - R)``),
+    the surviving quantity of add-lot *i* is
+    ``clamp(cum_added_i - R_final, 0, qty_i)``.
     """
 
     from collections.abc import Iterator
@@ -100,7 +110,7 @@ def cart_fold(
         per-group pandas-frame overhead of applyInPandas (measured ~6x at
         1500 keys / 100k rows)."""
         cur_user = None
-        cart: list[list] = []  # [qty, unit_cost] FIFO
+        cart: list[list] = []  # [qty, unit_tenth_cents] FIFO
         t0_ns = None
         n = 0
         done: list[list] = []
@@ -110,7 +120,7 @@ def cart_fold(
                 done.append([
                     int(cur_user), n,
                     sum(q for q, _ in cart),
-                    round(sum(q * c for q, c in cart), 6),
+                    sum(q * c for q, c in cart) / 1000.0,
                 ])
 
         for pdf in batches:
@@ -124,9 +134,8 @@ def cart_fold(
                     t0_ns = ts_v + (discount_seconds * 1_000_000_000)
                 qty = int(qty_v)
                 if kind_v == add_kind:
-                    unit = float(val_v)
-                    if ts_v < t0_ns:
-                        unit *= discount
+                    cents = round(float(val_v) * 100)
+                    unit = round(cents * 10 * (discount if ts_v < t0_ns else 1.0))
                     cart.append([qty, unit])
                 else:
                     while qty > 0 and cart:
