@@ -125,6 +125,27 @@ def minhash_signatures(
     return sh.groupBy("doc_id").agg(*aggs)
 
 
+def lsh_band_buckets(
+    signatures: DataFrame, n_hashes: int = N_MINHASH, bands: int = LSH_BANDS
+) -> DataFrame:
+    """(doc_id, band, sig): each doc's LSH bucket membership, one row per
+    band.  This is the relation a 100 TB corpus persists **bucketed by
+    ``sig``** (`plans/scale.write_bucketed`): deduping a new ingest batch
+    then joins its buckets against the stored corpus WITHOUT reshuffling
+    the corpus -- see tests/test_scale.py::test_incremental_dedup_bucketed.
+    """
+    rows = n_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        sig = F.concat_ws(
+            "_", F.lit(b), *[F.col(f"mh_{b * rows + r}") for r in range(rows)]
+        )
+        band_cols.append(F.struct(F.lit(b).alias("band"), sig.alias("sig")))
+    return signatures.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.sig").alias("sig"))
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame, n_hashes: int = N_MINHASH, bands: int = LSH_BANDS
 ) -> DataFrame:
@@ -134,16 +155,7 @@ def lsh_candidate_pairs(
     the join key includes the full band signature, so bucket skew is the
     only skew (salt or raise ``bands`` if a degenerate corpus hits it).
     """
-    rows = n_hashes // bands
-    band_cols = []
-    for b in range(bands):
-        sig = F.concat_ws(
-            "_", *[F.col(f"mh_{b * rows + r}") for r in range(rows)]
-        )
-        band_cols.append(F.struct(F.lit(b).alias("band"), sig.alias("sig")))
-    buckets = signatures.select(
-        "doc_id", F.explode(F.array(*band_cols)).alias("bk")
-    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.sig").alias("sig"))
+    buckets = lsh_band_buckets(signatures, n_hashes, bands)
     a = buckets.alias("a")
     b = buckets.alias("b")
     return (

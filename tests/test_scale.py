@@ -37,3 +37,54 @@ def test_stratified_sample_deterministic(spark):
     b = sorted(r["doc_id"] for r in stratified_sample(docs.repartition(13)).collect())
     assert a == b  # partitioning-independent (hash-gated, not rand())
     assert 0 < len(a) < docs.count()
+
+
+def test_incremental_dedup_bucketed(spark, tmp_path):
+    """The 100 TB incremental-dedup path (SCALE.md): corpus band buckets
+    persisted bucketed-by-signature once; a new ingest batch joins its
+    buckets against the stored corpus WITHOUT reshuffling the corpus, and
+    finds exactly the cross-batch candidate pairs the monolithic run finds."""
+    from async_stream_processing_spark.llm.dedup import (
+        lsh_band_buckets,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from async_stream_processing_spark.plans.scale import read_bucketed, write_bucketed
+    from async_stream_processing_spark.sources.parquet import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+
+    # one-time: corpus buckets landed bucketed by signature
+    write_bucketed(
+        lsh_band_buckets(minhash_signatures(corpus)),
+        table="corpus_buckets", bucket_by="sig", n_buckets=8, sort_by="sig",
+        path=str(tmp_path / "corpus_buckets"),
+    )
+    stored = read_bucketed(spark, "corpus_buckets")
+
+    # per ingest batch: bucket the batch, join the stored corpus
+    incr = (
+        lsh_band_buckets(minhash_signatures(batch)).alias("n")
+        .join(stored.alias("c"), ["band", "sig"])
+        .select(F.col("n.doc_id").alias("doc_new"),
+                F.col("c.doc_id").alias("doc_corpus"))
+        .distinct()
+    )
+    got = {tuple(r) for r in incr.collect()}
+
+    # the corpus side reads pre-bucketed files: no Exchange on that subtree
+    plan = incr._jdf.queryExecution().executedPlan().toString()
+    assert "Bucketed: true" in plan
+
+    # ground truth: monolithic run, restricted to cross-split pairs
+    full = lsh_candidate_pairs(minhash_signatures(docs))
+    expect = set()
+    for r in full.collect():
+        a_new, b_new = r["doc_a"] % 5 == 0, r["doc_b"] % 5 == 0
+        if a_new != b_new:
+            new, old = (r["doc_a"], r["doc_b"]) if a_new else (r["doc_b"], r["doc_a"])
+            expect.add((new, old))
+    assert got == expect and got
+    spark.sql("DROP TABLE IF EXISTS corpus_buckets")
