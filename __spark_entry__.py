@@ -453,6 +453,74 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-style market share: NATION_1 suppliers' revenue share of
+    the AMERICA market per order year -- conditional share over a 6-table
+    join with nation in two roles.  Numerator and denominator are exact
+    decimal sums; the share is one double division at the end."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    n_cust = nation.select(F.col("n_nationkey").alias("cn_key"),
+                           F.col("n_regionkey").alias("cn_rkey"))
+    n_supp = nation.select(F.col("n_nationkey").alias("sn_key"),
+                           F.col("n_name").alias("supp_nation"))
+    cust_f = (
+        cust.join(F.broadcast(n_cust), cust.c_nationkey == F.col("cn_key"))
+        .join(F.broadcast(region.filter(F.col("r_name") == "AMERICA")),
+              F.col("cn_rkey") == region.r_regionkey)
+        .select("c_custkey")
+    )
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1).cast("decimal(1,0)") - F.col("l_discount").cast("decimal(13,2)"))
+    )
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust_f, orders.o_custkey == cust_f.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n_supp), supp.s_nationkey == F.col("sn_key"))
+    )
+    is_target = F.col("supp_nation") == "NATION_1"
+    return (
+        joined.groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.sum(F.when(is_target, rev).otherwise(F.lit(0).cast("decimal(1,0)")))
+             .cast("double").alias("nation_revenue"),
+            F.sum(rev).cast("double").alias("total_revenue"),
+            (F.sum(F.when(is_target, rev).otherwise(F.lit(0).cast("decimal(1,0)")))
+              .cast("double")
+             / F.sum(rev).cast("double")).alias("mkt_share"),
+        )
+    )
+
+
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-style returned-item losses: revenue of returned lineitems
+    (l_returnflag = 'R') per customer, top 20 by lost revenue."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1).cast("decimal(1,0)") - F.col("l_discount").cast("decimal(13,2)"))
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
+        .agg(F.sum(rev).cast("double").alias("lost_revenue"),
+             F.count(F.lit(1)).alias("n_returned"))
+        .orderBy(F.desc("lost_revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
 def q_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi/anti join breadth: per market segment, customers with and
     without orders."""
@@ -782,6 +850,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q15": q_tpch_q15,
         "tpch_q17": q_tpch_q17,
         "tpch_q22": q_tpch_q22,
+        "tpch_q8": q_tpch_q8,
+        "tpch_q10": q_tpch_q10,
         "semi_anti_join": q_semi_anti,
         "event_deltas": q_event_deltas,
         "sessionize": q_sessionize,
@@ -1268,6 +1338,48 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_small_items
             FROM li_b JOIN stats ON l_partkey = sp_partkey
             WHERE CAST(l_quantity AS DECIMAL(12,2)) * 5 * n_li < sum_qty
+        """,
+        "tpch_q8": """
+            WITH cust_f AS (
+                SELECT c_custkey
+                FROM customer
+                JOIN nation ON c_nationkey = n_nationkey
+                JOIN region ON n_regionkey = r_regionkey
+                WHERE r_name = 'AMERICA'),
+            j AS (
+                SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+                       n_name AS supp_nation,
+                       CAST(l_extendedprice AS DECIMAL(18,2))
+                         * (1 - CAST(l_discount AS DECIMAL(13,2))) AS rev
+                FROM lineitem
+                JOIN orders ON l_orderkey = o_orderkey
+                JOIN cust_f ON o_custkey = c_custkey
+                JOIN supplier ON l_suppkey = s_suppkey
+                JOIN nation ON s_nationkey = n_nationkey)
+            SELECT o_year,
+                   CAST(SUM(CASE WHEN supp_nation = 'NATION_1' THEN rev
+                            ELSE CAST(0 AS DECIMAL(1,0)) END) AS DOUBLE)
+                       AS nation_revenue,
+                   CAST(SUM(rev) AS DOUBLE) AS total_revenue,
+                   CAST(SUM(CASE WHEN supp_nation = 'NATION_1' THEN rev
+                            ELSE CAST(0 AS DECIMAL(1,0)) END) AS DOUBLE)
+                       / CAST(SUM(rev) AS DOUBLE) AS mkt_share
+            FROM j GROUP BY o_year
+        """,
+        "tpch_q10": """
+            SELECT c_custkey, c_name, n_name, c_acctbal,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                            * (1 - CAST(l_discount AS DECIMAL(13,2)))) AS DOUBLE)
+                       AS lost_revenue,
+                   COUNT(*) AS n_returned
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE l_returnflag = 'R'
+            GROUP BY c_custkey, c_name, n_name, c_acctbal
+            ORDER BY lost_revenue DESC, c_custkey ASC
+            LIMIT 20
         """,
         "tpch_q22": """
             WITH stats AS (
