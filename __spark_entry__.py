@@ -521,6 +521,44 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-style order-count distribution: two-level aggregation
+    (orders per customer, then customers per order-count) over a left
+    join that keeps zero-order customers."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return (
+        per_cust.groupBy("n_orders")
+        .agg(F.count(F.lit(1)).alias("n_custs"))
+    )
+
+
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-style supplier diversity: DISTINCT-supplier counts per
+    part attribute, excluding suppliers from a NOT-IN subquery (negative
+    account balance stands in for the complaints filter)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    bad_supp = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(F.col("p_brand") != "Brand#1")
+        .join(F.broadcast(bad_supp), li.l_suppkey == bad_supp.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_type")
+        .agg(F.countDistinct("l_suppkey").alias("n_suppliers"),
+             F.count(F.lit(1)).alias("n_items"))
+    )
+
+
 def q_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi/anti join breadth: per market segment, customers with and
     without orders."""
@@ -852,6 +890,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q22": q_tpch_q22,
         "tpch_q8": q_tpch_q8,
         "tpch_q10": q_tpch_q10,
+        "tpch_q13": q_tpch_q13,
+        "tpch_q16": q_tpch_q16,
         "semi_anti_join": q_semi_anti,
         "event_deltas": q_event_deltas,
         "sessionize": q_sessionize,
@@ -1380,6 +1420,23 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY c_custkey, c_name, n_name, c_acctbal
             ORDER BY lost_revenue DESC, c_custkey ASC
             LIMIT 20
+        """,
+        "tpch_q13": """
+            SELECT n_orders, COUNT(*) AS n_custs
+            FROM (SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+                  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+                  GROUP BY c_custkey)
+            GROUP BY n_orders
+        """,
+        "tpch_q16": """
+            SELECT p_brand, p_type,
+                   CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers,
+                   COUNT(*) AS n_items
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_brand <> 'Brand#1'
+              AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                    WHERE s_acctbal < 0)
+            GROUP BY p_brand, p_type
         """,
         "tpch_q22": """
             WITH stats AS (
