@@ -762,6 +762,42 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
+def q_stream_cart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B7 cart EXECUTED BY THE STREAMING ENGINE: the applyInPandasWithState
+    FIFO fold (keyed state + EventTimeTimeout -- the reference's per-user
+    cart with its discount timer, e5_retail_cart.py:34-68), drained and
+    bit-matched against the SAME recursive-CTE SQL oracle as the batch
+    ``cart_fold_state``.  The final state row per user is the one with the
+    max event counter; discount-timer marker rows are filtered out."""
+    from pyspark.sql import Window
+    from async_stream_processing_spark.sources.parquet import stream_table
+    from async_stream_processing_spark.streaming.cart import cart_stream
+    from async_stream_processing_spark.streaming.replay import drain
+
+    s = (
+        stream_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "error"))
+        .withColumn("vol", F.expr(_VOL))
+        .select("ts", "event_id", "user_id", "event_type", "value", "vol")
+    )
+    # same local-scale knob as stream_join_1h: fewer partitions = fewer
+    # state-store instances + Python-worker Arrow channels (restored after)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        out = drain(cart_stream(s, discount=0.9, discount_seconds=3600),
+                    output_mode="append")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    finals = out.filter(F.col("event_kind") != "discount_ended")
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_updates"))
+    return (
+        finals.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("user_id", "n_updates", "cart_qty", "cart_value")
+    )
+
+
 def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set-operation breadth (INTERSECT / EXCEPT -- absent from the
     reference, SURVEY §2 checklist): audience segments as distinct-user
@@ -902,6 +938,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_sessionize": q_stream_sessionize,
         "stream_first_seen": q_stream_first_seen,
         "stream_join_1h": q_stream_join,
+        "stream_cart_fold": q_stream_cart,
         "set_ops_segments": q_set_ops,
         "sliding_2min": q_sliding_2min,
         "stream_sliding_2min": q_stream_sliding_2min,
@@ -1472,6 +1509,7 @@ def oracle_sql() -> dict[str, str]:
     out["stream_sessionize"] = out["sessionize"]
     out["stream_resample_1min"] = out["resample_1min"]
     out["stream_first_seen"] = out["first_seen"]
+    out["stream_cart_fold"] = out["cart_fold_state"]
     out["set_ops_segments"] = """
         SELECT 'click_and_purchase' AS segment, COUNT(*) AS n_users
         FROM ((SELECT DISTINCT user_id FROM events WHERE event_type = 'click')

@@ -37,40 +37,61 @@ except ImportError:  # pragma: no cover
     HAS_TWS = False
 
 #: Output schema: one row per processed event (running totals) plus a
-#: marker row when the discount timer fires.
+#: marker row when the discount timer fires.  ``n_updates`` is the per-user
+#: event counter -- the final state row per user is the one with the max.
 CART_OUTPUT_SCHEMA = (
-    "user_id BIGINT, event_kind STRING, cart_qty BIGINT, cart_value DOUBLE"
+    "user_id BIGINT, event_kind STRING, n_updates BIGINT, "
+    "cart_qty BIGINT, cart_value DOUBLE"
 )
 CART_STATE_SCHEMA = "blob STRING"
+
+
+def _summary(st: dict) -> tuple[int, float]:
+    """(qty, value) of the cart from the running totals; unit costs are
+    integer tenth-cents (same exact-money convention as the batch fold,
+    operators/session_state.py), so totals are exact integers maintained
+    O(1) per event and the one float op is the final division -- this is
+    what lets the drained stream bit-match the ``cart_fold_state`` SQL
+    oracle."""
+    return (st.get("qty", 0), st.get("vtc", 0) / 1000.0)
 
 
 def _fold_events(st: dict, pdf: pd.DataFrame, discount: float,
                  discount_seconds: int) -> list[tuple]:
     """Shared FIFO fold (e5_retail_cart.py:34-68): adds append
-    (qty, unit_cost) with in-window discount; removes deplete oldest."""
+    (qty, unit_cost) with in-window discount; removes deplete oldest.
+    Rows are folded in (ts, event_id) event-time order regardless of
+    arrival order within the micro-batch."""
     out = []
-    pdf = pdf.sort_values("ts")
-    for _, row in pdf.iterrows():
-        ts_us = int(row["ts"].value // 1_000)
+    keys = [c for c in ("ts", "event_id", "seq") if c in pdf.columns]
+    pdf = pdf.sort_values(keys, kind="mergesort")
+    # zip over numpy arrays, not iterrows: ~20x fewer per-row allocations
+    for user_v, kind_v, ts_v, qty_v, val_v in zip(
+        pdf["user_id"].values, pdf["event_type"].values,
+        pdf["ts"].values.astype("int64"), pdf["vol"].values, pdf["value"].values,
+    ):
+        ts_us = int(ts_v) // 1_000
         if st["t0"] is None:
             st["t0"] = ts_us
         in_window = ts_us < st["t0"] + discount_seconds * 1_000_000
-        qty = int(row["vol"])
-        if row["event_type"] == "click":
-            unit = float(row["value"]) * (discount if in_window else 1.0)
+        qty = int(qty_v)
+        if kind_v == "click":
+            cents = round(float(val_v) * 100)
+            unit = round(cents * 10 * (discount if in_window else 1.0))
             st["items"].append([qty, unit])
+            st["qty"] = st.get("qty", 0) + qty
+            st["vtc"] = st.get("vtc", 0) + qty * unit
         else:
             while qty > 0 and st["items"]:
                 take = min(qty, st["items"][0][0])
                 st["items"][0][0] -= take
                 qty -= take
+                st["qty"] = st.get("qty", 0) - take
+                st["vtc"] = st.get("vtc", 0) - take * st["items"][0][1]
                 if st["items"][0][0] == 0:
                     st["items"].pop(0)
-        out.append(
-            (int(row["user_id"]), str(row["event_type"]),
-             sum(q for q, _ in st["items"]),
-             round(sum(q * c for q, c in st["items"]), 6))
-        )
+        st["n"] = st.get("n", 0) + 1
+        out.append((int(user_v), str(kind_v), st["n"], *_summary(st)))
     return out
 
 
@@ -86,14 +107,13 @@ def cart_stream(stream, discount: float = 0.9, discount_seconds: int = 60,
 
     def fold(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
         user_id = int(key[0])
+        cols = ["user_id", "event_kind", "n_updates", "cart_qty", "cart_value"]
         if state.hasTimedOut:
             blob = state.get[0] if state.exists else None
             st = json.loads(blob) if blob else {"items": [], "t0": None}
             yield pd.DataFrame(
-                [(user_id, "discount_ended",
-                  sum(q for q, _ in st["items"]),
-                  round(sum(q * c for q, c in st["items"]), 6))],
-                columns=["user_id", "event_kind", "cart_qty", "cart_value"],
+                [(user_id, "discount_ended", st.get("n", 0), *_summary(st))],
+                columns=cols,
             )
             return
         st = json.loads(state.get[0]) if state.exists else {"items": [], "t0": None}
@@ -104,9 +124,7 @@ def cart_stream(stream, discount: float = 0.9, discount_seconds: int = 60,
         state.update((json.dumps(st),))
         if first_event and st["t0"] is not None:
             state.setTimeoutTimestamp(st["t0"] // 1000 + discount_seconds * 1000)
-        yield pd.DataFrame(
-            out, columns=["user_id", "event_kind", "cart_qty", "cart_value"]
-        )
+        yield pd.DataFrame(out, columns=cols)
 
     return (
         stream.withWatermark("ts", watermark)
@@ -157,16 +175,15 @@ class CartProcessor:
                 st["t0"] // 1000 + self.discount_seconds * 1000
             )
         yield pd.DataFrame(
-            out, columns=["user_id", "event_kind", "cart_qty", "cart_value"]
+            out,
+            columns=["user_id", "event_kind", "n_updates", "cart_qty", "cart_value"],
         )
 
     def handleExpiredTimer(self, key, timer_values, expired_timer_info):
         st = self._load()
         yield pd.DataFrame(
-            [(int(key[0]), "discount_ended",
-              sum(q for q, _ in st["items"]),
-              round(sum(q * c for q, c in st["items"]), 6))],
-            columns=["user_id", "event_kind", "cart_qty", "cart_value"],
+            [(int(key[0]), "discount_ended", st.get("n", 0), *_summary(st))],
+            columns=["user_id", "event_kind", "n_updates", "cart_qty", "cart_value"],
         )
 
     def close(self) -> None:
