@@ -347,3 +347,70 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
     )
     return pairs.select("doc_a", "doc_b", "sig_a", "sig_b", "hamming")
+
+
+def dedup_clusters(
+    docs: DataFrame,
+    threshold: float = 0.25,
+    n_hashes: int = N_MINHASH,
+    bands: int = LSH_BANDS,
+    hash_mode: str = "md5",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Near-duplicate CLUSTERS: connected components of the verified pair
+    graph, cluster id = min doc_id in the component (the survivor a dedup
+    pass keeps).  Pairs alone under-specify dedup -- A~B and B~C must
+    collapse to ONE survivor even when A~C was never a candidate pair.
+
+    Batch iterative min-label propagation: each round every node takes the
+    min label over itself and its neighbors; converges in diameter rounds
+    (near-dup components are tiny and dense, so 2-3 rounds in practice;
+    ``max_iter`` bounds pathological chains).  Each round is one shuffle
+    join + one aggregation; ``localCheckpoint`` truncates the growing
+    lineage -- the standard Spark iterative-graph pattern (at 100 TB scale
+    swap in pointer-jumping for O(log n) rounds).  The driver sees only
+    the per-round changed-count scalar.  The fixpoint is unique, so the
+    result is iteration-order independent and matches the transitive-
+    closure SQL oracle exactly.
+    """
+    # checkpoint the verified pairs BEFORE mirroring: the union's two
+    # branches would otherwise each execute the whole minhash pipeline
+    pairs = minhash_dedup_pairs(
+        docs, threshold, n_hashes, bands, hash_mode
+    ).select("doc_a", "doc_b").localCheckpoint(eager=True)
+    edges = pairs.unionByName(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    )
+    labels = (
+        edges.select(F.col("doc_a").alias("doc_id")).distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nmin = (
+            edges.join(labels, edges.doc_b == labels.doc_id)
+            .groupBy("doc_a").agg(F.min("cluster_id").alias("nmin"))
+        )
+        new = (
+            labels.join(nmin, labels.doc_id == nmin.doc_a, "left")
+            .select(
+                labels.doc_id,
+                F.least(
+                    F.col("cluster_id"), F.coalesce("nmin", F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.alias("n").join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id")).count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    sizes = labels.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return labels.join(sizes, "cluster_id").select(
+        "doc_id", "cluster_id", "cluster_size"
+    )

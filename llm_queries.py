@@ -230,9 +230,20 @@ def q_frame_sample(spark, sf_dir):
     return frame_sample_stub(with_binary_payload(_docs(spark, sf_dir)))
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup CLUSTERS: connected components of the verified pair graph
+    via iterative min-label propagation; checked against a transitive-
+    closure recursive-CTE oracle (pairs alone under-specify dedup -- A~B
+    and B~C must collapse to one survivor even without an A~C pair)."""
+    from async_stream_processing_spark.llm.dedup import dedup_clusters
+
+    return dedup_clusters(_docs(spark, sf_dir), threshold=0.25)
+
+
 LLM_QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash,
+    "dedup_clusters": q_dedup_clusters,
     "ngram_jaccard_pairs": q_ngram_jaccard,
     "simhash_fingerprint": q_simhash,
     "knn_bruteforce": q_knn_bruteforce,
@@ -354,6 +365,25 @@ def llm_oracle_sql() -> dict[str, str]:
             {_sql_lsh_pairs(0.25)}
             SELECT doc_a, doc_b, n_common, n_a, n_b, jaccard
             FROM jac WHERE jaccard >= 0.25
+        """,
+        "dedup_clusters": f"""
+            WITH RECURSIVE {_sql_doc_shingles()},
+            {_sql_minhash_sig()},
+            {_sql_lsh_pairs(0.25)},
+            pairs AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.25),
+            edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+                      UNION SELECT doc_b, doc_a FROM pairs),
+            nodes AS (SELECT DISTINCT a AS v FROM edges),
+            walk(v, r) AS (
+                SELECT v, v FROM nodes
+                UNION
+                SELECT e.a, w.r FROM edges e JOIN walk w ON e.b = w.v),
+            comp AS (SELECT v AS doc_id, MIN(r) AS cluster_id
+                     FROM walk GROUP BY v)
+            SELECT c.doc_id, c.cluster_id, s.cluster_size
+            FROM comp c
+            JOIN (SELECT cluster_id, COUNT(*) AS cluster_size
+                  FROM comp GROUP BY cluster_id) s USING (cluster_id)
         """,
         "ngram_jaccard_pairs": f"""
             WITH {_sql_doc_shingles()},
