@@ -521,6 +521,24 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-style order-priority check: orders with at least one
+    large-quantity lineitem (EXISTS -> left-semi join with the quantity
+    predicate pushed to the lineitem scan), counted by priority."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    big_items = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity") >= 45
+    ).select("l_orderkey")
+    return (
+        orders.join(big_items, orders.o_orderkey == big_items.l_orderkey,
+                    "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
 def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q13-style order-count distribution: two-level aggregation
     (orders per customer, then customers per order-count) over a left
@@ -926,6 +944,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q22": q_tpch_q22,
         "tpch_q8": q_tpch_q8,
         "tpch_q10": q_tpch_q10,
+        "tpch_q4": q_tpch_q4,
         "tpch_q13": q_tpch_q13,
         "tpch_q16": q_tpch_q16,
         "semi_anti_join": q_semi_anti,
@@ -1457,6 +1476,15 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY c_custkey, c_name, n_name, c_acctbal
             ORDER BY lost_revenue DESC, c_custkey ASC
             LIMIT 20
+        """,
+        "tpch_q4": """
+            SELECT o_orderpriority, COUNT(*) AS order_count
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate <  TIMESTAMP '1997-01-01'
+              AND EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey AND l_quantity >= 45)
+            GROUP BY o_orderpriority
         """,
         "tpch_q13": """
             SELECT n_orders, COUNT(*) AS n_custs

@@ -102,3 +102,63 @@ def test_sessionize_native_equals_relational(spark, rows):
     a = sorted(map(tuple, sessionize(df, gap_seconds=1800).collect()))
     b = sorted(map(tuple, sessionize_native(df, gap_seconds=1800).collect()))
     assert a == b
+
+
+# cart event sequences: (seconds, kind, qty, price_cents) -- over-removals,
+# ties, and discount-boundary crossings all occur under random generation
+cart_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 7200),            # seconds from T0 (crosses 3600 s window)
+        st.sampled_from(["click", "error"]),
+        st.integers(1, 5),               # qty
+        st.integers(0, 9999),            # price in cents (2-dp money)
+    ),
+    min_size=1, max_size=30,
+)
+
+
+def _cart_python(rows, discount=0.9, discount_seconds=3600):
+    """Straight-line FIFO simulation of e5_retail_cart.py:34-68 in integer
+    tenth-cents (the operators' exact-money convention)."""
+    t0 = rows[0][0]
+    cart: list[list[int]] = []
+    n = 0
+    for s, kind, qty, cents in rows:
+        if kind == "click":
+            unit = round(cents * 10 * (discount if s < t0 + discount_seconds else 1.0))
+            cart.append([qty, unit])
+        else:
+            while qty > 0 and cart:
+                take = min(qty, cart[0][0])
+                cart[0][0] -= take
+                qty -= take
+                if cart[0][0] == 0:
+                    cart.pop(0)
+        n += 1
+    return (n, sum(q for q, _ in cart),
+            sum(q * c for q, c in cart) / 1000.0)
+
+
+@given(rows=cart_strategy)
+@SLOW
+def test_cart_fold_matches_bruteforce(spark, rows):
+    """cart_fold (mapInPandas) == straight FIFO simulation, including
+    over-removals and discount-window boundaries.  The recursive-CTE SQL
+    oracle (cart_fold_state) is itself checked against cart_fold by the
+    oracle gate, so this transitively pins all three."""
+    from async_stream_processing_spark.operators.session_state import cart_fold
+
+    rows = sorted(rows)  # the operator sorts by (ts, seq); fix event order
+    df = spark.createDataFrame(
+        [
+            (T0 + timedelta(seconds=s), i + 1, 7, kind, cents / 100.0, qty)
+            for i, (s, kind, qty, cents) in enumerate(rows)
+        ],
+        "ts timestamp, seq long, user_id long, event_type string, "
+        "value double, vol long",
+    )
+    out = cart_fold(df).collect()
+    assert len(out) == 1
+    r = out[0]
+    n, qty, value = _cart_python(rows)
+    assert (r["n_updates"], r["cart_qty"], r["cart_value"]) == (n, qty, value)
