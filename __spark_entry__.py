@@ -816,6 +816,46 @@ def q_stream_cart(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_window_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions (ntile / percent_rank / cume_dist --
+    the remaining SURVEY §2 window-function checklist rows): value
+    quartiles and rank ratios per event type over a total (value, seq)
+    order."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").asc(), F.col("seq").asc()
+    )
+    return _events(spark, sf_dir).select(
+        "event_id", "event_type", "value",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume_dist"),
+    )
+
+
+def q_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-function breadth (string/date/numeric -- SURVEY §2 checklist):
+    one projection exercising the families, all cross-engine exact
+    (floor/ceil instead of round: rounding modes differ between engines
+    on .5 boundaries; everything else is integer- or string-exact)."""
+    df = _events(spark, sf_dir)
+    return df.select(
+        "event_id",
+        F.upper(F.substring("event_type", 1, 3)).alias("code"),
+        F.length("props").cast("long").alias("props_len"),
+        F.concat_ws("#", "event_type", F.col("user_id").cast("string")).alias("tag"),
+        F.floor("value").cast("long").alias("value_floor"),
+        F.ceil("value").cast("long").alias("value_ceil"),
+        (F.col("user_id") % 7).alias("user_mod"),
+        F.greatest("value", F.lit(50.0)).alias("value_hi"),
+        F.least("value", F.lit(50.0)).alias("value_lo"),
+        F.dayofmonth("ts").cast("long").alias("day_of_month"),
+        F.date_trunc("hour", F.col("ts")).alias("ts_hour"),
+        F.coalesce(F.nullif("event_type", F.lit("error")), F.lit("ERR")).alias("kind"),
+    )
+
+
 def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set-operation breadth (INTERSECT / EXCEPT -- absent from the
     reference, SURVEY §2 checklist): audience segments as distinct-user
@@ -959,6 +999,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_join_1h": q_stream_join,
         "stream_cart_fold": q_stream_cart,
         "set_ops_segments": q_set_ops,
+        "window_funcs": q_window_funcs,
+        "scalar_funcs": q_scalar_funcs,
         "sliding_2min": q_sliding_2min,
         "stream_sliding_2min": q_stream_sliding_2min,
         "value_percentiles": q_value_percentiles,
@@ -1553,6 +1595,29 @@ def oracle_sql() -> dict[str, str]:
         FROM ((SELECT DISTINCT user_id FROM events WHERE event_type = 'error')
               EXCEPT
               (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'))
+    """
+    out["window_funcs"] = """
+        SELECT event_id, event_type, value,
+               CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+               PERCENT_RANK() OVER w AS pct_rank,
+               CUME_DIST() OVER w AS cume_dist
+        FROM (SELECT *, event_id AS seq FROM events)
+        WINDOW w AS (PARTITION BY event_type ORDER BY value ASC, seq ASC)
+    """
+    out["scalar_funcs"] = """
+        SELECT event_id,
+               upper(substr(event_type, 1, 3)) AS code,
+               CAST(length(props) AS BIGINT) AS props_len,
+               event_type || '#' || CAST(user_id AS VARCHAR) AS tag,
+               CAST(floor(value) AS BIGINT) AS value_floor,
+               CAST(ceil(value) AS BIGINT) AS value_ceil,
+               user_id % 7 AS user_mod,
+               greatest(value, 50.0) AS value_hi,
+               least(value, 50.0) AS value_lo,
+               CAST(EXTRACT(day FROM ts) AS BIGINT) AS day_of_month,
+               date_trunc('hour', ts) AS ts_hour,
+               COALESCE(NULLIF(event_type, 'error'), 'ERR') AS kind
+        FROM events
     """
     out["sliding_2min"] = """
         WITH shifted AS (
