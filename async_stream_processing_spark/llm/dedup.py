@@ -310,10 +310,11 @@ def simhash_pairs(
     candidates join on (chunk_idx, chunk_value), then exact
     ``bit_count(xor)`` filters.  Never all-pairs.
     """
-    # not persisted: cold-run (the bench/production shape) measures faster
-    # recomputing the signature lineage for the two join sides than paying
-    # eager materialization; persist only helps repeated warm calls.
-    sigs = simhash(docs, bits=bits, hash_mode=hash_mode)
+    # localCheckpoint: the self-join's two sides would otherwise each
+    # execute the whole token->votes->signature pipeline (no exchange
+    # reuse fires across the aliased branches) -- A/B-measured 2x faster
+    # cold with the checkpoint, identical output.
+    sigs = simhash(docs, bits=bits, hash_mode=hash_mode).localCheckpoint(eager=True)
     n_chunks = bits // chunk_bits
     mask = (1 << chunk_bits) - 1
     chunks = sigs.select(

@@ -141,3 +141,38 @@ def test_stop_shingle_filter_preserves_near_dup_detection(spark):
     assert sh_filt.count() < sh_all.count()  # boilerplate shingles dropped
     pairs = jaccard_pairs_direct(sh_filt, threshold=0.3).collect()
     assert [(r["doc_a"], r["doc_b"]) for r in pairs] == [(0, 1)]
+
+
+def test_ivf_recall_on_clustered_vectors(spark):
+    """IVF probing on data with real cluster structure (the driver's random
+    embeddings have none -- STATUS/SCALE note): plant 8 tight clusters,
+    check recall@3 of knn_ivf vs knn_bruteforce.  Deterministic synthetic
+    input (fixed seed), so this is a hard bound, not flaky."""
+    import random
+    from async_stream_processing_spark.llm.similarity import knn_bruteforce, knn_ivf
+
+    rng = random.Random(7)
+    dim, n_clusters, per_cluster = 16, 8, 25
+    centers = [[rng.uniform(-1, 1) for _ in range(dim)] for _ in range(n_clusters)]
+    rows = []
+    vid = 0
+    # vec_ids 0..7 are the cluster centers themselves: they double as the
+    # deterministic IVF centroids (ivf_assign uses the first n vectors)
+    for c in centers:
+        rows.append((vid, f"c{vid}", [float(x) for x in c])); vid += 1
+    for ci, c in enumerate(centers):
+        for _ in range(per_cluster):
+            rows.append((vid, f"m{ci}",
+                         [float(x + rng.gauss(0, 0.05)) for x in c])); vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, label string, embedding array<float>")
+
+    exact = {}
+    for r in knn_bruteforce(df, n_queries=8, k=3).collect():
+        exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    approx = {}
+    for r in knn_ivf(df, n_queries=8, k=3, n_centroids=8, nprobe=2).collect():
+        approx.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+
+    hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
+    total = sum(len(v) for v in exact.values())
+    assert hits / total >= 0.9, f"recall {hits}/{total}"
