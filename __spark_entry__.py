@@ -577,6 +577,83 @@ def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-style disjunctive revenue: an OR of three (brand,
+    size-range, qty-range) conjunct groups over part<->lineitem.  All
+    branches share the join key, so this plans as ONE join; the part-only
+    half of the disjunction (brand AND size) is separated out and applied
+    BEFORE the join, so the broadcast side carries only qualifying parts
+    and the full mixed-column disjunction runs post-join on that reduced
+    set.  (Classic Q19's container/shipmode columns are absent from the
+    driver tables; brand/size/quantity preserve the shape.)"""
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    branches = [("Brand#1", 1, 15, 1, 20),
+                ("Brand#2", 10, 30, 10, 30),
+                ("Brand#3", 20, 50, 25, 50)]
+    part_pred = F.lit(False)
+    full_pred = F.lit(False)
+    for brand, smin, smax, qmin, qmax in branches:
+        p = (F.col("p_brand") == brand) & F.col("p_size").between(smin, smax)
+        part_pred = part_pred | p
+        full_pred = full_pred | (p & F.col("l_quantity").between(qmin, qmax))
+    part_f = part.filter(part_pred).select("p_partkey", "p_brand", "p_size")
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1).cast("decimal(1,0)") - F.col("l_discount").cast("decimal(13,2)"))
+    )
+    return (
+        li.join(F.broadcast(part_f), li.l_partkey == part_f.p_partkey)
+        .filter(full_pred)
+        .agg(F.sum(rev).cast("double").alias("revenue"),
+             F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-style suppliers who kept orders waiting: on finalized
+    orders (o_orderstatus = 'F'), lineitems returned by a supplier
+    (l_returnflag = 'R' stands in for the late-receipt predicate, which
+    needs receipt/commit dates the driver tables lack) where another
+    supplier participated in the order (EXISTS -> left-semi self-join
+    with a non-equi residual) but no other supplier's item was returned
+    (NOT EXISTS -> left-anti self-join), counted per supplier, top 20.
+
+    Scale shape: the two self-joins shuffle lineitem on l_orderkey with
+    only (l_orderkey, l_suppkey) columns after pruning; the anti side is
+    prefiltered to returned rows (~1/3).  AQE picks the physical strategy
+    (STATUS.md decision 5)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders_f = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    l1 = li.filter(F.col("l_returnflag") == "R").select("l_orderkey", "l_suppkey")
+    l2 = li.select(F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2"))
+    l3 = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select(F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3"))
+    )
+    waiting = (
+        l1.join(orders_f, l1.l_orderkey == orders_f.o_orderkey, "left_semi")
+        .join(l2, (F.col("l_orderkey") == F.col("o2"))
+              & (F.col("l_suppkey") != F.col("s2")), "left_semi")
+        .join(l3, (F.col("l_orderkey") == F.col("o3"))
+              & (F.col("l_suppkey") != F.col("s3")), "left_anti")
+    )
+    return (
+        waiting.join(supp, waiting.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy("n_name", "s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
+    )
+
+
 def q_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi/anti join breadth: per market segment, customers with and
     without orders."""
@@ -736,6 +813,28 @@ def q_stream_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min_by("event_type", F.struct("ts", "event_id")).alias("first_event_type"),
     )
     return drain(agg)
+
+
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B1 exact dedup EXECUTED BY THE STREAMING ENGINE via the built-in
+    ``dropDuplicatesWithinWatermark`` (the streaming twin of
+    ``dedup_exact``): one surviving row per (user_id, event_type).  The
+    watermark delay spans the whole replay here so every key stays in
+    state for the correctness check; at production scale the delay is
+    what BOUNDS state (old keys evict -- SCALE.md).  Only key columns
+    are returned, so the result is arrival-order independent and the
+    plain DISTINCT oracle applies."""
+    from async_stream_processing_spark.sources.parquet import stream_table
+    from async_stream_processing_spark.streaming.replay import (
+        drain,
+        stream_dedup_within_watermark,
+    )
+
+    s = stream_table(spark, sf_dir, "events").select("ts", "user_id", "event_type")
+    dd = stream_dedup_within_watermark(
+        s, ["user_id", "event_type"], watermark_col="ts", delay="3650 days"
+    )
+    return drain(dd.select("user_id", "event_type"), output_mode="append")
 
 
 def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -987,6 +1086,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q4": q_tpch_q4,
         "tpch_q13": q_tpch_q13,
         "tpch_q16": q_tpch_q16,
+        "tpch_q19": q_tpch_q19,
+        "tpch_q21": q_tpch_q21,
         "semi_anti_join": q_semi_anti,
         "event_deltas": q_event_deltas,
         "sessionize": q_sessionize,
@@ -996,6 +1097,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_resample_1min": q_stream_resample,
         "stream_sessionize": q_stream_sessionize,
         "stream_first_seen": q_stream_first_seen,
+        "stream_dedup": q_stream_dedup,
         "stream_join_1h": q_stream_join,
         "stream_cart_fold": q_stream_cart,
         "set_ops_segments": q_set_ops,
@@ -1519,6 +1621,40 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY lost_revenue DESC, c_custkey ASC
             LIMIT 20
         """,
+        "tpch_q19": """
+            SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                            * (1 - CAST(l_discount AS DECIMAL(13,2)))) AS DOUBLE)
+                       AS revenue,
+                   COUNT(*) AS n_items
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 1 AND 20)
+               OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+                   AND l_quantity BETWEEN 10 AND 30)
+               OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+                   AND l_quantity BETWEEN 25 AND 50)
+        """,
+        "tpch_q21": """
+            WITH l AS (SELECT l_orderkey, l_suppkey, l_returnflag FROM lineitem),
+            l1 AS (
+                SELECT l.l_orderkey, l.l_suppkey
+                FROM l JOIN orders ON l.l_orderkey = o_orderkey
+                WHERE l.l_returnflag = 'R' AND o_orderstatus = 'F'
+                  AND EXISTS (SELECT 1 FROM l l2
+                              WHERE l2.l_orderkey = l.l_orderkey
+                                AND l2.l_suppkey <> l.l_suppkey)
+                  AND NOT EXISTS (SELECT 1 FROM l l3
+                                  WHERE l3.l_orderkey = l.l_orderkey
+                                    AND l3.l_suppkey <> l.l_suppkey
+                                    AND l3.l_returnflag = 'R'))
+            SELECT n_name, s_name, COUNT(*) AS numwait
+            FROM l1
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            GROUP BY n_name, s_name
+            ORDER BY numwait DESC, s_name ASC
+            LIMIT 20
+        """,
         "tpch_q4": """
             SELECT o_orderpriority, COUNT(*) AS order_count
             FROM orders
@@ -1579,6 +1715,7 @@ def oracle_sql() -> dict[str, str]:
     out["stream_sessionize"] = out["sessionize"]
     out["stream_resample_1min"] = out["resample_1min"]
     out["stream_first_seen"] = out["first_seen"]
+    out["stream_dedup"] = "SELECT DISTINCT user_id, event_type FROM events"
     out["stream_cart_fold"] = out["cart_fold_state"]
     out["set_ops_segments"] = """
         SELECT 'click_and_purchase' AS segment, COUNT(*) AS n_users
