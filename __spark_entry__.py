@@ -623,6 +623,8 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     only (l_orderkey, l_suppkey) columns after pruning; the anti side is
     prefiltered to returned rows (~1/3).  AQE picks the physical strategy
     (STATUS.md decision 5)."""
+    from async_stream_processing_spark.operators.analytics import sole_contributor
+
     li = load_table(spark, sf_dir, "lineitem")
     orders_f = (
         load_table(spark, sf_dir, "orders")
@@ -631,18 +633,13 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     supp = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
-    l1 = li.filter(F.col("l_returnflag") == "R").select("l_orderkey", "l_suppkey")
-    l2 = li.select(F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2"))
-    l3 = (
-        li.filter(F.col("l_returnflag") == "R")
-        .select(F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3"))
-    )
-    waiting = (
-        l1.join(orders_f, l1.l_orderkey == orders_f.o_orderkey, "left_semi")
-        .join(l2, (F.col("l_orderkey") == F.col("o2"))
-              & (F.col("l_suppkey") != F.col("s2")), "left_semi")
-        .join(l3, (F.col("l_orderkey") == F.col("o3"))
-              & (F.col("l_suppkey") != F.col("s3")), "left_anti")
+    returned = li.filter(F.col("l_returnflag") == "R").select("l_orderkey", "l_suppkey")
+    waiting = sole_contributor(
+        returned.join(orders_f, returned.l_orderkey == orders_f.o_orderkey,
+                      "left_semi"),
+        group="l_orderkey", actor="l_suppkey",
+        population=li.select("l_orderkey", "l_suppkey"),
+        co_candidates=returned,
     )
     return (
         waiting.join(supp, waiting.l_suppkey == supp.s_suppkey)

@@ -114,3 +114,48 @@ def top_k_per_group(
         df.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def sole_contributor(
+    candidates: DataFrame,
+    group: str,
+    actor: str,
+    population: DataFrame | None = None,
+    co_candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Candidate rows whose ``actor`` is the ONLY candidate actor in its
+    ``group``, among groups where another actor appears at all — the
+    TPC-H Q21 correlation shape (suppliers who alone kept a shared order
+    waiting):
+
+    - EXISTS (another actor in the group)          -> left-semi self-join
+    - NOT EXISTS (another CANDIDATE actor in it)   -> left-anti self-join
+
+    both with the non-equi residual ``actor <> other.actor`` on top of
+    the equi ``group`` key.  ``population`` defaults to ``candidates``
+    (who counts as "another actor"); ``co_candidates`` defaults to
+    ``candidates`` (who counts as a rival candidate).  Every probe side
+    prunes to the two key columns, so at scale the shuffles carry
+    ~16 bytes/row — or zero shuffles when the inputs share a bucketed
+    layout on ``group`` (SCALE.md).
+    """
+    population = candidates if population is None else population
+    co_candidates = candidates if co_candidates is None else co_candidates
+    others = population.select(
+        F.col(group).alias("__g2"), F.col(actor).alias("__a2")
+    )
+    rivals = co_candidates.select(
+        F.col(group).alias("__g3"), F.col(actor).alias("__a3")
+    )
+    return (
+        candidates.join(
+            others,
+            (F.col(group) == F.col("__g2")) & (F.col(actor) != F.col("__a2")),
+            "left_semi",
+        )
+        .join(
+            rivals,
+            (F.col(group) == F.col("__g3")) & (F.col(actor) != F.col("__a3")),
+            "left_anti",
+        )
+    )

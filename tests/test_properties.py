@@ -162,3 +162,36 @@ def test_cart_fold_matches_bruteforce(spark, rows):
     r = out[0]
     n, qty, value = _cart_python(rows)
     assert (r["n_updates"], r["cart_qty"], r["cart_value"]) == (n, qty, value)
+
+
+# (group, actor, flagged) triples; small domains force collisions
+q21_rows_strategy = st.lists(
+    st.tuples(st.integers(0, 8), st.integers(0, 4), st.booleans()),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(rows=q21_rows_strategy)
+@SLOW
+def test_sole_contributor_matches_bruteforce(spark, rows):
+    from async_stream_processing_spark.operators.analytics import sole_contributor
+
+    df = spark.createDataFrame(rows, "g long, a long, flag boolean")
+    out = sole_contributor(
+        df.filter("flag"), group="g", actor="a",
+        population=df, co_candidates=df.filter("flag"),
+    )
+    got = sorted((r["g"], r["a"]) for r in out.collect())
+    actors: dict[int, set[int]] = {}
+    flagged: dict[int, set[int]] = {}
+    for g, a, f in rows:
+        actors.setdefault(g, set()).add(a)
+        if f:
+            flagged.setdefault(g, set()).add(a)
+    expect = sorted(
+        (g, a)
+        for g, a, f in rows
+        if f and len(actors[g] - {a}) > 0 and flagged[g] == {a}
+    )
+    assert got == expect
