@@ -974,6 +974,29 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_set_ops_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset (bag) set operations -- INTERSECT ALL / EXCEPT ALL:
+    ``intersectAll`` keeps min(multiplicity) copies per value,
+    ``exceptAll`` subtracts multiplicities.  A different physical shape
+    from the DISTINCT set ops in ``set_ops_segments``: these aggregate
+    per-value counts on both sides instead of deduplicating."""
+    def visits(kind: str) -> DataFrame:
+        return (
+            load_table(spark, sf_dir, "events")
+            .filter(F.col("event_type") == kind)
+            .select("user_id")
+        )
+
+    click, view = visits("click"), visits("view")
+    seg = lambda name, df: df.agg(  # noqa: E731
+        F.lit(name).alias("segment"), F.count(F.lit(1)).alias("n_rows")
+    )
+    return (
+        seg("click_bag_and_view", click.intersectAll(view))
+        .unionByName(seg("click_bag_minus_view", click.exceptAll(view)))
+    )
+
+
 def q_sliding_2min(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding (hopping) window aggregation: 2-minute windows every 1
     minute -- each event lands in exactly two windows.  The native
@@ -1098,6 +1121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_join_1h": q_stream_join,
         "stream_cart_fold": q_stream_cart,
         "set_ops_segments": q_set_ops,
+        "set_ops_multiset": q_set_ops_multiset,
         "window_funcs": q_window_funcs,
         "scalar_funcs": q_scalar_funcs,
         "sliding_2min": q_sliding_2min,
@@ -1714,6 +1738,17 @@ def oracle_sql() -> dict[str, str]:
     out["stream_first_seen"] = out["first_seen"]
     out["stream_dedup"] = "SELECT DISTINCT user_id, event_type FROM events"
     out["stream_cart_fold"] = out["cart_fold_state"]
+    out["set_ops_multiset"] = """
+        SELECT 'click_bag_and_view' AS segment, COUNT(*) AS n_rows
+        FROM ((SELECT user_id FROM events WHERE event_type = 'click')
+              INTERSECT ALL
+              (SELECT user_id FROM events WHERE event_type = 'view'))
+        UNION ALL
+        SELECT 'click_bag_minus_view', COUNT(*)
+        FROM ((SELECT user_id FROM events WHERE event_type = 'click')
+              EXCEPT ALL
+              (SELECT user_id FROM events WHERE event_type = 'view'))
+    """
     out["set_ops_segments"] = """
         SELECT 'click_and_purchase' AS segment, COUNT(*) AS n_users
         FROM ((SELECT DISTINCT user_id FROM events WHERE event_type = 'click')
