@@ -974,6 +974,42 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational PIVOT (absent from the reference -- SURVEY §2
+    checklist): per-day event counts spread into one column per
+    event_type.  Pivot values are given explicitly, so the plan is a
+    single conditional-count aggregation -- one shuffle, no
+    value-discovery pre-pass (the two-pass form is the scale trap)."""
+    kinds = ["click", "view", "purchase", "error", "signup"]
+    ev = load_table(spark, sf_dir, "events")
+    wide = (
+        ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .pivot("event_type", kinds)
+        .agg(F.count(F.lit(1)))
+    )
+    return wide.select(
+        "day", *[F.coalesce(F.col(k), F.lit(0)).cast("long").alias(k) for k in kinds]
+    )
+
+
+def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT / melt (wide -> long reshape, the inverse of pivot):
+    per-returnflag lineitem aggregates melted into (metric, value) rows
+    with the native ``DataFrame.unpivot`` -- a generate-side expansion,
+    no shuffle beyond the feeding aggregation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double")
+         .alias("sum_qty"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+         .alias("sum_price"),
+        F.count(F.lit(1)).cast("double").alias("n_items"),
+    )
+    return wide.unpivot(
+        ["l_returnflag"], ["sum_qty", "sum_price", "n_items"], "metric", "value"
+    )
+
+
 def q_set_ops_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multiset (bag) set operations -- INTERSECT ALL / EXCEPT ALL:
     ``intersectAll`` keeps min(multiplicity) copies per value,
@@ -1122,6 +1158,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_cart_fold": q_stream_cart,
         "set_ops_segments": q_set_ops,
         "set_ops_multiset": q_set_ops_multiset,
+        "pivot_daily": q_pivot_daily,
+        "unpivot_metrics": q_unpivot_metrics,
         "window_funcs": q_window_funcs,
         "scalar_funcs": q_scalar_funcs,
         "sliding_2min": q_sliding_2min,
@@ -1738,6 +1776,30 @@ def oracle_sql() -> dict[str, str]:
     out["stream_first_seen"] = out["first_seen"]
     out["stream_dedup"] = "SELECT DISTINCT user_id, event_type FROM events"
     out["stream_cart_fold"] = out["cart_fold_state"]
+    out["pivot_daily"] = """
+        SELECT strftime(ts, '%Y-%m-%d') AS day,
+               COUNT(*) FILTER (WHERE event_type = 'click')    AS click,
+               COUNT(*) FILTER (WHERE event_type = 'view')     AS view,
+               COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+               COUNT(*) FILTER (WHERE event_type = 'error')    AS error,
+               COUNT(*) FILTER (WHERE event_type = 'signup')   AS signup
+        FROM events GROUP BY day
+    """
+    out["unpivot_metrics"] = """
+        WITH wide AS (
+            SELECT l_returnflag,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                       AS sum_qty,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                       AS sum_price,
+                   CAST(COUNT(*) AS DOUBLE) AS n_items
+            FROM lineitem GROUP BY l_returnflag)
+        SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM wide
+        UNION ALL
+        SELECT l_returnflag, 'sum_price', sum_price FROM wide
+        UNION ALL
+        SELECT l_returnflag, 'n_items', n_items FROM wide
+    """
     out["set_ops_multiset"] = """
         SELECT 'click_bag_and_view' AS segment, COUNT(*) AS n_rows
         FROM ((SELECT user_id FROM events WHERE event_type = 'click')
