@@ -974,6 +974,28 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rows_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROWS-frame window: last-5-events running sum/count per user --
+    the physical-offset frame family, complementing the RANGE (time)
+    frames of vwap_2min/sliding_2min.  Decimal sums at the column's true
+    2-dp scale keep it bit-exact; (ts, seq) total order makes the frame
+    contents deterministic under any partitioning."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "seq")
+        .rowsBetween(-4, Window.currentRow)
+    )
+    return ev.select(
+        "event_id", "user_id", "ts",
+        F.sum(F.col("value").cast("decimal(18,2)")).over(w)
+         .cast("double").alias("sum_last5"),
+        F.count(F.lit(1)).over(w).alias("n_last5"),
+    )
+
+
 def q_pivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Relational PIVOT (absent from the reference -- SURVEY §2
     checklist): per-day event counts spread into one column per
@@ -1160,6 +1182,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops_multiset": q_set_ops_multiset,
         "pivot_daily": q_pivot_daily,
         "unpivot_metrics": q_unpivot_metrics,
+        "rows_frame_last5": q_rows_frame,
         "window_funcs": q_window_funcs,
         "scalar_funcs": q_scalar_funcs,
         "sliding_2min": q_sliding_2min,
@@ -1776,6 +1799,15 @@ def oracle_sql() -> dict[str, str]:
     out["stream_first_seen"] = out["first_seen"]
     out["stream_dedup"] = "SELECT DISTINCT user_id, event_type FROM events"
     out["stream_cart_fold"] = out["cart_fold_state"]
+    out["rows_frame_last5"] = """
+        SELECT event_id, user_id, ts,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+                   AS sum_last5,
+               COUNT(*) OVER w AS n_last5
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+    """
     out["pivot_daily"] = """
         SELECT strftime(ts, '%Y-%m-%d') AS day,
                COUNT(*) FILTER (WHERE event_type = 'click')    AS click,
