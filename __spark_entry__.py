@@ -974,6 +974,47 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dominant_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20-family correlation shape (classic Q20 needs partsupp,
+    absent from the driver tables): suppliers providing > 10% of some
+    Brand#2 part's shipped volume -- a ratio-to-group-total predicate
+    (cross-multiplied in exact decimal: pair_qty * 10 > part_qty, no
+    division) feeding a semi-join chain up to the supplier dimension,
+    counted per nation.  Both aggregates reuse ONE scan of the
+    brand-filtered join: per-(part,supp) sums roll up to per-part sums
+    (partial-agg reuse), so the fact table is read once."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part_f = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#2")
+        .select("p_partkey")
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    per_pair = (
+        li.join(F.broadcast(part_f), li.l_partkey == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(qty).alias("pair_qty"))
+    )
+    per_part = (
+        per_pair.groupBy(F.col("l_partkey").alias("pp_key"))
+        .agg(F.sum("pair_qty").alias("part_qty"))
+    )
+    dominant = (
+        per_pair.join(per_part, per_pair.l_partkey == F.col("pp_key"))
+        .filter(F.col("pair_qty") * F.lit(10).cast("decimal(2,0)")
+                > F.col("part_qty"))
+        .select("l_suppkey")
+    )
+    return (
+        supp.join(dominant, supp.s_suppkey == dominant.l_suppkey, "left_semi")
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+
+
 def q_rows_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROWS-frame window: last-5-events running sum/count per user --
     the physical-offset frame family, complementing the RANGE (time)
@@ -1183,6 +1224,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_daily": q_pivot_daily,
         "unpivot_metrics": q_unpivot_metrics,
         "rows_frame_last5": q_rows_frame,
+        "dominant_supplier": q_dominant_supplier,
         "window_funcs": q_window_funcs,
         "scalar_funcs": q_scalar_funcs,
         "sliding_2min": q_sliding_2min,
@@ -1799,6 +1841,27 @@ def oracle_sql() -> dict[str, str]:
     out["stream_first_seen"] = out["first_seen"]
     out["stream_dedup"] = "SELECT DISTINCT user_id, event_type FROM events"
     out["stream_cart_fold"] = out["cart_fold_state"]
+    out["dominant_supplier"] = """
+        WITH li_b AS (
+            SELECT l_partkey, l_suppkey,
+                   CAST(l_quantity AS DECIMAL(18,2)) AS qty
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_brand = 'Brand#2'),
+        per_pair AS (
+            SELECT l_partkey, l_suppkey, SUM(qty) AS pair_qty
+            FROM li_b GROUP BY l_partkey, l_suppkey),
+        per_part AS (
+            SELECT l_partkey AS pp_key, SUM(qty) AS part_qty
+            FROM li_b GROUP BY l_partkey),
+        dominant AS (
+            SELECT l_suppkey
+            FROM per_pair JOIN per_part ON l_partkey = pp_key
+            WHERE pair_qty * 10 > part_qty)
+        SELECT n_name, COUNT(*) AS n_suppliers
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        WHERE EXISTS (SELECT 1 FROM dominant WHERE l_suppkey = s_suppkey)
+        GROUP BY n_name
+    """
     out["rows_frame_last5"] = """
         SELECT event_id, user_id, ts,
                CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
