@@ -831,7 +831,14 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     dd = stream_dedup_within_watermark(
         s, ["user_id", "event_type"], watermark_col="ts", delay="3650 days"
     )
-    return drain(dd.select("user_id", "event_type"), output_mode="append")
+    # same local-scale knob as stream_join_1h: fewer partitions = fewer
+    # state-store instances (restored after the drain; results identical)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        return drain(dd.select("user_id", "event_type"), output_mode="append")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
