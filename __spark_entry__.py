@@ -1103,6 +1103,27 @@ def q_set_ops_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking/positional window breadth: rank + dense_rank over a TIED
+    order (value alone -- both are tie-deterministic, unlike row_number,
+    which gets its own (value, seq) total order), plus
+    first_value/nth_value over the per-type event-time order (default
+    running frame, so nth_value(2) is null until the 2nd row)."""
+    from pyspark.sql import Window
+
+    w_ties = Window.partitionBy("event_type").orderBy("value")
+    w_total = Window.partitionBy("event_type").orderBy("value", "seq")
+    w_time = Window.partitionBy("event_type").orderBy("ts", "seq")
+    return _events(spark, sf_dir).select(
+        "event_id", "event_type", "value",
+        F.rank().over(w_ties).cast("long").alias("rnk"),
+        F.dense_rank().over(w_ties).cast("long").alias("drnk"),
+        F.row_number().over(w_total).cast("long").alias("rn"),
+        F.first_value("value").over(w_time).alias("first_val"),
+        F.nth_value("value", 2).over(w_time).alias("second_val"),
+    )
+
+
 def q_sliding_2min(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding (hopping) window aggregation: 2-minute windows every 1
     minute -- each event lands in exactly two windows.  The native
@@ -1232,6 +1253,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unpivot_metrics": q_unpivot_metrics,
         "rows_frame_last5": q_rows_frame,
         "dominant_supplier": q_dominant_supplier,
+        "rank_family": q_rank_family,
         "window_funcs": q_window_funcs,
         "scalar_funcs": q_scalar_funcs,
         "sliding_2min": q_sliding_2min,
@@ -1848,6 +1870,18 @@ def oracle_sql() -> dict[str, str]:
     out["stream_first_seen"] = out["first_seen"]
     out["stream_dedup"] = "SELECT DISTINCT user_id, event_type FROM events"
     out["stream_cart_fold"] = out["cart_fold_state"]
+    out["rank_family"] = """
+        SELECT event_id, event_type, value,
+               rank()        OVER wt   AS rnk,
+               dense_rank()  OVER wt   AS drnk,
+               row_number()  OVER wtot AS rn,
+               first_value(value)  OVER wtime AS first_val,
+               nth_value(value, 2) OVER wtime AS second_val
+        FROM events
+        WINDOW wt   AS (PARTITION BY event_type ORDER BY value),
+               wtot AS (PARTITION BY event_type ORDER BY value, event_id),
+               wtime AS (PARTITION BY event_type ORDER BY ts, event_id)
+    """
     out["dominant_supplier"] = """
         WITH li_b AS (
             SELECT l_partkey, l_suppkey,
