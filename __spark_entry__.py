@@ -1103,6 +1103,24 @@ def q_set_ops_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured JSON column processing: parse ``events.props``
+    with ``from_json`` under a typed schema (the declarative JSON path;
+    Catalyst prunes to the one requested field) and aggregate per
+    extracted key -- vs the regexp fallback used for the same field in
+    the vol derivation."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("k", F.from_json("props", "k BIGINT").getField("k"))
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+             .alias("sum_value"),
+        )
+    )
+
+
 def q_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ranking/positional window breadth: rank + dense_rank over a TIED
     order (value alone -- both are tie-deterministic, unlike row_number,
@@ -1254,6 +1272,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rows_frame_last5": q_rows_frame,
         "dominant_supplier": q_dominant_supplier,
         "rank_family": q_rank_family,
+        "json_extract_props": q_json_extract,
         "window_funcs": q_window_funcs,
         "scalar_funcs": q_scalar_funcs,
         "sliding_2min": q_sliding_2min,
@@ -1870,6 +1889,12 @@ def oracle_sql() -> dict[str, str]:
     out["stream_first_seen"] = out["first_seen"]
     out["stream_dedup"] = "SELECT DISTINCT user_id, event_type FROM events"
     out["stream_cart_fold"] = out["cart_fold_state"]
+    out["json_extract_props"] = """
+        SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY k
+    """
     out["rank_family"] = """
         SELECT event_id, event_type, value,
                rank()        OVER wt   AS rnk,
