@@ -1103,6 +1103,33 @@ def q_set_ops_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fullouter_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join (the one join type not yet declared): per-day
+    click vs purchase user counts, keeping days present on either side
+    (null-filled to zero).  Shuffles both pre-aggregated sides on the
+    join key -- inputs are already tiny relative to the fact table, the
+    at-scale-correct shape for outer day-level reconciliation."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def per_day(kind: str, out: str) -> DataFrame:
+        return (
+            ev.filter(F.col("event_type") == kind)
+            .groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+            .agg(F.countDistinct("user_id").alias(out))
+        )
+
+    clicks = per_day("click", "n_click_users")
+    purchases = per_day("purchase", "n_purchase_users")
+    return (
+        clicks.join(purchases, "day", "full_outer")
+        .select(
+            "day",
+            F.coalesce("n_click_users", F.lit(0)).alias("n_click_users"),
+            F.coalesce("n_purchase_users", F.lit(0)).alias("n_purchase_users"),
+        )
+    )
+
+
 def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured JSON column processing: parse ``events.props``
     with ``from_json`` under a typed schema (the declarative JSON path;
@@ -1273,6 +1300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dominant_supplier": q_dominant_supplier,
         "rank_family": q_rank_family,
         "json_extract_props": q_json_extract,
+        "fullouter_daily": q_fullouter_daily,
         "window_funcs": q_window_funcs,
         "scalar_funcs": q_scalar_funcs,
         "sliding_2min": q_sliding_2min,
@@ -1889,6 +1917,20 @@ def oracle_sql() -> dict[str, str]:
     out["stream_first_seen"] = out["first_seen"]
     out["stream_dedup"] = "SELECT DISTINCT user_id, event_type FROM events"
     out["stream_cart_fold"] = out["cart_fold_state"]
+    out["fullouter_daily"] = """
+        WITH clicks AS (
+            SELECT strftime(ts, '%Y-%m-%d') AS day,
+                   COUNT(DISTINCT user_id) AS n_click_users
+            FROM events WHERE event_type = 'click' GROUP BY day),
+        purchases AS (
+            SELECT strftime(ts, '%Y-%m-%d') AS day,
+                   COUNT(DISTINCT user_id) AS n_purchase_users
+            FROM events WHERE event_type = 'purchase' GROUP BY day)
+        SELECT COALESCE(clicks.day, purchases.day) AS day,
+               COALESCE(n_click_users, 0) AS n_click_users,
+               COALESCE(n_purchase_users, 0) AS n_purchase_users
+        FROM clicks FULL OUTER JOIN purchases ON clicks.day = purchases.day
+    """
     out["json_extract_props"] = """
         SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k,
                COUNT(*) AS n_events,
