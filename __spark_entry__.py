@@ -1103,6 +1103,51 @@ def q_set_ops_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array unnest as a first-class op: posexplode the embedding vector
+    and aggregate min/max/count per dimension (floats: min/max/count are
+    cross-engine exact; sums are not -- functions/numeric.py rule 3).
+    The generate-side explode multiplies rows 64x BEFORE the shuffle,
+    but the shuffle itself carries only 65 groups after map-side partial
+    aggregation -- the explode never hits the wire."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(F.posexplode("embedding").alias("dim", "val"))
+    return (
+        ex.groupBy(F.col("dim").cast("long").alias("dim"))
+        .agg(
+            F.min("val").alias("min_val"),
+            F.max("val").alias("max_val"),
+            F.count(F.lit(1)).alias("n_vals"),
+        )
+    )
+
+
+def q_stream_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT EXECUTED BY THE STREAMING ENGINE: the explicit-value pivot
+    compiles to conditional-count aggregation, which streams in complete
+    mode (per-day running counts in the state store); drained and
+    hash-matched against the same SQL oracle as the batch
+    ``pivot_daily``."""
+    from async_stream_processing_spark.sources.parquet import stream_table
+    from async_stream_processing_spark.streaming.replay import drain
+
+    kinds = ["click", "view", "purchase", "error", "signup"]
+    s = stream_table(spark, sf_dir, "events")
+    wide = (
+        s.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(*[
+            F.count(F.when(F.col("event_type") == k, 1)).alias(k)
+            for k in kinds
+        ])
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        return drain(wide, output_mode="complete")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
 def q_fullouter_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FULL OUTER join (the one join type not yet declared): per-day
     click vs purchase user counts, keeping days present on either side
@@ -1301,6 +1346,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_family": q_rank_family,
         "json_extract_props": q_json_extract,
         "fullouter_daily": q_fullouter_daily,
+        "embedding_dim_stats": q_embedding_dim_stats,
+        "stream_pivot_daily": q_stream_pivot,
         "window_funcs": q_window_funcs,
         "scalar_funcs": q_scalar_funcs,
         "sliding_2min": q_sliding_2min,
@@ -1916,6 +1963,17 @@ def oracle_sql() -> dict[str, str]:
     out["stream_resample_1min"] = out["resample_1min"]
     out["stream_first_seen"] = out["first_seen"]
     out["stream_dedup"] = "SELECT DISTINCT user_id, event_type FROM events"
+    out["embedding_dim_stats"] = """
+        WITH ex AS (
+            SELECT unnest(embedding) AS val,
+                   generate_subscripts(embedding, 1) - 1 AS dim
+            FROM embeddings)
+        SELECT CAST(dim AS BIGINT) AS dim,
+               MIN(val) AS min_val,
+               MAX(val) AS max_val,
+               COUNT(*) AS n_vals
+        FROM ex GROUP BY dim
+    """
     out["stream_cart_fold"] = out["cart_fold_state"]
     out["fullouter_daily"] = """
         WITH clicks AS (
@@ -1988,6 +2046,7 @@ def oracle_sql() -> dict[str, str]:
                COUNT(*) FILTER (WHERE event_type = 'signup')   AS signup
         FROM events GROUP BY day
     """
+    out["stream_pivot_daily"] = out["pivot_daily"]
     out["unpivot_metrics"] = """
         WITH wide AS (
             SELECT l_returnflag,
