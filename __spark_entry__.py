@@ -1103,6 +1103,25 @@ def q_set_ops_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_user_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered array aggregation (path analysis): per user, the exact
+    event-type sequence in (ts, seq) order.  ``collect_list`` alone is
+    arrival-ordered (nondeterministic under partitioning), so the list
+    collects (ts, seq, event_type) structs, ``array_sort`` imposes the
+    total order AFTER the shuffle, and ``transform`` projects the
+    payload -- deterministic on any cluster.  Per-user paths are bounded
+    by per-user activity, the same cap that bounds any sessionization."""
+    ev = _events(spark, sf_dir)
+    path = F.transform(
+        F.array_sort(F.collect_list(F.struct("ts", "seq", "event_type"))),
+        lambda x: x["event_type"],
+    )
+    return (
+        ev.groupBy("user_id")
+        .agg(path.alias("path"), F.count(F.lit(1)).alias("n_events"))
+    )
+
+
 def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array unnest as a first-class op: posexplode the embedding vector
     and aggregate min/max/count per dimension (floats: min/max/count are
@@ -1348,6 +1367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fullouter_daily": q_fullouter_daily,
         "embedding_dim_stats": q_embedding_dim_stats,
         "stream_pivot_daily": q_stream_pivot,
+        "user_event_paths": q_user_event_paths,
         "window_funcs": q_window_funcs,
         "scalar_funcs": q_scalar_funcs,
         "sliding_2min": q_sliding_2min,
@@ -1963,6 +1983,12 @@ def oracle_sql() -> dict[str, str]:
     out["stream_resample_1min"] = out["resample_1min"]
     out["stream_first_seen"] = out["first_seen"]
     out["stream_dedup"] = "SELECT DISTINCT user_id, event_type FROM events"
+    out["user_event_paths"] = """
+        SELECT user_id,
+               list(event_type ORDER BY ts, event_id) AS path,
+               COUNT(*) AS n_events
+        FROM events GROUP BY user_id
+    """
     out["embedding_dim_stats"] = """
         WITH ex AS (
             SELECT unnest(embedding) AS val,
