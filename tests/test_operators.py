@@ -161,3 +161,18 @@ def test_entry_smoke(spark):
 
     df = entrymod.entry(spark)
     assert df.count() > 0
+
+
+def test_driver_contract_parity():
+    """Every oracle names a declared query; every query has an oracle
+    except the explicitly rows-only sketch (HLL isn't cross-engine
+    portable).  Catches a key typo before the driver's gate does."""
+    import sys
+    sys.path.insert(0, ".")
+    import __spark_entry__ as m
+
+    qs, os_ = m.queries(), m.oracle_sql()
+    assert set(os_) <= set(qs), set(os_) - set(qs)
+    assert set(qs) - set(os_) == {"cardinality_sketch"}
+    assert all(callable(f) for f in qs.values())
+    assert all(isinstance(s, str) and s.strip() for s in os_.values())
