@@ -295,3 +295,34 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     minute1 = [r for r in out if r["window_start"] == T0 + timedelta(minutes=1)]
     assert len(minute1) == 1 and minute1[0]["n_events"] == 1
     assert len(out) >= n_before  # no retraction, no duplicate emission
+
+
+def test_stream_pivot_matches_batch(spark):
+    """The complete-mode conditional-count pivot drained through the
+    micro-batch engine equals the batch pivot plan row for row."""
+    import sys
+    sys.path.insert(0, ".")
+    import __spark_entry__ as m
+
+    sf = "/root/testdata/sf0.001"
+    got = {tuple(r) for r in m.queries()["stream_pivot_daily"](spark, sf).collect()}
+    want = {tuple(r) for r in m.queries()["pivot_daily"](spark, sf).collect()}
+    assert got == want
+
+
+def test_stream_dedup_matches_batch(spark):
+    """dropDuplicatesWithinWatermark with a replay-spanning delay equals
+    batch DISTINCT on the key columns."""
+    import sys
+    sys.path.insert(0, ".")
+    import __spark_entry__ as m
+    from async_stream_processing_spark.sources.parquet import load_table
+
+    sf = "/root/testdata/sf0.001"
+    got = {tuple(r) for r in m.queries()["stream_dedup"](spark, sf).collect()}
+    want = {
+        tuple(r)
+        for r in load_table(spark, sf, "events")
+        .select("user_id", "event_type").distinct().collect()
+    }
+    assert got == want
