@@ -1,0 +1,74 @@
+"""Physical-plan regression guards: lock in the 100 TB-relevant plan
+shapes (shuffle counts, broadcast placement, filter pushdown) for key
+queries so an innocent refactor can't silently regress them.  The full
+audit lives in PLANS.md; these pin the load-bearing facts."""
+
+from __future__ import annotations
+
+import re
+import sys
+
+sys.path.insert(0, ".")
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    import __spark_entry__ as m
+
+    return m.queries()[name](spark, SF)._jdf.queryExecution().executedPlan().toString()
+
+
+def _shuffles(plan: str) -> int:
+    return len(re.findall(
+        r"Exchange (?:hashpartitioning|rangepartitioning|SinglePartition)", plan
+    ))
+
+
+def test_vwap_single_sort_single_exchange(spark):
+    """Flagship: cumulative + range windows share ONE exchange and ONE
+    sort (the second window's key is a prefix of the first's)."""
+    plan = _plan(spark, "vwap_2min")
+    assert _shuffles(plan) == 1
+    assert plan.count("Sort ") + plan.count("Sort[") == 1 or len(
+        re.findall(r"\bSort\b", plan)) == 1
+
+
+def test_q19_single_broadcast_join_with_pushdown(spark):
+    """Disjunctive branches share one join; part-side disjunction and the
+    derived quantity envelope both reach the scans."""
+    plan = _plan(spark, "tpch_q19")
+    assert plan.count("BroadcastHashJoin") == 1
+    assert "SortMergeJoin" not in plan
+    # toString() may truncate long filter lists -- match per line
+    pushed = re.findall(r"PushedFilters: \[([^\n]*)", plan)
+    assert len(pushed) == 2
+    assert all(s.strip() and not s.startswith("]") for s in pushed)
+    assert sum("l_quantity" in s for s in pushed) == 1  # derived envelope
+    assert sum("p_brand" in s for s in pushed) == 1     # part disjunction
+
+
+def test_q6_aggregates_without_join_or_width(spark):
+    """Pure scan-filter-agg: no join operators, scan reads <= 4 columns."""
+    plan = _plan(spark, "tpch_q6")
+    assert "Join" not in plan
+    cols = set()
+    for m_ in re.findall(r"ReadSchema: struct<([^>]*)>", plan):
+        cols.update(c.split(":")[0].strip() for c in m_.split(",") if ":" in c)
+    assert len(cols) <= 4
+
+
+def test_topk_uses_take_ordered_not_global_sort(spark):
+    """Top-k queries must plan TakeOrderedAndProject (per-partition
+    heaps), never a global sort feeding a limit."""
+    for name in ("tpch_q10", "tpch_q21"):
+        plan = _plan(spark, name)
+        assert "TakeOrderedAndProject" in plan, name
+
+
+def test_embedding_dim_stats_partial_agg_before_shuffle(spark):
+    """The 64x explode must be reduced by map-side partial aggregation
+    before its single exchange."""
+    plan = _plan(spark, "embedding_dim_stats")
+    assert _shuffles(plan) == 1
+    assert plan.count("HashAggregate") >= 2  # partial + final
