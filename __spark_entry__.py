@@ -1103,6 +1103,33 @@ def q_set_ops_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k EXECUTED BY THE STREAMING ENGINE: running per-user purchase
+    totals sorted + limited in complete mode (the only mode streaming
+    allows sorting in).  At scale the complete-mode sort re-emits the
+    whole top-k per trigger -- fine for a dashboard-sized k; unbounded
+    result sets instead write the raw aggregate to a sink table and
+    top-k in a batch over it (SCALE.md)."""
+    from async_stream_processing_spark.sources.parquet import stream_table
+    from async_stream_processing_spark.streaming.replay import drain
+
+    s = stream_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    agg = s.groupBy("user_id").agg(
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+         .alias("total_value"),
+        F.count(F.lit(1)).alias("n_purchases"),
+    )
+    top = agg.orderBy(F.desc("total_value"), F.asc("user_id")).limit(10)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        return drain(top, output_mode="complete")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
 def q_user_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered array aggregation (path analysis): per user, the exact
     event-type sequence in (ts, seq) order.  ``collect_list`` alone is
@@ -1368,6 +1395,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dim_stats": q_embedding_dim_stats,
         "stream_pivot_daily": q_stream_pivot,
         "user_event_paths": q_user_event_paths,
+        "stream_topk_users": q_stream_topk,
         "window_funcs": q_window_funcs,
         "scalar_funcs": q_scalar_funcs,
         "sliding_2min": q_sliding_2min,
@@ -1983,6 +2011,16 @@ def oracle_sql() -> dict[str, str]:
     out["stream_resample_1min"] = out["resample_1min"]
     out["stream_first_seen"] = out["first_seen"]
     out["stream_dedup"] = "SELECT DISTINCT user_id, event_type FROM events"
+    out["stream_topk_users"] = """
+        SELECT user_id,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                   AS total_value,
+               COUNT(*) AS n_purchases
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY user_id
+        ORDER BY total_value DESC, user_id ASC
+        LIMIT 10
+    """
     out["user_event_paths"] = """
         SELECT user_id,
                list(event_type ORDER BY ts, event_id) AS path,
