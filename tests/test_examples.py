@@ -20,6 +20,7 @@ EXAMPLES = [
     "e08_dynamic_demux",
     "e09_past_to_live",
     "e10_live_socket",
+    "e11_llm_curation",
 ]
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "examples"))
