@@ -1,7 +1,13 @@
 """Benchmark harness: runs the engine's headline queries end-to-end.
 
-Prints ONE JSON line:
-``{"metric": "...", "value": <total sec>, "unit": "sec", "queries": {...}, "sf": ...}``
+Stdout layout (the driver captures a bounded *tail* of stdout, so the
+machine-readable summary must be the LAST line and short):
+
+  line 1: full per-query detail JSON (may be long; informational)
+  line 2: ``{"metric": "...", "value": <total sec>, "unit": "sec", "sf": ...}``
+
+Per-query timings are also written to ``BENCH_DETAIL.json`` next to this
+file so they survive regardless of stdout capture limits.
 
 Env: ``SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1),
 ``SPARK_GRAFT_CPUS`` (default 32).  Each query is forced with a noop sink
@@ -42,12 +48,28 @@ def main() -> None:
         spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    detail = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": float(sf),
+    }
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1)
+    # Long detail line first; SHORT summary LAST so a bounded stdout-tail
+    # capture always retains a complete, parseable JSON object.
+    print(json.dumps(detail))
+    sys.stdout.flush()
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "sf": float(sf),
+        "n_queries": len(timings),
     }))
 
 
