@@ -1338,22 +1338,49 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Key order matters: the driver's CORRECTNESS gate covers the FIRST 50
+    # keys only. Rounds 1-2 gated the original first 50 (all green); round 3
+    # rotates the 39 never-gated queries (the whole LLM block plus the
+    # rank/scalar/sliding/percentile/stream-pivot families) into the window,
+    # padded to 50 with representatives of the already-verified families.
     return {
+        # --- LLM-pipeline block (never driver-gated before round 3) ---
+        **LLM_QUERIES,
+        # --- remaining never-gated families ---
+        "rank_family": q_rank_family,
+        "json_extract_props": q_json_extract,
+        "fullouter_daily": q_fullouter_daily,
+        "embedding_dim_stats": q_embedding_dim_stats,
+        "stream_pivot_daily": q_stream_pivot,
+        "user_event_paths": q_user_event_paths,
+        "stream_topk_users": q_stream_topk,
+        "window_funcs": q_window_funcs,
+        "scalar_funcs": q_scalar_funcs,
+        "sliding_2min": q_sliding_2min,
+        "stream_sliding_2min": q_stream_sliding_2min,
+        "value_percentiles": q_value_percentiles,
+        "cardinality_sketch": q_cardinality_sketch,
+        "simhash_pairs": q_simhash_pairs,
+        # --- already-driver-verified representatives (fill the 50 window) ---
         "vwap_2min": q_vwap_2min,
-        "first_seen": q_first_seen,
+        "trade_pnl_asof": q_trade_pnl,
+        "cart_fold_state": q_cart_fold,
+        "stream_cart_fold": q_stream_cart,
+        "feedback_orders": q_feedback,
+        "tpch_q1": q_tpch_q1,
+        "sessionize": q_sessionize,
         "positional_zip": q_positional_zip,
+        "stream_join_1h": q_stream_join,
+        "first_seen": q_first_seen,
+        "timer_ticks": q_timer_ticks,
+        # --- previously gated green in rounds 1-2 (outside the window) ---
         "running_combine": q_running_combine,
         "spread_bid_ask": q_spread,
         "positions_by_key": q_positions,
-        "trade_pnl_asof": q_trade_pnl,
         "cart_totals": q_cart_totals,
-        "cart_fold_state": q_cart_fold,
-        "feedback_orders": q_feedback,
         "resample_1min": q_resample_1min,
         "filter_project": q_filter_project,
         "demux_counts": q_demux,
-        "timer_ticks": q_timer_ticks,
-        "tpch_q1": q_tpch_q1,
         "top_revenue": q_top_revenue,
         "revenue_by_nation": q_revenue_by_nation,
         "tpch_q6": q_tpch_q6,
@@ -1373,7 +1400,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q21": q_tpch_q21,
         "semi_anti_join": q_semi_anti,
         "event_deltas": q_event_deltas,
-        "sessionize": q_sessionize,
         "sessionize_native": q_sessionize_native,
         "revenue_rollup": q_revenue_rollup,
         "topk_per_priority": q_topk_per_priority,
@@ -1381,29 +1407,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_sessionize": q_stream_sessionize,
         "stream_first_seen": q_stream_first_seen,
         "stream_dedup": q_stream_dedup,
-        "stream_join_1h": q_stream_join,
-        "stream_cart_fold": q_stream_cart,
         "set_ops_segments": q_set_ops,
         "set_ops_multiset": q_set_ops_multiset,
         "pivot_daily": q_pivot_daily,
         "unpivot_metrics": q_unpivot_metrics,
         "rows_frame_last5": q_rows_frame,
         "dominant_supplier": q_dominant_supplier,
-        "rank_family": q_rank_family,
-        "json_extract_props": q_json_extract,
-        "fullouter_daily": q_fullouter_daily,
-        "embedding_dim_stats": q_embedding_dim_stats,
-        "stream_pivot_daily": q_stream_pivot,
-        "user_event_paths": q_user_event_paths,
-        "stream_topk_users": q_stream_topk,
-        "window_funcs": q_window_funcs,
-        "scalar_funcs": q_scalar_funcs,
-        "sliding_2min": q_sliding_2min,
-        "stream_sliding_2min": q_stream_sliding_2min,
-        "value_percentiles": q_value_percentiles,
-        "cardinality_sketch": q_cardinality_sketch,
-        "simhash_pairs": q_simhash_pairs,
-        **LLM_QUERIES,
     }
 
 
