@@ -7,19 +7,22 @@ partition by content size so decode batches are balanced, and run decode /
 feature-extraction as mapInPandas over whole partitions -- one Python
 worker per partition, zero driver involvement.
 
-The decode itself is STUBBED here (no image/audio libs in this container):
-``decode_image_meta`` extracts deterministic pseudo-metadata from the raw
-bytes so the Spark-side plumbing (schema, batching, partitioning, UDF
-signatures) is real and testable; ``decode_image_real`` shows the gated
-import seam where Pillow/ffmpeg would slot in.
+Header decode is REAL: ``decode_image_header`` parses PNG (IHDR), JPEG
+(SOFn marker scan) and GIF (screen descriptor) width/height straight from
+the payload bytes -- no image library needed; format detection and
+dimensions work on any real file.  Only *pixel* decode (``decode_pixels``)
+needs Pillow/ffmpeg, absent in this container, and stays a gated seam.
+``decode_image_meta`` remains as the deterministic pseudo-metadata stub
+used by plumbing tests.
 """
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 #: Output schema of the stubbed image-decode stage.
@@ -58,8 +61,8 @@ def decode_image_meta(docs_bin: DataFrame) -> DataFrame:
         for pdf in batches:
             payloads = pdf["payload"]
             n_bytes = payloads.str.len().astype("int64")
-            first = payloads.str[0].apply(lambda b: b if b is not None else 0)
-            second = payloads.str[1].apply(lambda b: b if b is not None else 0)
+            first = payloads.str[0].fillna(0).astype("int64")
+            second = payloads.str[1].fillna(0).astype("int64")
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -74,14 +77,137 @@ def decode_image_meta(docs_bin: DataFrame) -> DataFrame:
     return docs_bin.mapInPandas(decode, schema=IMAGE_META_SCHEMA)
 
 
-def decode_image_real(docs_bin: DataFrame) -> DataFrame:
-    """Real decode seam: requires Pillow, absent in this container."""
+#: Output schema of the real header-decode stage.
+IMAGE_HEADER_SCHEMA = (
+    "doc_id BIGINT, format STRING, width INT, height INT, n_bytes BIGINT"
+)
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+#: JPEG start-of-frame markers that carry dimensions (C0-CF minus the
+#: non-SOF C4=DHT, C8=JPG extension, CC=DAC).
+_JPEG_SOF = {m for m in range(0xC0, 0xD0)} - {0xC4, 0xC8, 0xCC}
+
+
+def parse_image_header(payload: bytes | None) -> tuple[str | None, int | None, int | None]:
+    """(format, width, height) from raw image bytes; (None,)*3 if unknown.
+
+    Pure ``struct`` logic over the file's leading bytes:
+
+    * PNG: 8-byte signature, then the IHDR chunk -- width/height are the
+      big-endian u32 pair at offsets 16 and 20.
+    * JPEG: SOI then a marker walk (each segment is 0xFF, marker, u16
+      big-endian length INCLUDING the length field); dimensions live in
+      the first SOFn segment as u16 height at +5, u16 width at +7.
+    * GIF: 6-byte version tag, then little-endian u16 width/height.
+    """
+    if not payload:
+        return None, None, None
+    b = bytes(payload)
+    if b.startswith(_PNG_SIG) and len(b) >= 24:
+        w, h = struct.unpack_from(">II", b, 16)
+        return "png", w, h
+    if b.startswith(b"\xff\xd8"):
+        pos = 2
+        while pos + 9 <= len(b):
+            if b[pos] != 0xFF:
+                break
+            marker = b[pos + 1]
+            if marker in _JPEG_SOF:
+                h, w = struct.unpack_from(">HH", b, pos + 5)
+                return "jpeg", w, h
+            (seglen,) = struct.unpack_from(">H", b, pos + 2)
+            if seglen < 2:
+                break
+            pos += 2 + seglen
+        return "jpeg", None, None
+    if b[:6] in (b"GIF87a", b"GIF89a") and len(b) >= 10:
+        w, h = struct.unpack_from("<HH", b, 6)
+        return "gif", w, h
+    return None, None, None
+
+
+def decode_image_header(docs_bin: DataFrame) -> DataFrame:
+    """REAL header decode: format + dimensions parsed from payload bytes.
+
+    Arrow-batched ``mapInPandas``; the marker walk is per-row Python
+    inside the batch -- inherent to variable-length JPEG segment scans
+    (there is no fixed offset to vectorize on), and a few microseconds
+    per row against payloads that cost far more to read than to parse.
+    """
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            parsed = [parse_image_header(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "format": [p[0] for p in parsed],
+                    "width": pd.array([p[1] for p in parsed], dtype="Int32"),
+                    "height": pd.array([p[2] for p in parsed], dtype="Int32"),
+                    "n_bytes": pdf["payload"].str.len().astype("int64"),
+                }
+            )
+
+    return docs_bin.mapInPandas(decode, schema=IMAGE_HEADER_SCHEMA)
+
+
+def _be(col: Column, hex_digits: int) -> Column:
+    """Integer column -> fixed-width big-endian binary (2 or 4 bytes)."""
+    return F.unhex(F.lpad(F.hex(col.cast("bigint")), hex_digits, "0"))
+
+
+def synth_image_payload(
+    docs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic VALID image payloads from ``doc_id`` (fixture synth).
+
+    Even ids get a PNG (signature + IHDR + IEND), odd ids a JPEG (SOI +
+    APP0 + DQT stub + SOF0), with ``width = 16 + id % 1009`` and
+    ``height = 16 + (7 * id) % 997`` -- closed forms a SQL oracle can
+    recompute without parsing.  Built entirely from Spark column ops
+    (concat of binary literals + hex/unhex packing), so synthesis is
+    JVM-side and distributed.
+    """
+    did = F.col(id_col)
+    w = (F.lit(16) + did % F.lit(1009)).cast("int")
+    h = (F.lit(16) + (did * F.lit(7)) % F.lit(997)).cast("int")
+    png = F.concat(
+        F.lit(_PNG_SIG),
+        F.lit(b"\x00\x00\x00\x0dIHDR"),
+        _be(w, 8),
+        _be(h, 8),
+        # bit depth 8, RGBA, default compression/filter/interlace + fake CRC
+        F.lit(b"\x08\x06\x00\x00\x00" + b"\x00" * 4),
+        F.lit(b"\x00\x00\x00\x00IEND" + b"\x00" * 4),
+    )
+    jpeg = F.concat(
+        # SOI + APP0/JFIF segment (16 bytes) -- the SOF scan must skip it
+        F.lit(b"\xff\xd8\xff\xe0\x00\x10JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"),
+        # minimal DQT-shaped segment, also skipped
+        F.lit(b"\xff\xdb\x00\x04\x00\x00"),
+        # SOF0: len 17, precision 8, height, width, 3 components
+        F.lit(b"\xff\xc0\x00\x11\x08"),
+        _be(h, 4),
+        _be(w, 4),
+        F.lit(b"\x03\x01\x22\x00\x02\x11\x01\x03\x11\x01"),
+    )
+    return docs.select(
+        did.alias("doc_id"),
+        F.when(did % 2 == 0, png).otherwise(jpeg).alias("payload"),
+    )
+
+
+def decode_pixels(docs_bin: DataFrame) -> DataFrame:
+    """Pixel decode seam: requires Pillow, absent in this container.
+
+    Header metadata does NOT need this -- see ``decode_image_header``.
+    """
     try:
         from PIL import Image  # noqa: F401
     except ImportError as e:  # pragma: no cover
         raise NotImplementedError(
-            "image decode requires Pillow; this container has no image libs "
-            "-- use decode_image_meta (stub) for plumbing tests"
+            "pixel decode requires Pillow; this container has no image libs"
+            " -- header metadata works without it via decode_image_header"
         ) from e
     raise NotImplementedError("wire Image.open over payload bytes here")
 

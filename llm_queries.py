@@ -31,8 +31,10 @@ from async_stream_processing_spark.llm.dedup import (
     simhash,
 )
 from async_stream_processing_spark.llm.multimodal import (
+    decode_image_header,
     decode_image_meta,
     frame_sample_stub,
+    synth_image_payload,
     with_binary_payload,
 )
 from async_stream_processing_spark.llm.similarity import (
@@ -230,6 +232,15 @@ def q_frame_sample(spark, sf_dir):
     return frame_sample_stub(with_binary_payload(_docs(spark, sf_dir)))
 
 
+def q_multimodal_decode(spark, sf_dir):
+    """REAL image-header decode: synthesize valid PNG/JPEG payloads from
+    doc_id (JVM-side binary concat), then parse format/width/height back
+    out of the raw bytes with the struct-based header walk.  The oracle
+    recomputes the dimensions from the synthesis closed form -- two
+    independent routes to the same answer."""
+    return decode_image_header(synth_image_payload(_docs(spark, sf_dir)))
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Near-dup CLUSTERS: connected components of the verified pair graph
     via iterative min-label propagation; checked against a transitive-
@@ -265,6 +276,7 @@ LLM_QUERIES = {
     "redact_pii": q_redact_pii,
     "pipeline_end_to_end": q_pipeline,
     "multimodal_meta": q_multimodal_meta,
+    "multimodal_decode": q_multimodal_decode,
     "frame_sample": q_frame_sample,
 }
 
@@ -713,5 +725,16 @@ def llm_oracle_sql() -> dict[str, str]:
                    unnest(range(0, CAST(n_frames AS BIGINT), 10)) AS frame_idx
             FROM (SELECT doc_id, strlen(text) % 100 + 1 AS n_frames
                   FROM documents)
+        """,
+        # Spark genuinely builds binary payloads and parses their headers;
+        # the oracle recomputes the synthesis closed form (both fixture
+        # layouts are exactly 45 bytes -- see synth_image_payload).
+        "multimodal_decode": """
+            SELECT doc_id,
+                   CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
+                   CAST(16 + doc_id % 1009 AS INT) AS width,
+                   CAST(16 + (doc_id * 7) % 997 AS INT) AS height,
+                   CAST(45 AS BIGINT) AS n_bytes
+            FROM documents
         """,
     }

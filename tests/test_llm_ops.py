@@ -14,8 +14,11 @@ from async_stream_processing_spark.llm.dedup import (
     simhash,
 )
 from async_stream_processing_spark.llm.multimodal import (
+    decode_image_header,
     decode_image_meta,
-    decode_image_real,
+    decode_pixels,
+    parse_image_header,
+    synth_image_payload,
     with_binary_payload,
 )
 from async_stream_processing_spark.llm.similarity import knn_bruteforce, lsh_buckets
@@ -118,7 +121,58 @@ def test_multimodal_stub_plumbing(spark):
     assert out[0]["width"] == (ord("h") % 64 + 1) * 10
     assert out[1]["format"] == "png"  # 3 bytes % 3 == 0
     with pytest.raises(NotImplementedError):
-        decode_image_real(df)
+        decode_pixels(df)
+
+
+def test_parse_image_header_formats():
+    """Pure header-parse logic on handcrafted byte layouts."""
+    import struct
+
+    png = (
+        b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\x0dIHDR"
+        + struct.pack(">II", 640, 480) + b"\x08\x06\x00\x00\x00" + b"\x00" * 4
+    )
+    assert parse_image_header(png) == ("png", 640, 480)
+
+    # JPEG whose SOF0 sits behind APP0 + COM segments (the scan must walk)
+    jpeg = (
+        b"\xff\xd8"
+        + b"\xff\xe0\x00\x10JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+        + b"\xff\xfe\x00\x07hello"                 # COM, len 7
+        + b"\xff\xc2\x00\x11\x08" + struct.pack(">HH", 99, 1234)  # SOF2 (progressive)
+        + b"\x03\x01\x22\x00\x02\x11\x01\x03\x11\x01"
+    )
+    assert parse_image_header(jpeg) == ("jpeg", 1234, 99)
+
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00\x00\x00"
+    assert parse_image_header(gif) == ("gif", 320, 200)
+
+    # DHT (C4) must NOT be mistaken for a SOF marker
+    jpeg_dht_first = (
+        b"\xff\xd8" + b"\xff\xc4\x00\x04\x00\x00"
+        + b"\xff\xc0\x00\x11\x08" + struct.pack(">HH", 7, 8)
+        + b"\x03\x01\x22\x00\x02\x11\x01\x03\x11\x01"
+    )
+    assert parse_image_header(jpeg_dht_first) == ("jpeg", 8, 7)
+
+    assert parse_image_header(None) == (None, None, None)
+    assert parse_image_header(b"") == (None, None, None)
+    assert parse_image_header(b"not an image") == (None, None, None)
+    assert parse_image_header(b"\xff\xd8\xff\xe0") == ("jpeg", None, None)
+    assert parse_image_header(b"\x89PNG\r\n\x1a\nshort") == (None, None, None)
+
+
+def test_synth_roundtrip_decode(spark):
+    """synth_image_payload -> decode_image_header recovers the closed form."""
+    docs = _docs(spark, ["a", "b", "c", "d"])
+    out = {r["doc_id"]: r for r in
+           decode_image_header(synth_image_payload(docs)).collect()}
+    for did in range(4):
+        r = out[did]
+        assert r["format"] == ("png" if did % 2 == 0 else "jpeg")
+        assert r["width"] == 16 + did % 1009
+        assert r["height"] == 16 + (7 * did) % 997
+        assert r["n_bytes"] == 45
 
 
 def test_stop_shingle_filter_preserves_near_dup_detection(spark):
