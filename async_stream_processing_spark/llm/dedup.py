@@ -40,6 +40,22 @@ N_MINHASH = 16
 LSH_BANDS = 8
 
 
+def fan_out(df: DataFrame) -> DataFrame:
+    """Repartition a narrow input before a CPU-heavy explode.
+
+    An explode multiplies rows ~50x but inherits the scan's partitioning:
+    a corpus that arrives as one small parquet file would serialize the
+    whole shingle-hash pipeline onto one core.  When the input has fewer
+    partitions than the session has slots, pay one cheap shuffle of the
+    raw docs to unlock full parallelism; at real scale (input partitions
+    >= slots, e.g. any 100 TB corpus) this is a no-op.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def _shingle_hash(mode: str) -> Column:
     if mode == "xxhash64":
         # production path: cheaper, not oracle-portable
@@ -70,7 +86,8 @@ def _exploded_shingle_hashes(
     go through :func:`doc_shingle_hashes`.
     """
     return (
-        docs.select("doc_id", F.explode(shingles("text", n)).alias("shingle"))
+        fan_out(docs)
+        .select("doc_id", F.explode(shingles("text", n)).alias("shingle"))
         .select("doc_id", _shingle_hash(hash_mode).alias("h"))
     )
 
@@ -275,7 +292,8 @@ def simhash(docs: DataFrame, bits: int = 32, hash_mode: str = "md5") -> DataFram
     shift-adds -- no UDF.
     """
     toks = (
-        docs.select("doc_id", F.explode(F.split(F.lower(F.trim(F.col("text"))), " +")).alias("tok"))
+        fan_out(docs)
+        .select("doc_id", F.explode(F.split(F.lower(F.trim(F.col("text"))), " +")).alias("tok"))
         .distinct()
     )
     h = stable_hash60(F.col("tok")) if hash_mode == "md5" else F.abs(F.xxhash64("tok"))
@@ -350,6 +368,81 @@ def simhash_pairs(
     return pairs.select("doc_a", "doc_b", "sig_a", "sig_b", "hamming")
 
 
+def connected_components(
+    edges: DataFrame, max_iter: int = 25
+) -> tuple[DataFrame, int]:
+    """Min-label connected components with pointer jumping: O(log d) rounds.
+
+    ``edges`` is an undirected pair relation (doc_a, doc_b); returns
+    (labels, rounds) where labels = (doc_id, cluster_id) with cluster_id =
+    min doc_id of the component.  Each round does two label updates:
+
+    1. **neighbor-min**: every node takes the min label over itself and
+       its neighbors (one join + one map-side-combined aggregation);
+    2. **pointer jump**: labels are themselves node ids, so re-resolving
+       ``label(label(v))`` through a self-join halves the remaining path
+       to the component minimum.
+
+    Step 1 alone converges in diameter rounds (the round-1 shape); step 2
+    doubles the label's reach each round, so pathological chain graphs --
+    exactly the case ``max_iter`` used to bound -- finish in
+    O(log diameter) rounds (Shiloach-Vishkin style label doubling).  Each
+    round is a bounded number of shuffles, ``localCheckpoint`` truncates
+    the growing lineage, and the driver sees only the changed-count
+    scalar.  The fixpoint (min doc_id per component) is unique, so the
+    result is iteration-order independent; at cluster scale, swap
+    ``localCheckpoint`` for reliable checkpointing.
+    """
+    both = edges.select("doc_a", "doc_b").unionByName(
+        edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    )
+    labels = (
+        both.select(F.col("doc_a").alias("doc_id")).distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+        .localCheckpoint(eager=True)
+    )
+    rounds = 0
+    for _ in range(max_iter):
+        rounds += 1
+        nmin = (
+            both.join(labels, both.doc_b == labels.doc_id)
+            .groupBy("doc_a").agg(F.min("cluster_id").alias("nmin"))
+        )
+        stepped = (
+            labels.join(nmin, labels.doc_id == nmin.doc_a, "left")
+            .select(
+                labels.doc_id,
+                F.least(
+                    F.col("cluster_id"), F.coalesce("nmin", F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+        )
+        # pointer jump: label(v) <- label(label(v)); labels are node ids,
+        # so the parent's (possibly smaller) label short-cuts the path
+        parents = stepped.select(
+            F.col("doc_id").alias("p_id"), F.col("cluster_id").alias("p_label")
+        )
+        new = (
+            stepped.join(parents, stepped.cluster_id == parents.p_id, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"),
+                    F.coalesce("p_label", F.col("cluster_id")),
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.alias("n").join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id")).count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels, rounds
+
+
 def dedup_clusters(
     docs: DataFrame,
     threshold: float = 0.25,
@@ -362,53 +455,16 @@ def dedup_clusters(
     graph, cluster id = min doc_id in the component (the survivor a dedup
     pass keeps).  Pairs alone under-specify dedup -- A~B and B~C must
     collapse to ONE survivor even when A~C was never a candidate pair.
-
-    Batch iterative min-label propagation: each round every node takes the
-    min label over itself and its neighbors; converges in diameter rounds
-    (near-dup components are tiny and dense, so 2-3 rounds in practice;
-    ``max_iter`` bounds pathological chains).  Each round is one shuffle
-    join + one aggregation; ``localCheckpoint`` truncates the growing
-    lineage -- the standard Spark iterative-graph pattern (at 100 TB scale
-    swap in pointer-jumping for O(log n) rounds).  The driver sees only
-    the per-round changed-count scalar.  The fixpoint is unique, so the
-    result is iteration-order independent and matches the transitive-
-    closure SQL oracle exactly.
+    Components come from :func:`connected_components` (pointer-jumping
+    min-label propagation, O(log diameter) rounds); the transitive-closure
+    recursive-CTE oracle checks the result exactly.
     """
     # checkpoint the verified pairs BEFORE mirroring: the union's two
     # branches would otherwise each execute the whole minhash pipeline
     pairs = minhash_dedup_pairs(
         docs, threshold, n_hashes, bands, hash_mode
     ).select("doc_a", "doc_b").localCheckpoint(eager=True)
-    edges = pairs.unionByName(
-        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    )
-    labels = (
-        edges.select(F.col("doc_a").alias("doc_id")).distinct()
-        .withColumn("cluster_id", F.col("doc_id"))
-        .localCheckpoint(eager=True)
-    )
-    for _ in range(max_iter):
-        nmin = (
-            edges.join(labels, edges.doc_b == labels.doc_id)
-            .groupBy("doc_a").agg(F.min("cluster_id").alias("nmin"))
-        )
-        new = (
-            labels.join(nmin, labels.doc_id == nmin.doc_a, "left")
-            .select(
-                labels.doc_id,
-                F.least(
-                    F.col("cluster_id"), F.coalesce("nmin", F.col("cluster_id"))
-                ).alias("cluster_id"),
-            )
-            .localCheckpoint(eager=True)
-        )
-        changed = (
-            new.alias("n").join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id")).count()
-        )
-        labels = new
-        if changed == 0:
-            break
+    labels, _ = connected_components(pairs, max_iter)
     sizes = labels.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("cluster_size")
     )

@@ -88,3 +88,74 @@ def test_incremental_dedup_bucketed(spark, tmp_path):
             expect.add((new, old))
     assert got == expect and got
     spark.sql("DROP TABLE IF EXISTS corpus_buckets")
+
+
+def test_connected_components_chain_logarithmic_rounds(spark):
+    """Pointer jumping finishes a diameter-63 chain in O(log d) rounds --
+    the pathological case plain min-propagation needed 63 rounds for."""
+    import math
+
+    from async_stream_processing_spark.llm.dedup import connected_components
+
+    n = 64
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    labels, rounds = connected_components(edges, max_iter=25)
+    got = labels.collect()
+    assert len(got) == n and all(r["cluster_id"] == 0 for r in got)
+    # +2: one round to detect the zero-change fixpoint, one of slack for
+    # the interleaving of the neighbor-min and jump steps
+    assert rounds <= math.ceil(math.log2(n - 1)) + 2, rounds
+
+
+def test_lsh_recall_matches_analytic_bound(spark):
+    """Measured recall on planted near-dups stays within slack of the
+    analytic expectation 1 - (1 - J^r)^b, across 3 seeds.  A banding
+    change that silently degrades recall (e.g. swapping to 2 bands x 8
+    rows drops expected recall at J=0.8 from ~0.999 to ~0.3) fails this
+    hard."""
+    import random
+
+    from async_stream_processing_spark.llm.dedup import (
+        LSH_BANDS,
+        N_MINHASH,
+        doc_shingle_hashes,
+        jaccard_pairs_direct,
+        minhash_dedup_pairs,
+    )
+
+    rows_per_band = N_MINHASH // LSH_BANDS
+    for seed in (0, 1, 2):
+        rng = random.Random(seed)
+        docs = []
+        vocab = [f"w{seed}_{i}" for i in range(5000)]
+        for p in range(12):
+            base = rng.sample(vocab, 60)
+            # variant shares a long prefix; tail edits dial Jaccard ~0.6-0.9
+            tail_edits = rng.randrange(3, 10)
+            variant = base[:-tail_edits] + rng.sample(vocab, tail_edits)
+            docs.append((2 * p, " ".join(base)))
+            docs.append((2 * p + 1, " ".join(variant)))
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+
+        # ground truth: exact Jaccard of every planted pair
+        truth = {
+            (r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in jaccard_pairs_direct(doc_shingle_hashes(df), 0.3).collect()
+            if r["doc_b"] == r["doc_a"] + 1 and r["doc_a"] % 2 == 0
+        }
+        assert len(truth) >= 8, "fixture generated too few verifiable pairs"
+
+        found = {
+            (r["doc_a"], r["doc_b"])
+            for r in minhash_dedup_pairs(df, threshold=0.3).collect()
+        }
+        expected_recall = sum(
+            1 - (1 - j ** rows_per_band) ** LSH_BANDS for j in truth.values()
+        ) / len(truth)
+        measured = sum(1 for p in truth if p in found) / len(truth)
+        assert measured >= expected_recall - 0.15, (
+            f"seed {seed}: recall {measured:.3f} < "
+            f"analytic {expected_recall:.3f} - 0.15"
+        )
