@@ -122,6 +122,22 @@ def q_trade_pnl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "ts", "user_id", "qty", "price", "mid", "pnl")
 
 
+def q_trade_pnl_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same mark-to-market, via the time-bucketed as-of carry (the
+    skew/unkeyed scale path): per-(user, 10-min-bucket) windows + a tiny
+    cross-bucket summary carry.  Result-identical to trade_pnl_asof --
+    same oracle."""
+    trades = _stream(spark, sf_dir, "purchase").select(
+        "event_id", "ts", "seq", "user_id",
+        F.col("vol").alias("qty"), F.col("value").alias("price"),
+    )
+    quotes = _stream(spark, sf_dir, "view").select(
+        "user_id", "ts", "seq", F.col("value").alias("mid")
+    )
+    out = mark_to_market(trades, quotes, on=["user_id"], bucket_seconds=600)
+    return out.select("event_id", "ts", "user_id", "qty", "price", "mid", "pnl")
+
+
 def q_cart_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B7 CartManager relational view (e5_retail_cart.py:34-68): signed
     qty/cost fold with event-time discount window (1 h from first event)."""
@@ -1364,6 +1380,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- already-driver-verified representatives (fill the 50 window) ---
         "vwap_2min": q_vwap_2min,
         "trade_pnl_asof": q_trade_pnl,
+        "trade_pnl_bucketed": q_trade_pnl_bucketed,
         "cart_fold_state": q_cart_fold,
         "stream_cart_fold": q_stream_cart,
         "feedback_orders": q_feedback,
@@ -2207,4 +2224,7 @@ def oracle_sql() -> dict[str, str]:
           ON p.user_id = v.user_id
          AND v.ts BETWEEN p.ts - INTERVAL 3600 SECONDS AND p.ts
     """
+    # the bucketed as-of carry is an execution strategy, not a semantic
+    # change: same oracle as the plain union-and-carry
+    out["trade_pnl_bucketed"] = out["trade_pnl_asof"]
     return out

@@ -15,6 +15,7 @@ quotes) -- the carry-forward window is then per-key and fully parallel.
 
 from __future__ import annotations
 
+import warnings
 from typing import Sequence
 
 from pyspark.sql import DataFrame, Window
@@ -40,6 +41,14 @@ def asof_join(
     (inclusive) matches a quote registered before the trade stream.
     """
     on = list(on)
+    if not on:
+        warnings.warn(
+            "asof_join with no 'on' keys sorts the whole union in ONE "
+            "partition -- fine for small relations, a scale trap otherwise;"
+            " use asof_join_bucketed for unkeyed or heavily skewed inputs",
+            UserWarning,
+            stacklevel=2,
+        )
     right_cols = list(right_cols)
     lhs = left.withColumn("__side", F.lit(1))
     rhs = right.select(
@@ -57,3 +66,96 @@ def asof_join(
     for c in right_cols:
         merged = merged.withColumn(c, F.last(c, ignorenulls=True).over(w))
     return merged.filter(F.col("__side") == 1).drop("__side")
+
+
+def asof_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str] = (),
+    right_cols: Sequence[str] = (),
+    bucket_seconds: int = 3600,
+    strict: bool = False,
+) -> DataFrame:
+    """As-of join partitioned by TIME BUCKET on top of any equi-keys.
+
+    The scale path for unkeyed or skewed-key as-of joins (SCALE.md): the
+    plain union-and-carry sorts each key group in one partition, so no
+    key (or one hot key) serializes.  Here the carry-forward window runs
+    per ``(keys..., floor(ts / bucket))`` -- embarrassingly parallel
+    across buckets -- and values cross bucket boundaries via a per-bucket
+    summary relation (the last right-side payload of each bucket, one row
+    per key x bucket) whose own prefix-carry is tiny.  Classic two-level
+    scan/prefix decomposition: heavy data never sees a global sort.
+
+    Exactly equivalent to :func:`asof_join` for any ``bucket_seconds``
+    (property-tested); pick a bucket well above the median right-event
+    spacing so most buckets carry internally.
+    """
+    on = list(on)
+    right_cols = list(right_cols)
+    bucket = (F.unix_micros(F.col(TS)) / F.lit(int(bucket_seconds * 1e6))) \
+        .cast("long")
+
+    lhs = left.withColumn("__side", F.lit(1)).withColumn("__b", bucket)
+    rhs = (
+        right.select(
+            *[F.col(c) for c in on], F.col(TS), F.col(SEQ),
+            *[F.col(c) for c in right_cols],
+        )
+        .withColumn("__side", F.lit(0))
+        .withColumn("__b", bucket)
+    )
+    merged = lhs.unionByName(rhs, allowMissingColumns=True)
+
+    end = -1 if strict else 0
+    w_in = (
+        Window.partitionBy(*on, "__b")
+        .orderBy(F.col(TS), F.col(SEQ), F.col("__side"))
+        .rowsBetween(Window.unboundedPreceding, end)
+    )
+    for c in right_cols:
+        merged = merged.withColumn(f"__in_{c}", F.last(c, ignorenulls=True).over(w_in))
+
+    # per-(key, bucket) final right payload: the value each bucket hands
+    # to its successors (strictness is irrelevant across buckets -- every
+    # prior-bucket row is strictly before).  One row per key x bucket.
+    summary = (
+        rhs.groupBy(*on, "__b")
+        .agg(*[
+            # last NON-NULL payload: the null-ordering key drops null-c
+            # rows from the max, matching last(c, ignorenulls=True)
+            F.max_by(
+                F.col(c),
+                F.when(F.col(c).isNotNull(), F.struct(F.col(TS), F.col(SEQ))),
+            ).alias(c)
+            for c in right_cols
+        ])
+    )
+    # every bucket that appears anywhere needs a carry row, including
+    # buckets with left rows only -- pin the summary onto the full bucket
+    # spine, then ONE strictly-before window both shifts and propagates:
+    # carry into bucket b = last non-null summary over buckets < b
+    spine = merged.select(*on, "__b").distinct()
+    w_spine = (
+        Window.partitionBy(*on)
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry_full = spine.join(summary, on + ["__b"], "left").select(
+        *on, "__b",
+        *[
+            F.last(c, ignorenulls=True).over(w_spine).alias(f"__carry_{c}")
+            for c in right_cols
+        ],
+    )
+
+    out = merged.filter(F.col("__side") == 1).join(
+        carry_full, on + ["__b"], "left"
+    )
+    for c in right_cols:
+        out = out.withColumn(
+            c, F.coalesce(F.col(f"__in_{c}"), F.col(f"__carry_{c}"))
+        )
+    drop = ["__side", "__b"] + [f"__in_{c}" for c in right_cols] \
+        + [f"__carry_{c}" for c in right_cols]
+    return out.drop(*drop)

@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.numeric import dec
-from .asof import asof_join
+from .asof import asof_join, asof_join_bucketed
 
 
 def positions(
@@ -46,12 +46,22 @@ def mark_to_market(
     qty: str = "qty",
     price: str = "price",
     mid: str = "mid",
+    bucket_seconds: int | None = None,
 ) -> DataFrame:
     """Each trade marked at the latest quote mid as of its event time:
     ``pnl = qty * (mid - price)`` (decimal-exact).  Trades before any quote
     get null mid/pnl -- the reference's Book likewise has no mark until the
-    first quote arrives (e4_trade_pnl.py:55-58)."""
-    marked = asof_join(trades, quotes, on=on or [], right_cols=[mid])
+    first quote arrives (e4_trade_pnl.py:55-58).
+
+    ``bucket_seconds`` selects the time-bucketed carry (the skew/unkeyed
+    scale path, result-identical -- see ``asof_join_bucketed``)."""
+    if bucket_seconds is not None:
+        marked = asof_join_bucketed(
+            trades, quotes, on=on or [], right_cols=[mid],
+            bucket_seconds=bucket_seconds,
+        )
+    else:
+        marked = asof_join(trades, quotes, on=on or [], right_cols=[mid])
     return marked.withColumn(
         "pnl", (dec(qty, 0) * (dec(mid, 2) - dec(price, 2))).cast("double")
     )

@@ -195,3 +195,35 @@ def test_sole_contributor_matches_bruteforce(spark, rows):
         if f and len(actors[g] - {a}) > 0 and flagged[g] == {a}
     )
     assert got == expect
+
+
+@given(left=events_strategy, right=events_strategy,
+       bucket=st.sampled_from([1, 7, 30, 3600]))
+@SLOW
+def test_asof_join_bucketed_equivalent(spark, left, right, bucket):
+    """Time-bucketed as-of carry == plain union-and-carry for ANY bucket
+    size (the cross-bucket summary propagation must be seamless),
+    keyed or not, strict or not."""
+    import warnings as _w
+
+    from async_stream_processing_spark.operators.asof import asof_join_bucketed
+
+    trades = _df(spark, left, stream_id=1)
+    quotes = _df(spark, right, stream_id=0, value_col="mid")
+    for strict in (False, True):
+        with _w.catch_warnings():
+            _w.simplefilter("ignore", UserWarning)  # unkeyed trap warning
+            plain = {
+                r["seq"]: r["mid"]
+                for r in asof_join(
+                    trades, quotes, right_cols=["mid"], strict=strict
+                ).collect()
+            }
+        bucketed = {
+            r["seq"]: r["mid"]
+            for r in asof_join_bucketed(
+                trades, quotes, right_cols=["mid"],
+                bucket_seconds=bucket, strict=strict,
+            ).collect()
+        }
+        assert bucketed == plain
