@@ -1210,6 +1210,100 @@ def q_stream_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
+def q_stream_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking over STREAMING state: running per-user purchase totals are
+    maintained by the micro-batch engine (complete-mode stateful agg,
+    drained), then rank/dense_rank/ntile run as a batch epilogue over the
+    drained aggregate -- window functions aren't streamable in any output
+    mode, and this agg-to-sink-then-rank split IS the production shape
+    (SCALE.md: unbounded result sets write the raw aggregate to a sink
+    table and rank in batch over it)."""
+    from pyspark.sql import Window
+    from async_stream_processing_spark.sources.parquet import stream_table
+    from async_stream_processing_spark.streaming.replay import drain
+
+    s = stream_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    agg = s.groupBy("user_id").agg(
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+         .alias("total_value"),
+        F.count(F.lit(1)).alias("n_purchases"),
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        totals = drain(agg, output_mode="complete")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    w_ties = Window.orderBy(F.desc("total_value"))
+    w_total = Window.orderBy(F.desc("total_value"), F.asc("user_id"))
+    return totals.select(
+        "user_id", "total_value", "n_purchases",
+        F.rank().over(w_ties).cast("long").alias("rnk"),
+        F.dense_rank().over(w_ties).cast("long").alias("drnk"),
+        F.ntile(4).over(w_total).cast("long").alias("quartile"),
+    )
+
+
+def q_stream_fullouter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER stream-stream join EXECUTED BY THE STREAMING ENGINE:
+    clicks vs purchases per user within a +/-30 min event-time band; both
+    sides buffer in the state store, unmatched rows emit once the
+    watermark passes their band.  End-of-replay state is flushed the way
+    the reference ends a replay (history exhausted == clock jumps to
+    'live now'): a far-future sentinel row on each side advances the
+    event-time watermark past all real data, so every unmatched row
+    leaves the state store before the drain stops; sentinels themselves
+    stay in state and are filtered regardless."""
+    import tempfile
+    from datetime import timedelta
+
+    from async_stream_processing_spark.sources.parquet import stream_table
+    from async_stream_processing_spark.streaming.replay import drain
+
+    SIDE_SCHEMA = "event_id bigint, ts timestamp, user_id bigint, value double"
+    ev = load_table(spark, sf_dir, "events")
+    # O(1)-row driver anchor (same pattern as the timer/feedback queries)
+    max_ts = ev.select(F.max("ts")).first()[0]
+    sent_dir = tempfile.mkdtemp(prefix="asp_sentinel_")
+    spark.createDataFrame(
+        [(-1, max_ts + timedelta(days=1), -1, 0.0)], SIDE_SCHEMA
+    ).write.mode("overwrite").parquet(sent_dir)
+
+    def side(kind: str) -> DataFrame:
+        real = stream_table(spark, sf_dir, "events").filter(
+            F.col("event_type") == kind
+        ).select("event_id", "ts", "user_id", "value")
+        sentinel = spark.readStream.schema(SIDE_SCHEMA).parquet(sent_dir)
+        return real.unionByName(sentinel).withWatermark("ts", "2 hours")
+
+    j = side("click").alias("l").join(
+        side("purchase").alias("r"),
+        F.expr(
+            "l.user_id = r.user_id AND "
+            "r.ts BETWEEN l.ts - INTERVAL 30 MINUTES "
+            "AND l.ts + INTERVAL 30 MINUTES"
+        ),
+        "full_outer",
+    )
+    out = j.select(
+        F.col("l.event_id").alias("click_id"),
+        F.col("l.ts").alias("click_ts"),
+        F.col("l.value").alias("click_value"),
+        F.col("r.event_id").alias("purchase_id"),
+        F.col("r.ts").alias("purchase_ts"),
+        F.col("r.value").alias("purchase_value"),
+        F.coalesce(F.col("l.user_id"), F.col("r.user_id")).alias("user_id"),
+    ).filter(F.coalesce(F.col("l.user_id"), F.col("r.user_id")) >= 0)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        return drain(out, output_mode="append")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
 def q_fullouter_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FULL OUTER join (the one join type not yet declared): per-day
     click vs purchase user counts, keeping days present on either side
@@ -1368,6 +1462,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fullouter_daily": q_fullouter_daily,
         "embedding_dim_stats": q_embedding_dim_stats,
         "stream_pivot_daily": q_stream_pivot,
+        "stream_rank_family": q_stream_rank_family,
+        "stream_fullouter": q_stream_fullouter,
         "user_event_paths": q_user_event_paths,
         "stream_topk_users": q_stream_topk,
         "window_funcs": q_window_funcs,
@@ -2227,4 +2323,33 @@ def oracle_sql() -> dict[str, str]:
     # the bucketed as-of carry is an execution strategy, not a semantic
     # change: same oracle as the plain union-and-carry
     out["trade_pnl_bucketed"] = out["trade_pnl_asof"]
+    out["stream_rank_family"] = """
+        WITH totals AS (
+            SELECT user_id,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                       AS total_value,
+                   COUNT(*) AS n_purchases
+            FROM events WHERE event_type = 'purchase' GROUP BY user_id)
+        SELECT user_id, total_value, n_purchases,
+               CAST(RANK() OVER (ORDER BY total_value DESC) AS BIGINT)
+                   AS rnk,
+               CAST(DENSE_RANK() OVER (ORDER BY total_value DESC) AS BIGINT)
+                   AS drnk,
+               CAST(NTILE(4) OVER (ORDER BY total_value DESC, user_id)
+                    AS BIGINT) AS quartile
+        FROM totals
+    """
+    out["stream_fullouter"] = """
+        SELECT c.event_id AS click_id, c.ts AS click_ts,
+               c.value AS click_value,
+               p.event_id AS purchase_id, p.ts AS purchase_ts,
+               p.value AS purchase_value,
+               COALESCE(c.user_id, p.user_id) AS user_id
+        FROM (SELECT * FROM events WHERE event_type = 'click') c
+        FULL OUTER JOIN
+             (SELECT * FROM events WHERE event_type = 'purchase') p
+          ON c.user_id = p.user_id
+         AND p.ts BETWEEN c.ts - INTERVAL 1800 SECONDS
+                      AND c.ts + INTERVAL 1800 SECONDS
+    """
     return out
