@@ -40,18 +40,39 @@ N_MINHASH = 16
 LSH_BANDS = 8
 
 
+#: Logical nodes that imply the input is already behind a shuffle (its
+#: partitioning is session-wide, not file-bound).
+_WIDE_NODES = (
+    "Window", "Aggregate", "Join", "Repartition", "Deduplicate", "Distinct",
+)
+
+
 def fan_out(df: DataFrame) -> DataFrame:
-    """Repartition a narrow input before a CPU-heavy explode.
+    """Repartition a narrow FILE-SCAN input before a CPU-heavy explode.
 
     An explode multiplies rows ~50x but inherits the scan's partitioning:
     a corpus that arrives as one small parquet file would serialize the
-    whole shingle-hash pipeline onto one core.  When the input has fewer
-    partitions than the session has slots, pay one cheap shuffle of the
-    raw docs to unlock full parallelism; at real scale (input partitions
-    >= slots, e.g. any 100 TB corpus) this is a no-op.
+    whole shingle-hash pipeline onto one core.  When a scan-only input
+    has fewer files than the session has slots, pay one cheap shuffle of
+    the raw docs to unlock full parallelism; at real scale (files >=
+    slots, e.g. any 100 TB corpus) this is a no-op.
+
+    The probe is STATIC (analyzed plan string + input file list, ~10 ms):
+    ``df.rdd.getNumPartitions`` is not safe here -- under AQE it
+    materializes every upstream query stage, i.e. executes half the
+    query to plan the query.  Derived inputs (already behind a window /
+    aggregate / join shuffle) are left alone: their partitioning is the
+    session's shuffle setting, and stacking another full-corpus shuffle
+    on top would double the movement at scale.
     """
+    if df.isStreaming:
+        return df
+    plan = df._jdf.queryExecution().analyzed().toString()
+    if any(node in plan for node in _WIDE_NODES):
+        return df
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    files = df.inputFiles()
+    if 0 < len(files) < target:
         return df.repartition(target)
     return df
 
