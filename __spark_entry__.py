@@ -1296,8 +1296,12 @@ def q_stream_fullouter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r.value").alias("purchase_value"),
         F.coalesce(F.col("l.user_id"), F.col("r.user_id")).alias("user_id"),
     ).filter(F.coalesce(F.col("l.user_id"), F.col("r.user_id")) >= 0)
+    # 4 shuffle partitions locally: an outer stream-stream join keeps 4
+    # state-store instances per partition, and store setup dominates the
+    # tiny local state (A/B: 4 parts ~2.5x faster than 8, identical
+    # rows).  At scale, size by state volume / throughput instead.
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
         return drain(out, output_mode="append")
     finally:
