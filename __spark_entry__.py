@@ -891,8 +891,9 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # so run THIS query's micro-batches on fewer partitions (restored
     # after the drain -- partition count never changes results, only the
     # state sharding).  On a real cluster size this to executor count.
+    # A/B at sf0.1: 4 partitions ~1.5 s faster than 8, identical rows.
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
         return drain(out, output_mode="append")
     finally:
