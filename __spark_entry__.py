@@ -1301,12 +1301,16 @@ def q_stream_fullouter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # state-store instances per partition, and store setup dominates the
     # tiny local state (A/B: 4 parts ~2.5x faster than 8, identical
     # rows).  At scale, size by state volume / throughput instead.
+    import shutil
+
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
         return drain(out, output_mode="append")
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        # the memory-sink table is materialized; the sentinel files are done
+        shutil.rmtree(sent_dir, ignore_errors=True)
 
 
 def q_fullouter_daily(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -389,6 +389,16 @@ def simhash_pairs(
     return pairs.select("doc_a", "doc_b", "sig_a", "sig_b", "hamming")
 
 
+def _iter_checkpoint(df: DataFrame) -> DataFrame:
+    """Lineage truncation for iterative loops: RELIABLE checkpoint when the
+    session has a checkpoint dir configured (the cluster-scale setting --
+    survives executor loss), executor-local otherwise (fast, fine for
+    single-node runs)."""
+    if df.sparkSession.sparkContext.getCheckpointDir() is not None:
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
+
+
 def connected_components(
     edges: DataFrame, max_iter: int = 25
 ) -> tuple[DataFrame, int]:
@@ -417,10 +427,9 @@ def connected_components(
     both = edges.select("doc_a", "doc_b").unionByName(
         edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     )
-    labels = (
+    labels = _iter_checkpoint(
         both.select(F.col("doc_a").alias("doc_id")).distinct()
         .withColumn("cluster_id", F.col("doc_id"))
-        .localCheckpoint(eager=True)
     )
     rounds = 0
     for _ in range(max_iter):
@@ -443,7 +452,7 @@ def connected_components(
         parents = stepped.select(
             F.col("doc_id").alias("p_id"), F.col("cluster_id").alias("p_label")
         )
-        new = (
+        new = _iter_checkpoint(
             stepped.join(parents, stepped.cluster_id == parents.p_id, "left")
             .select(
                 "doc_id",
@@ -452,7 +461,6 @@ def connected_components(
                     F.coalesce("p_label", F.col("cluster_id")),
                 ).alias("cluster_id"),
             )
-            .localCheckpoint(eager=True)
         )
         changed = (
             new.alias("n").join(labels.alias("o"), "doc_id")

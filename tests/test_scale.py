@@ -159,3 +159,78 @@ def test_lsh_recall_matches_analytic_bound(spark):
             f"seed {seed}: recall {measured:.3f} < "
             f"analytic {expected_recall:.3f} - 0.15"
         )
+
+
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    """With a session checkpoint dir configured (the cluster setting),
+    the CC loop uses RELIABLE checkpoints -- files actually land in the
+    dir -- and still converges to the same labels."""
+    import os
+
+    from async_stream_processing_spark.llm.dedup import connected_components
+
+    ckpt = str(tmp_path / "ckpt")
+    spark.sparkContext.setCheckpointDir(ckpt)
+    try:
+        edges = spark.createDataFrame(
+            [(0, 1), (1, 2), (5, 6)], "doc_a long, doc_b long"
+        )
+        labels, _ = connected_components(edges)
+        got = {r["doc_id"]: r["cluster_id"] for r in labels.collect()}
+        assert got == {0: 0, 1: 0, 2: 0, 5: 5, 6: 5}
+        written = []
+        for root, _dirs, files in os.walk(ckpt):
+            written += files
+        assert written, "no reliable checkpoint files were written"
+    finally:
+        # restore executor-local checkpointing for the rest of the suite
+        # (py4j name for Scala's `checkpointDir_=` setter)
+        getattr(spark.sparkContext._jsc.sc(), "checkpointDir_$eq")(
+            spark.sparkContext._jvm.scala.Option.apply(None)
+        )
+
+
+def test_streaming_state_rocksdb_provider_equivalent(spark, tmp_path):
+    """The RocksDB state-store provider (the 100 TB streaming-state
+    setting: state spills to disk instead of executor heap) produces the
+    SAME drained results as the default HDFS-backed in-memory provider."""
+    from pyspark.sql import functions as F
+
+    from async_stream_processing_spark.streaming.replay import (
+        drain,
+        stream_dedup_within_watermark,
+    )
+
+    src = str(tmp_path / "events")
+    rows = [(i, f"u{i % 5}", "click" if i % 3 else "view") for i in range(60)]
+    df = spark.createDataFrame(rows, "seq long, user_id string, event_type string") \
+        .withColumn("ts", F.timestamp_micros(F.col("seq") * 1_000_000))
+    df.write.mode("overwrite").parquet(src)
+
+    def run() -> set:
+        s = spark.readStream.schema(
+            "seq long, user_id string, event_type string, ts timestamp"
+        ).parquet(src)
+        dd = stream_dedup_within_watermark(
+            s, ["user_id", "event_type"], delay="1 hour"
+        )
+        return {
+            (r["user_id"], r["event_type"])
+            for r in drain(
+                dd.select("user_id", "event_type"), output_mode="append"
+            ).collect()
+        }
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    default = run()
+    prev = spark.conf.get(provider_key)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        rocks = run()
+    finally:
+        spark.conf.set(provider_key, prev)
+    assert rocks == default and default  # 10 distinct (user, type) pairs
