@@ -197,6 +197,107 @@ def synth_image_payload(
     )
 
 
+#: Output schema of the audio header-decode stage.
+AUDIO_HEADER_SCHEMA = (
+    "doc_id BIGINT, codec STRING, channels INT, sample_rate INT, "
+    "bits_per_sample INT, data_bytes BIGINT"
+)
+
+
+def parse_wav_header(
+    payload: bytes | None,
+) -> tuple[str | None, int | None, int | None, int | None, int | None]:
+    """(codec, channels, sample_rate, bits_per_sample, data_bytes) from a
+    RIFF/WAVE payload; all-None if not a WAV.  Chunk walk: 'fmt ' carries
+    the PCM params (little-endian u16/u32), 'data' carries the sample
+    byte count -- unknown chunks are skipped by their declared size, so
+    files with LIST/INFO metadata ahead of 'data' parse fine."""
+    if not payload:
+        return None, None, None, None, None
+    b = bytes(payload)
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None, None, None, None, None
+    channels = rate = bits = None
+    data_bytes = None
+    pos = 12
+    while pos + 8 <= len(b):
+        cid = b[pos:pos + 4]
+        (size,) = struct.unpack_from("<I", b, pos + 4)
+        if cid == b"fmt " and pos + 8 + 16 <= len(b):
+            _fmt, channels, rate = struct.unpack_from("<HHI", b, pos + 8)
+            (bits,) = struct.unpack_from("<H", b, pos + 22)
+        elif cid == b"data":
+            data_bytes = size
+        pos += 8 + size + (size & 1)  # RIFF chunks are word-aligned
+    return "pcm_wav", channels, rate, bits, data_bytes
+
+
+def decode_audio_header(docs_bin: DataFrame) -> DataFrame:
+    """REAL audio header decode (RIFF/WAVE chunk walk), Arrow-batched."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            parsed = [parse_wav_header(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "codec": [p[0] for p in parsed],
+                    "channels": pd.array([p[1] for p in parsed], dtype="Int32"),
+                    "sample_rate": pd.array([p[2] for p in parsed], dtype="Int32"),
+                    "bits_per_sample": pd.array([p[3] for p in parsed], dtype="Int32"),
+                    "data_bytes": pd.array([p[4] for p in parsed], dtype="Int64"),
+                }
+            )
+
+    return docs_bin.mapInPandas(decode, schema=AUDIO_HEADER_SCHEMA)
+
+
+def _le(col: Column, n_bytes: int) -> Column:
+    """Integer column -> fixed-width little-endian binary via byte reversal
+    of the big-endian packing."""
+    be = F.unhex(F.lpad(F.hex(col.cast("bigint")), n_bytes * 2, "0"))
+    # reverse the byte order with substring slices (JVM-side, no UDF)
+    return F.concat(*[
+        F.substring(be, i, 1) for i in range(n_bytes, 0, -1)
+    ])
+
+
+def synth_wav_payload(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic VALID RIFF/WAVE payloads from ``doc_id``.
+
+    ``channels = 1 + id % 2``, ``sample_rate = 8000 * (1 + id % 3)``,
+    16-bit PCM, ``data_bytes = 1000 + id % 997`` -- closed forms a SQL
+    oracle recomputes without parsing.  A 10-byte LIST chunk sits between
+    'fmt ' and 'data' so the chunk walk is exercised.  Payload bytes are
+    header-only (data chunk declared, not materialized): header parsing
+    never needs the samples, exactly like scanning a lake of pointers.
+    """
+    did = F.col(id_col)
+    channels = (F.lit(1) + did % 2).cast("int")
+    rate = (F.lit(8000) * (F.lit(1) + did % 3)).cast("int")
+    bits = F.lit(16)
+    data_bytes = (F.lit(1000) + did % 997).cast("int")
+    byte_rate = (rate * channels * bits / F.lit(8)).cast("int")
+    block_align = (channels * bits / F.lit(8)).cast("int")
+    fmt_chunk = F.concat(
+        F.lit(b"fmt " + struct.pack("<I", 16) + struct.pack("<H", 1)),
+        _le(channels, 2), _le(rate, 4), _le(byte_rate, 4),
+        _le(block_align, 2), _le(bits, 2),
+    )
+    list_chunk = F.lit(b"LIST" + struct.pack("<I", 10) + b"INFOabcdef")
+    data_chunk = F.concat(F.lit(b"data"), _le(data_bytes, 4))
+    riff_size = (
+        F.lit(4 + 8 + 16 + 8 + 10 + 8) + data_bytes
+    ).cast("int")
+    return docs.select(
+        did.alias("doc_id"),
+        F.concat(
+            F.lit(b"RIFF"), _le(riff_size, 4), F.lit(b"WAVE"),
+            fmt_chunk, list_chunk, data_chunk,
+        ).alias("payload"),
+    )
+
+
 def decode_pixels(docs_bin: DataFrame) -> DataFrame:
     """Pixel decode seam: requires Pillow, absent in this container.
 

@@ -31,10 +31,12 @@ from async_stream_processing_spark.llm.dedup import (
     simhash,
 )
 from async_stream_processing_spark.llm.multimodal import (
+    decode_audio_header,
     decode_image_header,
     decode_image_meta,
     frame_sample_stub,
     synth_image_payload,
+    synth_wav_payload,
     with_binary_payload,
 )
 from async_stream_processing_spark.llm.similarity import (
@@ -241,6 +243,13 @@ def q_multimodal_decode(spark, sf_dir):
     return decode_image_header(synth_image_payload(_docs(spark, sf_dir)))
 
 
+def q_multimodal_audio(spark, sf_dir):
+    """REAL audio-header decode: synthesize valid RIFF/WAVE headers from
+    doc_id (JVM-side little-endian packing), chunk-walk them back out
+    (fmt /LIST/data), oracle recomputes the closed form."""
+    return decode_audio_header(synth_wav_payload(_docs(spark, sf_dir)))
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Near-dup CLUSTERS: connected components of the verified pair graph
     via iterative min-label propagation; checked against a transitive-
@@ -277,6 +286,7 @@ LLM_QUERIES = {
     "pipeline_end_to_end": q_pipeline,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_decode": q_multimodal_decode,
+    "multimodal_audio": q_multimodal_audio,
     "frame_sample": q_frame_sample,
 }
 
@@ -735,6 +745,14 @@ def llm_oracle_sql() -> dict[str, str]:
                    CAST(16 + doc_id % 1009 AS INT) AS width,
                    CAST(16 + (doc_id * 7) % 997 AS INT) AS height,
                    CAST(45 AS BIGINT) AS n_bytes
+            FROM documents
+        """,
+        "multimodal_audio": """
+            SELECT doc_id, 'pcm_wav' AS codec,
+                   CAST(1 + doc_id % 2 AS INT) AS channels,
+                   CAST(8000 * (1 + doc_id % 3) AS INT) AS sample_rate,
+                   CAST(16 AS INT) AS bits_per_sample,
+                   CAST(1000 + doc_id % 997 AS BIGINT) AS data_bytes
             FROM documents
         """,
     }

@@ -230,3 +230,39 @@ def test_ivf_recall_on_clustered_vectors(spark):
     hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
     total = sum(len(v) for v in exact.values())
     assert hits / total >= 0.9, f"recall {hits}/{total}"
+
+
+def test_parse_wav_header():
+    """RIFF/WAVE chunk walk on a handcrafted header with a LIST chunk
+    between fmt and data."""
+    import struct
+
+    from async_stream_processing_spark.llm.multimodal import parse_wav_header
+
+    fmt = (b"fmt " + struct.pack("<I", 16)
+           + struct.pack("<HHIIHH", 1, 2, 44100, 176400, 4, 16))
+    lst = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"  # odd: padded
+    data = b"data" + struct.pack("<I", 8000)
+    body = b"WAVE" + fmt + lst + data
+    wav = b"RIFF" + struct.pack("<I", len(body)) + body
+    assert parse_wav_header(wav) == ("pcm_wav", 2, 44100, 16, 8000)
+    assert parse_wav_header(b"RIFFxxxx") == (None,) * 5
+    assert parse_wav_header(None) == (None,) * 5
+
+
+def test_synth_wav_roundtrip(spark):
+    from async_stream_processing_spark.llm.multimodal import (
+        decode_audio_header,
+        synth_wav_payload,
+    )
+
+    docs = _docs(spark, ["a", "b", "c"])
+    out = {r["doc_id"]: r for r in
+           decode_audio_header(synth_wav_payload(docs)).collect()}
+    for did in range(3):
+        r = out[did]
+        assert r["codec"] == "pcm_wav"
+        assert r["channels"] == 1 + did % 2
+        assert r["sample_rate"] == 8000 * (1 + did % 3)
+        assert r["bits_per_sample"] == 16
+        assert r["data_bytes"] == 1000 + did % 997
