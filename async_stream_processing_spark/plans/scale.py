@@ -66,3 +66,41 @@ def write_bucketed(
 
 def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
     return spark.table(table)
+
+
+def write_partitioned_lake(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str],
+    cluster_by: list[str] | None = None,
+    max_records_per_file: int | None = None,
+    dynamic_overwrite: bool = True,
+) -> None:
+    """Lake-layout writer: hive-partitioned parquet with optional
+    within-file clustering.
+
+    * ``partition_by`` becomes directory partitioning -- readers prune
+      whole directories from predicates on those columns (the 100 TB
+      prerequisite: a day-scoped query must never list the other days).
+    * ``cluster_by`` sorts within partitions before writing, so parquet
+      row-group min/max stats make point/range predicates skip row
+      groups inside each file (poor man's Z-order for one key family).
+    * ``max_records_per_file`` bounds file size so a hot partition
+      splits into parallel-scannable files instead of one giant file.
+    * dynamic partition overwrite replaces ONLY the partitions present
+      in ``df`` -- an idempotent daily re-run rewrites its own day and
+      leaves the rest of the lake untouched.
+    """
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    if dynamic_overwrite:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        if cluster_by:
+            df = df.sortWithinPartitions(*cluster_by)
+        writer = df.write.mode("overwrite").partitionBy(*partition_by)
+        if max_records_per_file:
+            writer = writer.option("maxRecordsPerFile", max_records_per_file)
+        writer.parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)

@@ -234,3 +234,41 @@ def test_streaming_state_rocksdb_provider_equivalent(spark, tmp_path):
     finally:
         spark.conf.set(provider_key, prev)
     assert rocks == default and default  # 10 distinct (user, type) pairs
+
+
+def test_write_partitioned_lake_prunes_and_overwrites(spark, tmp_path):
+    """Directory layout, partition pruning in the scan, and dynamic
+    overwrite (a re-run replaces only its own partitions)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from async_stream_processing_spark.plans.scale import write_partitioned_lake
+
+    lake = str(tmp_path / "lake")
+    df = spark.createDataFrame(
+        [(d, u, float(u * d)) for d in (1, 2, 3) for u in range(10)],
+        "day int, user_id int, value double",
+    )
+    write_partitioned_lake(df, lake, ["day"], cluster_by=["user_id"],
+                           max_records_per_file=4)
+    assert sorted(
+        p for p in os.listdir(lake) if p.startswith("day=")
+    ) == ["day=1", "day=2", "day=3"]
+    # hot-partition splitting: 10 rows / max 4 per file -> >= 3 files
+    assert len([f for f in os.listdir(f"{lake}/day=2")
+                if f.endswith(".parquet")]) >= 3
+
+    back = spark.read.parquet(lake).filter(F.col("day") == 2)
+    # partition pruning: the day filter never reaches the row scan
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(day" in plan
+    assert back.count() == 10
+
+    # dynamic overwrite: rewrite ONLY day=2, day 1/3 keep their rows
+    patch = spark.createDataFrame([(2, 99, 0.0)],
+                                  "day int, user_id int, value double")
+    write_partitioned_lake(patch, lake, ["day"])
+    again = spark.read.parquet(lake)
+    assert again.filter("day = 2").count() == 1
+    assert again.filter("day != 2").count() == 20
