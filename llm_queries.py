@@ -250,6 +250,22 @@ def q_multimodal_audio(spark, sf_dir):
     return decode_audio_header(synth_wav_payload(_docs(spark, sf_dir)))
 
 
+def q_stream_multimodal(spark, sf_dir):
+    """Header decode EXECUTED BY THE STREAMING ENGINE: the same
+    synth -> parse pipeline over a documents STREAM (stateless
+    mapInPandas -- each micro-batch decodes independently, no state, so
+    append mode emits exactly the batch result).  The shape of a live
+    ingest branch that extracts media metadata on arrival; same oracle
+    as the batch multimodal_decode."""
+    from async_stream_processing_spark.sources.parquet import stream_table
+    from async_stream_processing_spark.streaming.replay import drain
+
+    s = stream_table(spark, sf_dir, "documents").select("doc_id")
+    return drain(
+        decode_image_header(synth_image_payload(s)), output_mode="append"
+    )
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Near-dup CLUSTERS: connected components of the verified pair graph
     via iterative min-label propagation; checked against a transitive-
@@ -287,6 +303,7 @@ LLM_QUERIES = {
     "multimodal_meta": q_multimodal_meta,
     "multimodal_decode": q_multimodal_decode,
     "multimodal_audio": q_multimodal_audio,
+    "stream_multimodal_decode": q_stream_multimodal,
     "frame_sample": q_frame_sample,
 }
 
@@ -753,6 +770,15 @@ def llm_oracle_sql() -> dict[str, str]:
                    CAST(8000 * (1 + doc_id % 3) AS INT) AS sample_rate,
                    CAST(16 AS INT) AS bits_per_sample,
                    CAST(1000 + doc_id % 997 AS BIGINT) AS data_bytes
+            FROM documents
+        """,
+        # stateless streaming decode emits exactly the batch result
+        "stream_multimodal_decode": """
+            SELECT doc_id,
+                   CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
+                   CAST(16 + doc_id % 1009 AS INT) AS width,
+                   CAST(16 + (doc_id * 7) % 997 AS INT) AS height,
+                   CAST(45 AS BIGINT) AS n_bytes
             FROM documents
         """,
     }
