@@ -154,16 +154,17 @@ def knn_lsh(
     )
 
 
-def ivf_assign(embeddings: DataFrame, n_centroids: int = 8) -> DataFrame:
-    """IVF-flat cell assignment with deterministic centroids (the first
-    ``n_centroids`` vectors -- a fixed-seed stand-in for trained k-means;
-    swap in persisted centroids for production).  Each vector joins the
-    broadcast centroid set and keeps its max-cosine cell.  One scan of the
-    corpus; at 100 TB, write the corpus bucketed by ``centroid_id`` so
-    query probes are partition-pruned reads."""
-    cents = embeddings.filter(F.col("vec_id") < n_centroids).select(
+def _seed_centroids(embeddings: DataFrame, n_centroids: int) -> DataFrame:
+    """Deterministic init: the first ``n_centroids`` vectors by id."""
+    return embeddings.filter(F.col("vec_id") < n_centroids).select(
         F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_emb")
     )
+
+
+def _assign_to(embeddings: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, centroid_id, centroid_cosine, embedding): max-cosine cell
+    per vector against the BROADCAST centroid set -- one corpus scan, no
+    corpus shuffle."""
     scored = embeddings.join(F.broadcast(cents)).withColumn(
         "cos", cosine(F.col("embedding"), F.col("c_emb"))
     )
@@ -171,7 +172,76 @@ def ivf_assign(embeddings: DataFrame, n_centroids: int = 8) -> DataFrame:
     return (
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") == 1)
-        .select("vec_id", "centroid_id", F.col("cos").alias("centroid_cosine"))
+        .select(
+            "vec_id", "centroid_id", F.col("cos").alias("centroid_cosine"),
+            "embedding",
+        )
+    )
+
+
+def kmeans_train(
+    embeddings: DataFrame, n_centroids: int = 8, n_iter: int = 4
+) -> DataFrame:
+    """Spherical k-means (Lloyd) entirely in DataFrame ops: the trained
+    replacement for the first-k centroid stand-in.
+
+    Per iteration: (1) assign -- broadcast-join argmax-cosine, one corpus
+    scan, the corpus never shuffles on anything but (centroid, dim)
+    partial sums; (2) update -- elementwise mean via ``posexplode`` +
+    map-side-combined avg per (centroid, dim), reassembled in dim order
+    and L2-normalized (spherical k-means: centroids live on the unit
+    sphere, so argmax cosine == argmin angular distance).  A cell that
+    loses all members keeps its previous centroid.  Iterations are an
+    iterative fixpoint -- the canonical rows-only op (oracle SQL would
+    need the loop unrolled); recall improvement over the untrained
+    stand-in is pinned by test instead."""
+    cents = _seed_centroids(embeddings, n_centroids).localCheckpoint(eager=True)
+    for _ in range(n_iter):
+        assigned = _assign_to(embeddings, cents)
+        dims = assigned.select(
+            "centroid_id", F.posexplode(_as_double(F.col("embedding"))).alias("pos", "v")
+        )
+        means = dims.groupBy("centroid_id", "pos").agg(F.avg("v").alias("v"))
+        new = (
+            means.groupBy("centroid_id")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "v"))).alias("pv"))
+            .select(
+                "centroid_id",
+                F.transform(F.col("pv"), lambda s: s["v"]).alias("m"),
+            )
+            .withColumn(
+                "c_emb",
+                F.transform(
+                    F.col("m"), lambda x: (x / norm(F.col("m"))).cast("float")
+                ),
+            )
+            .select("centroid_id", "c_emb")
+        )
+        # empty cells keep their previous centroid
+        cents = (
+            cents.select("centroid_id", F.col("c_emb").alias("prev"))
+            .join(new, "centroid_id", "left")
+            .select("centroid_id", F.coalesce("c_emb", "prev").alias("c_emb"))
+            .localCheckpoint(eager=True)
+        )
+    return cents
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    n_centroids: int = 8,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """IVF-flat cell assignment.  Default centroids are the first
+    ``n_centroids`` vectors (deterministic, oracle-portable); pass
+    ``centroids=kmeans_train(...)`` for trained cells.  Each vector joins
+    the broadcast centroid set and keeps its max-cosine cell.  One scan
+    of the corpus; at 100 TB, write the corpus bucketed by
+    ``centroid_id`` so query probes are partition-pruned reads."""
+    cents = centroids if centroids is not None \
+        else _seed_centroids(embeddings, n_centroids)
+    return _assign_to(embeddings, cents).select(
+        "vec_id", "centroid_id", "centroid_cosine"
     )
 
 
@@ -181,14 +251,15 @@ def knn_ivf(
     k: int = 3,
     n_centroids: int = 8,
     nprobe: int = 2,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: each query probes its ``nprobe`` nearest
     cells and ranks only vectors assigned there -- the classic
-    recall/cost dial (nprobe=n_centroids degenerates to brute force)."""
-    assign = ivf_assign(embeddings, n_centroids)
-    cents = embeddings.filter(F.col("vec_id") < n_centroids).select(
-        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_emb")
-    )
+    recall/cost dial (nprobe=n_centroids degenerates to brute force).
+    Pass ``centroids=kmeans_train(...)`` for trained cells."""
+    assign = ivf_assign(embeddings, n_centroids, centroids=centroids)
+    cents = centroids if centroids is not None else \
+        _seed_centroids(embeddings, n_centroids)
     q = embeddings.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )

@@ -266,6 +266,21 @@ def q_stream_multimodal(spark, sf_dir):
     )
 
 
+def q_ivf_kmeans_assign(spark, sf_dir):
+    """IVF assignment under TRAINED spherical k-means centroids (4 Lloyd
+    iterations, all DataFrame ops).  Iterative fixpoint -> rows-only
+    gate (the driver's allowance for iterative algorithms); the recall
+    improvement over the untrained stand-in is pinned by
+    tests/test_llm_ops.py::test_kmeans_improves_ivf_recall."""
+    from async_stream_processing_spark.llm.similarity import (
+        ivf_assign,
+        kmeans_train,
+    )
+
+    emb = _emb(spark, sf_dir)
+    return ivf_assign(emb, centroids=kmeans_train(emb, n_centroids=8, n_iter=4))
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Near-dup CLUSTERS: connected components of the verified pair graph
     via iterative min-label propagation; checked against a transitive-
@@ -287,6 +302,7 @@ LLM_QUERIES = {
     "knn_lsh": q_knn_lsh,
     "knn_lsh_multiprobe": q_knn_lsh_multiprobe,
     "ivf_assign": q_ivf_assign,
+    "ivf_kmeans_assign": q_ivf_kmeans_assign,
     "knn_ivf": q_knn_ivf,
     "embedding_dedup": q_embedding_dedup,
     "top_terms_per_source": q_top_terms,

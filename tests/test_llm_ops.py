@@ -266,3 +266,57 @@ def test_synth_wav_roundtrip(spark):
         assert r["sample_rate"] == 8000 * (1 + did % 3)
         assert r["bits_per_sample"] == 16
         assert r["data_bytes"] == 1000 + did % 997
+
+
+def test_kmeans_improves_ivf_recall(spark):
+    """Trained spherical k-means vs the first-k centroid stand-in, on a
+    fixture whose first 8 vectors all sit in just TWO of the 8 true
+    clusters (deliberately bad init).  Lloyd's step is monotone in the
+    spherical objective (mean assignment cosine), so trained must beat
+    untrained on it; recall@3 must not degrade."""
+    import random
+
+    from async_stream_processing_spark.llm.similarity import (
+        ivf_assign,
+        kmeans_train,
+        knn_bruteforce,
+        knn_ivf,
+    )
+
+    rng = random.Random(11)
+    dim, n_clusters, per_cluster = 16, 8, 20
+    centers = [[rng.uniform(-1, 1) for _ in range(dim)] for _ in range(n_clusters)]
+    rows, vid = [], 0
+    # bad init: the first 8 vectors come from clusters 0 and 1 only
+    for ci in (0, 0, 0, 0, 1, 1, 1, 1):
+        rows.append((vid, [float(x + rng.gauss(0, 0.05)) for x in centers[ci]]))
+        vid += 1
+    for ci, c in enumerate(centers):
+        for _ in range(per_cluster):
+            rows.append((vid, [float(x + rng.gauss(0, 0.05)) for x in c]))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    trained = kmeans_train(df, n_centroids=8, n_iter=4)
+    cents = trained.collect()
+    assert len(cents) == 8
+    for r in cents:  # spherical: unit-norm centroids
+        assert abs(sum(x * x for x in r["c_emb"]) - 1.0) < 1e-5
+
+    def objective(centroids=None):
+        out = ivf_assign(df, 8, centroids=centroids).collect()
+        return sum(r["centroid_cosine"] for r in out) / len(out)
+
+    assert objective(trained) > objective(None) + 0.01
+
+    def recall(centroids=None):
+        exact, approx = {}, {}
+        for r in knn_bruteforce(df, n_queries=8, k=3).collect():
+            exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        for r in knn_ivf(df, n_queries=8, k=3, n_centroids=8, nprobe=2,
+                         centroids=centroids).collect():
+            approx.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
+        return hits / sum(len(v) for v in exact.values())
+
+    assert recall(trained) >= recall(None)
