@@ -53,8 +53,15 @@ def main() -> None:
                 print(f"warmup {wname} failed: {e}", file=sys.stderr)
         spark.catalog.clearCache()
 
+    # test hook: SPARK_GRAFT_BENCH_LIMIT=N times only the first N queries
+    # (the stdout contract is what tests/test_bench_contract.py pins)
+    items = list(entrymod.queries().items())
+    limit = int(os.environ.get("SPARK_GRAFT_BENCH_LIMIT", "0"))
+    if limit:
+        items = items[:limit]
+
     timings: dict[str, float] = {}
-    for name, fn in entrymod.queries().items():
+    for name, fn in items:
         t0 = time.time()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
