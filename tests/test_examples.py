@@ -21,6 +21,7 @@ EXAMPLES = [
     "e09_past_to_live",
     "e10_live_socket",
     "e11_llm_curation",
+    "e12_multimodal_lake",
 ]
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "examples"))
