@@ -72,3 +72,22 @@ def test_embedding_dim_stats_partial_agg_before_shuffle(spark):
     plan = _plan(spark, "embedding_dim_stats")
     assert _shuffles(plan) == 1
     assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_fan_out_repartitions_single_file_scan(spark):
+    """The shingle explode must not inherit a single-file scan's one
+    partition: fan_out inserts a round-robin Exchange on narrow file
+    scans (and ONLY there -- derived inputs are left to AQE)."""
+    from pyspark.sql import functions as F
+
+    from async_stream_processing_spark.llm.dedup import fan_out
+    from async_stream_processing_spark.sources.parquet import load_table
+
+    docs = load_table(spark, SF, "documents")
+    plan = fan_out(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange RoundRobinPartitioning" in plan
+
+    # derived input (already behind a shuffle): no extra exchange stacked
+    derived = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    plan2 = fan_out(derived)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange RoundRobinPartitioning" not in plan2
