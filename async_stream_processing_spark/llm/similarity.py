@@ -201,7 +201,13 @@ def kmeans_train(
         dims = assigned.select(
             "centroid_id", F.posexplode(_as_double(F.col("embedding"))).alias("pos", "v")
         )
-        means = dims.groupBy("centroid_id", "pos").agg(F.avg("v").alias("v"))
+        # decimal-space mean: double summation is partition-order
+        # dependent; decimal addition is associative, so the mean (and
+        # therefore every trained centroid bit) is partitioning- and
+        # retry-independent -- the repo's determinism contract
+        means = dims.groupBy("centroid_id", "pos").agg(
+            F.avg(F.col("v").cast("decimal(27,18)")).cast("double").alias("v")
+        )
         new = (
             means.groupBy("centroid_id")
             .agg(F.array_sort(F.collect_list(F.struct("pos", "v"))).alias("pv"))
