@@ -998,6 +998,207 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DERIVED partsupp: the driver tables ship no partsupp, but lineitem
+    carries real (l_partkey, l_suppkey) pairs, so the relation is derived
+    as the distinct pairs plus deterministic integer-arithmetic
+    attributes -- referential integrity for free, and the DuckDB oracle
+    derives the identical relation (``_PS_SQL``).  Cost is carried in
+    INTEGER CENTS end-to-end; dollars appear only as a final /100.0
+    double cast (exact: all magnitudes < 2^53)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = li.select(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).distinct()
+    return pairs.select(
+        "ps_partkey", "ps_suppkey",
+        ((F.col("ps_partkey") * 17 + F.col("ps_suppkey") * 13) % 9999 + 1)
+        .alias("ps_availqty"),
+        ((F.col("ps_partkey") * 31 + F.col("ps_suppkey") * 7) % 100000 + 100)
+        .alias("ps_cost_cents"),
+    )
+
+
+_PS_SQL = """
+    SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+           (l_partkey * 17 + l_suppkey * 13) % 9999 + 1 AS ps_availqty,
+           (l_partkey * 31 + l_suppkey * 7) % 100000 + 100 AS ps_cost_cents
+    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+"""
+
+
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-style minimum-cost supplier: for each EUROPE-sourced
+    ECONOMY part under size 15, the supplier(s) offering the regional
+    minimum supply cost.  Correlated-min as a per-part aggregate joined
+    back on (part, min_cost) -- both in integer cents, so tie semantics
+    are exact.  partsupp is the derived relation (see _partsupp)."""
+    ps = _partsupp(spark, sf_dir)
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "EUROPE"
+    )
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "ECONOMY") & (F.col("p_size") < 15)
+    )
+    eligible = (
+        ps.join(F.broadcast(supp), ps.ps_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), F.col("n_regionkey") == region.r_regionkey)
+        .join(F.broadcast(part), F.col("ps_partkey") == part.p_partkey)
+    )
+    mins = eligible.groupBy(F.col("ps_partkey").alias("m_partkey")).agg(
+        F.min("ps_cost_cents").alias("min_cents")
+    )
+    return (
+        eligible.join(
+            F.broadcast(mins),
+            (F.col("ps_partkey") == F.col("m_partkey"))
+            & (F.col("ps_cost_cents") == F.col("min_cents")),
+        )
+        .select(
+            "p_partkey", "p_name", "s_suppkey", "s_name", "n_name",
+            F.col("s_acctbal").cast("double").alias("s_acctbal"),
+            (F.col("ps_cost_cents").cast("double") / F.lit(100.0))
+            .alias("supplycost"),
+        )
+    )
+
+
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-style product-type profit: per supplier nation and order
+    year over 'red *' parts, profit = revenue - supply cost.  Revenue and
+    cost are summed SEPARATELY in exact decimal/integer space and
+    subtracted after the final double casts (both sums < 2^53 in scaled
+    units, so the casts are exact)."""
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("red %")
+    ).select("p_partkey")
+    ps = _partsupp(spark, sf_dir)
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1).cast("decimal(1,0)") - F.col("l_discount").cast("decimal(13,2)"))
+    )
+    cost_cents_qty = (
+        F.col("ps_cost_cents").cast("decimal(18,0)")
+        * F.col("l_quantity").cast("decimal(12,2)")
+    )
+    joined = (
+        li.join(F.broadcast(part), li.l_partkey == F.col("p_partkey"))
+        .join(
+            F.broadcast(ps),
+            (li.l_partkey == ps.ps_partkey) & (li.l_suppkey == ps.ps_suppkey),
+        )
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+    )
+    return (
+        joined.groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(
+            F.sum(rev).alias("sum_rev"),
+            F.sum(cost_cents_qty).alias("sum_cost_cents"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .select(
+            "nation", "o_year",
+            (F.col("sum_rev").cast("double")
+             - F.col("sum_cost_cents").cast("double") / F.lit(100.0))
+            .alias("profit"),
+            "n_items",
+        )
+    )
+
+
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11-style important stock: per-part inventory value held by
+    NATION_9 suppliers, keeping parts above 1/2000 of the nation total.
+    Threshold comparison is cross-multiplied in integer space (2000 *
+    part_value > total_value) -- zero float involvement until the output
+    cast.  The total is a 1-row broadcast scalar join."""
+    ps = _partsupp(spark, sf_dir)
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_9"
+    )
+    held = (
+        ps.join(F.broadcast(supp), ps.ps_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .withColumn(
+            "value_cents", F.col("ps_cost_cents") * F.col("ps_availqty")
+        )
+    )
+    per_part = held.groupBy("ps_partkey").agg(
+        F.sum("value_cents").alias("part_value_cents")
+    )
+    total = per_part.agg(F.sum("part_value_cents").alias("total_cents"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("part_value_cents") * 2000 > F.col("total_cents"))
+        .select(
+            "ps_partkey",
+            (F.col("part_value_cents").cast("double") / F.lit(100.0))
+            .alias("stock_value"),
+        )
+    )
+
+
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20-style excess-stock suppliers: NATION_9 suppliers holding
+    more than half the 1997 shipped quantity of some 'red *' part they
+    supply.  Shipped quantity is aggregated per (part, supplier) in
+    integer hundredths (l_quantity * 100 is integral), and the half
+    threshold is cross-multiplied: 200 * availqty > shipped_c100.
+    Final shape is a semi-join onto supplier -- each qualifying supplier
+    appears once."""
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("red %")
+    ).select("p_partkey")
+    ps = _partsupp(spark, sf_dir)
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    shipped = (
+        li.join(F.broadcast(part), li.l_partkey == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.sum(
+                (F.col("l_quantity").cast("decimal(12,2)") * 100)
+                .cast("bigint")
+            ).alias("shipped_c100")
+        )
+    )
+    excess = (
+        ps.join(F.broadcast(part), ps.ps_partkey == F.col("p_partkey"))
+        .join(
+            shipped,
+            (ps.ps_partkey == shipped.l_partkey)
+            & (ps.ps_suppkey == shipped.l_suppkey),
+        )
+        .filter(F.col("ps_availqty") * 200 > F.col("shipped_c100"))
+        .select("ps_suppkey").distinct()
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_9"
+    )
+    return (
+        supp.join(excess, supp.s_suppkey == excess.ps_suppkey, "left_semi")
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .select("s_suppkey", "s_name",
+                F.col("s_acctbal").cast("double").alias("s_acctbal"))
+    )
+
+
 def q_dominant_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q20-family correlation shape (classic Q20 needs partsupp,
     absent from the driver tables): suppliers providing > 10% of some
@@ -1482,10 +1683,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_percentiles": q_value_percentiles,
         "cardinality_sketch": q_cardinality_sketch,
         "simhash_pairs": q_simhash_pairs,
+        # round-3 additions: the derived-partsupp TPC-H family
+        "tpch_q2": q_tpch_q2,
+        "tpch_q9": q_tpch_q9,
+        "tpch_q11": q_tpch_q11,
+        "tpch_q20": q_tpch_q20,
+        # --- remaining round-3 additions (must sit inside the 50 window) ---
+        "trade_pnl_bucketed": q_trade_pnl_bucketed,
         # --- already-driver-verified representatives (fill the 50 window) ---
         "vwap_2min": q_vwap_2min,
         "trade_pnl_asof": q_trade_pnl,
-        "trade_pnl_bucketed": q_trade_pnl_bucketed,
         "cart_fold_state": q_cart_fold,
         "stream_cart_fold": q_stream_cart,
         "feedback_orders": q_feedback,
@@ -2328,6 +2535,88 @@ def oracle_sql() -> dict[str, str]:
         JOIN (SELECT * FROM events WHERE event_type = 'view') v
           ON p.user_id = v.user_id
          AND v.ts BETWEEN p.ts - INTERVAL 3600 SECONDS AND p.ts
+    """
+    # q2/q9/q11/q20 run on the DERIVED partsupp (distinct lineitem
+    # (partkey, suppkey) pairs + deterministic integer attributes) -- the
+    # oracle derives the identical relation from the same tables
+    out["tpch_q2"] = f"""
+        WITH ps AS ({_PS_SQL}),
+        eligible AS (
+            SELECT ps_partkey, ps_cost_cents, p_partkey, p_name,
+                   s_suppkey, s_name, s_acctbal, n_name
+            FROM ps
+            JOIN supplier ON ps_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'
+            JOIN part ON ps_partkey = p_partkey
+                     AND p_type = 'ECONOMY' AND p_size < 15),
+        mins AS (SELECT ps_partkey AS m_partkey,
+                        MIN(ps_cost_cents) AS min_cents
+                 FROM eligible GROUP BY 1)
+        SELECT p_partkey, p_name, s_suppkey, s_name, n_name,
+               CAST(s_acctbal AS DOUBLE) AS s_acctbal,
+               CAST(ps_cost_cents AS DOUBLE) / 100.0 AS supplycost
+        FROM eligible
+        JOIN mins ON ps_partkey = m_partkey AND ps_cost_cents = min_cents
+    """
+    out["tpch_q9"] = f"""
+        WITH ps AS ({_PS_SQL}),
+        j AS (
+            SELECT n_name AS nation,
+                   CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+                   CAST(l_extendedprice AS DECIMAL(18,2))
+                       * (1 - CAST(l_discount AS DECIMAL(13,2))) AS rev,
+                   CAST(ps_cost_cents AS DECIMAL(18,0))
+                       * CAST(l_quantity AS DECIMAL(12,2)) AS costq
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey AND p_name LIKE 'red %'
+            JOIN ps ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey)
+        SELECT nation, o_year,
+               CAST(SUM(rev) AS DOUBLE)
+                   - CAST(SUM(costq) AS DOUBLE) / 100.0 AS profit,
+               COUNT(*) AS n_items
+        FROM j GROUP BY nation, o_year
+    """
+    out["tpch_q11"] = f"""
+        WITH ps AS ({_PS_SQL}),
+        held AS (
+            SELECT ps_partkey, ps_cost_cents * ps_availqty AS value_cents
+            FROM ps
+            JOIN supplier ON ps_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+                       AND n_name = 'NATION_9'),
+        per_part AS (SELECT ps_partkey,
+                            SUM(value_cents) AS part_value_cents
+                     FROM held GROUP BY 1),
+        total AS (SELECT SUM(part_value_cents) AS total_cents FROM per_part)
+        SELECT ps_partkey,
+               CAST(part_value_cents AS DOUBLE) / 100.0 AS stock_value
+        FROM per_part, total
+        WHERE part_value_cents * 2000 > total_cents
+    """
+    out["tpch_q20"] = f"""
+        WITH ps AS ({_PS_SQL}),
+        shipped AS (
+            SELECT l_partkey, l_suppkey,
+                   SUM(CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100
+                            AS BIGINT)) AS shipped_c100
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey AND p_name LIKE 'red %'
+            WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01'
+            GROUP BY 1, 2),
+        excess AS (
+            SELECT DISTINCT ps_suppkey
+            FROM ps
+            JOIN part ON ps_partkey = p_partkey AND p_name LIKE 'red %'
+            JOIN shipped ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+            WHERE ps_availqty * 200 > shipped_c100)
+        SELECT s_suppkey, s_name, CAST(s_acctbal AS DOUBLE) AS s_acctbal
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_9'
+        WHERE s_suppkey IN (SELECT ps_suppkey FROM excess)
     """
     # the bucketed as-of carry is an execution strategy, not a semantic
     # change: same oracle as the plain union-and-carry
