@@ -1121,14 +1121,16 @@ def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11-style important stock: per-part inventory value held by
-    NATION_9 suppliers, keeping parts above 1/2000 of the nation total.
-    Threshold comparison is cross-multiplied in integer space (2000 *
-    part_value > total_value) -- zero float involvement until the output
-    cast.  The total is a 1-row broadcast scalar join."""
+    the NATION_9/NATION_3 supplier group, keeping parts holding more
+    than 2x the average per-part share (scale-free analog of Q11's
+    FRACTION, which is SF-dependent by design).  The comparison is
+    cross-multiplied in integer space (part_value * n_parts > 2 *
+    total) -- zero float involvement until the output cast.  The total
+    and part count are a 1-row broadcast scalar join."""
     ps = _partsupp(spark, sf_dir)
     supp = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation").filter(
-        F.col("n_name") == "NATION_9"
+        F.col("n_name").isin("NATION_9", "NATION_3")
     )
     held = (
         ps.join(F.broadcast(supp), ps.ps_suppkey == supp.s_suppkey)
@@ -1140,10 +1142,16 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_part = held.groupBy("ps_partkey").agg(
         F.sum("value_cents").alias("part_value_cents")
     )
-    total = per_part.agg(F.sum("part_value_cents").alias("total_cents"))
+    total = per_part.agg(
+        F.sum("part_value_cents").alias("total_cents"),
+        F.count(F.lit(1)).alias("n_parts"),
+    )
     return (
         per_part.crossJoin(F.broadcast(total))
-        .filter(F.col("part_value_cents") * 2000 > F.col("total_cents"))
+        .filter(
+            F.col("part_value_cents") * F.col("n_parts")
+            > F.col("total_cents") * 2
+        )
         .select(
             "ps_partkey",
             (F.col("part_value_cents").cast("double") / F.lit(100.0))
@@ -1189,7 +1197,7 @@ def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     supp = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation").filter(
-        F.col("n_name") == "NATION_9"
+        F.col("n_name").isin("NATION_9", "NATION_3")
     )
     return (
         supp.join(excess, supp.s_suppkey == excess.ps_suppkey, "left_semi")
@@ -2587,15 +2595,16 @@ def oracle_sql() -> dict[str, str]:
             FROM ps
             JOIN supplier ON ps_suppkey = s_suppkey
             JOIN nation ON s_nationkey = n_nationkey
-                       AND n_name = 'NATION_9'),
+                       AND n_name IN ('NATION_9', 'NATION_3')),
         per_part AS (SELECT ps_partkey,
                             SUM(value_cents) AS part_value_cents
                      FROM held GROUP BY 1),
-        total AS (SELECT SUM(part_value_cents) AS total_cents FROM per_part)
+        total AS (SELECT SUM(part_value_cents) AS total_cents,
+                         COUNT(*) AS n_parts FROM per_part)
         SELECT ps_partkey,
                CAST(part_value_cents AS DOUBLE) / 100.0 AS stock_value
         FROM per_part, total
-        WHERE part_value_cents * 2000 > total_cents
+        WHERE part_value_cents * n_parts > total_cents * 2
     """
     out["tpch_q20"] = f"""
         WITH ps AS ({_PS_SQL}),
@@ -2615,7 +2624,8 @@ def oracle_sql() -> dict[str, str]:
             WHERE ps_availqty * 200 > shipped_c100)
         SELECT s_suppkey, s_name, CAST(s_acctbal AS DOUBLE) AS s_acctbal
         FROM supplier
-        JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_9'
+        JOIN nation ON s_nationkey = n_nationkey
+                   AND n_name IN ('NATION_9', 'NATION_3')
         WHERE s_suppkey IN (SELECT ps_suppkey FROM excess)
     """
     # the bucketed as-of carry is an execution strategy, not a semantic
