@@ -1689,7 +1689,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_2min": q_sliding_2min,
         "stream_sliding_2min": q_stream_sliding_2min,
         "value_percentiles": q_value_percentiles,
-        "cardinality_sketch": q_cardinality_sketch,
         "simhash_pairs": q_simhash_pairs,
         # round-3 additions: the derived-partsupp TPC-H family
         "tpch_q2": q_tpch_q2,
@@ -1698,6 +1697,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q20": q_tpch_q20,
         # --- remaining round-3 additions (must sit inside the 50 window) ---
         "trade_pnl_bucketed": q_trade_pnl_bucketed,
+        # cardinality_sketch is rows-only (HLL isn't portable), so its
+        # driver check carries the least signal -- deferred to the
+        # round-4 rotation to make room for exact-match queries
+        "cardinality_sketch": q_cardinality_sketch,
         # --- already-driver-verified representatives (fill the 50 window) ---
         "vwap_2min": q_vwap_2min,
         "trade_pnl_asof": q_trade_pnl,

@@ -298,6 +298,107 @@ def synth_wav_payload(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+#: Output schema of the video header-decode stage.
+VIDEO_HEADER_SCHEMA = (
+    "doc_id BIGINT, container STRING, timescale INT, duration BIGINT, "
+    "n_boxes INT"
+)
+
+
+def parse_mp4_header(
+    payload: bytes | None,
+) -> tuple[str | None, int | None, int | None, int | None]:
+    """(container, timescale, duration, n_top_boxes) from an ISO-BMFF
+    (MP4) payload; all-None if not MP4.  Box walk: each box is
+    [u32 size][4cc type][payload]; the movie header lives at
+    moov -> mvhd, where version 0 keeps u32 timescale/duration at
+    offsets +20/+24 and version 1 keeps them at +28/+32 (u64 duration).
+    Unknown boxes are skipped by declared size -- real files with free/
+    mdat/udta boxes anywhere parse fine."""
+    if not payload:
+        return None, None, None, None
+    b = bytes(payload)
+    if len(b) < 12 or b[4:8] != b"ftyp":
+        return None, None, None, None
+    timescale = duration = None
+    n_boxes = 0
+    pos = 0
+    while pos + 8 <= len(b):
+        (size,) = struct.unpack_from(">I", b, pos)
+        btype = b[pos + 4:pos + 8]
+        if size < 8:
+            break
+        n_boxes += 1
+        if btype == b"moov":
+            inner = pos + 8
+            end = min(pos + size, len(b))
+            while inner + 8 <= end:
+                (isize,) = struct.unpack_from(">I", b, inner)
+                itype = b[inner + 4:inner + 8]
+                if isize < 8:
+                    break
+                if itype == b"mvhd" and inner + 12 <= end:
+                    version = b[inner + 8]
+                    if version == 1 and inner + 40 <= end:
+                        (timescale,) = struct.unpack_from(">I", b, inner + 28)
+                        (duration,) = struct.unpack_from(">Q", b, inner + 32)
+                    elif version == 0 and inner + 28 <= end:
+                        (timescale,) = struct.unpack_from(">I", b, inner + 20)
+                        d32, = struct.unpack_from(">I", b, inner + 24)
+                        duration = d32
+                inner += isize
+        pos += size
+    return "mp4", timescale, duration, n_boxes
+
+
+def decode_video_header(docs_bin: DataFrame) -> DataFrame:
+    """REAL video header decode (ISO-BMFF box walk), Arrow-batched."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            parsed = [parse_mp4_header(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "container": [p[0] for p in parsed],
+                    "timescale": pd.array([p[1] for p in parsed], dtype="Int32"),
+                    "duration": pd.array([p[2] for p in parsed], dtype="Int64"),
+                    "n_boxes": pd.array([p[3] for p in parsed], dtype="Int32"),
+                }
+            )
+
+    return docs_bin.mapInPandas(decode, schema=VIDEO_HEADER_SCHEMA)
+
+
+def synth_mp4_payload(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic VALID MP4 headers from ``doc_id``.
+
+    ``timescale = 1000 * (1 + id % 4)``, ``duration = 10000 + id % 9001``,
+    wrapped as ftyp + free (skipped by the walk) + moov{mvhd v0} --
+    closed forms a SQL oracle recomputes without parsing.  Three
+    top-level boxes always."""
+    did = F.col(id_col)
+    timescale = (F.lit(1000) * (F.lit(1) + did % 4)).cast("int")
+    duration = (F.lit(10000) + did % 9001).cast("int")
+    ftyp = F.lit(
+        struct.pack(">I", 16) + b"ftypisom" + struct.pack(">I", 0x200)
+    )
+    free = F.lit(struct.pack(">I", 12) + b"free" + b"\x00" * 4)
+    # mvhd v0: 8 hdr + 1 version + 3 flags + 4 ctime + 4 mtime
+    #          + 4 timescale + 4 duration + padding to the real 108
+    mvhd = F.concat(
+        F.lit(struct.pack(">I", 108) + b"mvhd" + b"\x00" * 4 + b"\x00" * 8),
+        _be(timescale, 8),
+        _be(duration, 8),
+        F.lit(b"\x00" * 80),
+    )
+    moov = F.concat(F.lit(struct.pack(">I", 116) + b"moov"), mvhd)
+    return docs.select(
+        did.alias("doc_id"),
+        F.concat(ftyp, free, moov).alias("payload"),
+    )
+
+
 def decode_pixels(docs_bin: DataFrame) -> DataFrame:
     """Pixel decode seam: requires Pillow, absent in this container.
 

@@ -34,8 +34,10 @@ from async_stream_processing_spark.llm.multimodal import (
     decode_audio_header,
     decode_image_header,
     decode_image_meta,
+    decode_video_header,
     frame_sample_stub,
     synth_image_payload,
+    synth_mp4_payload,
     synth_wav_payload,
     with_binary_payload,
 )
@@ -250,6 +252,13 @@ def q_multimodal_audio(spark, sf_dir):
     return decode_audio_header(synth_wav_payload(_docs(spark, sf_dir)))
 
 
+def q_multimodal_video(spark, sf_dir):
+    """REAL video-header decode: synthesize valid ISO-BMFF (MP4) headers
+    from doc_id (ftyp + free + moov{mvhd}), box-walk them back out; the
+    free box must be skipped and mvhd found nested inside moov."""
+    return decode_video_header(synth_mp4_payload(_docs(spark, sf_dir)))
+
+
 def q_stream_multimodal(spark, sf_dir):
     """Header decode EXECUTED BY THE STREAMING ENGINE: the same
     synth -> parse pipeline over a documents STREAM (stateless
@@ -319,6 +328,7 @@ LLM_QUERIES = {
     "multimodal_meta": q_multimodal_meta,
     "multimodal_decode": q_multimodal_decode,
     "multimodal_audio": q_multimodal_audio,
+    "multimodal_video": q_multimodal_video,
     "stream_multimodal_decode": q_stream_multimodal,
     "frame_sample": q_frame_sample,
 }
@@ -786,6 +796,13 @@ def llm_oracle_sql() -> dict[str, str]:
                    CAST(8000 * (1 + doc_id % 3) AS INT) AS sample_rate,
                    CAST(16 AS INT) AS bits_per_sample,
                    CAST(1000 + doc_id % 997 AS BIGINT) AS data_bytes
+            FROM documents
+        """,
+        "multimodal_video": """
+            SELECT doc_id, 'mp4' AS container,
+                   CAST(1000 * (1 + doc_id % 4) AS INT) AS timescale,
+                   CAST(10000 + doc_id % 9001 AS BIGINT) AS duration,
+                   CAST(3 AS INT) AS n_boxes
             FROM documents
         """,
         # stateless streaming decode emits exactly the batch result

@@ -320,3 +320,45 @@ def test_kmeans_improves_ivf_recall(spark):
         return hits / sum(len(v) for v in exact.values())
 
     assert recall(trained) >= recall(None)
+
+
+def test_parse_mp4_header():
+    import struct
+
+    from async_stream_processing_spark.llm.multimodal import parse_mp4_header
+
+    mvhd = (struct.pack(">I", 108) + b"mvhd" + b"\x00" * 4 + b"\x00" * 8
+            + struct.pack(">II", 600, 72000) + b"\x00" * 80)
+    moov = struct.pack(">I", 116) + b"moov" + mvhd
+    ftyp = struct.pack(">I", 16) + b"ftypisom" + struct.pack(">I", 0x200)
+    free = struct.pack(">I", 12) + b"free" + b"\x00" * 4
+    assert parse_mp4_header(ftyp + free + moov) == ("mp4", 600, 72000, 3)
+
+    # mvhd version 1: 64-bit times, offsets shift
+    mvhd1 = (struct.pack(">I", 120) + b"mvhd" + b"\x01" + b"\x00" * 3
+             + b"\x00" * 16 + struct.pack(">I", 90000)
+             + struct.pack(">Q", 123456789) + b"\x00" * 80)
+    moov1 = struct.pack(">I", 128) + b"moov" + mvhd1
+    assert parse_mp4_header(ftyp + moov1) == ("mp4", 90000, 123456789, 2)
+
+    assert parse_mp4_header(b"RIFF....WAVE") == (None,) * 4
+    assert parse_mp4_header(None) == (None,) * 4
+    # ftyp but no moov: container recognized, no timing
+    assert parse_mp4_header(ftyp) == ("mp4", None, None, 1)
+
+
+def test_synth_mp4_roundtrip(spark):
+    from async_stream_processing_spark.llm.multimodal import (
+        decode_video_header,
+        synth_mp4_payload,
+    )
+
+    docs = _docs(spark, ["a", "b", "c"])
+    out = {r["doc_id"]: r for r in
+           decode_video_header(synth_mp4_payload(docs)).collect()}
+    for did in range(3):
+        r = out[did]
+        assert r["container"] == "mp4"
+        assert r["timescale"] == 1000 * (1 + did % 4)
+        assert r["duration"] == 10000 + did % 9001
+        assert r["n_boxes"] == 3
