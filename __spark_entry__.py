@@ -1363,11 +1363,19 @@ def q_user_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     collects (ts, seq, event_type) structs, ``array_sort`` imposes the
     total order AFTER the shuffle, and ``transform`` projects the
     payload -- deterministic on any cluster.  Per-user paths are bounded
-    by per-user activity, the same cap that bounds any sessionization."""
+    by per-user activity, the same cap that bounds any sessionization.
+    The path is emitted as a '>'-delimited STRING (not array<string>):
+    the array form is the same expression minus the ``concat_ws``, but a
+    string keeps every output column hashable/sortable for external
+    comparators (round-3 gate: pandas canonicalizers can't factorize
+    list cells)."""
     ev = _events(spark, sf_dir)
-    path = F.transform(
-        F.array_sort(F.collect_list(F.struct("ts", "seq", "event_type"))),
-        lambda x: x["event_type"],
+    path = F.concat_ws(
+        ">",
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("ts", "seq", "event_type"))),
+            lambda x: x["event_type"],
+        ),
     )
     return (
         ev.groupBy("user_id")
@@ -1487,6 +1495,47 @@ def q_stream_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _parquet_footer_max_ts(path: str, col: str):
+    """Max of a timestamp column from parquet row-group statistics (a
+    driver-side footer read -- zero scan).  None if the path is a
+    directory layout or stats are missing."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    if not os.path.isfile(path):
+        return None
+    try:
+        md = pq.ParquetFile(path).metadata
+        idx = md.schema.names.index(col)
+        best = None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
+                return None
+            best = st.max if best is None else max(best, st.max)
+        return best
+    except Exception:  # noqa: BLE001 -- stats are an optimization only
+        return None
+
+
+def _write_sentinel_row(path: str, event_id: int, ts, user_id: int, value: float) -> None:
+    """One-row parquet file written driver-side with pyarrow (schema
+    matches the streaming side: bigint/timestamp/bigint/double)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    table = pa.table(
+        {
+            "event_id": pa.array([event_id], pa.int64()),
+            "ts": pa.array([ts], pa.timestamp("us")),
+            "user_id": pa.array([user_id], pa.int64()),
+            "value": pa.array([value], pa.float64()),
+        }
+    )
+    pq.write_table(table, path)
+
+
 def q_stream_fullouter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FULL OUTER stream-stream join EXECUTED BY THE STREAMING ENGINE:
     clicks vs purchases per user within a +/-30 min event-time band; both
@@ -1504,13 +1553,20 @@ def q_stream_fullouter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from async_stream_processing_spark.streaming.replay import drain
 
     SIDE_SCHEMA = "event_id bigint, ts timestamp, user_id bigint, value double"
-    ev = load_table(spark, sf_dir, "events")
-    # O(1)-row driver anchor (same pattern as the timer/feedback queries)
-    max_ts = ev.select(F.max("ts")).first()[0]
+    # O(1) driver anchor: the max ts comes from parquet FOOTER stats when
+    # available (a metadata read, no scan job) -- the sentinel only needs
+    # to exceed every real timestamp, and footer max is exact.  Falls
+    # back to a Spark max() when stats are absent; at cluster scale the
+    # table's own partition metadata plays this role.
+    max_ts = _parquet_footer_max_ts(f"{sf_dir}/events.parquet", "ts")
+    if max_ts is None:
+        max_ts = load_table(spark, sf_dir, "events").select(F.max("ts")).first()[0]
+    # one-row sentinel written driver-side (pyarrow): a Spark write job
+    # for one row costs ~0.5 s of scheduler round-trips per query
     sent_dir = tempfile.mkdtemp(prefix="asp_sentinel_")
-    spark.createDataFrame(
-        [(-1, max_ts + timedelta(days=1), -1, 0.0)], SIDE_SCHEMA
-    ).write.mode("overwrite").parquet(sent_dir)
+    _write_sentinel_row(
+        f"{sent_dir}/part-0.parquet", -1, max_ts + timedelta(days=1), -1, 0.0
+    )
 
     def side(kind: str) -> DataFrame:
         real = stream_table(spark, sf_dir, "events").filter(
@@ -1669,14 +1725,30 @@ def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_cardinality_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog cardinality sketch vs exact count per key (the 100 TB
-    distinct-count path; sketches aren't cross-engine portable, so this is
-    a rows-only check -- the test suite bounds the relative error)."""
+    """HyperLogLog cardinality sketch per key (the 100 TB distinct-count
+    path), checked by CONTRACT: raw HLL estimates aren't cross-engine
+    portable, but the estimator's error bound is -- emit the exact count
+    plus a boolean ``within_rsd`` (|approx-exact| <= bound*exact, bounds
+    at 3x the configured rsd) and the oracle computes the exact count and
+    TRUE.  The comparison is cross-multiplied integer arithmetic (no
+    division -- functions/numeric.py rule 5), so the row is fully
+    hash-checkable without pretending sketches are portable."""
     df = _events(spark, sf_dir)
-    return df.groupBy("event_type").agg(
+    agg = df.groupBy("event_type").agg(
         F.approx_count_distinct("user_id").alias("approx_users"),
         F.countDistinct("user_id").alias("exact_users"),
         F.approx_count_distinct("value", rsd=0.02).alias("approx_values"),
+        F.countDistinct("value").alias("exact_values"),
+    )
+    users_err = F.abs(F.col("approx_users") - F.col("exact_users"))
+    values_err = F.abs(F.col("approx_values") - F.col("exact_values"))
+    return agg.select(
+        "event_type",
+        "exact_users",
+        "exact_values",
+        # default rsd 0.05 -> bound 0.15; rsd 0.02 -> bound 0.06
+        (users_err * 100 <= F.col("exact_users") * 15).alias("users_within_rsd"),
+        (values_err * 100 <= F.col("exact_values") * 6).alias("values_within_rsd"),
     )
 
 
@@ -1698,55 +1770,27 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Key order matters: the driver's CORRECTNESS gate covers the FIRST 50
-    # keys only. Rounds 1-2 gated the original first 50 (all green); round 3
-    # rotates the 39 never-gated queries (the whole LLM block plus the
-    # rank/scalar/sliding/percentile/stream-pivot families) into the window,
-    # padded to 50 with representatives of the already-verified families.
+    # keys only.  Rounds 1-2 gated the original first 50; round 3 gated the
+    # LLM block + rank/scalar/sliding/percentile/stream families.  Round 4
+    # closes the coverage ledger: (a) the four queries without a driver-green
+    # row in any round (user_event_paths -- now a hashable string path;
+    # ivf_kmeans_assign -- now with an unrolled-Lloyd oracle;
+    # cardinality_sketch -- now contract-checked; embedding_dim_stats --
+    # never fit a window), (b) the two whose oracle/plan changed this round
+    # (stream_static_enrich LEFT-join oracle, stream_fullouter perf), (c)
+    # the 39 keys last gated in r1/r2, re-confirmed, and (d) padding from
+    # r3-green representatives.  After r4, all declared queries have a green
+    # row in r1-r4 with none stale for more than two rounds.
     return {
-        # --- LLM-pipeline block (never driver-gated before round 3) ---
-        **LLM_QUERIES,
-        # --- remaining never-gated families ---
-        "rank_family": q_rank_family,
-        "json_extract_props": q_json_extract,
-        "fullouter_daily": q_fullouter_daily,
-        "stream_pivot_daily": q_stream_pivot,
-        "stream_static_enrich": q_stream_static_enrich,
-        "stream_rank_family": q_stream_rank_family,
-        "stream_fullouter": q_stream_fullouter,
+        # --- (a) never driver-green before round 4 ---
         "user_event_paths": q_user_event_paths,
-        "stream_topk_users": q_stream_topk,
-        "window_funcs": q_window_funcs,
-        "scalar_funcs": q_scalar_funcs,
-        "sliding_2min": q_sliding_2min,
-        "stream_sliding_2min": q_stream_sliding_2min,
-        "value_percentiles": q_value_percentiles,
-        "simhash_pairs": q_simhash_pairs,
-        # round-3 additions: the derived-partsupp TPC-H family
-        "tpch_q2": q_tpch_q2,
-        "tpch_q9": q_tpch_q9,
-        "tpch_q11": q_tpch_q11,
-        "tpch_q20": q_tpch_q20,
-        # --- remaining round-3 additions (must sit inside the 50 window) ---
-        "trade_pnl_bucketed": q_trade_pnl_bucketed,
-        # cardinality_sketch is rows-only (HLL isn't portable) and
-        # embedding_dim_stats was independently exact-matched by the
-        # round-1 judge, so their driver checks carry the least signal
-        # -- deferred to the round-4 rotation to make room
+        "ivf_kmeans_assign": LLM_QUERIES["ivf_kmeans_assign"],
         "cardinality_sketch": q_cardinality_sketch,
         "embedding_dim_stats": q_embedding_dim_stats,
-        # --- already-driver-verified representatives (fill the 50 window) ---
-        "vwap_2min": q_vwap_2min,
-        "trade_pnl_asof": q_trade_pnl,
-        "cart_fold_state": q_cart_fold,
-        "stream_cart_fold": q_stream_cart,
-        "feedback_orders": q_feedback,
-        "tpch_q1": q_tpch_q1,
-        "sessionize": q_sessionize,
-        "positional_zip": q_positional_zip,
-        "stream_join_1h": q_stream_join,
-        "first_seen": q_first_seen,
-        "timer_ticks": q_timer_ticks,
-        # --- previously gated green in rounds 1-2 (outside the window) ---
+        # --- (b) changed this round ---
+        "stream_static_enrich": q_stream_static_enrich,
+        "stream_fullouter": q_stream_fullouter,
+        # --- (c) last gated in rounds 1-2: re-confirm ---
         "running_combine": q_running_combine,
         "spread_bid_ask": q_spread,
         "positions_by_key": q_positions,
@@ -1786,6 +1830,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unpivot_metrics": q_unpivot_metrics,
         "rows_frame_last5": q_rows_frame,
         "dominant_supplier": q_dominant_supplier,
+        # --- (d) r3-green padding to fill the 50 window (new round-4
+        #     queries take these slots first if any are added) ---
+        "vwap_2min": q_vwap_2min,
+        "trade_pnl_bucketed": q_trade_pnl_bucketed,
+        "dedup_minhash_lsh": LLM_QUERIES["dedup_minhash_lsh"],
+        "stream_cart_fold": q_stream_cart,
+        "tpch_q9": q_tpch_q9,
+        # ================= end of the 50-key gate window =================
+        # --- driver-green in round 3 ---
+        **{
+            k: v
+            for k, v in LLM_QUERIES.items()
+            if k not in ("ivf_kmeans_assign", "dedup_minhash_lsh")
+        },
+        "rank_family": q_rank_family,
+        "json_extract_props": q_json_extract,
+        "fullouter_daily": q_fullouter_daily,
+        "stream_pivot_daily": q_stream_pivot,
+        "stream_rank_family": q_stream_rank_family,
+        "stream_topk_users": q_stream_topk,
+        "window_funcs": q_window_funcs,
+        "scalar_funcs": q_scalar_funcs,
+        "sliding_2min": q_sliding_2min,
+        "stream_sliding_2min": q_stream_sliding_2min,
+        "value_percentiles": q_value_percentiles,
+        "simhash_pairs": q_simhash_pairs,
+        "tpch_q2": q_tpch_q2,
+        "tpch_q11": q_tpch_q11,
+        "tpch_q20": q_tpch_q20,
+        # --- driver-green in rounds 1-3 ---
+        "trade_pnl_asof": q_trade_pnl,
+        "cart_fold_state": q_cart_fold,
+        "feedback_orders": q_feedback,
+        "tpch_q1": q_tpch_q1,
+        "sessionize": q_sessionize,
+        "positional_zip": q_positional_zip,
+        "stream_join_1h": q_stream_join,
+        "first_seen": q_first_seen,
+        "timer_ticks": q_timer_ticks,
     }
 
 
@@ -2405,9 +2488,19 @@ def oracle_sql() -> dict[str, str]:
     """
     out["user_event_paths"] = """
         SELECT user_id,
-               list(event_type ORDER BY ts, event_id) AS path,
+               string_agg(event_type, '>' ORDER BY ts, event_id) AS path,
                COUNT(*) AS n_events
         FROM events GROUP BY user_id
+    """
+    # HLL estimates aren't portable; the CONTRACT is -- the oracle
+    # asserts the exact counts and that the estimator met its bound
+    out["cardinality_sketch"] = """
+        SELECT event_type,
+               COUNT(DISTINCT user_id) AS exact_users,
+               COUNT(DISTINCT value) AS exact_values,
+               TRUE AS users_within_rsd,
+               TRUE AS values_within_rsd
+        FROM events GROUP BY event_type
     """
     out["embedding_dim_stats"] = """
         WITH ex AS (
@@ -2667,10 +2760,13 @@ def oracle_sql() -> dict[str, str]:
     # the bucketed as-of carry is an execution strategy, not a semantic
     # change: same oracle as the plain union-and-carry
     out["trade_pnl_bucketed"] = out["trade_pnl_asof"]
+    # LEFT join, matching stream_static_enrich(): enrichment keeps every
+    # stream row, null-filled on unmatched dimension keys (the fixture
+    # happens to match every key, but the declared semantics must agree)
     out["stream_static_enrich"] = """
         SELECT e.event_id, e.ts, e.user_id, e.event_type, e.value,
                c.c_name, c.c_mktsegment
-        FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
     """
     out["stream_rank_family"] = """
         WITH totals AS (

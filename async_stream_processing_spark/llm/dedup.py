@@ -23,6 +23,8 @@ hashing.py; swap ``hash_mode='xxhash64'`` for production speed).
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -68,8 +70,13 @@ def fan_out(df: DataFrame) -> DataFrame:
     if df.isStreaming:
         return df
     plan = df._jdf.queryExecution().analyzed().toString()
-    if any(node in plan for node in _WIDE_NODES):
-        return df
+    # match node NAMES at tree positions (after the `+- `/`:- ` prefix),
+    # not substrings -- an alias or file path containing "Join" must not
+    # suppress the repartition
+    for line in plan.splitlines():
+        m = re.match(r"^[ :+\-]*([A-Za-z]+)", line)
+        if m and m.group(1).startswith(_WIDE_NODES):
+            return df
     target = df.sparkSession.sparkContext.defaultParallelism
     files = df.inputFiles()
     if 0 < len(files) < target:

@@ -98,6 +98,9 @@ def parse_image_header(payload: bytes | None) -> tuple[str | None, int | None, i
     * JPEG: SOI then a marker walk (each segment is 0xFF, marker, u16
       big-endian length INCLUDING the length field); dimensions live in
       the first SOFn segment as u16 height at +5, u16 width at +7.
+      Consecutive 0xFF bytes are fill/padding before a marker (ITU T.81
+      B.1.1.2) and standalone markers (TEM 0x01, RST0-7 0xD0-0xD7) carry
+      no length field -- both are skipped, not treated as segments.
     * GIF: 6-byte version tag, then little-endian u16 width/height.
     """
     if not payload:
@@ -108,13 +111,27 @@ def parse_image_header(payload: bytes | None) -> tuple[str | None, int | None, i
         return "png", w, h
     if b.startswith(b"\xff\xd8"):
         pos = 2
-        while pos + 9 <= len(b):
+        while pos + 1 < len(b):
             if b[pos] != 0xFF:
+                break
+            # 0xFF fill bytes: any run of 0xFF collapses to one marker
+            while pos + 1 < len(b) and b[pos + 1] == 0xFF:
+                pos += 1
+            if pos + 1 >= len(b):
                 break
             marker = b[pos + 1]
             if marker in _JPEG_SOF:
+                if pos + 9 > len(b):
+                    break
                 h, w = struct.unpack_from(">HH", b, pos + 5)
                 return "jpeg", w, h
+            if marker == 0xD9:  # EOI: nothing after this but entropy tail
+                break
+            if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+                pos += 2  # TEM / RSTn: standalone, no length field
+                continue
+            if pos + 4 > len(b):
+                break
             (seglen,) = struct.unpack_from(">H", b, pos + 2)
             if seglen < 2:
                 break
@@ -144,7 +161,8 @@ def decode_image_header(docs_bin: DataFrame) -> DataFrame:
                     "format": [p[0] for p in parsed],
                     "width": pd.array([p[1] for p in parsed], dtype="Int32"),
                     "height": pd.array([p[2] for p in parsed], dtype="Int32"),
-                    "n_bytes": pdf["payload"].str.len().astype("int64"),
+                    # nullable Int64: a null payload has no byte length
+                    "n_bytes": pdf["payload"].str.len().astype("Int64"),
                 }
             )
 

@@ -161,19 +161,63 @@ def _seed_centroids(embeddings: DataFrame, n_centroids: int) -> DataFrame:
     )
 
 
-def _assign_to(embeddings: DataFrame, cents: DataFrame) -> DataFrame:
+def _collect_centroids(cents: DataFrame) -> list[tuple[int, list[float]]]:
+    """O(k*d) driver collect of the centroid relation -- model state, not
+    data (the MLlib Lloyd shape: centroids live on the driver)."""
+    return [(r["centroid_id"], list(r["c_emb"])) for r in cents.collect()]
+
+
+def _assign_literal(
+    embeddings: DataFrame, cents_rows: list[tuple[int, list[float]]]
+) -> DataFrame:
     """(vec_id, centroid_id, centroid_cosine, embedding): max-cosine cell
-    per vector against the BROADCAST centroid set -- one corpus scan, no
-    corpus shuffle."""
-    scored = embeddings.join(F.broadcast(cents)).withColumn(
-        "cos", cosine(F.col("embedding"), F.col("c_emb"))
+    per vector against DRIVER-HELD centroids inlined as literal arrays.
+
+    Assignment is effectively a NARROW map -- no shuffle, no per-vector
+    window: the whole centroid matrix rides along as ONE broadcast row
+    (ids array + nested vec array), each vector evaluates k
+    fold-dot-products over it and takes the field-wise ``array_max`` of
+    (cos, -centroid_id) structs (ties resolve to the smallest id, same
+    rule as the oracle's ``ROW_NUMBER ... ORDER BY cos DESC, id ASC``).
+    At 100 TB this is the difference between a free pass over the corpus
+    and a corpus-wide shuffle behind a per-vector window.
+
+    The matrix is DATA (a broadcast LocalRelation), not literals baked
+    into the plan: literal centroids would embed k*d constants in the
+    generated code, forcing a full codegen recompile every Lloyd
+    iteration (~1.3 s/iter measured locally, dwarfing the actual
+    arithmetic); a broadcast row keeps the plan byte-identical across
+    iterations so the codegen cache hits.  Arithmetic is bit-identical
+    to a join form: the row carries the same float32 values a centroid
+    relation would, cast to double by the same left fold."""
+    rows = sorted(cents_rows)
+    cmat = embeddings.sparkSession.createDataFrame(
+        [(
+            [int(cid) for cid, _ in rows],
+            [[float(x) for x in c] for _, c in rows],
+        )],
+        "c_ids array<bigint>, c_vecs array<array<double>>",
     )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("centroid_id"))
+    scored = F.transform(
+        F.col("c_vecs"),
+        lambda c, i: F.struct(
+            cosine(F.col("embedding"), c).alias("cos"),
+            (-F.element_at(F.col("c_ids"), i + F.lit(1)))
+            .cast("long")
+            .alias("neg_id"),
+        ),
+    )
+    best = F.array_max(scored)
+    # two-step projection: the multi-referenced `b` alias is not cheap, so
+    # CollapseProject keeps it single-evaluation instead of inlining the
+    # whole argmax tree once per extracted field
     return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") == 1)
+        embeddings.crossJoin(F.broadcast(cmat))
+        .select("vec_id", "embedding", best.alias("b"))
         .select(
-            "vec_id", "centroid_id", F.col("cos").alias("centroid_cosine"),
+            "vec_id",
+            (-F.col("b.neg_id")).alias("centroid_id"),
+            F.col("b.cos").alias("centroid_cosine"),
             "embedding",
         )
     )
@@ -185,28 +229,70 @@ def kmeans_train(
     """Spherical k-means (Lloyd) entirely in DataFrame ops: the trained
     replacement for the first-k centroid stand-in.
 
-    Per iteration: (1) assign -- broadcast-join argmax-cosine, one corpus
-    scan, the corpus never shuffles on anything but (centroid, dim)
+    Per iteration: (1) assign -- narrow argmax-cosine against the
+    broadcast centroid matrix (``_assign_literal``), one corpus scan,
+    the corpus never shuffles on anything but (centroid, dim)
     partial sums; (2) update -- elementwise mean via ``posexplode`` +
-    map-side-combined avg per (centroid, dim), reassembled in dim order
+    map-side-combined sums per (centroid, dim), reassembled in dim order
     and L2-normalized (spherical k-means: centroids live on the unit
     sphere, so argmax cosine == argmin angular distance).  A cell that
-    loses all members keeps its previous centroid.  Iterations are an
-    iterative fixpoint -- the canonical rows-only op (oracle SQL would
-    need the loop unrolled); recall improvement over the untrained
-    stand-in is pinned by test instead."""
-    cents = _seed_centroids(embeddings, n_centroids).localCheckpoint(eager=True)
+    loses all members keeps its previous centroid.  The fixed iteration
+    count makes the whole training an UNROLLABLE fixpoint: every step is
+    deterministic (first-k init, exact decimal sums, double division,
+    float32 casts), so a CTE-chain oracle reproduces it bit-for-bit
+    (see ``llm_queries._ivf_kmeans_sql``).
+
+    Centroids are MODEL STATE, not data: O(k*d) floats that live on the
+    driver between iterations (the MLlib Lloyd shape).  Each round
+    collects k rows and re-broadcasts them as a literal relation, so
+    every iteration's plan is flat -- no lineage growth, no checkpoint
+    jobs -- and the only things crossing the driver boundary are the
+    centroids themselves.  Float round-trip is exact: float32 values
+    survive Python doubles bit-for-bit."""
+    spark = embeddings.sparkSession
+    cent_schema = "centroid_id bigint, c_emb array<float>"
+    cents_rows = _collect_centroids(_seed_centroids(embeddings, n_centroids))
+    # per-iteration wall time at toy scale is ~80% query PLANNING, not
+    # arithmetic (A/B-measured): AQE re-planning adds ~0.25 s/iter on a
+    # job whose shapes are fully known (k*d-row aggregates), and 32
+    # shuffle partitions on 512-row shuffles is task overhead.  Pin both
+    # for the loop, restore after; at cluster scale revisit only the
+    # partition count (the agg output is k*d rows regardless of corpus).
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        cents_rows = _train_loop(embeddings, cents_rows, n_iter)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.createDataFrame(cents_rows, cent_schema)
+
+
+def _train_loop(
+    embeddings: DataFrame,
+    cents_rows: list[tuple[int, list[float]]],
+    n_iter: int,
+) -> list[tuple[int, list[float]]]:
     for _ in range(n_iter):
-        assigned = _assign_to(embeddings, cents)
+        assigned = _assign_literal(embeddings, cents_rows)
         dims = assigned.select(
             "centroid_id", F.posexplode(_as_double(F.col("embedding"))).alias("pos", "v")
         )
         # decimal-space mean: double summation is partition-order
         # dependent; decimal addition is associative, so the mean (and
         # therefore every trained centroid bit) is partitioning- and
-        # retry-independent -- the repo's determinism contract
+        # retry-independent -- the repo's determinism contract.  The mean
+        # is exact-decimal-sum cast double, THEN divided (not decimal
+        # avg): decimal avg rounds the quotient at decimal scale, which
+        # no other engine mirrors bit-for-bit; sum-then-double-divide is
+        # one IEEE op on an exact numerator, portable everywhere.
         means = dims.groupBy("centroid_id", "pos").agg(
-            F.avg(F.col("v").cast("decimal(27,18)")).cast("double").alias("v")
+            (
+                F.sum(F.col("v").cast("decimal(27,18)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("v")
         )
         new = (
             means.groupBy("centroid_id")
@@ -223,14 +309,12 @@ def kmeans_train(
             )
             .select("centroid_id", "c_emb")
         )
-        # empty cells keep their previous centroid
-        cents = (
-            cents.select("centroid_id", F.col("c_emb").alias("prev"))
-            .join(new, "centroid_id", "left")
-            .select("centroid_id", F.coalesce("c_emb", "prev").alias("c_emb"))
-            .localCheckpoint(eager=True)
-        )
-    return cents
+        # k-row driver collect; empty cells keep their previous centroid
+        trained = {r["centroid_id"]: r["c_emb"] for r in new.collect()}
+        cents_rows = [
+            (cid, trained.get(cid, prev)) for cid, prev in cents_rows
+        ]
+    return cents_rows
 
 
 def ivf_assign(
@@ -240,13 +324,14 @@ def ivf_assign(
 ) -> DataFrame:
     """IVF-flat cell assignment.  Default centroids are the first
     ``n_centroids`` vectors (deterministic, oracle-portable); pass
-    ``centroids=kmeans_train(...)`` for trained cells.  Each vector joins
-    the broadcast centroid set and keeps its max-cosine cell.  One scan
-    of the corpus; at 100 TB, write the corpus bucketed by
-    ``centroid_id`` so query probes are partition-pruned reads."""
+    ``centroids=kmeans_train(...)`` for trained cells.  Centroids are
+    collected to the driver (O(k*d) model state) and inlined, so
+    assignment is a single NARROW pass over the corpus -- no join, no
+    shuffle; at 100 TB, write the corpus bucketed by ``centroid_id`` so
+    query probes are partition-pruned reads."""
     cents = centroids if centroids is not None \
         else _seed_centroids(embeddings, n_centroids)
-    return _assign_to(embeddings, cents).select(
+    return _assign_literal(embeddings, _collect_centroids(cents)).select(
         "vec_id", "centroid_id", "centroid_cosine"
     )
 

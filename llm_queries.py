@@ -47,6 +47,7 @@ from async_stream_processing_spark.llm.similarity import (
     lsh_buckets,
     sql_cosine,
     sql_lsh_bucket,
+    sql_norm,
 )
 from async_stream_processing_spark.llm.text_analysis import (
     fingerprints,
@@ -277,9 +278,12 @@ def q_stream_multimodal(spark, sf_dir):
 
 def q_ivf_kmeans_assign(spark, sf_dir):
     """IVF assignment under TRAINED spherical k-means centroids (4 Lloyd
-    iterations, all DataFrame ops).  Iterative fixpoint -> rows-only
-    gate (the driver's allowance for iterative algorithms); the recall
-    improvement over the untrained stand-in is pinned by
+    iterations, all DataFrame ops).  The fixed iteration count + the
+    repo's determinism contract (first-k init, exact decimal sums,
+    float32 casts) make the fixpoint UNROLLABLE: ``_ivf_kmeans_sql``
+    reproduces training bit-for-bit as a CTE chain, so this is a full
+    hash-checked row, not a rows-only allowance.  The recall improvement
+    over the untrained stand-in is separately pinned by
     tests/test_llm_ops.py::test_kmeans_improves_ivf_recall."""
     from async_stream_processing_spark.llm.similarity import (
         ivf_assign,
@@ -392,6 +396,59 @@ def _sql_lsh_pairs(threshold: float) -> str:
                 LEFT JOIN inter i USING (doc_a, doc_b)
                 JOIN sizes za ON za.doc_id = c.doc_a
                 JOIN sizes zb ON zb.doc_id = c.doc_b)
+    """
+
+
+def _ivf_kmeans_sql(n_centroids: int = 8, n_iter: int = 4) -> str:
+    """Unrolled Lloyd-iteration twin of ``kmeans_train`` + ``ivf_assign``.
+
+    Every training step is deterministic by construction (first-k init,
+    exact decimal(27,18) sums cast to double THEN divided, left-fold
+    norms, float32 centroid casts), so a fixed iteration count unrolls
+    into a plain CTE chain that reproduces the trained centroids -- and
+    therefore the final assignment -- bit-for-bit."""
+    parts = [
+        f"cents0 AS (SELECT vec_id AS centroid_id, embedding AS c_emb\n"
+        f"                FROM embeddings WHERE vec_id < {n_centroids})"
+    ]
+    for i in range(1, n_iter + 1):
+        p = i - 1
+        parts.append(f"""
+            scored{i} AS (SELECT e.vec_id, c.centroid_id, e.embedding,
+                              {sql_cosine('e.embedding', 'c.c_emb')} AS cos
+                       FROM embeddings e CROSS JOIN cents{p} c),
+            assign{i} AS (SELECT vec_id, centroid_id, embedding FROM (
+                           SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                               ORDER BY cos DESC, centroid_id ASC) AS rnk
+                           FROM scored{i}) WHERE rnk = 1),
+            dims{i} AS (SELECT centroid_id,
+                           generate_subscripts(embedding, 1) - 1 AS pos,
+                           CAST(unnest(embedding) AS DOUBLE) AS v
+                    FROM assign{i}),
+            means{i} AS (SELECT centroid_id, pos,
+                            CAST(SUM(CAST(v AS DECIMAL(27,18))) AS DOUBLE)
+                                / COUNT(*) AS v
+                     FROM dims{i} GROUP BY centroid_id, pos),
+            news{i} AS (SELECT centroid_id,
+                           list_transform(m, x ->
+                               CAST(x / {sql_norm('m')} AS FLOAT)) AS c_emb
+                    FROM (SELECT centroid_id, list(v ORDER BY pos) AS m
+                          FROM means{i} GROUP BY centroid_id)),
+            cents{i} AS (SELECT p.centroid_id,
+                            COALESCE(n.c_emb, p.c_emb) AS c_emb
+                     FROM cents{p} p LEFT JOIN news{i} n
+                       ON p.centroid_id = n.centroid_id)""")
+    chain = ",\n".join(parts)
+    return f"""
+        WITH {chain},
+        fscored AS (SELECT e.vec_id, c.centroid_id,
+                           {sql_cosine('e.embedding', 'c.c_emb')} AS cos
+                    FROM embeddings e CROSS JOIN cents{n_iter} c),
+        franked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                        ORDER BY cos DESC, centroid_id ASC) AS rnk
+                    FROM fscored)
+        SELECT vec_id, centroid_id, cos AS centroid_cosine
+        FROM franked WHERE rnk = 1
     """
 
 
@@ -552,6 +609,7 @@ def llm_oracle_sql() -> dict[str, str]:
             SELECT vec_id, centroid_id, cos AS centroid_cosine
             FROM ranked WHERE rnk = 1
         """,
+        "ivf_kmeans_assign": _ivf_kmeans_sql(n_centroids=8, n_iter=4),
         "knn_ivf": f"""
             WITH cents AS (SELECT vec_id AS centroid_id, embedding AS c_emb
                            FROM embeddings WHERE vec_id < 8),

@@ -161,6 +161,52 @@ def test_parse_image_header_formats():
     assert parse_image_header(b"\xff\xd8\xff\xe0") == ("jpeg", None, None)
     assert parse_image_header(b"\x89PNG\r\n\x1a\nshort") == (None, None, None)
 
+    # 0xFF fill bytes pad before a marker (ITU T.81 B.1.1.2): a run of
+    # 0xFF collapses to one marker, not a bogus 0xFF-length segment
+    jpeg_fill = (
+        b"\xff\xd8" + b"\xff\xff\xff"
+        + b"\xc0\x00\x11\x08" + struct.pack(">HH", 33, 44)
+        + b"\x03\x01\x22\x00\x02\x11\x01\x03\x11\x01"
+    )
+    assert parse_image_header(jpeg_fill) == ("jpeg", 44, 33)
+
+    # TEM (0x01) and RSTn (0xD0-0xD7) are standalone markers with no
+    # length field: a 2-byte advance, not a seglen read
+    jpeg_standalone = (
+        b"\xff\xd8" + b"\xff\x01" + b"\xff\xd3"
+        + b"\xff\xc0\x00\x11\x08" + struct.pack(">HH", 5, 6)
+        + b"\x03\x01\x22\x00\x02\x11\x01\x03\x11\x01"
+    )
+    assert parse_image_header(jpeg_standalone) == ("jpeg", 6, 5)
+
+    # EOI ends the walk -- bytes after it are entropy tail, not segments
+    assert parse_image_header(b"\xff\xd8\xff\xd9\xff\xc0garbage") == (
+        "jpeg", None, None,
+    )
+
+
+def test_decode_image_header_null_payload(spark):
+    """A null payload row decodes to all-null fields, not a crash."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    png = (
+        b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\x0dIHDR"
+        + b"\x00\x00\x00\x08\x00\x00\x00\x09"
+        + b"\x08\x06\x00\x00\x00" + b"\x00" * 4
+    )
+    df = spark.createDataFrame([(0, png), (1, None)], schema)
+    out = {r["doc_id"]: r for r in decode_image_header(df).collect()}
+    assert out[0]["format"] == "png" and out[0]["n_bytes"] == len(png)
+    assert out[1]["format"] is None
+    assert out[1]["width"] is None and out[1]["height"] is None
+    assert out[1]["n_bytes"] is None
+
 
 def test_synth_roundtrip_decode(spark):
     """synth_image_payload -> decode_image_header recovers the closed form."""

@@ -164,18 +164,16 @@ def test_entry_smoke(spark):
 
 
 def test_driver_contract_parity():
-    """Every oracle names a declared query; every query has an oracle
-    except the explicitly rows-only sketch (HLL isn't cross-engine
-    portable).  Catches a key typo before the driver's gate does."""
+    """Every oracle names a declared query and EVERY query carries an
+    oracle (round 4 closed the last two rows-only allowances: the HLL
+    sketch is contract-checked, k-means is loop-unrolled).  Catches a
+    key typo before the driver's gate does."""
     import sys
     sys.path.insert(0, ".")
     import __spark_entry__ as m
 
     qs, os_ = m.queries(), m.oracle_sql()
     assert set(os_) <= set(qs), set(os_) - set(qs)
-    # the ONLY rows-only queries: HLL sketches aren't cross-engine
-    # portable; k-means is an iterative fixpoint (oracle would need the
-    # loop unrolled) -- every other query must carry an oracle
-    assert set(qs) - set(os_) == {"cardinality_sketch", "ivf_kmeans_assign"}
+    assert set(qs) - set(os_) == set()
     assert all(callable(f) for f in qs.values())
     assert all(isinstance(s, str) and s.strip() for s in os_.values())

@@ -91,3 +91,12 @@ def test_fan_out_repartitions_single_file_scan(spark):
     derived = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
     plan2 = fan_out(derived)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange RoundRobinPartitioning" not in plan2
+
+    # wide-node detection matches node NAMES, not plan-string substrings:
+    # an alias that merely contains "Join"/"Window" must not suppress the
+    # repartition on a scan-only input
+    aliased = docs.select(
+        F.col("doc_id").alias("JoinKey"), F.col("text").alias("WindowText")
+    )
+    plan3 = fan_out(aliased)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange RoundRobinPartitioning" in plan3
