@@ -1760,6 +1760,71 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(docs, max_hamming=3)
 
 
+def q_range_join_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (range) join via the BUCKETIZED equi-join
+    (``operators/range_join.py``): events classified into overlapping
+    value bands derived from nation (lo = 17*key, hi = lo+29 -- bands
+    overlap and straddle bucket boundaries, so the test is non-trivial).
+    A plain theta join here plans as a broadcast nested loop -- fine for
+    25 bands, O(n*m) death at scale; the bucketized form shuffles on an
+    equi key instead.  Oracle is the plain theta join, proving the
+    rewrite is exact."""
+    from async_stream_processing_spark.operators.range_join import range_join
+
+    ev = _events(spark, sf_dir)
+    bands = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("band_id"),
+        (F.col("n_nationkey") * F.lit(17.0)).alias("lo"),
+        (F.col("n_nationkey") * F.lit(17.0) + F.lit(29.0)).alias("hi"),
+    )
+    joined = range_join(ev, bands, "value", bucket_width=20.0)
+    return joined.groupBy("band_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+         .alias("sum_value"),
+    )
+
+
+def q_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (priority, status): every subset subtotal in one shuffle
+    (grouping-set expansion is map-side), with ``grouping_id``
+    disambiguating subtotal nulls from data nulls."""
+    from async_stream_processing_spark.operators.analytics import cube_agg
+
+    orders = load_table(spark, sf_dir, "orders")
+    return cube_agg(
+        orders,
+        ["o_orderpriority", "o_orderstatus"],
+        {
+            "n_orders": F.count(F.lit(1)),
+            "sum_price": F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double"),
+        },
+    )
+
+
+def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel signup -> click -> purchase: stacked
+    window minima over ONE user partitioning (one shuffle for the whole
+    funnel; the SQL oracle needs a CTE + re-join per step)."""
+    from async_stream_processing_spark.operators.analytics import funnel_steps
+
+    return funnel_steps(
+        _events(spark, sf_dir), "user_id", ["signup", "click", "purchase"]
+    )
+
+
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users bucketed by first-seen date, cells
+    count distinct active users per whole-7-day offset.  Integer day
+    arithmetic only -- no calendar-week conventions to disagree on."""
+    from async_stream_processing_spark.operators.analytics import (
+        retention_cohorts,
+    )
+
+    return retention_cohorts(_events(spark, sf_dir), "user_id", "week")
+
+
 from llm_queries import LLM_QUERIES, llm_oracle_sql  # noqa: E402
 
 
@@ -1830,20 +1895,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unpivot_metrics": q_unpivot_metrics,
         "rows_frame_last5": q_rows_frame,
         "dominant_supplier": q_dominant_supplier,
-        # --- (d) r3-green padding to fill the 50 window (new round-4
-        #     queries take these slots first if any are added) ---
-        "vwap_2min": q_vwap_2min,
-        "trade_pnl_bucketed": q_trade_pnl_bucketed,
-        "dedup_minhash_lsh": LLM_QUERIES["dedup_minhash_lsh"],
-        "stream_cart_fold": q_stream_cart,
-        "tpch_q9": q_tpch_q9,
+        # --- (d) NEW round-4 queries (never gated -- must be inside) ---
+        "range_join_bands": q_range_join_bands,
+        "cube_orders": q_cube_orders,
+        "funnel_steps": q_funnel_steps,
+        "retention_cohorts": q_retention_cohorts,
+        "containment_pairs": LLM_QUERIES["containment_pairs"],
         # ================= end of the 50-key gate window =================
         # --- driver-green in round 3 ---
         **{
             k: v
             for k, v in LLM_QUERIES.items()
-            if k not in ("ivf_kmeans_assign", "dedup_minhash_lsh")
+            if k not in ("ivf_kmeans_assign", "containment_pairs")
         },
+        "vwap_2min": q_vwap_2min,
+        "trade_pnl_bucketed": q_trade_pnl_bucketed,
+        "stream_cart_fold": q_stream_cart,
+        "tpch_q9": q_tpch_q9,
         "rank_family": q_rank_family,
         "json_extract_props": q_json_extract,
         "fullouter_daily": q_fullouter_daily,
@@ -2767,6 +2835,62 @@ def oracle_sql() -> dict[str, str]:
         SELECT e.event_id, e.ts, e.user_id, e.event_type, e.value,
                c.c_name, c.c_mktsegment
         FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+    """
+    # theta-join oracle for the bucketized range-join rewrite: identical
+    # rows prove the equi-join + residual form is exact
+    out["range_join_bands"] = """
+        WITH bands AS (
+            SELECT n_nationkey AS band_id,
+                   n_nationkey * 17.0 AS lo,
+                   n_nationkey * 17.0 + 29.0 AS hi
+            FROM nation)
+        SELECT band_id, COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM events JOIN bands ON lo <= value AND value < hi
+        GROUP BY band_id
+    """
+    out["cube_orders"] = """
+        SELECT o_orderpriority, o_orderstatus,
+               CAST(GROUPING(o_orderpriority, o_orderstatus) AS BIGINT)
+                   AS grouping_id,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS sum_price
+        FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
+    """
+    out["funnel_steps"] = """
+        WITH s1 AS (
+            SELECT user_id,
+                   MIN(CASE WHEN event_type = 'signup' THEN ts END)
+                       AS step1_ts,
+                   COUNT(*) AS n_events
+            FROM events GROUP BY user_id),
+        s2 AS (
+            SELECT e.user_id, MIN(ts) AS step2_ts
+            FROM events e JOIN s1 USING (user_id)
+            WHERE event_type = 'click' AND ts >= step1_ts
+            GROUP BY e.user_id),
+        s3 AS (
+            SELECT e.user_id, MIN(ts) AS step3_ts
+            FROM events e JOIN s2 USING (user_id)
+            WHERE event_type = 'purchase' AND ts >= step2_ts
+            GROUP BY e.user_id)
+        SELECT s1.user_id, step1_ts, step2_ts, step3_ts, n_events,
+               step3_ts IS NOT NULL AS converted
+        FROM s1
+        LEFT JOIN s2 USING (user_id)
+        LEFT JOIN s3 USING (user_id)
+    """
+    out["retention_cohorts"] = """
+        WITH f AS (
+            SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+            FROM events GROUP BY user_id)
+        SELECT cohort_day,
+               CAST(date_diff('day', cohort_day, CAST(ts AS DATE)) // 7
+                    AS BIGINT) AS offset,
+               COUNT(DISTINCT e.user_id) AS n_active
+        FROM events e JOIN f USING (user_id)
+        GROUP BY 1, 2
     """
     out["stream_rank_family"] = """
         WITH totals AS (

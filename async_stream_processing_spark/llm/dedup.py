@@ -274,6 +274,45 @@ def jaccard_pairs_direct(
     )
 
 
+def containment_pairs(
+    shingle_hashes: DataFrame, threshold: float = 0.5
+) -> DataFrame:
+    """Exact CONTAINMENT pairs: ``|A ∩ B| / min(|A|, |B|)`` -- the
+    doc-inside-doc detector Jaccard structurally misses (a 100-shingle
+    doc fully contained in a 10,000-shingle doc has containment 1.0 but
+    Jaccard ~0.01, and near-zero probability of any minhash band
+    agreeing).  Training corpora are full of this shape: quoted posts,
+    boilerplate-wrapped articles, chapter-in-book.
+
+    Same one-pass shared-shingle self-join as
+    :func:`jaccard_pairs_direct` -- the join IS the blocking (a pair
+    with containment > 0 shares a shingle), quadratic only within a
+    shingle key, and the stop-shingle guard
+    (``doc_shingle_hashes(max_doc_ratio=...)``) caps that key's width on
+    boilerplate-heavy corpora.  All-integer counts until one final
+    double division, bit-exact everywhere."""
+    sizes = shingle_hashes.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = shingle_hashes.alias("a")
+    b = shingle_hashes.alias("b")
+    inter = (
+        a.join(b, "h")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "n_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "n_b"), "doc_b")
+        .withColumn(
+            "containment",
+            F.col("n_common").cast("double")
+            / F.least("n_a", "n_b").cast("double"),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("doc_a", "doc_b", "n_common", "n_a", "n_b", "containment")
+    )
+
+
 def minhash_dedup_pairs(
     docs: DataFrame,
     threshold: float = 0.5,

@@ -101,6 +101,89 @@ def rollup_agg(
     return df.rollup(*dims).agg(*[v.alias(k) for k, v in aggs.items()])
 
 
+def cube_agg(
+    df: DataFrame, dims: list[str], aggs: dict[str, Column]
+) -> DataFrame:
+    """CUBE over ``dims`` (every dim subset, null-filled absent dims),
+    plus ``grouping_id`` so downstream code can tell a subtotal row's
+    null from a genuine null dim value.  One shuffle: Spark expands the
+    grouping sets map-side before the exchange, same as ROLLUP."""
+    return df.cube(*dims).agg(
+        F.grouping_id().cast("long").alias("grouping_id"),
+        *[v.alias(k) for k, v in aggs.items()],
+    )
+
+
+def funnel_steps(
+    df: DataFrame,
+    key: str,
+    steps: list[str],
+    event_col: str = "event_type",
+) -> DataFrame:
+    """Ordered funnel: per ``key``, the first time each step happened AT
+    OR AFTER the previous step's first time (signup -> first click after
+    signup -> first purchase after that click ...).
+
+    Stacked window minima over ONE (key) partitioning: step i's column
+    is ``min(ts) where event = steps[i] and ts >= step_{i-1}_ts`` -- each
+    is a new Window projection over the SAME exchange, so the whole
+    funnel costs a single shuffle regardless of depth, then collapses to
+    one row per key.  The aggregate-join chain a SQL engine writes for
+    this (one CTE per step) re-shuffles per step; the window form is the
+    plan you want at 100 TB.
+    """
+    w = Window.partitionBy(key)
+    out = df
+    prev: Column | None = None
+    cols = []
+    for i, step in enumerate(steps):
+        cond = F.col(event_col) == step
+        if prev is not None:
+            cond = cond & (F.col(TS) >= F.col(prev))
+        name = f"step{i + 1}_ts"
+        out = out.withColumn(name, F.min(F.when(cond, F.col(TS))).over(w))
+        prev = name
+        cols.append(name)
+    return (
+        out.groupBy(key)
+        .agg(
+            *[F.first(c).alias(c) for c in cols],
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .withColumn("converted", F.col(cols[-1]).isNotNull())
+    )
+
+
+def retention_cohorts(
+    df: DataFrame,
+    key: str = "user_id",
+    bucket: str = "week",
+) -> DataFrame:
+    """Cohort retention: users grouped by the period of their FIRST
+    event; for each (cohort, period-offset) cell, how many distinct
+    users were active.  The canonical growth-analytics matrix.
+
+    First-seen period is a window min over the key partitioning, the
+    cell count a distinct-agg -- two shuffles total (key, then cell),
+    both map-side combined.  Offsets are whole 7-day spans from the
+    cohort date (not calendar-week labels), so the cell math is pure
+    integer day arithmetic -- portable across engines and unaffected by
+    week-start conventions."""
+    days = {"week": 7, "day": 1, "month": 30}[bucket]
+    w = Window.partitionBy(key)
+    first_day = F.min(F.to_date(TS)).over(w)
+    return (
+        df.withColumn("cohort_day", first_day)
+        .withColumn(
+            "offset",
+            F.floor(F.datediff(F.to_date(TS), F.col("cohort_day")) / days)
+            .cast("long"),
+        )
+        .groupBy("cohort_day", "offset")
+        .agg(F.countDistinct(key).alias("n_active"))
+    )
+
+
 def top_k_per_group(
     df: DataFrame,
     group: list[str],

@@ -91,6 +91,20 @@ def q_ngram_jaccard(spark, sf_dir):
     return jaccard_pairs_direct(doc_shingle_hashes(_docs(spark, sf_dir)), 0.25)
 
 
+def q_containment_pairs(spark, sf_dir):
+    """Exact 3-gram CONTAINMENT pairs >= 0.4: the doc-inside-doc
+    detector (quoted posts, boilerplate-wrapped articles) that Jaccard
+    structurally misses -- a contained small doc has containment 1.0 but
+    Jaccard ~|A|/|B|.  Same one-pass shared-shingle blocking as the
+    Jaccard query."""
+    from async_stream_processing_spark.llm.dedup import (
+        containment_pairs,
+        doc_shingle_hashes,
+    )
+
+    return containment_pairs(doc_shingle_hashes(_docs(spark, sf_dir)), 0.4)
+
+
 def q_simhash(spark, sf_dir):
     """Per-doc 32-bit SimHash fingerprint (Charikar 2002)."""
     return simhash(_docs(spark, sf_dir), bits=32)
@@ -309,6 +323,7 @@ LLM_QUERIES = {
     "dedup_minhash_lsh": q_dedup_minhash,
     "dedup_clusters": q_dedup_clusters,
     "ngram_jaccard_pairs": q_ngram_jaccard,
+    "containment_pairs": q_containment_pairs,
     "simhash_fingerprint": q_simhash,
     "knn_bruteforce": q_knn_bruteforce,
     "ann_lsh_buckets": q_ann_buckets,
@@ -526,6 +541,23 @@ def llm_oracle_sql() -> dict[str, str]:
             JOIN sizes zb ON zb.doc_id = c.doc_b
             WHERE CAST(i.n_common AS DOUBLE)
                       / CAST(za.n + zb.n - i.n_common AS DOUBLE) >= 0.25
+        """,
+        "containment_pairs": f"""
+            WITH {_sql_doc_shingles()},
+            sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                             COUNT(*) AS n_common
+                      FROM sh a JOIN sh b
+                        ON a.h = b.h AND a.doc_id < b.doc_id
+                      GROUP BY 1, 2)
+            SELECT doc_a, doc_b, n_common, za.n AS n_a, zb.n AS n_b,
+                   CAST(n_common AS DOUBLE)
+                       / CAST(LEAST(za.n, zb.n) AS DOUBLE) AS containment
+            FROM inter
+            JOIN sizes za ON za.doc_id = doc_a
+            JOIN sizes zb ON zb.doc_id = doc_b
+            WHERE CAST(n_common AS DOUBLE)
+                      / CAST(LEAST(za.n, zb.n) AS DOUBLE) >= 0.4
         """,
         "simhash_fingerprint": f"""
             WITH toks AS (

@@ -227,3 +227,74 @@ def test_asof_join_bucketed_equivalent(spark, left, right, bucket):
             ).collect()
         }
         assert bucketed == plain
+
+
+# (lo, length) band specs + fact values, all integers scaled to land on
+# and around bucket boundaries (the tricky cases: hi exactly on a
+# boundary, bands wider than a bucket, overlapping bands)
+range_join_strategy = st.tuples(
+    st.lists(st.tuples(st.integers(-10, 40), st.integers(1, 25)),
+             min_size=1, max_size=8),
+    st.lists(st.integers(-10, 70), min_size=1, max_size=30),
+    st.sampled_from([1.0, 4.0, 10.0]),
+)
+
+
+@given(range_join_strategy)
+@SLOW
+def test_range_join_bucketized_equals_theta(spark, case):
+    """The bucketized equi-join rewrite returns exactly the theta-join
+    rows for any band layout (overlapping, boundary-aligned, wider or
+    narrower than the bucket) and any bucket width."""
+    from async_stream_processing_spark.operators.range_join import range_join
+
+    bands_spec, values, width = case
+    bands = spark.createDataFrame(
+        [(i, float(lo), float(lo + ln)) for i, (lo, ln) in enumerate(bands_spec)],
+        "band_id int, lo double, hi double",
+    )
+    facts = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(values)],
+        "fact_id int, value double",
+    )
+    theta = {
+        (r["fact_id"], r["band_id"])
+        for r in facts.join(
+            bands,
+            (bands.lo <= facts.value) & (facts.value < bands.hi),
+        ).collect()
+    }
+    bucketized = {
+        (r["fact_id"], r["band_id"])
+        for r in range_join(facts, bands, "value", bucket_width=width).collect()
+    }
+    assert bucketized == theta
+
+
+def test_funnel_steps_requires_order(spark):
+    """A later step only counts AT OR AFTER the previous step's first
+    time: a purchase before the first click is invisible to step 3."""
+    from async_stream_processing_spark.operators.analytics import funnel_steps
+
+    rows = [
+        # user 1: signup(10) -> click(20) -> purchase(30): converts
+        (1, 10, "signup"), (1, 20, "click"), (1, 30, "purchase"),
+        # user 2: purchase(5) BEFORE signup(10)+click(20): no conversion
+        (2, 5, "purchase"), (2, 10, "signup"), (2, 20, "click"),
+        # user 3: click(5) before signup(10), click(15) after: step2=15
+        (3, 5, "click"), (3, 10, "signup"), (3, 15, "click"),
+        # user 4: no signup at all: every step null
+        (4, 7, "click"), (4, 9, "purchase"),
+    ]
+    df = spark.createDataFrame(
+        [(u, T0 + timedelta(seconds=s), s, k) for u, s, k in rows],
+        "user_id int, ts timestamp, seq long, event_type string",
+    )
+    out = {
+        r["user_id"]: r
+        for r in funnel_steps(df, "user_id", ["signup", "click", "purchase"]).collect()
+    }
+    assert out[1]["converted"] is True
+    assert out[2]["converted"] is False and out[2]["step2_ts"] is not None
+    assert out[3]["step2_ts"] == T0 + timedelta(seconds=15)
+    assert out[4]["step1_ts"] is None and out[4]["converted"] is False
