@@ -1814,6 +1814,52 @@ def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST-match as-of join (pandas ``merge_asof(direction='nearest',
+    tolerance=...)`` semantics): each purchase marked at the closest view
+    within +/-10 min, either direction, ties to the earlier view.  The
+    tolerance turns the order-dependent as-of into a bucketed EQUI join
+    (constant 3x probe fan-out, no per-key sort) -- the third as-of
+    execution strategy beside union-and-carry and the time-bucketed
+    carry."""
+    from async_stream_processing_spark.operators.asof import asof_join_nearest
+
+    trades = _stream(spark, sf_dir, "purchase").select(
+        "event_id", "ts", "seq", "user_id", F.col("value").alias("price")
+    )
+    quotes = _stream(spark, sf_dir, "view").select(
+        "user_id", "ts", "seq", F.col("value").alias("mid")
+    )
+    out = asof_join_nearest(
+        trades, quotes, on=["user_id"], right_cols=["mid"],
+        tolerance_seconds=600,
+    )
+    return out.select("event_id", "ts", "user_id", "price", "matched_ts", "mid")
+
+
+def q_stream_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join EXECUTED BY THE STREAMING ENGINE: the bucketized
+    rewrite is an EQUI stream-static join + residual filter, which
+    streams statelessly in append mode -- the raw theta form would not
+    (no equi condition to plan a stream-static hash join on).  The
+    rewrite doesn't just scale the batch plan; it unlocks streaming
+    execution outright."""
+    from async_stream_processing_spark.operators.range_join import range_join
+    from async_stream_processing_spark.sources.parquet import stream_table
+    from async_stream_processing_spark.streaming.replay import drain
+
+    s = stream_table(spark, sf_dir, "events").select("event_id", "value")
+    bands = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("band_id"),
+        (F.col("n_nationkey") * F.lit(17.0)).alias("lo"),
+        (F.col("n_nationkey") * F.lit(17.0) + F.lit(29.0)).alias("hi"),
+    )
+    joined = range_join(s, bands, "value", bucket_width=20.0)
+    return drain(
+        joined.select("event_id", "band_id", "value"), output_mode="append"
+    )
+
+
 def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention matrix: users bucketed by first-seen date, cells
     count distinct active users per whole-7-day offset.  Integer day
@@ -1861,8 +1907,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "positions_by_key": q_positions,
         "cart_totals": q_cart_totals,
         "resample_1min": q_resample_1min,
-        "filter_project": q_filter_project,
-        "demux_counts": q_demux,
         "top_revenue": q_top_revenue,
         "revenue_by_nation": q_revenue_by_nation,
         "tpch_q6": q_tpch_q6,
@@ -1890,24 +1934,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_first_seen": q_stream_first_seen,
         "stream_dedup": q_stream_dedup,
         "set_ops_segments": q_set_ops,
-        "set_ops_multiset": q_set_ops_multiset,
         "pivot_daily": q_pivot_daily,
         "unpivot_metrics": q_unpivot_metrics,
         "rows_frame_last5": q_rows_frame,
         "dominant_supplier": q_dominant_supplier,
-        # --- (d) NEW round-4 queries (never gated -- must be inside) ---
+        # --- (d) NEW round-4 queries (never gated -- must be inside;
+        #     three r1/r2 keys [filter_project, demux_counts,
+        #     set_ops_multiset] wait for round 5's rotation) ---
         "range_join_bands": q_range_join_bands,
         "cube_orders": q_cube_orders,
         "funnel_steps": q_funnel_steps,
         "retention_cohorts": q_retention_cohorts,
         "containment_pairs": LLM_QUERIES["containment_pairs"],
+        "weighted_sample": LLM_QUERIES["weighted_sample"],
+        "asof_nearest": q_asof_nearest,
+        "stream_range_join": q_stream_range_join,
         # ================= end of the 50-key gate window =================
         # --- driver-green in round 3 ---
         **{
             k: v
             for k, v in LLM_QUERIES.items()
-            if k not in ("ivf_kmeans_assign", "containment_pairs")
+            if k not in (
+                "ivf_kmeans_assign", "containment_pairs", "weighted_sample",
+            )
         },
+        "filter_project": q_filter_project,
+        "demux_counts": q_demux,
+        "set_ops_multiset": q_set_ops_multiset,
         "vwap_2min": q_vwap_2min,
         "trade_pnl_bucketed": q_trade_pnl_bucketed,
         "stream_cart_fold": q_stream_cart,
@@ -2880,6 +2933,40 @@ def oracle_sql() -> dict[str, str]:
         FROM s1
         LEFT JOIN s2 USING (user_id)
         LEFT JOIN s3 USING (user_id)
+    """
+    out["asof_nearest"] = """
+        WITH trades AS (
+            SELECT event_id, ts, event_id AS seq, user_id, value AS price
+            FROM events WHERE event_type = 'purchase'),
+        quotes AS (
+            SELECT user_id, ts, event_id AS seq, value AS mid
+            FROM events WHERE event_type = 'view'),
+        cand AS (
+            SELECT t.event_id, q.ts AS qts, q.seq AS qseq, q.mid,
+                   abs(epoch_us(q.ts) - epoch_us(t.ts)) AS d,
+                   CASE WHEN epoch_us(q.ts) <= epoch_us(t.ts)
+                        THEN 0 ELSE 1 END AS pref
+            FROM trades t JOIN quotes q
+              ON t.user_id = q.user_id
+             AND abs(epoch_us(q.ts) - epoch_us(t.ts)) <= 600000000),
+        best AS (
+            SELECT event_id, qts, mid,
+                   ROW_NUMBER() OVER (PARTITION BY event_id
+                       ORDER BY d, pref, qts, qseq) AS rn
+            FROM cand)
+        SELECT t.event_id, t.ts, t.user_id, t.price,
+               b.qts AS matched_ts, b.mid
+        FROM trades t
+        LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (event_id)
+    """
+    out["stream_range_join"] = """
+        WITH bands AS (
+            SELECT n_nationkey AS band_id,
+                   n_nationkey * 17.0 AS lo,
+                   n_nationkey * 17.0 + 29.0 AS hi
+            FROM nation)
+        SELECT event_id, band_id, value
+        FROM events JOIN bands ON lo <= value AND value < hi
     """
     out["retention_cohorts"] = """
         WITH f AS (

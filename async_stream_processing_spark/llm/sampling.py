@@ -60,6 +60,31 @@ def repetition_stats(docs: DataFrame, n: int = 3) -> DataFrame:
     )
 
 
+def weighted_sample(docs: DataFrame, k: int = 50) -> DataFrame:
+    """Deterministic weighted sampling without replacement: sequential
+    Poisson sampling (Ohlsson '98) -- priority ``u / w`` with a
+    hash-derived uniform ``u`` and weight ``w``, keep the k smallest
+    priorities.  Inclusion probability is ~proportional to weight
+    (here: token count, the "sample long documents more" mixture knob).
+
+    The priority is ONE IEEE double division of a 60-bit integer hash by
+    an integer weight -- exactly rounded on every engine, unlike the
+    textbook ``u^(1/w)`` whose ``pow`` differs across libms in final
+    ulps (same reason the module is log-free).  Hash-derived ``u`` makes
+    the sample reproducible across runs, engines, and cluster sizes.
+    ``orderBy().limit(k)`` plans as TakeOrderedAndProject: every
+    partition keeps its own top k, the driver merges k-sized heaps -- no
+    global sort, no single-partition shuffle.  Only the k survivors see
+    the rank window."""
+    w_tok = F.size(tokens("text"))
+    pri = stable_hash60(F.col("text")).cast("double") / w_tok.cast("double")
+    topk = docs.select(
+        "doc_id", "source", w_tok.alias("weight"), pri.alias("priority")
+    ).orderBy("priority", "doc_id").limit(k)
+    win = Window.orderBy("priority", "doc_id")
+    return topk.withColumn("rank", F.row_number().over(win).cast("long"))
+
+
 def stratified_sample(docs: DataFrame, mod: int = 1000) -> DataFrame:
     """Deterministic per-source mixture sampling: doc kept iff
     ``stable_hash60(text) % mod < rate(source)``.

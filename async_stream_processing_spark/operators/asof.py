@@ -68,6 +68,71 @@ def asof_join(
     return merged.filter(F.col("__side") == 1).drop("__side")
 
 
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    right_cols: Sequence[str],
+    tolerance_seconds: int,
+    prefer_backward: bool = True,
+) -> DataFrame:
+    """NEAREST-match as-of join: each left row gets the right row with
+    the smallest ``|Δts|`` within ``±tolerance_seconds`` (both
+    directions -- the pandas ``merge_asof(direction='nearest',
+    tolerance=...)`` semantics), nulls when nothing lands in the band.
+
+    Tolerance makes this shuffle-joinable: bucket time by the tolerance,
+    probe each left row into its own bucket and both neighbors (any
+    right row within ±tol lives there), equi-join on (keys, bucket), and
+    keep the argmin ``|Δts|`` per left row.  The left side fans out 3x
+    pre-shuffle -- constant, independent of data or tolerance -- versus
+    the carry-forward form's global per-key sort, and unlike plain
+    ``asof_join`` it needs no order-carrying window at all, so skewed or
+    absent keys cost nothing extra.  Ties: ``prefer_backward`` picks the
+    earlier right row at equal distance (else the later), then ``(ts,
+    seq)`` for full determinism.
+    """
+    on = list(on)
+    right_cols = list(right_cols)
+    tol_us = int(tolerance_seconds * 1_000_000)
+    bucket = (F.unix_micros(F.col(TS)) / F.lit(tol_us)).cast("long")
+
+    probes = left.select(
+        *on, F.col(TS), F.col(SEQ),
+        F.explode(
+            F.array(bucket - 1, bucket, bucket + 1)
+        ).alias("__b"),
+    )
+    rhs = right.select(
+        *[F.col(c) for c in on],
+        F.col(TS).alias("__rts"), F.col(SEQ).alias("__rseq"),
+        *[F.col(c) for c in right_cols],
+    ).withColumn("__b", (F.unix_micros(F.col("__rts")) / F.lit(tol_us)).cast("long"))
+
+    delta = F.unix_micros(F.col("__rts")) - F.unix_micros(F.col(TS))
+    backward_rank = F.when(delta <= 0, 0 if prefer_backward else 1) \
+        .otherwise(1 if prefer_backward else 0)
+    cands = (
+        probes.join(rhs, on + ["__b"])
+        .filter(F.abs(delta) <= tol_us)
+        .withColumn("__d", F.abs(delta))
+        .withColumn("__pref", backward_rank)
+    )
+    w = Window.partitionBy(*on, TS, SEQ).orderBy(
+        "__d", "__pref", "__rts", "__rseq"
+    )
+    best = (
+        cands.withColumn("__rnk", F.row_number().over(w))
+        .filter(F.col("__rnk") == 1)
+        .select(
+            *on, TS, SEQ,
+            F.col("__rts").alias("matched_ts"),
+            *[F.col(c) for c in right_cols],
+        )
+    )
+    return left.join(best, on + [TS, SEQ], "left")
+
+
 def asof_join_bucketed(
     left: DataFrame,
     right: DataFrame,

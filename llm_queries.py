@@ -91,6 +91,16 @@ def q_ngram_jaccard(spark, sf_dir):
     return jaccard_pairs_direct(doc_shingle_hashes(_docs(spark, sf_dir)), 0.25)
 
 
+def q_weighted_sample(spark, sf_dir):
+    """Sequential Poisson (weighted) sampling: k=50 docs with inclusion
+    ~proportional to token count, fully deterministic (hash-derived
+    uniforms, single IEEE division for the priority -- no pow/log, so
+    the oracle reproduces the exact sample)."""
+    from async_stream_processing_spark.llm.sampling import weighted_sample
+
+    return weighted_sample(_docs(spark, sf_dir), k=50)
+
+
 def q_containment_pairs(spark, sf_dir):
     """Exact 3-gram CONTAINMENT pairs >= 0.4: the doc-inside-doc
     detector (quoted posts, boilerplate-wrapped articles) that Jaccard
@@ -336,6 +346,7 @@ LLM_QUERIES = {
     "top_terms_per_source": q_top_terms,
     "repetition_stats": q_repetition,
     "stratified_sample": q_stratified_sample,
+    "weighted_sample": q_weighted_sample,
     "text_stats": q_text_stats,
     "quality_score": q_quality_score,
     "lang_id": q_lang_id,
@@ -714,6 +725,23 @@ def llm_oracle_sql() -> dict[str, str]:
                    1.0 - CAST(n_distinct_shingles AS DOUBLE)
                        / CAST(n_shingles AS DOUBLE) AS dup_shingle_ratio
             FROM agg
+        """,
+        "weighted_sample": f"""
+            WITH pri AS (
+                SELECT doc_id, source,
+                       len(string_split_regex(lower(trim(text)), ' +'))
+                           AS weight,
+                       CAST({sql_stable_hash60('text')} AS DOUBLE)
+                           / CAST(len(string_split_regex(lower(trim(text)),
+                                                         ' +')) AS DOUBLE)
+                           AS priority
+                FROM documents)
+            SELECT doc_id, source, weight, priority,
+                   CAST(ROW_NUMBER() OVER (ORDER BY priority, doc_id)
+                        AS BIGINT) AS rank
+            FROM pri
+            ORDER BY priority, doc_id
+            LIMIT 50
         """,
         "stratified_sample": f"""
             SELECT doc_id, source,

@@ -100,3 +100,35 @@ def test_fan_out_repartitions_single_file_scan(spark):
     )
     plan3 = fan_out(aliased)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange RoundRobinPartitioning" in plan3
+
+
+def test_range_join_is_equi_not_nested_loop(spark):
+    """The bucketized range join must plan as an EQUI join (hash/sort-
+    merge/broadcast-hash on the bucket key), never the O(n*m) broadcast
+    nested loop the raw theta predicate degrades to."""
+    plan = _plan(spark, "range_join_bands")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_funnel_single_exchange(spark):
+    """The whole 3-step funnel rides ONE user_id exchange: stacked window
+    minima reuse the partitioning, and the final per-user aggregate is
+    partial-aggregated on the same keys."""
+    plan = _plan(spark, "funnel_steps")
+    assert _shuffles(plan) == 1
+
+
+def test_retention_two_exchanges(spark):
+    """Retention = first-seen window (key exchange) + cell aggregate
+    (cohort/offset exchange); anything more is a regression."""
+    plan = _plan(spark, "retention_cohorts")
+    assert _shuffles(plan) <= 2
+
+
+def test_cube_single_exchange(spark):
+    """CUBE expands grouping sets map-side: one exchange, partial + final
+    hash aggregates."""
+    plan = _plan(spark, "cube_orders")
+    assert _shuffles(plan) == 1
+    assert plan.count("HashAggregate") >= 2

@@ -298,3 +298,41 @@ def test_funnel_steps_requires_order(spark):
     assert out[2]["converted"] is False and out[2]["step2_ts"] is not None
     assert out[3]["step2_ts"] == T0 + timedelta(seconds=15)
     assert out[4]["step1_ts"] is None and out[4]["converted"] is False
+
+
+@given(left=events_strategy, right=events_strategy,
+       tol=st.sampled_from([5, 17, 60]))
+@SLOW
+def test_asof_nearest_matches_bruteforce(spark, left, right, tol):
+    """Bucketed nearest-match join == brute-force nearest within
+    tolerance for random event sets and tolerances (bucket boundaries,
+    ties at equal distance, empty bands all land in the random space)."""
+    from async_stream_processing_spark.operators.asof import asof_join_nearest
+
+    trades = _df(spark, left, stream_id=1)
+    quotes = _df(spark, right, stream_id=0, value_col="mid")
+
+    qrows = [(T0 + timedelta(seconds=s), (0 << 40) + i + 1, float(v))
+             for i, (s, v) in enumerate(right)]
+
+    def brute(ts, _seq):
+        cands = [
+            (abs((qts - ts).total_seconds()),
+             0 if qts <= ts else 1, qts, qseq, mid)
+            for qts, qseq, mid in qrows
+            if abs((qts - ts).total_seconds()) <= tol
+        ]
+        return min(cands)[4] if cands else None
+
+    got = {
+        r["seq"]: r["mid"]
+        for r in asof_join_nearest(
+            trades, quotes, on=[], right_cols=["mid"],
+            tolerance_seconds=tol,
+        ).collect()
+    }
+    want = {
+        (1 << 40) + i + 1: brute(T0 + timedelta(seconds=s), None)
+        for i, (s, _v) in enumerate(left)
+    }
+    assert got == want
