@@ -44,7 +44,12 @@ def main() -> None:
     warm_dir = "/root/testdata/sf0.001"
     if os.path.isdir(warm_dir):
         qs = entrymod.queries()
-        for wname in ("dedup_minhash_lsh", "vwap_2min", "stream_cart_fold"):
+        # ivf_kmeans warms the Lloyd-iteration agg codegen (the plans the
+        # training loop reuses via the codegen cache)
+        for wname in (
+            "dedup_minhash_lsh", "vwap_2min", "stream_cart_fold",
+            "ivf_kmeans_assign",
+        ):
             try:
                 qs[wname](spark, warm_dir).write.format("noop").mode(
                     "overwrite"
