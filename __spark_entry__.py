@@ -1609,6 +1609,76 @@ def q_stream_fullouter(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(sent_dir, ignore_errors=True)
 
 
+def q_stream_leftouter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream join EXECUTED BY THE STREAMING ENGINE --
+    completes the streaming join family (inner `stream_join_1h`, full
+    outer `stream_fullouter`): every click emits, enriched with a
+    purchase in the +/-30 min band when one exists, null-padded once the
+    watermark proves none will arrive.  Same far-future-sentinel flush
+    as the full outer (both sides still need the sentinel: the GLOBAL
+    watermark is the min across sources, so one stale side would hold
+    every unmatched row in state)."""
+    from async_stream_processing_spark.sources.parquet import stream_table
+    from async_stream_processing_spark.streaming.replay import drain
+
+    SIDE_SCHEMA = "event_id bigint, ts timestamp, user_id bigint, value double"
+    max_ts = _parquet_footer_max_ts(f"{sf_dir}/events.parquet", "ts")
+    if max_ts is None:
+        max_ts = load_table(spark, sf_dir, "events").select(F.max("ts")).first()[0]
+    import tempfile
+    from datetime import timedelta
+
+    sent_dir = tempfile.mkdtemp(prefix="asp_sentinel_")
+    _write_sentinel_row(
+        f"{sent_dir}/part-0.parquet", -1, max_ts + timedelta(days=1), -1, 0.0
+    )
+
+    def side(kind: str) -> DataFrame:
+        real = stream_table(spark, sf_dir, "events").filter(
+            F.col("event_type") == kind
+        ).select("event_id", "ts", "user_id", "value")
+        sentinel = spark.readStream.schema(SIDE_SCHEMA).parquet(sent_dir)
+        return real.unionByName(sentinel).withWatermark("ts", "2 hours")
+
+    j = side("click").alias("l").join(
+        side("purchase").alias("r"),
+        F.expr(
+            "l.user_id = r.user_id AND "
+            "r.ts BETWEEN l.ts - INTERVAL 30 MINUTES "
+            "AND l.ts + INTERVAL 30 MINUTES"
+        ),
+        "left_outer",
+    )
+    # The sentinel filter MUST run on the drained batch result, not
+    # inside the streaming plan: a left-side-only predicate
+    # (l.user_id >= 0) is pushable, and Catalyst pushes it below the
+    # left branch's watermark node -- the left sentinel then never
+    # reaches event-time stats, the GLOBAL watermark (min across
+    # sources) stalls at real-max - delay, and every click in the last
+    # delay+band window stays in state forever (observed: the newest 5
+    # clicks missing at sf0.01).  The full-outer twin is immune only
+    # because its coalesce(l,r) filter references both sides and cannot
+    # push.
+    out = j.select(
+        F.col("l.event_id").alias("click_id"),
+        F.col("l.ts").alias("click_ts"),
+        F.col("l.value").alias("click_value"),
+        F.col("r.event_id").alias("purchase_id"),
+        F.col("r.ts").alias("purchase_ts"),
+        F.col("r.value").alias("purchase_value"),
+        F.col("l.user_id").alias("user_id"),
+    )
+    import shutil
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        return drain(out, output_mode="append").filter(F.col("user_id") >= 0)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        shutil.rmtree(sent_dir, ignore_errors=True)
+
+
 def q_fullouter_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FULL OUTER join (the one join type not yet declared): per-day
     click vs purchase user counts, keeping days present on either side
@@ -1936,7 +2006,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops_segments": q_set_ops,
         "pivot_daily": q_pivot_daily,
         "unpivot_metrics": q_unpivot_metrics,
-        "rows_frame_last5": q_rows_frame,
         "dominant_supplier": q_dominant_supplier,
         # --- (d) NEW round-4 queries (never gated -- must be inside;
         #     three r1/r2 keys [filter_project, demux_counts,
@@ -1949,6 +2018,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": LLM_QUERIES["weighted_sample"],
         "asof_nearest": q_asof_nearest,
         "stream_range_join": q_stream_range_join,
+        "stream_leftouter": q_stream_leftouter,
         # ================= end of the 50-key gate window =================
         # --- driver-green in round 3 ---
         **{
@@ -1961,6 +2031,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_project": q_filter_project,
         "demux_counts": q_demux,
         "set_ops_multiset": q_set_ops_multiset,
+        "rows_frame_last5": q_rows_frame,
         "vwap_2min": q_vwap_2min,
         "trade_pnl_bucketed": q_trade_pnl_bucketed,
         "stream_cart_fold": q_stream_cart,
@@ -2994,6 +3065,19 @@ def oracle_sql() -> dict[str, str]:
                CAST(NTILE(4) OVER (ORDER BY total_value DESC, user_id)
                     AS BIGINT) AS quartile
         FROM totals
+    """
+    out["stream_leftouter"] = """
+        SELECT c.event_id AS click_id, c.ts AS click_ts,
+               c.value AS click_value,
+               p.event_id AS purchase_id, p.ts AS purchase_ts,
+               p.value AS purchase_value,
+               c.user_id AS user_id
+        FROM (SELECT * FROM events WHERE event_type = 'click') c
+        LEFT JOIN
+             (SELECT * FROM events WHERE event_type = 'purchase') p
+          ON c.user_id = p.user_id
+         AND p.ts BETWEEN c.ts - INTERVAL 1800 SECONDS
+                      AND c.ts + INTERVAL 1800 SECONDS
     """
     out["stream_fullouter"] = """
         SELECT c.event_id AS click_id, c.ts AS click_ts,

@@ -39,6 +39,28 @@ def test_stratified_sample_deterministic(spark):
     assert 0 < len(a) < docs.count()
 
 
+def test_weighted_sample_deterministic_and_weighted(spark):
+    """Sequential Poisson sample: identical under repartitioning (hash
+    priorities, not rand()), and actually weighted -- the sampled docs'
+    mean token count exceeds the corpus mean."""
+    from pyspark.sql import functions as F
+
+    from async_stream_processing_spark.functions.text import tokens
+    from async_stream_processing_spark.llm.sampling import weighted_sample
+    from async_stream_processing_spark.sources.parquet import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    a = [(r["doc_id"], r["rank"]) for r in
+         weighted_sample(docs, k=20).orderBy("rank").collect()]
+    b = [(r["doc_id"], r["rank"]) for r in
+         weighted_sample(docs.repartition(13), k=20).orderBy("rank").collect()]
+    assert a == b and len(a) == 20
+
+    corpus_mean = docs.select(F.avg(F.size(tokens("text")))).first()[0]
+    sample_mean = weighted_sample(docs, k=20).select(F.avg("weight")).first()[0]
+    assert sample_mean > corpus_mean
+
+
 def test_incremental_dedup_bucketed(spark, tmp_path):
     """The 100 TB incremental-dedup path (SCALE.md): corpus band buckets
     persisted bucketed-by-signature once; a new ingest batch joins its
