@@ -68,6 +68,30 @@ def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
     return spark.table(table)
 
 
+def zorder_key(cols: list, bits: int = 16) -> "F.Column":
+    """Z-order (Morton) key: bit-interleave ``bits`` low bits of each
+    integer column into one sortable value.
+
+    Sorting by the interleaved key gives EVERY participating column
+    locality inside each file/row group, so parquet min/max stats prune
+    point/range predicates on ANY of them -- a lexicographic
+    ``cluster_by`` only serves its leading column (the second column's
+    per-file span is the full domain).  Pure column expressions (shifts
+    and masks), no UDF; callers bucket floats/timestamps to integer
+    ranks first.  ``bits * len(cols)`` must stay <= 63."""
+    n = len(cols)
+    if bits * n > 63:
+        raise ValueError("bits * len(cols) must fit a signed 64-bit key")
+    z = F.lit(0).cast("long")
+    for j, c in enumerate(cols):
+        col = (F.col(c) if isinstance(c, str) else c).cast("long")
+        for b in range(bits):
+            z = z.bitwiseOR(
+                F.shiftleft(F.shiftright(col, b).bitwiseAND(F.lit(1)), b * n + j)
+            )
+    return z
+
+
 def write_partitioned_lake(
     df: DataFrame,
     path: str,

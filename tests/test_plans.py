@@ -132,3 +132,12 @@ def test_cube_single_exchange(spark):
     plan = _plan(spark, "cube_orders")
     assert _shuffles(plan) == 1
     assert plan.count("HashAggregate") >= 2
+
+
+def test_weighted_sample_zero_exchanges(spark):
+    """Sequential Poisson top-k plans as TakeOrdered: per-partition
+    heaps + driver merge, ZERO exchanges -- the weighted sample of an
+    arbitrarily large corpus moves k rows."""
+    plan = _plan(spark, "weighted_sample")
+    assert _shuffles(plan) == 0
+    assert "TakeOrderedAndProject" in plan

@@ -338,3 +338,50 @@ def test_partitioned_lake_day_query_reads_only_that_day(spark, tmp_path):
 
     with _pytest.raises(Exception):
         spark.read.schema(sch).parquet(lake).agg(F.count(F.lit(1))).first()
+
+
+def test_zorder_clustering_tightens_both_columns(spark, tmp_path):
+    """Z-order vs lexicographic clustering, measured on real parquet
+    footer stats: lexicographic sort leaves the SECOND column's per-file
+    min/max span at ~the full domain (stats prune nothing); the Morton
+    key keeps BOTH columns' spans a fraction of it."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from async_stream_processing_spark.plans.scale import zorder_key
+
+    n = 1 << 12
+    df = spark.range(n).select(
+        # two independent uniform 10-bit columns (decorrelated via hash)
+        (F.abs(F.xxhash64(F.col("id"))) % 1024).alias("a"),
+        (F.abs(F.xxhash64(F.col("id") + 7_777_777)) % 1024).alias("b"),
+    )
+
+    def avg_span(path: str, col: str) -> float:
+        import os
+
+        spans = []
+        for f in os.listdir(path):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(path, f)).metadata
+            idx = md.schema.names.index(col)
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                spans.append(st.max - st.min)
+        return sum(spans) / len(spans)
+
+    lex = str(tmp_path / "lex")
+    (df.repartition(1).sortWithinPartitions("a", "b")
+       .write.option("maxRecordsPerFile", 256).parquet(lex))
+    zed = str(tmp_path / "zed")
+    (df.repartition(1)
+       .sortWithinPartitions(zorder_key(["a", "b"], bits=10))
+       .write.option("maxRecordsPerFile", 256).parquet(zed))
+
+    # second column under lex is useless (~full 1024 domain); under z
+    # BOTH columns prune -- files straddling quad boundaries keep the
+    # average above the ideal 1024/4, but far under the domain
+    assert avg_span(lex, "b") > 900
+    assert avg_span(zed, "a") < 600
+    assert avg_span(zed, "b") < 600
