@@ -22,6 +22,7 @@ EXAMPLES = [
     "e10_live_socket",
     "e11_llm_curation",
     "e12_multimodal_lake",
+    "e13_analytics_suite",
 ]
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "examples"))
