@@ -1822,6 +1822,41 @@ def q_cardinality_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate quantiles by CONTRACT (the 100 TB percentile path —
+    exact ``percentile`` is a full per-group sort; the KLL-style
+    ``approx_percentile`` sketch is mergeable and single-pass).  Sketch
+    internals aren't cross-engine portable, but the rank-error guarantee
+    is: with accuracy 10000 the estimate's rank error is <=1e-4, so the
+    approx value must lie between the exact quantiles at p -/+ 0.01 (a
+    100x slack margin).  Emit the exact quantiles plus in-bounds
+    booleans; the oracle recomputes the exact values and TRUE."""
+    df = _events(spark, sf_dir)
+    agg = df.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("p50"),
+        F.expr("percentile(value, 0.9)").alias("p90"),
+        F.expr("percentile(value, 0.99)").alias("p99"),
+        F.expr("approx_percentile(value, 0.5, 10000)").alias("a50"),
+        F.expr("approx_percentile(value, 0.9, 10000)").alias("a90"),
+        F.expr("approx_percentile(value, 0.99, 10000)").alias("a99"),
+        F.expr("percentile(value, 0.49)").alias("lo50"),
+        F.expr("percentile(value, 0.51)").alias("hi50"),
+        F.expr("percentile(value, 0.89)").alias("lo90"),
+        F.expr("percentile(value, 0.91)").alias("hi90"),
+        F.expr("percentile(value, 0.98)").alias("lo99"),
+        F.expr("percentile(value, 1.0)").alias("hi99"),
+    )
+    return agg.select(
+        "event_type", "p50", "p90", "p99",
+        F.col("a50").between(F.col("lo50"), F.col("hi50"))
+         .alias("p50_within_bound"),
+        F.col("a90").between(F.col("lo90"), F.col("hi90"))
+         .alias("p90_within_bound"),
+        F.col("a99").between(F.col("lo99"), F.col("hi99"))
+         .alias("p99_within_bound"),
+    )
+
+
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs via Hamming-band candidates (Manku WWW'07)."""
     from async_stream_processing_spark.llm.dedup import simhash_pairs
@@ -1996,7 +2031,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q21": q_tpch_q21,
         "semi_anti_join": q_semi_anti,
         "event_deltas": q_event_deltas,
-        "sessionize_native": q_sessionize_native,
         "revenue_rollup": q_revenue_rollup,
         "topk_per_priority": q_topk_per_priority,
         "stream_resample_1min": q_stream_resample,
@@ -2019,6 +2053,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_nearest": q_asof_nearest,
         "stream_range_join": q_stream_range_join,
         "stream_leftouter": q_stream_leftouter,
+        "quantile_sketch": q_quantile_sketch,
         # ================= end of the 50-key gate window =================
         # --- driver-green in round 3 ---
         **{
@@ -2032,6 +2067,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "demux_counts": q_demux,
         "set_ops_multiset": q_set_ops_multiset,
         "rows_frame_last5": q_rows_frame,
+        "sessionize_native": q_sessionize_native,
         "vwap_2min": q_vwap_2min,
         "trade_pnl_bucketed": q_trade_pnl_bucketed,
         "stream_cart_fold": q_stream_cart,
@@ -3004,6 +3040,18 @@ def oracle_sql() -> dict[str, str]:
         FROM s1
         LEFT JOIN s2 USING (user_id)
         LEFT JOIN s3 USING (user_id)
+    """
+    # sketch CONTRACT twin (see cardinality_sketch): exact quantiles +
+    # TRUE bounds — the estimator's guarantee is portable, its state not
+    out["quantile_sketch"] = """
+        SELECT event_type,
+               quantile_cont(value, 0.5) AS p50,
+               quantile_cont(value, 0.9) AS p90,
+               quantile_cont(value, 0.99) AS p99,
+               TRUE AS p50_within_bound,
+               TRUE AS p90_within_bound,
+               TRUE AS p99_within_bound
+        FROM events GROUP BY event_type
     """
     out["asof_nearest"] = """
         WITH trades AS (
