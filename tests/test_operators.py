@@ -177,3 +177,28 @@ def test_driver_contract_parity():
     assert set(qs) - set(os_) == set()
     assert all(callable(f) for f in qs.values())
     assert all(isinstance(s, str) and s.strip() for s in os_.values())
+
+
+def test_gated_queries_emit_only_primitive_columns(spark):
+    """The external comparator canonicalizes results with pandas
+    (sort_values + factorize), which cannot hash array/map/struct/binary
+    cells -- the exact failure that voided user_event_paths' round-3
+    check.  Every query inside the 50-key gate window must therefore
+    emit primitive columns only.  (Outside the window, complex outputs
+    are fine -- they are compared by this repo's stricter local tool,
+    which tuple-ifies them.)"""
+    import itertools
+    import sys
+
+    sys.path.insert(0, ".")
+    import __spark_entry__ as m
+    from pyspark.sql import types as T
+
+    complex_types = (T.ArrayType, T.MapType, T.StructType, T.BinaryType)
+    offenders = []
+    for name, fn in itertools.islice(m.queries().items(), 50):
+        df = fn(spark, "/root/testdata/sf0.001")
+        for f in df.schema.fields:
+            if isinstance(f.dataType, complex_types):
+                offenders.append((name, f.name, f.dataType.simpleString()))
+    assert not offenders, offenders
