@@ -48,8 +48,12 @@ def range_join(
     if bucket_width is None:
         return facts.join(bands, pred, how)
     w = float(bucket_width)
-    # dim side: every bucket the band [lo, hi) intersects
-    bands_b = bands.withColumn(
+    # dim side: every bucket the band [lo, hi) intersects.  Empty bands
+    # (lo >= hi) match nothing by definition -- dropping them up front
+    # also keeps the covering `sequence` ascending (a descending range
+    # would emit junk candidate buckets the residual filter then pays
+    # to discard).
+    bands_b = bands.filter(F.col(lo) < F.col(hi)).withColumn(
         "__bucket",
         F.explode(
             F.sequence(

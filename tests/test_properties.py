@@ -336,3 +336,74 @@ def test_asof_nearest_matches_bruteforce(spark, left, right, tol):
         for i, (s, _v) in enumerate(left)
     }
     assert got == want
+
+
+# per-user event lists: (seconds, step-name) with colliding times allowed
+funnel_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 3),                       # user
+        st.integers(0, 50),                      # seconds
+        st.sampled_from(["signup", "click", "purchase", "view"]),
+    ),
+    min_size=1, max_size=30,
+)
+
+
+@given(funnel_strategy)
+@SLOW
+def test_funnel_steps_matches_bruteforce(spark, rows):
+    """Stacked-window funnel == sequential brute force for random event
+    soups (repeated steps, out-of-order arrivals, missing steps, ties)."""
+    from async_stream_processing_spark.operators.analytics import funnel_steps
+
+    df = spark.createDataFrame(
+        [(u, T0 + timedelta(seconds=s), i + 1, k)
+         for i, (u, s, k) in enumerate(rows)],
+        "user_id int, ts timestamp, seq long, event_type string",
+    )
+    steps = ["signup", "click", "purchase"]
+
+    def brute(user):
+        evs = [(T0 + timedelta(seconds=s), k)
+               for (u, s, k) in rows if u == user]
+        out, cur = [], None
+        for step in steps:
+            cand = [t for t, k in evs if k == step
+                    and (cur is None or t >= cur)]
+            cur = min(cand) if cand else None
+            out.append(cur)
+            if cur is None:
+                # later steps must anchor on a hit; all null afterwards
+                return out + [None] * (len(steps) - len(out))
+        return out
+
+    got = {
+        r["user_id"]: (r["step1_ts"], r["step2_ts"], r["step3_ts"],
+                       r["converted"])
+        for r in funnel_steps(df, "user_id", steps).collect()
+    }
+    for user in {u for u, _s, _k in rows}:
+        w = brute(user)
+        assert got[user] == (w[0], w[1], w[2], w[2] is not None), (
+            user, got[user], w,
+        )
+
+
+def test_range_join_empty_band_matches_nothing(spark):
+    """lo >= hi is an empty half-open interval: zero matches, and the
+    bucketized path must not explode a descending bucket range for it."""
+    from async_stream_processing_spark.operators.range_join import range_join
+
+    bands = spark.createDataFrame(
+        [(0, 10.0, 10.0), (1, 30.0, 20.0), (2, 0.0, 50.0)],
+        "band_id int, lo double, hi double",
+    )
+    facts = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate([10.0, 25.0, 49.0])],
+        "fact_id int, value double",
+    )
+    got = {
+        (r["fact_id"], r["band_id"])
+        for r in range_join(facts, bands, "value", bucket_width=8.0).collect()
+    }
+    assert got == {(0, 2), (1, 2), (2, 2)}
