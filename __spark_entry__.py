@@ -1679,6 +1679,95 @@ def q_stream_leftouter(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(sent_dir, ignore_errors=True)
 
 
+def q_stream_rightouter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIGHT OUTER stream-stream join -- the last member of the streaming
+    join family (inner / left / full already declared): every purchase
+    emits, enriched with a click in the +/-30 min band when one exists,
+    null-padded once the watermark proves none will arrive.  Same
+    far-future-sentinel flush and same drain-then-filter discipline as
+    the left outer: a right-side-only predicate would be PUSHED below
+    the right branch's watermark node and starve the global watermark
+    (see q_stream_leftouter), so the sentinel filter runs on the drained
+    batch result."""
+    from async_stream_processing_spark.sources.parquet import stream_table
+    from async_stream_processing_spark.streaming.replay import drain
+
+    SIDE_SCHEMA = "event_id bigint, ts timestamp, user_id bigint, value double"
+    max_ts = _parquet_footer_max_ts(f"{sf_dir}/events.parquet", "ts")
+    if max_ts is None:
+        max_ts = load_table(spark, sf_dir, "events").select(F.max("ts")).first()[0]
+    import tempfile
+    from datetime import timedelta
+
+    sent_dir = tempfile.mkdtemp(prefix="asp_sentinel_")
+    _write_sentinel_row(
+        f"{sent_dir}/part-0.parquet", -1, max_ts + timedelta(days=1), -1, 0.0
+    )
+
+    def side(kind: str) -> DataFrame:
+        real = stream_table(spark, sf_dir, "events").filter(
+            F.col("event_type") == kind
+        ).select("event_id", "ts", "user_id", "value")
+        sentinel = spark.readStream.schema(SIDE_SCHEMA).parquet(sent_dir)
+        return real.unionByName(sentinel).withWatermark("ts", "2 hours")
+
+    j = side("click").alias("l").join(
+        side("purchase").alias("r"),
+        F.expr(
+            "l.user_id = r.user_id AND "
+            "r.ts BETWEEN l.ts - INTERVAL 30 MINUTES "
+            "AND l.ts + INTERVAL 30 MINUTES"
+        ),
+        "right_outer",
+    )
+    out = j.select(
+        F.col("l.event_id").alias("click_id"),
+        F.col("l.ts").alias("click_ts"),
+        F.col("l.value").alias("click_value"),
+        F.col("r.event_id").alias("purchase_id"),
+        F.col("r.ts").alias("purchase_ts"),
+        F.col("r.value").alias("purchase_value"),
+        F.col("r.user_id").alias("user_id"),
+    )
+    import shutil
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        return drain(out, output_mode="append").filter(F.col("user_id") >= 0)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        shutil.rmtree(sent_dir, ignore_errors=True)
+
+
+def q_pagerank_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the user "session handoff" graph (edge
+    u->v with weight = how often an event by v directly follows an event
+    by u within the same event_type stream).  3 iterations of the
+    INTEGER-arithmetic PageRank (operators/graph.py): every update is
+    integer multiply / floor-div / sum, so ranks are bit-identical
+    across engines and partitionings, and the oracle is the same
+    fixpoint unrolled as a CTE chain (the k-means trick).  The edge
+    derivation's per-event_type window is fixture-scale; the operator
+    itself is one co-partitioned shuffle per iteration."""
+    from pyspark.sql import Window
+
+    from async_stream_processing_spark.operators.graph import pagerank
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    edges = (
+        ev.select(
+            F.col("user_id").alias("src"),
+            F.lead("user_id").over(w).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    return pagerank(edges, n_iter=3)
+
+
 def q_fullouter_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FULL OUTER join (the one join type not yet declared): per-day
     click vs purchase user counts, keeping days present on either side
@@ -2087,6 +2176,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q2": q_tpch_q2,
         "tpch_q11": q_tpch_q11,
         "tpch_q20": q_tpch_q20,
+        # --- NEW post-window (rotate into round 5's gate) ---
+        "stream_rightouter": q_stream_rightouter,
+        "pagerank_users": q_pagerank_users,
         # --- driver-green in rounds 1-3 ---
         "trade_pnl_asof": q_trade_pnl,
         "cart_fold_state": q_cart_fold,
@@ -3122,6 +3214,31 @@ def oracle_sql() -> dict[str, str]:
                c.user_id AS user_id
         FROM (SELECT * FROM events WHERE event_type = 'click') c
         LEFT JOIN
+             (SELECT * FROM events WHERE event_type = 'purchase') p
+          ON c.user_id = p.user_id
+         AND p.ts BETWEEN c.ts - INTERVAL 1800 SECONDS
+                      AND c.ts + INTERVAL 1800 SECONDS
+    """
+    from async_stream_processing_spark.operators.graph import sql_pagerank
+
+    out["pagerank_users"] = sql_pagerank(
+        """edges AS (
+            SELECT src, dst, COUNT(*) AS w FROM (
+                SELECT user_id AS src,
+                       LEAD(user_id) OVER (PARTITION BY event_type
+                                           ORDER BY ts, event_id) AS dst
+                FROM events)
+            WHERE dst IS NOT NULL GROUP BY src, dst)""",
+        n_iter=3,
+    )
+    out["stream_rightouter"] = """
+        SELECT c.event_id AS click_id, c.ts AS click_ts,
+               c.value AS click_value,
+               p.event_id AS purchase_id, p.ts AS purchase_ts,
+               p.value AS purchase_value,
+               p.user_id AS user_id
+        FROM (SELECT * FROM events WHERE event_type = 'click') c
+        RIGHT JOIN
              (SELECT * FROM events WHERE event_type = 'purchase') p
           ON c.user_id = p.user_id
          AND p.ts BETWEEN c.ts - INTERVAL 1800 SECONDS

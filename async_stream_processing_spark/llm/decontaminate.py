@@ -59,3 +59,86 @@ def redact(docs: DataFrame, text: str = "text") -> DataFrame:
         n_emails.cast("long").alias("n_emails_redacted"),
         n_digits.cast("long").alias("n_numbers_redacted"),
     )
+
+
+# -- Bloom-prefiltered decontamination -------------------------------------
+#
+# The runtime-filter pattern: when the filter set is too large to ship as a
+# broadcast-join hash table but its BLOOM is ~100x smaller (1 bit-ish per
+# element instead of a 16+-byte hashed entry), prune the big side with the
+# sketch BEFORE any join, then verify only the survivors exactly.  Blooms
+# have no false negatives, so the final result is identical to the exact
+# path -- the sketch only changes how much data reaches the join.  This is
+# Spark's own InBloomFilter runtime-filter rewrite made explicit (and
+# usable where the optimizer can't infer it, e.g. across separately-built
+# pipelines at 100 TB).
+
+
+def build_bloom(hashes, m_bits: int = 1 << 20, k: int = 4):
+    """Pack a Bloom filter over 60-bit hashes into a numpy bit array.
+
+    Double hashing (Kirsch-Mitzenmacher): probe i uses
+    ``(h1 + i*h2) mod m`` with ``h1 = h mod m`` and ``h2 = (h >> 29) | 1``
+    (odd, so all probes differ).  m defaults to 2^20 bits = 128 KiB.
+    """
+    import numpy as np
+
+    bits = np.zeros(m_bits, dtype=bool)
+    h = np.asarray(hashes, dtype=np.int64)
+    h1 = h % m_bits
+    h2 = ((h >> 29) | 1) % m_bits
+    for i in range(k):
+        bits[(h1 + i * h2) % m_bits] = True
+    return np.packbits(bits)
+
+
+def bloom_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    m_bits: int = 1 << 20,
+    k: int = 4,
+) -> DataFrame:
+    """:func:`decontaminate` with a Bloom prefilter on the corpus side.
+
+    1. Build the Bloom over the benchmark's n-gram hashes driver-side
+       (eval sets are tiny; O(m_bits/8) bytes of model state) and
+       broadcast it once per executor (``SparkContext.broadcast``, NOT a
+       per-task closure copy).
+    2. Prune corpus n-grams with an Arrow-batched pandas UDF -- vectorized
+       numpy bit probes, ~10^7 hashes/s/core; only survivors (true
+       matches + ~|grams| * fp_rate noise) reach the join.
+    3. Exact broadcast semi-verification join -> identical output to
+       :func:`decontaminate` (same oracle applies).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    bench_g = _ngram_hashes(benchmark, n, "bench_id")
+    bench_hashes = [r["h"] for r in bench_g.select("h").distinct().collect()]
+    packed = build_bloom(bench_hashes, m_bits, k)
+    spark = corpus.sparkSession
+    bc = spark.sparkContext.broadcast(packed)
+
+    def _might_contain(h):
+        bits = np.unpackbits(bc.value).astype(bool)
+        hv = h.to_numpy(dtype=np.int64)
+        h1 = hv % m_bits
+        h2 = ((hv >> 29) | 1) % m_bits
+        ok = np.ones(len(hv), dtype=bool)
+        for i in range(k):
+            ok &= bits[(h1 + i * h2) % m_bits]
+        return pd.Series(ok)
+
+    # real annotation objects: the module-level ``from __future__ import
+    # annotations`` would stringify inline hints, which pandas_udf rejects
+    _might_contain.__annotations__ = {"h": pd.Series, "return": pd.Series}
+    might_contain = pandas_udf(_might_contain, "boolean")
+
+    corpus_g = _ngram_hashes(corpus, n, "doc_id").filter(might_contain(F.col("h")))
+    return (
+        corpus_g.join(F.broadcast(bench_g), "h")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_collisions"))
+    )

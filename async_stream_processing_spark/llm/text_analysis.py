@@ -131,3 +131,126 @@ def fingerprints(docs: DataFrame, text: str = "text") -> DataFrame:
         window_min.alias("winnow_fingerprint"),
         stable_hash60(F.col("__norm")).alias("hash60"),
     )
+
+
+def token_rarity(docs: DataFrame, text: str = "text") -> DataFrame:
+    """Unigram-LM quality signal in rational space: per doc, the mean and
+    minimum corpus frequency of its tokens.
+
+    This is the perplexity-style rarity score with the logs stripped out:
+    ``avg(count[tok])`` and ``min(count[tok])`` are pure integer
+    aggregates (decimal-exact, order-independent), so the result is
+    bit-portable across engines -- a real unigram LM would replace the
+    identity with ``-ln(count/total)``, whose libm values no two engines
+    share.  High ``mean_tok_freq`` = boilerplate-ish; low ``min_tok_freq``
+    = contains corpus-rare tokens (OOV-ish / noise).
+
+    Plan: one token explode -> groupBy(token) counts (map-side combined;
+    the vocabulary, not the corpus, crosses the shuffle) -> re-join tokens
+    to counts keyed on token -> per-doc aggregate.  Token frequency is
+    Zipfian, so the join key is exactly the skew AQE's skew-join handles;
+    at 100 TB the top-k head of the vocabulary can also be broadcast as a
+    separate map-side branch (``plans/scale.salted_join`` pattern).
+    """
+    toks = docs.select("doc_id", F.explode(tokens(text)).alias("tok"))
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("freq"))
+    return (
+        toks.join(vocab, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("freq").alias("sum_freq"),
+            F.min("freq").alias("min_tok_freq"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("sum_freq").cast("double") / F.col("n_tokens").cast("double"))
+            .alias("mean_tok_freq"),
+            "min_tok_freq",
+        )
+    )
+
+
+def sql_token_rarity(src: str = "documents") -> str:
+    """DuckDB twin of :func:`token_rarity` (same tokenizer as sql_tokens)."""
+    return f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(string_split_regex(lower(trim(text)), ' +')) AS tok
+            FROM {src}),
+        vocab AS (SELECT tok, COUNT(*) AS freq FROM toks GROUP BY tok)
+        SELECT t.doc_id,
+               COUNT(*) AS n_tokens,
+               CAST(CAST(SUM(v.freq) AS BIGINT) AS DOUBLE) / COUNT(*)
+                   AS mean_tok_freq,
+               MIN(v.freq) AS min_tok_freq
+        FROM toks t JOIN vocab v USING (tok)
+        GROUP BY t.doc_id
+    """
+
+
+def tfidf_top_terms(docs: DataFrame, text: str = "text", k: int = 5) -> DataFrame:
+    """Top-k characteristic terms per document by rational-space TF-IDF.
+
+    Score = ``tf * N / df`` -- the idf with the non-portable ``ln``
+    stripped (monotone in the classic tf*ln(N/df) for fixed tf, and
+    bit-portable: integer counts, ONE IEEE division).  Ties break by
+    token ascending, so the top-k set is fully deterministic.
+
+    Plan: explode once -> (doc, tok) counts (map-side combined) -> token
+    document-frequency from that same aggregate (no second corpus scan)
+    -> broadcast 1-row N -> per-doc window top-k.  Both shuffles are on
+    the natural keys; the Zipf head skews the df aggregate, which AQE
+    splits.
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select("doc_id", F.explode(tokens(text)).alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df_counts = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df_counts, "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "tok",
+            "tf",
+            "df",
+            (
+                (F.col("tf") * F.col("n_docs")).cast("double")
+                / F.col("df").cast("double")
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf"), F.asc("tok")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "tok", "tf", "df", "tfidf", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def sql_tfidf_top_terms(src: str = "documents", k: int = 5) -> str:
+    return f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(string_split_regex(lower(trim(text)), ' +')) AS tok
+            FROM {src}),
+        tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+        dfc AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+        n AS (SELECT COUNT(*) AS n_docs FROM {src}),
+        scored AS (
+            SELECT tf.doc_id, tf.tok, tf.tf, dfc.df,
+                   CAST(tf.tf * n.n_docs AS DOUBLE) / CAST(dfc.df AS DOUBLE)
+                       AS tfidf
+            FROM tf JOIN dfc USING (tok) CROSS JOIN n)
+        SELECT doc_id, tok, tf, df, tfidf, rank FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                          ORDER BY tfidf DESC, tok ASC) AS rank
+            FROM scored)
+        WHERE rank <= {k}
+    """

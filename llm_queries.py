@@ -328,6 +328,85 @@ def q_dedup_clusters(spark, sf_dir):
     return dedup_clusters(_docs(spark, sf_dir), threshold=0.25)
 
 
+def q_token_rarity(spark, sf_dir):
+    """Unigram-LM rarity signal in rational space: per-doc mean/min corpus
+    token frequency (the perplexity shape with the non-portable logs
+    stripped -- integer counts + one IEEE division)."""
+    from async_stream_processing_spark.llm.text_analysis import token_rarity
+
+    return token_rarity(_docs(spark, sf_dir))
+
+
+def q_tfidf_top_terms(spark, sf_dir):
+    """Top-5 characteristic terms per doc by rational-space TF-IDF
+    (tf * N / df -- integer counts, one IEEE division, deterministic
+    tok-ascending tiebreak)."""
+    from async_stream_processing_spark.llm.text_analysis import tfidf_top_terms
+
+    return tfidf_top_terms(_docs(spark, sf_dir), k=5)
+
+
+def q_bloom_decontaminate(spark, sf_dir):
+    """Bloom-prefiltered decontamination: identical output to
+    ``decontaminate`` (same oracle -- blooms have no false negatives; the
+    exact verification join removes the false positives), but the corpus
+    side is pruned by a 128 KiB broadcast sketch BEFORE any join -- the
+    runtime-filter pattern for filter sets too big to hash-join cheaply."""
+    from async_stream_processing_spark.llm.decontaminate import (
+        bloom_decontaminate,
+    )
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") < 20).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    return bloom_decontaminate(docs, bench, n=8)
+
+
+def q_embedding_covariance(spark, sf_dir):
+    """Exact centered covariance of the embedding matrix (upper triangle,
+    integer-quantized): the PCA/whitening precursor as ONE scan + one
+    d^2-group shuffle, bit-portable via floor-quantization + decimal sums
+    (n*S_ij - S_i*S_j centering identity -- no float means)."""
+    from async_stream_processing_spark.llm.linalg import gram_exact
+
+    return gram_exact(_emb(spark, sf_dir))
+
+
+def q_pca_project(spark, sf_dir):
+    """PCA projection onto top-8 components (mapInPandas partial Gram ->
+    driver eigh -> broadcast components -> narrow fold).  Checked by
+    CONTRACT, like the sketch queries: numpy's eigenbasis is not
+    cross-engine portable, but Bessel's inequality is -- for every vector
+    the projection's squared norm must not exceed the centered vector's
+    (orthonormal components guarantee it; a wrong normalization or
+    centering breaks it).  The exact Gram feeding the eigensolve is
+    separately hash-checked by embedding_covariance, and numeric
+    invariants are pinned in tests/test_llm_ops.py."""
+    from async_stream_processing_spark.llm.linalg import pca_project
+
+    from async_stream_processing_spark.llm.linalg import pca_components
+    from async_stream_processing_spark.llm.similarity import norm
+
+    emb = _emb(spark, sf_dir)
+    model = pca_components(emb, k=8)
+    proj = pca_project(emb, k=8, model=model)
+    # Bessel bound against the raw norm: ||P(x-mu)||^2 <= ||x-mu||^2
+    # <= 2||x||^2 + 2||mu||^2.  ||mu||^2 is O(d) model state (already
+    # computed for the projection itself).
+    mu2 = float((model[2] ** 2).sum())
+    sq = F.aggregate(
+        F.transform(F.col("pca"), lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+    )
+    raw = emb.select("vec_id", norm(F.col("embedding")).alias("raw_norm"))
+    return proj.join(raw, "vec_id").select(
+        "vec_id",
+        F.size("pca").alias("n_components"),
+        (sq <= 2.0 * F.col("raw_norm") * F.col("raw_norm") + 2.0 * mu2 + 1e-6)
+        .alias("bessel_ok"),
+    )
+
+
 LLM_QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash,
@@ -361,6 +440,11 @@ LLM_QUERIES = {
     "multimodal_video": q_multimodal_video,
     "stream_multimodal_decode": q_stream_multimodal,
     "frame_sample": q_frame_sample,
+    "token_rarity": q_token_rarity,
+    "tfidf_top_terms": q_tfidf_top_terms,
+    "bloom_decontaminate": q_bloom_decontaminate,
+    "embedding_covariance": q_embedding_covariance,
+    "pca_project": q_pca_project,
 }
 
 
@@ -484,6 +568,26 @@ def _lang_hits_sql(lang: str) -> str:
         f"len(list_filter(string_split_regex(lower(trim(text)), ' +'), "
         f"x -> list_contains([{stops}], x)))"
     )
+
+
+def _sql_token_rarity() -> str:
+    from async_stream_processing_spark.llm.text_analysis import sql_token_rarity
+
+    return sql_token_rarity()
+
+
+def _sql_tfidf_top_terms() -> str:
+    from async_stream_processing_spark.llm.text_analysis import (
+        sql_tfidf_top_terms,
+    )
+
+    return sql_tfidf_top_terms()
+
+
+def _sql_embedding_covariance() -> str:
+    from async_stream_processing_spark.llm.linalg import sql_gram_exact
+
+    return sql_gram_exact()
 
 
 def llm_oracle_sql() -> dict[str, str]:
@@ -931,5 +1035,33 @@ def llm_oracle_sql() -> dict[str, str]:
                    CAST(16 + (doc_id * 7) % 997 AS INT) AS height,
                    CAST(45 AS BIGINT) AS n_bytes
             FROM documents
+        """,
+        "token_rarity": _sql_token_rarity(),
+        "tfidf_top_terms": _sql_tfidf_top_terms(),
+        # Bloom prefilter is exact-equivalent to the plain path (no false
+        # negatives + exact verification join) -- same oracle by design.
+        "bloom_decontaminate": f"""
+            WITH words AS (SELECT doc_id,
+                                  string_split_regex(lower(trim(text)), ' +') AS w
+                           FROM documents),
+            cg AS (SELECT DISTINCT doc_id, {sql_stable_hash60('g')} AS h
+                   FROM (SELECT doc_id, unnest({sql_shingles('w', 8)}) AS g
+                         FROM words)),
+            bg AS (SELECT DISTINCT doc_id AS bench_id, {sql_stable_hash60('g')} AS h
+                   FROM (SELECT doc_id, unnest({sql_shingles('w', 8)}) AS g
+                         FROM words WHERE doc_id < 20))
+            SELECT cg.doc_id, bg.bench_id, COUNT(*) AS n_collisions
+            FROM cg JOIN bg ON cg.h = bg.h
+            GROUP BY cg.doc_id, bg.bench_id
+        """,
+        "embedding_covariance": _sql_embedding_covariance(),
+        # contract oracle: Bessel's inequality holds for every vector under
+        # any orthonormal projection -- the oracle asserts the invariant,
+        # the Spark side computes it (same pattern as cardinality_sketch /
+        # quantile_sketch).
+        "pca_project": """
+            SELECT vec_id, CAST(8 AS INT) AS n_components,
+                   TRUE AS bessel_ok
+            FROM embeddings
         """,
     }
