@@ -1768,6 +1768,28 @@ def q_pagerank_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges, n_iter=3)
 
 
+def q_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user triangle participation in the undirected session-handoff
+    graph: mutual-cluster detection (users whose event neighborhoods
+    close on themselves).  Canonical a<b<c orientation finds each
+    triangle exactly once -- two single-key equi-joins, the
+    Suri-Vassilvitskii MR shape (operators/graph.py)."""
+    from pyspark.sql import Window
+
+    from async_stream_processing_spark.operators.graph import triangle_counts
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    edges = (
+        ev.select(
+            F.col("user_id").alias("src"),
+            F.lead("user_id").over(w).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull())
+    )
+    return triangle_counts(edges)
+
+
 def q_fullouter_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FULL OUTER join (the one join type not yet declared): per-day
     click vs purchase user counts, keeping days present on either side
@@ -2179,6 +2201,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- NEW post-window (rotate into round 5's gate) ---
         "stream_rightouter": q_stream_rightouter,
         "pagerank_users": q_pagerank_users,
+        "triangle_counts": q_triangle_counts,
         # --- driver-green in rounds 1-3 ---
         "trade_pnl_asof": q_trade_pnl,
         "cart_fold_state": q_cart_fold,
@@ -3230,6 +3253,17 @@ def oracle_sql() -> dict[str, str]:
                 FROM events)
             WHERE dst IS NOT NULL GROUP BY src, dst)""",
         n_iter=3,
+    )
+    from async_stream_processing_spark.operators.graph import (
+        sql_triangle_counts,
+    )
+
+    out["triangle_counts"] = sql_triangle_counts(
+        """edges AS (
+            SELECT user_id AS src,
+                   LEAD(user_id) OVER (PARTITION BY event_type
+                                       ORDER BY ts, event_id) AS dst
+            FROM events QUALIFY dst IS NOT NULL)"""
     )
     out["stream_rightouter"] = """
         SELECT c.event_id AS click_id, c.ts AS click_ts,

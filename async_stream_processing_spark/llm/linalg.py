@@ -75,20 +75,31 @@ def gram_exact(embeddings: DataFrame, vec: str = "embedding") -> DataFrame:
     of O(partitions * d^2) rows -> broadcast-join the tiny per-dimension
     sums.  The d^2 amplification never crosses the shuffle.
     """
-    q = embeddings.select(quantize(vec).alias("q"))
+    from .dedup import fan_out
+
+    # the d^2/2 explode inherits the scan's partitioning -- a single-file
+    # corpus would serialize it onto one core (same hazard as the shingle
+    # pipeline; static probe, no-op at real scale)
+    q = fan_out(embeddings).select(quantize(vec).alias("q"))
     # Upper-triangle outer product per row, built array-side so the explode
     # is a single generator (no self-join): for each i, pair q[i] with the
-    # tail slice q[i..d).
+    # tail slice q[i..d).  Per-element products stay LONG (|q| <= ~scale,
+    # so q_i*q_j <= scale^2 ~ 1e12 -- far under 2^63); only the cross-row
+    # SUM widens to decimal, where overflow is actually possible at large
+    # N.  Long multiply is codegen-cheap; decimal multiply is not.
     pairs = F.expr(
         "flatten(transform(q, (qi, i) -> "
         "  transform(slice(q, i + 1, size(q) - i), (qj, dj) -> "
-        "    struct(i AS i, i + dj AS j, CAST(qi AS DECIMAL(38,0)) * qj AS p))))"
+        "    struct(i AS i, i + dj AS j, qi * qj AS p))))"
     )
     prods = (
         q.select(F.explode(pairs).alias("e"))
         .select("e.i", "e.j", "e.p")
         .groupBy("i", "j")
-        .agg(F.sum("p").alias("s_ij"), F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.sum(F.col("p").cast("decimal(38,0)")).alias("s_ij"),
+            F.count(F.lit(1)).alias("n"),
+        )
     )
     dims = (
         q.select(F.posexplode("q").alias("i", "qi"))
@@ -130,10 +141,10 @@ def sql_gram_exact(src: str = "embeddings", vec: str = "embedding") -> str:
             WHERE gi.i1 <= len(q.q)
             GROUP BY 1)
         SELECT p.i, p.j, p.n,
-               CAST(di.s AS DECIMAL(38,0)) AS s_i,
-               CAST(dj.s AS DECIMAL(38,0)) AS s_j,
-               CAST(p.s_ij AS DECIMAL(38,0)) AS s_ij,
-               CAST(p.n * p.s_ij - di.s * dj.s AS DECIMAL(38,0)) AS cov_scaled
+               CAST(di.s AS VARCHAR) AS s_i,
+               CAST(dj.s AS VARCHAR) AS s_j,
+               CAST(p.s_ij AS VARCHAR) AS s_ij,
+               CAST(p.n * p.s_ij - di.s * dj.s AS VARCHAR) AS cov_scaled
         FROM prods p
         JOIN dims di ON di.i = p.i
         JOIN dims dj ON dj.i = p.j

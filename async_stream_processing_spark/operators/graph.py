@@ -59,8 +59,17 @@ def pagerank(
         .distinct()
     )
     base = (scale * (damping_den - damping_num)) // damping_den
+    # lineage truncation, same discipline as the CC operator: without it
+    # each iteration's plan re-expands the edge derivation and the rank
+    # recurrence, growing the static plan O(iter^2) (observed: 52
+    # Exchange nodes at 3 iterations vs ~10 with checkpoints).  Weighted
+    # edges + node set are materialized ONCE; ranks are checkpointed per
+    # round so iteration i's plan starts from data, not from iteration
+    # i-1's plan.  (localCheckpoint locally; set a checkpoint dir for
+    # executor-loss-safe reliable checkpoints at scale.)
+    wedges = edges.join(out_w, "src").localCheckpoint(eager=False)
+    nodes = nodes.localCheckpoint(eager=False)
     ranks = nodes.select("node", F.lit(scale).cast("long").alias("rank_scaled"))
-    wedges = edges.join(out_w, "src")  # co-partitioned on src, built once
     for _ in range(n_iter):
         contrib = (
             wedges.join(
@@ -84,6 +93,7 @@ def pagerank(
                     f"div {damping_den}"
                 ).alias("rank_scaled"),
             )
+            .localCheckpoint(eager=False)
         )
     return ranks.join(out_w.withColumnRenamed("src", "node"), "node", "left").select(
         "node", "rank_scaled", F.coalesce(F.col("out_w"), F.lit(0)).alias("n_out")
@@ -134,4 +144,64 @@ def sql_pagerank(
         SELECT r.node, r.rank_scaled,
                COALESCE(o.out_w, 0) AS n_out
         FROM r{n_iter} r LEFT JOIN out_w o ON o.src = r.node
+    """
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-node triangle participation counts over the undirected simple
+    graph induced by ``edges(src, dst)``.
+
+    Canonical orientation: each undirected edge is kept once as
+    ``a < b``, so every triangle ``a < b < c`` is found EXACTLY once as
+    the wedge (a,b)+(b,c) closed by (a,c) -- no /6 correction, no
+    double-count.  Orientation is also the scale trick (Suri &
+    Vassilvitskii's MR triangle counting): wedge fan-out is bounded by
+    per-node ORIENTED degree, which the a<b split halves on average; the
+    production refinement (orient by degree rank instead of id) bounds
+    it by O(sqrt(m)) even on power-law graphs -- same plan, different
+    ordering key.  Two equi-joins, both on single node keys.
+
+    Returns ``(node, n_triangles)`` for nodes in >= 1 triangle.
+    """
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    wedge = (
+        und.alias("e1")
+        .join(und.alias("e2"), F.col("e1.b") == F.col("e2.a"))
+        .select(F.col("e1.a").alias("wa"), F.col("e1.b").alias("wb"),
+                F.col("e2.b").alias("wc"))
+    )
+    tri = wedge.join(
+        und.alias("e3"),
+        (F.col("wa") == F.col("e3.a")) & (F.col("wc") == F.col("e3.b")),
+    ).select("wa", "wb", "wc")
+    return (
+        tri.select(F.explode(F.array("wa", "wb", "wc")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+
+
+def sql_triangle_counts(edges_cte: str) -> str:
+    """DuckDB twin of :func:`triangle_counts` (same orientation)."""
+    return f"""
+        WITH {edges_cte},
+        und AS (
+            SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+            FROM edges WHERE src <> dst),
+        tri AS (
+            SELECT e1.a, e1.b, e2.b AS c
+            FROM und e1
+            JOIN und e2 ON e2.a = e1.b
+            JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b)
+        SELECT node, COUNT(*) AS n_triangles FROM (
+            SELECT a AS node FROM tri
+            UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri)
+        GROUP BY node
     """

@@ -367,10 +367,18 @@ def q_embedding_covariance(spark, sf_dir):
     """Exact centered covariance of the embedding matrix (upper triangle,
     integer-quantized): the PCA/whitening precursor as ONE scan + one
     d^2-group shuffle, bit-portable via floor-quantization + decimal sums
-    (n*S_ij - S_i*S_j centering identity -- no float means)."""
+    (n*S_ij - S_i*S_j centering identity -- no float means).  The >2^53
+    aggregates are emitted as STRINGS: DuckDB hands wide decimals to
+    pandas as float64 (silently lossy above 2^53), while decimal->string
+    is plain digits in both engines at any magnitude."""
     from async_stream_processing_spark.llm.linalg import gram_exact
 
-    return gram_exact(_emb(spark, sf_dir))
+    g = gram_exact(_emb(spark, sf_dir))
+    return g.select(
+        "i", "j", "n",
+        *[F.col(c).cast("string").alias(c)
+          for c in ("s_i", "s_j", "s_ij", "cov_scaled")],
+    )
 
 
 def q_pca_project(spark, sf_dir):

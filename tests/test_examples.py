@@ -23,6 +23,7 @@ EXAMPLES = [
     "e11_llm_curation",
     "e12_multimodal_lake",
     "e13_analytics_suite",
+    "e14_embedding_graph",
 ]
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "examples"))

@@ -216,3 +216,19 @@ def test_tfidf_top_terms_small(spark):
     # doc 2: cherry tf=1 df=1 -> 2 ; banana -> 1
     d2 = sorted(by_doc[2], key=lambda r: r["rank"])
     assert [r["tok"] for r in d2] == ["cherry", "banana"]
+
+
+def test_triangle_counts_known_graphs(spark):
+    from async_stream_processing_spark.operators.graph import triangle_counts
+
+    # triangle 1-2-3 (given as directed/multi edges) + dangling edge 3-4
+    E = [(1, 2), (2, 1), (2, 3), (3, 1), (3, 4)]
+    edges = spark.createDataFrame(E, "src long, dst long")
+    got = {tuple(r) for r in triangle_counts(edges).collect()}
+    assert got == {(1, 1), (2, 1), (3, 1)}
+
+    # K4: every node is in C(3,2)=3 triangles
+    k4 = [(a, b) for a in range(4) for b in range(4) if a != b]
+    got4 = {tuple(r) for r in triangle_counts(
+        spark.createDataFrame(k4, "src long, dst long")).collect()}
+    assert got4 == {(n, 3) for n in range(4)}

@@ -385,3 +385,47 @@ def test_zorder_clustering_tightens_both_columns(spark, tmp_path):
     assert avg_span(lex, "b") > 900
     assert avg_span(zed, "a") < 600
     assert avg_span(zed, "b") < 600
+
+
+def test_compact_lake_merges_small_files(spark, tmp_path):
+    from async_stream_processing_spark.plans.scale import compact_lake
+
+    path = str(tmp_path / "littered")
+    # simulate per-batch appends: 24 tiny files
+    df = spark.range(0, 2400).select(
+        F.col("id"), (F.col("id") % 7).alias("k")
+    )
+    df.repartition(24).write.parquet(path)
+    import os
+
+    before = sum(
+        f.endswith(".parquet") for _, _, fs in os.walk(path) for f in fs
+    )
+    assert before >= 24
+    stats = compact_lake(spark, path, target_file_bytes=1 << 30)
+    assert stats["files_before"] == before
+    assert stats["files_after"] == 1  # tiny total -> one target-size file
+    out = spark.read.parquet(path)
+    assert out.count() == 2400
+    assert set(map(tuple, out.groupBy("k").count().collect())) == set(
+        map(tuple, df.groupBy("k").count().collect())
+    )
+
+
+def test_compact_lake_preserves_hive_partitions(spark, tmp_path):
+    from async_stream_processing_spark.plans.scale import compact_lake
+
+    path = str(tmp_path / "littered_part")
+    df = spark.range(0, 300).select(
+        F.col("id"), (F.col("id") % 3).alias("day")
+    )
+    df.repartition(10).write.partitionBy("day").parquet(path)
+    stats = compact_lake(
+        spark, path, target_file_bytes=1 << 30, partition_by=["day"]
+    )
+    assert stats["files_after"] < stats["files_before"]
+    out = spark.read.parquet(path)
+    assert out.count() == 300
+    # directory layout still hive-partitioned: day-scoped read prunes
+    one_day = spark.read.parquet(f"{path}/day=1")
+    assert one_day.count() == 100
