@@ -1790,6 +1790,45 @@ def q_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_counts(edges)
 
 
+def q_stream_upsert_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed-upsert STREAMING SINK, gate-checked end to end: replay the
+    events table through ``streaming.upsert.upsert_sink`` (foreachBatch
+    merge: latest row per user by event_id, hash-bucketed lake, dynamic
+    partition overwrite of touched buckets only) and return the final
+    lake state.  The oracle is the same argmax in SQL -- the sink's
+    merge discipline, not just a query plan, is what's verified."""
+    import shutil
+    import tempfile
+
+    from async_stream_processing_spark.sources.parquet import stream_table
+    from async_stream_processing_spark.streaming.upsert import (
+        read_current,
+        upsert_sink,
+    )
+
+    lake = tempfile.mkdtemp(prefix="asp_upsert_lake_")
+    ck = tempfile.mkdtemp(prefix="asp_upsert_ck_")
+    shutil.rmtree(lake)  # sink creates it; mkdtemp only reserved the name
+    s = stream_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        upsert_sink(
+            s, lake, keys=["user_id"], version_col="event_id",
+            checkpoint=ck, n_buckets=4,
+        ).awaitTermination()
+        out = read_current(spark, lake).select(
+            "user_id", "event_id", "event_type", "value"
+        ).localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        shutil.rmtree(lake, ignore_errors=True)
+        shutil.rmtree(ck, ignore_errors=True)
+    return out
+
+
 def q_fullouter_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FULL OUTER join (the one join type not yet declared): per-day
     click vs purchase user counts, keeping days present on either side
@@ -2202,6 +2241,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_rightouter": q_stream_rightouter,
         "pagerank_users": q_pagerank_users,
         "triangle_counts": q_triangle_counts,
+        "stream_upsert_state": q_stream_upsert_state,
         # --- driver-green in rounds 1-3 ---
         "trade_pnl_asof": q_trade_pnl,
         "cart_fold_state": q_cart_fold,
@@ -3265,6 +3305,14 @@ def oracle_sql() -> dict[str, str]:
                                        ORDER BY ts, event_id) AS dst
             FROM events QUALIFY dst IS NOT NULL)"""
     )
+    out["stream_upsert_state"] = """
+        SELECT user_id, event_id, event_type, value FROM (
+            SELECT user_id, event_id, event_type, value,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY event_id DESC) AS rn
+            FROM events)
+        WHERE rn = 1
+    """
     out["stream_rightouter"] = """
         SELECT c.event_id AS click_id, c.ts AS click_ts,
                c.value AS click_value,

@@ -224,7 +224,10 @@ def _assign_literal(
 
 
 def kmeans_train(
-    embeddings: DataFrame, n_centroids: int = 8, n_iter: int = 4
+    embeddings: DataFrame,
+    n_centroids: int = 8,
+    n_iter: int = 4,
+    cache_input: bool = False,
 ) -> DataFrame:
     """Spherical k-means (Lloyd) entirely in DataFrame ops: the trained
     replacement for the first-k centroid stand-in.
@@ -248,8 +251,16 @@ def kmeans_train(
     every iteration's plan is flat -- no lineage growth, no checkpoint
     jobs -- and the only things crossing the driver boundary are the
     centroids themselves.  Float round-trip is exact: float32 values
-    survive Python doubles bit-for-bit."""
+    survive Python doubles bit-for-bit.
+
+    ``cache_input=True`` localCheckpoints the corpus before the loop so
+    each Lloyd pass reads memory instead of re-scanning the source (the
+    MLlib discipline -- at real scale the scan dominates and this is a
+    must; at fixture scale it's a wash, A/B-measured both ways, so the
+    default keeps plans scan-identical for the oracle)."""
     spark = embeddings.sparkSession
+    if cache_input:
+        embeddings = embeddings.localCheckpoint(eager=True)
     cent_schema = "centroid_id bigint, c_emb array<float>"
     cents_rows = _collect_centroids(_seed_centroids(embeddings, n_centroids))
     # per-iteration wall time at toy scale is ~80% query PLANNING, not

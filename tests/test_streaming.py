@@ -326,3 +326,71 @@ def test_stream_dedup_matches_batch(spark):
         .select("user_id", "event_type").distinct().collect()
     }
     assert got == want
+
+
+def test_upsert_sink_latest_per_key(spark, tmp_path):
+    """Streaming keyed merge: two micro-batches of versioned rows end as
+    one row per key with the max version; re-delivering a batch is a
+    no-op (idempotent exactly-once recipe)."""
+    from async_stream_processing_spark.streaming.replay import replay_stream
+    from async_stream_processing_spark.streaming.upsert import (
+        merge_batch,
+        read_current,
+        upsert_sink,
+    )
+
+    src = str(tmp_path / "in")
+    lake = str(tmp_path / "lake")
+    ck = str(tmp_path / "ck")
+    schema = "k long, v string, ver long"
+    spark.createDataFrame(
+        [(1, "a0", 0), (2, "b0", 0), (1, "a1", 1)], schema
+    ).write.parquet(src)
+
+    s = replay_stream(spark, src, schema, ts_col="ver", watermark=None)
+    upsert_sink(s, lake, keys=["k"], version_col="ver",
+                checkpoint=ck, n_buckets=4).awaitTermination()
+    got = {(r["k"], r["v"], r["ver"]) for r in read_current(spark, lake).collect()}
+    assert got == {(1, "a1", 1), (2, "b0", 0)}
+
+    # second batch: update key 2, add key 3, stale update for key 1
+    b2 = spark.createDataFrame([(2, "b2", 2), (3, "c0", 0), (1, "aOLD", 0)], schema)
+    merge_batch(spark, b2, lake, keys=["k"], version_col="ver", n_buckets=4)
+    got2 = {(r["k"], r["v"], r["ver"]) for r in read_current(spark, lake).collect()}
+    assert got2 == {(1, "a1", 1), (2, "b2", 2), (3, "c0", 0)}
+
+    # re-deliver the same batch: idempotent
+    merge_batch(spark, b2, lake, keys=["k"], version_col="ver", n_buckets=4)
+    got3 = {(r["k"], r["v"], r["ver"]) for r in read_current(spark, lake).collect()}
+    assert got3 == got2
+
+
+def test_upsert_sink_rewrites_only_touched_buckets(spark, tmp_path):
+    import os
+
+    from async_stream_processing_spark.streaming.upsert import (
+        BUCKET_COL,
+        merge_batch,
+        read_current,
+    )
+
+    lake = str(tmp_path / "lake2")
+    schema = "k long, v string, ver long"
+    base = spark.createDataFrame([(i, f"v{i}", 0) for i in range(40)], schema)
+    merge_batch(spark, base, lake, keys=["k"], version_col="ver", n_buckets=8)
+    dirs = sorted(d for d in os.listdir(lake) if d.startswith(BUCKET_COL))
+    assert len(dirs) == 8
+    mtimes = {d: os.path.getmtime(os.path.join(lake, d)) for d in dirs}
+    import time as _t
+
+    _t.sleep(1.1)
+    merge_batch(
+        spark,
+        spark.createDataFrame([(7, "v7x", 5)], schema),
+        lake, keys=["k"], version_col="ver", n_buckets=8,
+    )
+    changed = [d for d in dirs
+               if os.path.getmtime(os.path.join(lake, d)) != mtimes[d]]
+    assert len(changed) == 1  # exactly the bucket holding key 7
+    got = dict((r["k"], r["v"]) for r in read_current(spark, lake).collect())
+    assert got[7] == "v7x" and len(got) == 40
