@@ -140,7 +140,7 @@ def sql_gram_exact(src: str = "embeddings", vec: str = "embedding") -> str:
             FROM q, ix gi
             WHERE gi.i1 <= len(q.q)
             GROUP BY 1)
-        SELECT p.i, p.j, p.n,
+        SELECT CAST(p.i AS INTEGER) AS i, CAST(p.j AS INTEGER) AS j, p.n,
                CAST(di.s AS VARCHAR) AS s_i,
                CAST(dj.s AS VARCHAR) AS s_j,
                CAST(p.s_ij AS VARCHAR) AS s_ij,

@@ -50,3 +50,27 @@ def get_spark(
     elif "SPARK_GRAFT_LOCAL" in os.environ or not os.environ.get("SPARK_MASTER"):
         builder = builder.master(f"local[{cpus}]")
     return builder.getOrCreate()
+
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def register_catalog(
+    spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES
+) -> None:
+    """Register the lake's tables as temp views so users can drive the
+    whole engine with raw ``spark.sql(...)`` -- the migration path for
+    anyone arriving from a SQL system.  Views go through
+    ``sources.parquet.load_table`` (nanos-timestamp repair, pushdown
+    preserved); missing files are skipped so partial lakes register
+    what they have."""
+    import os
+
+    from .sources.parquet import load_table
+
+    for t in tables:
+        if os.path.exists(os.path.join(sf_dir, f"{t}.parquet")):
+            load_table(spark, sf_dir, t).createOrReplaceTempView(t)

@@ -43,3 +43,19 @@ def test_redact_scrubs_and_counts(spark):
     r = redact(docs).collect()[0]
     assert r["clean_text"] == "mail me at <EMAIL> or call <NUM> <NUM>"
     assert (r["n_emails_redacted"], r["n_numbers_redacted"]) == (1, 2)
+
+
+def test_register_catalog_sql_access(spark):
+    from async_stream_processing_spark.session import register_catalog
+
+    register_catalog(spark, "/root/testdata/sf0.001")
+    out = spark.sql("""
+        SELECT e.event_type, COUNT(DISTINCT e.user_id) AS n_users
+        FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        GROUP BY e.event_type ORDER BY e.event_type
+    """).collect()
+    assert len(out) >= 3
+    assert all(r["n_users"] > 0 for r in out)
+    # timestamps repaired on the SQL path too (nanos parquet -> usable ts)
+    one = spark.sql("SELECT MIN(ts) AS t FROM events").first()
+    assert one["t"].year >= 2020 or one["t"].year >= 1995

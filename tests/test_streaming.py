@@ -394,3 +394,37 @@ def test_upsert_sink_rewrites_only_touched_buckets(spark, tmp_path):
     assert len(changed) == 1  # exactly the bucket holding key 7
     got = dict((r["k"], r["v"]) for r in read_current(spark, lake).collect())
     assert got[7] == "v7x" and len(got) == 40
+
+
+def test_observed_metrics_in_progress(spark, tmp_path):
+    """observe() metrics ride the progress feed: row count and event-time
+    high watermark per micro-batch, no extra pass over the data."""
+    from datetime import datetime
+
+    from async_stream_processing_spark.streaming.replay import (
+        replay_stream,
+        with_observed_metrics,
+    )
+
+    src = str(tmp_path / "obs_in")
+    schema = "k long, ts timestamp"
+    rows = [(i, datetime(2024, 1, 1, 0, i)) for i in range(7)]
+    spark.createDataFrame(rows, schema).write.parquet(src)
+
+    s = with_observed_metrics(replay_stream(spark, src, schema), "replay")
+    q = (
+        s.writeStream.format("noop")
+        .option("checkpointLocation", str(tmp_path / "obs_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    metrics = []
+    for rp in q.recentProgress:
+        om = rp.get("observedMetrics") if isinstance(rp, dict) else rp.observedMetrics
+        if om and "replay" in om:
+            m = om["replay"]
+            metrics.append(m if isinstance(m, dict) else m.asDict())
+    assert metrics, q.recentProgress
+    assert sum(m["n_rows"] for m in metrics) == 7
+    assert max(str(m["max_event_ts"]) for m in metrics).startswith("2024-01-01")
