@@ -429,3 +429,50 @@ def test_compact_lake_preserves_hive_partitions(spark, tmp_path):
     # directory layout still hive-partitioned: day-scoped read prunes
     one_day = spark.read.parquet(f"{path}/day=1")
     assert one_day.count() == 100
+
+
+def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
+    """The amortize-the-shuffle claim, proven on the plan: two tables
+    bucketed the same way join with ZERO Exchange operators (bucketing
+    IS the hash distribution a shuffle would create)."""
+    from async_stream_processing_spark.plans.scale import (
+        read_bucketed,
+        write_bucketed,
+    )
+
+    wh = str(tmp_path / "wh")
+    orders = spark.range(0, 2000).select(
+        F.col("id").alias("o_key"), (F.col("id") % 97).alias("o_val")
+    )
+    items = spark.range(0, 6000).select(
+        (F.col("id") % 2000).alias("o_key"), F.col("id").alias("i_val")
+    )
+    write_bucketed(orders, "t_orders_b", "o_key", n_buckets=8,
+                   path=f"{wh}/t_orders_b")
+    write_bucketed(items, "t_items_b", "o_key", n_buckets=8,
+                   path=f"{wh}/t_items_b")
+    j = read_bucketed(spark, "t_orders_b").join(
+        read_bucketed(spark, "t_items_b"), "o_key"
+    )
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan.replace("BroadcastExchange", ""), plan
+    assert j.count() == 6000
+
+
+def test_lake_schema_evolution_merge_schema(spark, tmp_path):
+    """Schema drift across lake generations: a later writer adds a
+    column; mergeSchema unifies (old rows null-filled), and predicates
+    on the original columns still push down to both file generations."""
+    path = str(tmp_path / "drift")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "k long, v string"
+    ).write.parquet(path)
+    spark.createDataFrame(
+        [(3, "c", 30.0)], "k long, v string, score double"
+    ).write.mode("append").parquet(path)
+    df = spark.read.option("mergeSchema", "true").parquet(path)
+    assert set(df.columns) == {"k", "v", "score"}
+    rows = {r["k"]: (r["v"], r["score"]) for r in df.collect()}
+    assert rows == {1: ("a", None), 2: ("b", None), 3: ("c", 30.0)}
+    pushed = df.filter(F.col("k") >= 2)._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(k), GreaterThanOrEqual(k,2)" in pushed, pushed
