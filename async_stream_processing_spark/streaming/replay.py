@@ -178,18 +178,55 @@ def stream_stream_join(
 
 
 def drain(stream_df: DataFrame, output_mode: str = "complete",
-          timeout_s: int = 300) -> DataFrame:
+          timeout_s: int = 300, to_files: bool | None = None) -> DataFrame:
     """Run a streaming plan to completion over its current source contents
-    and return the final result as a batch DataFrame (memory sink +
-    ``Trigger.AvailableNow``).
+    and return the final result as a batch DataFrame.
 
     This is how streaming execution itself goes under the batch/SQL
     oracle: the plan runs through the micro-batch engine (state store,
     incremental aggregation), not the batch planner, and the drained
     result must still hash-match the oracle.
+
+    Sink choice is the scale story:
+
+    * **complete mode** (default path, ``to_files=True``): each trigger's
+      full result is written DISTRIBUTED via ``foreachBatch`` +
+      overwrite-parquet -- the last trigger's snapshot is the answer.
+      Executors write shards; nothing passes through the driver, so a
+      complete-mode rollup the size of the cluster's memory still
+      drains.  (The former memory-sink path collected the whole result
+      table into the driver -- fine at oracle scale, a named
+      scale-killer beyond it.)
+    * **append/update mode** (``to_files=False`` default): rows of these
+      modes arrive incrementally and parquet-overwrite-per-batch would
+      drop earlier batches, so they use the memory sink; append-mode
+      production jobs write a real file/table sink directly
+      (``writeStream.toTable``) and never need drain().
     """
+    import shutil
+    import tempfile
     import uuid
 
+    spark = stream_df.sparkSession
+    if to_files is None:
+        to_files = output_mode == "complete"
+    if to_files:
+        out_dir = tempfile.mkdtemp(prefix="asp_drain_")
+
+        def _snapshot(batch_df: DataFrame, batch_id: int) -> None:
+            batch_df.write.mode("overwrite").parquet(out_dir)
+
+        q = (
+            stream_df.writeStream.foreachBatch(_snapshot)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout_s)
+        # materialize off the temp files, then release them
+        result = spark.read.parquet(out_dir).localCheckpoint(eager=True)
+        shutil.rmtree(out_dir, ignore_errors=True)
+        return result
     name = "drain_" + uuid.uuid4().hex[:12]
     q = (
         stream_df.writeStream.format("memory")
