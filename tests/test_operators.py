@@ -202,3 +202,33 @@ def test_gated_queries_emit_only_primitive_columns(spark):
             if isinstance(f.dataType, complex_types):
                 offenders.append((name, f.name, f.dataType.simpleString()))
     assert not offenders, offenders
+
+
+def test_positional_index_matches_global_row_number(spark, tmp_path):
+    """The two-scan partition-offset positional index equals the
+    single-task row_number ground truth on a file source, for any
+    partition count."""
+    from pyspark.sql import Window
+
+    from async_stream_processing_spark.operators.merge import positional_index
+
+    path = str(tmp_path / "pos_src")
+    spark.range(0, 5000).select(
+        F.col("id").alias("k"), (F.col("id") * 3 % 17).alias("v")
+    ).repartition(6).write.parquet(path)
+    df = spark.read.parquet(path)
+
+    got = {r["k"]: r["pos"] for r in positional_index(df).collect()}
+    # ground truth: one task, rows in the same scan order
+    w = Window.orderBy(F.monotonically_increasing_id())
+    truth = {
+        r["k"]: r["p"]
+        for r in df.coalesce(1)
+        .select("k", (F.row_number().over(w) - 1).alias("p"))
+        .collect()
+    }
+    assert len(got) == 5000
+    assert sorted(got.values()) == list(range(5000))
+    # positions are contiguous per source partition and globally unique;
+    # the per-row mapping matches the sequential-reader order
+    assert got == truth
