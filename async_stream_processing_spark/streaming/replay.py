@@ -203,6 +203,7 @@ def drain(stream_df: DataFrame, output_mode: str = "complete",
       production jobs write a real file/table sink directly
       (``writeStream.toTable``) and never need drain().
     """
+    import atexit
     import shutil
     import tempfile
     import uuid
@@ -223,10 +224,11 @@ def drain(stream_df: DataFrame, output_mode: str = "complete",
             .start()
         )
         q.awaitTermination(timeout_s)
-        # materialize off the temp files, then release them
-        result = spark.read.parquet(out_dir).localCheckpoint(eager=True)
-        shutil.rmtree(out_dir, ignore_errors=True)
-        return result
+        # lazy read over the snapshot files: no extra materialization
+        # pass; the temp dir lives until process exit (tiny -- it holds
+        # one aggregated result, not data)
+        atexit.register(shutil.rmtree, out_dir, ignore_errors=True)
+        return spark.read.parquet(out_dir)
     name = "drain_" + uuid.uuid4().hex[:12]
     q = (
         stream_df.writeStream.format("memory")
