@@ -1,0 +1,28 @@
+"""Differential fuzzing: random relational expressions executed by both
+Spark and DuckDB from one AST must agree exactly (tools/fuzz_differential).
+
+The expression grammar stays inside the repo's portability contract
+(integer aggregates, decimal-exact sums), so ANY divergence is a real
+engine-behavior bug, not float noise.  Pinned seed keeps CI
+deterministic; run the tool standalone with fresh seeds for exploration.
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import duckdb
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from tools.fuzz_differential import fuzz  # noqa: E402
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_differential_fuzz_pinned_seed(spark):
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{SF}/events.parquet'")
+    failures = fuzz(spark, con, SF, n_cases=25, seed=20260814)
+    assert not failures, failures[:3]
