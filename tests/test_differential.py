@@ -23,6 +23,16 @@ SF = "/root/testdata/sf0.001"
 
 def test_differential_fuzz_pinned_seed(spark):
     con = duckdb.connect()
-    con.execute(f"CREATE VIEW events AS SELECT * FROM '{SF}/events.parquet'")
+    for t in ("events", "customer"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
     failures = fuzz(spark, con, SF, n_cases=25, seed=20260814)
+    assert not failures, failures[:3]
+
+
+def test_differential_fuzz_streaming_vs_batch(spark):
+    """Same random ASTs through the micro-batch engine (complete-mode
+    drain) vs the batch planner: three execution paths, one semantic."""
+    from tools.fuzz_differential import fuzz_streaming
+
+    failures = fuzz_streaming(spark, SF, n_cases=10, seed=20260814)
     assert not failures, failures[:3]

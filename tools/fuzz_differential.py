@@ -57,6 +57,21 @@ AGGS = [
 EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
 
 
+JOINS = [
+    # (kind, spark_how, sql_join) joining customer on user_id = c_custkey
+    (None, None, None),
+    ("inner", "inner", "JOIN"),
+    ("left", "left", "LEFT JOIN"),
+]
+
+JOIN_FILTERS = [
+    ("F.col('c_acctbal') >= {b}", "c_acctbal >= {b}"),
+    ("F.col('c_mktsegment') == '{seg}'", "c_mktsegment = '{seg}'"),
+]
+
+SEGMENTS = ["MACHINERY", "AUTOMOBILE", "HOUSEHOLD", "BUILDING", "FURNITURE"]
+
+
 def gen_case(rng: random.Random) -> dict:
     """One random case as paired (spark_exprs, sql) renderings."""
     subs = {
@@ -66,6 +81,9 @@ def gen_case(rng: random.Random) -> dict:
         "et": rng.choice(EVENT_TYPES),
         "d": rng.randint(1, 28),
         "k": rng.choice([2, 4, 8, 16]),
+        "b": round(rng.uniform(-500, 5000), 2),
+        "seg": rng.choice(SEGMENTS),
+        "hn": rng.randint(1, 20),
     }
     n_filters = rng.randint(0, 3)
     fs = rng.sample(FILTERS, n_filters) if n_filters else []
@@ -73,10 +91,25 @@ def gen_case(rng: random.Random) -> dict:
     gs = rng.sample(GROUPS, n_groups) if n_groups else []
     n_aggs = rng.randint(1, 3)
     ags = rng.sample(AGGS, n_aggs)
+    join = rng.choice(JOINS)
+    jfs = []
+    if join[0] == "inner" and rng.random() < 0.7:
+        # post-join filters on the dimension side (LEFT join + dim filter
+        # intentionally excluded: null-extended rows make WHERE-vs-ON
+        # semantics a test of the GENERATOR, not the engines)
+        jfs = rng.sample(JOIN_FILTERS, rng.randint(1, 2))
+    having = (
+        ("F.col('n') >= {hn}".format(**subs), "n >= {hn}".format(**subs))
+        if gs and any("COUNT(*)" in q for _, q in ags) and rng.random() < 0.5
+        else None
+    )
     return {
         "filters": [(s.format(**subs), q.format(**subs)) for s, q in fs],
         "groups": [(s.format(**subs), q.format(**subs), a) for s, q, a in gs],
         "aggs": ags,
+        "join": join,
+        "join_filters": [(s.format(**subs), q.format(**subs)) for s, q in jfs],
+        "having": having,
         "subs": subs,
     }
 
@@ -90,24 +123,45 @@ def run_spark(spark, sf_dir: str, case: dict):
     df = load_table(spark, sf_dir, "events")
     for s, _ in case["filters"]:
         df = df.filter(eval(s, env))
+    kind, how, _ = case.get("join") or (None, None, None)
+    if kind:
+        cust = load_table(spark, sf_dir, "customer")
+        df = df.join(cust, df.user_id == cust.c_custkey, how)
+        for s, _ in case.get("join_filters", []):
+            df = df.filter(eval(s, env))
     group_cols = [eval(s, env).alias(alias) for s, _, alias in case["groups"]]
     agg_cols = [eval(s, env) for s, _ in case["aggs"]]
     if group_cols:
         out = df.groupBy(*group_cols).agg(*agg_cols)
     else:
         out = df.agg(*agg_cols)
+    if case.get("having"):
+        out = out.filter(eval(case["having"][0], env))
     return out.toPandas()
 
 
 def run_duckdb(con, case: dict):
-    where = " AND ".join(q for _, q in case["filters"]) or "TRUE"
+    kind, _, sql_join = case.get("join") or (None, None, None)
+    # Spark applies row filters to the events scan BEFORE the join; a
+    # WHERE on the left-join result would differ, so the source is a
+    # pre-filtered subquery in both renderings.
+    ev_where = " AND ".join(q for _, q in case["filters"]) or "TRUE"
+    src = f"(SELECT * FROM events WHERE {ev_where}) e"
+    if kind:
+        src += f" {sql_join} customer ON e.user_id = c_custkey"
+    post = " AND ".join(q for _, q in case.get("join_filters", []))
+    where = f"WHERE {post}" if post else ""
     groups = [(q, alias) for _, q, alias in case["groups"]]
     sel_groups = ", ".join(f"{q} AS {alias}" for q, alias in groups)
     sel_aggs = ", ".join(q for _, q in case["aggs"])
     select = ", ".join(x for x in (sel_groups, sel_aggs) if x)
     gb = f"GROUP BY {', '.join(q for q, _ in groups)}" if groups else ""
+    having = f"HAVING {case['having'][1]}" if case.get("having") else ""
+    if having and gb:
+        # HAVING references the aliased agg; DuckDB allows alias in HAVING
+        pass
     return con.execute(
-        f"SELECT {select} FROM events WHERE {where} {gb}"
+        f"SELECT {select} FROM {src} {where} {gb} {having}"
     ).df()
 
 
@@ -144,6 +198,67 @@ def compare(spdf, ddf) -> str | None:
     return None
 
 
+def run_spark_streaming(spark, sf_dir: str, case: dict):
+    """The SAME AST executed by the micro-batch engine: stream the events
+    source, apply filters/join/agg, drain complete-mode, post-filter
+    HAVING on the drained result.  Closes the triangle: batch Spark ==
+    DuckDB (run_spark/run_duckdb) and streaming Spark == batch Spark
+    (here) -- three execution paths, one semantic.
+
+    countDistinct is excluded from streaming cases (unsupported by the
+    engine in streaming aggregation -- a documented Spark limit, not an
+    engine bug to find)."""
+    from pyspark.sql import functions as F
+
+    from async_stream_processing_spark.sources.parquet import (
+        load_table,
+        stream_table,
+    )
+    from async_stream_processing_spark.streaming.replay import drain
+
+    env = {"F": F}
+    df = stream_table(spark, sf_dir, "events")
+    for s, _ in case["filters"]:
+        df = df.filter(eval(s, env))
+    kind, how, _ = case.get("join") or (None, None, None)
+    if kind:
+        cust = load_table(spark, sf_dir, "customer")  # static side
+        df = df.join(cust, df.user_id == cust.c_custkey, how)
+        for s, _ in case.get("join_filters", []):
+            df = df.filter(eval(s, env))
+    group_cols = [eval(s, env).alias(alias) for s, _, alias in case["groups"]]
+    agg_cols = [eval(s, env) for s, _ in case["aggs"]]
+    if group_cols:
+        out = df.groupBy(*group_cols).agg(*agg_cols)
+    else:
+        out = df.groupBy().agg(*agg_cols)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        res = drain(out, output_mode="complete")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    if case.get("having"):
+        res = res.filter(eval(case["having"][0], env))
+    return res.toPandas()
+
+
+def fuzz_streaming(spark, sf_dir: str, n_cases: int, seed: int):
+    """Streaming-vs-batch differential: same AST, micro-batch engine vs
+    batch planner, value-exact comparison."""
+    rng = random.Random(seed)
+    failures = []
+    for i in range(n_cases):
+        case = gen_case(rng)
+        # drop distinct aggregation (unsupported in streaming)
+        case["aggs"] = [a for a in case["aggs"] if "ndu" not in a[0]] or [AGGS[0]]
+        err = compare(run_spark(spark, sf_dir, case),
+                      run_spark_streaming(spark, sf_dir, case))
+        if err:
+            failures.append((i, err, case))
+    return failures
+
+
 def fuzz(spark, con, sf_dir: str, n_cases: int, seed: int):
     rng = random.Random(seed)
     failures = []
@@ -156,9 +271,11 @@ def fuzz(spark, con, sf_dir: str, n_cases: int, seed: int):
 
 
 def main():
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 50
-    seed = int(sys.argv[2]) if len(sys.argv) > 2 else 20260814
-    sf_dir = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.01"
+    args = [a for a in sys.argv[1:] if a != "--streaming"]
+    streaming = "--streaming" in sys.argv
+    n = int(args[0]) if len(args) > 0 else 50
+    seed = int(args[1]) if len(args) > 1 else 20260814
+    sf_dir = args[2] if len(args) > 2 else "/root/testdata/sf0.01"
     sys.path.insert(0, ".")
     import duckdb
 
@@ -167,14 +284,18 @@ def main():
     spark = get_spark("fuzz")
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
-    con.execute(
-        f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'"
-    )
-    failures = fuzz(spark, con, sf_dir, n, seed)
+    for t in ("events", "customer"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    if streaming:
+        failures = fuzz_streaming(spark, sf_dir, n, seed)
+    else:
+        failures = fuzz(spark, con, sf_dir, n, seed)
     for i, err, case in failures:
         print(f"FAIL case {i}: {err}\n  {case}")
     print(f"{'FAIL' if failures else 'PASS'}: {n - len(failures)}/{n} "
-          f"(seed {seed}, {sf_dir})")
+          f"(seed {seed}, {sf_dir}{', streaming' if streaming else ''})")
     sys.exit(1 if failures else 0)
 
 
