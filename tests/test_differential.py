@@ -36,3 +36,15 @@ def test_differential_fuzz_streaming_vs_batch(spark):
 
     failures = fuzz_streaming(spark, SF, n_cases=10, seed=20260814)
     assert not failures, failures[:3]
+
+
+def test_differential_fuzz_window_functions(spark):
+    """Window-function grammar (row_number/rank/lag/lead/windowed
+    aggregates over a unique total order): row-for-row exact across
+    engines -- no aggregation to collapse a divergence."""
+    from tools.fuzz_differential import fuzz_window
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{SF}/events.parquet'")
+    failures = fuzz_window(spark, con, SF, n_cases=15, seed=20260814)
+    assert not failures, failures[:3]

@@ -198,6 +198,88 @@ def compare(spdf, ddf) -> str | None:
     return None
 
 
+WINDOW_FUNCS = [
+    # (spark_over_w, sql_over) -- w orders by the UNIQUE event_id inside
+    # the partition, so every function below is fully deterministic
+    ("F.row_number()", "ROW_NUMBER()"),
+    ("F.rank()", "RANK()"),
+    ("F.lag('event_id', 1)", "LAG(event_id, 1)"),
+    ("F.lead('event_id', 1)", "LEAD(event_id, 1)"),
+    ("F.count(F.lit(1))", "COUNT(*)"),
+    ("F.min('event_id')", "MIN(event_id)"),
+]
+
+WINDOW_PARTS = [
+    ("F.col('event_type')", "event_type"),
+    ("(F.col('user_id') % {k})", "user_id % {k}"),
+]
+
+
+def gen_window_case(rng: random.Random) -> dict:
+    """Window-function case: filters + one windowed projection, compared
+    row-for-row (no aggregation collapses differences)."""
+    subs = {
+        "m": rng.choice([2, 3, 5, 7, 11]),
+        "r": rng.randint(0, 1),
+        "v": round(rng.uniform(-50, 400), 2),
+        "et": rng.choice(EVENT_TYPES),
+        "d": rng.randint(1, 28),
+        "k": rng.choice([2, 4, 8, 16]),
+    }
+    n_filters = rng.randint(0, 2)
+    fs = rng.sample(FILTERS, n_filters) if n_filters else []
+    part = rng.choice(WINDOW_PARTS)
+    wfs = rng.sample(WINDOW_FUNCS, rng.randint(1, 3))
+    return {
+        "filters": [(s.format(**subs), q.format(**subs)) for s, q in fs],
+        "part": (part[0].format(**subs), part[1].format(**subs)),
+        "wfuncs": wfs,
+        "subs": subs,
+    }
+
+
+def run_spark_window(spark, sf_dir: str, case: dict):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from async_stream_processing_spark.sources.parquet import load_table
+
+    env = {"F": F}
+    df = load_table(spark, sf_dir, "events")
+    for s, _ in case["filters"]:
+        df = df.filter(eval(s, env))
+    w = Window.partitionBy(eval(case["part"][0], env)).orderBy("event_id")
+    cols = [F.col("event_id")] + [
+        eval(s, env).over(w).cast("long").alias(f"w{i}")
+        for i, (s, _) in enumerate(case["wfuncs"])
+    ]
+    return df.select(*cols).toPandas()
+
+
+def run_duckdb_window(con, case: dict):
+    where = " AND ".join(q for _, q in case["filters"]) or "TRUE"
+    over = f"OVER (PARTITION BY {case['part'][1]} ORDER BY event_id)"
+    sel = ", ".join(
+        f"CAST({q} {over} AS BIGINT) AS w{i}"
+        for i, (_, q) in enumerate(case["wfuncs"])
+    )
+    return con.execute(
+        f"SELECT event_id, {sel} FROM events WHERE {where}"
+    ).df()
+
+
+def fuzz_window(spark, con, sf_dir: str, n_cases: int, seed: int):
+    rng = random.Random(seed)
+    failures = []
+    for i in range(n_cases):
+        case = gen_window_case(rng)
+        err = compare(run_spark_window(spark, sf_dir, case),
+                      run_duckdb_window(con, case))
+        if err:
+            failures.append((i, err, case))
+    return failures
+
+
 def run_spark_streaming(spark, sf_dir: str, case: dict):
     """The SAME AST executed by the micro-batch engine: stream the events
     source, apply filters/join/agg, drain complete-mode, post-filter
@@ -271,8 +353,9 @@ def fuzz(spark, con, sf_dir: str, n_cases: int, seed: int):
 
 
 def main():
-    args = [a for a in sys.argv[1:] if a != "--streaming"]
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
     streaming = "--streaming" in sys.argv
+    window = "--window" in sys.argv
     n = int(args[0]) if len(args) > 0 else 50
     seed = int(args[1]) if len(args) > 1 else 20260814
     sf_dir = args[2] if len(args) > 2 else "/root/testdata/sf0.01"
@@ -290,12 +373,15 @@ def main():
         )
     if streaming:
         failures = fuzz_streaming(spark, sf_dir, n, seed)
+    elif window:
+        failures = fuzz_window(spark, con, sf_dir, n, seed)
     else:
         failures = fuzz(spark, con, sf_dir, n, seed)
+    mode = ", streaming" if streaming else (", window" if window else "")
     for i, err, case in failures:
         print(f"FAIL case {i}: {err}\n  {case}")
     print(f"{'FAIL' if failures else 'PASS'}: {n - len(failures)}/{n} "
-          f"(seed {seed}, {sf_dir}{', streaming' if streaming else ''})")
+          f"(seed {seed}, {sf_dir}{mode})")
     sys.exit(1 if failures else 0)
 
 
