@@ -428,3 +428,50 @@ def test_observed_metrics_in_progress(spark, tmp_path):
     assert metrics, q.recentProgress
     assert sum(m["n_rows"] for m in metrics) == 7
     assert max(str(m["max_event_ts"]) for m in metrics).startswith("2024-01-01")
+
+
+def test_stateful_aggregation_resumes_from_checkpoint(spark, tmp_path):
+    """Restart semantics: a keyed count over run 1's files, stopped, then
+    RESTARTED as a new query on the same checkpoint after more files
+    arrive -- the update-mode output of run 2 must reflect state carried
+    across the restart (A+B totals), not a recount from zero."""
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "ck_src")
+    ck = str(tmp_path / "ck_state")
+    schema = "k long, ts timestamp"
+    from datetime import datetime
+
+    spark.createDataFrame(
+        [(1, datetime(2024, 1, 1)), (1, datetime(2024, 1, 1)),
+         (2, datetime(2024, 1, 1))], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    emitted = []
+
+    def run_once():
+        s = spark.readStream.schema(schema).parquet(src)
+        agg = s.groupBy("k").agg(F.count(F.lit(1)).alias("n"))
+        q = (
+            agg.writeStream.outputMode("update")
+            .foreachBatch(lambda b, i: emitted.append(
+                {r["k"]: r["n"] for r in b.collect()}))
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    first = {k: n for d in emitted for k, n in d.items()}
+    assert first == {1: 2, 2: 1}
+
+    emitted.clear()
+    spark.createDataFrame(
+        [(1, datetime(2024, 1, 2)), (3, datetime(2024, 1, 2))], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    run_once()  # NEW query object, SAME checkpoint
+    second = {k: n for d in emitted for k, n in d.items()}
+    # update mode: only keys touched by run 2's data emit, with totals
+    # that include run 1's state
+    assert second == {1: 3, 3: 1}
