@@ -102,3 +102,38 @@ def stratified_sample(docs: DataFrame, mod: int = 1000) -> DataFrame:
         .filter(F.col("gate") < F.col("rate_permille"))
         .select("doc_id", "source", "rate_permille")
     )
+
+
+def quality_stratified_sample(
+    docs: DataFrame, n_strata: int = 10, keep_per: int = 5
+) -> DataFrame:
+    """Quality-stratified sampling: decile documents by the unigram
+    rarity signal (text_analysis.token_rarity) and keep a deterministic
+    hash-gated sample per stratum -- the "sample across the quality
+    spectrum" mixture knob (uniform sampling over-represents the
+    boilerplate head; this keeps tails inspectable).
+
+    Strata come from NTILE over the fully-determined order
+    (mean_tok_freq, doc_id); the within-stratum keep is the k smallest
+    by (hash, doc_id) -- reproducible across runs, engines and cluster
+    sizes, like stratified_sample.  Plan: the rarity aggregate's output
+    is doc-count-sized; both windows ride one exchange over it.
+    """
+    from .text_analysis import token_rarity
+
+    rare = token_rarity(docs).join(docs.select("doc_id", "text"), "doc_id")
+    w_decile = Window.orderBy(F.asc("mean_tok_freq"), F.asc("doc_id"))
+    w_keep = Window.partitionBy("stratum").orderBy(
+        F.asc("h"), F.asc("doc_id")
+    )
+    return (
+        rare.withColumn("stratum", F.ntile(n_strata).over(w_decile))
+        .withColumn("h", stable_hash60(F.col("text")))
+        .withColumn("rk", F.row_number().over(w_keep))
+        .filter(F.col("rk") <= keep_per)
+        .select(
+            "doc_id",
+            F.col("stratum").cast("long").alias("stratum"),
+            "mean_tok_freq",
+        )
+    )

@@ -415,6 +415,30 @@ def q_pca_project(spark, sf_dir):
     )
 
 
+def q_embedding_dedup_clusters(spark, sf_dir):
+    """Semantic dedup CLUSTERS: connected components over the embedding
+    near-dup pair graph (cosine >= 0.35 bucket-mates) -- the same
+    pointer-jumping CC the text path uses, composed with the similarity
+    operator; oracle = transitive-closure recursive CTE."""
+    from async_stream_processing_spark.llm.dedup import connected_components
+
+    pairs = q_embedding_dedup(spark, sf_dir).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    labels, _ = connected_components(pairs)
+    return labels.select(F.col("doc_id").alias("vec_id"), "cluster_id")
+
+
+def q_quality_stratified_sample(spark, sf_dir):
+    """Quality-spectrum sampling: rarity deciles (NTILE over the exact
+    unigram signal) x deterministic hash-gated keep per stratum."""
+    from async_stream_processing_spark.llm.sampling import (
+        quality_stratified_sample,
+    )
+
+    return quality_stratified_sample(_docs(spark, sf_dir))
+
+
 LLM_QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash,
@@ -453,6 +477,8 @@ LLM_QUERIES = {
     "bloom_decontaminate": q_bloom_decontaminate,
     "embedding_covariance": q_embedding_covariance,
     "pca_project": q_pca_project,
+    "embedding_dedup_clusters": q_embedding_dedup_clusters,
+    "quality_stratified_sample": q_quality_stratified_sample,
 }
 
 
@@ -1063,6 +1089,51 @@ def llm_oracle_sql() -> dict[str, str]:
             GROUP BY cg.doc_id, bg.bench_id
         """,
         "embedding_covariance": _sql_embedding_covariance(),
+        "embedding_dedup_clusters": f"""
+            WITH RECURSIVE b AS (
+                SELECT vec_id, embedding,
+                       {sql_lsh_bucket('embedding', 6)} AS bucket
+                FROM embeddings),
+            pairs AS (
+                SELECT a.vec_id AS va, c.vec_id AS vb
+                FROM b a JOIN b c
+                  ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+                WHERE {sql_cosine('a.embedding', 'c.embedding')} >= 0.35),
+            edges AS (SELECT va AS a, vb AS b FROM pairs
+                      UNION SELECT vb, va FROM pairs),
+            nodes AS (SELECT DISTINCT a AS v FROM edges),
+            walk(v, r) AS (
+                SELECT v, v FROM nodes
+                UNION
+                SELECT e.a, w.r FROM edges e JOIN walk w ON e.b = w.v)
+            SELECT v AS vec_id, MIN(r) AS cluster_id FROM walk GROUP BY v
+        """,
+        "quality_stratified_sample": f"""
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(string_split_regex(lower(trim(text)), ' +')) AS tok
+                FROM documents),
+            vocab AS (SELECT tok, COUNT(*) AS freq FROM toks GROUP BY tok),
+            rare AS (
+                SELECT t.doc_id,
+                       CAST(CAST(SUM(v.freq) AS BIGINT) AS DOUBLE) / COUNT(*)
+                           AS mean_tok_freq
+                FROM toks t JOIN vocab v USING (tok)
+                GROUP BY t.doc_id),
+            strata AS (
+                SELECT r.doc_id, r.mean_tok_freq, d.text,
+                       CAST(NTILE(10) OVER (ORDER BY r.mean_tok_freq ASC,
+                                            r.doc_id ASC) AS BIGINT)
+                           AS stratum
+                FROM rare r JOIN documents d USING (doc_id))
+            SELECT doc_id, stratum, mean_tok_freq FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                           PARTITION BY stratum
+                           ORDER BY {sql_stable_hash60('text')} ASC,
+                                    doc_id ASC) AS rk
+                FROM strata)
+            WHERE rk <= 5
+        """,
         # contract oracle: Bessel's inequality holds for every vector under
         # any orthonormal projection -- the oracle asserts the invariant,
         # the Spark side computes it (same pattern as cardinality_sketch /
