@@ -48,3 +48,15 @@ def test_differential_fuzz_window_functions(spark):
     con.execute(f"CREATE VIEW events AS SELECT * FROM '{SF}/events.parquet'")
     failures = fuzz_window(spark, con, SF, n_cases=15, seed=20260814)
     assert not failures, failures[:3]
+
+
+def test_differential_fuzz_scalar_expressions(spark):
+    """Scalar/projection grammar (integer arithmetic, string structure,
+    date parts, CASE): row-for-row exact -- probes the expression and
+    codegen layer directly."""
+    from tools.fuzz_differential import fuzz_scalar
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{SF}/events.parquet'")
+    failures = fuzz_scalar(spark, con, SF, n_cases=15, seed=20260814)
+    assert not failures, failures[:3]

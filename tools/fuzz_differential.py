@@ -198,6 +198,91 @@ def compare(spdf, ddf) -> str | None:
     return None
 
 
+SCALARS = [
+    # (spark_expr, sql_expr) -- portable scalar set: integer arithmetic,
+    # string structure ops, date parts, CASE.  No float math beyond one
+    # multiplication (exactly rounded identically), no regex (Java vs
+    # RE2), no trig/log (libm).
+    ("F.col('event_id') * {m} + {r}", "event_id * {m} + {r}"),
+    ("F.expr('event_id div {m}')", "event_id // {m}"),
+    ("F.col('event_id') % {m}", "event_id % {m}"),
+    ("F.abs(F.col('user_id') - {k})", "ABS(user_id - {k})"),
+    ("F.least(F.col('user_id'), F.lit({k}))", "LEAST(user_id, {k})"),
+    ("F.greatest(F.col('event_id') % 100, F.col('user_id'))",
+     "GREATEST(event_id % 100, user_id)"),
+    ("F.length('event_type')", "CAST(LENGTH(event_type) AS INT)"),
+    ("F.upper('event_type')", "UPPER(event_type)"),
+    ("F.substring('event_type', 1, {m})", "SUBSTRING(event_type, 1, {m})"),
+    ("F.concat(F.col('event_type'), F.lit('_'), "
+     "F.col('user_id').cast('string'))",
+     "event_type || '_' || CAST(user_id AS VARCHAR)"),
+    ("F.year('ts')", "CAST(EXTRACT(year FROM ts) AS INT)"),
+    ("F.month('ts')", "CAST(EXTRACT(month FROM ts) AS INT)"),
+    ("F.hour('ts')", "CAST(EXTRACT(hour FROM ts) AS INT)"),
+    ("F.when(F.col('value') >= {v}, F.lit('hi')).otherwise(F.lit('lo'))",
+     "CASE WHEN value >= {v} THEN 'hi' ELSE 'lo' END"),
+    ("F.when(F.col('user_id') % {m} == 0, F.col('event_id'))",
+     "CASE WHEN user_id % {m} = 0 THEN event_id END"),
+    ("F.coalesce(F.nullif(F.col('event_type'), F.lit('{et}')), "
+     "F.lit('masked'))",
+     "COALESCE(NULLIF(event_type, '{et}'), 'masked')"),
+]
+
+
+def gen_scalar_case(rng: random.Random) -> dict:
+    subs = {
+        "m": rng.choice([2, 3, 5, 7, 11]),
+        "r": rng.randint(0, 9),
+        "v": round(rng.uniform(-50, 400), 2),
+        "et": rng.choice(EVENT_TYPES),
+        "k": rng.randint(0, 200),
+        "d": rng.randint(1, 28),
+    }
+    n_filters = rng.randint(0, 2)
+    fs = rng.sample(FILTERS, n_filters) if n_filters else []
+    exprs = rng.sample(SCALARS, rng.randint(2, 5))
+    return {
+        "filters": [(s.format(**subs), q.format(**subs)) for s, q in fs],
+        "exprs": [(s.format(**subs), q.format(**subs)) for s, q in exprs],
+        "subs": subs,
+    }
+
+
+def run_spark_scalar(spark, sf_dir: str, case: dict):
+    from pyspark.sql import functions as F
+
+    from async_stream_processing_spark.sources.parquet import load_table
+
+    env = {"F": F}
+    df = load_table(spark, sf_dir, "events")
+    for s, _ in case["filters"]:
+        df = df.filter(eval(s, env))
+    cols = [F.col("event_id")] + [
+        eval(s, env).alias(f"c{i}") for i, (s, _) in enumerate(case["exprs"])
+    ]
+    return df.select(*cols).toPandas()
+
+
+def run_duckdb_scalar(con, case: dict):
+    where = " AND ".join(q for _, q in case["filters"]) or "TRUE"
+    sel = ", ".join(f"{q} AS c{i}" for i, (_, q) in enumerate(case["exprs"]))
+    return con.execute(
+        f"SELECT event_id, {sel} FROM events WHERE {where}"
+    ).df()
+
+
+def fuzz_scalar(spark, con, sf_dir: str, n_cases: int, seed: int):
+    rng = random.Random(seed)
+    failures = []
+    for i in range(n_cases):
+        case = gen_scalar_case(rng)
+        err = compare(run_spark_scalar(spark, sf_dir, case),
+                      run_duckdb_scalar(con, case))
+        if err:
+            failures.append((i, err, case))
+    return failures
+
+
 WINDOW_FUNCS = [
     # (spark_over_w, sql_over) -- w orders by the UNIQUE event_id inside
     # the partition, so every function below is fully deterministic
@@ -356,6 +441,7 @@ def main():
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     streaming = "--streaming" in sys.argv
     window = "--window" in sys.argv
+    scalar = "--scalar" in sys.argv
     n = int(args[0]) if len(args) > 0 else 50
     seed = int(args[1]) if len(args) > 1 else 20260814
     sf_dir = args[2] if len(args) > 2 else "/root/testdata/sf0.01"
@@ -375,9 +461,12 @@ def main():
         failures = fuzz_streaming(spark, sf_dir, n, seed)
     elif window:
         failures = fuzz_window(spark, con, sf_dir, n, seed)
+    elif scalar:
+        failures = fuzz_scalar(spark, con, sf_dir, n, seed)
     else:
         failures = fuzz(spark, con, sf_dir, n, seed)
-    mode = ", streaming" if streaming else (", window" if window else "")
+    mode = (", streaming" if streaming else
+            ", window" if window else ", scalar" if scalar else "")
     for i, err, case in failures:
         print(f"FAIL case {i}: {err}\n  {case}")
     print(f"{'FAIL' if failures else 'PASS'}: {n - len(failures)}/{n} "
