@@ -205,3 +205,9 @@ def sql_triangle_counts(edges_cte: str) -> str:
             UNION ALL SELECT c FROM tri)
         GROUP BY node
     """
+
+
+# Connected components (pointer-jumping min-label, O(log d) rounds) lives
+# in llm.dedup where the near-dup pipeline composes it; re-exported here
+# so graph users find the whole family in one place.
+from ..llm.dedup import connected_components  # noqa: E402,F401
