@@ -232,3 +232,61 @@ def test_triangle_counts_known_graphs(spark):
     got4 = {tuple(r) for r in triangle_counts(
         spark.createDataFrame(k4, "src long, dst long")).collect()}
     assert got4 == {(n, 3) for n in range(4)}
+
+
+def test_triangle_degree_orientation_tames_hubs(spark):
+    """On a power-law-ish graph (one hub with the SMALLEST id touching
+    every node), id-orientation points all hub edges outward and
+    enumerates O(deg^2) wedges at the hub; degree-orientation points
+    them inward, collapsing the wedge count -- same final triangle
+    counts (both verified against each other)."""
+    from pyspark.sql import functions as F
+
+    from async_stream_processing_spark.operators.graph import triangle_counts
+
+    # a wedge is centered at y when y has neighbors BOTH below and above
+    # it in the order; a mid-id hub under id order centers ~ (deg/2)^2
+    # wedges, while degree order ranks the hub LAST (no neighbors above)
+    n, hub_id = 200, 100
+    hub = [(hub_id, i) for i in range(1, n) if i != hub_id]
+    ring = [(i, i + 1) for i in range(1, n - 1)
+            if i != hub_id and i + 1 != hub_id]
+    edges = spark.createDataFrame(hub + ring, "src long, dst long")
+
+    def wedge_count(orient):
+        und = (
+            edges.select(F.least("src", "dst").alias("a"),
+                         F.greatest("src", "dst").alias("b"))
+            .filter(F.col("a") != F.col("b")).distinct()
+        )
+        if orient == "degree":
+            deg = (
+                und.select(F.col("a").alias("node"))
+                .unionByName(und.select(F.col("b").alias("node")))
+                .groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+            )
+            wd = (
+                und.join(deg.select(F.col("node").alias("a"),
+                                    F.col("deg").alias("da")), "a")
+                .join(deg.select(F.col("node").alias("b"),
+                                 F.col("deg").alias("db")), "b")
+            )
+            first = (F.col("da") < F.col("db")) | (
+                (F.col("da") == F.col("db")) & (F.col("a") < F.col("b")))
+            und = wd.select(
+                F.when(first, F.col("a")).otherwise(F.col("b")).alias("a"),
+                F.when(first, F.col("b")).otherwise(F.col("a")).alias("b"))
+        return (
+            und.alias("e1")
+            .join(und.alias("e2"), F.col("e1.b") == F.col("e2.a"))
+            .count()
+        )
+
+    w_id, w_deg = wedge_count("id"), wedge_count("degree")
+    # ~(deg/2)^2 ~ 10^4 wedges at the mid-id hub under id order vs O(n)
+    # under degree order
+    assert w_id > 5000 and w_deg < 1000, (w_id, w_deg)
+    # both orientations produce identical triangle counts
+    t_id = sorted(map(tuple, triangle_counts(edges, orient="id").collect()))
+    t_deg = sorted(map(tuple, triangle_counts(edges, orient="degree").collect()))
+    assert t_id == t_deg and t_id  # non-vacuous
