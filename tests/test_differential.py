@@ -60,3 +60,60 @@ def test_differential_fuzz_scalar_expressions(spark):
     con.execute(f"CREATE VIEW events AS SELECT * FROM '{SF}/events.parquet'")
     failures = fuzz_scalar(spark, con, SF, n_cases=15, seed=20260814)
     assert not failures, failures[:3]
+
+
+def test_comparator_detects_planted_divergences():
+    """The fuzz harness is only as good as its comparator: plant
+    divergences and assert compare() flags each (guards against a
+    silently-vacuous equality check)."""
+    import pandas as pd
+
+    from tools.fuzz_differential import compare
+
+    base = pd.DataFrame({"a": [1, 2, 3], "b": [1.5, 2.5, None]})
+    assert compare(base, base.copy()) is None
+    # value flip
+    v = base.copy(); v.loc[1, "a"] = 99
+    assert compare(base, v) is not None
+    # float ulp-level flip
+    f = base.copy(); f.loc[0, "b"] = 1.5000000000000002
+    assert compare(base, f) is not None
+    # null placement
+    n = base.copy(); n.loc[0, "b"] = None; n.loc[2, "b"] = 9.0
+    assert compare(base, n) is not None
+    # row count
+    assert compare(base, base.iloc[:2]) is not None
+    # column set
+    c = base.rename(columns={"b": "z"})
+    assert compare(base, c) is not None
+
+
+def test_fuzz_full_path_catches_mutated_oracle(spark):
+    """End-to-end sensitivity: run a real case but mutate the SQL side
+    (drop the filters) -- the harness must report a divergence whenever
+    the filter was selective."""
+    import random
+
+    from tools.fuzz_differential import (
+        compare,
+        gen_case,
+        run_duckdb,
+        run_spark,
+    )
+
+    con = duckdb.connect()
+    for t in ("events", "customer"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    rng = random.Random(5)
+    caught = total = 0
+    while total < 5:
+        case = gen_case(rng)
+        if not case["filters"] or case.get("join") == (None, None, None):
+            continue
+        spdf = run_spark(spark, SF, case)
+        mutated = dict(case, filters=[])
+        odf = run_duckdb(con, mutated)
+        total += 1
+        if compare(spdf, odf) is not None:
+            caught += 1
+    assert caught >= 4, (caught, total)  # filters are selective on this data
