@@ -1860,6 +1860,77 @@ def q_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_counts(edges)
 
 
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 dimension history built from an event log: per user,
+    consecutive runs of the same ``event_type`` collapse into versioned
+    validity intervals (valid_from, valid_to, is_current) -- the
+    lakehouse "dimension snapshot from CDC feed" operator.  Pure window
+    machinery: a lag-change flag, a running sum to number runs, a
+    groupBy per run, and a lead for the closing timestamp -- ONE shuffle
+    on the dimension key, deterministic under the (ts, event_id) total
+    order per key."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_type = F.lag("event_type").over(w)
+    chg = F.when(
+        prev_type.isNull() | (prev_type != F.col("event_type")), F.lit(1)
+    ).otherwise(F.lit(0))
+    runs = ev.select("user_id", "ts", "event_id", "event_type").withColumn(
+        "version", F.sum(chg).over(w).cast("long")
+    )
+    grouped = runs.groupBy("user_id", "version", "event_type").agg(
+        F.min("ts").alias("valid_from"),
+        F.max("ts").alias("last_event_ts"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy("version")
+    nxt = F.lead("valid_from").over(w2)
+    return grouped.select(
+        "user_id",
+        "version",
+        "event_type",
+        "valid_from",
+        nxt.alias("valid_to"),
+        "last_event_ts",
+        "n_events",
+        nxt.isNull().alias("is_current"),
+    )
+
+
+def q_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS over the symmetrized session-handoff graph:
+    hop distance from the nearest "seed" user (user_id % 50 == 0), 4
+    hops, integer distances (operators/graph.py bfs_levels -- the same
+    co-partitioned iterate-join shape as PageRank, oracle = unrolled
+    CTE chain).  The influence-radius primitive: which users sit within
+    k handoffs of a monitored account."""
+    from pyspark.sql import Window
+
+    from async_stream_processing_spark.operators.graph import bfs_levels
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    directed = (
+        ev.select(
+            F.col("user_id").alias("src"),
+            F.lead("user_id").over(w).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull())
+        .filter(F.col("src") != F.col("dst"))
+    )
+    edges = directed.unionByName(
+        directed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    seeds = (
+        ev.select(F.col("user_id").alias("node"))
+        .filter(F.col("node") % 50 == 0)
+        .distinct()
+    )
+    return bfs_levels(edges, seeds, n_iter=4)
+
+
 def q_stream_upsert_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keyed-upsert STREAMING SINK, gate-checked end to end: replay the
     events table through ``streaming.upsert.upsert_sink`` (foreachBatch
@@ -2281,6 +2352,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             for k, v in LLM_QUERIES.items()
             if k not in (
                 "ivf_kmeans_assign", "containment_pairs", "weighted_sample",
+                # the round-4 curation additions are listed in the NEW
+                # post-window block below, not here
+                "gopher_repetition", "gopher_quality", "pack_sequences",
+                "mixture_sample",
             )
         },
         "filter_project": q_filter_project,
@@ -2314,6 +2389,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_upsert_state": q_stream_upsert_state,
         "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
+        "scd2_intervals": q_scd2_intervals,
+        "bfs_levels": q_bfs_levels,
+        "gopher_repetition": LLM_QUERIES["gopher_repetition"],
+        "gopher_quality": LLM_QUERIES["gopher_quality"],
+        "pack_sequences": LLM_QUERIES["pack_sequences"],
+        "mixture_sample": LLM_QUERIES["mixture_sample"],
         # --- driver-green in rounds 1-3 ---
         "trade_pnl_asof": q_trade_pnl,
         "cart_fold_state": q_cart_fold,
@@ -3409,6 +3490,49 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY n_name
         ORDER BY revenue DESC, n_name ASC
     """
+    out["scd2_intervals"] = """
+        WITH runs AS (
+            SELECT user_id, ts, event_id, event_type,
+                   CASE WHEN LAG(event_type) OVER w IS NULL
+                        OR LAG(event_type) OVER w <> event_type
+                        THEN 1 ELSE 0 END AS chg
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        v AS (
+            SELECT user_id, ts, event_type,
+                   CAST(SUM(chg) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id)
+                        AS BIGINT) AS version
+            FROM runs),
+        g AS (
+            SELECT user_id, version, event_type,
+                   MIN(ts) AS valid_from, MAX(ts) AS last_event_ts,
+                   COUNT(*) AS n_events
+            FROM v GROUP BY user_id, version, event_type)
+        SELECT user_id, version, event_type, valid_from,
+               LEAD(valid_from) OVER w2 AS valid_to,
+               last_event_ts, n_events,
+               LEAD(valid_from) OVER w2 IS NULL AS is_current
+        FROM g WINDOW w2 AS (PARTITION BY user_id ORDER BY version)
+    """
+    from async_stream_processing_spark.operators.graph import sql_bfs_levels
+
+    out["bfs_levels"] = sql_bfs_levels(
+        """dir_edges AS (
+            SELECT src, dst FROM (
+                SELECT user_id AS src,
+                       LEAD(user_id) OVER (PARTITION BY event_type
+                                           ORDER BY ts, event_id) AS dst
+                FROM events)
+            WHERE dst IS NOT NULL AND src <> dst),
+        edges AS (
+            SELECT src, dst FROM dir_edges
+            UNION ALL
+            SELECT dst AS src, src AS dst FROM dir_edges)""",
+        "seeds AS (SELECT DISTINCT user_id AS node FROM events "
+        "WHERE user_id % 50 = 0)",
+        n_iter=4,
+    )
     out["stream_upsert_state"] = """
         SELECT user_id, event_id, event_type, value FROM (
             SELECT user_id, event_id, event_type, value,

@@ -1,0 +1,431 @@
+"""Corpus curation filters for LLM training-data pipelines.
+
+Implements the published document-level filtering rules a 100 TB curation
+pipeline applies before training:
+
+* **Gopher repetition rules** (Rae et al. 2021, "Scaling Language Models:
+  Methods, Analysis & Insights from Training Gopher", Appendix A1.1):
+  fraction of characters covered by the most frequent word {2,3,4}-gram
+  and by duplicated 5-grams, each thresholded (0.20 / 0.18 / 0.16 / 0.15).
+* **Gopher quality rules** (same appendix): word-count bounds, mean word
+  length bounds, minimum stop-word hits, minimum alphabetic-word ratio.
+* **Sequence packing**: assign documents to fixed-token-budget training
+  chunks by cumulative token offset — the "pack documents into 2048-token
+  training sequences" step, as a deterministic window computation.
+* **Source mixture balancing**: deterministic hash-gated downsampling
+  that equalizes per-source document counts (the mixture-reweighting knob
+  of C4/Pile-style corpus assembly), with the acceptance test done in
+  cross-multiplied INTEGER arithmetic so no division can diverge.
+
+Determinism contract (see ``functions/numeric.py``): every *decision*
+(keep flag, chunk id, sample gate) is computed in pure integer arithmetic
+— cross-multiplied thresholds instead of ratio comparisons — so results
+are bit-identical across engines and partitionings.  The ``*_frac``
+ratio columns are single IEEE double divisions of exact integers,
+emitted for reporting only.
+
+Scale shape: ``gopher_repetition`` is ONE explode + ONE shuffle for all
+four n-gram sizes (the n-tagged union is consumed by a single
+``groupBy(doc_id, n, gram)``); ``gopher_quality`` is pure per-row column
+expressions (zero shuffles); ``pack_sequences`` is one hash shuffle on
+the pack key; ``mixture_sample`` broadcasts a per-source count table
+(#sources rows) — the corpus itself is never shuffled.
+
+Reference parity note: the reference engine (asyncio event loop,
+/root/reference/src/async_stream_processing/processor.py) has no corpus
+operators; this module is part of the LLM-pipeline extension surface
+required by BASELINE.json.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import sql_stable_hash60, stable_hash60
+from ..functions.text import (
+    LANG_STOPWORDS,
+    shingles,
+    sql_shingles,
+    sql_tokens,
+    tokens,
+)
+
+#: Gopher Appendix A1.1 thresholds as exact rationals (num, den):
+#: top-2-gram char fraction > 1/5, top-3 > 9/50, top-4 > 4/25,
+#: duplicated-5-gram char fraction > 3/20.
+GOPHER_TOP_NGRAM = {2: (1, 5), 3: (9, 50), 4: (4, 25)}
+GOPHER_DUP_NGRAM = {5: (3, 20)}
+
+
+def _word_chars(words) -> F.Column:
+    """Total characters across tokens (separators excluded) — exact int."""
+    return F.aggregate(
+        F.transform(words, lambda x: F.length(x)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def gopher_repetition(docs: DataFrame, text: str = "text") -> DataFrame:
+    """Per-document Gopher repetition signals + integer-exact keep flags.
+
+    For n in {2,3,4}: ``top{n}_chars`` = occurrence-characters of the most
+    frequent word n-gram (count x gram word-chars); for n=5:
+    ``dup5_chars`` = occurrence-characters of all 5-grams occurring more
+    than once (overlaps counted per occurrence, as in the paper's
+    duplicate-n-gram family; the fraction may exceed 1 on degenerate
+    docs and is compared, not capped).  Fractions are over total word
+    characters.  ``flag_*`` columns apply the published thresholds via
+    cross-multiplication (e.g. top2 > 1/5  <=>  5*top2_chars >
+    total_word_chars); ``keep`` = no flag fired.
+
+    One explode + one shuffle for all four n: grams are tagged with n and
+    aggregated by ``(doc_id, n, gram)`` in a single pass.
+    """
+    base = docs.select("doc_id", F.col(text).alias("__t"))
+    totals = base.select(
+        "doc_id", _word_chars(tokens("__t")).alias("total_word_chars")
+    )
+    grams = None
+    for n in (2, 3, 4, 5):
+        g = base.select(
+            "doc_id",
+            F.lit(n).alias("n"),
+            F.explode(shingles("__t", n)).alias("s"),
+        )
+        grams = g if grams is None else grams.unionByName(g)
+    per = grams.groupBy("doc_id", "n", "s").agg(F.count(F.lit(1)).alias("c"))
+    # gram word-chars: the shingle string is space-joined -> minus n-1 seps
+    per = per.withColumn(
+        "gc", (F.length("s") - (F.col("n") - F.lit(1))).cast("long")
+    )
+    agg = per.groupBy("doc_id", "n").agg(
+        F.max(F.col("c") * F.col("gc")).alias("top_chars"),
+        F.sum(
+            F.when(F.col("c") >= 2, F.col("c") * F.col("gc")).otherwise(
+                F.lit(0).cast("long")
+            )
+        ).alias("dup_chars"),
+    )
+    wide = agg.groupBy("doc_id").agg(
+        *[
+            F.coalesce(
+                F.max(F.when(F.col("n") == n, F.col("top_chars"))), F.lit(0)
+            )
+            .cast("long")
+            .alias(f"top{n}_chars")
+            for n in (2, 3, 4)
+        ],
+        F.coalesce(F.max(F.when(F.col("n") == 5, F.col("dup_chars"))), F.lit(0))
+        .cast("long")
+        .alias("dup5_chars"),
+    )
+    out = totals.join(wide, "doc_id", "left").na.fill(
+        {f"top{n}_chars": 0 for n in (2, 3, 4)} | {"dup5_chars": 0}
+    )
+    tot = F.col("total_word_chars")
+    flags = []
+    for n, (num, den) in GOPHER_TOP_NGRAM.items():
+        flags.append(
+            (F.col(f"top{n}_chars") * den > tot * num).alias(f"flag_top{n}")
+        )
+    dn, (dnum, dden) = 5, GOPHER_DUP_NGRAM[5]
+    flags.append((F.col("dup5_chars") * dden > tot * dnum).alias("flag_dup5"))
+    fracs = [
+        (F.col(f"top{n}_chars").cast("double") / tot.cast("double")).alias(
+            f"top{n}_frac"
+        )
+        for n in (2, 3, 4)
+    ] + [(F.col("dup5_chars").cast("double") / tot.cast("double")).alias("dup5_frac")]
+    keep = ~(
+        (F.col("top2_chars") * 5 > tot)
+        | (F.col("top3_chars") * 50 > tot * 9)
+        | (F.col("top4_chars") * 25 > tot * 4)
+        | (F.col("dup5_chars") * 20 > tot * 3)
+    )
+    return out.select(
+        "doc_id",
+        "total_word_chars",
+        "top2_chars",
+        "top3_chars",
+        "top4_chars",
+        "dup5_chars",
+        *fracs,
+        *flags,
+        keep.alias("keep"),
+    )
+
+
+def sql_gopher_repetition(src: str = "documents") -> str:
+    """DuckDB twin of :func:`gopher_repetition` (same single-pass shape)."""
+    gram_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {n} AS n, unnest({sql_shingles('w', n)}) AS s FROM words"
+        for n in (2, 3, 4, 5)
+    )
+    return f"""
+        WITH words AS (SELECT doc_id, {sql_tokens('text')} AS w FROM {src}),
+        totals AS (SELECT doc_id,
+                          CAST(list_sum(list_transform(w, x -> len(x)))
+                               AS BIGINT) AS total_word_chars
+                   FROM words),
+        grams AS ({gram_selects}),
+        per AS (SELECT doc_id, n, s, COUNT(*) AS c,
+                       len(s) - (n - 1) AS gc
+                FROM grams GROUP BY doc_id, n, s),
+        agg AS (SELECT doc_id, n,
+                       MAX(c * gc) AS top_chars,
+                       SUM(CASE WHEN c >= 2 THEN c * gc ELSE 0 END) AS dup_chars
+                FROM per GROUP BY doc_id, n),
+        wide AS (SELECT doc_id,
+                        COALESCE(MAX(CASE WHEN n = 2 THEN top_chars END), 0) AS top2_chars,
+                        COALESCE(MAX(CASE WHEN n = 3 THEN top_chars END), 0) AS top3_chars,
+                        COALESCE(MAX(CASE WHEN n = 4 THEN top_chars END), 0) AS top4_chars,
+                        COALESCE(MAX(CASE WHEN n = 5 THEN dup_chars END), 0) AS dup5_chars
+                 FROM agg GROUP BY doc_id)
+        SELECT t.doc_id, t.total_word_chars,
+               CAST(COALESCE(w.top2_chars, 0) AS BIGINT) AS top2_chars,
+               CAST(COALESCE(w.top3_chars, 0) AS BIGINT) AS top3_chars,
+               CAST(COALESCE(w.top4_chars, 0) AS BIGINT) AS top4_chars,
+               CAST(COALESCE(w.dup5_chars, 0) AS BIGINT) AS dup5_chars,
+               CAST(COALESCE(w.top2_chars, 0) AS DOUBLE)
+                   / CAST(t.total_word_chars AS DOUBLE) AS top2_frac,
+               CAST(COALESCE(w.top3_chars, 0) AS DOUBLE)
+                   / CAST(t.total_word_chars AS DOUBLE) AS top3_frac,
+               CAST(COALESCE(w.top4_chars, 0) AS DOUBLE)
+                   / CAST(t.total_word_chars AS DOUBLE) AS top4_frac,
+               CAST(COALESCE(w.dup5_chars, 0) AS DOUBLE)
+                   / CAST(t.total_word_chars AS DOUBLE) AS dup5_frac,
+               COALESCE(w.top2_chars, 0) * 5 > t.total_word_chars AS flag_top2,
+               COALESCE(w.top3_chars, 0) * 50 > t.total_word_chars * 9 AS flag_top3,
+               COALESCE(w.top4_chars, 0) * 25 > t.total_word_chars * 4 AS flag_top4,
+               COALESCE(w.dup5_chars, 0) * 20 > t.total_word_chars * 3 AS flag_dup5,
+               NOT (COALESCE(w.top2_chars, 0) * 5 > t.total_word_chars
+                    OR COALESCE(w.top3_chars, 0) * 50 > t.total_word_chars * 9
+                    OR COALESCE(w.top4_chars, 0) * 25 > t.total_word_chars * 4
+                    OR COALESCE(w.dup5_chars, 0) * 20 > t.total_word_chars * 3)
+                   AS keep
+        FROM totals t LEFT JOIN wide w ON w.doc_id = t.doc_id
+    """
+
+
+#: Gopher quality bounds: word count in [50, 100000]; mean word length in
+#: [3, 10]; >= 2 stop-word hits; >= 80% of words contain a letter.
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_LEN = 3
+GOPHER_MAX_MEAN_LEN = 10
+GOPHER_MIN_STOP_HITS = 2
+GOPHER_ALPHA_NUM, GOPHER_ALPHA_DEN = 4, 5  # alpha_words/n_words >= 4/5
+
+
+def gopher_quality(docs: DataFrame, text: str = "text") -> DataFrame:
+    """Gopher document-quality rules as pure column expressions (zero
+    shuffles, zero UDFs).  Every flag is decided in integer space:
+
+    * ``flag_n_words``: word count outside [50, 100000]
+    * ``flag_word_len``: mean word length outside [3, 10], tested as
+      ``3*n_words <= total_chars <= 10*n_words`` (no division)
+    * ``flag_stop``: fewer than 2 English stop-word hits
+    * ``flag_alpha``: alphabetic-word ratio < 4/5, tested as
+      ``5*alpha_words < 4*n_words``
+
+    ``keep`` = no flag fired.  ``mean_word_len`` (double) is reporting
+    only.
+    """
+    base = docs.select("doc_id", F.col(text).alias("__t")).withColumn(
+        "__w", tokens("__t")
+    )
+    w = F.col("__w")
+    n_words = F.size(w).cast("long")
+    total_chars = _word_chars(w)
+    stop = F.array(*[F.lit(s) for s in LANG_STOPWORDS["en"]])
+    stop_hits = F.size(F.filter(w, lambda x: F.array_contains(stop, x))).cast(
+        "long"
+    )
+    alpha_words = F.size(F.filter(w, lambda x: x.rlike("[a-z]"))).cast("long")
+    out = base.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        total_chars.alias("total_word_chars"),
+        stop_hits.alias("stop_hits"),
+        alpha_words.alias("alpha_words"),
+    )
+    nw, tc = F.col("n_words"), F.col("total_word_chars")
+    flag_n = (nw < GOPHER_MIN_WORDS) | (nw > GOPHER_MAX_WORDS)
+    flag_len = (GOPHER_MIN_MEAN_LEN * nw > tc) | (tc > GOPHER_MAX_MEAN_LEN * nw)
+    flag_stop = F.col("stop_hits") < GOPHER_MIN_STOP_HITS
+    flag_alpha = (
+        GOPHER_ALPHA_DEN * F.col("alpha_words") < GOPHER_ALPHA_NUM * nw
+    )
+    return out.select(
+        "doc_id",
+        "n_words",
+        "total_word_chars",
+        "stop_hits",
+        "alpha_words",
+        (tc.cast("double") / nw.cast("double")).alias("mean_word_len"),
+        flag_n.alias("flag_n_words"),
+        flag_len.alias("flag_word_len"),
+        flag_stop.alias("flag_stop"),
+        flag_alpha.alias("flag_alpha"),
+        (~(flag_n | flag_len | flag_stop | flag_alpha)).alias("keep"),
+    )
+
+
+def sql_gopher_quality(src: str = "documents") -> str:
+    stop_list = ", ".join(f"'{s}'" for s in LANG_STOPWORDS["en"])
+    return f"""
+        WITH base AS (SELECT doc_id, {sql_tokens('text')} AS w FROM {src}),
+        m AS (SELECT doc_id,
+                     CAST(len(w) AS BIGINT) AS n_words,
+                     CAST(list_sum(list_transform(w, x -> len(x)))
+                          AS BIGINT) AS total_word_chars,
+                     CAST(len(list_filter(w, x -> list_contains([{stop_list}], x)))
+                          AS BIGINT) AS stop_hits,
+                     CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]')))
+                          AS BIGINT) AS alpha_words
+              FROM base)
+        SELECT doc_id, n_words, total_word_chars, stop_hits, alpha_words,
+               CAST(total_word_chars AS DOUBLE) / CAST(n_words AS DOUBLE)
+                   AS mean_word_len,
+               (n_words < {GOPHER_MIN_WORDS} OR n_words > {GOPHER_MAX_WORDS})
+                   AS flag_n_words,
+               ({GOPHER_MIN_MEAN_LEN} * n_words > total_word_chars
+                OR total_word_chars > {GOPHER_MAX_MEAN_LEN} * n_words)
+                   AS flag_word_len,
+               stop_hits < {GOPHER_MIN_STOP_HITS} AS flag_stop,
+               {GOPHER_ALPHA_DEN} * alpha_words
+                   < {GOPHER_ALPHA_NUM} * n_words AS flag_alpha,
+               NOT ((n_words < {GOPHER_MIN_WORDS} OR n_words > {GOPHER_MAX_WORDS})
+                    OR ({GOPHER_MIN_MEAN_LEN} * n_words > total_word_chars
+                        OR total_word_chars > {GOPHER_MAX_MEAN_LEN} * n_words)
+                    OR stop_hits < {GOPHER_MIN_STOP_HITS}
+                    OR {GOPHER_ALPHA_DEN} * alpha_words
+                       < {GOPHER_ALPHA_NUM} * n_words) AS keep
+        FROM m
+    """
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int = 512,
+    key: str = "source",
+    order: str = "doc_id",
+    text: str = "text",
+) -> DataFrame:
+    """Assign documents to fixed-token-budget training chunks.
+
+    The packing rule is offset chunking: within each ``key`` group,
+    documents are laid out in ``order`` and a document belongs to the
+    chunk containing its FIRST token (``chunk_id = start_offset //
+    budget``).  This is the deterministic, shuffle-minimal cousin of
+    greedy first-fit packing: one window cumsum per group, no iteration,
+    and the assignment is independent of partitioning (the window is
+    keyed + totally ordered).
+
+    Scale shape: one hash shuffle on ``key``; each group's cumsum is a
+    single sorted pass.  At 100 TB the key is a (source, shard) pair so
+    no single group exceeds an executor; chunk ids remain stable because
+    offsets are group-local.
+
+    Returns (doc_id, key, n_tokens, start_offset, chunk_id,
+    chunk_offset).
+    """
+    n_tok = F.size(tokens(text)).cast("long")
+    w = (
+        Window.partitionBy(key)
+        .orderBy(order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    base = docs.select(
+        "doc_id", F.col(key), n_tok.alias("n_tokens")
+    ).withColumn("start_offset", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+    return base.select(
+        "doc_id",
+        key,
+        "n_tokens",
+        "start_offset",
+        F.expr(f"start_offset DIV {budget}").cast("long").alias("chunk_id"),
+        (F.col("start_offset") % budget).cast("long").alias("chunk_offset"),
+    )
+
+
+def sql_pack_sequences(
+    src: str = "documents", budget: int = 512, key: str = "source",
+    order: str = "doc_id",
+) -> str:
+    return f"""
+        WITH base AS (
+            SELECT doc_id, {key},
+                   CAST(len({sql_tokens('text')}) AS BIGINT) AS n_tokens
+            FROM {src}),
+        offs AS (
+            SELECT doc_id, {key}, n_tokens,
+                   CAST(COALESCE(SUM(n_tokens) OVER (
+                        PARTITION BY {key} ORDER BY {order}
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0) AS BIGINT) AS start_offset
+            FROM base)
+        SELECT doc_id, {key}, n_tokens, start_offset,
+               start_offset // {budget} AS chunk_id,
+               start_offset % {budget} AS chunk_offset
+        FROM offs
+    """
+
+
+#: Hash-gate modulus for mixture sampling (20-bit: keeps the
+#: cross-multiplied acceptance test far below BIGINT overflow).
+MIX_MOD = 1 << 20
+#: Target per-source count as a fraction of the smallest source:
+#: min_count * TARGET_NUM / TARGET_DEN (an exact rational — never a float).
+MIX_TARGET_NUM, MIX_TARGET_DEN = 1, 2
+
+
+def mixture_sample(docs: DataFrame, key: str = "source", text: str = "text") -> DataFrame:
+    """Deterministic source-mixture balancing: downsample every source to
+    the same target count — ``MIX_TARGET_NUM/MIX_TARGET_DEN`` of the
+    SMALLEST source — in expectation.
+
+    Acceptance test in pure integers: keep a doc iff
+    ``hash20 * src_count * DEN < 2^20 * min_count * NUM`` — the
+    cross-multiplied form of ``uniform < target / src_count``, so no
+    division and no float can diverge between engines.  The per-source
+    count table is #sources rows (broadcast join); the corpus is never
+    shuffled.
+
+    Returns kept rows (doc_id, key, src_count, min_count, hash20).
+    """
+    counts = docs.groupBy(key).agg(F.count(F.lit(1)).alias("src_count"))
+    min_count = counts.agg(F.min("src_count").alias("min_count"))
+    gated = (
+        docs.select("doc_id", F.col(key), F.col(text).alias("__t"))
+        .join(F.broadcast(counts), key)
+        .crossJoin(F.broadcast(min_count))
+        .withColumn(
+            "hash20",
+            stable_hash60(F.concat(F.col("__t"), F.lit("|mix"))) % MIX_MOD,
+        )
+    )
+    return gated.filter(
+        F.col("hash20") * F.col("src_count") * MIX_TARGET_DEN
+        < F.lit(MIX_MOD) * F.col("min_count") * MIX_TARGET_NUM
+    ).select("doc_id", key, "src_count", "min_count", "hash20")
+
+
+def sql_mixture_sample(src: str = "documents", key: str = "source") -> str:
+    h = sql_stable_hash60("text || '|mix'")
+    return f"""
+        WITH counts AS (SELECT {key}, COUNT(*) AS src_count
+                        FROM {src} GROUP BY {key}),
+        mn AS (SELECT MIN(src_count) AS min_count FROM counts)
+        SELECT d.doc_id, d.{key},
+               CAST(c.src_count AS BIGINT) AS src_count,
+               CAST(mn.min_count AS BIGINT) AS min_count,
+               CAST(({h}) % {MIX_MOD} AS BIGINT) AS hash20
+        FROM {src} d
+        JOIN counts c ON c.{key} = d.{key}
+        CROSS JOIN mn
+        WHERE ({h}) % {MIX_MOD} * c.src_count * {MIX_TARGET_DEN}
+              < {MIX_MOD} * mn.min_count * {MIX_TARGET_NUM}
+    """

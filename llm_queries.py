@@ -442,7 +442,49 @@ def q_quality_stratified_sample(spark, sf_dir):
     return quality_stratified_sample(_docs(spark, sf_dir))
 
 
+def q_gopher_repetition(spark, sf_dir):
+    """Gopher Appendix-A1.1 repetition filters: top-{2,3,4}-gram and
+    duplicated-5-gram character coverage with integer-exact threshold
+    flags (llm/curation.py).  All four n-gram sizes aggregate in ONE
+    shuffle (n-tagged union)."""
+    from async_stream_processing_spark.llm.curation import gopher_repetition
+
+    return gopher_repetition(_docs(spark, sf_dir))
+
+
+def q_gopher_quality(spark, sf_dir):
+    """Gopher document-quality rules: word-count/mean-word-length bounds,
+    stop-word hits, alphabetic-word ratio -- all decided in cross-
+    multiplied integer space, zero shuffles (llm/curation.py)."""
+    from async_stream_processing_spark.llm.curation import gopher_quality
+
+    return gopher_quality(_docs(spark, sf_dir))
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Training-sequence packing: assign docs to fixed 512-token chunks
+    by cumulative offset within each source -- one window cumsum, one
+    shuffle (llm/curation.py)."""
+    from async_stream_processing_spark.llm.curation import pack_sequences
+
+    return pack_sequences(_docs(spark, sf_dir), budget=512)
+
+
+def q_mixture_sample(spark, sf_dir):
+    """Source-mixture balancing: hash-gated downsample of every source to
+    the smallest source's count, acceptance decided by cross-multiplied
+    integers (no division), per-source count table broadcast
+    (llm/curation.py)."""
+    from async_stream_processing_spark.llm.curation import mixture_sample
+
+    return mixture_sample(_docs(spark, sf_dir))
+
+
 LLM_QUERIES = {
+    "gopher_repetition": q_gopher_repetition,
+    "gopher_quality": q_gopher_quality,
+    "pack_sequences": q_pack_sequences,
+    "mixture_sample": q_mixture_sample,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash,
     "dedup_clusters": q_dedup_clusters,
@@ -641,7 +683,18 @@ def llm_oracle_sql() -> dict[str, str]:
         f"(CASE WHEN v_{j} * 2 >= n_tok THEN 1 ELSE 0 END * {1 << j})"
         for j in range(simhash_bits)
     )
+    from async_stream_processing_spark.llm.curation import (
+        sql_gopher_quality,
+        sql_gopher_repetition,
+        sql_mixture_sample,
+        sql_pack_sequences,
+    )
+
     return {
+        "gopher_repetition": sql_gopher_repetition(),
+        "gopher_quality": sql_gopher_quality(),
+        "pack_sequences": sql_pack_sequences(budget=512),
+        "mixture_sample": sql_mixture_sample(),
         "dedup_exact": """
             SELECT md5(lower(trim(text))) AS fingerprint,
                    MIN(doc_id) AS canonical_doc_id,

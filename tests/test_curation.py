@@ -1,0 +1,184 @@
+"""Tests for llm/curation.py (Gopher filters, packing, mixture balance)
+plus the graph BFS and the SCD2 interval builder added alongside them."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from async_stream_processing_spark.llm.curation import (
+    MIX_MOD,
+    MIX_TARGET_DEN,
+    MIX_TARGET_NUM,
+    gopher_quality,
+    gopher_repetition,
+    mixture_sample,
+    pack_sequences,
+)
+from async_stream_processing_spark.operators.graph import bfs_levels
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [Row(doc_id=i, text=t, source=s) for i, (t, s) in enumerate(rows)]
+    )
+
+
+def test_gopher_repetition_flags_boilerplate(spark):
+    # long enough that a unique (count-1) top 2-gram covers <20% of chars
+    # -- the Gopher thresholds assume real document lengths
+    diverse = "the " + " ".join(f"word{i}" for i in range(60)) + " of it"
+    spammy = " ".join(["buy now"] * 20)  # one 2-gram covers everything
+    out = {
+        r["doc_id"]: r
+        for r in gopher_repetition(
+            _docs(spark, [(diverse, "a"), (spammy, "a")])
+        ).collect()
+    }
+    assert out[1]["flag_top2"] and not out[1]["keep"]
+    assert not out[0]["flag_top2"] and out[0]["keep"]
+    # the spammy doc's top-2-gram coverage approaches 1 (every adjacent
+    # pair is "buy now" or "now buy")
+    assert out[1]["top2_frac"] > 0.9
+    # duplicated 5-grams cover the whole spammy doc too
+    assert out[1]["flag_dup5"] and out[1]["dup5_frac"] > 0.9
+    assert out[0]["dup5_chars"] == 0
+
+
+def test_gopher_repetition_short_doc_no_grams(spark):
+    # 1-word doc yields no n-grams at all: all counts 0, nothing flagged
+    r = gopher_repetition(_docs(spark, [("hello", "a")])).collect()[0]
+    assert r["top2_chars"] == 0 and r["dup5_chars"] == 0
+    assert r["keep"]
+
+
+def test_gopher_quality_each_flag_fires_alone(spark):
+    good = "the " + " ".join(f"word{i}" for i in range(60)) + " of it"
+    short = "the cat sat on a mat"
+    longwords = "the " + " ".join("x" * 30 for _ in range(60)) + " a the"
+    nostop = " ".join(f"tok{i}" for i in range(60))
+    numeric = "the a " + " ".join(str(i) for i in range(60))
+    out = {
+        r["doc_id"]: r
+        for r in gopher_quality(
+            _docs(
+                spark,
+                [(good, "a"), (short, "a"), (longwords, "a"),
+                 (nostop, "a"), (numeric, "a")],
+            )
+        ).collect()
+    }
+    assert out[0]["keep"]
+    assert out[1]["flag_n_words"] and not out[1]["keep"]
+    assert out[2]["flag_word_len"] and not out[2]["keep"]
+    assert out[3]["flag_stop"] and not out[3]["keep"]
+    assert out[4]["flag_alpha"] and not out[4]["keep"]
+    # integer cross-multiplication matches the float definition
+    assert out[0]["mean_word_len"] == pytest.approx(
+        out[0]["total_word_chars"] / out[0]["n_words"]
+    )
+
+
+def test_pack_sequences_matches_bruteforce(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (" ".join("w" for _ in range(rng.randrange(1, 40))),
+         f"s{rng.randrange(3)}")
+        for _ in range(200)
+    ]
+    out = pack_sequences(_docs(spark, rows), budget=64).collect()
+    # brute force per (source, doc_id) order
+    by_src: dict[str, int] = {}
+    expect = {}
+    for i, (t, s) in enumerate(rows):
+        n = len(t.split())
+        start = by_src.get(s, 0)
+        expect[i] = (s, n, start, start // 64, start % 64)
+        by_src[s] = start + n
+    assert len(out) == len(rows)
+    for r in out:
+        s, n, start, cid, off = expect[r["doc_id"]]
+        assert (r["source"], r["n_tokens"], r["start_offset"],
+                r["chunk_id"], r["chunk_offset"]) == (s, n, start, cid, off)
+
+
+def test_pack_sequences_chunk_invariants(spark):
+    out = pack_sequences(
+        _docs(spark, [("a b c", "s")] * 0 or
+              [(" ".join(["t"] * (i % 9 + 1)), "s") for i in range(50)]),
+        budget=16,
+    ).collect()
+    for r in out:
+        assert r["chunk_id"] * 16 <= r["start_offset"] < (r["chunk_id"] + 1) * 16
+        assert r["chunk_offset"] == r["start_offset"] - r["chunk_id"] * 16
+
+
+def test_mixture_sample_balances_skewed_sources(spark):
+    rows = [(f"uniq text {i} alpha beta", "big") for i in range(400)]
+    rows += [(f"other text {i} gamma", "small") for i in range(100)]
+    out = mixture_sample(_docs(spark, rows)).collect()
+    kept = {"big": 0, "small": 0}
+    for r in out:
+        kept[r["source"]] += 1
+        # every kept row satisfies the integer gate
+        assert (
+            r["hash20"] * r["src_count"] * MIX_TARGET_DEN
+            < MIX_MOD * r["min_count"] * MIX_TARGET_NUM
+        )
+    target = 100 * MIX_TARGET_NUM / MIX_TARGET_DEN  # 50 per source
+    for s in ("big", "small"):
+        assert 0.4 * target <= kept[s] <= 1.8 * target, (s, kept)
+    # deterministic: a second run returns the identical sample
+    again = mixture_sample(_docs(spark, rows)).collect()
+    assert sorted(r["doc_id"] for r in again) == sorted(
+        r["doc_id"] for r in out
+    )
+
+
+def test_bfs_levels_directed_chain_caps_at_n_iter(spark):
+    edges = spark.createDataFrame(
+        [Row(src=i, dst=i + 1) for i in range(6)]
+    )
+    seeds = spark.createDataFrame([Row(node=0)])
+    got = {r["node"]: r["dist"] for r in bfs_levels(edges, seeds, 4).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3, 4: 4}  # 5,6 unreached in 4 hops
+
+
+def test_bfs_levels_multi_seed_takes_nearest(spark):
+    edges = spark.createDataFrame(
+        [Row(src=i, dst=i + 1) for i in range(6)]
+    )
+    seeds = spark.createDataFrame([Row(node=0), Row(node=5)])
+    got = {r["node"]: r["dist"] for r in bfs_levels(edges, seeds, 4).collect()}
+    assert got[5] == 0 and got[6] == 1 and got[4] == 4 and got[3] == 3
+
+
+def test_scd2_intervals_runs_and_chaining(spark):
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "entry_scd2", "/root/repo/__spark_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    out = mod.q_scd2_intervals(spark, "/root/testdata/sf0.001").collect()
+    by_user: dict[int, list] = {}
+    for r in out:
+        by_user.setdefault(r["user_id"], []).append(r)
+    assert by_user
+    for rows in by_user.values():
+        rows.sort(key=lambda r: r["version"])
+        # versions are 1..k dense; exactly one open (current) interval
+        assert [r["version"] for r in rows] == list(range(1, len(rows) + 1))
+        assert sum(1 for r in rows if r["is_current"]) == 1
+        assert rows[-1]["is_current"] and rows[-1]["valid_to"] is None
+        for a, b in zip(rows, rows[1:]):
+            # intervals chain exactly and never share an event_type edge
+            assert a["valid_to"] == b["valid_from"]
+            assert a["event_type"] != b["event_type"]
+            assert a["valid_from"] <= a["last_event_ts"] < b["valid_from"]
