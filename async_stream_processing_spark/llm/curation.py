@@ -80,44 +80,53 @@ def gopher_repetition(docs: DataFrame, text: str = "text") -> DataFrame:
     cross-multiplication (e.g. top2 > 1/5  <=>  5*top2_chars >
     total_word_chars); ``keep`` = no flag fired.
 
-    One explode + one shuffle for all four n: grams are tagged with n and
-    aggregated by ``(doc_id, n, gram)`` in a single pass.
+    ONE corpus scan and ONE generate for all four n-gram sizes: the four
+    shingle arrays are n-tagged and flattened into a single explode (a
+    4-branch union would re-scan the corpus per n), then aggregated
+    hierarchically — a shuffle on ``(doc_id, n, gram)`` followed by a
+    map-side-combinable rollup to ``doc_id``.
     """
     base = docs.select("doc_id", F.col(text).alias("__t"))
     totals = base.select(
         "doc_id", _word_chars(tokens("__t")).alias("total_word_chars")
     )
-    grams = None
-    for n in (2, 3, 4, 5):
-        g = base.select(
-            "doc_id",
-            F.lit(n).alias("n"),
-            F.explode(shingles("__t", n)).alias("s"),
-        )
-        grams = g if grams is None else grams.unionByName(g)
+    def _tag(n: int):
+        # single-arg lambda: F.transform would feed the ARRAY INDEX to a
+        # second parameter, so the tag must close over n, not default it
+        return lambda s: F.struct(F.lit(n).alias("n"), s.alias("s"))
+
+    tagged = F.flatten(
+        F.array(*[F.transform(shingles("__t", n), _tag(n)) for n in (2, 3, 4, 5)])
+    )
+    grams = base.select("doc_id", F.explode(tagged).alias("g")).select(
+        "doc_id", F.col("g.n").alias("n"), F.col("g.s").alias("s")
+    )
     per = grams.groupBy("doc_id", "n", "s").agg(F.count(F.lit(1)).alias("c"))
     # gram word-chars: the shingle string is space-joined -> minus n-1 seps
     per = per.withColumn(
         "gc", (F.length("s") - (F.col("n") - F.lit(1))).cast("long")
     )
-    agg = per.groupBy("doc_id", "n").agg(
-        F.max(F.col("c") * F.col("gc")).alias("top_chars"),
-        F.sum(
-            F.when(F.col("c") >= 2, F.col("c") * F.col("gc")).otherwise(
-                F.lit(0).cast("long")
-            )
-        ).alias("dup_chars"),
-    )
-    wide = agg.groupBy("doc_id").agg(
+    wide = per.groupBy("doc_id").agg(
         *[
             F.coalesce(
-                F.max(F.when(F.col("n") == n, F.col("top_chars"))), F.lit(0)
+                F.max(
+                    F.when(F.col("n") == n, F.col("c") * F.col("gc"))
+                ),
+                F.lit(0),
             )
             .cast("long")
             .alias(f"top{n}_chars")
             for n in (2, 3, 4)
         ],
-        F.coalesce(F.max(F.when(F.col("n") == 5, F.col("dup_chars"))), F.lit(0))
+        F.coalesce(
+            F.sum(
+                F.when(
+                    (F.col("n") == 5) & (F.col("c") >= 2),
+                    F.col("c") * F.col("gc"),
+                )
+            ),
+            F.lit(0),
+        )
         .cast("long")
         .alias("dup5_chars"),
     )
