@@ -1931,6 +1931,20 @@ def q_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bfs_levels(edges, seeds, n_iter=4)
 
 
+def q_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence over lineitem: part pairs ordered
+    together in >= 2 orders (operators/analytics.cooccurrence_pairs).
+    One co-partitioned self-join on the order key; per-basket fan-out is
+    C(7,2) (TPC-H caps lines per order at 7 -- for unbounded baskets,
+    pre-cap with a window)."""
+    from async_stream_processing_spark.operators.analytics import (
+        cooccurrence_pairs,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return cooccurrence_pairs(li, "l_orderkey", "l_partkey", min_count=2)
+
+
 def q_stream_upsert_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keyed-upsert STREAMING SINK, gate-checked end to end: replay the
     events table through ``streaming.upsert.upsert_sink`` (foreachBatch
@@ -2355,7 +2369,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 # the round-4 curation additions are listed in the NEW
                 # post-window block below, not here
                 "gopher_repetition", "gopher_quality", "pack_sequences",
-                "mixture_sample",
+                "mixture_sample", "heavy_hitters",
             )
         },
         "filter_project": q_filter_project,
@@ -2391,6 +2405,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q5": q_tpch_q5,
         "scd2_intervals": q_scd2_intervals,
         "bfs_levels": q_bfs_levels,
+        "copurchase_pairs": q_copurchase_pairs,
+        "heavy_hitters": LLM_QUERIES["heavy_hitters"],
         "gopher_repetition": LLM_QUERIES["gopher_repetition"],
         "gopher_quality": LLM_QUERIES["gopher_quality"],
         "pack_sequences": LLM_QUERIES["pack_sequences"],
@@ -3533,6 +3549,14 @@ def oracle_sql() -> dict[str, str]:
         "WHERE user_id % 50 = 0)",
         n_iter=4,
     )
+    out["copurchase_pairs"] = """
+        WITH d AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+                   FROM lineitem)
+        SELECT a.i AS item_a, b.i AS item_b, COUNT(*) AS n_baskets
+        FROM d a JOIN d b ON a.b = b.b AND a.i < b.i
+        GROUP BY a.i, b.i
+        HAVING COUNT(*) >= 2
+    """
     out["stream_upsert_state"] = """
         SELECT user_id, event_id, event_type, value FROM (
             SELECT user_id, event_id, event_type, value,

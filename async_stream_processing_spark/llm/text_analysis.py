@@ -254,3 +254,58 @@ def sql_tfidf_top_terms(src: str = "documents", k: int = 5) -> str:
             FROM scored)
         WHERE rank <= {k}
     """
+
+
+def heavy_hitters(docs: DataFrame, k: int = 20, text: str = "text") -> DataFrame:
+    """EXACT corpus-wide heavy hitters — tokens with frequency > n/k —
+    via local-threshold candidate pruning plus an exact recount.
+
+    The scalable trick (the two-pass form of Misra-Gries / SpaceSaving):
+
+    * Pass 1 prunes candidates with only per-PARTITION aggregation:
+      ``groupBy(spark_partition_id(), token)`` is map-side combinable
+      and ships one summary row per (partition, distinct-token) — the
+      corpus itself never shuffles.  By pigeonhole, a token whose global
+      count exceeds n/k must exceed n_p/k in at least one partition, so
+      the union of local-threshold passers is a SUPERSET of every true
+      heavy hitter, and each partition contributes at most k-1 of them.
+    * Pass 2 recounts exactly, restricted to the (tiny, broadcast)
+      candidate set, and applies the global threshold with a
+      cross-multiplied integer test.
+
+    The output is exact and INDEPENDENT of partitioning — partition ids
+    only affect which non-hitters get pruned early — so the oracle is a
+    plain GROUP BY ... HAVING.  Returns (tok, freq, n_total).
+    """
+    toks = docs.select(F.explode(tokens(text)).alias("tok"))
+    part = toks.withColumn("pid", F.spark_partition_id())
+    local = part.groupBy("pid", "tok").agg(F.count(F.lit(1)).alias("c"))
+    per_part = part.groupBy("pid").agg(F.count(F.lit(1)).alias("np"))
+    cand = (
+        local.join(per_part, "pid")
+        .filter(F.col("c") * k > F.col("np"))
+        .select("tok")
+        .distinct()
+    )
+    n_total = toks.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        toks.join(F.broadcast(cand), "tok")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .crossJoin(F.broadcast(n_total))
+        .filter(F.col("freq") * k > F.col("n_total"))
+        .select("tok", "freq", "n_total")
+    )
+
+
+def sql_heavy_hitters(src: str = "documents", k: int = 20) -> str:
+    return f"""
+        WITH toks AS (
+            SELECT unnest(string_split_regex(lower(trim(text)), ' +')) AS tok
+            FROM {src}),
+        n AS (SELECT COUNT(*) AS n_total FROM toks)
+        SELECT tok, COUNT(*) AS freq,
+               CAST((SELECT n_total FROM n) AS BIGINT) AS n_total
+        FROM toks GROUP BY tok
+        HAVING COUNT(*) * {k} > (SELECT n_total FROM n)
+    """

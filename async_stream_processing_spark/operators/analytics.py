@@ -242,3 +242,40 @@ def sole_contributor(
             "left_anti",
         )
     )
+
+
+def cooccurrence_pairs(
+    df: DataFrame,
+    basket: str,
+    item: str,
+    min_count: int = 2,
+) -> DataFrame:
+    """Market-basket co-occurrence: pairs of distinct items appearing in
+    the same basket, counted across baskets (the co-purchase /
+    also-bought primitive).
+
+    One self-equi-join on the basket key — both sides hash-partition on
+    ``basket`` so the join is co-partitioned (a single shuffle), and the
+    canonical ``item_a < item_b`` orientation counts each pair once.
+    Fan-out per basket is C(b,2) for basket size b: bound the basket
+    (TPC-H orders cap at 7 lines; for unbounded carts, keep the top-N
+    items per basket by a window before calling) and the join output
+    stays linear in input x basket-size.  Returns
+    (item_a, item_b, n_baskets) with ``n_baskets >= min_count``.
+    """
+    d = df.select(
+        F.col(basket).alias("__b"), F.col(item).alias("__i")
+    ).distinct()
+    a, b = d.alias("a"), d.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.__b") == F.col("b.__b"))
+            & (F.col("a.__i") < F.col("b.__i")),
+        )
+        .groupBy(
+            F.col("a.__i").alias("item_a"), F.col("b.__i").alias("item_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_baskets"))
+        .filter(F.col("n_baskets") >= min_count)
+    )

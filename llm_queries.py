@@ -480,7 +480,18 @@ def q_mixture_sample(spark, sf_dir):
     return mixture_sample(_docs(spark, sf_dir))
 
 
+def q_heavy_hitters(spark, sf_dir):
+    """Exact heavy hitters (tokens with freq > n/30) via per-partition
+    candidate pruning + exact recount -- result independent of
+    partitioning, oracle = plain GROUP BY ... HAVING
+    (llm/text_analysis.heavy_hitters)."""
+    from async_stream_processing_spark.llm.text_analysis import heavy_hitters
+
+    return heavy_hitters(_docs(spark, sf_dir), k=30)
+
+
 LLM_QUERIES = {
+    "heavy_hitters": q_heavy_hitters,
     "gopher_repetition": q_gopher_repetition,
     "gopher_quality": q_gopher_quality,
     "pack_sequences": q_pack_sequences,
@@ -690,7 +701,12 @@ def llm_oracle_sql() -> dict[str, str]:
         sql_pack_sequences,
     )
 
+    from async_stream_processing_spark.llm.text_analysis import (
+        sql_heavy_hitters,
+    )
+
     return {
+        "heavy_hitters": sql_heavy_hitters(k=30),
         "gopher_repetition": sql_gopher_repetition(),
         "gopher_quality": sql_gopher_quality(),
         "pack_sequences": sql_pack_sequences(budget=512),

@@ -182,3 +182,64 @@ def test_scd2_intervals_runs_and_chaining(spark):
             assert a["valid_to"] == b["valid_from"]
             assert a["event_type"] != b["event_type"]
             assert a["valid_from"] <= a["last_event_ts"] < b["valid_from"]
+
+
+def test_heavy_hitters_partitioning_independent(spark):
+    from async_stream_processing_spark.llm.text_analysis import heavy_hitters
+
+    rows = [Row(doc_id=i, text="hot " * 30 + f"cold{i} " * 3) for i in range(40)]
+    one = spark.createDataFrame(rows).repartition(1)
+    many = spark.createDataFrame(rows).repartition(16)
+    a = {(r["tok"], r["freq"]) for r in heavy_hitters(one, k=10).collect()}
+    b = {(r["tok"], r["freq"]) for r in heavy_hitters(many, k=10).collect()}
+    assert a == b
+    # "hot" is 30/33 of each doc -> the only > n/10 hitter
+    assert {t for t, _ in a} == {"hot"}
+
+
+def test_heavy_hitters_matches_bruteforce(spark):
+    import collections
+    import random
+
+    from async_stream_processing_spark.llm.text_analysis import heavy_hitters
+
+    rng = random.Random(3)
+    vocab = [f"w{i}" for i in range(12)]
+    rows = [
+        Row(doc_id=i,
+            text=" ".join(rng.choice(vocab) for _ in range(30)))
+        for i in range(50)
+    ]
+    counts = collections.Counter(
+        t for r in rows for t in r.text.split()
+    )
+    n = sum(counts.values())
+    expect = {(t, c) for t, c in counts.items() if c * 12 > n}
+    got = {
+        (r["tok"], r["freq"])
+        for r in heavy_hitters(spark.createDataFrame(rows), k=12).collect()
+    }
+    assert got == expect and expect  # non-trivial case
+
+
+def test_cooccurrence_pairs_bruteforce(spark):
+    import itertools
+
+    from async_stream_processing_spark.operators.analytics import (
+        cooccurrence_pairs,
+    )
+
+    baskets = {1: [10, 20, 30], 2: [20, 30], 3: [10, 20, 30, 30], 4: [40]}
+    rows = [Row(b=b, i=i) for b, items in baskets.items() for i in items]
+    expect = {}
+    for items in baskets.values():
+        for a, c in itertools.combinations(sorted(set(items)), 2):
+            expect[(a, c)] = expect.get((a, c), 0) + 1
+    expect = {k: v for k, v in expect.items() if v >= 2}
+    got = {
+        (r["item_a"], r["item_b"]): r["n_baskets"]
+        for r in cooccurrence_pairs(
+            spark.createDataFrame(rows), "b", "i", min_count=2
+        ).collect()
+    }
+    assert got == expect == {(10, 20): 2, (10, 30): 2, (20, 30): 3}
