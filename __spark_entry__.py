@@ -1945,6 +1945,22 @@ def q_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cooccurrence_pairs(li, "l_orderkey", "l_partkey", min_count=2)
 
 
+def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over lineitem baskets: confidence >= 1/20 rules
+    with support/confidence/lift, the market-basket follow-on to
+    copurchase_pairs (operators/analytics.association_rules).  The
+    confidence gate is integer cross-multiplied; the emitted ratios are
+    single IEEE divisions of exact counts."""
+    from async_stream_processing_spark.operators.analytics import (
+        association_rules,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return association_rules(
+        li, "l_orderkey", "l_partkey", min_count=2, conf_num=1, conf_den=20
+    )
+
+
 def q_stream_upsert_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keyed-upsert STREAMING SINK, gate-checked end to end: replay the
     events table through ``streaming.upsert.upsert_sink`` (foreachBatch
@@ -2406,6 +2422,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_intervals": q_scd2_intervals,
         "bfs_levels": q_bfs_levels,
         "copurchase_pairs": q_copurchase_pairs,
+        "association_rules": q_association_rules,
         "heavy_hitters": LLM_QUERIES["heavy_hitters"],
         "gopher_repetition": LLM_QUERIES["gopher_repetition"],
         "gopher_quality": LLM_QUERIES["gopher_quality"],
@@ -3556,6 +3573,35 @@ def oracle_sql() -> dict[str, str]:
         FROM d a JOIN d b ON a.b = b.b AND a.i < b.i
         GROUP BY a.i, b.i
         HAVING COUNT(*) >= 2
+    """
+    out["association_rules"] = """
+        WITH d AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+                   FROM lineitem),
+        pairs AS (
+            SELECT a.i AS item_a, b.i AS item_b, COUNT(*) AS n_baskets
+            FROM d a JOIN d b ON a.b = b.b AND a.i < b.i
+            GROUP BY a.i, b.i
+            HAVING COUNT(*) >= 2),
+        bidir AS (
+            SELECT item_a, item_b, n_baskets FROM pairs
+            UNION ALL
+            SELECT item_b AS item_a, item_a AS item_b, n_baskets FROM pairs),
+        ic AS (SELECT i, COUNT(*) AS n FROM d GROUP BY i),
+        nt AS (SELECT COUNT(DISTINCT b) AS n_total_baskets FROM d)
+        SELECT bo.item_a AS antecedent, bo.item_b AS consequent,
+               bo.n_baskets AS n_both,
+               CAST(ia.n AS BIGINT) AS n_ante,
+               CAST(ib.n AS BIGINT) AS n_cons,
+               CAST(nt.n_total_baskets AS BIGINT) AS n_total_baskets,
+               CAST(bo.n_baskets AS DOUBLE) / CAST(ia.n AS DOUBLE)
+                   AS confidence,
+               CAST(bo.n_baskets * nt.n_total_baskets AS DOUBLE)
+                   / CAST(ia.n * ib.n AS DOUBLE) AS lift
+        FROM bidir bo
+        JOIN ic ia ON ia.i = bo.item_a
+        JOIN ic ib ON ib.i = bo.item_b
+        CROSS JOIN nt
+        WHERE bo.n_baskets * 20 >= ia.n * 1
     """
     out["stream_upsert_state"] = """
         SELECT user_id, event_id, event_type, value FROM (

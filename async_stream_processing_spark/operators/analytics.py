@@ -279,3 +279,64 @@ def cooccurrence_pairs(
         .agg(F.count(F.lit(1)).alias("n_baskets"))
         .filter(F.col("n_baskets") >= min_count)
     )
+
+
+def association_rules(
+    df: DataFrame,
+    basket: str,
+    item: str,
+    min_count: int = 2,
+    conf_num: int = 1,
+    conf_den: int = 5,
+) -> DataFrame:
+    """Association rules (antecedent -> consequent) from basket data:
+    support, confidence and lift for every ordered pair whose baskets
+    co-occur >= ``min_count`` times and whose confidence is at least
+    ``conf_num/conf_den`` (decided by integer cross-multiplication; the
+    emitted confidence/lift doubles are single IEEE divisions of exact
+    integer counts, so they are bit-portable).
+
+    Plan: the pair counts come from :func:`cooccurrence_pairs` (one
+    co-partitioned self-join), item frequencies from one groupBy, the
+    basket total from a 1-row broadcast — no extra pass over the raw
+    basket table.
+    """
+    d = df.select(
+        F.col(basket).alias("__b"), F.col(item).alias("__i")
+    ).distinct()
+    pairs = cooccurrence_pairs(df, basket, item, min_count=min_count)
+    both = pairs.unionByName(
+        pairs.select(
+            F.col("item_b").alias("item_a"),
+            F.col("item_a").alias("item_b"),
+            "n_baskets",
+        )
+    )
+    item_counts = d.groupBy(F.col("__i").alias("item_a")).agg(
+        F.count(F.lit(1)).alias("n_ante")
+    )
+    n_total = d.select("__b").distinct().agg(
+        F.count(F.lit(1)).alias("n_total_baskets")
+    )
+    cons_counts = item_counts.select(
+        F.col("item_a").alias("item_b"), F.col("n_ante").alias("n_cons")
+    )
+    return (
+        both.join(item_counts, "item_a")
+        .join(cons_counts, "item_b")
+        .crossJoin(F.broadcast(n_total))
+        .filter(F.col("n_baskets") * conf_den >= F.col("n_ante") * conf_num)
+        .select(
+            F.col("item_a").alias("antecedent"),
+            F.col("item_b").alias("consequent"),
+            F.col("n_baskets").alias("n_both"),
+            "n_ante",
+            "n_cons",
+            "n_total_baskets",
+            (F.col("n_baskets").cast("double") / F.col("n_ante").cast("double")
+             ).alias("confidence"),
+            ((F.col("n_baskets") * F.col("n_total_baskets")).cast("double")
+             / (F.col("n_ante") * F.col("n_cons")).cast("double")
+             ).alias("lift"),
+        )
+    )

@@ -243,3 +243,27 @@ def test_cooccurrence_pairs_bruteforce(spark):
         ).collect()
     }
     assert got == expect == {(10, 20): 2, (10, 30): 2, (20, 30): 3}
+
+
+def test_association_rules_bruteforce(spark):
+    from async_stream_processing_spark.operators.analytics import (
+        association_rules,
+    )
+
+    baskets = {1: [10, 20], 2: [10, 20], 3: [10, 30], 4: [10], 5: [20, 30]}
+    rows = [Row(b=b, i=i) for b, items in baskets.items() for i in items]
+    out = {
+        (r["antecedent"], r["consequent"]): r
+        for r in association_rules(
+            spark.createDataFrame(rows), "b", "i",
+            min_count=2, conf_num=1, conf_den=2,
+        ).collect()
+    }
+    # only 10&20 co-occur twice; conf(10->20)=2/4 (passes >=1/2),
+    # conf(20->10)=2/3 (passes); lift = 2*5/(4*3)
+    assert set(out) == {(10, 20), (20, 10)}
+    r = out[(10, 20)]
+    assert (r["n_both"], r["n_ante"], r["n_cons"], r["n_total_baskets"]) == (
+        2, 4, 3, 5)
+    assert r["confidence"] == pytest.approx(0.5)
+    assert r["lift"] == pytest.approx(2 * 5 / (4 * 3))
