@@ -24,6 +24,7 @@ EXAMPLES = [
     "e12_multimodal_lake",
     "e13_analytics_suite",
     "e14_embedding_graph",
+    "e15_corpus_curation",
 ]
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "examples"))
