@@ -1945,6 +1945,27 @@ def q_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cooccurrence_pairs(li, "l_orderkey", "l_partkey", min_count=2)
 
 
+def q_kcore_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-round k-core peeling (k=75) of the undirected session-handoff
+    graph: the dense-community extractor (operators/graph.kcore_peel --
+    monotone peel, equals the true k-core once a round removes nothing;
+    oracle = unrolled CTE chain).  Two node-keyed shuffles per round."""
+    from pyspark.sql import Window
+
+    from async_stream_processing_spark.operators.graph import kcore_peel
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    edges = (
+        ev.select(
+            F.col("user_id").alias("src"),
+            F.lead("user_id").over(w).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull())
+    )
+    return kcore_peel(edges, k=75, n_rounds=3)
+
+
 def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Association rules over lineitem baskets: confidence >= 1/20 rules
     with support/confidence/lift, the market-basket follow-on to
@@ -2385,7 +2406,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 # the round-4 curation additions are listed in the NEW
                 # post-window block below, not here
                 "gopher_repetition", "gopher_quality", "pack_sequences",
-                "mixture_sample", "heavy_hitters",
+                "mixture_sample", "heavy_hitters", "inverted_index",
+                "doc_chunks",
             )
         },
         "filter_project": q_filter_project,
@@ -2423,7 +2445,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bfs_levels": q_bfs_levels,
         "copurchase_pairs": q_copurchase_pairs,
         "association_rules": q_association_rules,
+        "kcore_users": q_kcore_users,
         "heavy_hitters": LLM_QUERIES["heavy_hitters"],
+        "inverted_index": LLM_QUERIES["inverted_index"],
+        "doc_chunks": LLM_QUERIES["doc_chunks"],
         "gopher_repetition": LLM_QUERIES["gopher_repetition"],
         "gopher_quality": LLM_QUERIES["gopher_quality"],
         "pack_sequences": LLM_QUERIES["pack_sequences"],
@@ -3574,6 +3599,19 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY a.i, b.i
         HAVING COUNT(*) >= 2
     """
+    from async_stream_processing_spark.operators.graph import sql_kcore_peel
+
+    out["kcore_users"] = sql_kcore_peel(
+        """edges AS (
+            SELECT src, dst FROM (
+                SELECT user_id AS src,
+                       LEAD(user_id) OVER (PARTITION BY event_type
+                                           ORDER BY ts, event_id) AS dst
+                FROM events)
+            WHERE dst IS NOT NULL)""",
+        k=75,
+        n_rounds=3,
+    )
     out["association_rules"] = """
         WITH d AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
                    FROM lineitem),

@@ -86,10 +86,15 @@ def gopher_repetition(docs: DataFrame, text: str = "text") -> DataFrame:
     hierarchically — a shuffle on ``(doc_id, n, gram)`` followed by a
     map-side-combinable rollup to ``doc_id``.
     """
-    base = docs.select("doc_id", F.col(text).alias("__t"))
+    from .dedup import fan_out
+
+    # the 4-size shingle generation is the CPU hot spot: fan a narrow
+    # file scan out to all cores first (no-op when files >= slots)
+    base = fan_out(docs.select("doc_id", F.col(text).alias("__t")))
     totals = base.select(
         "doc_id", _word_chars(tokens("__t")).alias("total_word_chars")
     )
+
     def _tag(n: int):
         # single-arg lambda: F.transform would feed the ARRAY INDEX to a
         # second parameter, so the tag must close over n, not default it
@@ -437,4 +442,69 @@ def sql_mixture_sample(src: str = "documents", key: str = "source") -> str:
         CROSS JOIN mn
         WHERE ({h}) % {MIX_MOD} * c.src_count * {MIX_TARGET_DEN}
               < {MIX_MOD} * mn.min_count * {MIX_TARGET_NUM}
+    """
+
+
+def chunk_documents(
+    docs: DataFrame,
+    budget: int = 64,
+    overlap: int = 16,
+    text: str = "text",
+) -> DataFrame:
+    """Intra-document sliding-window chunking: split each document into
+    token spans of at most ``budget`` tokens whose starts step by
+    ``budget - overlap`` (the context-window chunker for embedding /
+    retrieval corpora; :func:`pack_sequences` is the INTER-document
+    packer).
+
+    Pure generate-side work: one ``sequence()`` + ``explode`` per doc,
+    no shuffle at all — chunk spans derive from the doc's own token
+    count.  Returns (doc_id, chunk_idx, token_start, token_len,
+    n_tokens); the final chunk is short iff the doc doesn't fill it.
+    """
+    if not 0 <= overlap < budget:
+        raise ValueError("need 0 <= overlap < budget")
+    step = budget - overlap
+    n = F.size(tokens(text)).cast("long")
+    base = docs.select("doc_id", n.alias("n_tokens"))
+    # starts: 0, step, 2*step, ... strictly below n_tokens
+    starts = F.sequence(
+        F.lit(0).cast("long"),
+        ((F.col("n_tokens") - 1) / step).cast("long") * step,
+        F.lit(step).cast("long"),
+    )
+    ex = base.select(
+        "doc_id", "n_tokens", F.posexplode(starts).alias("chunk_idx", "token_start")
+    )
+    return ex.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        "token_start",
+        F.least(F.lit(budget).cast("long"),
+                F.col("n_tokens") - F.col("token_start")).alias("token_len"),
+        "n_tokens",
+    )
+
+
+def sql_chunk_documents(
+    src: str = "documents", budget: int = 64, overlap: int = 16
+) -> str:
+    step = budget - overlap
+    return f"""
+        WITH base AS (
+            SELECT doc_id,
+                   CAST(len({sql_tokens('text')}) AS BIGINT) AS n_tokens
+            FROM {src}),
+        ex AS (
+            SELECT doc_id, n_tokens,
+                   unnest(generate_series(0, ((n_tokens - 1) // {step}) * {step},
+                                          {step})) AS token_start
+            FROM base)
+        SELECT doc_id,
+               CAST(token_start // {step} AS BIGINT) AS chunk_idx,
+               CAST(token_start AS BIGINT) AS token_start,
+               CAST(LEAST({budget}, n_tokens - token_start) AS BIGINT)
+                   AS token_len,
+               n_tokens
+        FROM ex
     """

@@ -309,3 +309,51 @@ def sql_heavy_hitters(src: str = "documents", k: int = 20) -> str:
         FROM toks GROUP BY tok
         HAVING COUNT(*) * {k} > (SELECT n_total FROM n)
     """
+
+
+def inverted_index(
+    docs: DataFrame, text: str = "text", max_postings: int = 1000
+) -> DataFrame:
+    """Inverted index build: per token, document frequency and the
+    posting list (ascending doc ids, comma-joined STRING so external
+    comparators can hash it).
+
+    ``collect_list`` after the token shuffle is arrival-ordered, so the
+    list is ``array_sort``-ed before joining — deterministic under any
+    partitioning.  Posting lists are capped at ``max_postings`` ids
+    (``n_postings`` still reports the true df): stop-word-like tokens
+    would otherwise produce per-group state proportional to corpus size,
+    the one unbounded thing in this plan.  One shuffle on the token key.
+    """
+    toks = docs.select(F.col("doc_id"), F.explode(tokens(text)).alias("tok")).distinct()
+    return toks.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.slice(F.array_sort(F.collect_list("doc_id")), 1, max_postings),
+                lambda x: x.cast("string"),
+            ),
+        ).alias("postings"),
+        F.size(
+            F.slice(F.array_sort(F.collect_list("doc_id")), 1, max_postings)
+        ).cast("long").alias("n_postings"),
+    )
+
+
+def sql_inverted_index(src: str = "documents", max_postings: int = 1000) -> str:
+    return f"""
+        WITH toks AS (
+            SELECT DISTINCT doc_id,
+                   unnest(string_split_regex(lower(trim(text)), ' +')) AS tok
+            FROM {src}),
+        agg AS (
+            SELECT tok, COUNT(*) AS df,
+                   list_sort(list(doc_id))[1:{max_postings}] AS plist
+            FROM toks GROUP BY tok)
+        SELECT tok, df,
+               array_to_string(list_transform(plist, x -> CAST(x AS VARCHAR)),
+                               ',') AS postings,
+               CAST(len(plist) AS BIGINT) AS n_postings
+        FROM agg
+    """

@@ -319,3 +319,82 @@ def sql_bfs_levels(edges_cte: str, seeds_cte: str, n_iter: int = 4) -> str:
 # in llm.dedup where the near-dup pipeline composes it; re-exported here
 # so graph users find the whole family in one place.
 from ..llm.dedup import connected_components  # noqa: E402,F401
+
+
+def kcore_peel(edges: DataFrame, k: int, n_rounds: int = 3) -> DataFrame:
+    """Iterative k-core peeling: repeatedly drop nodes with degree < k
+    from the undirected simple graph, ``n_rounds`` times, and return the
+    surviving nodes with their induced degree.
+
+    Peeling is monotone (removals only ever cascade), so a fixed-round
+    run is a deterministic UPPER set of the true k-core that equals it
+    once a round removes nothing — callers wanting the fixpoint loop
+    until the survivor count is stable (one O(1) scalar per round, the
+    same driver discipline as connected_components).  Each round is one
+    degree aggregation + one semi-join per side: two shuffles, both on
+    the node key.  Integer degrees -> bit-identical across engines, so
+    a fixed ``n_rounds`` unrolls into a CTE-chain oracle.
+    """
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(n_rounds):
+        deg = (
+            und.select(F.col("a").alias("node"))
+            .unionByName(und.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        keep = deg.filter(F.col("deg") >= k).select("node")
+        und = (
+            und.join(keep.withColumnRenamed("node", "a"), "a", "leftsemi")
+            .join(keep.withColumnRenamed("node", "b"), "b", "leftsemi")
+            .localCheckpoint(eager=False)
+        )
+    return (
+        und.select(F.col("a").alias("node"))
+        .unionByName(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .filter(F.col("deg") >= k)
+    )
+
+
+def sql_kcore_peel(edges_cte: str, k: int, n_rounds: int = 3) -> str:
+    """DuckDB twin of :func:`kcore_peel` (same fixed-round unroll)."""
+    ctes = [
+        edges_cte,
+        """e0 AS (SELECT DISTINCT LEAST(src, dst) AS a,
+                         GREATEST(src, dst) AS b
+                  FROM edges WHERE src <> dst)""",
+    ]
+    for i in range(n_rounds):
+        ctes.append(
+            f"""k{i} AS (
+                SELECT node FROM (
+                    SELECT node, COUNT(*) AS deg FROM (
+                        SELECT a AS node FROM e{i}
+                        UNION ALL SELECT b FROM e{i})
+                    GROUP BY node)
+                WHERE deg >= {k})"""
+        )
+        ctes.append(
+            f"""e{i + 1} AS (
+                SELECT e.a, e.b FROM e{i} e
+                WHERE e.a IN (SELECT node FROM k{i})
+                  AND e.b IN (SELECT node FROM k{i}))"""
+        )
+    return f"""
+        WITH {','.join(ctes)}
+        SELECT node, CAST(deg AS BIGINT) AS deg FROM (
+            SELECT node, COUNT(*) AS deg FROM (
+                SELECT a AS node FROM e{n_rounds}
+                UNION ALL SELECT b FROM e{n_rounds})
+            GROUP BY node)
+        WHERE deg >= {k}
+    """

@@ -490,8 +490,28 @@ def q_heavy_hitters(spark, sf_dir):
     return heavy_hitters(_docs(spark, sf_dir), k=30)
 
 
+def q_inverted_index(spark, sf_dir):
+    """Inverted-index build: token -> df + ascending posting list
+    (capped, comma-joined string), one token-keyed shuffle
+    (llm/text_analysis.inverted_index)."""
+    from async_stream_processing_spark.llm.text_analysis import inverted_index
+
+    return inverted_index(_docs(spark, sf_dir), max_postings=1000)
+
+
+def q_doc_chunks(spark, sf_dir):
+    """Sliding-window intra-doc chunking (64-token spans, 16 overlap):
+    pure generate-side sequence+explode, zero shuffles
+    (llm/curation.chunk_documents)."""
+    from async_stream_processing_spark.llm.curation import chunk_documents
+
+    return chunk_documents(_docs(spark, sf_dir), budget=64, overlap=16)
+
+
 LLM_QUERIES = {
     "heavy_hitters": q_heavy_hitters,
+    "inverted_index": q_inverted_index,
+    "doc_chunks": q_doc_chunks,
     "gopher_repetition": q_gopher_repetition,
     "gopher_quality": q_gopher_quality,
     "pack_sequences": q_pack_sequences,
@@ -705,8 +725,17 @@ def llm_oracle_sql() -> dict[str, str]:
         sql_heavy_hitters,
     )
 
+    from async_stream_processing_spark.llm.curation import (
+        sql_chunk_documents,
+    )
+    from async_stream_processing_spark.llm.text_analysis import (
+        sql_inverted_index,
+    )
+
     return {
         "heavy_hitters": sql_heavy_hitters(k=30),
+        "inverted_index": sql_inverted_index(max_postings=1000),
+        "doc_chunks": sql_chunk_documents(budget=64, overlap=16),
         "gopher_repetition": sql_gopher_repetition(),
         "gopher_quality": sql_gopher_quality(),
         "pack_sequences": sql_pack_sequences(budget=512),

@@ -267,3 +267,68 @@ def test_association_rules_bruteforce(spark):
         2, 4, 3, 5)
     assert r["confidence"] == pytest.approx(0.5)
     assert r["lift"] == pytest.approx(2 * 5 / (4 * 3))
+
+
+def test_kcore_peel_known_graph(spark):
+    from async_stream_processing_spark.operators.graph import kcore_peel
+
+    # K4 on {0,1,2,3} plus a tail 3-4-5: 3-core = the K4 exactly,
+    # reached after the tail cascades off (4 then 5 drop)
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    edges = spark.createDataFrame(
+        [Row(src=a, dst=b) for a, b in k4 + [(3, 4), (4, 5)]]
+    )
+    got = {r["node"]: r["deg"] for r in kcore_peel(edges, k=3, n_rounds=3).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_kcore_peel_monotone_upper_set(spark):
+    import random
+
+    from async_stream_processing_spark.operators.graph import kcore_peel
+
+    rng = random.Random(11)
+    edges = spark.createDataFrame(
+        [Row(src=rng.randrange(30), dst=rng.randrange(30)) for _ in range(120)]
+    )
+    r2 = {r["node"] for r in kcore_peel(edges, k=4, n_rounds=2).collect()}
+    r4 = {r["node"] for r in kcore_peel(edges, k=4, n_rounds=4).collect()}
+    assert r4 <= r2  # more rounds only ever shrink the survivor set
+
+
+def test_inverted_index_postings_sorted_and_capped(spark):
+    from async_stream_processing_spark.llm.text_analysis import inverted_index
+
+    rows = [Row(doc_id=i, text="common " + ("rare" if i == 7 else "x"))
+            for i in range(20)]
+    out = {r["tok"]: r for r in
+           inverted_index(spark.createDataFrame(rows), max_postings=5).collect()}
+    assert out["rare"]["postings"] == "7" and out["rare"]["df"] == 1
+    assert out["common"]["df"] == 20          # true df survives the cap
+    assert out["common"]["n_postings"] == 5   # postings capped
+    assert out["common"]["postings"] == "0,1,2,3,4"
+
+
+def test_chunk_documents_spans(spark):
+    from async_stream_processing_spark.llm.curation import chunk_documents
+
+    rows = [Row(doc_id=0, text=" ".join(["t"] * 100)),
+            Row(doc_id=1, text="only two"),
+            Row(doc_id=2, text=" ".join(["t"] * 48))]  # exactly one budget
+    out = {}
+    for r in chunk_documents(
+        spark.createDataFrame(rows), budget=48, overlap=16
+    ).collect():
+        out.setdefault(r["doc_id"], []).append(r)
+    # doc 0: starts 0,32,64,96 -> lens 48,48,36,4
+    d0 = sorted(out[0], key=lambda r: r["chunk_idx"])
+    assert [(r["token_start"], r["token_len"]) for r in d0] == [
+        (0, 48), (32, 48), (64, 36), (96, 4)]
+    # every token index is covered by at least one chunk
+    covered = set()
+    for r in d0:
+        covered |= set(range(r["token_start"], r["token_start"] + r["token_len"]))
+    assert covered == set(range(100))
+    assert [(r["token_start"], r["token_len"]) for r in out[1]] == [(0, 2)]
+    d2 = sorted(out[2], key=lambda r: r["chunk_idx"])
+    assert [(r["token_start"], r["token_len"]) for r in d2] == [(0, 48), (32, 16)]
