@@ -2407,7 +2407,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 # post-window block below, not here
                 "gopher_repetition", "gopher_quality", "pack_sequences",
                 "mixture_sample", "heavy_hitters", "inverted_index",
-                "doc_chunks",
+                "doc_chunks", "stream_gopher_quality",
             )
         },
         "filter_project": q_filter_project,
@@ -2449,6 +2449,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters": LLM_QUERIES["heavy_hitters"],
         "inverted_index": LLM_QUERIES["inverted_index"],
         "doc_chunks": LLM_QUERIES["doc_chunks"],
+        "stream_gopher_quality": LLM_QUERIES["stream_gopher_quality"],
         "gopher_repetition": LLM_QUERIES["gopher_repetition"],
         "gopher_quality": LLM_QUERIES["gopher_quality"],
         "pack_sequences": LLM_QUERIES["pack_sequences"],

@@ -508,10 +508,25 @@ def q_doc_chunks(spark, sf_dir):
     return chunk_documents(_docs(spark, sf_dir), budget=64, overlap=16)
 
 
+def q_stream_gopher_quality(spark, sf_dir):
+    """Gopher quality gates EXECUTED BY THE STREAMING ENGINE: the same
+    zero-shuffle column expressions over a documents STREAM (stateless,
+    so append mode emits exactly the batch result) -- the shape of an
+    ingest branch that quality-gates documents on arrival.  Same oracle
+    as the batch gopher_quality."""
+    from async_stream_processing_spark.llm.curation import gopher_quality
+    from async_stream_processing_spark.sources.parquet import stream_table
+    from async_stream_processing_spark.streaming.replay import drain
+
+    s = stream_table(spark, sf_dir, "documents")
+    return drain(gopher_quality(s), output_mode="append")
+
+
 LLM_QUERIES = {
     "heavy_hitters": q_heavy_hitters,
     "inverted_index": q_inverted_index,
     "doc_chunks": q_doc_chunks,
+    "stream_gopher_quality": q_stream_gopher_quality,
     "gopher_repetition": q_gopher_repetition,
     "gopher_quality": q_gopher_quality,
     "pack_sequences": q_pack_sequences,
@@ -736,6 +751,7 @@ def llm_oracle_sql() -> dict[str, str]:
         "heavy_hitters": sql_heavy_hitters(k=30),
         "inverted_index": sql_inverted_index(max_postings=1000),
         "doc_chunks": sql_chunk_documents(budget=64, overlap=16),
+        "stream_gopher_quality": sql_gopher_quality(),
         "gopher_repetition": sql_gopher_repetition(),
         "gopher_quality": sql_gopher_quality(),
         "pack_sequences": sql_pack_sequences(budget=512),
