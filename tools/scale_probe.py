@@ -1,0 +1,151 @@
+"""8x-volume scaling probe for operators (the SCALE.md datapoint tool).
+
+Builds an 8x union of the sf0.1 tables with SHIFTED keys (so key
+cardinality grows with volume — the honest scaling shape, not 8 copies
+of the same keys) and compares warm wall-clock at 1x vs 8x on the same
+session.  Results are indicative on local[32]; the point is the RATIO.
+
+Usage: python tools/scale_probe.py [sf_dir] [op ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import DataFrame, Window  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from async_stream_processing_spark import get_spark  # noqa: E402
+from async_stream_processing_spark.sources.parquet import load_table  # noqa: E402
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+ONLY = set(sys.argv[2:])
+
+
+def x8(df: DataFrame, id_cols: list[str], shift: int) -> DataFrame:
+    out = None
+    for i in range(8):
+        part = df
+        for c in id_cols:
+            part = part.withColumn(c, F.col(c) + F.lit(i * shift))
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+def warm_time(df: DataFrame) -> float:
+    df.write.format("noop").mode("overwrite").save()  # warm
+    t0 = time.time()
+    df.write.format("noop").mode("overwrite").save()
+    return time.time() - t0
+
+
+def main() -> None:
+    spark = get_spark("scale-probe", shuffle_partitions=32)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs1 = load_table(spark, SF_DIR, "documents")
+    docs8 = x8(docs1, ["doc_id"], 1_000_000)
+    ev1 = load_table(spark, SF_DIR, "events")
+    ev8 = x8(ev1, ["event_id", "user_id"], 1_000_000)
+    li1 = load_table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_partkey")
+    li8 = x8(li1, ["l_orderkey"], 100_000_000)
+
+    from async_stream_processing_spark.llm.curation import (
+        chunk_documents,
+        gopher_repetition,
+        mixture_sample,
+        pack_sequences,
+    )
+    from async_stream_processing_spark.llm.text_analysis import (
+        heavy_hitters,
+        inverted_index,
+    )
+    from async_stream_processing_spark.operators.analytics import (
+        association_rules,
+        cooccurrence_pairs,
+    )
+    from async_stream_processing_spark.operators.graph import (
+        bfs_levels,
+        kcore_peel,
+    )
+
+    def handoff_edges(ev):
+        w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+        return (
+            ev.select(
+                F.col("user_id").alias("src"),
+                F.lead("user_id").over(w).alias("dst"),
+            )
+            .filter(F.col("dst").isNotNull())
+            .filter(F.col("src") != F.col("dst"))
+        )
+
+    def seeds(ev):
+        return (
+            ev.select(F.col("user_id").alias("node"))
+            .filter(F.col("node") % 50 == 0)
+            .distinct()
+        )
+
+    ops = {
+        "gopher_repetition": (
+            lambda d: gopher_repetition(d), docs1, docs8),
+        "heavy_hitters": (lambda d: heavy_hitters(d, k=30), docs1, docs8),
+        "inverted_index": (
+            lambda d: inverted_index(d, max_postings=1000), docs1, docs8),
+        "doc_chunks": (
+            lambda d: chunk_documents(d, budget=64, overlap=16), docs1, docs8),
+        "pack_sequences": (
+            lambda d: pack_sequences(d, budget=512), docs1, docs8),
+        "mixture_sample": (lambda d: mixture_sample(d), docs1, docs8),
+        "scd2_intervals": (_scd2, ev1, ev8),
+        "bfs_levels": (
+            lambda e: bfs_levels(handoff_edges(e), seeds(e), n_iter=4),
+            ev1, ev8),
+        "kcore_users": (
+            lambda e: kcore_peel(handoff_edges(e), k=75, n_rounds=3),
+            ev1, ev8),
+        "copurchase_pairs": (
+            lambda li: cooccurrence_pairs(li, "l_orderkey", "l_partkey", 2),
+            li1, li8),
+        "association_rules": (
+            lambda li: association_rules(
+                li, "l_orderkey", "l_partkey", 2, 1, 20),
+            li1, li8),
+    }
+    for name, (fn, one, eight) in ops.items():
+        if ONLY and name not in ONLY:
+            continue
+        t1 = warm_time(fn(one))
+        t8 = warm_time(fn(eight))
+        print(
+            f"{name:22s} 1x={t1:6.2f}s  8x={t8:6.2f}s  ratio={t8 / t1:5.2f}x",
+            flush=True,
+        )
+
+
+def _scd2(ev: DataFrame) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_type = F.lag("event_type").over(w)
+    chg = F.when(
+        prev_type.isNull() | (prev_type != F.col("event_type")), F.lit(1)
+    ).otherwise(F.lit(0))
+    runs = ev.select("user_id", "ts", "event_id", "event_type").withColumn(
+        "version", F.sum(chg).over(w).cast("long")
+    )
+    grouped = runs.groupBy("user_id", "version", "event_type").agg(
+        F.min("ts").alias("valid_from"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy("version")
+    return grouped.select(
+        "user_id", "version", "event_type", "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"), "n_events",
+    )
+
+
+if __name__ == "__main__":
+    main()
