@@ -2407,7 +2407,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 # post-window block below, not here
                 "gopher_repetition", "gopher_quality", "pack_sequences",
                 "mixture_sample", "heavy_hitters", "inverted_index",
-                "doc_chunks", "stream_gopher_quality",
+                "doc_chunks", "stream_gopher_quality", "substring_dups",
             )
         },
         "filter_project": q_filter_project,
@@ -2450,6 +2450,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inverted_index": LLM_QUERIES["inverted_index"],
         "doc_chunks": LLM_QUERIES["doc_chunks"],
         "stream_gopher_quality": LLM_QUERIES["stream_gopher_quality"],
+        "substring_dups": LLM_QUERIES["substring_dups"],
         "gopher_repetition": LLM_QUERIES["gopher_repetition"],
         "gopher_quality": LLM_QUERIES["gopher_quality"],
         "pack_sequences": LLM_QUERIES["pack_sequences"],

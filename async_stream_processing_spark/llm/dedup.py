@@ -546,3 +546,131 @@ def dedup_clusters(
     return labels.join(sizes, "cluster_id").select(
         "doc_id", "cluster_id", "cluster_size"
     )
+
+
+def substring_dups(
+    docs: DataFrame, n: int = 20, w: int = 8, text: str = "text"
+) -> DataFrame:
+    """Character-level exact-substring duplication via WINNOWED
+    fingerprints (Schleimer, Wilkerson & Aiken 2003, the MOSS
+    algorithm), the bounded-cost core of Lee et al. 2022's
+    suffix-array dedup ("Deduplicating Training Data Makes Language
+    Models Better"): repeated character spans (boilerplate, licenses,
+    quoted passages) that word-level shingling misses across
+    tokenization boundaries.
+
+    Per document, every length-``n`` char gram is hashed, and from each
+    window of ``w`` consecutive grams the RIGHTMOST minimal hash is
+    selected — selection is a function of CONTENT, not position, so two
+    copies of a span select the same grams regardless of alignment
+    (naive strided sampling fails exactly here: copies offset by
+    k mod stride share no sampled positions).  Winnowing guarantee:
+    any shared span covering a full window (length >= n + w - 1 chars)
+    is detected with certainty; expected density is 2/(w+1) grams per
+    position.
+
+    All selection happens generate-side in array expressions (zero
+    pre-shuffle movement); the ONE shuffle groups selected grams
+    corpus-wide.  Returns duplicated grams: (gram, n_occurrences,
+    n_docs, first_doc_id, first_pos) — first_* is the lexicographic-min
+    exemplar, so every output column is primitive/hashable.
+    """
+    base = fan_out(docs.select("doc_id", F.col(text).alias("__t")))
+    t = F.col("__t")
+    pos = F.sequence(
+        F.lit(1), F.greatest(F.length(t) - n + 1, F.lit(0))
+    )
+    grams = F.transform(pos, lambda p: t.substr(p, F.lit(n)))
+    h = F.transform(
+        grams,
+        lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long"),
+    )
+    arr = base.filter(F.length(t) >= n).select(
+        "doc_id", grams.alias("grams"), h.alias("h")
+    )
+    # guard: Spark sequence(a, b) DESCENDS when a > b, so short docs
+    # need an explicit empty-ends case
+    ends = F.when(
+        F.size("h") >= w, F.sequence(F.lit(w), F.size("h"))
+    ).otherwise(F.array().cast("array<int>"))
+
+    def rightmost_min(e):
+        m = F.array_min(F.slice("h", e - w + 1, w))
+        return F.array_max(
+            F.filter(
+                F.sequence(e - w + 1, e),
+                lambda j: F.element_at("h", j) == m,
+            )
+        )
+
+    selected = F.array_distinct(F.transform(ends, rightmost_min))
+    picked = (
+        arr.select("doc_id", "grams", F.explode(selected).alias("j"))
+        .select(
+            "doc_id",
+            F.col("j").cast("long").alias("pos"),
+            F.element_at("grams", F.col("j")).alias("gram"),
+        )
+    )
+    return (
+        picked.groupBy("gram")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min(F.struct("doc_id", "pos")).alias("__first"),
+        )
+        .filter(F.col("n_occurrences") >= 2)
+        .select(
+            "gram",
+            "n_occurrences",
+            "n_docs",
+            F.col("__first.doc_id").alias("first_doc_id"),
+            F.col("__first.pos").alias("first_pos"),
+        )
+    )
+
+
+def sql_substring_dups(src: str = "documents", n: int = 20, w: int = 8) -> str:
+    """DuckDB twin of :func:`substring_dups` (same winnowed selection;
+    DuckDB lambdas/list slices are 1-based inclusive, matching the
+    1-based gram positions used on the Spark side)."""
+    return f"""
+        WITH base AS (SELECT doc_id, text AS t FROM {src}
+                      WHERE len(text) >= {n}),
+        arr AS (
+            SELECT doc_id,
+                   list_transform(generate_series(1, len(t) - {n} + 1),
+                                  p -> substr(t, p, {n})) AS grams
+            FROM base),
+        harr AS (
+            SELECT doc_id, grams,
+                   list_transform(grams,
+                       g -> CAST('0x' || substr(md5(g), 1, 15) AS BIGINT))
+                       AS h
+            FROM arr),
+        sel AS (
+            SELECT doc_id, grams,
+                   list_distinct(list_transform(
+                       generate_series({w}, len(h)),
+                       e -> list_max(list_filter(
+                                generate_series(e - {w} + 1, e),
+                                j -> h[j] = list_min(h[e - {w} + 1 : e])))))
+                       AS js
+            FROM harr),
+        g AS (
+            SELECT doc_id, CAST(unnest(js) AS BIGINT) AS pos, grams
+            FROM sel),
+        picked AS (SELECT doc_id, pos, grams[pos] AS gram FROM g),
+        agg AS (
+            SELECT gram, COUNT(*) AS n_occurrences,
+                   CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                   MIN(doc_id) AS first_doc_id
+            FROM picked GROUP BY gram HAVING COUNT(*) >= 2),
+        firstpos AS (
+            SELECT gram, doc_id, CAST(MIN(pos) AS BIGINT) AS pos
+            FROM picked GROUP BY gram, doc_id)
+        SELECT a.gram, a.n_occurrences, a.n_docs, a.first_doc_id,
+               f.pos AS first_pos
+        FROM agg a
+        JOIN firstpos f ON f.gram = a.gram AND f.doc_id = a.first_doc_id
+    """

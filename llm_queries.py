@@ -522,8 +522,19 @@ def q_stream_gopher_quality(spark, sf_dir):
     return drain(gopher_quality(s), output_mode="append")
 
 
+def q_substring_dups(spark, sf_dir):
+    """Character-level exact-substring duplication via winnowed
+    fingerprints (Schleimer et al. 2003): content-defined gram
+    selection, alignment-independent, any shared span >= n+w-1 chars
+    detected with certainty (llm/dedup.substring_dups)."""
+    from async_stream_processing_spark.llm.dedup import substring_dups
+
+    return substring_dups(_docs(spark, sf_dir), n=20, w=8)
+
+
 LLM_QUERIES = {
     "heavy_hitters": q_heavy_hitters,
+    "substring_dups": q_substring_dups,
     "inverted_index": q_inverted_index,
     "doc_chunks": q_doc_chunks,
     "stream_gopher_quality": q_stream_gopher_quality,
@@ -749,6 +760,9 @@ def llm_oracle_sql() -> dict[str, str]:
 
     return {
         "heavy_hitters": sql_heavy_hitters(k=30),
+        "substring_dups": __import__(
+            "async_stream_processing_spark.llm.dedup", fromlist=["x"]
+        ).sql_substring_dups(n=20, w=8),
         "inverted_index": sql_inverted_index(max_postings=1000),
         "doc_chunks": sql_chunk_documents(budget=64, overlap=16),
         "stream_gopher_quality": sql_gopher_quality(),

@@ -332,3 +332,41 @@ def test_chunk_documents_spans(spark):
     assert [(r["token_start"], r["token_len"]) for r in out[1]] == [(0, 2)]
     d2 = sorted(out[2], key=lambda r: r["chunk_idx"])
     assert [(r["token_start"], r["token_len"]) for r in d2] == [(0, 48), (32, 16)]
+
+
+def test_substring_dups_finds_shared_boilerplate(spark):
+    from async_stream_processing_spark.llm.dedup import substring_dups
+
+    license_blurb = "this content is licensed under creative commons terms"
+    rows = [
+        Row(doc_id=0, text="completely original article body " + license_blurb),
+        Row(doc_id=1, text=license_blurb + " another unrelated piece here"),
+        Row(doc_id=2, text="nothing shared with the others whatsoever " + "x" * 20),
+    ]
+    out = substring_dups(
+        spark.createDataFrame(rows), n=20, w=8
+    ).collect()
+    cross = [r for r in out if r["n_docs"] >= 2]
+    # the shared license span covers a full winnowing window (>= n+w-1
+    # chars), so a selected gram lands in BOTH copies with certainty
+    assert cross, [r["gram"] for r in out]
+    assert all(r["gram"] in license_blurb for r in cross)
+    assert all(r["first_doc_id"] == 0 for r in cross)
+
+
+def test_substring_dups_alignment_guarantee(spark):
+    from async_stream_processing_spark.llm.dedup import substring_dups
+
+    # shift the shared span by every offset: content-defined (winnowed)
+    # selection must find a cross-doc gram at ANY alignment -- the
+    # guarantee positional/strided sampling cannot give
+    shared = "abcdefghijklmnopqrstuvwxyz0123456789ABCD"  # 40 >= n+w-1
+    for off in range(10):
+        rows = [
+            Row(doc_id=0, text="P" * 37 + shared + "Q" * 7),
+            Row(doc_id=1, text="R" * (31 + off) + shared + "S" * 5),
+        ]
+        out = substring_dups(
+            spark.createDataFrame(rows), n=20, w=8
+        ).collect()
+        assert any(r["n_docs"] == 2 for r in out), f"missed at offset {off}"
