@@ -1966,6 +1966,35 @@ def q_kcore_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kcore_peel(edges, k=75, n_rounds=3)
 
 
+def q_twap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average price/value per (user, day): each value is
+    weighted by the microseconds until the user's NEXT event that day
+    (the last event of a day closes no interval).  The duration-weighted
+    twin of VWAP — sums run in exact decimal space (value scale 2 x
+    integer-microsecond weights; day-bounded spans keep totals inside
+    the 15-digit double-exact budget, functions/numeric.py rule 2), so
+    the single final division is the only float op.  One shuffle on the
+    (user, day) key; lead + groupBy share the same sort."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    w = Window.partitionBy("user_id", "day").orderBy("ts", "event_id")
+    dur = (F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts"))
+    iv = ev.withColumn("dur_us", dur).filter(F.col("dur_us").isNotNull())
+    num = F.sum(
+        F.col("value").cast("decimal(18,2)")
+        * F.col("dur_us").cast("decimal(18,0)")
+    )
+    den = F.sum(F.col("dur_us").cast("decimal(18,0)"))
+    return iv.groupBy("user_id", "day").agg(
+        (num.cast("double") / den.cast("double")).alias("twap"),
+        den.cast("long").alias("total_dur_us"),
+        F.count(F.lit(1)).alias("n_intervals"),
+    )
+
+
 def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Association rules over lineitem baskets: confidence >= 1/20 rules
     with support/confidence/lift, the market-basket follow-on to
@@ -2446,6 +2475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "copurchase_pairs": q_copurchase_pairs,
         "association_rules": q_association_rules,
         "kcore_users": q_kcore_users,
+        "twap_daily": q_twap_daily,
         "heavy_hitters": LLM_QUERIES["heavy_hitters"],
         "inverted_index": LLM_QUERIES["inverted_index"],
         "doc_chunks": LLM_QUERIES["doc_chunks"],
@@ -3614,6 +3644,24 @@ def oracle_sql() -> dict[str, str]:
         k=75,
         n_rounds=3,
     )
+    out["twap_daily"] = """
+        WITH iv AS (
+            SELECT user_id, CAST(ts AS DATE) AS day, value,
+                   epoch_us(LEAD(ts) OVER (
+                       PARTITION BY user_id, CAST(ts AS DATE)
+                       ORDER BY ts, event_id)) - epoch_us(ts) AS dur_us
+            FROM events)
+        SELECT user_id, day,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))
+                        * CAST(dur_us AS DECIMAL(18,0))) AS DOUBLE)
+                   / CAST(SUM(CAST(dur_us AS DECIMAL(18,0))) AS DOUBLE)
+                   AS twap,
+               CAST(SUM(dur_us) AS BIGINT) AS total_dur_us,
+               COUNT(*) AS n_intervals
+        FROM iv
+        WHERE dur_us IS NOT NULL
+        GROUP BY user_id, day
+    """
     out["association_rules"] = """
         WITH d AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
                    FROM lineitem),
