@@ -2358,16 +2358,21 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Key order matters: the driver's CORRECTNESS gate covers the FIRST 50
     # keys only.  Rounds 1-2 gated the original first 50; round 3 gated the
-    # LLM block + rank/scalar/sliding/percentile/stream families.  Round 4
-    # closes the coverage ledger: (a) the four queries without a driver-green
-    # row in any round (user_event_paths -- now a hashable string path;
-    # ivf_kmeans_assign -- now with an unrolled-Lloyd oracle;
-    # cardinality_sketch -- now contract-checked; embedding_dim_stats --
-    # never fit a window), (b) the two whose oracle/plan changed this round
-    # (stream_static_enrich LEFT-join oracle, stream_fullouter perf), (c)
-    # the 39 keys last gated in r1/r2, re-confirmed, and (d) padding from
-    # r3-green representatives.  After r4, all declared queries have a green
-    # row in r1-r4 with none stale for more than two rounds.
+    # LLM block + rank/scalar/sliding/percentile/stream families.  Round 4's
+    # window: (a) the four queries without a driver-green row in any round
+    # (user_event_paths -- now a hashable string path; ivf_kmeans_assign --
+    # now with an unrolled-Lloyd oracle; cardinality_sketch -- now
+    # contract-checked; embedding_dim_stats -- never fit a window), (b) the
+    # two whose oracle/plan changed this round (stream_static_enrich
+    # LEFT-join oracle, stream_fullouter perf), (c) 19 r1/r2 keys
+    # re-confirmed (family representatives; the 15 displaced TPC-H/misc
+    # keys are all double-green from r1+r2), (d) the TEN queries added
+    # earlier in round 4, and (e) the FIFTEEN added late in round 4 --
+    # (d)+(e) have no prior green row, so they take priority over further
+    # re-confirmation.  Still never gated after r4: the 13 late-round-4
+    # additions from the earlier session (embedding_covariance family,
+    # tpch_q3/q5, stream_rightouter, pagerank, triangles, upsert) --
+    # first in line for round 5's window.
     return {
         # --- (a) never driver-green before round 4 ---
         "user_event_paths": q_user_event_paths,
@@ -2389,21 +2394,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q12": q_tpch_q12,
         "tpch_q14": q_tpch_q14,
         "tpch_q18": q_tpch_q18,
-        "tpch_q7": q_tpch_q7,
-        "tpch_q15": q_tpch_q15,
-        "tpch_q17": q_tpch_q17,
-        "tpch_q22": q_tpch_q22,
-        "tpch_q8": q_tpch_q8,
-        "tpch_q10": q_tpch_q10,
-        "tpch_q4": q_tpch_q4,
-        "tpch_q13": q_tpch_q13,
-        "tpch_q16": q_tpch_q16,
-        "tpch_q19": q_tpch_q19,
-        "tpch_q21": q_tpch_q21,
-        "semi_anti_join": q_semi_anti,
-        "event_deltas": q_event_deltas,
-        "revenue_rollup": q_revenue_rollup,
-        "topk_per_priority": q_topk_per_priority,
         "stream_resample_1min": q_stream_resample,
         "stream_sessionize": q_stream_sessionize,
         "stream_first_seen": q_stream_first_seen,
@@ -2425,7 +2415,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_range_join": q_stream_range_join,
         "stream_leftouter": q_stream_leftouter,
         "quantile_sketch": q_quantile_sketch,
+        # --- (e) added late in round 4: gate now (no prior green row) ---
+        "scd2_intervals": q_scd2_intervals,
+        "bfs_levels": q_bfs_levels,
+        "copurchase_pairs": q_copurchase_pairs,
+        "association_rules": q_association_rules,
+        "kcore_users": q_kcore_users,
+        "twap_daily": q_twap_daily,
+        "gopher_repetition": LLM_QUERIES["gopher_repetition"],
+        "gopher_quality": LLM_QUERIES["gopher_quality"],
+        "pack_sequences": LLM_QUERIES["pack_sequences"],
+        "mixture_sample": LLM_QUERIES["mixture_sample"],
+        "heavy_hitters": LLM_QUERIES["heavy_hitters"],
+        "inverted_index": LLM_QUERIES["inverted_index"],
+        "doc_chunks": LLM_QUERIES["doc_chunks"],
+        "stream_gopher_quality": LLM_QUERIES["stream_gopher_quality"],
+        "substring_dups": LLM_QUERIES["substring_dups"],
         # ================= end of the 50-key gate window =================
+        # --- displaced from the r4 window (double-green in r1+r2) ---
+        "tpch_q7": q_tpch_q7,
+        "tpch_q15": q_tpch_q15,
+        "tpch_q17": q_tpch_q17,
+        "tpch_q22": q_tpch_q22,
+        "tpch_q8": q_tpch_q8,
+        "tpch_q10": q_tpch_q10,
+        "tpch_q4": q_tpch_q4,
+        "tpch_q13": q_tpch_q13,
+        "tpch_q16": q_tpch_q16,
+        "tpch_q19": q_tpch_q19,
+        "tpch_q21": q_tpch_q21,
+        "semi_anti_join": q_semi_anti,
+        "event_deltas": q_event_deltas,
+        "revenue_rollup": q_revenue_rollup,
+        "topk_per_priority": q_topk_per_priority,
         # --- driver-green in round 3 ---
         **{
             k: v
@@ -2470,21 +2492,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_upsert_state": q_stream_upsert_state,
         "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
-        "scd2_intervals": q_scd2_intervals,
-        "bfs_levels": q_bfs_levels,
-        "copurchase_pairs": q_copurchase_pairs,
-        "association_rules": q_association_rules,
-        "kcore_users": q_kcore_users,
-        "twap_daily": q_twap_daily,
-        "heavy_hitters": LLM_QUERIES["heavy_hitters"],
-        "inverted_index": LLM_QUERIES["inverted_index"],
-        "doc_chunks": LLM_QUERIES["doc_chunks"],
-        "stream_gopher_quality": LLM_QUERIES["stream_gopher_quality"],
-        "substring_dups": LLM_QUERIES["substring_dups"],
-        "gopher_repetition": LLM_QUERIES["gopher_repetition"],
-        "gopher_quality": LLM_QUERIES["gopher_quality"],
-        "pack_sequences": LLM_QUERIES["pack_sequences"],
-        "mixture_sample": LLM_QUERIES["mixture_sample"],
         # --- driver-green in rounds 1-3 ---
         "trade_pnl_asof": q_trade_pnl,
         "cart_fold_state": q_cart_fold,
