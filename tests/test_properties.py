@@ -407,3 +407,71 @@ def test_range_join_empty_band_matches_nothing(spark):
         for r in range_join(facts, bands, "value", bucket_width=8.0).collect()
     }
     assert got == {(0, 2), (1, 2), (2, 2)}
+
+
+@given(
+    data=st.data(),
+)
+@SLOW
+def test_winnowed_substring_dups_find_planted_spans(spark, data):
+    """Winnowing guarantee, randomized: a shared span covering a full
+    window (>= n + w - 1 chars) is detected at ANY alignment, in any
+    surrounding noise."""
+    import random as _random
+
+    from pyspark.sql import Row
+
+    from async_stream_processing_spark.llm.dedup import substring_dups
+
+    n, w = 12, 5
+    seed = data.draw(st.integers(0, 10_000))
+    rng = _random.Random(seed)
+    alpha = "abcdefghijklmnopqrstuvwxyz"
+    span_len = rng.randrange(n + w - 1, n + w + 20)
+    span = "".join(rng.choice(alpha) for _ in range(span_len))
+
+    def noise(k):
+        return "".join(rng.choice(alpha.upper()) for _ in range(k))
+
+    rows = [
+        Row(doc_id=i, text=noise(rng.randrange(0, 30)) + span
+            + noise(rng.randrange(0, 30)))
+        for i in range(3)
+    ]
+    out = substring_dups(spark.createDataFrame(rows), n=n, w=w).collect()
+    hits = [r for r in out if r["n_docs"] == 3]
+    assert hits, (seed, span)
+    assert all(r["gram"] in span for r in hits)
+
+
+@given(data=st.data())
+@SLOW
+def test_heavy_hitters_random_vs_bruteforce_any_partitioning(spark, data):
+    import collections
+    import random as _random
+
+    from pyspark.sql import Row
+
+    from async_stream_processing_spark.llm.text_analysis import heavy_hitters
+
+    seed = data.draw(st.integers(0, 10_000))
+    nparts = data.draw(st.sampled_from([1, 3, 16]))
+    rng = _random.Random(seed)
+    # zipf-ish vocab so some tokens actually cross the threshold
+    vocab = [f"w{i}" for i in range(15)]
+    weights = [1.0 / (i + 1) for i in range(15)]
+    rows = [
+        Row(doc_id=i,
+            text=" ".join(rng.choices(vocab, weights=weights, k=25)))
+        for i in range(30)
+    ]
+    counts = collections.Counter(t for r in rows for t in r.text.split())
+    total = sum(counts.values())
+    expect = {(t, c) for t, c in counts.items() if c * 10 > total}
+    got = {
+        (r["tok"], r["freq"])
+        for r in heavy_hitters(
+            spark.createDataFrame(rows).repartition(nparts), k=10
+        ).collect()
+    }
+    assert got == expect, (seed, nparts)
