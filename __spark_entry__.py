@@ -1995,6 +1995,59 @@ def q_twap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style equi-depth histogram of l_extendedprice: 10 buckets
+    with equal row counts (NTILE), each reporting min/max/count — the
+    statistics an optimizer collects for selectivity estimation.  One
+    global-sort window at fixture scale; at 100 TB the same statistic
+    comes from approx_percentile boundaries (mergeable, no global sort)
+    — the exact NTILE form is the oracle-checkable twin."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_extendedprice")
+    from pyspark.sql import Window
+
+    w = Window.orderBy("l_extendedprice")
+    b = li.withColumn("bucket", F.ntile(10).over(w))
+    return b.groupBy(F.col("bucket").cast("long").alias("bucket")).agg(
+        F.min("l_extendedprice").alias("lo"),
+        F.max("l_extendedprice").alias("hi"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def q_interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge overlapping activity intervals: each event opens a 5-minute
+    presence interval per user; overlapping/touching intervals coalesce
+    into islands (running-max island detection: a new island starts
+    where the interval's start exceeds the cumulative max end so far).
+    The interval twin of gap sessionization — one shuffle on the user
+    key, two stacked windows sharing one sort."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 5 MINUTES")).alias("end_ts"),
+    )
+    w = Window.partitionBy("user_id").orderBy("start_ts", "end_ts")
+    prev_max_end = F.max("end_ts").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = ev.withColumn(
+        "new_island",
+        F.when(
+            prev_max_end.isNull() | (F.col("start_ts") > prev_max_end), 1
+        ).otherwise(0),
+    )
+    islands = flagged.withColumn(
+        "island", F.sum("new_island").over(w).cast("long")
+    )
+    return islands.groupBy("user_id", "island").agg(
+        F.min("start_ts").alias("island_start"),
+        F.max("end_ts").alias("island_end"),
+        F.count(F.lit(1)).alias("n_intervals"),
+    )
+
+
 def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Association rules over lineitem baskets: confidence >= 1/20 rules
     with support/confidence/lift, the market-basket follow-on to
@@ -2422,6 +2475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "association_rules": q_association_rules,
         "kcore_users": q_kcore_users,
         "twap_daily": q_twap_daily,
+
         "gopher_repetition": LLM_QUERIES["gopher_repetition"],
         "gopher_quality": LLM_QUERIES["gopher_quality"],
         "pack_sequences": LLM_QUERIES["pack_sequences"],
@@ -2432,6 +2486,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_gopher_quality": LLM_QUERIES["stream_gopher_quality"],
         "substring_dups": LLM_QUERIES["substring_dups"],
         # ================= end of the 50-key gate window =================
+        # --- added after the window froze: rotate into round 5 ---
+        "equidepth_histogram": q_equidepth_histogram,
+        "interval_coalesce": q_interval_coalesce,
         # --- displaced from the r4 window (double-green in r1+r2) ---
         "tpch_q7": q_tpch_q7,
         "tpch_q15": q_tpch_q15,
@@ -3668,6 +3725,40 @@ def oracle_sql() -> dict[str, str]:
         FROM iv
         WHERE dur_us IS NOT NULL
         GROUP BY user_id, day
+    """
+    out["equidepth_histogram"] = """
+        WITH b AS (SELECT l_extendedprice,
+                          NTILE(10) OVER (ORDER BY l_extendedprice) AS bucket
+                   FROM lineitem)
+        SELECT CAST(bucket AS BIGINT) AS bucket,
+               MIN(l_extendedprice) AS lo,
+               MAX(l_extendedprice) AS hi,
+               COUNT(*) AS n_rows
+        FROM b GROUP BY bucket
+    """
+    out["interval_coalesce"] = """
+        WITH iv AS (SELECT user_id, ts AS start_ts,
+                           ts + INTERVAL 5 MINUTE AS end_ts
+                    FROM events),
+        f AS (SELECT user_id, start_ts, end_ts,
+                     CASE WHEN MAX(end_ts) OVER wprev IS NULL
+                          OR start_ts > MAX(end_ts) OVER wprev
+                          THEN 1 ELSE 0 END AS new_island
+              FROM iv
+              WINDOW wprev AS (PARTITION BY user_id
+                               ORDER BY start_ts, end_ts
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING)),
+        i AS (SELECT user_id, start_ts, end_ts,
+                     CAST(SUM(new_island) OVER (
+                         PARTITION BY user_id ORDER BY start_ts, end_ts)
+                         AS BIGINT) AS island
+              FROM f)
+        SELECT user_id, island,
+               MIN(start_ts) AS island_start,
+               MAX(end_ts) AS island_end,
+               COUNT(*) AS n_intervals
+        FROM i GROUP BY user_id, island
     """
     out["association_rules"] = """
         WITH d AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i

@@ -370,3 +370,26 @@ def test_substring_dups_alignment_guarantee(spark):
             spark.createDataFrame(rows), n=20, w=8
         ).collect()
         assert any(r["n_docs"] == 2 for r in out), f"missed at offset {off}"
+
+
+def test_interval_coalesce_islands(spark):
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "entry_ic", "/root/repo/__spark_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    out = mod.q_interval_coalesce(spark, "/root/testdata/sf0.001").collect()
+    by_user = {}
+    for r in out:
+        by_user.setdefault(r["user_id"], []).append(r)
+    assert by_user
+    for rows in by_user.values():
+        rows.sort(key=lambda r: r["island"])
+        for a, b in zip(rows, rows[1:]):
+            # islands are disjoint, ordered, and truly separated
+            assert a["island_end"] < b["island_start"]
+        for r in rows:
+            assert r["island_start"] < r["island_end"]
+            assert r["n_intervals"] >= 1
