@@ -117,3 +117,18 @@ def test_fuzz_full_path_catches_mutated_oracle(spark):
         if compare(spdf, odf) is not None:
             caught += 1
     assert caught >= 4, (caught, total)  # filters are selective on this data
+
+
+def test_differential_fuzz_text_expressions(spark):
+    """Text/array grammar over the documents table (split, slice,
+    distinct, sort, join-back-to-string, substring, md5, strpos,
+    replace): row-for-row exact -- the string layer the curation
+    operators stand on."""
+    from tools.fuzz_differential import fuzz_text
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+    failures = fuzz_text(spark, con, SF, n_cases=20, seed=20260814)
+    assert not failures, failures[:3]

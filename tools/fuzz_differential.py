@@ -437,11 +437,112 @@ def fuzz(spark, con, sf_dir: str, n_cases: int, seed: int):
     return failures
 
 
+
+
+# (spark_expr, sql_expr) over the DOCUMENTS table -- the string/array layer
+# the curation operators stand on.  Arrays are always reduced to scalars
+# (size / element / joined string) so the frame compare stays hashable.
+# Excluded as non-portable: regex beyond the literal-space split (Java vs
+# RE2 dialects), locale-sensitive casing beyond ASCII (corpus is ASCII),
+# element_at past a guaranteed bound (ANSI error vs NULL).
+TEXT_EXPRS = [
+    ("F.length('text')", "CAST(LENGTH(text) AS INT)"),
+    ("F.length(F.trim(F.col('text')))", "CAST(LENGTH(TRIM(text)) AS INT)"),
+    ("F.substring('text', {p}, {m})", "SUBSTRING(text, {p}, {m})"),
+    ("F.md5(F.col('text'))", "md5(text)"),
+    ("F.reverse(F.substring('text', 1, 10))", "REVERSE(SUBSTRING(text, 1, 10))"),
+    ("F.instr(F.col('text'), '{needle}')",
+     "CAST(STRPOS(text, '{needle}') AS BIGINT)"),
+    ("F.expr(\"replace(text, '{needle}', 'X')\")",
+     "REPLACE(text, '{needle}', 'X')"),
+    ("F.size(F.split(F.lower(F.trim(F.col('text'))), ' +'))",
+     "CAST(LEN(string_split_regex(LOWER(TRIM(text)), ' +')) AS INT)"),
+    # docs are >= 9 words, so element 1..5 always exists (ANSI-safe)
+    ("F.element_at(F.split(F.lower(F.trim(F.col('text'))), ' +'), {w5})",
+     "string_split_regex(LOWER(TRIM(text)), ' +')[{w5}]"),
+    ("F.concat_ws('|', F.slice(F.split(F.lower(F.trim(F.col('text'))), ' +'), 1, {w5}))",
+     "array_to_string(string_split_regex(LOWER(TRIM(text)), ' +')[1:{w5}], '|')"),
+    ("F.size(F.array_distinct(F.split(F.lower(F.trim(F.col('text'))), ' +')))",
+     "CAST(LEN(list_distinct(string_split_regex(LOWER(TRIM(text)), ' +'))) AS INT)"),
+    ("F.concat_ws(',', F.array_sort(F.array_distinct("
+     "F.split(F.lower(F.trim(F.col('text'))), ' +'))))",
+     "array_to_string(list_sort(list_distinct("
+     "string_split_regex(LOWER(TRIM(text)), ' +'))), ',')"),
+    ("F.upper(F.substring('source', 1, {m}))",
+     "UPPER(SUBSTRING(source, 1, {m}))"),
+    ("F.concat(F.col('lang'), F.lit(':'), F.col('source'))",
+     "lang || ':' || source"),
+]
+
+TEXT_FILTERS = [
+    ("F.col('n_chars') >= {nc}", "n_chars >= {nc}"),
+    ("F.col('lang') == '{lang}'", "lang = '{lang}'"),
+    ("F.col('doc_id') % {m} == 0", "doc_id % {m} = 0"),
+    ("F.instr(F.col('text'), '{needle}') > 0", "STRPOS(text, '{needle}') > 0"),
+]
+
+
+def gen_text_case(rng: random.Random) -> dict:
+    subs = {
+        "m": rng.choice([2, 3, 5, 7]),
+        "p": rng.randint(1, 20),
+        "w5": rng.randint(1, 5),
+        "nc": rng.randint(50, 300),
+        "lang": rng.choice(["en", "de", "es", "fr", "zh"]),
+        "needle": rng.choice(["key", "row", "scan", "table", "value", "zz"]),
+    }
+    n_filters = rng.randint(0, 2)
+    fs = rng.sample(TEXT_FILTERS, n_filters) if n_filters else []
+    exprs = rng.sample(TEXT_EXPRS, rng.randint(2, 5))
+    return {
+        "filters": [(a.format(**subs), b.format(**subs)) for a, b in fs],
+        "exprs": [(a.format(**subs), b.format(**subs)) for a, b in exprs],
+        "subs": subs,
+    }
+
+
+def run_spark_text(spark, sf_dir: str, case: dict):
+    from pyspark.sql import functions as F
+
+    from async_stream_processing_spark.sources.parquet import load_table
+
+    env = {"F": F}
+    df = load_table(spark, sf_dir, "documents")
+    for sexpr, _ in case["filters"]:
+        df = df.filter(eval(sexpr, env))
+    cols = [F.col("doc_id")] + [
+        eval(sexpr, env).alias(f"c{i}")
+        for i, (sexpr, _) in enumerate(case["exprs"])
+    ]
+    return df.select(*cols).toPandas()
+
+
+def run_duckdb_text(con, case: dict):
+    where = " AND ".join(q for _, q in case["filters"]) or "TRUE"
+    sel = ", ".join(f"{q} AS c{i}" for i, (_, q) in enumerate(case["exprs"]))
+    return con.execute(
+        f"SELECT doc_id, {sel} FROM documents WHERE {where}"
+    ).df()
+
+
+def fuzz_text(spark, con, sf_dir: str, n_cases: int, seed: int):
+    rng = random.Random(seed)
+    failures = []
+    for i in range(n_cases):
+        case = gen_text_case(rng)
+        err = compare(run_spark_text(spark, sf_dir, case),
+                      run_duckdb_text(con, case))
+        if err:
+            failures.append((i, err, case))
+    return failures
+
+
 def main():
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     streaming = "--streaming" in sys.argv
     window = "--window" in sys.argv
     scalar = "--scalar" in sys.argv
+    text = "--text" in sys.argv
     n = int(args[0]) if len(args) > 0 else 50
     seed = int(args[1]) if len(args) > 1 else 20260814
     sf_dir = args[2] if len(args) > 2 else "/root/testdata/sf0.01"
@@ -453,7 +554,7 @@ def main():
     spark = get_spark("fuzz")
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
-    for t in ("events", "customer"):
+    for t in ("events", "customer", "documents"):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
         )
@@ -463,10 +564,13 @@ def main():
         failures = fuzz_window(spark, con, sf_dir, n, seed)
     elif scalar:
         failures = fuzz_scalar(spark, con, sf_dir, n, seed)
+    elif text:
+        failures = fuzz_text(spark, con, sf_dir, n, seed)
     else:
         failures = fuzz(spark, con, sf_dir, n, seed)
     mode = (", streaming" if streaming else
-            ", window" if window else ", scalar" if scalar else "")
+            ", window" if window else ", scalar" if scalar
+            else ", text" if text else "")
     for i, err, case in failures:
         print(f"FAIL case {i}: {err}\n  {case}")
     print(f"{'FAIL' if failures else 'PASS'}: {n - len(failures)}/{n} "
