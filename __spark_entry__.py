@@ -1995,6 +1995,47 @@ def q_twap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ewma_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average per user — a SEQUENTIAL
+    recurrence (e_i = (3*x_i + 7*e_{i-1}) div 10, alpha=0.3) that no
+    window frame can express: computed as a keyed ordered FOLD.
+    Values are exact integers (2-dp decimal x 100 x 10^6 headroom) and
+    the recurrence uses only multiply/add/truncating-div, so the fold is
+    bit-identical across engines (Spark `div` and DuckDB `//` both
+    truncate toward zero) and the oracle is DuckDB's list_reduce over
+    the same ordered list.  State per user = its event list (the same
+    per-key-activity bound as sessionize/user_event_paths); one shuffle.
+    The emitted double is one final IEEE division."""
+    ev = load_table(spark, sf_dir, "events")
+    x = (
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+        * F.lit(1_000_000)
+    )
+    arr = F.array_sort(
+        F.collect_list(F.struct("ts", "event_id", x.alias("x")))
+    )
+    xs = F.transform(arr, lambda a: a["x"])
+
+    def step(acc, v):
+        y = acc * 7 + v * 3
+        # truncating div 10 via remainder: (y - y%10)/10 is an exact
+        # multiple of 10 (< 2^53), so the double division is exact
+        return ((y - y % 10) / 10).cast("long")
+
+    agg = ev.groupBy("user_id").agg(xs.alias("xs"))
+    ewma_scaled = F.aggregate(
+        F.slice(F.col("xs"), 2, F.greatest(F.size("xs") - 1, F.lit(0))),
+        F.element_at(F.col("xs"), 1),
+        step,
+    )
+    return agg.select(
+        "user_id",
+        F.size("xs").cast("long").alias("n_events"),
+        ewma_scaled.alias("ewma_scaled"),
+        (ewma_scaled.cast("double") / F.lit(100_000_000.0)).alias("ewma"),
+    )
+
+
 def q_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANALYZE-style equi-depth histogram of l_extendedprice: 10 buckets
     with equal row counts (NTILE), each reporting min/max/count — the
@@ -2489,6 +2530,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- added after the window froze: rotate into round 5 ---
         "equidepth_histogram": q_equidepth_histogram,
         "interval_coalesce": q_interval_coalesce,
+        "ewma_users": q_ewma_users,
         # --- displaced from the r4 window (double-green in r1+r2) ---
         "tpch_q7": q_tpch_q7,
         "tpch_q15": q_tpch_q15,
@@ -3725,6 +3767,20 @@ def oracle_sql() -> dict[str, str]:
         FROM iv
         WHERE dur_us IS NOT NULL
         GROUP BY user_id, day
+    """
+    out["ewma_users"] = """
+        WITH xs AS (
+            SELECT user_id,
+                   list(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                        * 1000000 ORDER BY ts, event_id) AS v
+            FROM events GROUP BY user_id)
+        SELECT user_id,
+               CAST(len(v) AS BIGINT) AS n_events,
+               CAST(list_reduce(v, (a, b) -> (7 * a + 3 * b) // 10)
+                    AS BIGINT) AS ewma_scaled,
+               CAST(list_reduce(v, (a, b) -> (7 * a + 3 * b) // 10)
+                    AS DOUBLE) / 100000000.0 AS ewma
+        FROM xs
     """
     out["equidepth_histogram"] = """
         WITH b AS (SELECT l_extendedprice,

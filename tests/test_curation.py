@@ -393,3 +393,33 @@ def test_interval_coalesce_islands(spark):
         for r in rows:
             assert r["island_start"] < r["island_end"]
             assert r["n_intervals"] >= 1
+
+
+def test_ewma_fold_matches_python(spark):
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "entry_ewma", "/root/repo/__spark_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    out = {r["user_id"]: r
+           for r in mod.q_ewma_users(spark, "/root/testdata/sf0.001").collect()}
+    # brute force the recurrence from the raw parquet
+    import duckdb
+
+    rows = duckdb.sql(
+        "SELECT user_id, CAST(CAST(value AS DECIMAL(18,2))*100 AS BIGINT) v "
+        "FROM '/root/testdata/sf0.001/events.parquet' ORDER BY ts, event_id"
+    ).fetchall()
+    series = {}
+    for u, v in rows:
+        series.setdefault(u, []).append(v * 1_000_000)
+    def trunc_div10(y):
+        return -((-y) // 10) if y < 0 else y // 10
+    for u, vs in series.items():
+        e = vs[0]
+        for v in vs[1:]:
+            e = trunc_div10(7 * e + 3 * v)
+        assert out[u]["ewma_scaled"] == e, u
+        assert out[u]["n_events"] == len(vs)
