@@ -1995,6 +1995,49 @@ def q_twap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality audit: one row per declared constraint with its
+    violation count — null keys, duplicate primary keys, foreign-key
+    orphans (anti-joins), domain-range breaches.  The pre-ingest gate a
+    lakehouse runs before committing a batch.  Each check is an
+    independent aggregate/anti-join unioned into one tiny result; at
+    100 TB each check is one scan (co-scheduled by the engine) and the
+    orphan checks broadcast the PK side when it fits."""
+    ev = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def row(name, df_count):
+        return df_count.select(
+            F.lit(name).alias("check_name"),
+            F.col("n").cast("long").alias("n_violations"),
+        )
+
+    checks = [
+        row("events_user_id_null",
+            ev.agg(F.count_if(F.col("user_id").isNull()).alias("n"))),
+        row("events_event_id_dup",
+            ev.agg((F.count(F.lit(1)) - F.countDistinct("event_id")).alias("n"))),
+        row("events_value_range",
+            ev.agg(F.count_if(
+                (F.col("value") < -1000) | (F.col("value") > 10000)
+            ).alias("n"))),
+        row("orders_custkey_orphan",
+            orders.join(cust, orders.o_custkey == cust.c_custkey, "left_anti")
+            .agg(F.count(F.lit(1)).alias("n"))),
+        row("lineitem_orderkey_orphan",
+            li.join(orders, li.l_orderkey == orders.o_orderkey, "left_anti")
+            .agg(F.count(F.lit(1)).alias("n"))),
+        row("lineitem_qty_nonpositive",
+            li.agg(F.count_if(F.col("l_quantity") <= 0).alias("n"))),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out
+
+
 def q_ewma_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exponentially-weighted moving average per user — a SEQUENTIAL
     recurrence (e_i = (3*x_i + 7*e_{i-1}) div 10, alpha=0.3) that no
@@ -2531,6 +2574,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "equidepth_histogram": q_equidepth_histogram,
         "interval_coalesce": q_interval_coalesce,
         "ewma_users": q_ewma_users,
+        "dq_audit": q_dq_audit,
         # --- displaced from the r4 window (double-green in r1+r2) ---
         "tpch_q7": q_tpch_q7,
         "tpch_q15": q_tpch_q15,
@@ -3767,6 +3811,33 @@ def oracle_sql() -> dict[str, str]:
         FROM iv
         WHERE dur_us IS NOT NULL
         GROUP BY user_id, day
+    """
+    out["dq_audit"] = """
+        SELECT 'events_user_id_null' AS check_name,
+               COUNT(*) FILTER (WHERE user_id IS NULL) AS n_violations
+        FROM events
+        UNION ALL
+        SELECT 'events_event_id_dup',
+               COUNT(*) - COUNT(DISTINCT event_id)
+        FROM events
+        UNION ALL
+        SELECT 'events_value_range',
+               COUNT(*) FILTER (WHERE value < -1000 OR value > 10000)
+        FROM events
+        UNION ALL
+        SELECT 'orders_custkey_orphan', COUNT(*)
+        FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = o.o_custkey)
+        UNION ALL
+        SELECT 'lineitem_orderkey_orphan', COUNT(*)
+        FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_orderkey = l.l_orderkey)
+        UNION ALL
+        SELECT 'lineitem_qty_nonpositive',
+               COUNT(*) FILTER (WHERE l_quantity <= 0)
+        FROM lineitem
     """
     out["ewma_users"] = """
         WITH xs AS (
