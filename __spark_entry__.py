@@ -2019,10 +2019,8 @@ def q_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ev.agg(F.count_if(F.col("user_id").isNull()).alias("n"))),
         row("events_event_id_dup",
             ev.agg((F.count(F.lit(1)) - F.countDistinct("event_id")).alias("n"))),
-        row("events_value_range",
-            ev.agg(F.count_if(
-                (F.col("value") < -1000) | (F.col("value") > 10000)
-            ).alias("n"))),
+        row("events_value_below_floor",
+            ev.agg(F.count_if(F.col("value") < 5).alias("n"))),
         row("orders_custkey_orphan",
             orders.join(cust, orders.o_custkey == cust.c_custkey, "left_anti")
             .agg(F.count(F.lit(1)).alias("n"))),
@@ -3821,8 +3819,8 @@ def oracle_sql() -> dict[str, str]:
                COUNT(*) - COUNT(DISTINCT event_id)
         FROM events
         UNION ALL
-        SELECT 'events_value_range',
-               COUNT(*) FILTER (WHERE value < -1000 OR value > 10000)
+        SELECT 'events_value_below_floor',
+               COUNT(*) FILTER (WHERE value < 5)
         FROM events
         UNION ALL
         SELECT 'orders_custkey_orphan', COUNT(*)
