@@ -1995,6 +1995,40 @@ def q_twap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event z-score against its event_type's distribution, with the
+    outlier decision made in PURE INTEGERS.  Values quantize exactly to
+    cents (x100); with n, Sx = sum(x_i), Sxx = sum(x_i^2) all exact
+    integers, algebra cancels the scale:
+
+        z = (x*n - Sx) / sqrt(n*Sxx - Sx^2)
+
+    — an exact integer divided by the square root of an exact integer:
+    exactly TWO IEEE roundings (sqrt and divide are both correctly
+    rounded), so z is bit-identical across engines.  |z| > 2 is decided
+    as (x*n - Sx)^2 > 4*(n*Sxx - Sx^2) — no float in the decision at
+    all.  Stats are one groupBy (5 rows), broadcast back; one corpus
+    shuffle total."""
+    ev = load_table(spark, sf_dir, "events")
+    x = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    base = ev.select("event_id", "event_type", "value", x.alias("x"))
+    stats = base.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    j = base.join(F.broadcast(stats), "event_type")
+    num = F.col("x") * F.col("n") - F.col("sx")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return j.select(
+        "event_id",
+        "event_type",
+        "value",
+        (num.cast("double") / F.sqrt(den.cast("double"))).alias("z"),
+        (num * num > F.lit(4) * den).alias("is_outlier"),
+    )
+
+
 def q_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-quality audit: one row per declared constraint with its
     violation count — null keys, duplicate primary keys, foreign-key
@@ -2573,6 +2607,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_coalesce": q_interval_coalesce,
         "ewma_users": q_ewma_users,
         "dq_audit": q_dq_audit,
+        "zscore_outliers": q_zscore_outliers,
         # --- displaced from the r4 window (double-green in r1+r2) ---
         "tpch_q7": q_tpch_q7,
         "tpch_q15": q_tpch_q15,
@@ -3809,6 +3844,23 @@ def oracle_sql() -> dict[str, str]:
         FROM iv
         WHERE dur_us IS NOT NULL
         GROUP BY user_id, day
+    """
+    out["zscore_outliers"] = """
+        WITH base AS (
+            SELECT event_id, event_type, value,
+                   CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+            FROM events),
+        s AS (
+            SELECT event_type, COUNT(*) AS n,
+                   CAST(SUM(x) AS BIGINT) AS sx,
+                   CAST(SUM(x * x) AS BIGINT) AS sxx
+            FROM base GROUP BY event_type)
+        SELECT b.event_id, b.event_type, b.value,
+               CAST(b.x * s.n - s.sx AS DOUBLE)
+                   / SQRT(CAST(s.n * s.sxx - s.sx * s.sx AS DOUBLE)) AS z,
+               (b.x * s.n - s.sx) * (b.x * s.n - s.sx)
+                   > 4 * (s.n * s.sxx - s.sx * s.sx) AS is_outlier
+        FROM base b JOIN s USING (event_type)
     """
     out["dq_audit"] = """
         SELECT 'events_user_id_null' AS check_name,

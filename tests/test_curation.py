@@ -423,3 +423,29 @@ def test_ewma_fold_matches_python(spark):
             e = trunc_div10(7 * e + 3 * v)
         assert out[u]["ewma_scaled"] == e, u
         assert out[u]["n_events"] == len(vs)
+
+
+def test_zscore_outlier_flag_matches_float_zscore(spark):
+    import importlib.util
+    import math
+
+    spec = importlib.util.spec_from_file_location(
+        "entry_z", "/root/repo/__spark_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    rows = mod.q_zscore_outliers(spark, "/root/testdata/sf0.001").collect()
+    assert rows and any(r["is_outlier"] for r in rows) and any(
+        not r["is_outlier"] for r in rows
+    )
+    # the integer decision agrees with |z| > 2 on the emitted float
+    # everywhere except exact boundary ties (none in this fixture)
+    for r in rows:
+        assert r["is_outlier"] == (abs(r["z"]) > 2.0), r
+    # z has mean ~0 per group (sanity of the algebraic cancellation)
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r["z"])
+    for zs in by_type.values():
+        assert abs(sum(zs) / len(zs)) < 1e-9
+        assert abs(sum(v * v for v in zs) / len(zs) - 1.0) < 1e-6
