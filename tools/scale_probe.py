@@ -115,6 +115,11 @@ def main() -> None:
             lambda li: association_rules(
                 li, "l_orderkey", "l_partkey", 2, 1, 20),
             li1, li8),
+        "substring_dups": (_sub_dups, docs1, docs8),
+        "twap_daily": (_twap, ev1, ev8),
+        "interval_coalesce": (_coalesce, ev1, ev8),
+        "ewma_users": (_ewma, ev1, ev8),
+        "zscore_outliers": (_zscore, ev1, ev8),
     }
     for name, (fn, one, eight) in ops.items():
         if ONLY and name not in ONLY:
@@ -125,6 +130,68 @@ def main() -> None:
             f"{name:22s} 1x={t1:6.2f}s  8x={t8:6.2f}s  ratio={t8 / t1:5.2f}x",
             flush=True,
         )
+
+
+def _sub_dups(docs):
+    from async_stream_processing_spark.llm.dedup import substring_dups
+
+    return substring_dups(docs, n=20, w=8)
+
+
+def _twap(ev):
+    from pyspark.sql import functions as F
+
+    ev2 = ev.withColumn("day", F.to_date("ts"))
+    w = Window.partitionBy("user_id", "day").orderBy("ts", "event_id")
+    dur = F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts")
+    iv = ev2.withColumn("dur_us", dur).filter(F.col("dur_us").isNotNull())
+    num = F.sum(F.col("value").cast("decimal(18,2)")
+                * F.col("dur_us").cast("decimal(18,0)"))
+    den = F.sum(F.col("dur_us").cast("decimal(18,0)"))
+    return iv.groupBy("user_id", "day").agg(
+        (num.cast("double") / den.cast("double")).alias("twap"))
+
+
+def _coalesce(ev):
+    from pyspark.sql import functions as F
+
+    iv = ev.select("user_id", F.col("ts").alias("s"),
+                   (F.col("ts") + F.expr("INTERVAL 5 MINUTES")).alias("e"))
+    w = Window.partitionBy("user_id").orderBy("s", "e")
+    pm = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    f = iv.withColumn("ni", F.when(pm.isNull() | (F.col("s") > pm), 1).otherwise(0))
+    i = f.withColumn("isl", F.sum("ni").over(w))
+    return i.groupBy("user_id", "isl").agg(F.min("s"), F.max("e"), F.count(F.lit(1)))
+
+
+def _ewma(ev):
+    from pyspark.sql import functions as F
+
+    x = (F.col("value").cast("decimal(18,2)") * 100).cast("long") * F.lit(1_000_000)
+    arr = F.array_sort(F.collect_list(F.struct("ts", "event_id", x.alias("x"))))
+    xs = F.transform(arr, lambda a: a["x"])
+    agg = ev.groupBy("user_id").agg(xs.alias("xs"))
+    fold = F.aggregate(
+        F.slice(F.col("xs"), 2, F.greatest(F.size("xs") - 1, F.lit(0))),
+        F.element_at(F.col("xs"), 1),
+        lambda acc, v: (((acc * 7 + v * 3) - (acc * 7 + v * 3) % 10) / 10).cast("long"),
+    )
+    return agg.select("user_id", fold.alias("ewma_scaled"))
+
+
+def _zscore(ev):
+    from pyspark.sql import functions as F
+
+    x = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    base = ev.select("event_id", "event_type", "value", x.alias("x"))
+    stats = base.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"))
+    j = base.join(F.broadcast(stats), "event_type")
+    num = F.col("x") * F.col("n") - F.col("sx")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return j.select("event_id",
+                    (num.cast("double") / F.sqrt(den.cast("double"))).alias("z"))
 
 
 def _scd2(ev: DataFrame) -> DataFrame:
