@@ -2018,14 +2018,30 @@ def q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x") * F.col("x")).alias("sxx"),
     )
     j = base.join(F.broadcast(stats), "event_type")
-    num = F.col("x") * F.col("n") - F.col("sx")
-    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    # decimal(38,0) space: num ~ x*n grows linearly and den ~ n^2*var
+    # quadratically with group size, and the decision squares num again
+    # -- int64 overflows near 1e6-row groups (ANSI crash / oracle
+    # Out-of-Range), decimal(38,0) holds to ~1e12-row groups
+    d38 = "decimal(38,0)"
+    num = (
+        F.col("x").cast(d38) * F.col("n").cast(d38) - F.col("sx").cast(d38)
+    )
+    den = (
+        F.col("n").cast(d38) * F.col("sxx").cast(d38)
+        - F.col("sx").cast(d38) * F.col("sx").cast(d38)
+    )
+    # den = 0 (singleton or constant group): NULL in both engines --
+    # Spark would emit NaN for 0/0 where DuckDB's double division
+    # returns NULL, so the guard is part of the portability contract
+    z = F.when(
+        den > 0, num.cast("double") / F.sqrt(den.cast("double"))
+    )
     return j.select(
         "event_id",
         "event_type",
         "value",
-        (num.cast("double") / F.sqrt(den.cast("double"))).alias("z"),
-        (num * num > F.lit(4) * den).alias("is_outlier"),
+        z.alias("z"),
+        (num * num > F.lit(4).cast(d38) * den).alias("is_outlier"),
     )
 
 
@@ -3856,11 +3872,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(x * x) AS BIGINT) AS sxx
             FROM base GROUP BY event_type)
         SELECT b.event_id, b.event_type, b.value,
-               CAST(b.x * s.n - s.sx AS DOUBLE)
-                   / SQRT(CAST(s.n * s.sxx - s.sx * s.sx AS DOUBLE)) AS z,
-               (b.x * s.n - s.sx) * (b.x * s.n - s.sx)
-                   > 4 * (s.n * s.sxx - s.sx * s.sx) AS is_outlier
-        FROM base b JOIN s USING (event_type)
+               CASE WHEN nd.den > 0 THEN CAST(nd.num AS DOUBLE)
+                    / SQRT(CAST(nd.den AS DOUBLE)) END AS z,
+               nd.num * nd.num > 4 * nd.den AS is_outlier
+        FROM base b
+        JOIN s USING (event_type)
+        CROSS JOIN LATERAL (
+            SELECT CAST(b.x AS DECIMAL(38,0)) * s.n
+                       - CAST(s.sx AS DECIMAL(38,0)) AS num,
+                   CAST(s.n AS DECIMAL(38,0)) * s.sxx
+                       - CAST(s.sx AS DECIMAL(38,0)) * s.sx AS den) nd
     """
     out["dq_audit"] = """
         SELECT 'events_user_id_null' AS check_name,

@@ -139,25 +139,27 @@ def gopher_repetition(docs: DataFrame, text: str = "text") -> DataFrame:
         {f"top{n}_chars": 0 for n in (2, 3, 4)} | {"dup5_chars": 0}
     )
     tot = F.col("total_word_chars")
-    flags = []
+    flag_exprs = []
     for n, (num, den) in GOPHER_TOP_NGRAM.items():
-        flags.append(
-            (F.col(f"top{n}_chars") * den > tot * num).alias(f"flag_top{n}")
+        flag_exprs.append(
+            (f"flag_top{n}", F.col(f"top{n}_chars") * den > tot * num)
         )
-    dn, (dnum, dden) = 5, GOPHER_DUP_NGRAM[5]
-    flags.append((F.col("dup5_chars") * dden > tot * dnum).alias("flag_dup5"))
+    dnum, dden = GOPHER_DUP_NGRAM[5]
+    flag_exprs.append(("flag_dup5", F.col("dup5_chars") * dden > tot * dnum))
+    flags = [expr.alias(name) for name, expr in flag_exprs]
+
+    def frac(col):
+        # guard tot = 0 (whitespace-only doc): NULL in both engines --
+        # Spark's 0.0/0.0 is NaN where DuckDB's is NULL
+        return F.when(tot > 0, col.cast("double") / tot.cast("double"))
+
     fracs = [
-        (F.col(f"top{n}_chars").cast("double") / tot.cast("double")).alias(
-            f"top{n}_frac"
-        )
-        for n in (2, 3, 4)
-    ] + [(F.col("dup5_chars").cast("double") / tot.cast("double")).alias("dup5_frac")]
-    keep = ~(
-        (F.col("top2_chars") * 5 > tot)
-        | (F.col("top3_chars") * 50 > tot * 9)
-        | (F.col("top4_chars") * 25 > tot * 4)
-        | (F.col("dup5_chars") * 20 > tot * 3)
-    )
+        frac(F.col(f"top{n}_chars")).alias(f"top{n}_frac") for n in (2, 3, 4)
+    ] + [frac(F.col("dup5_chars")).alias("dup5_frac")]
+    any_flag = flag_exprs[0][1]
+    for _, expr in flag_exprs[1:]:
+        any_flag = any_flag | expr
+    keep = ~any_flag
     return out.select(
         "doc_id",
         "total_word_chars",
@@ -177,6 +179,20 @@ def sql_gopher_repetition(src: str = "documents") -> str:
         f"SELECT doc_id, {n} AS n, unnest({sql_shingles('w', n)}) AS s FROM words"
         for n in (2, 3, 4, 5)
     )
+    flag_terms = [
+        (f"flag_top{n}",
+         f"COALESCE(w.top{n}_chars, 0) * {den} > t.total_word_chars * {num}")
+        for n, (num, den) in GOPHER_TOP_NGRAM.items()
+    ]
+    dnum, dden = GOPHER_DUP_NGRAM[5]
+    flag_terms.append(
+        ("flag_dup5",
+         f"COALESCE(w.dup5_chars, 0) * {dden} > t.total_word_chars * {dnum}")
+    )
+    flag_sql = ",\n               ".join(
+        f"{expr} AS {name}" for name, expr in flag_terms
+    )
+    any_flag_sql = "\n                    OR ".join(e for _, e in flag_terms)
     return f"""
         WITH words AS (SELECT doc_id, {sql_tokens('text')} AS w FROM {src}),
         totals AS (SELECT doc_id,
@@ -202,23 +218,20 @@ def sql_gopher_repetition(src: str = "documents") -> str:
                CAST(COALESCE(w.top3_chars, 0) AS BIGINT) AS top3_chars,
                CAST(COALESCE(w.top4_chars, 0) AS BIGINT) AS top4_chars,
                CAST(COALESCE(w.dup5_chars, 0) AS BIGINT) AS dup5_chars,
-               CAST(COALESCE(w.top2_chars, 0) AS DOUBLE)
-                   / CAST(t.total_word_chars AS DOUBLE) AS top2_frac,
-               CAST(COALESCE(w.top3_chars, 0) AS DOUBLE)
-                   / CAST(t.total_word_chars AS DOUBLE) AS top3_frac,
-               CAST(COALESCE(w.top4_chars, 0) AS DOUBLE)
-                   / CAST(t.total_word_chars AS DOUBLE) AS top4_frac,
-               CAST(COALESCE(w.dup5_chars, 0) AS DOUBLE)
-                   / CAST(t.total_word_chars AS DOUBLE) AS dup5_frac,
-               COALESCE(w.top2_chars, 0) * 5 > t.total_word_chars AS flag_top2,
-               COALESCE(w.top3_chars, 0) * 50 > t.total_word_chars * 9 AS flag_top3,
-               COALESCE(w.top4_chars, 0) * 25 > t.total_word_chars * 4 AS flag_top4,
-               COALESCE(w.dup5_chars, 0) * 20 > t.total_word_chars * 3 AS flag_dup5,
-               NOT (COALESCE(w.top2_chars, 0) * 5 > t.total_word_chars
-                    OR COALESCE(w.top3_chars, 0) * 50 > t.total_word_chars * 9
-                    OR COALESCE(w.top4_chars, 0) * 25 > t.total_word_chars * 4
-                    OR COALESCE(w.dup5_chars, 0) * 20 > t.total_word_chars * 3)
-                   AS keep
+               CASE WHEN t.total_word_chars > 0 THEN
+                   CAST(COALESCE(w.top2_chars, 0) AS DOUBLE)
+                   / CAST(t.total_word_chars AS DOUBLE) END AS top2_frac,
+               CASE WHEN t.total_word_chars > 0 THEN
+                   CAST(COALESCE(w.top3_chars, 0) AS DOUBLE)
+                   / CAST(t.total_word_chars AS DOUBLE) END AS top3_frac,
+               CASE WHEN t.total_word_chars > 0 THEN
+                   CAST(COALESCE(w.top4_chars, 0) AS DOUBLE)
+                   / CAST(t.total_word_chars AS DOUBLE) END AS top4_frac,
+               CASE WHEN t.total_word_chars > 0 THEN
+                   CAST(COALESCE(w.dup5_chars, 0) AS DOUBLE)
+                   / CAST(t.total_word_chars AS DOUBLE) END AS dup5_frac,
+               {flag_sql},
+               NOT ({any_flag_sql}) AS keep
         FROM totals t LEFT JOIN wide w ON w.doc_id = t.doc_id
     """
 

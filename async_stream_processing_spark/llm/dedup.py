@@ -581,10 +581,7 @@ def substring_dups(
         F.lit(1), F.greatest(F.length(t) - n + 1, F.lit(0))
     )
     grams = F.transform(pos, lambda p: t.substr(p, F.lit(n)))
-    h = F.transform(
-        grams,
-        lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long"),
-    )
+    h = F.transform(grams, stable_hash60)
     arr = base.filter(F.length(t) >= n).select(
         "doc_id", grams.alias("grams"), h.alias("h")
     )

@@ -320,24 +320,33 @@ def inverted_index(
 
     ``collect_list`` after the token shuffle is arrival-ordered, so the
     list is ``array_sort``-ed before joining — deterministic under any
-    partitioning.  Posting lists are capped at ``max_postings`` ids
-    (``n_postings`` still reports the true df): stop-word-like tokens
-    would otherwise produce per-group state proportional to corpus size,
-    the one unbounded thing in this plan.  One shuffle on the token key.
+    partitioning.  Emitted posting lists are capped at ``max_postings``
+    ids (``df`` still reports the true document frequency).  NOTE the
+    cap bounds the OUTPUT row, not aggregation state: ``collect_list``
+    still materializes the full O(df) list for a stop-word-grade token
+    before the slice.  The state-bounding form at corpus scale is a
+    distributed top-N per key (window ``row_number <= max_postings``
+    before the collect), traded off here because it costs a second sort
+    of every token group to protect against a handful of hot ones —
+    salt or pre-filter hot tokens instead when they matter.  One shuffle
+    on the token key; the list is collected ONCE and both output
+    columns derive from it.
     """
-    toks = docs.select(F.col("doc_id"), F.explode(tokens(text)).alias("tok")).distinct()
-    return toks.groupBy("tok").agg(
+    toks = docs.select(
+        F.col("doc_id"), F.explode(tokens(text)).alias("tok")
+    ).distinct()
+    agg = toks.groupBy("tok").agg(
         F.count(F.lit(1)).alias("df"),
+        F.slice(F.array_sort(F.collect_list("doc_id")), 1, max_postings)
+        .alias("plist"),
+    )
+    return agg.select(
+        "tok",
+        "df",
         F.concat_ws(
-            ",",
-            F.transform(
-                F.slice(F.array_sort(F.collect_list("doc_id")), 1, max_postings),
-                lambda x: x.cast("string"),
-            ),
+            ",", F.transform(F.col("plist"), lambda x: x.cast("string"))
         ).alias("postings"),
-        F.size(
-            F.slice(F.array_sort(F.collect_list("doc_id")), 1, max_postings)
-        ).cast("long").alias("n_postings"),
+        F.size("plist").cast("long").alias("n_postings"),
     )
 
 

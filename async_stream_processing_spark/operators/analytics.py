@@ -244,11 +244,19 @@ def sole_contributor(
     )
 
 
+def _basket_items(df: DataFrame, basket: str, item: str) -> DataFrame:
+    """Deduplicated (basket, item) projection shared by the basket ops."""
+    return df.select(
+        F.col(basket).alias("__b"), F.col(item).alias("__i")
+    ).distinct()
+
+
 def cooccurrence_pairs(
     df: DataFrame,
     basket: str,
     item: str,
     min_count: int = 2,
+    _items: DataFrame | None = None,
 ) -> DataFrame:
     """Market-basket co-occurrence: pairs of distinct items appearing in
     the same basket, counted across baskets (the co-purchase /
@@ -263,9 +271,7 @@ def cooccurrence_pairs(
     stays linear in input x basket-size.  Returns
     (item_a, item_b, n_baskets) with ``n_baskets >= min_count``.
     """
-    d = df.select(
-        F.col(basket).alias("__b"), F.col(item).alias("__i")
-    ).distinct()
+    d = _items if _items is not None else _basket_items(df, basket, item)
     a, b = d.alias("a"), d.alias("b")
     return (
         a.join(
@@ -298,13 +304,13 @@ def association_rules(
 
     Plan: the pair counts come from :func:`cooccurrence_pairs` (one
     co-partitioned self-join), item frequencies from one groupBy, the
-    basket total from a 1-row broadcast — no extra pass over the raw
-    basket table.
+    basket total from a 1-row broadcast — all four consumers share ONE
+    deduplicated (basket, item) projection, so the raw basket table is
+    scanned once.
     """
-    d = df.select(
-        F.col(basket).alias("__b"), F.col(item).alias("__i")
-    ).distinct()
-    pairs = cooccurrence_pairs(df, basket, item, min_count=min_count)
+    d = _basket_items(df, basket, item)
+    pairs = cooccurrence_pairs(df, basket, item, min_count=min_count,
+                               _items=d)
     both = pairs.unionByName(
         pairs.select(
             F.col("item_b").alias("item_a"),
