@@ -2623,6 +2623,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_coalesce": q_interval_coalesce,
         "ewma_users": q_ewma_users,
         "dq_audit": q_dq_audit,
+        "incremental_dedup": LLM_QUERIES["incremental_dedup"],
         "zscore_outliers": q_zscore_outliers,
         # --- displaced from the r4 window (double-green in r1+r2) ---
         "tpch_q7": q_tpch_q7,
@@ -2651,6 +2652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 "gopher_repetition", "gopher_quality", "pack_sequences",
                 "mixture_sample", "heavy_hitters", "inverted_index",
                 "doc_chunks", "stream_gopher_quality", "substring_dups",
+                "incremental_dedup",
             )
         },
         "filter_project": q_filter_project,

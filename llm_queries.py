@@ -532,8 +532,30 @@ def q_substring_dups(spark, sf_dir):
     return substring_dups(_docs(spark, sf_dir), n=20, w=8)
 
 
+def q_incremental_dedup(spark, sf_dir):
+    """Incremental (batch-vs-stored-corpus) near-dedup SEMANTICS, gated:
+    an ingest batch (doc_id % 5 == 0) checked against the stored corpus
+    (the rest) finds exactly the cross-split verified near-dup pairs the
+    monolithic run finds.  The storage side of this path (corpus band
+    buckets persisted bucketed-by-signature, batch joins with ZERO
+    corpus shuffle) is pinned by
+    tests/test_scale.py::test_incremental_dedup_bucketed; this query
+    gates the semantics cross-engine."""
+    docs = _docs(spark, sf_dir)
+    pairs = minhash_dedup_pairs(docs, threshold=0.25)
+    a_new = F.col("doc_a") % 5 == 0
+    b_new = F.col("doc_b") % 5 == 0
+    cross = pairs.filter(a_new != b_new)
+    return cross.select(
+        F.when(a_new, F.col("doc_a")).otherwise(F.col("doc_b")).alias("doc_new"),
+        F.when(a_new, F.col("doc_b")).otherwise(F.col("doc_a")).alias("doc_corpus"),
+        "jaccard",
+    )
+
+
 LLM_QUERIES = {
     "heavy_hitters": q_heavy_hitters,
+    "incremental_dedup": q_incremental_dedup,
     "substring_dups": q_substring_dups,
     "inverted_index": q_inverted_index,
     "doc_chunks": q_doc_chunks,
@@ -782,6 +804,19 @@ def llm_oracle_sql() -> dict[str, str]:
             {_sql_lsh_pairs(0.25)}
             SELECT doc_a, doc_b, n_common, n_a, n_b, jaccard
             FROM jac WHERE jaccard >= 0.25
+        """,
+        "incremental_dedup": f"""
+            WITH {_sql_doc_shingles()},
+            {_sql_minhash_sig()},
+            {_sql_lsh_pairs(0.25)}
+            SELECT CASE WHEN doc_a % 5 = 0 THEN doc_a ELSE doc_b END
+                       AS doc_new,
+                   CASE WHEN doc_a % 5 = 0 THEN doc_b ELSE doc_a END
+                       AS doc_corpus,
+                   jaccard
+            FROM jac
+            WHERE jaccard >= 0.25
+              AND (doc_a % 5 = 0) <> (doc_b % 5 = 0)
         """,
         "dedup_clusters": f"""
             WITH RECURSIVE {_sql_doc_shingles()},
