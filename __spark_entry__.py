@@ -1995,6 +1995,51 @@ def q_twap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pattern_no_interrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Negative-condition sequence matching (the MATCH_RECOGNIZE pattern
+    `click -> purchase within 30min with NO error between`): for each
+    purchase, running last-click and last-error timestamps via
+    ignore-null last_value windows; the match condition is pure column
+    logic on those.  One shuffle on the user key, one sort shared by
+    both windows — funnel_steps' positive-ordering cousin with the
+    interruption clause funnels can't express."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    last_click = F.last(
+        F.when(F.col("event_type") == "click", F.col("ts")), ignorenulls=True
+    ).over(w)
+    last_error = F.last(
+        F.when(F.col("event_type") == "error", F.col("ts")), ignorenulls=True
+    ).over(w)
+    purchases = (
+        ev.withColumn("last_click_ts", last_click)
+        .withColumn("last_error_ts", last_error)
+        .filter(F.col("event_type") == "purchase")
+    )
+    matched = (
+        F.col("last_click_ts").isNotNull()
+        & (F.col("ts") <= F.col("last_click_ts") + F.expr("INTERVAL 30 MINUTES"))
+        & (
+            F.col("last_error_ts").isNull()
+            | (F.col("last_error_ts") < F.col("last_click_ts"))
+        )
+    )
+    return purchases.select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        "last_click_ts",
+        "last_error_ts",
+        matched.alias("matched"),
+    )
+
+
 def q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event z-score against its event_type's distribution, with the
     outlier decision made in PURE INTEGERS.  Values quantize exactly to
@@ -2624,6 +2669,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewma_users": q_ewma_users,
         "dq_audit": q_dq_audit,
         "incremental_dedup": LLM_QUERIES["incremental_dedup"],
+        "pattern_no_interrupt": q_pattern_no_interrupt,
         "zscore_outliers": q_zscore_outliers,
         # --- displaced from the r4 window (double-green in r1+r2) ---
         "tpch_q7": q_tpch_q7,
@@ -3862,6 +3908,25 @@ def oracle_sql() -> dict[str, str]:
         FROM iv
         WHERE dur_us IS NOT NULL
         GROUP BY user_id, day
+    """
+    out["pattern_no_interrupt"] = """
+        WITH marked AS (
+            SELECT event_id, user_id, ts, event_type,
+                   LAST_VALUE(CASE WHEN event_type = 'click' THEN ts END
+                              IGNORE NULLS) OVER w AS last_click_ts,
+                   LAST_VALUE(CASE WHEN event_type = 'error' THEN ts END
+                              IGNORE NULLS) OVER w AS last_error_ts
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        SELECT event_id, user_id, ts AS purchase_ts,
+               last_click_ts, last_error_ts,
+               (last_click_ts IS NOT NULL
+                AND ts <= last_click_ts + INTERVAL 30 MINUTE
+                AND (last_error_ts IS NULL
+                     OR last_error_ts < last_click_ts)) AS matched
+        FROM marked
+        WHERE event_type = 'purchase'
     """
     out["zscore_outliers"] = """
         WITH base AS (

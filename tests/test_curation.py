@@ -449,3 +449,42 @@ def test_zscore_outlier_flag_matches_float_zscore(spark):
     for zs in by_type.values():
         assert abs(sum(zs) / len(zs)) < 1e-9
         assert abs(sum(v * v for v in zs) / len(zs) - 1.0) < 1e-6
+
+
+def test_pattern_no_interrupt_bruteforce(spark):
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "entry_pat", "/root/repo/__spark_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    got = {r["event_id"]: r["matched"]
+           for r in mod.q_pattern_no_interrupt(
+               spark, "/root/testdata/sf0.001").collect()}
+    assert got and any(got.values()) and not all(got.values())
+    import duckdb
+    from datetime import timedelta
+
+    rows = duckdb.sql(
+        "SELECT user_id, ts, event_id, event_type "
+        "FROM '/root/testdata/sf0.001/events.parquet' "
+        "ORDER BY user_id, ts, event_id"
+    ).fetchall()
+    by_user = {}
+    for u, ts, eid, et in rows:
+        by_user.setdefault(u, []).append((ts, eid, et))
+    for u, evs in by_user.items():
+        last_click = last_error = None
+        for ts, eid, et in evs:
+            if et == "purchase":
+                expect = (
+                    last_click is not None
+                    and ts <= last_click + timedelta(minutes=30)
+                    and (last_error is None or last_error < last_click)
+                )
+                assert got[eid] == expect, (u, eid)
+            if et == "click":
+                last_click = ts
+            elif et == "error":
+                last_error = ts
