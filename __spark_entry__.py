@@ -1988,8 +1988,10 @@ def q_twap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         * F.col("dur_us").cast("decimal(18,0)")
     )
     den = F.sum(F.col("dur_us").cast("decimal(18,0)"))
+    # a (user, day) whose intervals all have zero duration (duplicate
+    # timestamps only) would hit 0/0: NULL in both engines, not Spark NaN
     return iv.groupBy("user_id", "day").agg(
-        (num.cast("double") / den.cast("double")).alias("twap"),
+        F.when(den > 0, num.cast("double") / den.cast("double")).alias("twap"),
         den.cast("long").alias("total_dur_us"),
         F.count(F.lit(1)).alias("n_intervals"),
     )
@@ -3899,10 +3901,11 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY ts, event_id)) - epoch_us(ts) AS dur_us
             FROM events)
         SELECT user_id, day,
-               CAST(SUM(CAST(value AS DECIMAL(18,2))
-                        * CAST(dur_us AS DECIMAL(18,0))) AS DOUBLE)
+               CASE WHEN SUM(CAST(dur_us AS DECIMAL(18,0))) > 0 THEN
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))
+                            * CAST(dur_us AS DECIMAL(18,0))) AS DOUBLE)
                    / CAST(SUM(CAST(dur_us AS DECIMAL(18,0))) AS DOUBLE)
-                   AS twap,
+               END AS twap,
                CAST(SUM(dur_us) AS BIGINT) AS total_dur_us,
                COUNT(*) AS n_intervals
         FROM iv
