@@ -25,6 +25,7 @@ EXAMPLES = [
     "e13_analytics_suite",
     "e14_embedding_graph",
     "e15_corpus_curation",
+    "e16_ops_observability",
 ]
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "examples"))
