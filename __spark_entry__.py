@@ -2059,10 +2059,13 @@ def q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     x = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
     base = ev.select("event_id", "event_type", "value", x.alias("x"))
+    # sums in decimal(38,0): int64 sum(x*x) overflows near 1e7-row
+    # groups (x^2 ~ 1e9 per row) long before the downstream decision
+    xd = F.col("x").cast("decimal(38,0)")
     stats = base.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("x").alias("sx"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(xd).cast("decimal(38,0)").alias("sx"),
+        F.sum(xd * xd).cast("decimal(38,0)").alias("sxx"),
     )
     j = base.join(F.broadcast(stats), "event_type")
     # decimal(38,0) space: num ~ x*n grows linearly and den ~ n^2*var
@@ -3937,9 +3940,11 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
             FROM events),
         s AS (
+            -- DuckDB SUM(BIGINT) accumulates in HUGEINT; land it in
+            -- DECIMAL(38,0) to mirror the Spark side's sum type
             SELECT event_type, COUNT(*) AS n,
-                   CAST(SUM(x) AS BIGINT) AS sx,
-                   CAST(SUM(x * x) AS BIGINT) AS sxx
+                   CAST(SUM(x) AS DECIMAL(38,0)) AS sx,
+                   CAST(SUM(x * x) AS DECIMAL(38,0)) AS sxx
             FROM base GROUP BY event_type)
         SELECT b.event_id, b.event_type, b.value,
                CASE WHEN nd.den > 0 THEN CAST(nd.num AS DOUBLE)

@@ -70,8 +70,10 @@ def _word_chars(words) -> F.Column:
 def gopher_repetition(docs: DataFrame, text: str = "text") -> DataFrame:
     """Per-document Gopher repetition signals + integer-exact keep flags.
 
-    For n in {2,3,4}: ``top{n}_chars`` = occurrence-characters of the most
-    frequent word n-gram (count x gram word-chars); for n=5:
+    For n in {2,3,4}: ``top{n}_chars`` = occurrence-characters of THE
+    most frequent word n-gram — argmax by count, ties broken toward the
+    longer then lexicographically greater gram so the pick is
+    deterministic cross-engine — times its word-chars; for n=5:
     ``dup5_chars`` = occurrence-characters of all 5-grams occurring more
     than once (overlaps counted per occurrence, as in the paper's
     duplicate-n-gram family; the fraction may exceed 1 on degenerate
@@ -111,11 +113,20 @@ def gopher_repetition(docs: DataFrame, text: str = "text") -> DataFrame:
     per = per.withColumn(
         "gc", (F.length("s") - (F.col("n") - F.lit(1))).cast("long")
     )
+    # THE most frequent gram per (doc, n) -- not the max-coverage gram:
+    # the paper's rule scores the top-count gram's coverage
+    w_top = Window.partitionBy("doc_id", "n").orderBy(
+        F.desc("c"), F.desc("gc"), F.desc("s")
+    )
+    per = per.withColumn("rn", F.row_number().over(w_top))
     wide = per.groupBy("doc_id").agg(
         *[
             F.coalesce(
                 F.max(
-                    F.when(F.col("n") == n, F.col("c") * F.col("gc"))
+                    F.when(
+                        (F.col("n") == n) & (F.col("rn") == 1),
+                        F.col("c") * F.col("gc"),
+                    )
                 ),
                 F.lit(0),
             )
@@ -201,10 +212,14 @@ def sql_gopher_repetition(src: str = "documents") -> str:
                    FROM words),
         grams AS ({gram_selects}),
         per AS (SELECT doc_id, n, s, COUNT(*) AS c,
-                       len(s) - (n - 1) AS gc
+                       len(s) - (n - 1) AS gc,
+                       ROW_NUMBER() OVER (PARTITION BY doc_id, n
+                                          ORDER BY COUNT(*) DESC,
+                                                   len(s) - (n - 1) DESC,
+                                                   s DESC) AS rn
                 FROM grams GROUP BY doc_id, n, s),
         agg AS (SELECT doc_id, n,
-                       MAX(c * gc) AS top_chars,
+                       MAX(CASE WHEN rn = 1 THEN c * gc END) AS top_chars,
                        SUM(CASE WHEN c >= 2 THEN c * gc ELSE 0 END) AS dup_chars
                 FROM per GROUP BY doc_id, n),
         wide AS (SELECT doc_id,

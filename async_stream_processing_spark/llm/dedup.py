@@ -32,6 +32,7 @@ from ..functions.hashing import (
     MINHASH_P,
     minhash_coeffs,
     minhash_term,
+    sql_stable_hash60,
     stable_hash60,
 )
 from ..functions.text import shingles
@@ -647,7 +648,7 @@ def sql_substring_dups(src: str = "documents", n: int = 20, w: int = 8) -> str:
         harr AS (
             SELECT doc_id, grams,
                    list_transform(grams,
-                       g -> CAST('0x' || substr(md5(g), 1, 15) AS BIGINT))
+                       g -> {sql_stable_hash60('g')})
                        AS h
             FROM arr),
         sel AS (

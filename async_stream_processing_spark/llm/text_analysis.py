@@ -271,7 +271,9 @@ def heavy_hitters(docs: DataFrame, k: int = 20, text: str = "text") -> DataFrame
       heavy hitter, and each partition contributes at most k-1 of them.
     * Pass 2 recounts exactly, restricted to the (tiny, broadcast)
       candidate set, and applies the global threshold with a
-      cross-multiplied integer test.
+      cross-multiplied integer test.  Partition totals and the grand
+      total roll up from the pass-1 summary, so the corpus is exploded
+      exactly twice (prune + recount), never more.
 
     The output is exact and INDEPENDENT of partitioning — partition ids
     only affect which non-hitters get pruned early — so the oracle is a
@@ -279,15 +281,20 @@ def heavy_hitters(docs: DataFrame, k: int = 20, text: str = "text") -> DataFrame
     """
     toks = docs.select(F.explode(tokens(text)).alias("tok"))
     part = toks.withColumn("pid", F.spark_partition_id())
-    local = part.groupBy("pid", "tok").agg(F.count(F.lit(1)).alias("c"))
-    per_part = part.groupBy("pid").agg(F.count(F.lit(1)).alias("np"))
+    # ONE corpus explode feeds everything: per-partition totals and the
+    # grand total both roll up from the (pid, tok) summary (a few
+    # thousand rows), not from re-scanning the corpus
+    local = part.groupBy("pid", "tok").agg(
+        F.count(F.lit(1)).alias("c")
+    ).localCheckpoint(eager=False)
+    per_part = local.groupBy("pid").agg(F.sum("c").alias("np"))
     cand = (
         local.join(per_part, "pid")
         .filter(F.col("c") * k > F.col("np"))
         .select("tok")
         .distinct()
     )
-    n_total = toks.agg(F.count(F.lit(1)).alias("n_total"))
+    n_total = local.agg(F.sum("c").cast("long").alias("n_total"))
     return (
         toks.join(F.broadcast(cand), "tok")
         .groupBy("tok")

@@ -472,7 +472,8 @@ def q_pack_sequences(spark, sf_dir):
 
 def q_mixture_sample(spark, sf_dir):
     """Source-mixture balancing: hash-gated downsample of every source to
-    the smallest source's count, acceptance decided by cross-multiplied
+    the same target — MIX_TARGET_NUM/MIX_TARGET_DEN (=1/2) of the
+    SMALLEST source's count — acceptance decided by cross-multiplied
     integers (no division), per-source count table broadcast
     (llm/curation.py)."""
     from async_stream_processing_spark.llm.curation import mixture_sample
@@ -763,28 +764,21 @@ def llm_oracle_sql() -> dict[str, str]:
         for j in range(simhash_bits)
     )
     from async_stream_processing_spark.llm.curation import (
+        sql_chunk_documents,
         sql_gopher_quality,
         sql_gopher_repetition,
         sql_mixture_sample,
         sql_pack_sequences,
     )
-
+    from async_stream_processing_spark.llm.dedup import sql_substring_dups
     from async_stream_processing_spark.llm.text_analysis import (
         sql_heavy_hitters,
-    )
-
-    from async_stream_processing_spark.llm.curation import (
-        sql_chunk_documents,
-    )
-    from async_stream_processing_spark.llm.text_analysis import (
         sql_inverted_index,
     )
 
     return {
         "heavy_hitters": sql_heavy_hitters(k=30),
-        "substring_dups": __import__(
-            "async_stream_processing_spark.llm.dedup", fromlist=["x"]
-        ).sql_substring_dups(n=20, w=8),
+        "substring_dups": sql_substring_dups(n=20, w=8),
         "inverted_index": sql_inverted_index(max_postings=1000),
         "doc_chunks": sql_chunk_documents(budget=64, overlap=16),
         "stream_gopher_quality": sql_gopher_quality(),
