@@ -74,10 +74,11 @@ def gopher_repetition(docs: DataFrame, text: str = "text") -> DataFrame:
     most frequent word n-gram — argmax by count, ties broken toward the
     longer then lexicographically greater gram so the pick is
     deterministic cross-engine — times its word-chars; for n=5:
-    ``dup5_chars`` = occurrence-characters of all 5-grams occurring more
-    than once (overlaps counted per occurrence, as in the paper's
-    duplicate-n-gram family; the fraction may exceed 1 on degenerate
-    docs and is compared, not capped).  Fractions are over total word
+    ``dup5_chars`` = characters of the UNIQUE token positions covered by
+    any 5-gram occurring more than once (overlapping occurrences are
+    interval-unioned, the paper's character-coverage definition — also
+    how datatrove/NeMo-Curator implement it), so ``dup5_frac`` is always
+    in [0, 1].  Fractions are over total word
     characters.  ``flag_*`` columns apply the published thresholds via
     cross-multiplication (e.g. top2 > 1/5  <=>  5*top2_chars >
     total_word_chars); ``keep`` = no flag fired.
@@ -103,7 +104,7 @@ def gopher_repetition(docs: DataFrame, text: str = "text") -> DataFrame:
         return lambda s: F.struct(F.lit(n).alias("n"), s.alias("s"))
 
     tagged = F.flatten(
-        F.array(*[F.transform(shingles("__t", n), _tag(n)) for n in (2, 3, 4, 5)])
+        F.array(*[F.transform(shingles("__t", n), _tag(n)) for n in (2, 3, 4)])
     )
     grams = base.select("doc_id", F.explode(tagged).alias("g")).select(
         "doc_id", F.col("g.n").alias("n"), F.col("g.s").alias("s")
@@ -134,20 +135,37 @@ def gopher_repetition(docs: DataFrame, text: str = "text") -> DataFrame:
             .alias(f"top{n}_chars")
             for n in (2, 3, 4)
         ],
-        F.coalesce(
-            F.sum(
-                F.when(
-                    (F.col("n") == 5) & (F.col("c") >= 2),
-                    F.col("c") * F.col("gc"),
-                )
-            ),
-            F.lit(0),
-        )
-        .cast("long")
-        .alias("dup5_chars"),
     )
-    out = totals.join(wide, "doc_id", "left").na.fill(
-        {f"top{n}_chars": 0 for n in (2, 3, 4)} | {"dup5_chars": 0}
+    # dup5: UNIQUE character coverage — positions of every occurrence of a
+    # duplicated 5-gram, interval-unioned over token indices, then summed
+    # token lengths.  Needs positions, so it runs off its own posexplode
+    # (one extra (doc_id, gram)-keyed shuffle); the overlap-counting
+    # count*len form can exceed total_word_chars and misstates the
+    # paper's coverage rule.
+    g5 = base.select(
+        "doc_id", F.posexplode(shingles("__t", 5)).alias("pos", "s")
+    )
+    dup_occ = g5.withColumn(
+        "c", F.count(F.lit(1)).over(Window.partitionBy("doc_id", "s"))
+    ).filter(F.col("c") >= 2)
+    cov = dup_occ.select(
+        "doc_id",
+        F.explode(F.sequence(F.col("pos"), F.col("pos") + F.lit(4))).alias(
+            "idx"
+        ),
+    ).distinct()
+    tok_pos = base.select(
+        "doc_id", F.posexplode(tokens("__t")).alias("idx", "tok")
+    )
+    dup5 = (
+        cov.join(tok_pos, ["doc_id", "idx"])
+        .groupBy("doc_id")
+        .agg(F.sum(F.length("tok")).cast("long").alias("dup5_chars"))
+    )
+    out = (
+        totals.join(wide, "doc_id", "left")
+        .join(dup5, "doc_id", "left")
+        .na.fill({f"top{n}_chars": 0 for n in (2, 3, 4)} | {"dup5_chars": 0})
     )
     tot = F.col("total_word_chars")
     flag_exprs = []
@@ -188,7 +206,7 @@ def sql_gopher_repetition(src: str = "documents") -> str:
     """DuckDB twin of :func:`gopher_repetition` (same single-pass shape)."""
     gram_selects = " UNION ALL ".join(
         f"SELECT doc_id, {n} AS n, unnest({sql_shingles('w', n)}) AS s FROM words"
-        for n in (2, 3, 4, 5)
+        for n in (2, 3, 4)
     )
     flag_terms = [
         (f"flag_top{n}",
@@ -198,7 +216,7 @@ def sql_gopher_repetition(src: str = "documents") -> str:
     dnum, dden = GOPHER_DUP_NGRAM[5]
     flag_terms.append(
         ("flag_dup5",
-         f"COALESCE(w.dup5_chars, 0) * {dden} > t.total_word_chars * {dnum}")
+         f"COALESCE(d5.dup5_chars, 0) * {dden} > t.total_word_chars * {dnum}")
     )
     flag_sql = ",\n               ".join(
         f"{expr} AS {name}" for name, expr in flag_terms
@@ -219,20 +237,33 @@ def sql_gopher_repetition(src: str = "documents") -> str:
                                                    s DESC) AS rn
                 FROM grams GROUP BY doc_id, n, s),
         agg AS (SELECT doc_id, n,
-                       MAX(CASE WHEN rn = 1 THEN c * gc END) AS top_chars,
-                       SUM(CASE WHEN c >= 2 THEN c * gc ELSE 0 END) AS dup_chars
+                       MAX(CASE WHEN rn = 1 THEN c * gc END) AS top_chars
                 FROM per GROUP BY doc_id, n),
         wide AS (SELECT doc_id,
                         COALESCE(MAX(CASE WHEN n = 2 THEN top_chars END), 0) AS top2_chars,
                         COALESCE(MAX(CASE WHEN n = 3 THEN top_chars END), 0) AS top3_chars,
-                        COALESCE(MAX(CASE WHEN n = 4 THEN top_chars END), 0) AS top4_chars,
-                        COALESCE(MAX(CASE WHEN n = 5 THEN dup_chars END), 0) AS dup5_chars
-                 FROM agg GROUP BY doc_id)
+                        COALESCE(MAX(CASE WHEN n = 4 THEN top_chars END), 0) AS top4_chars
+                 FROM agg GROUP BY doc_id),
+        g5 AS (SELECT doc_id, unnest(sh) AS s, unnest(range(len(sh))) AS pos
+               FROM (SELECT doc_id, {sql_shingles('w', 5)} AS sh
+                     FROM words) q5),
+        dup5g AS (SELECT doc_id, s FROM g5
+                  GROUP BY doc_id, s HAVING COUNT(*) >= 2),
+        cov AS (SELECT DISTINCT g.doc_id,
+                       unnest(range(g.pos, g.pos + 5)) AS idx
+                FROM g5 g JOIN dup5g d ON d.doc_id = g.doc_id AND d.s = g.s),
+        toklen AS (SELECT doc_id, unnest(range(len(w))) AS idx,
+                          unnest(list_transform(w, x -> len(x))) AS tl
+                   FROM words),
+        dup5c AS (SELECT c.doc_id, SUM(t2.tl) AS dup5_chars
+                  FROM cov c JOIN toklen t2
+                    ON t2.doc_id = c.doc_id AND t2.idx = c.idx
+                  GROUP BY c.doc_id)
         SELECT t.doc_id, t.total_word_chars,
                CAST(COALESCE(w.top2_chars, 0) AS BIGINT) AS top2_chars,
                CAST(COALESCE(w.top3_chars, 0) AS BIGINT) AS top3_chars,
                CAST(COALESCE(w.top4_chars, 0) AS BIGINT) AS top4_chars,
-               CAST(COALESCE(w.dup5_chars, 0) AS BIGINT) AS dup5_chars,
+               CAST(COALESCE(d5.dup5_chars, 0) AS BIGINT) AS dup5_chars,
                CASE WHEN t.total_word_chars > 0 THEN
                    CAST(COALESCE(w.top2_chars, 0) AS DOUBLE)
                    / CAST(t.total_word_chars AS DOUBLE) END AS top2_frac,
@@ -243,11 +274,12 @@ def sql_gopher_repetition(src: str = "documents") -> str:
                    CAST(COALESCE(w.top4_chars, 0) AS DOUBLE)
                    / CAST(t.total_word_chars AS DOUBLE) END AS top4_frac,
                CASE WHEN t.total_word_chars > 0 THEN
-                   CAST(COALESCE(w.dup5_chars, 0) AS DOUBLE)
+                   CAST(COALESCE(d5.dup5_chars, 0) AS DOUBLE)
                    / CAST(t.total_word_chars AS DOUBLE) END AS dup5_frac,
                {flag_sql},
                NOT ({any_flag_sql}) AS keep
         FROM totals t LEFT JOIN wide w ON w.doc_id = t.doc_id
+        LEFT JOIN dup5c d5 ON d5.doc_id = t.doc_id
     """
 
 
@@ -441,12 +473,16 @@ def mixture_sample(docs: DataFrame, key: str = "source", text: str = "text") -> 
     counts = docs.groupBy(key).agg(F.count(F.lit(1)).alias("src_count"))
     min_count = counts.agg(F.min("src_count").alias("min_count"))
     gated = (
-        docs.select("doc_id", F.col(key), F.col(text).alias("__t"))
+        docs.select("doc_id", F.col(key))
         .join(F.broadcast(counts), key)
         .crossJoin(F.broadcast(min_count))
         .withColumn(
+            # gate on doc_id, not text: identical texts (duplicates) must
+            # draw INDEPENDENT gates or dup-heavy sources bias the mixture
             "hash20",
-            stable_hash60(F.concat(F.col("__t"), F.lit("|mix"))) % MIX_MOD,
+            stable_hash60(
+                F.concat(F.col("doc_id").cast("string"), F.lit("|mix"))
+            ) % MIX_MOD,
         )
     )
     return gated.filter(
@@ -456,7 +492,7 @@ def mixture_sample(docs: DataFrame, key: str = "source", text: str = "text") -> 
 
 
 def sql_mixture_sample(src: str = "documents", key: str = "source") -> str:
-    h = sql_stable_hash60("text || '|mix'")
+    h = sql_stable_hash60("CAST(d.doc_id AS VARCHAR) || '|mix'")
     return f"""
         WITH counts AS (SELECT {key}, COUNT(*) AS src_count
                         FROM {src} GROUP BY {key}),

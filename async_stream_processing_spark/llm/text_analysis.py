@@ -7,7 +7,7 @@ DuckDB twins: ratios are single double divisions of exact integers.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import BPE_TOKEN_RE, LANG_STOPWORDS, tokens
@@ -325,27 +325,34 @@ def inverted_index(
     posting list (ascending doc ids, comma-joined STRING so external
     comparators can hash it).
 
-    ``collect_list`` after the token shuffle is arrival-ordered, so the
-    list is ``array_sort``-ed before joining — deterministic under any
-    partitioning.  Emitted posting lists are capped at ``max_postings``
-    ids (``df`` still reports the true document frequency).  NOTE the
-    cap bounds the OUTPUT row, not aggregation state: ``collect_list``
-    still materializes the full O(df) list for a stop-word-grade token
-    before the slice.  The state-bounding form at corpus scale is a
-    distributed top-N per key (window ``row_number <= max_postings``
-    before the collect), traded off here because it costs a second sort
-    of every token group to protect against a handful of hot ones —
-    salt or pre-filter hot tokens instead when they matter.  One shuffle
-    on the token key; the list is collected ONCE and both output
-    columns derive from it.
+    Aggregation state is BOUNDED for hot (stop-word-grade) tokens: a
+    per-token window ``row_number() <= max_postings`` (ordered by
+    doc_id) selects the emitted ids BEFORE ``collect_list``, so the
+    collect never holds more than ``max_postings`` elements per key —
+    the window's sorted run spills gracefully where an O(df) list heap
+    would not.  ``df`` still reports the true document frequency via an
+    unbounded-frame window count on the SAME token partitioning (one
+    shuffle total; the sort feeds both window functions).  The list is
+    ``array_sort``-ed for cross-partitioning determinism.
     """
     toks = docs.select(
         F.col("doc_id"), F.explode(tokens(text)).alias("tok")
     ).distinct()
-    agg = toks.groupBy("tok").agg(
-        F.count(F.lit(1)).alias("df"),
-        F.slice(F.array_sort(F.collect_list("doc_id")), 1, max_postings)
-        .alias("plist"),
+    w_rank = Window.partitionBy("tok").orderBy("doc_id")
+    w_all = Window.partitionBy("tok")
+    ranked = toks.select(
+        "tok",
+        "doc_id",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count(F.lit(1)).over(w_all).alias("df"),
+    )
+    agg = (
+        ranked.filter(F.col("rn") <= max_postings)
+        .groupBy("tok")
+        .agg(
+            F.max("df").alias("df"),
+            F.array_sort(F.collect_list("doc_id")).alias("plist"),
+        )
     )
     return agg.select(
         "tok",

@@ -271,7 +271,7 @@ def bfs_levels(
     )
     dist = seeds.select(
         F.col("node").cast("long"), F.lit(0).cast("long").alias("dist")
-    )
+    ).distinct()
     for _ in range(n_iter):
         cand = (
             edges.join(
