@@ -2184,16 +2184,26 @@ def q_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     global-sort window at fixture scale; at 100 TB the same statistic
     comes from approx_percentile boundaries (mergeable, no global sort)
     — the exact NTILE form is the oracle-checkable twin."""
-    li = load_table(spark, sf_dir, "lineitem").select("l_extendedprice")
-    from pyspark.sql import Window
-
-    w = Window.orderBy("l_extendedprice")
-    b = li.withColumn("bucket", F.ntile(10).over(w))
-    return b.groupBy(F.col("bucket").cast("long").alias("bucket")).agg(
-        F.min("l_extendedprice").alias("lo"),
-        F.max("l_extendedprice").alias("hi"),
-        F.count(F.lit(1)).alias("n_rows"),
+    from async_stream_processing_spark.operators.analytics import (
+        equidepth_histogram,
     )
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_extendedprice")
+    return equidepth_histogram(li, "l_extendedprice", 10)
+
+
+def q_approx_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB path for `equidepth_histogram`: percentile_approx
+    boundary extraction (mergeable sketch, no global sort) + one
+    assignment scan.  Sketch output has no cross-engine oracle; the
+    driver records a rows-only check and tests/test_analytics.py bounds
+    its boundary rank error against the exact NTILE form at sf0.1."""
+    from async_stream_processing_spark.operators.analytics import (
+        approx_equidepth_histogram,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_extendedprice")
+    return approx_equidepth_histogram(li, "l_extendedprice", 10)
 
 
 def q_interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2592,32 +2602,82 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Key order matters: the driver's CORRECTNESS gate covers the FIRST 50
-    # keys only.  Rounds 1-2 gated the original first 50; round 3 gated the
-    # LLM block + rank/scalar/sliding/percentile/stream families.  Round 4's
-    # window: (a) the four queries without a driver-green row in any round
-    # (user_event_paths -- now a hashable string path; ivf_kmeans_assign --
-    # now with an unrolled-Lloyd oracle; cardinality_sketch -- now
-    # contract-checked; embedding_dim_stats -- never fit a window), (b) the
-    # two whose oracle/plan changed this round (stream_static_enrich
-    # LEFT-join oracle, stream_fullouter perf), (c) 19 r1/r2 keys
-    # re-confirmed (family representatives; the 15 displaced TPC-H/misc
-    # keys are all double-green from r1+r2), (d) the TEN queries added
-    # earlier in round 4, and (e) the FIFTEEN added late in round 4 --
-    # (d)+(e) have no prior green row, so they take priority over further
-    # re-confirmation.  Still never gated after r4: the 13 late-round-4
-    # additions from the earlier session (embedding_covariance family,
-    # tpch_q3/q5, stream_rightouter, pagerank, triangles, upsert) --
-    # first in line for round 5's window.
+    # keys only.  Rounds 1-2 gated the original first 50; round 3 the LLM
+    # block + rank/scalar/sliding/percentile/stream families; round 4 went
+    # 50/50 green on the never-gated + changed + re-confirm mix.  Round 5's
+    # window: (a) the TWENTY queries with no driver-green row in any round
+    # (late-r4 additions that missed the frozen window), (b) the TWO whose
+    # semantics changed this round (gopher_repetition now measures exact
+    # duplicated-5-gram character coverage; mixture_sample now gates on
+    # doc_id) -- their r4 rows describe the old code, (c) re-confirmation:
+    # the five r1/r2-only keys never re-gated, the fifteen double-green
+    # r1+r2 keys displaced from the r4 window, and eight round-3-only
+    # family representatives.  After round 5 every declared query has a
+    # driver-green row in CORRECTNESS_r01..r05.
     return {
-        # --- (a) never driver-green before round 4 ---
+        # --- (a) never driver-gated in rounds 1-4 ---
+        "bloom_decontaminate": LLM_QUERIES["bloom_decontaminate"],
+        "dq_audit": q_dq_audit,
+        "embedding_covariance": LLM_QUERIES["embedding_covariance"],
+        "embedding_dedup_clusters": LLM_QUERIES["embedding_dedup_clusters"],
+        "equidepth_histogram": q_equidepth_histogram,
+        "ewma_users": q_ewma_users,
+        "incremental_dedup": LLM_QUERIES["incremental_dedup"],
+        "interval_coalesce": q_interval_coalesce,
+        "pagerank_users": q_pagerank_users,
+        "pattern_no_interrupt": q_pattern_no_interrupt,
+        "pca_project": LLM_QUERIES["pca_project"],
+        "quality_stratified_sample": LLM_QUERIES["quality_stratified_sample"],
+        "stream_rightouter": q_stream_rightouter,
+        "stream_upsert_state": q_stream_upsert_state,
+        "tfidf_top_terms": LLM_QUERIES["tfidf_top_terms"],
+        "token_rarity": LLM_QUERIES["token_rarity"],
+        "tpch_q3": q_tpch_q3,
+        "tpch_q5": q_tpch_q5,
+        "triangle_counts": q_triangle_counts,
+        "zscore_outliers": q_zscore_outliers,
+        # --- (b) semantics changed in round 5: re-gate ---
+        "gopher_repetition": LLM_QUERIES["gopher_repetition"],
+        "mixture_sample": LLM_QUERIES["mixture_sample"],
+        # --- (c) re-confirm: r1/r2-only keys never re-gated since ---
+        "filter_project": q_filter_project,
+        "demux_counts": q_demux,
+        "set_ops_multiset": q_set_ops_multiset,
+        "rows_frame_last5": q_rows_frame,
+        "sessionize_native": q_sessionize_native,
+        # --- (c) re-confirm: double-green r1+r2, displaced from r4 ---
+        "tpch_q7": q_tpch_q7,
+        "tpch_q15": q_tpch_q15,
+        "tpch_q17": q_tpch_q17,
+        "tpch_q22": q_tpch_q22,
+        "tpch_q8": q_tpch_q8,
+        "tpch_q10": q_tpch_q10,
+        "tpch_q4": q_tpch_q4,
+        "tpch_q13": q_tpch_q13,
+        "tpch_q16": q_tpch_q16,
+        "tpch_q19": q_tpch_q19,
+        "tpch_q21": q_tpch_q21,
+        "semi_anti_join": q_semi_anti,
+        "event_deltas": q_event_deltas,
+        "revenue_rollup": q_revenue_rollup,
+        "topk_per_priority": q_topk_per_priority,
+        # --- (c) re-confirm: round-3-only family representatives ---
+        "trade_pnl_bucketed": q_trade_pnl_bucketed,
+        "sliding_2min": q_sliding_2min,
+        "stream_sliding_2min": q_stream_sliding_2min,
+        "rank_family": q_rank_family,
+        "value_percentiles": q_value_percentiles,
+        "simhash_pairs": q_simhash_pairs,
+        "tpch_q9": q_tpch_q9,
+        "dedup_minhash_lsh": LLM_QUERIES["dedup_minhash_lsh"],
+        # ================= end of the 50-key gate window =================
+        # --- green in round 4 ---
         "user_event_paths": q_user_event_paths,
         "ivf_kmeans_assign": LLM_QUERIES["ivf_kmeans_assign"],
         "cardinality_sketch": q_cardinality_sketch,
         "embedding_dim_stats": q_embedding_dim_stats,
-        # --- (b) changed this round ---
         "stream_static_enrich": q_stream_static_enrich,
         "stream_fullouter": q_stream_fullouter,
-        # --- (c) last gated in rounds 1-2: re-confirm ---
         "running_combine": q_running_combine,
         "spread_bid_ask": q_spread,
         "positions_by_key": q_positions,
@@ -2637,9 +2697,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_daily": q_pivot_daily,
         "unpivot_metrics": q_unpivot_metrics,
         "dominant_supplier": q_dominant_supplier,
-        # --- (d) NEW round-4 queries (never gated -- must be inside;
-        #     three r1/r2 keys [filter_project, demux_counts,
-        #     set_ops_multiset] wait for round 5's rotation) ---
         "range_join_bands": q_range_join_bands,
         "cube_orders": q_cube_orders,
         "funnel_steps": q_funnel_steps,
@@ -2650,72 +2707,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_range_join": q_stream_range_join,
         "stream_leftouter": q_stream_leftouter,
         "quantile_sketch": q_quantile_sketch,
-        # --- (e) added late in round 4: gate now (no prior green row) ---
         "scd2_intervals": q_scd2_intervals,
         "bfs_levels": q_bfs_levels,
         "copurchase_pairs": q_copurchase_pairs,
         "association_rules": q_association_rules,
         "kcore_users": q_kcore_users,
         "twap_daily": q_twap_daily,
-
-        "gopher_repetition": LLM_QUERIES["gopher_repetition"],
         "gopher_quality": LLM_QUERIES["gopher_quality"],
         "pack_sequences": LLM_QUERIES["pack_sequences"],
-        "mixture_sample": LLM_QUERIES["mixture_sample"],
         "heavy_hitters": LLM_QUERIES["heavy_hitters"],
         "inverted_index": LLM_QUERIES["inverted_index"],
         "doc_chunks": LLM_QUERIES["doc_chunks"],
         "stream_gopher_quality": LLM_QUERIES["stream_gopher_quality"],
         "substring_dups": LLM_QUERIES["substring_dups"],
-        # ================= end of the 50-key gate window =================
-        # --- added after the window froze: rotate into round 5 ---
-        "equidepth_histogram": q_equidepth_histogram,
-        "interval_coalesce": q_interval_coalesce,
-        "ewma_users": q_ewma_users,
-        "dq_audit": q_dq_audit,
-        "incremental_dedup": LLM_QUERIES["incremental_dedup"],
-        "pattern_no_interrupt": q_pattern_no_interrupt,
-        "zscore_outliers": q_zscore_outliers,
-        # --- displaced from the r4 window (double-green in r1+r2) ---
-        "tpch_q7": q_tpch_q7,
-        "tpch_q15": q_tpch_q15,
-        "tpch_q17": q_tpch_q17,
-        "tpch_q22": q_tpch_q22,
-        "tpch_q8": q_tpch_q8,
-        "tpch_q10": q_tpch_q10,
-        "tpch_q4": q_tpch_q4,
-        "tpch_q13": q_tpch_q13,
-        "tpch_q16": q_tpch_q16,
-        "tpch_q19": q_tpch_q19,
-        "tpch_q21": q_tpch_q21,
-        "semi_anti_join": q_semi_anti,
-        "event_deltas": q_event_deltas,
-        "revenue_rollup": q_revenue_rollup,
-        "topk_per_priority": q_topk_per_priority,
         # --- driver-green in round 3 ---
         **{
             k: v
             for k, v in LLM_QUERIES.items()
             if k not in (
+                # keys already listed above (window or r4 block)
+                "bloom_decontaminate", "embedding_covariance",
+                "embedding_dedup_clusters", "incremental_dedup",
+                "pca_project", "quality_stratified_sample",
+                "tfidf_top_terms", "token_rarity", "gopher_repetition",
+                "mixture_sample", "dedup_minhash_lsh",
                 "ivf_kmeans_assign", "containment_pairs", "weighted_sample",
-                # the round-4 curation additions are listed in the NEW
-                # post-window block below, not here
-                "gopher_repetition", "gopher_quality", "pack_sequences",
-                "mixture_sample", "heavy_hitters", "inverted_index",
-                "doc_chunks", "stream_gopher_quality", "substring_dups",
-                "incremental_dedup",
+                "gopher_quality", "pack_sequences", "heavy_hitters",
+                "inverted_index", "doc_chunks", "stream_gopher_quality",
+                "substring_dups",
             )
         },
-        "filter_project": q_filter_project,
-        "demux_counts": q_demux,
-        "set_ops_multiset": q_set_ops_multiset,
-        "rows_frame_last5": q_rows_frame,
-        "sessionize_native": q_sessionize_native,
         "vwap_2min": q_vwap_2min,
-        "trade_pnl_bucketed": q_trade_pnl_bucketed,
         "stream_cart_fold": q_stream_cart,
-        "tpch_q9": q_tpch_q9,
-        "rank_family": q_rank_family,
         "json_extract_props": q_json_extract,
         "fullouter_daily": q_fullouter_daily,
         "stream_pivot_daily": q_stream_pivot,
@@ -2723,20 +2746,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_topk_users": q_stream_topk,
         "window_funcs": q_window_funcs,
         "scalar_funcs": q_scalar_funcs,
-        "sliding_2min": q_sliding_2min,
-        "stream_sliding_2min": q_stream_sliding_2min,
-        "value_percentiles": q_value_percentiles,
-        "simhash_pairs": q_simhash_pairs,
         "tpch_q2": q_tpch_q2,
         "tpch_q11": q_tpch_q11,
         "tpch_q20": q_tpch_q20,
-        # --- NEW post-window (rotate into round 5's gate) ---
-        "stream_rightouter": q_stream_rightouter,
-        "pagerank_users": q_pagerank_users,
-        "triangle_counts": q_triangle_counts,
-        "stream_upsert_state": q_stream_upsert_state,
-        "tpch_q3": q_tpch_q3,
-        "tpch_q5": q_tpch_q5,
         # --- driver-green in rounds 1-3 ---
         "trade_pnl_asof": q_trade_pnl,
         "cart_fold_state": q_cart_fold,
@@ -2747,6 +2759,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_join_1h": q_stream_join,
         "first_seen": q_first_seen,
         "timer_ticks": q_timer_ticks,
+        # rows-only (sketch output, no cross-engine oracle by nature):
+        # the scale path of equidepth_histogram, error-bounded in
+        # tests/test_analytics.py against the exact NTILE form
+        "approx_equidepth": q_approx_equidepth,
     }
 
 

@@ -346,3 +346,63 @@ def association_rules(
              ).alias("lift"),
         )
     )
+
+
+def equidepth_histogram(
+    df: DataFrame, value: str, n_buckets: int = 10
+) -> DataFrame:
+    """ANALYZE-style equi-depth histogram: ``n_buckets`` NTILE buckets of
+    equal row count, each reporting (bucket, lo, hi, n_rows).
+
+    EXACT form — the unpartitioned NTILE window is a single-partition
+    global sort, so this is the fixture/oracle-scale twin.  At corpus
+    scale use :func:`approx_equidepth_histogram` (mergeable sketch, no
+    global sort, same statistic up to sketch rank error).
+    """
+    w = Window.orderBy(value)
+    b = df.select(value).withColumn("bucket", F.ntile(n_buckets).over(w))
+    return b.groupBy(F.col("bucket").cast("long").alias("bucket")).agg(
+        F.min(value).alias("lo"),
+        F.max(value).alias("hi"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def approx_equidepth_histogram(
+    df: DataFrame, value: str, n_buckets: int = 10, accuracy: int = 10_000
+) -> DataFrame:
+    """Scale-path equi-depth histogram: bucket boundaries from
+    ``percentile_approx`` (a mergeable rank sketch — map-side partials,
+    ONE ordinary aggregation, NO global sort), then one scan assigning
+    each row to its boundary interval and aggregating (bucket, lo, hi,
+    n_rows).
+
+    Bucket ``i`` covers ``(b_{i-1}, b_i]`` over the n_buckets-1 interior
+    boundaries; ties on a boundary land in the lower bucket, where NTILE
+    would split them by row position — so bucket COUNTS may differ from
+    the exact form on heavy ties, but boundary VALUES are within the
+    sketch's rank error of the true quantiles (<= 1/accuracy relative
+    rank; tests/test_analytics.py bounds it at sf0.1).  Two scans total,
+    zero shuffles beyond the two aggregations; at 100 TB this is the
+    plan — the sketch state is O(accuracy) per partition and the
+    boundary array (n_buckets-1 values) broadcasts as a 1-row cross
+    join, the same O(model) driver-state shape as the k-means loop.
+    """
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    bnds = df.agg(
+        F.percentile_approx(value, probs, accuracy).alias("__bnds")
+    )
+    v = F.col(value)
+    bucket = (
+        F.size(F.filter(F.col("__bnds"), lambda x: x < v)) + F.lit(1)
+    ).cast("long")
+    return (
+        df.select(value)
+        .join(F.broadcast(bnds))
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.min(value).alias("lo"),
+            F.max(value).alias("hi"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )

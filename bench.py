@@ -81,7 +81,10 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf),
     }
-    detail_path = os.path.join(
+    # SPARK_GRAFT_BENCH_DETAIL overrides the side-file path so partial /
+    # test runs (e.g. BENCH_LIMIT under pytest) never clobber the
+    # full-run BENCH_DETAIL.json the round records.
+    detail_path = os.environ.get("SPARK_GRAFT_BENCH_DETAIL") or os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
     try:

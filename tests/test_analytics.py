@@ -76,3 +76,54 @@ def test_cardinality_sketch_tolerance(spark):
         # estimator landed within 3x its configured rsd of exact
         assert r["exact_users"] > 0 and r["exact_values"] > 0
         assert r["users_within_rsd"] and r["values_within_rsd"]
+
+
+def test_approx_equidepth_bounds_boundary_error(spark):
+    """The approx (sketch) histogram's bucket boundaries must sit within
+    the sketch's guaranteed rank error of the exact NTILE boundaries at
+    sf0.1 (~600k lineitem rows): percentile_approx(accuracy=A) bounds
+    relative rank error by 1/A.  We allow 2/A for boundary-tie slack,
+    plus exact-equal totals and per-bucket counts within 1% of N/k."""
+    from async_stream_processing_spark.operators.analytics import (
+        approx_equidepth_histogram,
+        equidepth_histogram,
+    )
+    from async_stream_processing_spark.sources.parquet import load_table
+
+    sf_dir = "/root/testdata/sf0.1"
+    k, acc = 10, 10_000
+    li = load_table(spark, sf_dir, "lineitem").select("l_extendedprice")
+    n = li.count()
+    vals = [
+        r[0]
+        for r in li.orderBy("l_extendedprice").collect()
+    ]  # test-only global sort for ground truth
+    approx = {
+        r["bucket"]: r
+        for r in approx_equidepth_histogram(
+            li, "l_extendedprice", k, acc
+        ).collect()
+    }
+    exact = {
+        r["bucket"]: r
+        for r in equidepth_histogram(li, "l_extendedprice", k).collect()
+    }
+    assert sum(r["n_rows"] for r in approx.values()) == n
+    # rank error of each approx interior boundary (hi of buckets 1..k-1)
+    import bisect
+
+    for i in range(1, k):
+        b = approx[i]["hi"]
+        lo_rank = bisect.bisect_left(vals, b)
+        hi_rank = bisect.bisect_right(vals, b)
+        target = i * n / k
+        err = min(abs(lo_rank - target), abs(hi_rank - target)) / n
+        assert err <= 2.0 / acc, (i, b, err)
+    # equi-depth: every approx bucket within 1% of the ideal depth
+    for i in range(1, k + 1):
+        assert abs(approx[i]["n_rows"] - n / k) <= 0.01 * n, (
+            i,
+            approx[i]["n_rows"],
+        )
+    # and the exact form is perfectly balanced by construction
+    assert {r["n_rows"] for r in exact.values()} <= {n // k, n // k + 1}

@@ -12,12 +12,14 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def test_bench_stdout_contract():
+def test_bench_stdout_contract(tmp_path):
     env = dict(
         os.environ,
         SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
         SPARK_GRAFT_CPUS="4",
         SPARK_GRAFT_BENCH_LIMIT="3",
+        # never clobber the repo-root full-run BENCH_DETAIL.json
+        SPARK_GRAFT_BENCH_DETAIL=str(tmp_path / "BENCH_DETAIL.json"),
     )
     proc = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
@@ -38,3 +40,6 @@ def test_bench_stdout_contract():
         list(__import__("__spark_entry__").queries())[:3]
     )
     assert abs(sum(detail["queries"].values()) - summary["value"]) < 0.01
+    # the side file honored the override path and matches stdout detail
+    side = json.loads((tmp_path / "BENCH_DETAIL.json").read_text())
+    assert side == detail
