@@ -1606,16 +1606,38 @@ def _write_sentinel_row(path: str, event_id: int, ts, user_id: int, value: float
     pq.write_table(table, path)
 
 
-def q_stream_fullouter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """FULL OUTER stream-stream join EXECUTED BY THE STREAMING ENGINE:
-    clicks vs purchases per user within a +/-30 min event-time band; both
-    sides buffer in the state store, unmatched rows emit once the
-    watermark passes their band.  End-of-replay state is flushed the way
-    the reference ends a replay (history exhausted == clock jumps to
-    'live now'): a far-future sentinel row on each side advances the
+def _stream_outer_join(
+    spark: SparkSession, sf_dir: str, how: str
+) -> DataFrame:
+    """Shared machinery for the streaming outer-join family (left /
+    right / full): clicks vs purchases per user within a +/-30 min
+    event-time band, EXECUTED BY THE STREAMING ENGINE — both sides
+    buffer in the state store and unmatched rows emit once the watermark
+    passes their band.
+
+    ONE source feeds both sides: the events stream (plus the sentinel
+    union) is branched by an ``event_type`` filter into the click and
+    purchase sides of a self-join, so each micro-batch lists and scans
+    the parquet ONCE per side-branch of a single source node instead of
+    planning two independent file sources.  End-of-replay state is
+    flushed the way the reference ends a replay (history exhausted ==
+    clock jumps to 'live now'): a far-future sentinel row advances the
     event-time watermark past all real data, so every unmatched row
-    leaves the state store before the drain stops; sentinels themselves
-    stay in state and are filtered regardless."""
+    leaves the state store before the drain stops.  Each branch's filter
+    keeps the sentinel (``isin(kind, '__sentinel__')``), so even when
+    Catalyst pushes the branch filter below that branch's watermark node
+    the sentinel still reaches event-time stats — the pushability trap
+    that forces the real sentinel FILTER to run on the drained batch
+    result, never inside the streaming plan (a side-only ``user_id >= 0``
+    would starve the global watermark; observed: newest 5 clicks stuck
+    in state at sf0.01).
+
+    O(1) driver anchor: the sentinel timestamp comes from parquet FOOTER
+    stats (metadata read, no scan job), falling back to a Spark ``max()``
+    when stats are absent; the one-row sentinel file is written
+    driver-side via pyarrow (a Spark write job for one row costs ~0.5 s
+    of scheduler round-trips per query)."""
+    import shutil
     import tempfile
     from datetime import timedelta
 
@@ -1623,27 +1645,28 @@ def q_stream_fullouter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from async_stream_processing_spark.streaming.replay import drain
 
     SIDE_SCHEMA = "event_id bigint, ts timestamp, user_id bigint, value double"
-    # O(1) driver anchor: the max ts comes from parquet FOOTER stats when
-    # available (a metadata read, no scan job) -- the sentinel only needs
-    # to exceed every real timestamp, and footer max is exact.  Falls
-    # back to a Spark max() when stats are absent; at cluster scale the
-    # table's own partition metadata plays this role.
     max_ts = _parquet_footer_max_ts(f"{sf_dir}/events.parquet", "ts")
     if max_ts is None:
         max_ts = load_table(spark, sf_dir, "events").select(F.max("ts")).first()[0]
-    # one-row sentinel written driver-side (pyarrow): a Spark write job
-    # for one row costs ~0.5 s of scheduler round-trips per query
     sent_dir = tempfile.mkdtemp(prefix="asp_sentinel_")
     _write_sentinel_row(
         f"{sent_dir}/part-0.parquet", -1, max_ts + timedelta(days=1), -1, 0.0
     )
 
+    real = stream_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "value", "event_type"
+    )
+    sentinel = (
+        spark.readStream.schema(SIDE_SCHEMA)
+        .parquet(sent_dir)
+        .withColumn("event_type", F.lit("__sentinel__"))
+    )
+    src = real.unionByName(sentinel).withWatermark("ts", "2 hours")
+
     def side(kind: str) -> DataFrame:
-        real = stream_table(spark, sf_dir, "events").filter(
-            F.col("event_type") == kind
-        ).select("event_id", "ts", "user_id", "value")
-        sentinel = spark.readStream.schema(SIDE_SCHEMA).parquet(sent_dir)
-        return real.unionByName(sentinel).withWatermark("ts", "2 hours")
+        return src.filter(
+            F.col("event_type").isin(kind, "__sentinel__")
+        ).drop("event_type")
 
     j = side("click").alias("l").join(
         side("purchase").alias("r"),
@@ -1652,8 +1675,13 @@ def q_stream_fullouter(spark: SparkSession, sf_dir: str) -> DataFrame:
             "r.ts BETWEEN l.ts - INTERVAL 30 MINUTES "
             "AND l.ts + INTERVAL 30 MINUTES"
         ),
-        "full_outer",
+        how,
     )
+    user_col = {
+        "full_outer": F.coalesce(F.col("l.user_id"), F.col("r.user_id")),
+        "left_outer": F.col("l.user_id"),
+        "right_outer": F.col("r.user_id"),
+    }[how]
     out = j.select(
         F.col("l.event_id").alias("click_id"),
         F.col("l.ts").alias("click_ts"),
@@ -1661,153 +1689,45 @@ def q_stream_fullouter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r.event_id").alias("purchase_id"),
         F.col("r.ts").alias("purchase_ts"),
         F.col("r.value").alias("purchase_value"),
-        F.coalesce(F.col("l.user_id"), F.col("r.user_id")).alias("user_id"),
-    ).filter(F.coalesce(F.col("l.user_id"), F.col("r.user_id")) >= 0)
+        user_col.alias("user_id"),
+    )
     # 4 shuffle partitions locally: an outer stream-stream join keeps 4
     # state-store instances per partition, and store setup dominates the
     # tiny local state (A/B: 4 parts ~2.5x faster than 8, identical
     # rows).  At scale, size by state volume / throughput instead.
-    import shutil
-
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
-        return drain(out, output_mode="append")
+        # sentinel filter on the DRAINED result -- see docstring
+        return drain(out, output_mode="append").filter(
+            F.col("user_id") >= 0
+        )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
         # the memory-sink table is materialized; the sentinel files are done
         shutil.rmtree(sent_dir, ignore_errors=True)
 
 
+def q_stream_fullouter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER stream-stream join: see :func:`_stream_outer_join`."""
+    return _stream_outer_join(spark, sf_dir, "full_outer")
+
+
 def q_stream_leftouter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LEFT OUTER stream-stream join EXECUTED BY THE STREAMING ENGINE --
-    completes the streaming join family (inner `stream_join_1h`, full
-    outer `stream_fullouter`): every click emits, enriched with a
+    """LEFT OUTER stream-stream join: every click emits, enriched with a
     purchase in the +/-30 min band when one exists, null-padded once the
-    watermark proves none will arrive.  Same far-future-sentinel flush
-    as the full outer (both sides still need the sentinel: the GLOBAL
-    watermark is the min across sources, so one stale side would hold
-    every unmatched row in state)."""
-    from async_stream_processing_spark.sources.parquet import stream_table
-    from async_stream_processing_spark.streaming.replay import drain
-
-    SIDE_SCHEMA = "event_id bigint, ts timestamp, user_id bigint, value double"
-    max_ts = _parquet_footer_max_ts(f"{sf_dir}/events.parquet", "ts")
-    if max_ts is None:
-        max_ts = load_table(spark, sf_dir, "events").select(F.max("ts")).first()[0]
-    import tempfile
-    from datetime import timedelta
-
-    sent_dir = tempfile.mkdtemp(prefix="asp_sentinel_")
-    _write_sentinel_row(
-        f"{sent_dir}/part-0.parquet", -1, max_ts + timedelta(days=1), -1, 0.0
-    )
-
-    def side(kind: str) -> DataFrame:
-        real = stream_table(spark, sf_dir, "events").filter(
-            F.col("event_type") == kind
-        ).select("event_id", "ts", "user_id", "value")
-        sentinel = spark.readStream.schema(SIDE_SCHEMA).parquet(sent_dir)
-        return real.unionByName(sentinel).withWatermark("ts", "2 hours")
-
-    j = side("click").alias("l").join(
-        side("purchase").alias("r"),
-        F.expr(
-            "l.user_id = r.user_id AND "
-            "r.ts BETWEEN l.ts - INTERVAL 30 MINUTES "
-            "AND l.ts + INTERVAL 30 MINUTES"
-        ),
-        "left_outer",
-    )
-    # The sentinel filter MUST run on the drained batch result, not
-    # inside the streaming plan: a left-side-only predicate
-    # (l.user_id >= 0) is pushable, and Catalyst pushes it below the
-    # left branch's watermark node -- the left sentinel then never
-    # reaches event-time stats, the GLOBAL watermark (min across
-    # sources) stalls at real-max - delay, and every click in the last
-    # delay+band window stays in state forever (observed: the newest 5
-    # clicks missing at sf0.01).  The full-outer twin is immune only
-    # because its coalesce(l,r) filter references both sides and cannot
-    # push.
-    out = j.select(
-        F.col("l.event_id").alias("click_id"),
-        F.col("l.ts").alias("click_ts"),
-        F.col("l.value").alias("click_value"),
-        F.col("r.event_id").alias("purchase_id"),
-        F.col("r.ts").alias("purchase_ts"),
-        F.col("r.value").alias("purchase_value"),
-        F.col("l.user_id").alias("user_id"),
-    )
-    import shutil
-
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    try:
-        return drain(out, output_mode="append").filter(F.col("user_id") >= 0)
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
-        shutil.rmtree(sent_dir, ignore_errors=True)
+    watermark proves none will arrive.  See :func:`_stream_outer_join`
+    for the shared single-source sentinel machinery and the
+    drain-then-filter watermark-starvation trap."""
+    return _stream_outer_join(spark, sf_dir, "left_outer")
 
 
 def q_stream_rightouter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RIGHT OUTER stream-stream join -- the last member of the streaming
     join family (inner / left / full already declared): every purchase
-    emits, enriched with a click in the +/-30 min band when one exists,
-    null-padded once the watermark proves none will arrive.  Same
-    far-future-sentinel flush and same drain-then-filter discipline as
-    the left outer: a right-side-only predicate would be PUSHED below
-    the right branch's watermark node and starve the global watermark
-    (see q_stream_leftouter), so the sentinel filter runs on the drained
-    batch result."""
-    from async_stream_processing_spark.sources.parquet import stream_table
-    from async_stream_processing_spark.streaming.replay import drain
-
-    SIDE_SCHEMA = "event_id bigint, ts timestamp, user_id bigint, value double"
-    max_ts = _parquet_footer_max_ts(f"{sf_dir}/events.parquet", "ts")
-    if max_ts is None:
-        max_ts = load_table(spark, sf_dir, "events").select(F.max("ts")).first()[0]
-    import tempfile
-    from datetime import timedelta
-
-    sent_dir = tempfile.mkdtemp(prefix="asp_sentinel_")
-    _write_sentinel_row(
-        f"{sent_dir}/part-0.parquet", -1, max_ts + timedelta(days=1), -1, 0.0
-    )
-
-    def side(kind: str) -> DataFrame:
-        real = stream_table(spark, sf_dir, "events").filter(
-            F.col("event_type") == kind
-        ).select("event_id", "ts", "user_id", "value")
-        sentinel = spark.readStream.schema(SIDE_SCHEMA).parquet(sent_dir)
-        return real.unionByName(sentinel).withWatermark("ts", "2 hours")
-
-    j = side("click").alias("l").join(
-        side("purchase").alias("r"),
-        F.expr(
-            "l.user_id = r.user_id AND "
-            "r.ts BETWEEN l.ts - INTERVAL 30 MINUTES "
-            "AND l.ts + INTERVAL 30 MINUTES"
-        ),
-        "right_outer",
-    )
-    out = j.select(
-        F.col("l.event_id").alias("click_id"),
-        F.col("l.ts").alias("click_ts"),
-        F.col("l.value").alias("click_value"),
-        F.col("r.event_id").alias("purchase_id"),
-        F.col("r.ts").alias("purchase_ts"),
-        F.col("r.value").alias("purchase_value"),
-        F.col("r.user_id").alias("user_id"),
-    )
-    import shutil
-
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    try:
-        return drain(out, output_mode="append").filter(F.col("user_id") >= 0)
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
-        shutil.rmtree(sent_dir, ignore_errors=True)
+    emits, enriched with a click in the +/-30 min band when one exists.
+    See :func:`_stream_outer_join`."""
+    return _stream_outer_join(spark, sf_dir, "right_outer")
 
 
 def q_pagerank_users(spark: SparkSession, sf_dir: str) -> DataFrame:

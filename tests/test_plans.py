@@ -141,3 +141,60 @@ def test_weighted_sample_zero_exchanges(spark):
     plan = _plan(spark, "weighted_sample")
     assert _shuffles(plan) == 0
     assert "TakeOrderedAndProject" in plan
+
+
+# Queries ALLOWED an unpartitioned (single-sort-partition) Window node,
+# with the exact count and the reason each is acceptable at scale:
+#   positional_zip       (2) fixture-fidelity global zip order (the
+#                            reference's positional merge semantics);
+#                            scale path = positional_index (zipWithIndex)
+#   running_combine      (3) the reference's running agg over the TOTAL
+#                            event order -- global-by-definition replay
+#                            semantics (SURVEY §3.4); documented SCALE.md
+#   spread_bid_ask       (2) same total-order replay family
+#   equidepth_histogram  (1) exact NTILE twin; scale path =
+#                            approx_equidepth_histogram (sketch, no sort)
+#   weighted_sample      (1) rank window runs AFTER .limit(k): input is
+#                            k rows (TakeOrderedAndProject), not corpus
+#   quality_stratified_sample (1) NTILE strata over the doc-count-sized
+#                            rarity aggregate; documented in docstring
+UNPARTITIONED_WINDOW_ALLOWLIST = {
+    "positional_zip": 2,
+    "running_combine": 3,
+    "spread_bid_ask": 2,
+    "equidepth_histogram": 1,
+    "weighted_sample": 1,
+    "quality_stratified_sample": 1,
+}
+
+
+def test_no_unpartitioned_windows_outside_allowlist(spark):
+    """Every declared batch query's analyzed plan is audited for Window
+    nodes with an EMPTY partition spec (a single-partition global sort at
+    scale).  Only the documented allowlist may have them, at exactly the
+    recorded counts -- a new global window anywhere else fails the suite."""
+    import __spark_entry__ as m
+
+    def unpartitioned_windows(df) -> int:
+        def walk(node):
+            yield node
+            ch = node.children()
+            for i in range(ch.size()):
+                yield from walk(ch.apply(i))
+
+        root = df._jdf.queryExecution().analyzed()
+        return sum(
+            1
+            for n in walk(root)
+            if n.getClass().getSimpleName() == "Window"
+            and n.partitionSpec().isEmpty()
+        )
+
+    found: dict[str, int] = {}
+    for name, fn in m.queries().items():
+        if name.startswith("stream_"):
+            continue  # micro-batch plans audited via their own tests
+        n = unpartitioned_windows(fn(spark, SF))
+        if n:
+            found[name] = n
+    assert found == UNPARTITIONED_WINDOW_ALLOWLIST
