@@ -59,3 +59,134 @@ def test_register_catalog_sql_access(spark):
     # timestamps repaired on the SQL path too (nanos parquet -> usable ts)
     one = spark.sql("SELECT MIN(ts) AS t FROM events").first()
     assert one["t"].year >= 2020 or one["t"].year >= 1995
+
+
+def test_past_to_live_end_to_end(spark, tmp_path):
+    """The reference's signature lifecycle (processor.py:185-194): replay
+    a recorded past, fire ``on_live_start`` once the backlog drains, then
+    keep consuming live.  Here: parquet history UNIONed with a live
+    linesocket source, driven by ``process_stream``; the drained rows
+    then feed ``last_value_merge`` batch-side, proving the same operator
+    surface serves the replay and the live tail."""
+    import socket
+    import threading
+    import time
+    from datetime import datetime, timedelta
+
+    from async_stream_processing_spark.operators.merge import last_value_merge
+    from async_stream_processing_spark.sources.websocket import register_sources
+    from async_stream_processing_spark.streaming.replay import (
+        merge_streams_live,
+        process_stream,
+        replay_stream,
+    )
+
+    register_sources(spark)
+    t0 = datetime(2024, 1, 1)
+
+    # the recorded past: 3 historical ticks
+    past_dir = str(tmp_path / "past")
+    spark.createDataFrame(
+        [(t0 + timedelta(seconds=i), float(i)) for i in range(3)],
+        "ts timestamp, value double",
+    ).coalesce(1).write.mode("overwrite").parquet(past_dir)
+
+    server = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    server.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    server.bind(("127.0.0.1", 0))
+    port = server.getsockname()[1]
+    server.listen(1)
+    backlog_done = threading.Event()
+
+    def serve():
+        conn, _ = server.accept()
+        # live data only starts once the backlog batch has been consumed
+        backlog_done.wait(timeout=60)
+        for v in (100.5, 101.5):
+            conn.sendall(f"{v}\n".encode())
+            time.sleep(0.05)
+        conn.close()
+
+    th = threading.Thread(target=serve, daemon=True)
+    th.start()
+
+    hist = replay_stream(spark, past_dir, "ts timestamp, value double").select(
+        "ts", "value", F.lit("hist").alias("src")
+    )
+    live = (
+        spark.readStream.format("linesocket")
+        .option("port", str(port))
+        .option("timeout", "0.3")
+        .load()
+        .select("ts", F.col("value").cast("double").alias("value"),
+                F.lit("live").alias("src"))
+    )
+    merged = merge_streams_live(hist, live)
+
+    events: list[tuple[str, object]] = []
+
+    def on_live():
+        events.append(("live_start", None))
+
+    def each(batch_df, batch_id):
+        rows = batch_df.collect()
+        events.append(("batch", (batch_id, sorted((r["src"], r["value"]) for r in rows))))
+        if batch_id == 0:
+            backlog_done.set()
+
+    q = process_stream(
+        merged, each,
+        on_start=lambda: events.append(("start", None)),
+        on_live_start=on_live,
+        checkpoint=str(tmp_path / "ckpt"),
+        available_now=False,  # keep running into the live phase
+    )
+    deadline = time.time() + 90
+    while time.time() < deadline:
+        live_rows = [
+            v for kind, v in events if kind == "batch"
+            for (s, _) in v[1] if s == "live"
+        ]
+        if len(live_rows) >= 2:
+            break
+        time.sleep(0.5)
+    q.stop()
+    th.join(timeout=5)
+    server.close()
+
+    kinds = [k for k, _ in events]
+    assert kinds[0] == "start"
+    # batch 0 = the drained past (history only -- the socket held back)
+    b0 = next(v for k, v in events if k == "batch" and v[0] == 0)
+    assert [s for s, _ in b0[1]] == ["hist", "hist", "hist"]
+    # on_live_start fired BEFORE the first live batch's callback
+    assert "live_start" in kinds
+    first_live_batch = next(
+        i for i, (k, v) in enumerate(events)
+        if k == "batch" and any(s == "live" for s, _ in v[1])
+    )
+    assert kinds.index("live_start") < first_live_batch
+    live_vals = sorted(
+        val for k, v in events if k == "batch" for s, val in v[1] if s == "live"
+    )
+    assert live_vals[:2] == [100.5, 101.5]
+
+    # the drained relation feeds the SAME batch operator surface:
+    # last-value merge of the history and live ticks in (ts, seq) order
+    all_rows = [
+        (s, val) for k, v in events if k == "batch" for s, val in v[1]
+    ]
+    hist_b = spark.createDataFrame(
+        [(t0 + timedelta(seconds=i), i + 1, float(i)) for i in range(3)],
+        "ts timestamp, seq long, value double",
+    )
+    live_b = spark.createDataFrame(
+        [(t0 + timedelta(seconds=10 + i), 100 + i, v)
+         for i, v in enumerate(sorted(
+             val for s, val in all_rows if s == "live"))],
+        "ts timestamp, seq long, value double",
+    )
+    lv = last_value_merge({"hist": hist_b, "live": live_b}).orderBy(
+        "ts", "seq"
+    ).collect()
+    assert lv[-1]["hist"] == 2.0 and lv[-1]["live"] == 101.5

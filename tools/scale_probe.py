@@ -90,6 +90,13 @@ def main() -> None:
             .distinct()
         )
 
+    def weighted_edges(ev):
+        return handoff_edges(ev).groupBy("src", "dst").agg(
+            F.count(F.lit(1)).alias("w")
+        )
+
+    from async_stream_processing_spark.operators.graph import pagerank
+
     ops = {
         "gopher_repetition": (
             lambda d: gopher_repetition(d), docs1, docs8),
@@ -102,12 +109,6 @@ def main() -> None:
             lambda d: pack_sequences(d, budget=512), docs1, docs8),
         "mixture_sample": (lambda d: mixture_sample(d), docs1, docs8),
         "scd2_intervals": (_scd2, ev1, ev8),
-        "bfs_levels": (
-            lambda e: bfs_levels(handoff_edges(e), seeds(e), n_iter=4),
-            ev1, ev8),
-        "kcore_users": (
-            lambda e: kcore_peel(handoff_edges(e), k=75, n_rounds=3),
-            ev1, ev8),
         "copurchase_pairs": (
             lambda li: cooccurrence_pairs(li, "l_orderkey", "l_partkey", 2),
             li1, li8),
@@ -128,6 +129,81 @@ def main() -> None:
         t8 = warm_time(fn(eight))
         print(
             f"{name:22s} 1x={t1:6.2f}s  8x={t8:6.2f}s  ratio={t8 / t1:5.2f}x",
+            flush=True,
+        )
+
+    # --- iterative ops with DRIVER-SIDE loops (eager rounds): time
+    # END-TO-END and record round-count stability at 8x -- a convergence
+    # loop whose round count grows with volume is a scale bug even when
+    # per-round cost scales linearly. ---
+    from async_stream_processing_spark.llm.dedup import (
+        connected_components,
+        minhash_dedup_pairs,
+    )
+    from async_stream_processing_spark.llm.similarity import (
+        ivf_assign,
+        kmeans_train,
+    )
+
+    emb1 = load_table(spark, SF_DIR, "embeddings")
+    emb8 = x8(emb1, ["vec_id"], 1_000_000)
+
+    def _cc_rounds(docs):
+        pairs = minhash_dedup_pairs(docs, threshold=0.25).select(
+            "doc_a", "doc_b"
+        ).localCheckpoint(eager=True)
+        labels, rounds = connected_components(pairs)
+        labels.write.format("noop").mode("overwrite").save()
+        return rounds
+
+    def _kmeans_rounds(emb):
+        cents = kmeans_train(emb, n_centroids=8, n_iter=4)
+        ivf_assign(emb, centroids=cents).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        return 4  # fixed Lloyd rounds by construction
+
+    def _bfs_rounds(ev):
+        # fresh construction per run: bfs's internal localCheckpoints
+        # would otherwise serve the timed run from the warm run's cache
+        bfs_levels(handoff_edges(ev), seeds(ev), n_iter=4).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        return 4  # fixed hop cap by construction
+
+    def _kcore_rounds(ev):
+        kcore_peel(handoff_edges(ev), k=75, n_rounds=3).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        return 3  # fixed peel rounds by construction
+
+    def _pagerank_rounds(ev):
+        pagerank(weighted_edges(ev), n_iter=3).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        return 3  # fixed iteration count by construction
+
+    iter_ops = {
+        "pagerank_users": (_pagerank_rounds, ev1, ev8),
+        "bfs_levels": (_bfs_rounds, ev1, ev8),
+        "kcore_users": (_kcore_rounds, ev1, ev8),
+        "dedup_clusters": (_cc_rounds, docs1, docs8),
+        "ivf_kmeans_assign": (_kmeans_rounds, emb1, emb8),
+    }
+    for name, (fn, one, eight) in iter_ops.items():
+        if ONLY and name not in ONLY:
+            continue
+        fn(one)  # warm
+        t0 = time.time()
+        r1 = fn(one)
+        t1 = time.time() - t0
+        fn(eight)
+        t0 = time.time()
+        r8 = fn(eight)
+        t8 = time.time() - t0
+        print(
+            f"{name:22s} 1x={t1:6.2f}s  8x={t8:6.2f}s  "
+            f"ratio={t8 / t1:5.2f}x  rounds 1x={r1} 8x={r8}",
             flush=True,
         )
 
