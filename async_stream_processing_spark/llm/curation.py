@@ -572,3 +572,126 @@ def sql_chunk_documents(
                n_tokens
         FROM ex
     """
+
+
+#: C4 cleanup constants (Raffel et al. 2020, "Exploring the Limits of
+#: Transfer Learning...", §2.2): a line survives iff it ends in terminal
+#: punctuation AND has >= 5 words; a page survives iff >= 3 sentences,
+#: no '{', no 'lorem ipsum', no blocklisted word.  The public blocklist
+#: (LDNOOBW) is not vendored; a tiny documented placeholder keeps the
+#: rule exercised — swap the real list in production.
+C4_MIN_LINE_WORDS = 5
+C4_MIN_SENTENCES = 3
+C4_TERMINAL_RE = r'[.!?"]$'
+C4_BLOCKLIST = ["badword", "lorem"]
+
+
+def c4_quality(docs: DataFrame, text: str = "text") -> DataFrame:
+    """C4 page-cleanup rules as pure column expressions (zero shuffles).
+
+    Per document: split into lines; a line is KEPT iff it ends in
+    terminal punctuation (``. ! ? "``) and has at least 5 whitespace
+    words; page-level flags fire on fewer than 3 sentences (terminal
+    punctuation marks across the page), a curly brace (code), the
+    literal phrase ``lorem ipsum``, or a blocklist hit among the page's
+    words.  ``keep`` = at least one kept line and no page flag — the
+    published C4 pipeline's per-page outcome.  Counts are exact
+    integers; the kept-char ratio is one double division.
+
+    Returns (doc_id, n_lines, n_kept_lines, kept_chars, total_chars,
+    n_sentences, flag_few_sentences, flag_curly, flag_lorem,
+    flag_blocklist, kept_frac, keep).
+    """
+    t = F.col(text)
+    lines = F.split(t, "\n")
+    low = F.lower(t)
+
+    def line_ok(x):
+        return x.rlike(C4_TERMINAL_RE) & (
+            F.size(F.split(F.trim(x), " +")) >= C4_MIN_LINE_WORDS
+        )
+
+    kept = F.filter(lines, line_ok)
+    kept_chars = F.aggregate(
+        F.transform(kept, lambda x: F.length(x)),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    # sentences = terminal punctuation marks page-wide (the C4 heuristic)
+    n_sent = (
+        F.length(t) - F.length(F.regexp_replace(t, r"[.!?]", ""))
+    ).cast("long")
+    words = tokens(text)
+    block = F.array(*[F.lit(b) for b in C4_BLOCKLIST])
+    flag_block = F.size(
+        F.filter(words, lambda x: F.array_contains(block, x))
+    ) > 0
+    flag_few = n_sent < C4_MIN_SENTENCES
+    flag_curly = low.contains("{")
+    flag_lorem = low.contains("lorem ipsum")
+    n_kept = F.size(kept).cast("long")
+    keep = (
+        (n_kept > 0) & ~flag_few & ~flag_curly & ~flag_lorem & ~flag_block
+    )
+    return docs.select(
+        "doc_id",
+        F.size(lines).cast("long").alias("n_lines"),
+        n_kept.alias("n_kept_lines"),
+        kept_chars.alias("kept_chars"),
+        F.length(t).cast("long").alias("total_chars"),
+        n_sent.alias("n_sentences"),
+        flag_few.alias("flag_few_sentences"),
+        flag_curly.alias("flag_curly"),
+        flag_lorem.alias("flag_lorem"),
+        flag_block.alias("flag_blocklist"),
+        F.when(
+            F.length(t) > 0,
+            kept_chars.cast("double") / F.length(t).cast("double"),
+        ).alias("kept_frac"),
+        keep.alias("keep"),
+    )
+
+
+def sql_c4_quality(src: str = "documents") -> str:
+    block_list = ", ".join(f"'{b}'" for b in C4_BLOCKLIST)
+    return f"""
+        WITH base AS (
+            SELECT doc_id, text,
+                   string_split(text, chr(10)) AS lines,
+                   {sql_tokens('text')} AS words
+            FROM {src}),
+        per AS (
+            SELECT doc_id, text, lines, words,
+                   list_filter(lines, x ->
+                       regexp_matches(x, '{C4_TERMINAL_RE}')
+                       AND len(string_split_regex(trim(x), ' +'))
+                           >= {C4_MIN_LINE_WORDS}) AS kept
+            FROM base)
+        SELECT doc_id,
+               CAST(len(lines) AS BIGINT) AS n_lines,
+               CAST(len(kept) AS BIGINT) AS n_kept_lines,
+               CAST(COALESCE(list_sum(list_transform(kept, x -> len(x))), 0)
+                    AS BIGINT) AS kept_chars,
+               CAST(len(text) AS BIGINT) AS total_chars,
+               CAST(len(text) - len(regexp_replace(text, '[.!?]', '', 'g'))
+                    AS BIGINT) AS n_sentences,
+               (len(text) - len(regexp_replace(text, '[.!?]', '', 'g')))
+                   < {C4_MIN_SENTENCES} AS flag_few_sentences,
+               contains(lower(text), '{{') AS flag_curly,
+               contains(lower(text), 'lorem ipsum') AS flag_lorem,
+               len(list_filter(words, x -> x IN ({block_list}))) > 0
+                   AS flag_blocklist,
+               CASE WHEN len(text) > 0 THEN
+                   CAST(COALESCE(list_sum(list_transform(kept, x -> len(x))),
+                                 0) AS DOUBLE) / CAST(len(text) AS DOUBLE)
+               END AS kept_frac,
+               len(kept) > 0
+               AND NOT ((len(text) - len(regexp_replace(text, '[.!?]', '',
+                                                        'g')))
+                        < {C4_MIN_SENTENCES})
+               AND NOT contains(lower(text), '{{')
+               AND NOT contains(lower(text), 'lorem ipsum')
+               AND NOT (len(list_filter(words, x -> x IN ({block_list})))
+                        > 0) AS keep
+        FROM per
+    """

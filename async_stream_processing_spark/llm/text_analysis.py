@@ -380,3 +380,146 @@ def sql_inverted_index(src: str = "documents", max_postings: int = 1000) -> str:
                CAST(len(plist) AS BIGINT) AS n_postings
         FROM agg
     """
+
+
+def ngram_novelty(docs: DataFrame, n: int = 3, text: str = "text") -> DataFrame:
+    """Per-document n-gram NOVELTY against the corpus: the fraction of a
+    doc's distinct word n-grams whose first corpus occurrence (min
+    doc_id) is this doc — boilerplate-heavy docs score near 0, the doc
+    that introduced a phrase scores it.  The dedup-adjacent "how much of
+    this doc is new material" signal a curation pipeline ranks by.
+
+    Plan: distinct (doc_id, gram) pairs, gram-keyed min aggregation
+    (map-side combinable), join back on the gram key — two shuffles,
+    both on bounded-width keys; no gram list ever materializes per doc.
+    Returns (doc_id, n_distinct_grams, n_novel, novelty_frac).
+    """
+    from ..functions.text import shingles
+
+    g = docs.select(
+        "doc_id", F.explode(shingles(text, n)).alias("s")
+    ).distinct()
+    first = g.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
+    per = (
+        g.join(first, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct_grams"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+    )
+    return per.select(
+        "doc_id",
+        "n_distinct_grams",
+        F.col("n_novel").cast("long").alias("n_novel"),
+        (
+            F.col("n_novel").cast("double")
+            / F.col("n_distinct_grams").cast("double")
+        ).alias("novelty_frac"),
+    )
+
+
+def sql_ngram_novelty(src: str = "documents", n: int = 3) -> str:
+    from ..functions.text import sql_shingles, sql_tokens
+
+    return f"""
+        WITH words AS (SELECT doc_id, {sql_tokens('text')} AS w FROM {src}),
+        g AS (SELECT DISTINCT doc_id, unnest({sql_shingles('w', n)}) AS s
+              FROM words),
+        first AS (SELECT s, MIN(doc_id) AS first_doc FROM g GROUP BY s),
+        per AS (SELECT g.doc_id, COUNT(*) AS n_distinct_grams,
+                       SUM(CASE WHEN f.first_doc = g.doc_id
+                                THEN 1 ELSE 0 END) AS n_novel
+                FROM g JOIN first f ON f.s = g.s
+                GROUP BY g.doc_id)
+        SELECT doc_id, CAST(n_distinct_grams AS BIGINT) AS n_distinct_grams,
+               CAST(n_novel AS BIGINT) AS n_novel,
+               CAST(n_novel AS DOUBLE) / CAST(n_distinct_grams AS DOUBLE)
+                   AS novelty_frac
+        FROM per
+    """
+
+
+def source_overlap(docs: DataFrame, n: int = 3, text: str = "text") -> DataFrame:
+    """Pairwise SOURCE-level shingle overlap: for every pair of sources,
+    the distinct-n-gram intersection size, per-source set sizes, Jaccard
+    and containment — the "which crawls/dumps duplicate each other"
+    matrix that decides dedup ordering and mixture weights at corpus
+    assembly time.
+
+    Plan: distinct (source, gram), then a gram-keyed self-join produces
+    only co-occurring pairs (the shared gram IS the blocking key — never
+    an all-pairs product), counted per (src_a, src_b) with src_a <
+    src_b.  Output is #sources^2/2 rows; set sizes broadcast back.
+    """
+    from ..functions.text import shingles
+
+    g = docs.select(
+        F.col("source"), F.explode(shingles(text, n)).alias("s")
+    ).distinct()
+    sizes = g.groupBy("source").agg(F.count(F.lit(1)).alias("n_set"))
+    pairs = (
+        g.alias("a")
+        .join(g.alias("b"), "s")
+        .filter(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("src_a"),
+            F.col("b.source").alias("src_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(sizes.select(F.col("source").alias("src_a"),
+                                     F.col("n_set").alias("n_a"))),
+            "src_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("source").alias("src_b"),
+                                     F.col("n_set").alias("n_b"))),
+            "src_b",
+        )
+        .select(
+            "src_a", "src_b", "n_common", "n_a", "n_b",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast(
+                    "double"
+                )
+            ).alias("jaccard"),
+            (
+                F.col("n_common").cast("double")
+                / F.least("n_a", "n_b").cast("double")
+            ).alias("containment"),
+        )
+    )
+
+
+def sql_source_overlap(src: str = "documents", n: int = 3) -> str:
+    from ..functions.text import sql_shingles, sql_tokens
+
+    return f"""
+        WITH words AS (SELECT doc_id, source, {sql_tokens('text')} AS w
+                       FROM {src}),
+        g AS (SELECT DISTINCT source, unnest({sql_shingles('w', n)}) AS s
+              FROM words),
+        sizes AS (SELECT source, COUNT(*) AS n_set FROM g GROUP BY source),
+        pairs AS (SELECT a.source AS src_a, b.source AS src_b,
+                         COUNT(*) AS n_common
+                  FROM g a JOIN g b ON a.s = b.s AND a.source < b.source
+                  GROUP BY a.source, b.source)
+        SELECT p.src_a, p.src_b,
+               CAST(p.n_common AS BIGINT) AS n_common,
+               CAST(sa.n_set AS BIGINT) AS n_a,
+               CAST(sb.n_set AS BIGINT) AS n_b,
+               CAST(p.n_common AS DOUBLE)
+                   / CAST(sa.n_set + sb.n_set - p.n_common AS DOUBLE)
+                   AS jaccard,
+               CAST(p.n_common AS DOUBLE)
+                   / CAST(LEAST(sa.n_set, sb.n_set) AS DOUBLE) AS containment
+        FROM pairs p
+        JOIN sizes sa ON sa.source = p.src_a
+        JOIN sizes sb ON sb.source = p.src_b
+    """

@@ -554,7 +554,56 @@ def q_incremental_dedup(spark, sf_dir):
     )
 
 
+
+def q_c4_quality(spark, sf_dir):
+    """C4 page-cleanup rules (Raffel et al. 2020 §2.2): line-level
+    terminal-punctuation + min-words retention, page-level sentence /
+    curly / lorem-ipsum / blocklist flags.  Zero shuffles."""
+    from async_stream_processing_spark.llm.curation import c4_quality
+
+    return c4_quality(_docs(spark, sf_dir))
+
+
+def q_hashed_ngram_features(spark, sf_dir):
+    """DSIR hashed n-gram feature map (Xie et al. 2023): unigrams+bigrams
+    hashed into 128 buckets, sparse per-doc counts."""
+    from async_stream_processing_spark.llm.importance import (
+        hashed_ngram_features,
+    )
+
+    return hashed_ngram_features(_docs(spark, sf_dir))
+
+
+def q_dsir_score(spark, sf_dir):
+    """DSIR importance contrast toward the src0 subcorpus: integer
+    cross-multiplied bucket divergence (log-free, engine-exact)."""
+    from async_stream_processing_spark.llm.importance import dsir_score
+
+    return dsir_score(_docs(spark, sf_dir), target_source="src0")
+
+
+def q_ngram_novelty(spark, sf_dir):
+    """Per-doc novelty: fraction of distinct 3-grams first introduced by
+    this doc (min-doc_id first-occurrence semantics)."""
+    from async_stream_processing_spark.llm.text_analysis import ngram_novelty
+
+    return ngram_novelty(_docs(spark, sf_dir))
+
+
+def q_source_overlap(spark, sf_dir):
+    """Pairwise source shingle-overlap matrix: Jaccard + containment per
+    source pair via a shared-gram blocked self-join."""
+    from async_stream_processing_spark.llm.text_analysis import source_overlap
+
+    return source_overlap(_docs(spark, sf_dir))
+
+
 LLM_QUERIES = {
+    "c4_quality": q_c4_quality,
+    "hashed_ngram_features": q_hashed_ngram_features,
+    "dsir_score": q_dsir_score,
+    "ngram_novelty": q_ngram_novelty,
+    "source_overlap": q_source_overlap,
     "heavy_hitters": q_heavy_hitters,
     "incremental_dedup": q_incremental_dedup,
     "substring_dups": q_substring_dups,
@@ -776,7 +825,22 @@ def llm_oracle_sql() -> dict[str, str]:
         sql_inverted_index,
     )
 
+    from async_stream_processing_spark.llm.curation import sql_c4_quality
+    from async_stream_processing_spark.llm.importance import (
+        sql_dsir_score,
+        sql_hashed_ngram_features,
+    )
+    from async_stream_processing_spark.llm.text_analysis import (
+        sql_ngram_novelty,
+        sql_source_overlap,
+    )
+
     return {
+        "c4_quality": sql_c4_quality(),
+        "hashed_ngram_features": sql_hashed_ngram_features(),
+        "dsir_score": sql_dsir_score(),
+        "ngram_novelty": sql_ngram_novelty(),
+        "source_overlap": sql_source_overlap(),
         "heavy_hitters": sql_heavy_hitters(k=30),
         "substring_dups": sql_substring_dups(n=20, w=8),
         "inverted_index": sql_inverted_index(max_postings=1000),

@@ -408,3 +408,101 @@ def test_synth_mp4_roundtrip(spark):
         assert r["timescale"] == 1000 * (1 + did % 4)
         assert r["duration"] == 10000 + did % 9001
         assert r["n_boxes"] == 3
+
+
+def _docs_src(spark, rows):
+    """rows = [(doc_id, text, source)]"""
+    return spark.createDataFrame(
+        [(i, t, "en", s, len(t)) for i, t, s in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+
+def test_c4_quality_line_and_page_rules(spark):
+    from async_stream_processing_spark.llm.curation import c4_quality
+
+    docs = _docs(spark, [
+        "this line has enough words here.\nshort one.\nno terminal punct",
+        "lorem ipsum dolor sit amet something here.",
+        "a b { c d e f.",
+        "one two three. four five six! seven eight nine? ten more words.",
+    ])
+    out = {r["doc_id"]: r for r in c4_quality(docs).collect()}
+    # doc 0: 3 lines; only line 1 kept (ends '.', >=5 words); 1 sentence
+    # per line-0+1 -> 2 sentences total => flag_few_sentences
+    assert out[0]["n_lines"] == 3 and out[0]["n_kept_lines"] == 1
+    assert out[0]["flag_few_sentences"] and not out[0]["keep"]
+    # doc 1: lorem ipsum page flag
+    assert out[1]["flag_lorem"] and not out[1]["keep"]
+    # doc 2: curly brace page flag
+    assert out[2]["flag_curly"] and not out[2]["keep"]
+    # doc 3: one long line, 4 sentences, kept
+    assert out[3]["n_kept_lines"] == 1 and out[3]["n_sentences"] == 4
+    assert out[3]["keep"]
+
+
+def test_hashed_ngram_features_sum_to_total(spark):
+    from async_stream_processing_spark.llm.importance import (
+        hashed_ngram_features,
+    )
+
+    docs = _docs(spark, ["a b c", "x y"])
+    rows = hashed_ngram_features(docs, n_buckets=16).collect()
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 0: 3 unigrams + 2 bigrams = 5 grams; doc 1: 2 + 1 = 3
+    assert sum(r["count"] for r in per_doc[0]) == 5
+    assert all(r["n_grams"] == 5 for r in per_doc[0])
+    assert sum(r["count"] for r in per_doc[1]) == 3
+    assert all(0 <= r["bucket"] < 16 for r in rows)
+
+
+def test_dsir_score_leans_toward_target_vocab(spark):
+    from async_stream_processing_spark.llm.importance import dsir_score
+
+    # target source speaks {alpha beta}; the other speaks {gamma delta}
+    docs = _docs_src(spark, [
+        (0, "alpha beta alpha beta", "tgt"),
+        (1, "alpha beta beta alpha", "tgt"),
+        (2, "gamma delta gamma delta", "raw"),
+        (3, "alpha beta alpha", "raw"),       # raw doc with target vocab
+        (4, "gamma delta delta", "raw"),
+    ])
+    out = {r["doc_id"]: r["score_scaled"]
+           for r in dsir_score(docs, target_source="tgt").collect()}
+    # target-vocab docs score ABOVE other-vocab docs
+    assert out[3] > out[4]
+    assert out[0] > out[2]
+
+
+def test_ngram_novelty_copy_scores_zero(spark):
+    from async_stream_processing_spark.llm.text_analysis import ngram_novelty
+
+    docs = _docs(spark, [
+        "one two three four five",       # introduces all its grams
+        "one two three four five",       # exact copy -> nothing novel
+        "six seven eight nine ten",      # all fresh
+    ])
+    out = {r["doc_id"]: r for r in ngram_novelty(docs, n=3).collect()}
+    assert out[0]["novelty_frac"] == 1.0
+    assert out[1]["novelty_frac"] == 0.0
+    assert out[2]["novelty_frac"] == 1.0
+    assert out[0]["n_distinct_grams"] == 3
+
+
+def test_source_overlap_jaccard(spark):
+    from async_stream_processing_spark.llm.text_analysis import source_overlap
+
+    docs = _docs_src(spark, [
+        (0, "a b c d e", "s1"),     # grams: abc bcd cde
+        (1, "c d e f g", "s2"),     # grams: cde def efg  (shares cde)
+        (2, "x y z w v", "s3"),     # disjoint
+    ])
+    out = {(r["src_a"], r["src_b"]): r
+           for r in source_overlap(docs, n=3).collect()}
+    r12 = out[("s1", "s2")]
+    assert r12["n_common"] == 1 and r12["n_a"] == 3 and r12["n_b"] == 3
+    assert r12["jaccard"] == 1.0 / 5.0
+    assert r12["containment"] == 1.0 / 3.0
+    assert ("s1", "s3") not in out  # zero-overlap pairs don't emit
