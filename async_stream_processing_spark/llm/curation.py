@@ -695,3 +695,333 @@ def sql_c4_quality(src: str = "documents") -> str:
                         > 0) AS keep
         FROM per
     """
+
+
+#: Full Gopher A1.1 repetition thresholds: duplicate line/paragraph
+#: fraction > 0.30, their char fractions > 0.20, top {2,3,4}-gram char
+#: coverage per GOPHER_TOP_NGRAM, duplicated {5..10}-gram char coverage
+#: 0.15/0.14/0.13/0.12/0.11/0.10.
+GOPHER_DUP_ELEM = {"line": (3, 10), "para": (3, 10)}
+GOPHER_DUP_ELEM_CHAR = {"line": (1, 5), "para": (1, 5)}
+GOPHER_DUP_NGRAM_FULL = {
+    5: (3, 20), 6: (7, 50), 7: (13, 100), 8: (3, 25), 9: (11, 100),
+    10: (1, 10),
+}
+
+
+def gopher_repetition_full(docs: DataFrame, text: str = "text") -> DataFrame:
+    """The COMPLETE Gopher A1.1 repetition rule set (12 signals), not
+    just the 4-signal core of :func:`gopher_repetition`:
+
+    * duplicate LINE / PARAGRAPH fraction: occurrences beyond the first
+      of a repeated line (split on ``\\n``) or paragraph (``\\n\\n``)
+      over total elements — and their character fractions over total
+      text chars (the datatrove/NeMo accounting: a duplicate occurrence
+      contributes its full length);
+    * top {2,3,4}-gram character coverage (count x gram word-chars over
+      total word chars, the argmax-by-count gram) — same as the core;
+    * duplicated {5..10}-gram UNIQUE character coverage: token positions
+      covered by any n-gram occurring twice, interval-unioned, over
+      total word chars — the exact-coverage form for every n, computed
+      from ONE n-tagged posexplode for all six sizes.
+
+    Every flag is an integer cross-multiplication; ``keep`` = none
+    fired.  Fractions are reporting-only double divisions.  Shape: one
+    generate per granularity (lines, paragraphs, tagged top-grams,
+    tagged dup-grams), each followed by one keyed shuffle — no
+    per-n corpus rescan.
+    """
+    from .dedup import fan_out
+
+    base = fan_out(docs.select("doc_id", F.col(text).alias("__t")))
+    totals = base.select(
+        "doc_id",
+        _word_chars(tokens("__t")).alias("total_word_chars"),
+        F.length("__t").cast("long").alias("total_chars"),
+    )
+
+    def dup_elements(sep: str, tag: str) -> DataFrame:
+        el = base.select(
+            "doc_id", F.explode(F.split("__t", sep)).alias("e")
+        )
+        per = el.groupBy("doc_id", "e").agg(F.count(F.lit(1)).alias("c"))
+        return per.groupBy("doc_id").agg(
+            F.sum("c").cast("long").alias(f"n_{tag}"),
+            F.sum(F.col("c") - 1).cast("long").alias(f"dup_{tag}"),
+            F.sum((F.col("c") - 1) * F.length("e"))
+            .cast("long")
+            .alias(f"dup_{tag}_chars"),
+        )
+
+    lines = dup_elements("\n", "line")
+    paras = dup_elements("\n\n", "para")
+
+    # top {2,3,4}-grams: one tagged explode (same shape as the core op)
+    def _tag(n: int):
+        return lambda s: F.struct(F.lit(n).alias("n"), s.alias("s"))
+
+    tagged = F.flatten(
+        F.array(*[F.transform(shingles("__t", n), _tag(n)) for n in (2, 3, 4)])
+    )
+    grams = base.select("doc_id", F.explode(tagged).alias("g")).select(
+        "doc_id", F.col("g.n").alias("n"), F.col("g.s").alias("s")
+    )
+    per = grams.groupBy("doc_id", "n", "s").agg(F.count(F.lit(1)).alias("c"))
+    per = per.withColumn(
+        "gc", (F.length("s") - (F.col("n") - F.lit(1))).cast("long")
+    )
+    w_top = Window.partitionBy("doc_id", "n").orderBy(
+        F.desc("c"), F.desc("gc"), F.desc("s")
+    )
+    per = per.withColumn("rn", F.row_number().over(w_top))
+    top_wide = per.groupBy("doc_id").agg(
+        *[
+            F.coalesce(
+                F.max(
+                    F.when(
+                        (F.col("n") == n) & (F.col("rn") == 1)
+                        & (F.col("c") >= 2),
+                        F.col("c") * F.col("gc"),
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias(f"top{n}_chars")
+            for n in (2, 3, 4)
+        ],
+    )
+
+    # dup {5..10}-grams: ONE n-tagged posexplode; coverage per (doc, n)
+    def _ptag(n: int):
+        return lambda s, i: F.struct(
+            F.lit(n).alias("n"), i.alias("pos"), s.alias("s")
+        )
+
+    ptagged = F.flatten(
+        F.array(
+            *[
+                F.transform(shingles("__t", n), _ptag(n))
+                for n in GOPHER_DUP_NGRAM_FULL
+            ]
+        )
+    )
+    g = base.select("doc_id", F.explode(ptagged).alias("g")).select(
+        "doc_id",
+        F.col("g.n").alias("n"),
+        F.col("g.pos").alias("pos"),
+        F.col("g.s").alias("s"),
+    )
+    dup_occ = g.withColumn(
+        "c", F.count(F.lit(1)).over(Window.partitionBy("doc_id", "n", "s"))
+    ).filter(F.col("c") >= 2)
+    cov = dup_occ.select(
+        "doc_id",
+        "n",
+        F.explode(
+            F.sequence(F.col("pos"), F.col("pos") + F.col("n") - 1)
+        ).alias("idx"),
+    ).distinct()
+    tok_pos = base.select(
+        "doc_id", F.posexplode(tokens("__t")).alias("idx", "tok")
+    )
+    dupn = (
+        cov.join(tok_pos, ["doc_id", "idx"])
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.coalesce(
+                    F.sum(
+                        F.when(F.col("n") == n, F.length("tok"))
+                    ),
+                    F.lit(0),
+                )
+                .cast("long")
+                .alias(f"dup{n}_chars")
+                for n in GOPHER_DUP_NGRAM_FULL
+            ]
+        )
+    )
+
+    out = (
+        totals.join(lines, "doc_id", "left")
+        .join(paras, "doc_id", "left")
+        .join(top_wide, "doc_id", "left")
+        .join(dupn, "doc_id", "left")
+        .na.fill(
+            {f"top{n}_chars": 0 for n in (2, 3, 4)}
+            | {f"dup{n}_chars": 0 for n in GOPHER_DUP_NGRAM_FULL}
+            | {"dup_line": 0, "dup_line_chars": 0, "dup_para": 0,
+               "dup_para_chars": 0}
+        )
+    )
+    twc, tc = F.col("total_word_chars"), F.col("total_chars")
+    flag_exprs = []
+    for tag in ("line", "para"):
+        en, ed = GOPHER_DUP_ELEM[tag]
+        cn, cd = GOPHER_DUP_ELEM_CHAR[tag]
+        flag_exprs.append(
+            (f"flag_dup_{tag}",
+             F.col(f"dup_{tag}") * ed > F.col(f"n_{tag}") * en)
+        )
+        flag_exprs.append(
+            (f"flag_dup_{tag}_chars",
+             F.col(f"dup_{tag}_chars") * cd > tc * cn)
+        )
+    for n, (num, den) in GOPHER_TOP_NGRAM.items():
+        flag_exprs.append(
+            (f"flag_top{n}", F.col(f"top{n}_chars") * den > twc * num)
+        )
+    for n, (num, den) in GOPHER_DUP_NGRAM_FULL.items():
+        flag_exprs.append(
+            (f"flag_dup{n}", F.col(f"dup{n}_chars") * den > twc * num)
+        )
+    any_flag = flag_exprs[0][1]
+    for _, e in flag_exprs[1:]:
+        any_flag = any_flag | e
+    return out.select(
+        "doc_id",
+        "total_word_chars",
+        "total_chars",
+        "n_line",
+        "dup_line",
+        "dup_line_chars",
+        "n_para",
+        "dup_para",
+        "dup_para_chars",
+        *[F.col(f"top{n}_chars") for n in (2, 3, 4)],
+        *[F.col(f"dup{n}_chars") for n in GOPHER_DUP_NGRAM_FULL],
+        *[e.alias(name) for name, e in flag_exprs],
+        (~any_flag).alias("keep"),
+    )
+
+
+def sql_gopher_repetition_full(src: str = "documents") -> str:
+    """DuckDB twin of :func:`gopher_repetition_full`."""
+    dup_ns = list(GOPHER_DUP_NGRAM_FULL)
+    gram_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {n} AS n, unnest({sql_shingles('w', n)}) AS s FROM words"
+        for n in (2, 3, 4)
+    )
+    pos_selects = " UNION ALL ".join(
+        f"""SELECT doc_id, {n} AS n,
+                   unnest({sql_shingles('w', n)}) AS s,
+                   unnest(range(len({sql_shingles('w', n)}))) AS pos
+            FROM words"""
+        for n in dup_ns
+    )
+    dupn_cols = ",\n                    ".join(
+        f"COALESCE(SUM(CASE WHEN n = {n} THEN tl END), 0) AS dup{n}_chars"
+        for n in dup_ns
+    )
+    flag_terms = []
+    for tag in ("line", "para"):
+        en, ed = GOPHER_DUP_ELEM[tag]
+        cn, cd = GOPHER_DUP_ELEM_CHAR[tag]
+        flag_terms.append(
+            (f"flag_dup_{tag}",
+             f"COALESCE(l_{tag}.dup_{tag}, 0) * {ed} "
+             f"> COALESCE(l_{tag}.n_{tag}, 0) * {en}")
+        )
+        flag_terms.append(
+            (f"flag_dup_{tag}_chars",
+             f"COALESCE(l_{tag}.dup_{tag}_chars, 0) * {cd} "
+             f"> t.total_chars * {cn}")
+        )
+    for n, (num, den) in GOPHER_TOP_NGRAM.items():
+        flag_terms.append(
+            (f"flag_top{n}",
+             f"COALESCE(tw.top{n}_chars, 0) * {den} "
+             f"> t.total_word_chars * {num}")
+        )
+    for n, (num, den) in GOPHER_DUP_NGRAM_FULL.items():
+        flag_terms.append(
+            (f"flag_dup{n}",
+             f"COALESCE(dn.dup{n}_chars, 0) * {den} "
+             f"> t.total_word_chars * {num}")
+        )
+    flag_sql = ",\n               ".join(
+        f"{e} AS {name}" for name, e in flag_terms
+    )
+    any_flag = "\n                    OR ".join(e for _, e in flag_terms)
+    return f"""
+        WITH words AS (SELECT doc_id, {sql_tokens('text')} AS w FROM {src}),
+        totals AS (SELECT doc_id,
+                          CAST(list_sum(list_transform(
+                              {sql_tokens('text')}, x -> len(x)))
+                               AS BIGINT) AS total_word_chars,
+                          CAST(len(text) AS BIGINT) AS total_chars
+                   FROM {src}),
+        line_el AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS e
+                    FROM {src}),
+        line_per AS (SELECT doc_id, e, COUNT(*) AS c FROM line_el
+                     GROUP BY doc_id, e),
+        l_line AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_line,
+                          CAST(SUM(c - 1) AS BIGINT) AS dup_line,
+                          CAST(SUM((c - 1) * len(e)) AS BIGINT)
+                              AS dup_line_chars
+                   FROM line_per GROUP BY doc_id),
+        para_el AS (SELECT doc_id,
+                           unnest(string_split(text, chr(10) || chr(10)))
+                               AS e
+                    FROM {src}),
+        para_per AS (SELECT doc_id, e, COUNT(*) AS c FROM para_el
+                     GROUP BY doc_id, e),
+        l_para AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_para,
+                          CAST(SUM(c - 1) AS BIGINT) AS dup_para,
+                          CAST(SUM((c - 1) * len(e)) AS BIGINT)
+                              AS dup_para_chars
+                   FROM para_per GROUP BY doc_id),
+        grams AS ({gram_selects}),
+        per AS (SELECT doc_id, n, s, COUNT(*) AS c,
+                       len(s) - (n - 1) AS gc,
+                       ROW_NUMBER() OVER (PARTITION BY doc_id, n
+                                          ORDER BY COUNT(*) DESC,
+                                                   len(s) - (n - 1) DESC,
+                                                   s DESC) AS rn
+                FROM grams GROUP BY doc_id, n, s),
+        tw AS (SELECT doc_id,
+                      COALESCE(MAX(CASE WHEN n = 2 AND rn = 1 AND c >= 2
+                                        THEN c * gc END), 0) AS top2_chars,
+                      COALESCE(MAX(CASE WHEN n = 3 AND rn = 1 AND c >= 2
+                                        THEN c * gc END), 0) AS top3_chars,
+                      COALESCE(MAX(CASE WHEN n = 4 AND rn = 1 AND c >= 2
+                                        THEN c * gc END), 0) AS top4_chars
+               FROM per GROUP BY doc_id),
+        pg AS ({pos_selects}),
+        dup_occ AS (SELECT doc_id, n, pos
+                    FROM (SELECT doc_id, n, pos,
+                                 COUNT(*) OVER (PARTITION BY doc_id, n, s)
+                                     AS c
+                          FROM pg) q WHERE c >= 2),
+        cov AS (SELECT DISTINCT doc_id, n,
+                       unnest(range(pos, pos + n)) AS idx
+                FROM dup_occ),
+        toklen AS (SELECT doc_id, unnest(range(len(w))) AS idx,
+                          unnest(list_transform(w, x -> len(x))) AS tl
+                   FROM words),
+        dn AS (SELECT c2.doc_id,
+                    {dupn_cols}
+               FROM (SELECT cov.doc_id, cov.n, t3.tl
+                     FROM cov JOIN toklen t3
+                       ON t3.doc_id = cov.doc_id AND t3.idx = cov.idx) c2
+               GROUP BY c2.doc_id)
+        SELECT t.doc_id, t.total_word_chars, t.total_chars,
+               COALESCE(l_line.n_line, 0) AS n_line,
+               COALESCE(l_line.dup_line, 0) AS dup_line,
+               COALESCE(l_line.dup_line_chars, 0) AS dup_line_chars,
+               COALESCE(l_para.n_para, 0) AS n_para,
+               COALESCE(l_para.dup_para, 0) AS dup_para,
+               COALESCE(l_para.dup_para_chars, 0) AS dup_para_chars,
+               CAST(COALESCE(tw.top2_chars, 0) AS BIGINT) AS top2_chars,
+               CAST(COALESCE(tw.top3_chars, 0) AS BIGINT) AS top3_chars,
+               CAST(COALESCE(tw.top4_chars, 0) AS BIGINT) AS top4_chars,
+               {", ".join(f'CAST(COALESCE(dn.dup{n}_chars, 0) AS BIGINT) AS dup{n}_chars' for n in dup_ns)},
+               {flag_sql},
+               NOT ({any_flag}) AS keep
+        FROM totals t
+        LEFT JOIN l_line ON l_line.doc_id = t.doc_id
+        LEFT JOIN l_para ON l_para.doc_id = t.doc_id
+        LEFT JOIN tw ON tw.doc_id = t.doc_id
+        LEFT JOIN dn ON dn.doc_id = t.doc_id
+    """

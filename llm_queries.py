@@ -598,7 +598,20 @@ def q_source_overlap(spark, sf_dir):
     return source_overlap(_docs(spark, sf_dir))
 
 
+
+def q_gopher_repetition_full(spark, sf_dir):
+    """The complete 12-signal Gopher A1.1 repetition rule set: duplicate
+    line/paragraph (element + char fractions) and duplicated 5..10-gram
+    unique character coverage, alongside the top-2/3/4-gram core."""
+    from async_stream_processing_spark.llm.curation import (
+        gopher_repetition_full,
+    )
+
+    return gopher_repetition_full(_docs(spark, sf_dir))
+
+
 LLM_QUERIES = {
+    "gopher_repetition_full": q_gopher_repetition_full,
     "c4_quality": q_c4_quality,
     "hashed_ngram_features": q_hashed_ngram_features,
     "dsir_score": q_dsir_score,
@@ -835,7 +848,12 @@ def llm_oracle_sql() -> dict[str, str]:
         sql_source_overlap,
     )
 
+    from async_stream_processing_spark.llm.curation import (
+        sql_gopher_repetition_full,
+    )
+
     return {
+        "gopher_repetition_full": sql_gopher_repetition_full(),
         "c4_quality": sql_c4_quality(),
         "hashed_ngram_features": sql_hashed_ngram_features(),
         "dsir_score": sql_dsir_score(),

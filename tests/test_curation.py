@@ -488,3 +488,36 @@ def test_pattern_no_interrupt_bruteforce(spark):
                 last_click = ts
             elif et == "error":
                 last_error = ts
+
+
+def test_gopher_repetition_full_lines_paras_and_high_n(spark):
+    """The full 12-signal rule set: duplicate lines/paragraphs and
+    duplicated 6-gram coverage, none of which the 4-signal core sees."""
+    from async_stream_processing_spark.llm.curation import (
+        gopher_repetition_full,
+    )
+
+    dup_line = "the same exact line of text"
+    doc0 = "\n".join([dup_line, "something different here", dup_line,
+                      dup_line])
+    # doc 1: a duplicated 6-gram ("a b c d e f" twice), no line dups
+    doc1 = "a b c d e f x y z a b c d e f"
+    # doc 2: clean
+    doc2 = "all fresh words never repeating anything at all"
+    docs = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in enumerate([doc0, doc1, doc2])],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = {r["doc_id"]: r for r in gopher_repetition_full(docs).collect()}
+    # doc 0: 4 lines, 2 duplicate occurrences beyond the first
+    assert out[0]["n_line"] == 4 and out[0]["dup_line"] == 2
+    assert out[0]["dup_line_chars"] == 2 * len(dup_line)
+    assert out[0]["flag_dup_line"]          # 2/4 > 0.30
+    assert not out[0]["keep"]
+    # doc 1: the 6-gram "a b c d e f" occurs twice -> covers 12 unique
+    # token chars out of 15 word chars; flag_dup6 fires (12/15 > 0.14)
+    assert out[1]["dup6_chars"] == 12
+    assert out[1]["flag_dup6"] and not out[1]["keep"]
+    # clean doc survives
+    assert out[2]["keep"]
+    assert out[2]["dup_line"] == 0 and out[2]["dup6_chars"] == 0
