@@ -523,3 +523,106 @@ def sql_source_overlap(src: str = "documents", n: int = 3) -> str:
         JOIN sizes sa ON sa.source = p.src_a
         JOIN sizes sb ON sb.source = p.src_b
     """
+
+
+#: Count-min sketch shape: d hash rows x w buckets.  Error bound:
+#: overestimate <= e*n/w with prob 1 - e^-d; 4x1024 gives <=0.3% of n at
+#: ~98% per-query confidence.  State is d*w counters regardless of corpus.
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+
+
+def cms_token_counts(
+    docs: DataFrame,
+    k: int = 20,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+    text: str = "text",
+) -> DataFrame:
+    """Count-min-sketch token frequency estimation + top-k by estimate —
+    the BOUNDED-STATE path where :func:`heavy_hitters` is the exact one.
+
+    The sketch is deterministic end-to-end: bucket = md5-based
+    ``stable_hash60(i || tok) % width`` per hash row i, counters are
+    exact integer aggregates over ``(i, bucket)`` — d*w rows of MODEL
+    STATE (the k-means-centroid shape), built with map-side combine so
+    the corpus never shuffles token rows — and the estimate for a token
+    is the MIN of its d counters (classic CMS upper bound; always >=
+    the true count).  No randomness, no floats: the same corpus gives
+    the same sketch on any engine/partitioning, so the oracle twin is
+    exact even though the ESTIMATE itself is approximate.
+
+    Top-k selection runs over the distinct vocabulary joined against the
+    broadcast counter table (vocabulary-sized, not corpus-sized work);
+    ties break lexicographically.  Returns (tok, est_count, rank).
+    """
+    from ..functions.hashing import stable_hash60
+
+    toks = docs.select(F.explode(tokens(text)).alias("tok"))
+    rows = toks.select(
+        "tok",
+        F.explode(
+            F.array(*[F.lit(i) for i in range(depth)])
+        ).alias("i"),
+    ).withColumn(
+        "bucket",
+        stable_hash60(F.concat(F.col("i").cast("string"), F.lit("|"),
+                               F.col("tok"))) % width,
+    )
+    counters = rows.groupBy("i", "bucket").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    vocab = toks.distinct().select(
+        "tok",
+        F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("i"),
+    ).withColumn(
+        "bucket",
+        stable_hash60(F.concat(F.col("i").cast("string"), F.lit("|"),
+                               F.col("tok"))) % width,
+    )
+    est = (
+        vocab.join(F.broadcast(counters), ["i", "bucket"])
+        .groupBy("tok")
+        .agg(F.min("c").cast("long").alias("est_count"))
+    )
+    from pyspark.sql import Window as W
+
+    wk = W.orderBy(F.desc("est_count"), F.asc("tok"))
+    return (
+        est.withColumn("rank", F.row_number().over(wk).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def sql_cms_token_counts(
+    src: str = "documents",
+    k: int = 20,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> str:
+    from ..functions.hashing import sql_stable_hash60
+    from ..functions.text import sql_tokens
+
+    h = sql_stable_hash60("CAST(i AS VARCHAR) || '|' || tok")
+    idx = ", ".join(f"({i})" for i in range(depth))
+    return f"""
+        WITH toks AS (SELECT unnest({sql_tokens('text')}) AS tok
+                      FROM {src}),
+        rows_ AS (SELECT tok, i.i, ({h}) % {width} AS bucket
+                  FROM toks, (VALUES {idx}) AS i(i)),
+        counters AS (SELECT i, bucket, COUNT(*) AS c
+                     FROM rows_ GROUP BY i, bucket),
+        vocab AS (SELECT DISTINCT tok FROM toks),
+        vrows AS (SELECT tok, i.i, ({h}) % {width} AS bucket
+                  FROM vocab, (VALUES {idx}) AS i(i)),
+        est AS (SELECT v.tok, CAST(MIN(c.c) AS BIGINT) AS est_count
+                FROM vrows v JOIN counters c
+                  ON c.i = v.i AND c.bucket = v.bucket
+                GROUP BY v.tok),
+        ranked AS (SELECT tok, est_count,
+                          CAST(ROW_NUMBER() OVER (ORDER BY est_count DESC,
+                                                  tok ASC) AS BIGINT)
+                              AS rank
+                   FROM est)
+        SELECT tok, est_count, rank FROM ranked WHERE rank <= {k}
+    """

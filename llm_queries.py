@@ -610,7 +610,35 @@ def q_gopher_repetition_full(spark, sf_dir):
     return gopher_repetition_full(_docs(spark, sf_dir))
 
 
+
+def q_stream_c4_quality(spark, sf_dir):
+    """C4 page-cleanup rules EXECUTED BY THE STREAMING ENGINE: the same
+    zero-shuffle column expressions over a documents STREAM (stateless,
+    append mode emits exactly the batch result) -- the quality-gate-on-
+    arrival ingest branch.  Same oracle as the batch c4_quality."""
+    from async_stream_processing_spark.llm.curation import c4_quality
+    from async_stream_processing_spark.sources.parquet import stream_table
+    from async_stream_processing_spark.streaming.replay import drain
+
+    s = stream_table(spark, sf_dir, "documents")
+    return drain(c4_quality(s), output_mode="append")
+
+
+
+def q_cms_token_counts(spark, sf_dir):
+    """Count-min-sketch token counts (bounded d x w counter state, the
+    scale path of exact heavy_hitters), deterministic md5 bucket hashes
+    so even the sketch ESTIMATES are oracle-exact."""
+    from async_stream_processing_spark.llm.text_analysis import (
+        cms_token_counts,
+    )
+
+    return cms_token_counts(_docs(spark, sf_dir), k=20)
+
+
 LLM_QUERIES = {
+    "cms_token_counts": q_cms_token_counts,
+    "stream_c4_quality": q_stream_c4_quality,
     "gopher_repetition_full": q_gopher_repetition_full,
     "c4_quality": q_c4_quality,
     "hashed_ngram_features": q_hashed_ngram_features,
@@ -852,7 +880,13 @@ def llm_oracle_sql() -> dict[str, str]:
         sql_gopher_repetition_full,
     )
 
+    from async_stream_processing_spark.llm.text_analysis import (
+        sql_cms_token_counts,
+    )
+
     return {
+        "cms_token_counts": sql_cms_token_counts(k=20),
+        "stream_c4_quality": sql_c4_quality(),
         "gopher_repetition_full": sql_gopher_repetition_full(),
         "c4_quality": sql_c4_quality(),
         "hashed_ngram_features": sql_hashed_ngram_features(),

@@ -506,3 +506,23 @@ def test_source_overlap_jaccard(spark):
     assert r12["jaccard"] == 1.0 / 5.0
     assert r12["containment"] == 1.0 / 3.0
     assert ("s1", "s3") not in out  # zero-overlap pairs don't emit
+
+
+def test_cms_upper_bounds_true_counts(spark):
+    from async_stream_processing_spark.llm.text_analysis import (
+        cms_token_counts,
+    )
+
+    docs = _docs(spark, [
+        "apple apple apple banana banana cherry",
+        "apple banana date elderberry fig grape",
+    ])
+    out = {r["tok"]: r["est_count"]
+           for r in cms_token_counts(docs, k=10).collect()}
+    true = {"apple": 4, "banana": 3, "cherry": 1, "date": 1,
+            "elderberry": 1, "fig": 1, "grape": 1}
+    # CMS never underestimates; at 8 distinct tokens vs 1024 buckets the
+    # collision probability in all 4 rows is negligible -> exact here
+    for tok, t in true.items():
+        assert out[tok] >= t
+    assert out["apple"] == 4 and out["banana"] == 3

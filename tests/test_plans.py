@@ -158,6 +158,9 @@ def test_weighted_sample_zero_exchanges(spark):
 #                            k rows (TakeOrderedAndProject), not corpus
 #   quality_stratified_sample (1) NTILE strata over the doc-count-sized
 #                            rarity aggregate; documented in docstring
+#   cms_token_counts     (1) rank over the VOCABULARY-sized estimate
+#                            table with rank <= k filter (window group
+#                            limit pushdown bounds the sort)
 UNPARTITIONED_WINDOW_ALLOWLIST = {
     "positional_zip": 2,
     "running_combine": 3,
@@ -165,6 +168,7 @@ UNPARTITIONED_WINDOW_ALLOWLIST = {
     "equidepth_histogram": 1,
     "weighted_sample": 1,
     "quality_stratified_sample": 1,
+    "cms_token_counts": 1,
 }
 
 
