@@ -26,6 +26,7 @@ EXAMPLES = [
     "e14_embedding_graph",
     "e15_corpus_curation",
     "e16_ops_observability",
+    "e17_data_selection",
 ]
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "examples"))
