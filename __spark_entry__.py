@@ -2525,15 +2525,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # keys only.  Rounds 1-2 gated the original first 50; round 3 the LLM
     # block + rank/scalar/sliding/percentile/stream families; round 4 went
     # 50/50 green on the never-gated + changed + re-confirm mix.  Round 5's
-    # window: (a) the TWENTY queries with no driver-green row in any round
-    # (late-r4 additions that missed the frozen window), (b) the TWO whose
-    # semantics changed this round (gopher_repetition now measures exact
+    # window: (a) the TWENTY-NINE queries with no driver-green row in any
+    # round (late-r4 additions that missed the frozen window, plus the
+    # post-gate curation/sketch block), (b) the SIX whose code changed
+    # after the r4 gate ran (gopher_repetition now measures exact
     # duplicated-5-gram character coverage; mixture_sample now gates on
-    # doc_id) -- their r4 rows describe the old code, (c) re-confirmation:
-    # the five r1/r2-only keys never re-gated, the fifteen double-green
-    # r1+r2 keys displaced from the r4 window, and eight round-3-only
-    # family representatives.  After round 5 every declared query has a
-    # driver-green row in CORRECTNESS_r01..r05.
+    # doc_id; inverted_index bounds posting state; bfs_levels dedups
+    # seeds; the stream outer joins share the single-source sentinel
+    # helper) -- their r4 rows describe the old code, (c) queries NEW in
+    # round 5, (d) re-confirmation filler from the r1/r2-only keys.
     return {
         # --- (a) never driver-gated in rounds 1-4 ---
         "bloom_decontaminate": LLM_QUERIES["bloom_decontaminate"],
@@ -2556,16 +2556,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q5": q_tpch_q5,
         "triangle_counts": q_triangle_counts,
         "zscore_outliers": q_zscore_outliers,
-        # --- (b) semantics changed in round 5: re-gate ---
+        # --- (a) never gated: post-r4-gate additions ---
+        "cms_token_counts": LLM_QUERIES["cms_token_counts"],
+        "stream_c4_quality": LLM_QUERIES["stream_c4_quality"],
+        "gopher_repetition_full": LLM_QUERIES["gopher_repetition_full"],
+        "c4_quality": LLM_QUERIES["c4_quality"],
+        "hashed_ngram_features": LLM_QUERIES["hashed_ngram_features"],
+        "dsir_score": LLM_QUERIES["dsir_score"],
+        "ngram_novelty": LLM_QUERIES["ngram_novelty"],
+        "source_overlap": LLM_QUERIES["source_overlap"],
+        "approx_equidepth": q_approx_equidepth,
+        # --- (b) code changed after the r4 gate ran: re-gate ---
         "gopher_repetition": LLM_QUERIES["gopher_repetition"],
         "mixture_sample": LLM_QUERIES["mixture_sample"],
-        # --- (c) re-confirm: r1/r2-only keys never re-gated since ---
+        "inverted_index": LLM_QUERIES["inverted_index"],
+        "bfs_levels": q_bfs_levels,
+        "stream_fullouter": q_stream_fullouter,
+        "stream_leftouter": q_stream_leftouter,
+        # --- (c) NEW in round 5 (slots also displace (d) filler) ---
+        # --- (d) re-confirm filler: r1/r2-only keys never re-gated ---
         "filter_project": q_filter_project,
         "demux_counts": q_demux,
         "set_ops_multiset": q_set_ops_multiset,
         "rows_frame_last5": q_rows_frame,
         "sessionize_native": q_sessionize_native,
-        # --- (c) re-confirm: double-green r1+r2, displaced from r4 ---
         "tpch_q7": q_tpch_q7,
         "tpch_q15": q_tpch_q15,
         "tpch_q17": q_tpch_q17,
@@ -2576,12 +2590,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q13": q_tpch_q13,
         "tpch_q16": q_tpch_q16,
         "tpch_q19": q_tpch_q19,
+        # ================= end of the 50-key gate window =================
         "tpch_q21": q_tpch_q21,
         "semi_anti_join": q_semi_anti,
         "event_deltas": q_event_deltas,
         "revenue_rollup": q_revenue_rollup,
         "topk_per_priority": q_topk_per_priority,
-        # --- (c) re-confirm: round-3-only family representatives ---
         "trade_pnl_bucketed": q_trade_pnl_bucketed,
         "sliding_2min": q_sliding_2min,
         "stream_sliding_2min": q_stream_sliding_2min,
@@ -2590,14 +2604,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "tpch_q9": q_tpch_q9,
         "dedup_minhash_lsh": LLM_QUERIES["dedup_minhash_lsh"],
-        # ================= end of the 50-key gate window =================
         # --- green in round 4 ---
         "user_event_paths": q_user_event_paths,
         "ivf_kmeans_assign": LLM_QUERIES["ivf_kmeans_assign"],
         "cardinality_sketch": q_cardinality_sketch,
         "embedding_dim_stats": q_embedding_dim_stats,
         "stream_static_enrich": q_stream_static_enrich,
-        "stream_fullouter": q_stream_fullouter,
         "running_combine": q_running_combine,
         "spread_bid_ask": q_spread,
         "positions_by_key": q_positions,
@@ -2625,10 +2637,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": LLM_QUERIES["weighted_sample"],
         "asof_nearest": q_asof_nearest,
         "stream_range_join": q_stream_range_join,
-        "stream_leftouter": q_stream_leftouter,
         "quantile_sketch": q_quantile_sketch,
         "scd2_intervals": q_scd2_intervals,
-        "bfs_levels": q_bfs_levels,
         "copurchase_pairs": q_copurchase_pairs,
         "association_rules": q_association_rules,
         "kcore_users": q_kcore_users,
@@ -2636,7 +2646,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": LLM_QUERIES["gopher_quality"],
         "pack_sequences": LLM_QUERIES["pack_sequences"],
         "heavy_hitters": LLM_QUERIES["heavy_hitters"],
-        "inverted_index": LLM_QUERIES["inverted_index"],
         "doc_chunks": LLM_QUERIES["doc_chunks"],
         "stream_gopher_quality": LLM_QUERIES["stream_gopher_quality"],
         "substring_dups": LLM_QUERIES["substring_dups"],
@@ -2654,7 +2663,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 "ivf_kmeans_assign", "containment_pairs", "weighted_sample",
                 "gopher_quality", "pack_sequences", "heavy_hitters",
                 "inverted_index", "doc_chunks", "stream_gopher_quality",
-                "substring_dups",
+                "substring_dups", "cms_token_counts", "stream_c4_quality",
+                "gopher_repetition_full", "c4_quality",
+                "hashed_ngram_features", "dsir_score", "ngram_novelty",
+                "source_overlap",
             )
         },
         "vwap_2min": q_vwap_2min,
@@ -2679,10 +2691,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_join_1h": q_stream_join,
         "first_seen": q_first_seen,
         "timer_ticks": q_timer_ticks,
-        # rows-only (sketch output, no cross-engine oracle by nature):
-        # the scale path of equidepth_histogram, error-bounded in
-        # tests/test_analytics.py against the exact NTILE form
-        "approx_equidepth": q_approx_equidepth,
     }
 
 
