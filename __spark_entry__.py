@@ -2115,15 +2115,28 @@ def q_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_approx_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB path for `equidepth_histogram`: percentile_approx
     boundary extraction (mergeable sketch, no global sort) + one
-    assignment scan.  Sketch output has no cross-engine oracle; the
-    driver records a rows-only check and tests/test_analytics.py bounds
-    its boundary rank error against the exact NTILE form at sf0.1."""
+    assignment scan, checked by CONTRACT (the cardinality_sketch
+    pattern): raw sketch boundaries aren't cross-engine portable, but
+    the estimator's rank-error bound is.  Emits per bucket a boolean
+    ``depth_ok`` (|n_rows - n/10| <= n/50, cross-multiplied integers --
+    the sketch's rank error is n/accuracy = n/10000, so 2% depth slack
+    is ~200x the bound) and ``bounds_ok`` (lo <= hi); the oracle emits
+    the same 10 rows of TRUE.  tests/test_analytics.py additionally
+    bounds boundary rank error against the exact NTILE form at sf0.1."""
     from async_stream_processing_spark.operators.analytics import (
         approx_equidepth_histogram,
     )
 
     li = load_table(spark, sf_dir, "lineitem").select("l_extendedprice")
-    return approx_equidepth_histogram(li, "l_extendedprice", 10)
+    hist = approx_equidepth_histogram(li, "l_extendedprice", 10)
+    tot = hist.agg(F.sum("n_rows").alias("n"))
+    return hist.join(F.broadcast(tot)).select(
+        "bucket",
+        (F.abs(F.col("n_rows") * 10 - F.col("n")) * 5 <= F.col("n")).alias(
+            "depth_ok"
+        ),
+        (F.col("lo") <= F.col("hi")).alias("bounds_ok"),
+    )
 
 
 def q_interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3323,6 +3336,15 @@ def oracle_sql() -> dict[str, str]:
                TRUE AS users_within_rsd,
                TRUE AS values_within_rsd
         FROM events GROUP BY event_type
+    """
+    # contract oracle (cardinality_sketch pattern): the sketch histogram's
+    # invariants -- 10 nonempty buckets, 2% depth tolerance, ordered
+    # bounds -- hold exactly; the boolean derivation runs Spark-side.
+    out["approx_equidepth"] = """
+        SELECT CAST(range AS BIGINT) AS bucket,
+               TRUE AS depth_ok,
+               TRUE AS bounds_ok
+        FROM range(1, 11)
     """
     out["embedding_dim_stats"] = """
         WITH ex AS (
