@@ -168,6 +168,28 @@ def q_resample_1min(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLCV candlestick bars: per (user, 5-min bucket) open / high /
+    low / close / count / exact sum -- tick-stream downsampling over the
+    reference's market-data shape (e6 adapter).  One map-side-combined
+    hash aggregation, no window, no sort: O(bars) state at any scale."""
+    from async_stream_processing_spark.operators.windows import ohlc_bars
+
+    return ohlc_bars(
+        _events(spark, sf_dir), every="5 minutes", partition_by=["user_id"]
+    )
+
+
+def q_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 20-row Pearson autocorrelation (lag 1) of value per user:
+    the momentum/mean-reversion signal template -- five exact decimal
+    frame sums sharing ONE exchange+sort, Pearson as a fixed IEEE tree
+    (no libm), NULL on degenerate frames in both engines."""
+    from async_stream_processing_spark.operators.windows import rolling_corr
+
+    return rolling_corr(_events(spark, sf_dir), ["user_id"], n_rows=20)
+
+
 def q_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B11 filter + A8 unpack/projection: purchases with value >= 50,
     props JSON field extracted as a column."""
@@ -2587,6 +2609,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_fullouter": q_stream_fullouter,
         "stream_leftouter": q_stream_leftouter,
         # --- (c) NEW in round 5 (slots also displace (d) filler) ---
+        "ohlc_bars": q_ohlc_bars,
+        "rolling_corr": q_rolling_corr,
         # --- (d) re-confirm filler: r1/r2-only keys never re-gated ---
         "filter_project": q_filter_project,
         "demux_counts": q_demux,
@@ -2601,9 +2625,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q10": q_tpch_q10,
         "tpch_q4": q_tpch_q4,
         "tpch_q13": q_tpch_q13,
+        # ================= end of the 50-key gate window =================
         "tpch_q16": q_tpch_q16,
         "tpch_q19": q_tpch_q19,
-        # ================= end of the 50-key gate window =================
         "tpch_q21": q_tpch_q21,
         "semi_anti_join": q_semi_anti,
         "event_deltas": q_event_deltas,
@@ -3336,6 +3360,47 @@ def oracle_sql() -> dict[str, str]:
                TRUE AS users_within_rsd,
                TRUE AS values_within_rsd
         FROM events GROUP BY event_type
+    """
+    out["ohlc_bars"] = """
+        SELECT user_id,
+               make_timestamp(epoch_us(ts) - epoch_us(ts) % 300000000)
+                   AS bar_start,
+               arg_min(value, event_id) AS open,
+               MAX(value) AS high,
+               MIN(value) AS low,
+               arg_max(value, event_id) AS close,
+               COUNT(*) AS n_ticks,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                   AS sum_value
+        FROM events
+        GROUP BY 1, 2
+    """
+    out["rolling_corr"] = """
+        WITH lagged AS (
+            SELECT user_id, ts, event_id,
+                   CAST(value AS DECIMAL(18,2)) AS x,
+                   LAG(CAST(value AS DECIMAL(18,2)), 1) OVER
+                       (PARTITION BY user_id ORDER BY ts, event_id) AS y
+            FROM events),
+        sums AS (
+            SELECT user_id, ts, event_id,
+                   CAST(COUNT(y) OVER w AS DOUBLE) AS n,
+                   CAST(SUM(CASE WHEN y IS NOT NULL THEN x END) OVER w
+                        AS DOUBLE) AS sx,
+                   CAST(SUM(y) OVER w AS DOUBLE) AS sy,
+                   CAST(SUM(x * y) OVER w AS DOUBLE) AS sxy,
+                   CAST(SUM(CASE WHEN y IS NOT NULL THEN x * x END) OVER w
+                        AS DOUBLE) AS sxx,
+                   CAST(SUM(y * y) OVER w AS DOUBLE) AS syy
+            FROM lagged
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+        SELECT user_id, ts, event_id,
+               CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+                    THEN (n * sxy - sx * sy)
+                         / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+               END AS corr20
+        FROM sums
     """
     # contract oracle (cardinality_sketch pattern): the sketch histogram's
     # invariants -- 10 nonempty buckets, 2% depth tolerance, ordered

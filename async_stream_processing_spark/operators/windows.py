@@ -118,3 +118,105 @@ def resample(
     keys = [bucket.alias("bucket_start")] + [F.col(c) for c in (partition_by or [])]
     aggs = aggs or {"n_events": F.count(F.lit(1))}
     return df.groupBy(*keys).agg(*[v.alias(k) for k, v in aggs.items()])
+
+
+def ohlc_bars(
+    df: DataFrame,
+    every: str = "5 minutes",
+    partition_by: list[str] | None = None,
+    value: str = "value",
+    order: str = "event_id",
+    scale: int = 6,
+) -> DataFrame:
+    """Candlestick (OHLCV) bars: per key and tumbling bucket, the first /
+    max / min / last value plus count and exact sum -- the time-series
+    downsampling every market-data consumer of the reference's tick
+    streams (e6_market_data adapter shape) runs first.
+
+    open/close use ``min_by``/``max_by`` over the total-order column
+    (``event_id`` -- unique, assigned in ts order by the generator;
+    functions/../plans/event_relation.py), so ties are impossible and
+    the oracle's ``arg_min``/``arg_max`` reproduce them exactly.  ONE
+    hash aggregation, map-side combined: O(bars) state, no window, no
+    sort -- the 100 TB shape.  ``sum_value`` follows the decimal-space
+    rule (functions/numeric.py).
+    """
+    qty_s, unit = every.split()
+    qty, unit = int(qty_s), unit.rstrip("s")
+    step_us = qty * {"second": 10**6, "minute": 60 * 10**6,
+                     "hour": 3600 * 10**6, "day": 86400 * 10**6}[unit]
+    bucket = F.timestamp_micros(
+        F.unix_micros(F.col("ts")) - F.unix_micros(F.col("ts")) % step_us
+    )
+    keys = [F.col(c) for c in (partition_by or [])] + [
+        bucket.alias("bar_start")
+    ]
+    return df.groupBy(*keys).agg(
+        F.min_by(F.col(value), F.col(order)).alias("open"),
+        F.max(value).alias("high"),
+        F.min(value).alias("low"),
+        F.max_by(F.col(value), F.col(order)).alias("close"),
+        F.count(F.lit(1)).alias("n_ticks"),
+        F.sum(dec(value, scale)).cast("double").alias("sum_value"),
+    )
+
+
+def rolling_corr(
+    df: DataFrame,
+    partition_by: list[str],
+    n_rows: int = 20,
+    value: str = "value",
+    order: tuple[str, ...] = ("ts", "event_id"),
+    scale: int = 2,
+) -> DataFrame:
+    """Rolling Pearson autocorrelation (lag 1) of ``value`` over the last
+    ``n_rows`` events per key -- the momentum / mean-reversion signal of
+    a tick pipeline, and the repo's template for any rolling second-
+    moment statistic (covariance, beta, zscore share the same sums).
+
+    Exactness discipline (functions/numeric.py): the five frame sums
+    (n, Sx, Sy, Sxy, Sxx, Syy) are DECIMAL-space -- order-independent,
+    partitioning-independent -- then cast to double once, and the final
+    Pearson formula is a FIXED tree of IEEE +,-,*,/,sqrt on those
+    doubles (every op correctly rounded, so bit-identical in any
+    engine; only libm transcendentals are non-portable, and there are
+    none here).  Degenerate frames (constant series: zero variance)
+    yield NULL via an integer-free double guard identical in the
+    oracle.  ONE window over (key) x (ts, order): all six sums share a
+    single exchange + sort; state is the n_rows frame -- bounded,
+    spillable, no global sort.
+
+    ``scale`` must be the column's TRUE decimal scale (default 2:
+    currency-like data): the quadratic sums carry 2*scale fractional
+    digits, and the decimal->double cast is only exact while
+    ``|sum| * 10^(2*scale) < 2^53`` (numeric.py rule 2) -- scale 6
+    would silently break bit-portability on cent-precision data.
+    """
+    x = dec(value, scale)
+    w_lag = Window.partitionBy(*partition_by).orderBy(
+        *[F.col(c) for c in order]
+    )
+    lagged = df.withColumn("__y", F.lag(x, 1).over(w_lag))
+    w = w_lag.rowsBetween(-(n_rows - 1), 0)
+    xx = x * x
+    yy = F.col("__y") * F.col("__y")
+    xy = x * F.col("__y")
+    n = F.count("__y").over(w).cast("double")
+    sx = F.sum(F.when(F.col("__y").isNotNull(), x)).over(w).cast("double")
+    sy = F.sum("__y").over(w).cast("double")
+    sxy = F.sum(xy).over(w).cast("double")
+    sxx = F.sum(F.when(F.col("__y").isNotNull(), xx)).over(w).cast("double")
+    syy = F.sum(yy).over(w).cast("double")
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    corr = F.when(
+        (vx > 0) & (vy > 0),
+        (n * sxy - sx * sy) / F.sqrt(vx * vy),
+    )
+    out = lagged.select(
+        *[F.col(c) for c in partition_by],
+        "ts",
+        F.col("event_id"),
+        corr.alias(f"corr{n_rows}"),
+    )
+    return out

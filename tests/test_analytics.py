@@ -127,3 +127,61 @@ def test_approx_equidepth_bounds_boundary_error(spark):
         )
     # and the exact form is perfectly balanced by construction
     assert {r["n_rows"] for r in exact.values()} <= {n // k, n // k + 1}
+
+
+def _ticks(spark, rows):
+    """rows: (seconds, user, value); event_id = arrival index."""
+    return spark.createDataFrame(
+        [
+            (i + 1, T0 + timedelta(seconds=s), u, float(v))
+            for i, (s, u, v) in enumerate(rows)
+        ],
+        "event_id long, ts timestamp, user_id long, value double",
+    )
+
+
+def test_ohlc_bars_open_close_by_arrival_order(spark):
+    from async_stream_processing_spark.operators.windows import ohlc_bars
+
+    df = _ticks(spark, [
+        (0, 1, 10.0), (30, 1, 50.0), (200, 1, 5.0), (299, 1, 20.0),  # bar 0
+        (300, 1, 7.0),                                               # bar 1
+        (10, 2, 3.0),                                                # user 2
+    ])
+    out = {
+        (r["user_id"], r["bar_start"]): r
+        for r in ohlc_bars(df, "5 minutes", ["user_id"]).collect()
+    }
+    b0 = out[(1, T0)]
+    assert (b0["open"], b0["high"], b0["low"], b0["close"]) == (10.0, 50.0, 5.0, 20.0)
+    assert b0["n_ticks"] == 4 and b0["sum_value"] == 85.0
+    assert out[(1, T0 + timedelta(seconds=300))]["open"] == 7.0
+    assert out[(2, T0)]["n_ticks"] == 1
+
+
+def test_rolling_corr_matches_numpy_and_degenerates_to_null(spark):
+    import math
+
+    from async_stream_processing_spark.operators.windows import rolling_corr
+
+    # user 1: noisy ramp (well-defined corr); user 2: constant (NULL)
+    vals = [1.0, 3.0, 2.0, 5.0, 4.0, 7.0, 6.0, 9.0]
+    rows = [(i, 1, v) for i, v in enumerate(vals)] + [
+        (i, 2, 4.25) for i in range(4)
+    ]
+    out = rolling_corr(_ticks(spark, rows), ["user_id"], n_rows=4).collect()
+    by_key = {(r["user_id"], r["event_id"]): r["corr4"] for r in out}
+    # frame at the last event of user 1: x = vals[-4:], y = lag pairs
+    x = vals[-4:]
+    y = vals[-5:-1]
+    n = len(x)
+    sx, sy = sum(x), sum(y)
+    sxy = sum(a * b for a, b in zip(x, y))
+    sxx, syy = sum(a * a for a in x), sum(b * b for b in y)
+    want = (n * sxy - sx * sy) / math.sqrt(
+        (n * sxx - sx * sx) * (n * syy - sy * sy)
+    )
+    assert abs(by_key[(1, 8)] - want) < 1e-12
+    # first row of every key has no lag pair -> NULL; constant series -> NULL
+    assert by_key[(1, 1)] is None
+    assert all(by_key[(2, e)] is None for e in range(9, 13))
