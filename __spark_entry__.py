@@ -2611,6 +2611,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- (c) NEW in round 5 (slots also displace (d) filler) ---
         "ohlc_bars": q_ohlc_bars,
         "rolling_corr": q_rolling_corr,
+        "bm25_topk": LLM_QUERIES["bm25_topk"],
+        "train_val_split": LLM_QUERIES["train_val_split"],
         # --- (d) re-confirm filler: r1/r2-only keys never re-gated ---
         "filter_project": q_filter_project,
         "demux_counts": q_demux,
@@ -2623,9 +2625,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q22": q_tpch_q22,
         "tpch_q8": q_tpch_q8,
         "tpch_q10": q_tpch_q10,
+        # ================= end of the 50-key gate window =================
         "tpch_q4": q_tpch_q4,
         "tpch_q13": q_tpch_q13,
-        # ================= end of the 50-key gate window =================
         "tpch_q16": q_tpch_q16,
         "tpch_q19": q_tpch_q19,
         "tpch_q21": q_tpch_q21,
@@ -2700,7 +2702,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 "ivf_kmeans_assign", "containment_pairs", "weighted_sample",
                 "gopher_quality", "pack_sequences", "heavy_hitters",
                 "inverted_index", "doc_chunks", "stream_gopher_quality",
-                "substring_dups", "cms_token_counts", "stream_c4_quality",
+                "substring_dups", "bm25_topk", "train_val_split",
+                "cms_token_counts", "stream_c4_quality",
                 "gopher_repetition_full", "c4_quality",
                 "hashed_ngram_features", "dsir_score", "ngram_novelty",
                 "source_overlap",

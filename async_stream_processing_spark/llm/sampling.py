@@ -137,3 +137,68 @@ def quality_stratified_sample(
             "mean_tok_freq",
         )
     )
+
+
+def train_val_split(
+    docs: DataFrame,
+    val_pct: int = 1,
+    test_pct: int = 1,
+    key: str = "source",
+) -> DataFrame:
+    """Deterministic EXACT-stratified train/val/test split: within every
+    source, documents ordered by (hash(doc_id), doc_id) take the first
+    ``floor(n * val_pct / 100)`` rows as val, the next test slice, the
+    rest train -- the holdout-assignment step every training pipeline
+    runs last, with per-source counts exact (not just expected), so a
+    skewed source mix cannot starve a small source's eval slice.
+
+    The order hash is over ``doc_id`` (not text): duplicate texts must
+    split INDEPENDENTLY or near-dup leakage estimates between splits
+    are biased (the mixture_sample lesson).  Slice boundaries are
+    cross-multiplied integers (``rn * 100 <= n * pct``: no division, no
+    floats).  Plan: ONE exchange on source carries both the rank and
+    count windows; at 100 TB hash-gate per-row instead (expected
+    fractions, zero shuffle) -- this operator is the exact form whose
+    per-source counts are contractual.
+    """
+    h = stable_hash60(
+        F.concat(F.col("doc_id").cast("string"), F.lit("|split"))
+    )
+    w_rank = Window.partitionBy(key).orderBy(h.asc(), F.col("doc_id").asc())
+    w_all = Window.partitionBy(key)
+    ranked = docs.select(
+        "doc_id",
+        F.col(key),
+        F.row_number().over(w_rank).alias("rn"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+    )
+    split = (
+        F.when(F.col("rn") * 100 <= F.col("n") * val_pct, F.lit("val"))
+        .when(
+            F.col("rn") * 100 <= F.col("n") * (val_pct + test_pct),
+            F.lit("test"),
+        )
+        .otherwise(F.lit("train"))
+    )
+    return ranked.select("doc_id", key, split.alias("split"))
+
+
+def sql_train_val_split(
+    val_pct: int = 1, test_pct: int = 1, src: str = "documents"
+) -> str:
+    from ..functions.hashing import sql_stable_hash60
+
+    h = sql_stable_hash60("CAST(doc_id AS VARCHAR) || '|split'")
+    return f"""
+        WITH ranked AS (
+            SELECT doc_id, source,
+                   ROW_NUMBER() OVER (PARTITION BY source
+                                      ORDER BY {h} ASC, doc_id ASC) AS rn,
+                   COUNT(*) OVER (PARTITION BY source) AS n
+            FROM {src})
+        SELECT doc_id, source,
+               CASE WHEN rn * 100 <= n * {val_pct} THEN 'val'
+                    WHEN rn * 100 <= n * {val_pct + test_pct} THEN 'test'
+                    ELSE 'train' END AS split
+        FROM ranked
+    """

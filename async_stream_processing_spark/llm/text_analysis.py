@@ -626,3 +626,110 @@ def sql_cms_token_counts(
                    FROM est)
         SELECT tok, est_count, rank FROM ranked WHERE rank <= {k}
     """
+
+
+#: BM25 shape parameters (Robertson-Walker defaults).
+BM25_K1, BM25_B = 1.2, 0.75
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    text: str = "text",
+) -> DataFrame:
+    """Top-k BM25 retrieval for one query (a literal term set), in the
+    engine's bit-portable dialect.
+
+    Deviation from textbook BM25, documented: the idf factor is the RAW
+    Robertson ratio ``(N - df + 0.5) / (df + 0.5)`` rather than its log
+    -- ``ln`` is the one non-portable op in the formula (libm
+    transcendentals differ in final ulps across engines; the same
+    reason llm/importance.py is log-free), while the ratio preserves
+    the idf ORDERING of terms and keeps every op an exactly-rounded
+    IEEE +,-,*,/ over exact integer tf/df/dl inputs.  Per-term weights
+    are floor-quantized to 1e-9 and summed as BIGINTs, so the document
+    score -- and therefore the ranking -- is identical on every engine,
+    partitioning, and retry.
+
+    Plan: one token-explode aggregation keyed (doc_id, tok) restricted
+    to the query terms BEFORE the shuffle (the filter is the blocking);
+    df and avgdl are O(|terms|) and O(1) aggregates broadcast back via
+    1-row/terms-row joins; top-k is ``orderBy().limit(k)`` --
+    TakeOrderedAndProject, per-partition heaps, no global sort.  The
+    corpus shuffles ONCE on (doc_id, tok) of matching terms only.
+    """
+    terms = F.array(*[F.lit(t) for t in query_terms])
+    toks = docs.select(F.col("doc_id"), F.explode(tokens(text)).alias("tok"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("n_toks")
+    )
+    tf = (
+        toks.filter(F.array_contains(terms, F.col("tok")))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    j = (
+        tf.join(F.broadcast(df_t), "tok")
+        .join(dl, "doc_id")
+        .join(F.broadcast(stats))
+    )
+    avgdl = F.col("n_toks").cast("double") / F.col("n_docs").cast("double")
+    idf = (
+        F.col("n_docs").cast("double") - F.col("df").cast("double") + F.lit(0.5)
+    ) / (F.col("df").cast("double") + F.lit(0.5))
+    tfd = F.col("tf").cast("double")
+    sat = (tfd * F.lit(BM25_K1 + 1.0)) / (
+        tfd
+        + F.lit(BM25_K1)
+        * (F.lit(1.0 - BM25_B) + F.lit(BM25_B) * (F.col("dl").cast("double") / avgdl))
+    )
+    w_q = F.floor(idf * sat * F.lit(1e9)).cast("long")
+    scored = j.groupBy("doc_id").agg(
+        F.sum(w_q).alias("score_q"),
+        F.count(F.lit(1)).alias("n_terms_hit"),
+    )
+    topk = scored.orderBy(F.desc("score_q"), F.asc("doc_id")).limit(k)
+    w = Window.orderBy(F.desc("score_q"), F.asc("doc_id"))
+    return topk.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+def sql_bm25_topk(
+    query_terms: list[str], k: int = 10, src: str = "documents"
+) -> str:
+    from ..functions.text import sql_tokens
+
+    lits = ", ".join(f"('{t}')" for t in query_terms)
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, unnest({sql_tokens('text')}) AS tok FROM {src}),
+        dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+        stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS n_toks FROM dl),
+        tf AS (SELECT doc_id, tok, COUNT(*) AS tf
+               FROM toks WHERE tok IN (SELECT t FROM (VALUES {lits}) q(t))
+               GROUP BY doc_id, tok),
+        df_t AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+        scored AS (
+            SELECT tf.doc_id,
+                   SUM(CAST(FLOOR(
+                       ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+                        / (CAST(df AS DOUBLE) + 0.5))
+                       * ((CAST(tf AS DOUBLE) * {BM25_K1 + 1.0})
+                          / (CAST(tf AS DOUBLE)
+                             + {BM25_K1} * ({1.0 - BM25_B} + {BM25_B}
+                               * (CAST(dl AS DOUBLE)
+                                  / (CAST(n_toks AS DOUBLE)
+                                     / CAST(n_docs AS DOUBLE))))))
+                       * 1e9) AS BIGINT)) AS score_q,
+                   COUNT(*) AS n_terms_hit
+            FROM tf JOIN df_t USING (tok) JOIN dl USING (doc_id), stats
+            GROUP BY tf.doc_id)
+        SELECT doc_id, score_q, n_terms_hit,
+               CAST(ROW_NUMBER() OVER (ORDER BY score_q DESC, doc_id ASC)
+                    AS BIGINT) AS rank
+        FROM scored
+        ORDER BY score_q DESC, doc_id ASC
+        LIMIT {k}
+    """

@@ -636,7 +636,32 @@ def q_cms_token_counts(spark, sf_dir):
     return cms_token_counts(_docs(spark, sf_dir), k=20)
 
 
+#: BM25 demo query: two common terms + one rare one (idf spread).
+BM25_TERMS = ["join", "hash", "vector"]
+
+
+def q_bm25_topk(spark, sf_dir):
+    """Top-10 BM25 retrieval for a literal 3-term query -- the IR search
+    surface over the corpus (log-free ratio-idf dialect, floor-quantized
+    per-term weights summed as BIGINTs: rankings replay identically on
+    every engine/partitioning/retry)."""
+    from async_stream_processing_spark.llm.text_analysis import bm25_topk
+
+    return bm25_topk(_docs(spark, sf_dir), BM25_TERMS, k=10)
+
+
+def q_train_val_split(spark, sf_dir):
+    """Deterministic EXACT-stratified train/val/test assignment (1%/1%
+    per source, hash-ordered): the holdout-split step of the training
+    pipeline, per-source slice counts exact by construction."""
+    from async_stream_processing_spark.llm.sampling import train_val_split
+
+    return train_val_split(_docs(spark, sf_dir), val_pct=1, test_pct=1)
+
+
 LLM_QUERIES = {
+    "bm25_topk": q_bm25_topk,
+    "train_val_split": q_train_val_split,
     "cms_token_counts": q_cms_token_counts,
     "stream_c4_quality": q_stream_c4_quality,
     "gopher_repetition_full": q_gopher_repetition_full,
@@ -884,7 +909,14 @@ def llm_oracle_sql() -> dict[str, str]:
         sql_cms_token_counts,
     )
 
+    from async_stream_processing_spark.llm.sampling import (
+        sql_train_val_split,
+    )
+    from async_stream_processing_spark.llm.text_analysis import sql_bm25_topk
+
     return {
+        "bm25_topk": sql_bm25_topk(BM25_TERMS, k=10),
+        "train_val_split": sql_train_val_split(val_pct=1, test_pct=1),
         "cms_token_counts": sql_cms_token_counts(k=20),
         "stream_c4_quality": sql_c4_quality(),
         "gopher_repetition_full": sql_gopher_repetition_full(),

@@ -526,3 +526,44 @@ def test_cms_upper_bounds_true_counts(spark):
     for tok, t in true.items():
         assert out[tok] >= t
     assert out["apple"] == 4 and out["banana"] == 3
+
+
+def test_bm25_ranks_rare_term_and_tf_saturation(spark):
+    from async_stream_processing_spark.llm.text_analysis import bm25_topk
+
+    docs = _docs(spark, [
+        "cat cat cat cat dog",   # heavy tf on common term
+        "zebra dog",             # hits the rare term
+        "cat dog",               # one of each common
+        "fish fish fish",        # no query term
+    ])
+    out = bm25_topk(docs, ["cat", "zebra"], k=10).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert 3 not in by_id  # no-match docs never surface
+    # 'zebra' (df=1) outweighs any tf pile-up of 'cat' (df=2): doc 1 first
+    assert [r["doc_id"] for r in sorted(out, key=lambda r: r["rank"])][0] == 1
+    # tf saturation: doc 0 (tf=4) beats doc 2 (tf=1) but by less than 4x
+    assert by_id[0]["score_q"] > by_id[2]["score_q"]
+    assert by_id[0]["score_q"] < 4 * by_id[2]["score_q"]
+
+
+def test_train_val_split_exact_strata_and_determinism(spark):
+    from async_stream_processing_spark.llm.sampling import train_val_split
+
+    rows = [(i, f"t{i}", "en", f"src{i % 3}", 2) for i in range(300)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = train_val_split(docs, val_pct=10, test_pct=5).collect()
+    assert len(out) == 300
+    per = {}
+    for r in out:
+        per.setdefault(r["source"], []).append(r["split"])
+    for src, splits in per.items():
+        n = len(splits)  # 100 per source
+        assert splits.count("val") == n * 10 // 100
+        assert splits.count("test") == n * 5 // 100
+    # deterministic: same assignment on re-run (no rand() anywhere)
+    again = {r["doc_id"]: r["split"] for r in
+             train_val_split(docs, val_pct=10, test_pct=5).collect()}
+    assert all(again[r["doc_id"]] == r["split"] for r in out)
