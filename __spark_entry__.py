@@ -2613,6 +2613,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_corr": q_rolling_corr,
         "bm25_topk": LLM_QUERIES["bm25_topk"],
         "train_val_split": LLM_QUERIES["train_val_split"],
+        "pq_codes": LLM_QUERIES["pq_codes"],
+        "knn_pq_adc": LLM_QUERIES["knn_pq_adc"],
+        "ann_recall": LLM_QUERIES["ann_recall"],
         # --- (d) re-confirm filler: r1/r2-only keys never re-gated ---
         "filter_project": q_filter_project,
         "demux_counts": q_demux,
@@ -2622,10 +2625,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q7": q_tpch_q7,
         "tpch_q15": q_tpch_q15,
         "tpch_q17": q_tpch_q17,
+        # ================= end of the 50-key gate window =================
         "tpch_q22": q_tpch_q22,
         "tpch_q8": q_tpch_q8,
         "tpch_q10": q_tpch_q10,
-        # ================= end of the 50-key gate window =================
         "tpch_q4": q_tpch_q4,
         "tpch_q13": q_tpch_q13,
         "tpch_q16": q_tpch_q16,
@@ -2703,6 +2706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 "gopher_quality", "pack_sequences", "heavy_hitters",
                 "inverted_index", "doc_chunks", "stream_gopher_quality",
                 "substring_dups", "bm25_topk", "train_val_split",
+                "pq_codes", "knn_pq_adc", "ann_recall",
                 "cms_token_counts", "stream_c4_quality",
                 "gopher_repetition_full", "c4_quality",
                 "hashed_ngram_features", "dsir_score", "ngram_novelty",

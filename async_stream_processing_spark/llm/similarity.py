@@ -436,3 +436,271 @@ def knn_lsh_multiprobe(
             F.col("rank").cast("long").alias("rank"), F.col("cos").alias("cosine"),
         )
     )
+
+
+# -- product quantization ---------------------------------------------------
+
+
+def _sub_slice(arr: Column, j: int, dsub: int) -> Column:
+    """0-based subspace ``j`` of a (double-cast) vector: dims [j*dsub, ...)."""
+    return F.slice(arr, j * dsub + 1, dsub)
+
+
+def _d2q(a: Column, b: Column) -> Column:
+    """Floor-quantized (1e-9 grid) squared L2 distance.
+
+    The fold is sequential (bit-equal to DuckDB list_reduce), every op an
+    exactly-rounded IEEE -,*,+; floor is exact -- so the quantized
+    distance, and every argmin/sum decision built on it, replays
+    identically on any engine, partitioning, or retry."""
+    d2 = _fold_sum(F.zip_with(a, b, lambda x, y: (x - y) * (x - y)))
+    return F.floor(d2 * F.lit(1e9)).cast("long")
+
+
+def pq_codes(
+    embeddings: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    d: int = 64,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """Product-quantization encoding (Jegou et al. 2011): split each
+    ``d``-dim vector into ``m`` subspaces of ``d/m`` dims and store, per
+    subspace, the id of the nearest of ``ksub`` sub-centroids -- the
+    corpus compresses from ``d`` floats to ``m`` small ints per vector
+    (here 64 floats -> 8 codes: 32x), which is what makes
+    billion-vector ANN fit in memory at all.
+
+    Default codebook: sub-vectors of the first ``ksub`` corpus vectors
+    (deterministic, oracle-portable -- the ivf_assign convention); pass
+    ``centroids=kmeans_train(...)`` sub-sliced for trained codebooks.
+    The codebook is O(ksub*d) MODEL STATE riding as one broadcast row
+    (the _assign_literal shape), so encoding is a NARROW scan: each
+    vector does m small argmin folds, no shuffle, no join -- at 100 TB
+    the corpus is encoded in one pass and the codes table (m ints/row)
+    is what every later query touches.  Argmin decisions compare
+    floor-quantized distances (struct min: d2q asc, cid asc), so codes
+    are bit-stable everywhere.
+    """
+    dsub = d // m
+    cents = centroids if centroids is not None else embeddings.filter(
+        F.col("vec_id") < ksub
+    ).select(F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_emb"))
+    rows = sorted(_collect_centroids(cents))
+    cmat = embeddings.sparkSession.createDataFrame(
+        [(
+            [int(cid) for cid, _ in rows],
+            [[float(x) for x in c] for _, c in rows],
+        )],
+        "c_ids array<bigint>, c_vecs array<array<double>>",
+    )
+    emb = _as_double(F.col("embedding"))
+    out_cols = [F.col("vec_id")]
+    for j in range(m):
+        sub_v = _sub_slice(emb, j, dsub)
+        scored = F.transform(
+            F.col("c_vecs"),
+            lambda c, i: F.struct(
+                _d2q(sub_v, _sub_slice(c, j, dsub)).alias("d2q"),
+                F.element_at(F.col("c_ids"), i + F.lit(1)).alias("cid"),
+            ),
+        )
+        out_cols.append(F.array_min(scored)["cid"].alias(f"code_{j}"))
+    return embeddings.crossJoin(F.broadcast(cmat)).select(*out_cols)
+
+
+def knn_pq_adc(
+    embeddings: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    m: int = 8,
+    ksub: int = 16,
+    d: int = 64,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: the query stays
+    exact, the corpus is its codes, and the approximate distance is the
+    SUM over subspaces of a precomputed (query, subspace, code) table --
+    per corpus vector the scan does m integer table lookups + adds, no
+    float math, no d-dim dot product.  That table is O(q * m * ksub)
+    rows -- broadcast model state -- so the corpus never shuffles until
+    the per-query top-k rank (the knn_bruteforce window shape; compose
+    with IVF cell pruning to cut the candidate set at real scale).
+    Distances are floor-quantized BIGINTs (see _d2q): the ADC sum and
+    ranking are engine/partitioning/retry-exact.
+    """
+    dsub = d // m
+    codes = pq_codes(embeddings, m=m, ksub=ksub, d=d)
+    codes_long = codes.select(
+        "vec_id",
+        F.posexplode(F.array(*[F.col(f"code_{j}") for j in range(m)])).alias(
+            "j", "code"
+        ),
+    )
+    cents = embeddings.filter(F.col("vec_id") < ksub).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("c_emb")
+    )
+    q = embeddings.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    qe = _as_double(F.col("q_emb"))
+    ce = _as_double(F.col("c_emb"))
+    dtab = (
+        q.crossJoin(F.broadcast(cents))
+        .select(
+            "query_id",
+            "cid",
+            F.posexplode(
+                F.array(*[
+                    _d2q(_sub_slice(qe, j, dsub), _sub_slice(ce, j, dsub))
+                    for j in range(m)
+                ])
+            ).alias("j", "d2q"),
+        )
+    )
+    scored = (
+        codes_long.join(
+            F.broadcast(dtab),
+            (codes_long["j"] == dtab["j"]) & (codes_long["code"] == dtab["cid"]),
+        )
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("d2q").alias("adc_q"))
+        .filter(F.col("vec_id") != F.col("query_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_q"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("rank").cast("long").alias("rank"),
+            "adc_q",
+        )
+    )
+
+
+def _sql_sub(arr: str, j: int, dsub: int) -> str:
+    return f"{arr}[{j * dsub + 1}:{j * dsub + dsub}]"
+
+
+def _sql_d2q(a: str, b: str) -> str:
+    return (
+        f"CAST(FLOOR(list_reduce(list_transform(list_zip({a}, {b}), "
+        f"p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) "
+        f"* (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))), "
+        f"(x, y) -> x + y) * 1e9) AS BIGINT)"
+    )
+
+
+def sql_pq_codes(
+    m: int = 8, ksub: int = 16, d: int = 64, src: str = "embeddings"
+) -> str:
+    """DuckDB twin of :func:`pq_codes` (same quantized-argmin decisions)."""
+    dsub = d // m
+    js = ", ".join(f"({j})" for j in range(m))
+    wide = ",\n               ".join(
+        f"MAX(CASE WHEN j = {j} THEN cid END) AS code_{j}" for j in range(m)
+    )
+    return f"""
+        WITH cents AS (SELECT vec_id AS cid, embedding AS c
+                       FROM {src} WHERE vec_id < {ksub}),
+        scored AS (
+            SELECT e.vec_id, j.j, cents.cid,
+                   {_sql_d2q("e.embedding[j.j*" + str(dsub) + "+1 : j.j*" + str(dsub) + "+" + str(dsub) + "]",
+                             "cents.c[j.j*" + str(dsub) + "+1 : j.j*" + str(dsub) + "+" + str(dsub) + "]")} AS d2q
+            FROM {src} e CROSS JOIN (VALUES {js}) AS j(j) CROSS JOIN cents),
+        best AS (
+            SELECT vec_id, j, cid,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id, j
+                                      ORDER BY d2q ASC, cid ASC) AS rnk
+            FROM scored)
+        SELECT vec_id,
+               {wide}
+        FROM best WHERE rnk = 1
+        GROUP BY vec_id
+    """
+
+
+def sql_knn_pq_adc(
+    n_queries: int = 10,
+    k: int = 5,
+    m: int = 8,
+    ksub: int = 16,
+    d: int = 64,
+    src: str = "embeddings",
+) -> str:
+    """DuckDB twin of :func:`knn_pq_adc` (codes + dtab + integer ADC)."""
+    dsub = d // m
+    js = ", ".join(f"({j})" for j in range(m))
+    sub = lambda arr: f"{arr}[j.j*{dsub}+1 : j.j*{dsub}+{dsub}]"  # noqa: E731
+    return f"""
+        WITH cents AS (SELECT vec_id AS cid, embedding AS c
+                       FROM {src} WHERE vec_id < {ksub}),
+        scored AS (
+            SELECT e.vec_id, j.j, cents.cid,
+                   {_sql_d2q(sub('e.embedding'), sub('cents.c'))} AS d2q
+            FROM {src} e CROSS JOIN (VALUES {js}) AS j(j) CROSS JOIN cents),
+        codes AS (
+            SELECT vec_id, j, cid AS code
+            FROM (SELECT vec_id, j, cid,
+                         ROW_NUMBER() OVER (PARTITION BY vec_id, j
+                                            ORDER BY d2q ASC, cid ASC) AS rnk
+                  FROM scored)
+            WHERE rnk = 1),
+        dtab AS (
+            SELECT q.vec_id AS query_id, j.j, cents.cid,
+                   {_sql_d2q(sub('q.embedding'), sub('cents.c'))} AS d2q
+            FROM {src} q CROSS JOIN (VALUES {js}) AS j(j) CROSS JOIN cents
+            WHERE q.vec_id < {n_queries}),
+        adc AS (
+            SELECT d.query_id, c.vec_id, SUM(d.d2q) AS adc_q
+            FROM codes c JOIN dtab d ON c.j = d.j AND c.code = d.cid
+            WHERE c.vec_id != d.query_id
+            GROUP BY d.query_id, c.vec_id),
+        ranked AS (
+            SELECT query_id, vec_id AS neighbor_id, adc_q,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY adc_q ASC, vec_id ASC) AS rank
+            FROM adc)
+        SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, adc_q
+        FROM ranked WHERE rank <= {k}
+    """
+
+
+def ann_recall(
+    embeddings: DataFrame,
+    n_queries: int = 10,
+    k: int = 3,
+    n_planes: int = 6,
+) -> DataFrame:
+    """Recall@k of the LSH index against exact brute force -- the eval
+    harness every approximate index needs before it replaces the exact
+    path ("measure, don't guess"): per query, how many of the true top-k
+    cosine neighbors the bucketed search returned.
+
+    Composition of two existing operators joined on (query, neighbor);
+    ground truth is n_queries * k rows (tiny), so the join broadcasts
+    and the expensive side remains whatever the index search costs.  A
+    recall regression after re-tuning n_planes shows up here as a
+    changed row, not a hunch."""
+    bf = knn_bruteforce(embeddings, n_queries=n_queries, k=k).select(
+        "query_id", "neighbor_id"
+    )
+    idx = knn_lsh(
+        embeddings, n_queries=n_queries, k=k, n_planes=n_planes
+    ).select("query_id", F.col("neighbor_id").alias("got_id"))
+    hits = (
+        bf.join(
+            idx,
+            (bf["query_id"] == idx["query_id"])
+            & (bf["neighbor_id"] == idx["got_id"]),
+            "left",
+        )
+        .groupBy(bf["query_id"])
+        .agg(F.count("got_id").alias("n_hits"))
+    )
+    return hits.select(
+        "query_id",
+        "n_hits",
+        (F.col("n_hits").cast("double") / F.lit(float(k))).alias("recall"),
+    )

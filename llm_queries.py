@@ -659,7 +659,36 @@ def q_train_val_split(spark, sf_dir):
     return train_val_split(_docs(spark, sf_dir), val_pct=1, test_pct=1)
 
 
+def q_pq_codes(spark, sf_dir):
+    """Product-quantization encoding: 64-dim float vectors -> 8 codebook
+    ids (32x compression, the billion-vector ANN memory story); narrow
+    one-pass encode against a broadcast codebook."""
+    from async_stream_processing_spark.llm.similarity import pq_codes
+
+    return pq_codes(_emb(spark, sf_dir), m=8, ksub=16, d=64)
+
+
+def q_knn_pq_adc(spark, sf_dir):
+    """PQ asymmetric-distance top-k: per corpus vector the scan is 8
+    integer lookups + adds against a broadcast (query, subspace, code)
+    distance table -- no float math on the corpus side."""
+    from async_stream_processing_spark.llm.similarity import knn_pq_adc
+
+    return knn_pq_adc(_emb(spark, sf_dir), n_queries=10, k=5)
+
+
+def q_ann_recall(spark, sf_dir):
+    """Recall@3 of the LSH index vs exact brute force, per query -- the
+    ANN eval harness as a first-class query."""
+    from async_stream_processing_spark.llm.similarity import ann_recall
+
+    return ann_recall(_emb(spark, sf_dir), n_queries=10, k=3, n_planes=6)
+
+
 LLM_QUERIES = {
+    "ann_recall": q_ann_recall,
+    "pq_codes": q_pq_codes,
+    "knn_pq_adc": q_knn_pq_adc,
     "bm25_topk": q_bm25_topk,
     "train_val_split": q_train_val_split,
     "cms_token_counts": q_cms_token_counts,
@@ -914,7 +943,46 @@ def llm_oracle_sql() -> dict[str, str]:
     )
     from async_stream_processing_spark.llm.text_analysis import sql_bm25_topk
 
+    from async_stream_processing_spark.llm.similarity import (
+        sql_knn_pq_adc,
+        sql_pq_codes,
+    )
+
     return {
+        "ann_recall": f"""
+            WITH b AS (SELECT vec_id, embedding,
+                              {sql_lsh_bucket('embedding', 6)} AS bucket
+                       FROM embeddings),
+            q AS (SELECT vec_id AS query_id, embedding AS q_emb, bucket
+                  FROM b WHERE vec_id < 10),
+            bf AS (
+                SELECT query_id, neighbor_id FROM (
+                    SELECT q.query_id, e.vec_id AS neighbor_id,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY q.query_id
+                               ORDER BY {sql_cosine('q.q_emb', 'e.embedding')}
+                                   DESC, e.vec_id ASC) AS rank
+                    FROM embeddings e CROSS JOIN q
+                    WHERE e.vec_id != q.query_id)
+                WHERE rank <= 3),
+            idx AS (
+                SELECT query_id, neighbor_id AS got_id FROM (
+                    SELECT q.query_id, c.vec_id AS neighbor_id,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY q.query_id
+                               ORDER BY {sql_cosine('q.q_emb', 'c.embedding')}
+                                   DESC, c.vec_id ASC) AS rank
+                    FROM b c JOIN q ON c.bucket = q.bucket
+                    WHERE c.vec_id != q.query_id)
+                WHERE rank <= 3)
+            SELECT bf.query_id, COUNT(idx.got_id) AS n_hits,
+                   CAST(COUNT(idx.got_id) AS DOUBLE) / 3.0 AS recall
+            FROM bf LEFT JOIN idx
+              ON bf.query_id = idx.query_id AND bf.neighbor_id = idx.got_id
+            GROUP BY bf.query_id
+        """,
+        "pq_codes": sql_pq_codes(m=8, ksub=16, d=64),
+        "knn_pq_adc": sql_knn_pq_adc(n_queries=10, k=5),
         "bm25_topk": sql_bm25_topk(BM25_TERMS, k=10),
         "train_val_split": sql_train_val_split(val_pct=1, test_pct=1),
         "cms_token_counts": sql_cms_token_counts(k=20),

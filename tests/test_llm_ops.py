@@ -567,3 +567,53 @@ def test_train_val_split_exact_strata_and_determinism(spark):
     again = {r["doc_id"]: r["split"] for r in
              train_val_split(docs, val_pct=10, test_pct=5).collect()}
     assert all(again[r["doc_id"]] == r["split"] for r in out)
+
+
+def _emb_fixture(spark, vecs):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v], 0) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>, label int",
+    )
+
+
+def test_pq_codes_centroids_encode_to_themselves(spark):
+    """A codebook vector's own sub-vectors are distance-0 to themselves,
+    so the first ksub vectors must encode to their own ids in EVERY
+    subspace; ties (duplicate sub-centroids) resolve to the smallest id."""
+    import random
+
+    from async_stream_processing_spark.llm.similarity import pq_codes
+
+    rng = random.Random(7)
+    vecs = [[rng.uniform(-1, 1) for _ in range(8)] for _ in range(12)]
+    out = {r["vec_id"]: r for r in
+           pq_codes(_emb_fixture(spark, vecs), m=4, ksub=4, d=8).collect()}
+    assert len(out) == 12
+    for cid in range(4):
+        for j in range(4):
+            assert out[cid][f"code_{j}"] == cid
+    # every code is a valid codebook id
+    for r in out.values():
+        assert all(0 <= r[f"code_{j}"] < 4 for j in range(4))
+
+
+def test_knn_pq_adc_finds_cluster_neighbors(spark):
+    """Well-separated clusters: ADC over PQ codes must rank same-cluster
+    vectors ahead of other clusters (the codes quantize to per-cluster
+    codebook entries, so cross-cluster ADC distance is large)."""
+    import random
+
+    from async_stream_processing_spark.llm.similarity import knn_pq_adc
+
+    rng = random.Random(3)
+    base = {0: [10.0] * 8, 1: [-10.0] * 8}
+    vecs = []
+    for i in range(16):
+        c = base[i % 2]
+        vecs.append([x + rng.uniform(-0.1, 0.1) for x in c])
+    out = knn_pq_adc(
+        _emb_fixture(spark, vecs), n_queries=4, k=3, m=4, ksub=8, d=8
+    ).collect()
+    assert len(out) == 12
+    for r in out:
+        assert r["query_id"] % 2 == r["neighbor_id"] % 2, r
