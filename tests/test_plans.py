@@ -161,7 +161,11 @@ def test_weighted_sample_zero_exchanges(spark):
 #   cms_token_counts     (1) rank over the VOCABULARY-sized estimate
 #                            table with rank <= k filter (window group
 #                            limit pushdown bounds the sort)
+#   bm25_topk            (1) rank window runs AFTER .limit(k) (the
+#                            weighted_sample pattern): input is the k
+#                            TakeOrderedAndProject survivors, not corpus
 UNPARTITIONED_WINDOW_ALLOWLIST = {
+    "bm25_topk": 1,
     "positional_zip": 2,
     "running_combine": 3,
     "spread_bid_ask": 2,
