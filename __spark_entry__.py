@@ -873,6 +873,32 @@ def q_stream_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drain(agg)
 
 
+def q_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ohlc_bars EXECUTED BY THE STREAMING ENGINE: live candlestick
+    maintenance (the tick-consumer loop of the reference's market-data
+    examples) as an incremental stateful aggregation -- min_by/max_by
+    over the total-order event_id are micro-batch-order-independent, so
+    the drained bars hash-match the SAME oracle as the batch query."""
+    from async_stream_processing_spark.sources.parquet import stream_table
+    from async_stream_processing_spark.streaming.replay import drain
+
+    s = stream_table(spark, sf_dir, "events")
+    bucket = F.timestamp_micros(
+        F.unix_micros(F.col("ts")) - F.unix_micros(F.col("ts")) % 300_000_000
+    )
+    agg = s.groupBy(F.col("user_id"), bucket.alias("bar_start")).agg(
+        F.min_by(F.col("value"), F.col("event_id")).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by(F.col("value"), F.col("event_id")).alias("close"),
+        F.count(F.lit(1)).alias("n_ticks"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias(
+            "sum_value"
+        ),
+    )
+    return drain(agg)
+
+
 def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization EXECUTED BY THE STREAMING ENGINE (native
     session_window state merging in the micro-batch engine), drained and
@@ -2616,6 +2642,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_codes": LLM_QUERIES["pq_codes"],
         "knn_pq_adc": LLM_QUERIES["knn_pq_adc"],
         "ann_recall": LLM_QUERIES["ann_recall"],
+        "stream_ohlc": q_stream_ohlc,
         # --- (d) re-confirm filler: r1/r2-only keys never re-gated ---
         "filter_project": q_filter_project,
         "demux_counts": q_demux,
@@ -2624,8 +2651,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_native": q_sessionize_native,
         "tpch_q7": q_tpch_q7,
         "tpch_q15": q_tpch_q15,
-        "tpch_q17": q_tpch_q17,
         # ================= end of the 50-key gate window =================
+        "tpch_q17": q_tpch_q17,
         "tpch_q22": q_tpch_q22,
         "tpch_q8": q_tpch_q8,
         "tpch_q10": q_tpch_q10,
@@ -3382,6 +3409,7 @@ def oracle_sql() -> dict[str, str]:
         FROM events
         GROUP BY 1, 2
     """
+    out["stream_ohlc"] = out["ohlc_bars"]
     out["rolling_corr"] = """
         WITH lagged AS (
             SELECT user_id, ts, event_id,
