@@ -2643,6 +2643,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_pq_adc": LLM_QUERIES["knn_pq_adc"],
         "ann_recall": LLM_QUERIES["ann_recall"],
         "stream_ohlc": q_stream_ohlc,
+        "bpe_merge_pairs": LLM_QUERIES["bpe_merge_pairs"],
         # --- (d) re-confirm filler: r1/r2-only keys never re-gated ---
         "filter_project": q_filter_project,
         "demux_counts": q_demux,
@@ -2650,8 +2651,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rows_frame_last5": q_rows_frame,
         "sessionize_native": q_sessionize_native,
         "tpch_q7": q_tpch_q7,
-        "tpch_q15": q_tpch_q15,
         # ================= end of the 50-key gate window =================
+        "tpch_q15": q_tpch_q15,
         "tpch_q17": q_tpch_q17,
         "tpch_q22": q_tpch_q22,
         "tpch_q8": q_tpch_q8,
@@ -2733,7 +2734,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 "gopher_quality", "pack_sequences", "heavy_hitters",
                 "inverted_index", "doc_chunks", "stream_gopher_quality",
                 "substring_dups", "bm25_topk", "train_val_split",
-                "pq_codes", "knn_pq_adc", "ann_recall",
+                "pq_codes", "knn_pq_adc", "ann_recall", "bpe_merge_pairs",
                 "cms_token_counts", "stream_c4_quality",
                 "gopher_repetition_full", "c4_quality",
                 "hashed_ngram_features", "dsir_score", "ngram_novelty",

@@ -733,3 +733,54 @@ def sql_bm25_topk(
         ORDER BY score_q DESC, doc_id ASC
         LIMIT {k}
     """
+
+
+def bpe_merge_pairs(docs: DataFrame, k: int = 20, text: str = "text") -> DataFrame:
+    """Top-k adjacent-symbol-pair frequencies over the corpus -- the
+    statistic the first BPE merge step (Sennrich et al. 2016) maximizes,
+    and the inner loop of tokenizer training.
+
+    Counting rides the DISTINCT-WORD table (word -> corpus count first,
+    then pairs per distinct word x count): on natural text the distinct
+    vocabulary is orders of magnitude smaller than the token stream, so
+    the pair explode -- the expensive generate -- touches vocab-sized
+    data, not corpus-sized (the aggregate-before-explode discipline).
+    Pair generation is a generate-side ``transform(sequence(...))`` over
+    character offsets: no UDF, whole-stage codegen.  Top-k is
+    ``orderBy().limit(k)`` (TakeOrderedAndProject) with the total
+    (count DESC, pair ASC) order, so the cut is deterministic."""
+    words = docs.select(F.explode(tokens(text)).alias("w"))
+    vocab = words.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    pairs = vocab.filter(F.length("w") >= 2).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.col("w").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+        "cnt",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("cnt").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("pair"))
+        .limit(k)
+    )
+
+
+def sql_bpe_merge_pairs(k: int = 20, src: str = "documents") -> str:
+    from ..functions.text import sql_tokens
+
+    return f"""
+        WITH words AS (
+            SELECT unnest({sql_tokens('text')}) AS w FROM {src}),
+        vocab AS (SELECT w, COUNT(*) AS cnt FROM words GROUP BY w),
+        pairs AS (
+            SELECT substring(w, CAST(i.i AS INT), 2) AS pair, cnt
+            FROM vocab, LATERAL unnest(range(1, length(w))) AS i(i)
+            WHERE length(w) >= 2)
+        SELECT pair, SUM(cnt) AS n_occurrences
+        FROM pairs GROUP BY pair
+        ORDER BY n_occurrences DESC, pair ASC
+        LIMIT {k}
+    """

@@ -685,7 +685,19 @@ def q_ann_recall(spark, sf_dir):
     return ann_recall(_emb(spark, sf_dir), n_queries=10, k=3, n_planes=6)
 
 
+def q_bpe_merge_pairs(spark, sf_dir):
+    """Top-20 adjacent character-pair counts (the first BPE merge-step
+    statistic): pair explode over the DISTINCT-word vocabulary, not the
+    corpus token stream."""
+    from async_stream_processing_spark.llm.text_analysis import (
+        bpe_merge_pairs,
+    )
+
+    return bpe_merge_pairs(_docs(spark, sf_dir), k=20)
+
+
 LLM_QUERIES = {
+    "bpe_merge_pairs": q_bpe_merge_pairs,
     "ann_recall": q_ann_recall,
     "pq_codes": q_pq_codes,
     "knn_pq_adc": q_knn_pq_adc,
@@ -948,7 +960,12 @@ def llm_oracle_sql() -> dict[str, str]:
         sql_pq_codes,
     )
 
+    from async_stream_processing_spark.llm.text_analysis import (
+        sql_bpe_merge_pairs,
+    )
+
     return {
+        "bpe_merge_pairs": sql_bpe_merge_pairs(k=20),
         "ann_recall": f"""
             WITH b AS (SELECT vec_id, embedding,
                               {sql_lsh_bucket('embedding', 6)} AS bucket
