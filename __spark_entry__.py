@@ -2644,14 +2644,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall": LLM_QUERIES["ann_recall"],
         "stream_ohlc": q_stream_ohlc,
         "bpe_merge_pairs": LLM_QUERIES["bpe_merge_pairs"],
+        "pq_dedup_groups": LLM_QUERIES["pq_dedup_groups"],
         # --- (d) re-confirm filler: r1/r2-only keys never re-gated ---
         "filter_project": q_filter_project,
         "demux_counts": q_demux,
         "set_ops_multiset": q_set_ops_multiset,
         "rows_frame_last5": q_rows_frame,
         "sessionize_native": q_sessionize_native,
-        "tpch_q7": q_tpch_q7,
         # ================= end of the 50-key gate window =================
+        "tpch_q7": q_tpch_q7,
         "tpch_q15": q_tpch_q15,
         "tpch_q17": q_tpch_q17,
         "tpch_q22": q_tpch_q22,
@@ -2735,6 +2736,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 "inverted_index", "doc_chunks", "stream_gopher_quality",
                 "substring_dups", "bm25_topk", "train_val_split",
                 "pq_codes", "knn_pq_adc", "ann_recall", "bpe_merge_pairs",
+                "pq_dedup_groups",
                 "cms_token_counts", "stream_c4_quality",
                 "gopher_repetition_full", "c4_quality",
                 "hashed_ngram_features", "dsir_score", "ngram_novelty",

@@ -704,3 +704,51 @@ def ann_recall(
         "n_hits",
         (F.col("n_hits").cast("double") / F.lit(float(k))).alias("recall"),
     )
+
+
+def pq_dedup_groups(
+    embeddings: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    d: int = 64,
+    block_m: int | None = None,
+) -> DataFrame:
+    """Embedding near-dup candidate groups = vectors sharing the first
+    ``block_m`` codes of their PQ word -- quantization as the blocking
+    function.  ``block_m`` trades recall for selectivity on a
+    ``ksub^block_m``-cell grid (block_m=4 here: 65k cells; the full
+    word, 16^8 = 4x10^9 cells, is exact-near-duplicate-only); at
+    billion-vector scale this is ONE hash-groupBy over a few small ints
+    -- no pairs, no cosine, no LSH tables -- and the verified-pair step
+    (cosine inside each group) touches only group members.
+
+    Output: one row per group with >= 2 members (group key = the code
+    prefix), its size, and the smallest member id as representative."""
+    block_m = m if block_m is None else block_m
+    codes = pq_codes(embeddings, m=m, ksub=ksub, d=d)
+    keys = [f"code_{j}" for j in range(block_m)]
+    return (
+        codes.groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.min("vec_id").alias("rep_vec_id"),
+        )
+        .filter(F.col("n_vecs") >= 2)
+    )
+
+
+def sql_pq_dedup_groups(
+    m: int = 8,
+    ksub: int = 16,
+    d: int = 64,
+    block_m: int | None = None,
+    src: str = "embeddings",
+) -> str:
+    keys = ", ".join(f"code_{j}" for j in range(block_m if block_m is not None else m))
+    return f"""
+        WITH codes AS ({sql_pq_codes(m=m, ksub=ksub, d=d, src=src)})
+        SELECT {keys}, COUNT(*) AS n_vecs, MIN(vec_id) AS rep_vec_id
+        FROM codes
+        GROUP BY {keys}
+        HAVING COUNT(*) >= 2
+    """

@@ -696,7 +696,17 @@ def q_bpe_merge_pairs(spark, sf_dir):
     return bpe_merge_pairs(_docs(spark, sf_dir), k=20)
 
 
+def q_pq_dedup_groups(spark, sf_dir):
+    """Embedding near-dup candidate groups by shared PQ code-word
+    prefix (block_m=4 of 8): ONE hash-groupBy over small ints --
+    quantization as the blocking function for billion-vector dedup."""
+    from async_stream_processing_spark.llm.similarity import pq_dedup_groups
+
+    return pq_dedup_groups(_emb(spark, sf_dir), m=8, ksub=16, d=64, block_m=4)
+
+
 LLM_QUERIES = {
+    "pq_dedup_groups": q_pq_dedup_groups,
     "bpe_merge_pairs": q_bpe_merge_pairs,
     "ann_recall": q_ann_recall,
     "pq_codes": q_pq_codes,
@@ -958,6 +968,7 @@ def llm_oracle_sql() -> dict[str, str]:
     from async_stream_processing_spark.llm.similarity import (
         sql_knn_pq_adc,
         sql_pq_codes,
+        sql_pq_dedup_groups,
     )
 
     from async_stream_processing_spark.llm.text_analysis import (
@@ -965,6 +976,7 @@ def llm_oracle_sql() -> dict[str, str]:
     )
 
     return {
+        "pq_dedup_groups": sql_pq_dedup_groups(m=8, ksub=16, d=64, block_m=4),
         "bpe_merge_pairs": sql_bpe_merge_pairs(k=20),
         "ann_recall": f"""
             WITH b AS (SELECT vec_id, embedding,

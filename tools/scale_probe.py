@@ -190,6 +190,44 @@ def main() -> None:
         "dedup_clusters": (_cc_rounds, docs1, docs8),
         "ivf_kmeans_assign": (_kmeans_rounds, emb1, emb8),
     }
+    # --- round-5 additions: time-series, IR, split, PQ ---
+    from async_stream_processing_spark.llm.sampling import train_val_split
+    from async_stream_processing_spark.llm.similarity import (
+        knn_pq_adc,
+        pq_codes,
+    )
+    from async_stream_processing_spark.llm.text_analysis import (
+        bm25_topk,
+        bpe_merge_pairs,
+    )
+    from async_stream_processing_spark.operators.windows import (
+        ohlc_bars,
+        rolling_corr,
+    )
+
+    r5_ops = {
+        "ohlc_bars": (
+            lambda ev: ohlc_bars(ev, "5 minutes", ["user_id"]), ev1, ev8),
+        "rolling_corr": (
+            lambda ev: rolling_corr(ev, ["user_id"], n_rows=20), ev1, ev8),
+        "bm25_topk": (
+            lambda d: bm25_topk(d, ["join", "hash", "vector"], k=10),
+            docs1, docs8),
+        "train_val_split": (lambda d: train_val_split(d), docs1, docs8),
+        "bpe_merge_pairs": (lambda d: bpe_merge_pairs(d, k=20), docs1, docs8),
+        "pq_codes": (lambda e: pq_codes(e), emb1, emb8),
+        "knn_pq_adc": (lambda e: knn_pq_adc(e, n_queries=10, k=5), emb1, emb8),
+    }
+    for name, (fn, one, eight) in r5_ops.items():
+        if ONLY and name not in ONLY:
+            continue
+        t1 = warm_time(fn(one))
+        t8 = warm_time(fn(eight))
+        print(
+            f"{name:22s} 1x={t1:6.2f}s  8x={t8:6.2f}s  ratio={t8 / t1:5.2f}x",
+            flush=True,
+        )
+
     for name, (fn, one, eight) in iter_ops.items():
         if ONLY and name not in ONLY:
             continue
