@@ -27,6 +27,7 @@ EXAMPLES = [
     "e15_corpus_curation",
     "e16_ops_observability",
     "e17_data_selection",
+    "e18_vector_index",
 ]
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "examples"))
