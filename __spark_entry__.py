@@ -190,6 +190,17 @@ def q_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rolling_corr(_events(spark, sf_dir), ["user_id"], n_rows=20)
 
 
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly grid with forward fill for a user subsample (every 50th):
+    grid rows are GENERATED per key from its own bounds, gaps carry the
+    last observed value with n_obs=0 -- the time-grid interpolation step
+    before any feature join."""
+    from async_stream_processing_spark.operators.windows import gap_fill
+
+    ev = _events(spark, sf_dir).filter(F.col("user_id") % 50 == 0)
+    return gap_fill(ev, ["user_id"], every="1 hour")
+
+
 def q_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B11 filter + A8 unpack/projection: purchases with value >= 50,
     props JSON field extracted as a column."""
@@ -2645,13 +2656,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_ohlc": q_stream_ohlc,
         "bpe_merge_pairs": LLM_QUERIES["bpe_merge_pairs"],
         "pq_dedup_groups": LLM_QUERIES["pq_dedup_groups"],
+        "gap_fill": q_gap_fill,
         # --- (d) re-confirm filler: r1/r2-only keys never re-gated ---
         "filter_project": q_filter_project,
         "demux_counts": q_demux,
         "set_ops_multiset": q_set_ops_multiset,
         "rows_frame_last5": q_rows_frame,
-        "sessionize_native": q_sessionize_native,
         # ================= end of the 50-key gate window =================
+        "sessionize_native": q_sessionize_native,
         "tpch_q7": q_tpch_q7,
         "tpch_q15": q_tpch_q15,
         "tpch_q17": q_tpch_q17,
@@ -3413,6 +3425,33 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY 1, 2
     """
     out["stream_ohlc"] = out["ohlc_bars"]
+    out["gap_fill"] = """
+        WITH obs AS (
+            SELECT user_id,
+                   make_timestamp(epoch_us(ts) - epoch_us(ts) % 3600000000)
+                       AS b,
+                   arg_max(value, event_id) AS last_v,
+                   COUNT(*) AS n
+            FROM events
+            WHERE user_id % 50 = 0
+            GROUP BY 1, 2),
+        bounds AS (
+            SELECT user_id, MIN(b) AS lo, MAX(b) AS hi
+            FROM obs GROUP BY user_id),
+        grid AS (
+            SELECT user_id,
+                   unnest(generate_series(lo, hi, INTERVAL 1 HOUR))
+                       AS bucket_start
+            FROM bounds)
+        SELECT g.user_id, g.bucket_start,
+               COALESCE(o.n, 0) AS n_obs,
+               last_value(o.last_v IGNORE NULLS) OVER (
+                   PARTITION BY g.user_id ORDER BY g.bucket_start
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS value_ffill
+        FROM grid g LEFT JOIN obs o
+          ON g.user_id = o.user_id AND g.bucket_start = o.b
+    """
     out["rolling_corr"] = """
         WITH lagged AS (
             SELECT user_id, ts, event_id,

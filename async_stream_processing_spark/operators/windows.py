@@ -220,3 +220,67 @@ def rolling_corr(
         corr.alias(f"corr{n_rows}"),
     )
     return out
+
+
+def gap_fill(
+    df: DataFrame,
+    partition_by: list[str],
+    every: str = "1 hour",
+    value: str = "value",
+    order: str = "event_id",
+) -> DataFrame:
+    """Regular-grid resampling WITH gap filling: one row per key per
+    bucket from the key's first to last observation, carrying the last
+    observed value forward across empty buckets (n_obs = 0) -- the
+    time-grid interpolation step (the reference's ``testing.timestamps``
+    grid, sources/synthetic.py) every downstream feature join wants.
+
+    Shape: observations collapse to per-bucket last-value/count first
+    (map-side-combined aggregation -- the corpus-sized pass), the grid
+    is GENERATE-side (``sequence`` over each key's [lo, hi] bucket
+    bounds: grid rows are never shuffled in), and the forward fill is
+    one ``last(ignorenulls)`` window per key over the grid -- state is
+    a single value, the frame never re-sorts observations.  Grid volume
+    is keys x span/step: pick ``every`` so that product stays sane (an
+    hourly grid over months is fine; a 1-second grid over years is a
+    data bug, not an engine problem)."""
+    qty_s, unit = every.split()
+    qty, unit = int(qty_s), unit.rstrip("s")
+    step_us = qty * {"second": 10**6, "minute": 60 * 10**6,
+                     "hour": 3600 * 10**6, "day": 86400 * 10**6}[unit]
+    bucket = F.timestamp_micros(
+        F.unix_micros(F.col("ts")) - F.unix_micros(F.col("ts")) % step_us
+    )
+    keys = [F.col(c) for c in partition_by]
+    obs = df.groupBy(*keys, bucket.alias("b")).agg(
+        F.max_by(F.col(value), F.col(order)).alias("last_v"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    bounds = obs.groupBy(*keys).agg(
+        F.min("b").alias("lo"), F.max("b").alias("hi")
+    )
+    grid = bounds.select(
+        *keys,
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.expr(f"interval {every}"))
+        ).alias("bucket_start"),
+    )
+    joined = grid.join(
+        obs,
+        [grid[c] == obs[c] for c in partition_by]
+        + [grid["bucket_start"] == obs["b"]],
+        "left",
+    ).select(
+        *[grid[c] for c in partition_by], "bucket_start", "last_v", "n"
+    )
+    w = (
+        Window.partitionBy(*partition_by)
+        .orderBy("bucket_start")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return joined.select(
+        *partition_by,
+        "bucket_start",
+        F.coalesce(F.col("n"), F.lit(0)).alias("n_obs"),
+        F.last("last_v", ignorenulls=True).over(w).alias("value_ffill"),
+    )

@@ -185,3 +185,22 @@ def test_rolling_corr_matches_numpy_and_degenerates_to_null(spark):
     # first row of every key has no lag pair -> NULL; constant series -> NULL
     assert by_key[(1, 1)] is None
     assert all(by_key[(2, e)] is None for e in range(9, 13))
+
+
+def test_gap_fill_carries_last_value_across_gaps(spark):
+    from async_stream_processing_spark.operators.windows import gap_fill
+
+    df = _ticks(spark, [
+        (0, 1, 10.0),            # hour 0
+        (7200, 1, 30.0),         # hour 2 (hour 1 is a gap)
+        (7260, 1, 40.0),         # later in hour 2: last_v by arrival
+        (0, 2, 5.0),             # single-point key: 1-row grid
+    ])
+    out = {(r["user_id"], r["bucket_start"]): r
+           for r in gap_fill(df, ["user_id"], every="1 hour").collect()}
+    assert len(out) == 4  # user 1: hours 0..2; user 2: hour 0
+    h0, h1, h2 = (out[(1, T0 + timedelta(hours=h))] for h in (0, 1, 2))
+    assert (h0["n_obs"], h0["value_ffill"]) == (1, 10.0)
+    assert (h1["n_obs"], h1["value_ffill"]) == (0, 10.0)  # gap: carried
+    assert (h2["n_obs"], h2["value_ffill"]) == (2, 40.0)  # last by arrival
+    assert out[(2, T0)]["n_obs"] == 1
