@@ -2657,12 +2657,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merge_pairs": LLM_QUERIES["bpe_merge_pairs"],
         "pq_dedup_groups": LLM_QUERIES["pq_dedup_groups"],
         "gap_fill": q_gap_fill,
+        "stream_pq_codes": LLM_QUERIES["stream_pq_codes"],
         # --- (d) re-confirm filler: r1/r2-only keys never re-gated ---
         "filter_project": q_filter_project,
         "demux_counts": q_demux,
         "set_ops_multiset": q_set_ops_multiset,
-        "rows_frame_last5": q_rows_frame,
         # ================= end of the 50-key gate window =================
+        "rows_frame_last5": q_rows_frame,
         "sessionize_native": q_sessionize_native,
         "tpch_q7": q_tpch_q7,
         "tpch_q15": q_tpch_q15,
@@ -2748,7 +2749,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 "inverted_index", "doc_chunks", "stream_gopher_quality",
                 "substring_dups", "bm25_topk", "train_val_split",
                 "pq_codes", "knn_pq_adc", "ann_recall", "bpe_merge_pairs",
-                "pq_dedup_groups",
+                "pq_dedup_groups", "stream_pq_codes",
                 "cms_token_counts", "stream_c4_quality",
                 "gopher_repetition_full", "c4_quality",
                 "hashed_ngram_features", "dsir_score", "ngram_novelty",

@@ -705,7 +705,32 @@ def q_pq_dedup_groups(spark, sf_dir):
     return pq_dedup_groups(_emb(spark, sf_dir), m=8, ksub=16, d=64, block_m=4)
 
 
+def q_stream_pq_codes(spark, sf_dir):
+    """pq_codes EXECUTED BY THE STREAMING ENGINE: encode-on-ingest as a
+    stateless narrow map (stream-static broadcast of the codebook, the
+    model-state shape), append mode -- the embedding pipeline's arrival
+    branch; same oracle as the batch query."""
+    from async_stream_processing_spark.llm.similarity import pq_codes
+    from async_stream_processing_spark.sources.parquet import (
+        load_table,
+        stream_table,
+    )
+    from async_stream_processing_spark.streaming.replay import drain
+
+    batch = load_table(spark, sf_dir, "embeddings")
+    cents = batch.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("c_emb"),
+    )
+    s = stream_table(spark, sf_dir, "embeddings")
+    return drain(
+        pq_codes(s, m=8, ksub=16, d=64, centroids=cents),
+        output_mode="append",
+    )
+
+
 LLM_QUERIES = {
+    "stream_pq_codes": q_stream_pq_codes,
     "pq_dedup_groups": q_pq_dedup_groups,
     "bpe_merge_pairs": q_bpe_merge_pairs,
     "ann_recall": q_ann_recall,
@@ -976,6 +1001,7 @@ def llm_oracle_sql() -> dict[str, str]:
     )
 
     return {
+        "stream_pq_codes": sql_pq_codes(m=8, ksub=16, d=64),
         "pq_dedup_groups": sql_pq_dedup_groups(m=8, ksub=16, d=64, block_m=4),
         "bpe_merge_pairs": sql_bpe_merge_pairs(k=20),
         "ann_recall": f"""
