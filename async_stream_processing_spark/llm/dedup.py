@@ -350,6 +350,58 @@ def minhash_dedup_pairs(
     )
 
 
+def lsh_pair_recall(
+    docs: DataFrame,
+    threshold: float = 0.25,
+    n_hashes: int = N_MINHASH,
+    bands: int = LSH_BANDS,
+    hash_mode: str = "md5",
+) -> DataFrame:
+    """Candidate-quality eval of the MinHash-LSH blocker against exact
+    ground truth -- the dedup counterpart of ``similarity.ann_recall``
+    ("measure, don't guess"): before trusting banded LSH to replace the
+    exact shared-shingle join at scale, measure what fraction of true
+    >=threshold Jaccard pairs its candidate set covers (recall) and how
+    much of the candidate set is junk the verifier must discard
+    (precision).  A banding re-tune (n_hashes/bands trade recall for
+    bucket width) shows up here as a changed row, not a hunch.
+
+    One output row: n_true / n_cand / n_hit counts plus the two ratios.
+    All-integer counts until two final double divisions (bit-exact
+    everywhere); zero denominators yield NULL in both engines.  Ground
+    truth costs one shared-shingle self-join -- affordable at eval-corpus
+    scale, which is the point: tune on a slice, deploy the blocker on
+    the 100 TB corpus."""
+    sh = doc_shingle_hashes(docs, hash_mode=hash_mode)
+    true_pairs = jaccard_pairs_direct(sh, threshold).select("doc_a", "doc_b")
+    cand = lsh_candidate_pairs(
+        minhash_signatures(docs, n_hashes, hash_mode=hash_mode),
+        n_hashes,
+        bands,
+    )
+    hits = cand.join(true_pairs, ["doc_a", "doc_b"], "left_semi")
+    n_true = true_pairs.agg(F.count(F.lit(1)).alias("n_true"))
+    n_cand = cand.agg(F.count(F.lit(1)).alias("n_cand"))
+    n_hit = hits.agg(F.count(F.lit(1)).alias("n_hit"))
+    return (
+        n_true.crossJoin(n_cand)
+        .crossJoin(n_hit)
+        .select(
+            "n_true",
+            "n_cand",
+            "n_hit",
+            F.when(
+                F.col("n_cand") > 0,
+                F.col("n_hit").cast("double") / F.col("n_cand").cast("double"),
+            ).alias("pair_precision"),
+            F.when(
+                F.col("n_true") > 0,
+                F.col("n_hit").cast("double") / F.col("n_true").cast("double"),
+            ).alias("pair_recall"),
+        )
+    )
+
+
 def simhash(docs: DataFrame, bits: int = 32, hash_mode: str = "md5") -> DataFrame:
     """Per-doc SimHash: bit j set iff the majority of the doc's (distinct)
     token hashes have bit j set.  Ties (exactly half) -> bit set, a fixed

@@ -752,3 +752,246 @@ def sql_pq_dedup_groups(
         GROUP BY {keys}
         HAVING COUNT(*) >= 2
     """
+
+# -- IVF-PQ (coarse cells + residual product quantization) -------------------
+
+
+def knn_ivfpq(
+    embeddings: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    n_coarse: int = 8,
+    nprobe: int = 2,
+    m: int = 8,
+    ksub: int = 16,
+    d: int = 64,
+) -> DataFrame:
+    """IVF-PQ approximate top-k (the FAISS ``IVFADC`` shape, Jegou et
+    al. 2011 §IV): a coarse quantizer routes each vector to one of
+    ``n_coarse`` inverted cells, the RESIDUAL (vector minus its cell
+    centroid) is product-quantized to ``m`` codes, and a query scans
+    only its ``nprobe`` nearest cells, ranking candidates by asymmetric
+    distance between its own per-cell residual and the candidate codes.
+    This is the composition that actually runs at billion-vector scale:
+    IVF prunes the corpus to nprobe/n_coarse of its cells, PQ shrinks
+    what remains to ``m`` small ints per vector, and ADC turns each
+    candidate into m integer lookups + adds.
+
+    Determinism/portability: coarse centroids are the first
+    ``n_coarse`` vectors, the residual codebook the residuals of the
+    first ``ksub`` vectors; every argmin/ranking decision is either an
+    identical IEEE cosine expression tree or a floor-quantized BIGINT
+    distance (see ``_d2q``), so the oracle replays it bit-for-bit.
+
+    Scale posture: the coarse matrix and residual codebook are O((k+
+    ksub)*d) driver-held model state riding as one broadcast row each;
+    assignment + residual + encoding are ONE narrow corpus pass (no
+    shuffle); the per-query distance table is O(q*nprobe*m*ksub) rows
+    broadcast; the only corpus shuffle is the final per-query top-k.
+    At 100 TB, store codes bucketed by ``cell`` so probes become
+    partition-pruned reads."""
+    dsub = d // m
+    spark = embeddings.sparkSession
+    coarse = sorted(_collect_centroids(_seed_centroids(embeddings, n_coarse)))
+    cmat = spark.createDataFrame(
+        [(
+            [int(cid) for cid, _ in coarse],
+            [[float(x) for x in c] for _, c in coarse],
+        )],
+        "c_ids array<bigint>, c_vecs array<array<double>>",
+    )
+    # one narrow pass: assign to max-cosine cell, subtract its centroid
+    scored = F.transform(
+        F.col("c_vecs"),
+        lambda c, i: F.struct(
+            cosine(F.col("embedding"), c).alias("cos"),
+            (-F.element_at(F.col("c_ids"), i + F.lit(1)))
+            .cast("long")
+            .alias("neg_id"),
+        ),
+    )
+    best = F.array_max(scored)
+    assigned = (
+        embeddings.crossJoin(F.broadcast(cmat))
+        .select("vec_id", "embedding", "c_vecs", best.alias("b"))
+        .select(
+            "vec_id",
+            (-F.col("b.neg_id")).alias("cell"),
+            F.zip_with(
+                _as_double(F.col("embedding")),
+                F.element_at(
+                    F.col("c_vecs"), (-F.col("b.neg_id") + 1).cast("int")
+                ),
+                lambda x, y: x - y,
+            ).alias("r"),
+        )
+    )
+    # residual codebook: residuals of the first ksub vectors (model state)
+    rcode = sorted(
+        (row["vec_id"], list(row["r"]))
+        for row in assigned.filter(F.col("vec_id") < ksub).collect()
+    )
+    rmat = spark.createDataFrame(
+        [(
+            [int(rid) for rid, _ in rcode],
+            [[float(x) for x in rv] for _, rv in rcode],
+        )],
+        "r_ids array<bigint>, r_vecs array<array<double>>",
+    )
+    enc_cols = [F.col("vec_id"), F.col("cell")]
+    for j in range(m):
+        sub_r = _sub_slice(F.col("r"), j, dsub)
+        cand = F.transform(
+            F.col("r_vecs"),
+            lambda c, i: F.struct(
+                _d2q(sub_r, _sub_slice(c, j, dsub)).alias("d2q"),
+                F.element_at(F.col("r_ids"), i + F.lit(1)).alias("rid"),
+            ),
+        )
+        enc_cols.append(F.array_min(cand)["rid"].alias(f"code_{j}"))
+    codes = assigned.crossJoin(F.broadcast(rmat)).select(*enc_cols)
+    codes_long = codes.select(
+        "vec_id",
+        "cell",
+        F.posexplode(F.array(*[F.col(f"code_{j}") for j in range(m)])).alias(
+            "j", "code"
+        ),
+    )
+    # query side: probe nprobe nearest cells, residualize per probed cell
+    cents = spark.createDataFrame(
+        [(int(cid), [float(x) for x in c]) for cid, c in coarse],
+        "centroid_id bigint, c_emb array<double>",
+    )
+    q = embeddings.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("centroid_id")
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("cos", cosine(F.col("q_emb"), F.col("c_emb")))
+        .withColumn("rnk", F.row_number().over(wq))
+        .filter(F.col("rnk") <= nprobe)
+        .select(
+            "query_id",
+            F.col("centroid_id").alias("cell"),
+            F.zip_with(
+                _as_double(F.col("q_emb")), F.col("c_emb"), lambda x, y: x - y
+            ).alias("q_r"),
+        )
+    )
+    qe = F.col("q_r")
+    ce = F.col("r_vec")
+    rcode_rel = spark.createDataFrame(
+        [(int(rid), [float(x) for x in rv]) for rid, rv in rcode],
+        "rid bigint, r_vec array<double>",
+    )
+    dtab = (
+        probes.crossJoin(F.broadcast(rcode_rel))
+        .select(
+            "query_id",
+            "cell",
+            "rid",
+            F.posexplode(
+                F.array(*[
+                    _d2q(_sub_slice(qe, j, dsub), _sub_slice(ce, j, dsub))
+                    for j in range(m)
+                ])
+            ).alias("j", "d2q"),
+        )
+    )
+    adc = (
+        codes_long.join(
+            F.broadcast(dtab),
+            (codes_long["cell"] == dtab["cell"])
+            & (codes_long["j"] == dtab["j"])
+            & (codes_long["code"] == dtab["rid"]),
+        )
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("d2q").alias("adc_q"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_q"), F.asc("vec_id"))
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("rank").cast("long").alias("rank"),
+            "adc_q",
+        )
+    )
+
+
+def sql_knn_ivfpq(
+    n_queries: int = 10,
+    k: int = 5,
+    n_coarse: int = 8,
+    nprobe: int = 2,
+    m: int = 8,
+    ksub: int = 16,
+    d: int = 64,
+    src: str = "embeddings",
+) -> str:
+    """DuckDB twin of :func:`knn_ivfpq` (coarse assign -> residual ->
+    residual codebook -> codes -> probes -> dtab -> integer ADC)."""
+    dsub = d // m
+    js = ", ".join(f"({j})" for j in range(m))
+    sub = lambda arr: f"{arr}[j.j*{dsub}+1 : j.j*{dsub}+{dsub}]"  # noqa: E731
+    residual = (
+        "list_transform(list_zip({a}, {b}), "
+        "p -> CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))"
+    )
+    return f"""
+        WITH cents AS (SELECT vec_id AS cid, embedding AS c
+                       FROM {src} WHERE vec_id < {n_coarse}),
+        assign AS (SELECT vec_id, embedding, cid AS cell, c AS c_emb FROM (
+                       SELECT e.vec_id, e.embedding, cents.cid, cents.c,
+                              ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {sql_cosine('e.embedding', 'cents.c')} DESC,
+                                           cents.cid ASC) AS rnk
+                       FROM {src} e CROSS JOIN cents)
+                   WHERE rnk = 1),
+        resid AS (SELECT vec_id, cell,
+                         {residual.format(a='embedding', b='c_emb')} AS r
+                  FROM assign),
+        rcode AS (SELECT vec_id AS rid, r AS r_vec
+                  FROM resid WHERE vec_id < {ksub}),
+        enc AS (SELECT v.vec_id, v.cell, j.j, rcode.rid,
+                       {_sql_d2q(sub('v.r'), sub('rcode.r_vec'))} AS d2q
+                FROM resid v CROSS JOIN (VALUES {js}) AS j(j) CROSS JOIN rcode),
+        codes AS (SELECT vec_id, cell, j, rid AS code
+                  FROM (SELECT vec_id, cell, j, rid,
+                               ROW_NUMBER() OVER (PARTITION BY vec_id, j
+                                   ORDER BY d2q ASC, rid ASC) AS rnk
+                        FROM enc)
+                  WHERE rnk = 1),
+        probes AS (SELECT query_id, cell,
+                          {residual.format(a='q_emb', b='c_emb')} AS q_r
+                   FROM (SELECT q.vec_id AS query_id, q.embedding AS q_emb,
+                                cents.cid AS cell, cents.c AS c_emb,
+                                ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                    ORDER BY {sql_cosine('q.embedding', 'cents.c')} DESC,
+                                             cents.cid ASC) AS rnk
+                         FROM {src} q CROSS JOIN cents
+                         WHERE q.vec_id < {n_queries})
+                   WHERE rnk <= {nprobe}),
+        dtab AS (SELECT p.query_id, p.cell, j.j, rcode.rid,
+                        {_sql_d2q(sub('p.q_r'), sub('rcode.r_vec'))} AS d2q
+                 FROM probes p CROSS JOIN (VALUES {js}) AS j(j)
+                 CROSS JOIN rcode),
+        adc AS (SELECT t.query_id, c.vec_id, SUM(t.d2q) AS adc_q
+                FROM codes c
+                JOIN dtab t ON c.cell = t.cell AND c.j = t.j
+                           AND c.code = t.rid
+                WHERE c.vec_id != t.query_id
+                GROUP BY t.query_id, c.vec_id),
+        ranked AS (SELECT query_id, vec_id AS neighbor_id, adc_q,
+                          ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY adc_q ASC, vec_id ASC) AS rank
+                   FROM adc)
+        SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, adc_q
+        FROM ranked WHERE rank <= {k}
+    """

@@ -685,6 +685,27 @@ def q_ann_recall(spark, sf_dir):
     return ann_recall(_emb(spark, sf_dir), n_queries=10, k=3, n_planes=6)
 
 
+def q_dedup_pair_recall(spark, sf_dir):
+    """LSH blocker eval: precision/recall of the MinHash(16)+LSH(8x2)
+    candidate set against exact >= 0.25 Jaccard ground truth -- the
+    dedup counterpart of ann_recall."""
+    from async_stream_processing_spark.llm.dedup import lsh_pair_recall
+
+    return lsh_pair_recall(_docs(spark, sf_dir), threshold=0.25)
+
+
+def q_knn_ivfpq(spark, sf_dir):
+    """IVF-PQ ADC top-k (FAISS IVFADC shape): coarse cells + residual
+    product quantization + asymmetric integer distance, probing 2/8
+    cells -- the composition that runs at billion-vector scale."""
+    from async_stream_processing_spark.llm.similarity import knn_ivfpq
+
+    return knn_ivfpq(
+        _emb(spark, sf_dir),
+        n_queries=10, k=5, n_coarse=8, nprobe=2, m=8, ksub=16, d=64,
+    )
+
+
 def q_bpe_merge_pairs(spark, sf_dir):
     """Top-20 adjacent character-pair counts (the first BPE merge-step
     statistic): pair explode over the DISTINCT-word vocabulary, not the
@@ -734,6 +755,8 @@ LLM_QUERIES = {
     "pq_dedup_groups": q_pq_dedup_groups,
     "bpe_merge_pairs": q_bpe_merge_pairs,
     "ann_recall": q_ann_recall,
+    "knn_ivfpq": q_knn_ivfpq,
+    "dedup_pair_recall": q_dedup_pair_recall,
     "pq_codes": q_pq_codes,
     "knn_pq_adc": q_knn_pq_adc,
     "bm25_topk": q_bm25_topk,
@@ -991,6 +1014,7 @@ def llm_oracle_sql() -> dict[str, str]:
     from async_stream_processing_spark.llm.text_analysis import sql_bm25_topk
 
     from async_stream_processing_spark.llm.similarity import (
+        sql_knn_ivfpq,
         sql_knn_pq_adc,
         sql_pq_codes,
         sql_pq_dedup_groups,
@@ -1037,7 +1061,39 @@ def llm_oracle_sql() -> dict[str, str]:
             GROUP BY bf.query_id
         """,
         "pq_codes": sql_pq_codes(m=8, ksub=16, d=64),
+        "dedup_pair_recall": f"""
+            WITH {_sql_doc_shingles()},
+            {_sql_minhash_sig()},
+            {_sql_lsh_pairs(0.25)},
+            allp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                            COUNT(*) AS n_common
+                     FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+                     GROUP BY 1, 2),
+            tp AS (SELECT p.doc_a, p.doc_b
+                   FROM allp p
+                   JOIN sizes za ON za.doc_id = p.doc_a
+                   JOIN sizes zb ON zb.doc_id = p.doc_b
+                   WHERE CAST(p.n_common AS DOUBLE)
+                             / CAST(za.n + zb.n - p.n_common AS DOUBLE)
+                         >= 0.25),
+            hit AS (SELECT c.doc_a, c.doc_b
+                    FROM cand c JOIN tp USING (doc_a, doc_b)),
+            counts AS (SELECT (SELECT COUNT(*) FROM tp) AS n_true,
+                              (SELECT COUNT(*) FROM cand) AS n_cand,
+                              (SELECT COUNT(*) FROM hit) AS n_hit)
+            SELECT n_true, n_cand, n_hit,
+                   CASE WHEN n_cand > 0 THEN
+                       CAST(n_hit AS DOUBLE) / CAST(n_cand AS DOUBLE)
+                   END AS pair_precision,
+                   CASE WHEN n_true > 0 THEN
+                       CAST(n_hit AS DOUBLE) / CAST(n_true AS DOUBLE)
+                   END AS pair_recall
+            FROM counts
+        """,
         "knn_pq_adc": sql_knn_pq_adc(n_queries=10, k=5),
+        "knn_ivfpq": sql_knn_ivfpq(
+            n_queries=10, k=5, n_coarse=8, nprobe=2, m=8, ksub=16, d=64
+        ),
         "bm25_topk": sql_bm25_topk(BM25_TERMS, k=10),
         "train_val_split": sql_train_val_split(val_pct=1, test_pct=1),
         "cms_token_counts": sql_cms_token_counts(k=20),

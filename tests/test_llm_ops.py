@@ -617,3 +617,74 @@ def test_knn_pq_adc_finds_cluster_neighbors(spark):
     assert len(out) == 12
     for r in out:
         assert r["query_id"] % 2 == r["neighbor_id"] % 2, r
+
+
+def test_knn_ivfpq_finds_cluster_neighbors(spark):
+    """IVF-PQ with well-separated clusters: the coarse quantizer routes
+    each cluster to its own cell, residual codes are near-zero within
+    the cluster, and ADC must rank same-cluster vectors first."""
+    import random
+
+    from async_stream_processing_spark.llm.similarity import knn_ivfpq
+
+    rng = random.Random(11)
+    base = {0: [10.0] * 8, 1: [-10.0] * 8}
+    vecs = []
+    for i in range(20):
+        c = base[i % 2]
+        vecs.append([x + rng.uniform(-0.1, 0.1) for x in c])
+    out = knn_ivfpq(
+        _emb_fixture(spark, vecs),
+        n_queries=4, k=3, n_coarse=2, nprobe=1, m=4, ksub=8, d=8,
+    ).collect()
+    assert len(out) == 12
+    for r in out:
+        assert r["query_id"] % 2 == r["neighbor_id"] % 2, r
+        assert 1 <= r["rank"] <= 3
+
+
+def test_knn_ivfpq_nprobe_all_cells_covers_probe_misses(spark):
+    """nprobe = n_coarse degenerates IVF routing away: every vector is a
+    candidate for every query, so each query returns a full top-k even
+    when its nearest neighbors live in another cell."""
+    import random
+
+    from async_stream_processing_spark.llm.similarity import knn_ivfpq
+
+    rng = random.Random(5)
+    vecs = [[rng.uniform(-1, 1) for _ in range(8)] for _ in range(24)]
+    out = knn_ivfpq(
+        _emb_fixture(spark, vecs),
+        n_queries=3, k=5, n_coarse=4, nprobe=4, m=4, ksub=8, d=8,
+    ).collect()
+    per = {}
+    for r in out:
+        per.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    assert set(per) == {0, 1, 2}
+    for q, ns in per.items():
+        assert len(ns) == 5 and q not in ns
+
+
+def test_lsh_pair_recall_counts_are_consistent(spark):
+    """On a corpus with planted near-duplicates: hits are bounded by both
+    candidate and truth counts, ratios equal their integer quotients,
+    and the planted exact duplicate is always both true and recalled."""
+    from async_stream_processing_spark.llm.dedup import lsh_pair_recall
+
+    rows = []
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta"]
+    for i in range(12):
+        text = " ".join(words[(i + j) % len(words)] for j in range(6))
+        rows.append((i, text))
+    rows.append((100, rows[0][1]))  # exact duplicate of doc 0
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    r = lsh_pair_recall(docs, threshold=0.25).collect()[0]
+    assert r["n_hit"] <= min(r["n_cand"], r["n_true"])
+    assert r["n_true"] >= 1  # the planted duplicate pair
+    if r["n_cand"]:
+        assert r["pair_precision"] == r["n_hit"] / r["n_cand"]
+    if r["n_true"]:
+        assert r["pair_recall"] == r["n_hit"] / r["n_true"]
+    # an exact duplicate agrees on every band: it is always recalled,
+    # so with only one true pair recall is exactly 1.0
+    assert r["pair_recall"] is None or r["pair_recall"] > 0
