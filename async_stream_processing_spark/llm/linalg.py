@@ -263,3 +263,78 @@ def pca_project(
     return embeddings.join(F.broadcast(model)).select(
         id_col, proj.alias("pca")
     )
+
+
+def rp_signs(k: int, d: int, seed: int = 7) -> list[list[int]]:
+    """Deterministic ±1 projection matrix (k x d), the database-friendly
+    Johnson-Lindenstrauss variant (Achlioptas 2003): entries are unit
+    signs drawn from a seeded PRNG -- O(k*d) Python-side constants, the
+    ``minhash_coeffs`` convention, so Spark and the oracle share the
+    exact same matrix by construction."""
+    import random
+
+    rng = random.Random(seed)
+    return [[rng.choice((-1, 1)) for _ in range(d)] for _ in range(k)]
+
+
+def rp_project(
+    embeddings: DataFrame,
+    k: int = 16,
+    d: int = 64,
+    seed: int = 7,
+    vec: str = "embedding",
+) -> DataFrame:
+    """Random-projection dimensionality reduction: ``d`` floats -> ``k``
+    doubles per vector via a ±1 sign matrix (JL lemma: pairwise
+    distances are preserved within 1±eps for k = O(log n / eps^2)).
+    The cheap front half of any 100 TB embedding pipeline -- project
+    once, then run ANN / dedup / clustering in the reduced space.
+
+    Plan shape: the sign matrix is k*d literal constants compiled into
+    the projection expressions, so this is a NARROW one-pass map --
+    no shuffle, no join, no Python.  Each output dim is an explicit
+    left-associated sum of ±x_i terms: sign flips and additions are
+    single exactly-rounded IEEE ops in identical order on every engine,
+    so projected values are bit-portable (same contract as the
+    ``rolling_corr`` fixed expression tree).
+
+    Output: ``(vec_id, rp_0 .. rp_{k-1})``.
+    """
+    import operator
+    from functools import reduce
+
+    signs = rp_signs(k, d, seed)
+    emb = F.col(vec) if isinstance(vec, str) else vec
+    cols = [F.col("vec_id")]
+    for j in range(k):
+        terms = []
+        for i, s in enumerate(signs[j]):
+            x = F.element_at(emb, i + 1).cast("double")
+            terms.append(x if s > 0 else -x)
+        cols.append(reduce(operator.add, terms).alias(f"rp_{j}"))
+    return embeddings.select(*cols)
+
+
+def sql_rp_project(
+    k: int = 16,
+    d: int = 64,
+    seed: int = 7,
+    src: str = "embeddings",
+    vec: str = "embedding",
+) -> str:
+    """DuckDB twin of :func:`rp_project` (same literal sign matrix,
+    same left-associated term order)."""
+    signs = rp_signs(k, d, seed)
+    outs = []
+    for j in range(k):
+        terms = [
+            ("" if s > 0 else "-") + f"CAST({vec}[{i + 1}] AS DOUBLE)"
+            for i, s in enumerate(signs[j])
+        ]
+        outs.append("(" + " + ".join(terms) + f") AS rp_{j}")
+    sel = ",\n               ".join(outs)
+    return f"""
+        SELECT vec_id,
+               {sel}
+        FROM {src}
+    """

@@ -685,6 +685,15 @@ def q_ann_recall(spark, sf_dir):
     return ann_recall(_emb(spark, sf_dir), n_queries=10, k=3, n_planes=6)
 
 
+def q_rp_project(spark, sf_dir):
+    """Johnson-Lindenstrauss ±1 random projection 64 -> 16 dims
+    (Achlioptas 2003): narrow one-pass map with the sign matrix compiled
+    in as literals -- the cheap front half of embedding pipelines."""
+    from async_stream_processing_spark.llm.linalg import rp_project
+
+    return rp_project(_emb(spark, sf_dir), k=16, d=64, seed=7)
+
+
 def q_dedup_pair_recall(spark, sf_dir):
     """LSH blocker eval: precision/recall of the MinHash(16)+LSH(8x2)
     candidate set against exact >= 0.25 Jaccard ground truth -- the
@@ -757,6 +766,7 @@ LLM_QUERIES = {
     "ann_recall": q_ann_recall,
     "knn_ivfpq": q_knn_ivfpq,
     "dedup_pair_recall": q_dedup_pair_recall,
+    "rp_project": q_rp_project,
     "pq_codes": q_pq_codes,
     "knn_pq_adc": q_knn_pq_adc,
     "bm25_topk": q_bm25_topk,
@@ -1013,6 +1023,7 @@ def llm_oracle_sql() -> dict[str, str]:
     )
     from async_stream_processing_spark.llm.text_analysis import sql_bm25_topk
 
+    from async_stream_processing_spark.llm.linalg import sql_rp_project
     from async_stream_processing_spark.llm.similarity import (
         sql_knn_ivfpq,
         sql_knn_pq_adc,
@@ -1576,6 +1587,7 @@ def llm_oracle_sql() -> dict[str, str]:
             GROUP BY cg.doc_id, bg.bench_id
         """,
         "embedding_covariance": _sql_embedding_covariance(),
+        "rp_project": sql_rp_project(k=16, d=64, seed=7),
         "embedding_dedup_clusters": f"""
             WITH RECURSIVE b AS (
                 SELECT vec_id, embedding,

@@ -290,3 +290,52 @@ def test_triangle_degree_orientation_tames_hubs(spark):
     t_id = sorted(map(tuple, triangle_counts(edges, orient="id").collect()))
     t_deg = sorted(map(tuple, triangle_counts(edges, orient="degree").collect()))
     assert t_id == t_deg and t_id  # non-vacuous
+
+
+def test_rp_project_basis_vectors_recover_sign_matrix(spark):
+    """Projecting standard basis vector e_i yields exactly column i of
+    the ±1 sign matrix -- pins both the matrix derivation and the term
+    order of the projection sums."""
+    from async_stream_processing_spark.llm.linalg import rp_project, rp_signs
+
+    d, k = 8, 4
+    signs = rp_signs(k, d, seed=7)
+    rows = []
+    for i in range(d):
+        v = [0.0] * d
+        v[i] = 1.0
+        rows.append((i, v))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r for r in rp_project(emb, k=k, d=d, seed=7).collect()}
+    for i in range(d):
+        for j in range(k):
+            assert out[i][f"rp_{j}"] == float(signs[j][i])
+
+
+def test_rp_project_preserves_distances_approximately(spark):
+    """JL sanity on a fixed seed: squared distances in the projected
+    space (scaled by 1/k) stay within a generous multiplicative band of
+    the originals -- the property that makes reduced-space ANN valid."""
+    import random
+
+    from async_stream_processing_spark.llm.linalg import rp_project
+
+    rng = random.Random(3)
+    d, k, n = 64, 16, 12
+    vecs = [[rng.gauss(0, 1) for _ in range(d)] for _ in range(n)]
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r["vec_id"]: [r[f"rp_{j}"] for j in range(k)]
+           for r in rp_project(emb, k=k, d=d, seed=7).collect()}
+    fl = {i: [float(__import__("numpy").float32(x)) for x in v]
+          for i, v in enumerate(vecs)}
+    ratios = []
+    for a in range(n):
+        for b in range(a + 1, n):
+            orig = sum((fl[a][i] - fl[b][i]) ** 2 for i in range(d))
+            proj = sum((out[a][j] - out[b][j]) ** 2 for j in range(k)) / k
+            ratios.append(proj / orig)
+    # k=16 gives a loose band; the seed is fixed so this is deterministic
+    assert all(0.25 < r < 4.0 for r in ratios), (min(ratios), max(ratios))
