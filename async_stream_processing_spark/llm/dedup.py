@@ -35,7 +35,7 @@ from ..functions.hashing import (
     sql_stable_hash60,
     stable_hash60,
 )
-from ..functions.text import shingles
+from ..functions.text import shingles, sql_tokens, tokens
 
 N_MINHASH = 16
 #: 8 bands x 2 rows: for planted near-dups at J>=0.8 the miss probability is
@@ -599,6 +599,117 @@ def dedup_clusters(
     return labels.join(sizes, "cluster_id").select(
         "doc_id", "cluster_id", "cluster_size"
     )
+
+
+def line_dedup(docs: DataFrame, width: int = 10, text: str = "text") -> DataFrame:
+    """Segment-level exact dedup (the CCNet/RefinedWeb paragraph-dedup
+    shape, Wenzek et al. 2020 §3.1): split each document into
+    consecutive ``width``-word segments, drop every repetition of a
+    segment already seen anywhere in the corpus (first occurrence by
+    ``(doc_id, seg_idx)`` wins), and reassemble what survives.  This
+    removes boilerplate that whole-document dedup can't touch -- headers,
+    navigation, license blocks -- which in web corpora is most of the
+    duplicated volume.
+
+    Plan shape: segmentation is generate-side (sequence + slice from the
+    doc's own word array, no shuffle); the dedup key is the segment's
+    60-bit hash, so the first-seen groupBy shuffles (h, doc_id, seg_idx)
+    ints with map-side partial min; reassembly is one groupBy(doc_id)
+    with an ordered collect bounded by the doc's own segment count.  Two
+    keyed shuffles total at any corpus size.  Hash collisions merge
+    distinct segments (the standard CCNet tradeoff; 60 bits keeps the
+    expected collision count negligible below ~10^8 distinct segments --
+    swap in the full md5 for more).
+
+    Output: (doc_id, n_segs, n_kept, text_dedup); a fully-duplicated
+    document survives as an empty string with n_kept = 0.
+    """
+    base = fan_out(docs).select(
+        "doc_id", tokens(text).alias("w")
+    ).filter(F.size("w") >= 1)
+    starts = F.sequence(
+        F.lit(0).cast("long"),
+        ((F.size("w") - 1) / width).cast("long"),
+    )
+    segs = base.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                starts,
+                lambda i: F.struct(
+                    i.alias("seg_idx"),
+                    F.array_join(
+                        F.slice(F.col("w"), i.cast("int") * width + 1, width),
+                        " ",
+                    ).alias("seg"),
+                ),
+            )
+        ).alias("s"),
+    ).select("doc_id", F.col("s.seg_idx").alias("seg_idx"), F.col("s.seg").alias("seg"))
+    keyed = segs.withColumn("h", stable_hash60(F.col("seg")))
+    firsts = keyed.groupBy("h").agg(
+        F.min(F.struct("doc_id", "seg_idx")).alias("f")
+    )
+    kept = (
+        keyed.join(firsts, "h")
+        .filter(
+            (F.col("doc_id") == F.col("f.doc_id"))
+            & (F.col("seg_idx") == F.col("f.seg_idx"))
+        )
+        .select("doc_id", "seg_idx", "seg")
+    )
+    tot = segs.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_segs"))
+    re_docs = (
+        kept.groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("seg_idx", "seg"))).alias("ks"))
+        .select(
+            "doc_id",
+            F.size("ks").cast("long").alias("n_kept"),
+            F.array_join(
+                F.transform(F.col("ks"), lambda s: s["seg"]), " "
+            ).alias("text_dedup"),
+        )
+    )
+    return (
+        tot.join(re_docs, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_segs",
+            F.coalesce("n_kept", F.lit(0).cast("long")).alias("n_kept"),
+            F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
+        )
+    )
+
+
+def sql_line_dedup(src: str = "documents", width: int = 10) -> str:
+    """DuckDB twin of :func:`line_dedup` (same segmentation, hash, and
+    first-seen rule; ROW_NUMBER replaces the min-struct idiom)."""
+    return f"""
+        WITH base AS (SELECT doc_id, {sql_tokens('text')} AS w FROM {src}),
+        seg AS (SELECT doc_id, CAST(t.i AS BIGINT) AS seg_idx,
+                       array_to_string(
+                           w[t.i * {width} + 1 : t.i * {width} + {width}],
+                           ' ') AS seg
+                FROM base,
+                     unnest(generate_series(
+                         0, CAST((len(w) - 1) // {width} AS BIGINT))) AS t(i)
+                WHERE len(w) >= 1),
+        keyed AS (SELECT doc_id, seg_idx, seg,
+                         {sql_stable_hash60('seg')} AS h
+                  FROM seg),
+        kept AS (SELECT doc_id, seg_idx, seg FROM (
+                     SELECT *, ROW_NUMBER() OVER (
+                         PARTITION BY h ORDER BY doc_id, seg_idx) AS rnk
+                     FROM keyed)
+                 WHERE rnk = 1),
+        tot AS (SELECT doc_id, COUNT(*) AS n_segs FROM seg GROUP BY doc_id),
+        re AS (SELECT doc_id, COUNT(*) AS n_kept,
+                      string_agg(seg, ' ' ORDER BY seg_idx) AS text_dedup
+               FROM kept GROUP BY doc_id)
+        SELECT t.doc_id, t.n_segs, COALESCE(r.n_kept, 0) AS n_kept,
+               COALESCE(r.text_dedup, '') AS text_dedup
+        FROM tot t LEFT JOIN re r USING (doc_id)
+    """
 
 
 def substring_dups(

@@ -685,6 +685,14 @@ def q_ann_recall(spark, sf_dir):
     return ann_recall(_emb(spark, sf_dir), n_queries=10, k=3, n_planes=6)
 
 
+def q_line_dedup(spark, sf_dir):
+    """CCNet-style segment-level exact dedup: 10-word segments, global
+    first-seen wins, documents reassembled from surviving segments."""
+    from async_stream_processing_spark.llm.dedup import line_dedup
+
+    return line_dedup(_docs(spark, sf_dir), width=10)
+
+
 def q_rp_project(spark, sf_dir):
     """Johnson-Lindenstrauss ±1 random projection 64 -> 16 dims
     (Achlioptas 2003): narrow one-pass map with the sign matrix compiled
@@ -767,6 +775,7 @@ LLM_QUERIES = {
     "knn_ivfpq": q_knn_ivfpq,
     "dedup_pair_recall": q_dedup_pair_recall,
     "rp_project": q_rp_project,
+    "line_dedup": q_line_dedup,
     "pq_codes": q_pq_codes,
     "knn_pq_adc": q_knn_pq_adc,
     "bm25_topk": q_bm25_topk,
@@ -994,7 +1003,10 @@ def llm_oracle_sql() -> dict[str, str]:
         sql_mixture_sample,
         sql_pack_sequences,
     )
-    from async_stream_processing_spark.llm.dedup import sql_substring_dups
+    from async_stream_processing_spark.llm.dedup import (
+        sql_line_dedup,
+        sql_substring_dups,
+    )
     from async_stream_processing_spark.llm.text_analysis import (
         sql_heavy_hitters,
         sql_inverted_index,
@@ -1588,6 +1600,7 @@ def llm_oracle_sql() -> dict[str, str]:
         """,
         "embedding_covariance": _sql_embedding_covariance(),
         "rp_project": sql_rp_project(k=16, d=64, seed=7),
+        "line_dedup": sql_line_dedup(width=10),
         "embedding_dedup_clusters": f"""
             WITH RECURSIVE b AS (
                 SELECT vec_id, embedding,

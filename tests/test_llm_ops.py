@@ -688,3 +688,44 @@ def test_lsh_pair_recall_counts_are_consistent(spark):
     # an exact duplicate agrees on every band: it is always recalled,
     # so with only one true pair recall is exactly 1.0
     assert r["pair_recall"] is None or r["pair_recall"] > 0
+
+
+def test_line_dedup_drops_repeated_segments_keeps_first(spark):
+    """Planted shape: doc 0 and doc 1 share their first 10-word segment;
+    the earlier (doc_id, seg_idx) keeps it, the later loses it, and
+    unique tails survive on both sides."""
+    from async_stream_processing_spark.llm.dedup import line_dedup
+
+    seg_a = " ".join(f"w{i}" for i in range(10))        # shared segment
+    tail_0 = " ".join(f"x{i}" for i in range(10))
+    tail_1 = " ".join(f"y{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [
+            (0, seg_a + " " + tail_0),
+            (1, seg_a + " " + tail_1),
+            (2, seg_a),                                  # fully duplicated
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in line_dedup(docs, width=10).collect()}
+    assert out[0]["n_segs"] == 2 and out[0]["n_kept"] == 2
+    assert out[0]["text_dedup"] == seg_a + " " + tail_0
+    assert out[1]["n_segs"] == 2 and out[1]["n_kept"] == 1
+    assert out[1]["text_dedup"] == tail_1
+    assert out[2]["n_segs"] == 1 and out[2]["n_kept"] == 0
+    assert out[2]["text_dedup"] == ""
+
+
+def test_line_dedup_short_final_segment_is_its_own_unit(spark):
+    """A document whose word count is not a multiple of the width gets a
+    short final segment, deduped as a unit like any other."""
+    from async_stream_processing_spark.llm.dedup import line_dedup
+
+    docs = spark.createDataFrame(
+        [(0, "a b c d e f g h i j k l"), (1, "k l")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in line_dedup(docs, width=10).collect()}
+    assert out[0]["n_segs"] == 2 and out[0]["n_kept"] == 2
+    # doc 1 duplicates doc 0's short tail segment "k l"
+    assert out[1]["n_segs"] == 1 and out[1]["n_kept"] == 0
