@@ -784,3 +784,149 @@ def sql_bpe_merge_pairs(k: int = 20, src: str = "documents") -> str:
         ORDER BY n_occurrences DESC, pair ASC
         LIMIT {k}
     """
+
+
+#: Fixed replace applications per BPE merge round: one string replace is
+#: non-overlapping left-to-right, so occurrences that shared a boundary
+#: space survive a pass; each pass at least halves what's left, and
+#: fixture words are far below 2^4 pair positions.
+_BPE_MERGE_PASSES = 4
+
+
+def _bpe_merge_once(s, pair: str):
+    """Apply merge rule ``pair`` ("x y" -> "xy") to a padded symbol
+    string -- ``_BPE_MERGE_PASSES`` literal replaces, identical
+    semantics in Spark and DuckDB (verified: both scan the source
+    left-to-right, non-overlapping, no rescan of replacements)."""
+    pat = F.lit(" " + pair + " ")
+    rep = F.lit(" " + pair.replace(" ", "") + " ")
+    for _ in range(_BPE_MERGE_PASSES):
+        s = F.replace(s, pat, rep)
+    return s
+
+
+def bpe_train(docs: DataFrame, n_merges: int = 3, text: str = "text") -> DataFrame:
+    """Iterative BPE tokenizer training (Sennrich et al. 2016): run
+    ``n_merges`` merge rounds over the corpus and return the learned
+    merge table -- per round, the chosen pair, its occurrence count at
+    selection time, the merged symbol, and the weighted corpus symbol
+    count after applying the rule (the curve tokenizer training watches
+    flatten).
+
+    Structure is the k-means Lloyd shape: per round, ONE vocab-sized
+    aggregation (adjacent-pair counts, map-side combined) feeds a
+    deterministic argmax -- (count DESC, pair ASC) via
+    TakeOrderedAndProject(1) -- whose single row crosses to the driver
+    as MODEL STATE and is baked into the next round's merge expression;
+    the corpus-sized token stream is touched ONCE (the word-count
+    aggregate), everything iterative rides the distinct-word vocabulary
+    (aggregate-before-explode).  At 100 TB the vocab relation is
+    millions of rows, not corpus-scale, and each round is one small
+    shuffle -- the published BPE trainers (GPT-2, SentencePiece) do
+    exactly this single-machine; here every round is distributed.
+
+    Merge application dialect: a merge rewrites every word's padded
+    symbol string via ``_BPE_MERGE_PASSES`` non-overlapping literal
+    replaces.  On runs of the merged pair longer than 2 this can differ
+    from strict leftmost-first BPE (documented; deterministic and
+    bit-identical in both engines, which is the contract that matters
+    for the oracle).
+
+    Output: (merge_round, pair, n_occurrences, merged,
+    vocab_tokens_after), ``n_merges`` rows of driver-held model state.
+    """
+    spark = docs.sparkSession
+    words = docs.select(F.explode(tokens(text)).alias("w"))
+    vocab = words.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    # padded symbol string: "the" -> " t h e "
+    vocab = vocab.select(
+        "cnt",
+        F.concat(
+            F.lit(" "), F.array_join(F.split(F.col("w"), ""), " "), F.lit(" ")
+        ).alias("s"),
+    ).localCheckpoint(eager=False)
+    rows = []
+    for r in range(1, n_merges + 1):
+        syms = F.split(F.trim(F.col("s")), " ")
+        pairs = vocab.filter(F.size(syms) >= 2).select(
+            "cnt",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(syms) - 1),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at(syms, i),
+                        F.element_at(syms, i + F.lit(1)),
+                    ),
+                )
+            ).alias("pair"),
+        )
+        top = (
+            pairs.groupBy("pair")
+            .agg(F.sum("cnt").alias("n_occ"))
+            .orderBy(F.desc("n_occ"), F.asc("pair"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        pair, n_occ = top[0]["pair"], top[0]["n_occ"]
+        vocab = vocab.select(
+            "cnt", _bpe_merge_once(F.col("s"), pair).alias("s")
+        ).localCheckpoint(eager=False)
+        after = vocab.agg(
+            F.sum(F.col("cnt") * F.size(F.split(F.trim(F.col("s")), " ")))
+            .alias("t")
+        ).collect()[0]["t"]
+        rows.append((r, pair, int(n_occ), pair.replace(" ", ""), int(after)))
+    return spark.createDataFrame(
+        rows,
+        "merge_round bigint, pair string, n_occurrences bigint, "
+        "merged string, vocab_tokens_after bigint",
+    )
+
+
+def sql_bpe_train(n_merges: int = 3, src: str = "documents") -> str:
+    """DuckDB twin of :func:`bpe_train`: the merge rounds unroll into a
+    CTE chain (the ``_ivf_kmeans_sql`` pattern) -- each round's argmax
+    is a LIMIT 1 CTE and the merge is the same 4 nested replaces."""
+    from ..functions.text import sql_tokens
+
+    parts = [
+        f"""words AS (SELECT unnest({sql_tokens('text')}) AS w FROM {src}),
+        vocab AS (SELECT w, COUNT(*) AS cnt FROM words GROUP BY w),
+        v0 AS (SELECT cnt,
+                      ' ' || array_to_string(string_split(w, ''), ' ') || ' '
+                          AS s
+               FROM vocab)"""
+    ]
+    for r in range(1, n_merges + 1):
+        p = r - 1
+        merged_expr = "s"
+        for _ in range(_BPE_MERGE_PASSES):
+            merged_expr = (
+                f"replace({merged_expr}, ' ' || b.pair || ' ', "
+                f"' ' || replace(b.pair, ' ', '') || ' ')"
+            )
+        parts.append(f"""
+        p{r} AS (SELECT sym[CAST(i.i AS INT)] || ' ' ||
+                        sym[CAST(i.i AS INT) + 1] AS pair,
+                        SUM(cnt) AS n_occ
+                 FROM (SELECT cnt, string_split(trim(s), ' ') AS sym
+                       FROM v{p})
+                 CROSS JOIN LATERAL unnest(range(1, len(sym))) AS i(i)
+                 WHERE len(sym) >= 2
+                 GROUP BY 1),
+        b{r} AS (SELECT pair, n_occ FROM p{r}
+                 ORDER BY n_occ DESC, pair ASC LIMIT 1),
+        v{r} AS (SELECT cnt, {merged_expr} AS s
+                 FROM v{p} CROSS JOIN b{r} b)""")
+    selects = []
+    for r in range(1, n_merges + 1):
+        selects.append(f"""
+        SELECT {r} AS merge_round, pair, n_occ AS n_occurrences,
+               replace(pair, ' ', '') AS merged,
+               (SELECT SUM(cnt * len(string_split(trim(s), ' ')))
+                FROM v{r}) AS vocab_tokens_after
+        FROM b{r}""")
+    return "WITH " + ",".join(parts) + " " + " UNION ALL ".join(selects)

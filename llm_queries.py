@@ -685,6 +685,15 @@ def q_ann_recall(spark, sf_dir):
     return ann_recall(_emb(spark, sf_dir), n_queries=10, k=3, n_planes=6)
 
 
+def q_bpe_train(spark, sf_dir):
+    """Three BPE merge-training rounds over the distinct-word vocabulary
+    (Sennrich 2016): per-round argmax pair as driver model state, merge
+    applied distributively; returns the learned merge table."""
+    from async_stream_processing_spark.llm.text_analysis import bpe_train
+
+    return bpe_train(_docs(spark, sf_dir), n_merges=3)
+
+
 def q_line_dedup(spark, sf_dir):
     """CCNet-style segment-level exact dedup: 10-word segments, global
     first-seen wins, documents reassembled from surviving segments."""
@@ -776,6 +785,7 @@ LLM_QUERIES = {
     "dedup_pair_recall": q_dedup_pair_recall,
     "rp_project": q_rp_project,
     "line_dedup": q_line_dedup,
+    "bpe_train": q_bpe_train,
     "pq_codes": q_pq_codes,
     "knn_pq_adc": q_knn_pq_adc,
     "bm25_topk": q_bm25_topk,
@@ -1045,12 +1055,14 @@ def llm_oracle_sql() -> dict[str, str]:
 
     from async_stream_processing_spark.llm.text_analysis import (
         sql_bpe_merge_pairs,
+        sql_bpe_train,
     )
 
     return {
         "stream_pq_codes": sql_pq_codes(m=8, ksub=16, d=64),
         "pq_dedup_groups": sql_pq_dedup_groups(m=8, ksub=16, d=64, block_m=4),
         "bpe_merge_pairs": sql_bpe_merge_pairs(k=20),
+        "bpe_train": sql_bpe_train(n_merges=3),
         "ann_recall": f"""
             WITH b AS (SELECT vec_id, embedding,
                               {sql_lsh_bucket('embedding', 6)} AS bucket

@@ -729,3 +729,42 @@ def test_line_dedup_short_final_segment_is_its_own_unit(spark):
     assert out[0]["n_segs"] == 2 and out[0]["n_kept"] == 2
     # doc 1 duplicates doc 0's short tail segment "k l"
     assert out[1]["n_segs"] == 1 and out[1]["n_kept"] == 0
+
+
+def test_bpe_train_learns_hand_computed_merges(spark):
+    """Tiny corpus with hand-computable merges: 'a b' (8 occurrences)
+    merges first, then 'ab ab' (3); round 3 finds no mergeable pair
+    left and training stops early."""
+    from async_stream_processing_spark.llm.text_analysis import bpe_train
+
+    docs = spark.createDataFrame(
+        [(0, "abab abab ab"), (1, "abab ab")],
+        "doc_id long, text string",
+    )
+    out = sorted(bpe_train(docs, n_merges=3).collect(),
+                 key=lambda r: r["merge_round"])
+    assert len(out) == 2  # third round has nothing left to merge
+    r1, r2 = out
+    assert (r1["pair"], r1["n_occurrences"], r1["merged"]) == ("a b", 8, "ab")
+    # after merging: abab -> [ab, ab] (2 syms x 3), ab -> [ab] (1 x 2)
+    assert r1["vocab_tokens_after"] == 8
+    assert (r2["pair"], r2["n_occurrences"], r2["merged"]) == ("ab ab", 3, "abab")
+    assert r2["vocab_tokens_after"] == 5
+
+
+def test_bpe_merge_replace_dialect_is_stable_on_runs(spark):
+    """Runs of the merged pair: the 4-pass replace dialect reduces
+    'a a a a' to 'aa aa' and 'a a a' to 'aa a' -- pinned so both engines
+    keep agreeing if either changes replace semantics."""
+    from pyspark.sql import functions as F
+
+    from async_stream_processing_spark.llm.text_analysis import (
+        _bpe_merge_once,
+    )
+
+    df = spark.createDataFrame(
+        [(" a a a a ",), (" a a a ",)], "s string"
+    )
+    got = [r["m"] for r in
+           df.select(_bpe_merge_once(F.col("s"), "a a").alias("m")).collect()]
+    assert got == [" aa aa ", " aa a "]
