@@ -2074,6 +2074,40 @@ def q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: orders column spec shared by q_table_stats and its oracle twin.
+_ORDERS_STATS_COLS = [
+    ("o_orderkey", "bigint"),
+    ("o_custkey", "bigint"),
+    ("o_orderstatus", "varchar"),
+    ("o_totalprice", "double"),
+    ("o_orderdate", "timestamp"),
+    ("o_orderpriority", "varchar"),
+]
+
+
+def q_zorder_prune_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order vs linear clustering, measured as zone-map file skipping
+    under single-dimension predicates (the Delta/Iceberg OPTIMIZE
+    ZORDER story as an oracle-checked relation)."""
+    from async_stream_processing_spark.plans.layout import (
+        zorder_prune_stats,
+    )
+
+    return zorder_prune_stats(load_table(spark, sf_dir, "orders"))
+
+
+def q_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style per-column statistics over orders — the CBO input
+    relation (exact NDV via one multi-distinct scan; the 100 TB path
+    swaps in approx_count_distinct, see plans/stats.py)."""
+    from async_stream_processing_spark.plans.stats import table_stats
+
+    return table_stats(
+        load_table(spark, sf_dir, "orders"),
+        cols=[c for c, _ in _ORDERS_STATS_COLS],
+    )
+
+
 def q_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-quality audit: one row per declared constraint with its
     violation count — null keys, duplicate primary keys, foreign-key
@@ -2610,6 +2644,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- (a) never driver-gated in rounds 1-4 ---
         "bloom_decontaminate": LLM_QUERIES["bloom_decontaminate"],
         "dq_audit": q_dq_audit,
+        "table_stats": q_table_stats,
+        "zorder_prune_stats": q_zorder_prune_stats,
         "embedding_covariance": LLM_QUERIES["embedding_covariance"],
         "embedding_dedup_clusters": LLM_QUERIES["embedding_dedup_clusters"],
         "equidepth_histogram": q_equidepth_histogram,
@@ -4067,6 +4103,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(s.n AS DECIMAL(38,0)) * s.sxx
                        - CAST(s.sx AS DECIMAL(38,0)) * s.sx AS den) nd
     """
+    from async_stream_processing_spark.plans.layout import (
+        sql_zorder_prune_stats,
+    )
+    from async_stream_processing_spark.plans.stats import sql_table_stats
+
+    out["table_stats"] = sql_table_stats("orders", _ORDERS_STATS_COLS)
+    out["zorder_prune_stats"] = sql_zorder_prune_stats("orders")
     out["dq_audit"] = """
         SELECT 'events_user_id_null' AS check_name,
                COUNT(*) FILTER (WHERE user_id IS NULL) AS n_violations

@@ -1,0 +1,173 @@
+"""Data-layout operators: Z-order (Morton) clustering and zone-map
+pruning statistics -- the write-side half of data skipping at 100 TB.
+
+A table clustered on ONE sort key prunes file scans only for predicates
+on that key; interleaving the bits of two bucketized dimensions (the
+Morton / Z-order curve Delta and Iceberg cluster by) gives every file a
+tight min/max zone on BOTH dimensions, so single-dimension predicates on
+either axis skip most files.  :func:`zorder_prune_stats` measures this
+directly: simulate both layouts as equal-width file bins (exactly how a
+clustered write lays out files -- NO global sort, no window; binning is a
+narrow map and zone maps are one small groupBy per layout), compute each
+file's zone map, and count the files a predicate box cannot skip.
+
+Everything is integer arithmetic on bucketized coordinates (range
+anchors ride as a 1-row crossJoin aggregate), so the whole relation is
+bit-portable to the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def morton_code(x: Column, y: Column, bits: int = 4) -> Column:
+    """Interleave the low ``bits`` bits of x and y: x bit j lands at
+    position 2j, y bit j at 2j+1 -- the Z-order curve key."""
+    terms = []
+    for j in range(bits):
+        terms.append(F.shiftleft(F.shiftright(x, j).bitwiseAND(F.lit(1)), 2 * j))
+        terms.append(
+            F.shiftleft(F.shiftright(y, j).bitwiseAND(F.lit(1)), 2 * j + 1)
+        )
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
+def sql_morton_code(x: str, y: str, bits: int = 4) -> str:
+    terms = []
+    for j in range(bits):
+        terms.append(f"((({x} >> {j}) & 1) << {2 * j})")
+        terms.append(f"((({y} >> {j}) & 1) << {2 * j + 1})")
+    return "(" + " + ".join(terms) + ")"
+
+
+def zorder_prune_stats(
+    orders: DataFrame,
+    buckets: int = 16,
+    band: tuple[int, int] = (4, 7),
+) -> DataFrame:
+    """File-skipping comparison: linear layout (sorted/binned by one
+    dimension) vs Z-order layout, under single-dimension band predicates
+    on each axis.
+
+    Dimensions: ``x`` = o_custkey bucketized to [0, buckets) over its
+    min..max range, ``y`` = o_orderdate (epoch micros) bucketized the
+    same way.  Files: ``buckets`` equal-width bins -- linear layout bins
+    by ``x`` alone, Z-order by the Morton code's high bits.  Zone maps
+    are each file's (min_x, max_x, min_y, max_y); a file is SCANNED iff
+    its zone intersects the predicate band.
+
+    Output (4 rows): layout, predicate, files_total, files_scanned,
+    rows_selected.  rows_selected is layout-independent by construction
+    -- the same rows match either way; only the scan cost differs, which
+    is the entire point of clustering.
+    """
+    lo, hi = band
+    anchors = orders.agg(
+        F.min("o_custkey").alias("min_ck"),
+        F.max("o_custkey").alias("max_ck"),
+        F.min(F.unix_micros(F.col("o_orderdate"))).alias("min_us"),
+        F.max(F.unix_micros(F.col("o_orderdate"))).alias("max_us"),
+    )
+    # integer DIV, not double division: the epoch-microsecond spread times
+    # `buckets` exceeds 2^53, where a double quotient would drift off the
+    # oracle's floor division by one bucket at the boundaries
+    x = F.expr(
+        f"((o_custkey - min_ck) * {buckets}) DIV (max_ck - min_ck + 1)"
+    )
+    y = F.expr(
+        f"((unix_micros(o_orderdate) - min_us) * {buckets})"
+        f" DIV (max_us - min_us + 1)"
+    )
+    coded = (
+        orders.crossJoin(F.broadcast(anchors))
+        .select(x.cast("long").alias("x"), y.cast("long").alias("y"))
+        .select(
+            "x", "y", morton_code(F.col("x"), F.col("y"), bits=4).alias("m")
+        )
+    )
+    # morton spans buckets^2 codes; high bits -> `buckets` equal files
+    layouts = {
+        "linear_x": F.col("x"),
+        "zorder": (F.col("m") / buckets).cast("long"),
+    }
+    preds = {"x_band": "x", "y_band": "y"}
+    rows_sel = {
+        p: coded.filter(
+            (F.col(c) >= lo) & (F.col(c) <= hi)
+        ).agg(F.count(F.lit(1)).alias(f"rows_{p}"))
+        for p, c in preds.items()
+    }
+    out = None
+    for lname, fexpr in layouts.items():
+        zones = coded.groupBy(fexpr.alias("file_id")).agg(
+            F.min("x").alias("min_x"),
+            F.max("x").alias("max_x"),
+            F.min("y").alias("min_y"),
+            F.max("y").alias("max_y"),
+        )
+        for pname, pcol in preds.items():
+            scanned = F.count_if(
+                ~((F.col(f"max_{pcol}") < lo) | (F.col(f"min_{pcol}") > hi))
+            )
+            stat = (
+                zones.agg(
+                    F.count(F.lit(1)).cast("long").alias("files_total"),
+                    scanned.cast("long").alias("files_scanned"),
+                )
+                .crossJoin(F.broadcast(rows_sel[pname]))
+                .select(
+                    F.lit(lname).alias("layout"),
+                    F.lit(pname).alias("predicate"),
+                    "files_total",
+                    "files_scanned",
+                    F.col(f"rows_{pname}").alias("rows_selected"),
+                )
+            )
+            out = stat if out is None else out.unionByName(stat)
+    return out
+
+
+def sql_zorder_prune_stats(
+    src: str = "orders", buckets: int = 16, band: tuple[int, int] = (4, 7)
+) -> str:
+    """DuckDB twin of :func:`zorder_prune_stats`."""
+    lo, hi = band
+    m = sql_morton_code("x", "y", bits=4)
+    branches = []
+    for lname, fexpr in (("linear_x", "x"), ("zorder", f"m // {buckets}")):
+        for pname, pcol in (("x_band", "x"), ("y_band", "y")):
+            branches.append(f"""
+            SELECT '{lname}' AS layout, '{pname}' AS predicate,
+                   (SELECT COUNT(*) FROM (
+                        SELECT {fexpr} AS f FROM coded GROUP BY 1))
+                       AS files_total,
+                   (SELECT COUNT(*) FROM (
+                        SELECT {fexpr} AS f,
+                               MIN({pcol}) AS mn, MAX({pcol}) AS mx
+                        FROM coded GROUP BY 1)
+                    WHERE NOT (mx < {lo} OR mn > {hi}))
+                       AS files_scanned,
+                   (SELECT COUNT(*) FROM coded
+                    WHERE {pcol} >= {lo} AND {pcol} <= {hi})
+                       AS rows_selected""")
+    sel = " UNION ALL ".join(branches)
+    return f"""
+        WITH anchors AS (
+            SELECT MIN(o_custkey) AS min_ck, MAX(o_custkey) AS max_ck,
+                   MIN(epoch_us(o_orderdate)) AS min_us,
+                   MAX(epoch_us(o_orderdate)) AS max_us
+            FROM {src}),
+        bucketed AS (
+            SELECT ((o_custkey - a.min_ck) * {buckets})
+                       // (a.max_ck - a.min_ck + 1) AS x,
+                   ((epoch_us(o_orderdate) - a.min_us) * {buckets})
+                       // (a.max_us - a.min_us + 1) AS y
+            FROM {src} CROSS JOIN anchors a),
+        coded AS (SELECT x, y, {m} AS m FROM bucketed)
+        {sel}
+    """

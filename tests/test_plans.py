@@ -206,3 +206,62 @@ def test_no_unpartitioned_windows_outside_allowlist(spark):
         if n:
             found[name] = n
     assert found == UNPARTITIONED_WINDOW_ALLOWLIST
+
+
+def test_table_stats_counts_nulls_and_ndv(spark):
+    from async_stream_processing_spark.plans.stats import table_stats
+
+    df = spark.createDataFrame(
+        [(1, "aa"), (2, None), (2, "bbbb"), (None, "aa")],
+        "k long, s string",
+    )
+    out = {r["column_name"]: r for r in table_stats(df).collect()}
+    k, s = out["k"], out["s"]
+    assert (k["n_rows"], k["n_nonnull"], k["ndv"]) == (4, 3, 2)
+    assert (k["min_numeric"], k["max_numeric"]) == (1.0, 2.0)
+    assert k["min_len"] is None and k["avg_len"] is None
+    assert (s["n_rows"], s["n_nonnull"], s["ndv"]) == (4, 3, 2)
+    assert (s["min_len"], s["max_len"]) == (2, 4)
+    assert s["avg_len"] == (2 + 4 + 2) / 3
+    assert s["min_numeric"] is None
+
+
+def test_zorder_prunes_both_axes_linear_only_its_sort_key(spark):
+    """The clustering claim itself: on a uniform 2-d grid, the Z-order
+    layout skips most files for band predicates on EITHER axis, while
+    the linear layout skips only on its own sort dimension."""
+    import datetime
+
+    from async_stream_processing_spark.plans.layout import (
+        zorder_prune_stats,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = []
+    n = 0
+    for ck in range(64):
+        for day in range(64):
+            rows.append(
+                (n, ck, "O", 1.0, t0 + datetime.timedelta(days=day), "P")
+            )
+            n += 1
+    orders = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    out = {(r["layout"], r["predicate"]): r
+           for r in zorder_prune_stats(orders).collect()}
+    lin_x = out[("linear_x", "x_band")]
+    lin_y = out[("linear_x", "y_band")]
+    z_x = out[("zorder", "x_band")]
+    z_y = out[("zorder", "y_band")]
+    # same rows match under every layout
+    assert lin_x["rows_selected"] == z_x["rows_selected"] > 0
+    assert lin_y["rows_selected"] == z_y["rows_selected"] > 0
+    # linear prunes its sort key only
+    assert lin_x["files_scanned"] * 2 <= lin_x["files_total"]
+    assert lin_y["files_scanned"] == lin_y["files_total"]
+    # z-order prunes BOTH axes
+    assert z_x["files_scanned"] * 2 <= z_x["files_total"]
+    assert z_y["files_scanned"] * 2 <= z_y["files_total"]
