@@ -2628,24 +2628,42 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Key order matters: the driver's CORRECTNESS gate covers the FIRST 50
-    # keys only.  Rounds 1-2 gated the original first 50; round 3 the LLM
-    # block + rank/scalar/sliding/percentile/stream families; round 4 went
-    # 50/50 green on the never-gated + changed + re-confirm mix.  Round 5's
-    # window: (a) the TWENTY-NINE queries with no driver-green row in any
-    # round (late-r4 additions that missed the frozen window, plus the
-    # post-gate curation/sketch block), (b) the SIX whose code changed
-    # after the r4 gate ran (gopher_repetition now measures exact
-    # duplicated-5-gram character coverage; mixture_sample now gates on
-    # doc_id; inverted_index bounds posting state; bfs_levels dedups
-    # seeds; the stream outer joins share the single-source sentinel
-    # helper) -- their r4 rows describe the old code, (c) queries NEW in
-    # round 5, (d) re-confirmation filler from the r1/r2-only keys.
+    # keys only.  Round 6's window (per the r5 verdict checklist): (a) the
+    # THREE r5 hash-reds (bm25_topk, knn_pq_adc, bpe_merge_pairs) plus the
+    # FIVE never-driver-gated keys (knn_ivfpq, bpe_train, dedup_pair_recall,
+    # rp_project, line_dedup) -- the five HUGEINT oracles are now CAST to
+    # BIGINT and all eight re-verified dtype-strict locally; (b) keys whose
+    # CODE changed after the r5 gate ran (zorder_prune_stats derives morton
+    # bits from `buckets`; knn_ivfpq fetches the assigned centroid by array
+    # position; rp_project ships its sign matrix as a broadcast data row);
+    # (c) queries NEW in round 6; (d) re-confirmation filler.
     return {
-        # --- (a) never driver-gated in rounds 1-4 ---
+        # --- (a) r5 reds (dtype-only) + never-driver-gated ---
+        "bm25_topk": LLM_QUERIES["bm25_topk"],
+        "knn_pq_adc": LLM_QUERIES["knn_pq_adc"],
+        "bpe_merge_pairs": LLM_QUERIES["bpe_merge_pairs"],
+        "knn_ivfpq": LLM_QUERIES["knn_ivfpq"],
+        "bpe_train": LLM_QUERIES["bpe_train"],
+        "dedup_pair_recall": LLM_QUERIES["dedup_pair_recall"],
+        "rp_project": LLM_QUERIES["rp_project"],
+        "line_dedup": LLM_QUERIES["line_dedup"],
+        # --- (b) code changed after the r5 gate ran: re-gate ---
+        "zorder_prune_stats": q_zorder_prune_stats,
+        # --- (c) NEW in round 6 ---
+        # (filled as the round progresses)
+        # --- (d) re-confirm filler ---
+        "ohlc_bars": q_ohlc_bars,
+        "rolling_corr": q_rolling_corr,
+        "train_val_split": LLM_QUERIES["train_val_split"],
+        "pq_codes": LLM_QUERIES["pq_codes"],
+        "ann_recall": LLM_QUERIES["ann_recall"],
+        "stream_ohlc": q_stream_ohlc,
+        "pq_dedup_groups": LLM_QUERIES["pq_dedup_groups"],
+        "gap_fill": q_gap_fill,
+        "stream_pq_codes": LLM_QUERIES["stream_pq_codes"],
         "bloom_decontaminate": LLM_QUERIES["bloom_decontaminate"],
         "dq_audit": q_dq_audit,
         "table_stats": q_table_stats,
-        "zorder_prune_stats": q_zorder_prune_stats,
         "embedding_covariance": LLM_QUERIES["embedding_covariance"],
         "embedding_dedup_clusters": LLM_QUERIES["embedding_dedup_clusters"],
         "equidepth_histogram": q_equidepth_histogram,
@@ -2664,7 +2682,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q5": q_tpch_q5,
         "triangle_counts": q_triangle_counts,
         "zscore_outliers": q_zscore_outliers,
-        # --- (a) never gated: post-r4-gate additions ---
         "cms_token_counts": LLM_QUERIES["cms_token_counts"],
         "stream_c4_quality": LLM_QUERIES["stream_c4_quality"],
         "gopher_repetition_full": LLM_QUERIES["gopher_repetition_full"],
@@ -2674,31 +2691,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_novelty": LLM_QUERIES["ngram_novelty"],
         "source_overlap": LLM_QUERIES["source_overlap"],
         "approx_equidepth": q_approx_equidepth,
-        # --- (b) code changed after the r4 gate ran: re-gate ---
+        "filter_project": q_filter_project,
+        # ================= end of the 50-key gate window =================
         "gopher_repetition": LLM_QUERIES["gopher_repetition"],
         "mixture_sample": LLM_QUERIES["mixture_sample"],
         "inverted_index": LLM_QUERIES["inverted_index"],
         "bfs_levels": q_bfs_levels,
         "stream_fullouter": q_stream_fullouter,
         "stream_leftouter": q_stream_leftouter,
-        # --- (c) NEW in round 5 (slots also displace (d) filler) ---
-        "ohlc_bars": q_ohlc_bars,
-        "rolling_corr": q_rolling_corr,
-        "bm25_topk": LLM_QUERIES["bm25_topk"],
-        "train_val_split": LLM_QUERIES["train_val_split"],
-        "pq_codes": LLM_QUERIES["pq_codes"],
-        "knn_pq_adc": LLM_QUERIES["knn_pq_adc"],
-        "ann_recall": LLM_QUERIES["ann_recall"],
-        "stream_ohlc": q_stream_ohlc,
-        "bpe_merge_pairs": LLM_QUERIES["bpe_merge_pairs"],
-        "pq_dedup_groups": LLM_QUERIES["pq_dedup_groups"],
-        "gap_fill": q_gap_fill,
-        "stream_pq_codes": LLM_QUERIES["stream_pq_codes"],
-        # --- (d) re-confirm filler: r1/r2-only keys never re-gated ---
-        "filter_project": q_filter_project,
         "demux_counts": q_demux,
         "set_ops_multiset": q_set_ops_multiset,
-        # ================= end of the 50-key gate window =================
         "rows_frame_last5": q_rows_frame,
         "sessionize_native": q_sessionize_native,
         "tpch_q7": q_tpch_q7,
@@ -2789,7 +2791,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 "cms_token_counts", "stream_c4_quality",
                 "gopher_repetition_full", "c4_quality",
                 "hashed_ngram_features", "dsir_score", "ngram_novelty",
-                "source_overlap",
+                "source_overlap", "knn_ivfpq", "bpe_train",
+                "dedup_pair_recall", "rp_project", "line_dedup",
             )
         },
         "vwap_2min": q_vwap_2min,

@@ -653,7 +653,7 @@ def sql_knn_pq_adc(
             FROM {src} q CROSS JOIN (VALUES {js}) AS j(j) CROSS JOIN cents
             WHERE q.vec_id < {n_queries}),
         adc AS (
-            SELECT d.query_id, c.vec_id, SUM(d.d2q) AS adc_q
+            SELECT d.query_id, c.vec_id, CAST(SUM(d.d2q) AS BIGINT) AS adc_q
             FROM codes c JOIN dtab d ON c.j = d.j AND c.code = d.cid
             WHERE c.vec_id != d.query_id
             GROUP BY d.query_id, c.vec_id),
@@ -801,6 +801,9 @@ def knn_ivfpq(
         "c_ids array<bigint>, c_vecs array<array<double>>",
     )
     # one narrow pass: assign to max-cosine cell, subtract its centroid
+    # carry the 0-based array index in the argmax struct so the winning
+    # centroid vector is fetched by POSITION, never reconstructed from
+    # its id (ids below n_coarse need not be contiguous)
     scored = F.transform(
         F.col("c_vecs"),
         lambda c, i: F.struct(
@@ -808,6 +811,7 @@ def knn_ivfpq(
             (-F.element_at(F.col("c_ids"), i + F.lit(1)))
             .cast("long")
             .alias("neg_id"),
+            i.cast("int").alias("idx"),
         ),
     )
     best = F.array_max(scored)
@@ -819,9 +823,7 @@ def knn_ivfpq(
             (-F.col("b.neg_id")).alias("cell"),
             F.zip_with(
                 _as_double(F.col("embedding")),
-                F.element_at(
-                    F.col("c_vecs"), (-F.col("b.neg_id") + 1).cast("int")
-                ),
+                F.element_at(F.col("c_vecs"), F.col("b.idx") + F.lit(1)),
                 lambda x, y: x - y,
             ).alias("r"),
         )
@@ -982,7 +984,8 @@ def sql_knn_ivfpq(
                         {_sql_d2q(sub('p.q_r'), sub('rcode.r_vec'))} AS d2q
                  FROM probes p CROSS JOIN (VALUES {js}) AS j(j)
                  CROSS JOIN rcode),
-        adc AS (SELECT t.query_id, c.vec_id, SUM(t.d2q) AS adc_q
+        adc AS (SELECT t.query_id, c.vec_id,
+                       CAST(SUM(t.d2q) AS BIGINT) AS adc_q
                 FROM codes c
                 JOIN dtab t ON c.cell = t.cell AND c.j = t.j
                            AND c.code = t.rid

@@ -713,7 +713,7 @@ def sql_bm25_topk(
         df_t AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
         scored AS (
             SELECT tf.doc_id,
-                   SUM(CAST(FLOOR(
+                   CAST(SUM(CAST(FLOOR(
                        ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
                         / (CAST(df AS DOUBLE) + 0.5))
                        * ((CAST(tf AS DOUBLE) * {BM25_K1 + 1.0})
@@ -722,7 +722,7 @@ def sql_bm25_topk(
                                * (CAST(dl AS DOUBLE)
                                   / (CAST(n_toks AS DOUBLE)
                                      / CAST(n_docs AS DOUBLE))))))
-                       * 1e9) AS BIGINT)) AS score_q,
+                       * 1e9) AS BIGINT)) AS BIGINT) AS score_q,
                    COUNT(*) AS n_terms_hit
             FROM tf JOIN df_t USING (tok) JOIN dl USING (doc_id), stats
             GROUP BY tf.doc_id)
@@ -779,7 +779,7 @@ def sql_bpe_merge_pairs(k: int = 20, src: str = "documents") -> str:
             SELECT substring(w, CAST(i.i AS INT), 2) AS pair, cnt
             FROM vocab, LATERAL unnest(range(1, length(w))) AS i(i)
             WHERE length(w) >= 2)
-        SELECT pair, SUM(cnt) AS n_occurrences
+        SELECT pair, CAST(SUM(cnt) AS BIGINT) AS n_occurrences
         FROM pairs GROUP BY pair
         ORDER BY n_occurrences DESC, pair ASC
         LIMIT {k}
@@ -924,9 +924,10 @@ def sql_bpe_train(n_merges: int = 3, src: str = "documents") -> str:
     selects = []
     for r in range(1, n_merges + 1):
         selects.append(f"""
-        SELECT {r} AS merge_round, pair, n_occ AS n_occurrences,
+        SELECT CAST({r} AS BIGINT) AS merge_round, pair,
+               CAST(n_occ AS BIGINT) AS n_occurrences,
                replace(pair, ' ', '') AS merged,
-               (SELECT SUM(cnt * len(string_split(trim(s), ' ')))
-                FROM v{r}) AS vocab_tokens_after
+               CAST((SELECT SUM(cnt * len(string_split(trim(s), ' ')))
+                     FROM v{r}) AS BIGINT) AS vocab_tokens_after
         FROM b{r}""")
     return "WITH " + ",".join(parts) + " " + " UNION ALL ".join(selects)

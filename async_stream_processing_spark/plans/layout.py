@@ -66,6 +66,9 @@ def zorder_prune_stats(
     -- the same rows match either way; only the scan cost differs, which
     is the entire point of clustering.
     """
+    if buckets < 2 or buckets & (buckets - 1):
+        raise ValueError(f"buckets must be a power of two >= 2, got {buckets}")
+    bits = buckets.bit_length() - 1  # morton interleave covers [0, buckets)
     lo, hi = band
     anchors = orders.agg(
         F.min("o_custkey").alias("min_ck"),
@@ -87,7 +90,7 @@ def zorder_prune_stats(
         orders.crossJoin(F.broadcast(anchors))
         .select(x.cast("long").alias("x"), y.cast("long").alias("y"))
         .select(
-            "x", "y", morton_code(F.col("x"), F.col("y"), bits=4).alias("m")
+            "x", "y", morton_code(F.col("x"), F.col("y"), bits=bits).alias("m")
         )
     )
     # morton spans buckets^2 codes; high bits -> `buckets` equal files
@@ -136,8 +139,10 @@ def sql_zorder_prune_stats(
     src: str = "orders", buckets: int = 16, band: tuple[int, int] = (4, 7)
 ) -> str:
     """DuckDB twin of :func:`zorder_prune_stats`."""
+    if buckets < 2 or buckets & (buckets - 1):
+        raise ValueError(f"buckets must be a power of two >= 2, got {buckets}")
     lo, hi = band
-    m = sql_morton_code("x", "y", bits=4)
+    m = sql_morton_code("x", "y", bits=buckets.bit_length() - 1)
     branches = []
     for lname, fexpr in (("linear_x", "x"), ("zorder", f"m // {buckets}")):
         for pname, pcol in (("x_band", "x"), ("y_band", "y")):

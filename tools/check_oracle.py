@@ -45,10 +45,36 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+def _dtype_kind(dtype) -> str:
+    """Coarse numeric kind BEFORE normalization -- the axis the driver's
+    value-hash is sensitive to (DuckDB HUGEINT arrives as float64 while
+    Spark BIGINT arrives as int64; values equal, hash differs)."""
+    if pd.api.types.is_bool_dtype(dtype):
+        return "bool"
+    if pd.api.types.is_integer_dtype(dtype):
+        return "int"
+    if pd.api.types.is_float_dtype(dtype):
+        return "float"
+    return "other"
+
+
 def compare(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[str]:
     errs: list[str] = []
     if len(spark_pdf) != len(oracle_pdf):
         errs.append(f"rowcount spark={len(spark_pdf)} oracle={len(oracle_pdf)}")
+    # dtype-kind strictness: normalize() below coerces both sides to
+    # int64/float64, which would mask an int-vs-float gap that the
+    # driver's dtype-sensitive hash still sees.  Fail it here first.
+    s_kinds = {c: _dtype_kind(spark_pdf[c].dtype) for c in spark_pdf.columns}
+    o_kinds = {c: _dtype_kind(oracle_pdf[c].dtype) for c in oracle_pdf.columns}
+    for c in sorted(set(s_kinds) & set(o_kinds)):
+        if s_kinds[c] != o_kinds[c] and {s_kinds[c], o_kinds[c]} <= {
+            "int", "float", "bool",
+        }:
+            errs.append(
+                f"col {c}: dtype-kind mismatch spark={spark_pdf[c].dtype} "
+                f"oracle={oracle_pdf[c].dtype} (driver hash is dtype-sensitive)"
+            )
     s, o = normalize(spark_pdf), normalize(oracle_pdf)
     if list(s.columns) != list(o.columns):
         errs.append(f"columns spark={list(s.columns)} oracle={list(o.columns)}")
