@@ -283,6 +283,7 @@ def rp_project(
     d: int = 64,
     seed: int = 7,
     vec: str = "embedding",
+    mode: str = "auto",
 ) -> DataFrame:
     """Random-projection dimensionality reduction: ``d`` floats -> ``k``
     doubles per vector via a ±1 sign matrix (JL lemma: pairwise
@@ -290,29 +291,62 @@ def rp_project(
     The cheap front half of any 100 TB embedding pipeline -- project
     once, then run ANN / dedup / clustering in the reduced space.
 
-    Plan shape: the sign matrix is k*d literal constants compiled into
-    the projection expressions, so this is a NARROW one-pass map --
-    no shuffle, no join, no Python.  Each output dim is an explicit
-    left-associated sum of ±x_i terms: sign flips and additions are
-    single exactly-rounded IEEE ops in identical order on every engine,
-    so projected values are bit-portable (same contract as the
-    ``rolling_corr`` fixed expression tree).
+    Two plan shapes, both NARROW one-pass maps (no shuffle, no Python),
+    both producing bit-identical values:
+
+    - ``literal`` (small k*d): the sign matrix compiles into k explicit
+      left-associated ±x_i sum expressions.  Fastest per row, but plan
+      size and codegen time grow with k*d.
+    - ``data`` (default at k*d >= 1024): the sign matrix ships as ONE
+      broadcast data row ("model state as data, not plan literals" --
+      the ``pca_project`` convention) and each output dim is a
+      zip_with-multiply + left fold SEEDED WITH THE FIRST PRODUCT, so
+      the addition order and every IEEE op match the literal expression
+      exactly (x * ±1.0 is an exact sign flip; no spurious ``0.0 +``
+      head term).  Plan size is O(k), independent of d.
+
+    ``mode='auto'`` picks by k*d; both paths share one oracle because
+    the values are bitwise equal.
 
     Output: ``(vec_id, rp_0 .. rp_{k-1})``.
     """
     import operator
     from functools import reduce
 
+    if mode == "auto":
+        mode = "data" if k * d >= 1024 else "literal"
     signs = rp_signs(k, d, seed)
     emb = F.col(vec) if isinstance(vec, str) else vec
+    if mode == "literal":
+        cols = [F.col("vec_id")]
+        for j in range(k):
+            terms = []
+            for i, s in enumerate(signs[j]):
+                x = F.element_at(emb, i + 1).cast("double")
+                terms.append(x if s > 0 else -x)
+            cols.append(reduce(operator.add, terms).alias(f"rp_{j}"))
+        return embeddings.select(*cols)
+    spark = embeddings.sparkSession
+    model = spark.createDataFrame(
+        [([[float(s) for s in row] for row in signs],)],
+        "rp_signs array<array<double>>",
+    )
+    embd = F.transform(emb, lambda x: x.cast("double"))
     cols = [F.col("vec_id")]
     for j in range(k):
-        terms = []
-        for i, s in enumerate(signs[j]):
-            x = F.element_at(emb, i + 1).cast("double")
-            terms.append(x if s > 0 else -x)
-        cols.append(reduce(operator.add, terms).alias(f"rp_{j}"))
-    return embeddings.select(*cols)
+        prods = F.zip_with(
+            embd,
+            F.element_at(F.col("rp_signs"), j + 1),
+            lambda x, s: x * s,
+        )
+        cols.append(
+            F.aggregate(
+                F.slice(prods, 2, d - 1),
+                F.element_at(prods, 1),
+                lambda a, x: a + x,
+            ).alias(f"rp_{j}")
+        )
+    return embeddings.join(F.broadcast(model)).select(*cols)
 
 
 def sql_rp_project(

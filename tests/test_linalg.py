@@ -339,3 +339,25 @@ def test_rp_project_preserves_distances_approximately(spark):
             ratios.append(proj / orig)
     # k=16 gives a loose band; the seed is fixed so this is deterministic
     assert all(0.25 < r < 4.0 for r in ratios), (min(ratios), max(ratios))
+
+
+def test_rp_project_literal_and_data_modes_bit_identical(spark):
+    """The broadcast-data-row path (large k*d) and the literal-matrix
+    path (small k*d) must produce BITWISE-equal projections: the data
+    path's fold is seeded with the first product, so the addition order
+    and every IEEE op match the literal expression exactly."""
+    import random
+
+    from async_stream_processing_spark.llm.linalg import rp_project
+
+    rng = random.Random(11)
+    d, k, n = 16, 6, 20
+    emb = spark.createDataFrame(
+        [(i, [float(rng.gauss(0, 1)) for _ in range(d)]) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    )
+    lit = {r["vec_id"]: tuple(r[f"rp_{j}"] for j in range(k))
+           for r in rp_project(emb, k=k, d=d, mode="literal").collect()}
+    dat = {r["vec_id"]: tuple(r[f"rp_{j}"] for j in range(k))
+           for r in rp_project(emb, k=k, d=d, mode="data").collect()}
+    assert lit == dat and len(lit) == n
