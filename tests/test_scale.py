@@ -476,3 +476,50 @@ def test_lake_schema_evolution_merge_schema(spark, tmp_path):
     assert rows == {1: ("a", None), 2: ("b", None), 3: ("c", 30.0)}
     pushed = df.filter(F.col("k") >= 2)._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [IsNotNull(k), GreaterThanOrEqual(k,2)" in pushed, pushed
+
+
+def test_stop_shingle_guard_bounds_candidate_pairs_on_degenerate_corpus(spark):
+    """The 100 TB skew story as a test, not a docstring (r5 verdict item
+    8): a corpus where every document shares a boilerplate block would
+    make the shared-shingle join quadratic -- every doc pair collides on
+    the hot shingles.  The stop-shingle guard (``max_doc_ratio``) must
+    (a) collapse that to just the genuinely-near-duplicate pairs, and
+    (b) keep recall: real near-dups still share plenty of RARE shingles,
+    so the planted pairs survive the filter."""
+    from pyspark.sql import functions as F
+
+    from async_stream_processing_spark.llm.dedup import doc_shingle_hashes
+
+    n_docs = 40
+    boiler = "all rights reserved contact us terms of service apply here"
+    rows = []
+    for i in range(n_docs):
+        uniq = f"doc{i} alpha{i} beta{i} gamma{i} delta{i} epsilon{i} zeta{i}"
+        rows.append((i, f"{boiler} {uniq}"))
+    # planted near-dups: 35/36 and 37/38 share their unique tails too
+    rows[36] = (36, rows[35][1].replace("doc35", "doc36"))
+    rows[38] = (38, rows[37][1].replace("doc37", "doc38"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def n_pairs(sh):
+        a, b = sh.alias("a"), sh.alias("b")
+        return (
+            a.join(b, "h")
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select("a.doc_id", "b.doc_id")
+            .distinct()
+            .count()
+        )
+
+    unguarded = n_pairs(doc_shingle_hashes(docs, n=3))
+    guarded_sh = doc_shingle_hashes(docs, n=3, max_doc_ratio=0.2)
+    guarded = n_pairs(guarded_sh)
+    # every pair collides on boilerplate without the guard: full quadratic
+    assert unguarded == n_docs * (n_docs - 1) // 2
+    # with the guard: ONLY the planted near-dup pairs remain candidates
+    assert guarded == 2
+    # and no hot shingle survives (df cap actually enforced)
+    max_df = (
+        guarded_sh.groupBy("h").count().agg(F.max("count")).collect()[0][0]
+    )
+    assert max_df <= int(n_docs * 0.2)
