@@ -201,6 +201,26 @@ def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gap_fill(ev, ["user_id"], every="1 hour")
 
 
+def q_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max drawdown per user over the cumulative value curve: exact
+    DECIMAL equity/peak/drawdown, one window + one aggregation -- the
+    backtest risk statistic next to total return."""
+    from async_stream_processing_spark.operators.windows import max_drawdown
+
+    return max_drawdown(_events(spark, sf_dir), ["user_id"])
+
+
+def q_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 20-row mean ± 2 population sigmas per user (Bollinger
+    envelope): integer-exact decimal frame sums, fixed IEEE tree,
+    zero-variance frames pin both bands to the mean."""
+    from async_stream_processing_spark.operators.windows import (
+        bollinger_bands,
+    )
+
+    return bollinger_bands(_events(spark, sf_dir), ["user_id"], n_rows=20)
+
+
 def q_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B11 filter + A8 unpack/projection: purchases with value >= 50,
     props JSON field extracted as a column."""
@@ -2649,8 +2669,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": LLM_QUERIES["line_dedup"],
         # --- (b) code changed after the r5 gate ran: re-gate ---
         "zorder_prune_stats": q_zorder_prune_stats,
+        "dedup_minhash_lsh": LLM_QUERIES["dedup_minhash_lsh"],
+        "dedup_clusters": LLM_QUERIES["dedup_clusters"],
         # --- (c) NEW in round 6 ---
-        # (filled as the round progresses)
+        "minhash_sigs": LLM_QUERIES["minhash_sigs"],
+        "dedup_keep_best": LLM_QUERIES["dedup_keep_best"],
+        "temperature_mixture": LLM_QUERIES["temperature_mixture"],
+        "max_drawdown": q_max_drawdown,
+        "bollinger_bands": q_bollinger_bands,
         # --- (d) re-confirm filler ---
         "ohlc_bars": q_ohlc_bars,
         "rolling_corr": q_rolling_corr,
@@ -2686,13 +2712,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_c4_quality": LLM_QUERIES["stream_c4_quality"],
         "gopher_repetition_full": LLM_QUERIES["gopher_repetition_full"],
         "c4_quality": LLM_QUERIES["c4_quality"],
+        # ================= end of the 50-key gate window =================
         "hashed_ngram_features": LLM_QUERIES["hashed_ngram_features"],
         "dsir_score": LLM_QUERIES["dsir_score"],
         "ngram_novelty": LLM_QUERIES["ngram_novelty"],
         "source_overlap": LLM_QUERIES["source_overlap"],
         "approx_equidepth": q_approx_equidepth,
         "filter_project": q_filter_project,
-        # ================= end of the 50-key gate window =================
         "gopher_repetition": LLM_QUERIES["gopher_repetition"],
         "mixture_sample": LLM_QUERIES["mixture_sample"],
         "inverted_index": LLM_QUERIES["inverted_index"],
@@ -2793,6 +2819,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 "hashed_ngram_features", "dsir_score", "ngram_novelty",
                 "source_overlap", "knn_ivfpq", "bpe_train",
                 "dedup_pair_recall", "rp_project", "line_dedup",
+                "dedup_minhash_lsh", "dedup_clusters", "minhash_sigs",
+                "dedup_keep_best", "temperature_mixture",
             )
         },
         "vwap_2min": q_vwap_2min,
@@ -3492,6 +3520,13 @@ def oracle_sql() -> dict[str, str]:
         FROM grid g LEFT JOIN obs o
           ON g.user_id = o.user_id AND g.bucket_start = o.b
     """
+    from async_stream_processing_spark.operators.windows import (
+        sql_bollinger_bands,
+        sql_max_drawdown,
+    )
+
+    out["max_drawdown"] = sql_max_drawdown()
+    out["bollinger_bands"] = sql_bollinger_bands(n_rows=20)
     out["rolling_corr"] = """
         WITH lagged AS (
             SELECT user_id, ts, event_id,

@@ -509,6 +509,68 @@ def sql_mixture_sample(src: str = "documents", key: str = "source") -> str:
     """
 
 
+def temperature_mixture(
+    docs: DataFrame,
+    key: str = "source",
+    total_target: int = 1000,
+    quantum: int = 1_000_000_000,
+) -> DataFrame:
+    """Temperature-scaled mixture weights (the multilingual-sampling rule
+    of Conneau & Lample 2019 / mT5, alpha = 0.5): each source's sampling
+    weight is ``n_s^alpha / sum(n^alpha)``, boosting low-resource sources
+    relative to proportional sampling, and the per-source document budget
+    is ``floor(total_target * w_s)``.
+
+    Portability: alpha = 0.5 makes the power an IEEE ``sqrt`` -- the one
+    correctly-rounded non-arithmetic op, so bit-exact in any engine --
+    and each ``sqrt(n_s)`` is floor-quantized to an integer at
+    ``quantum`` resolution so the cross-source SUM is integer (order-
+    free); weights and budgets then come from one double division /
+    integer cross-multiplication.  The whole relation is #sources rows
+    off ONE count aggregation -- the corpus is scanned once and never
+    shuffled wider than the groupBy.
+
+    Output per source: n_docs, weight, target_docs.
+    """
+    counts = docs.groupBy(key).agg(F.count(F.lit(1)).alias("n_docs"))
+    q = F.floor(
+        F.sqrt(F.col("n_docs").cast("double")) * F.lit(float(quantum))
+    ).cast("long")
+    quantized = counts.withColumn("__q", q)
+    tot = quantized.agg(F.sum("__q").alias("__tq"))
+    return (
+        quantized.crossJoin(F.broadcast(tot))
+        .select(
+            key,
+            "n_docs",
+            (F.col("__q").cast("double") / F.col("__tq").cast("double"))
+            .alias("weight"),
+            # integer DIV, not double /: a double quotient could round
+            # across the floor boundary the oracle's // never crosses
+            F.expr(f"({total_target} * __q) DIV __tq").alias("target_docs"),
+        )
+    )
+
+
+def sql_temperature_mixture(
+    src: str = "documents",
+    key: str = "source",
+    total_target: int = 1000,
+    quantum: int = 1_000_000_000,
+) -> str:
+    q = f"CAST(FLOOR(sqrt(CAST(n_docs AS DOUBLE)) * {float(quantum)}) AS BIGINT)"
+    return f"""
+        WITH counts AS (SELECT {key}, COUNT(*) AS n_docs
+                        FROM {src} GROUP BY {key}),
+        quant AS (SELECT {key}, n_docs, {q} AS q FROM counts),
+        tot AS (SELECT CAST(SUM(q) AS BIGINT) AS tq FROM quant)
+        SELECT {key}, CAST(n_docs AS BIGINT) AS n_docs,
+               CAST(q AS DOUBLE) / CAST(tq AS DOUBLE) AS weight,
+               CAST(({total_target} * q) // tq AS BIGINT) AS target_docs
+        FROM quant CROSS JOIN tot
+    """
+
+
 def chunk_documents(
     docs: DataFrame,
     budget: int = 64,

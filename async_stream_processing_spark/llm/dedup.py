@@ -152,18 +152,49 @@ def doc_shingle_hashes(
 
 
 def minhash_signatures(
-    docs: DataFrame, n_hashes: int = N_MINHASH, n: int = 3, hash_mode: str = "md5"
+    docs: DataFrame,
+    n_hashes: int = N_MINHASH,
+    n: int = 3,
+    hash_mode: str = "md5",
+    plan: str = "narrow",
 ) -> DataFrame:
     """One row per doc: doc_id, mh_0 .. mh_{k-1} (the minhash signature).
 
-    Single explode + single groupBy; the K permutations are K cheap column
-    expressions over the same hash, aggregated map-side.  Works on the
-    NON-distinct shingle scan: ``min`` is duplicate-insensitive, so the
-    signature path pays ONE shuffle (the keyed min-agg, heavily compressed
-    by map-side partials) instead of distinct + agg.
+    ``plan='narrow'`` (default): a per-document signature needs no
+    aggregation at all -- each mh_j is ``array_min(transform(hashes,
+    perm_j))`` over the document's own shingle array, a pure column
+    expression.  ZERO shuffles: the whole LSH front half (signature ->
+    band explode) now runs scan-side, and the first exchange in the
+    dedup pipeline is the bucket self-join itself.  At 100 TB that
+    removes a corpus-sized (doc_id, h) shuffle per run.
+
+    ``plan='agg'``: the explode + keyed min-agg formulation (one
+    map-side-combined shuffle).  Kept as the A/B twin and for inputs
+    where one row's shingle array would not fit a single task (not a
+    real corpus shape -- documents are bounded).
+
+    Both plans produce IDENTICAL values: ``min`` over a multiset equals
+    ``min`` over its set, and the hash/permutation expressions are
+    shared.  Docs with fewer than ``n`` words have no shingles and are
+    absent from either output.
     """
-    sh = _exploded_shingle_hashes(docs, n, hash_mode)
     coeffs = minhash_coeffs(n_hashes)
+    if plan == "narrow":
+        hasher = (
+            (lambda s: F.abs(F.xxhash64(s)))
+            if hash_mode == "xxhash64"
+            else stable_hash60
+        )
+        hs = F.transform(shingles("text", n), hasher)
+        out = fan_out(docs).select("doc_id", hs.alias("_hs"))
+        cols = [F.col("doc_id")] + [
+            F.array_min(
+                F.transform(F.col("_hs"), lambda h: minhash_term(h, a, b))
+            ).alias(f"mh_{j}")
+            for j, (a, b) in enumerate(coeffs)
+        ]
+        return out.filter(F.size("_hs") > 0).select(*cols)
+    sh = _exploded_shingle_hashes(docs, n, hash_mode)
     aggs = [
         F.min(minhash_term(F.col("h"), a, b)).alias(f"mh_{j}")
         for j, (a, b) in enumerate(coeffs)
@@ -598,6 +629,57 @@ def dedup_clusters(
     )
     return labels.join(sizes, "cluster_id").select(
         "doc_id", "cluster_id", "cluster_size"
+    )
+
+
+def dedup_keep_best(
+    docs: DataFrame,
+    threshold: float = 0.25,
+    n_hashes: int = N_MINHASH,
+    bands: int = LSH_BANDS,
+    hash_mode: str = "md5",
+    max_iter: int = 25,
+) -> DataFrame:
+    """The dedup pass a curation pipeline actually ships: cluster
+    near-dups (:func:`dedup_clusters`) and keep ONE survivor per cluster
+    -- the LONGEST document (``n_chars`` DESC, ``doc_id`` ASC on ties),
+    the keep-best policy of RefinedWeb/FineWeb-style pipelines (longest
+    member usually subsumes its truncated copies).  Documents in no
+    near-dup pair survive as their own singleton cluster.
+
+    Plan: the cluster relation is pair-graph-sized (tiny vs the corpus);
+    the corpus joins it once (left) and the survivor pick is a
+    per-cluster row_number -- partitioned window, bounded state.  Output:
+    (cluster_id, survivor_doc_id, cluster_size, n_chars), one row per
+    post-dedup document.
+    """
+    from pyspark.sql import Window
+
+    clusters = dedup_clusters(
+        docs, threshold, n_hashes, bands, hash_mode, max_iter
+    )
+    labeled = (
+        docs.select("doc_id", "n_chars")
+        .join(clusters, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_chars",
+            F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+            F.coalesce("cluster_size", F.lit(1)).alias("cluster_size"),
+        )
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    return (
+        labeled.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("survivor_doc_id"),
+            "cluster_size",
+            "n_chars",
+        )
     )
 
 

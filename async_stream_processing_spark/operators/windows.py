@@ -284,3 +284,140 @@ def gap_fill(
         F.coalesce(F.col("n"), F.lit(0)).alias("n_obs"),
         F.last("last_v", ignorenulls=True).over(w).alias("value_ffill"),
     )
+
+
+def max_drawdown(
+    df: DataFrame,
+    partition_by: list[str],
+    value: str = "value",
+    order: tuple[str, ...] = ("ts", "event_id"),
+    scale: int = 2,
+) -> DataFrame:
+    """Maximum drawdown per key: treat ``value`` as per-event P&L, build
+    the cumulative equity curve, track its running peak, and report the
+    deepest peak-to-trough fall -- the risk statistic every backtest
+    prints next to total return (reference's running aggregates:
+    e2_stats.py cumulative volume is the same fold family).
+
+    Exactness: equity, peak and drawdown stay in DECIMAL space (the
+    running sums are order-independent given the total (ts, order)
+    order), cast to double ONCE at the output -- same discipline as
+    :func:`rolling_corr`.  ONE window (two frames sharing one exchange +
+    sort) + one final aggregation; state per key is O(1).
+    """
+    x = dec(value, scale)
+    w = Window.partitionBy(*partition_by).orderBy(
+        *[F.col(c) for c in order]
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    equity = F.sum(x).over(w)
+    curve = df.select(
+        *[F.col(c) for c in partition_by],
+        x.alias("__x"),
+        equity.alias("__eq"),
+        (F.max(equity).over(w) - equity).alias("__dd"),
+    )
+    # final equity == the cumulative sum at the key's last row == the
+    # key's total (order-free DECIMAL sum) -- no order-sensitive last()
+    return curve.groupBy(*partition_by).agg(
+        F.max("__dd").cast("double").alias("max_drawdown"),
+        F.max("__eq").cast("double").alias("peak_equity"),
+        F.sum("__x").cast("double").alias("final_equity"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def sql_max_drawdown(src: str = "events", key: str = "user_id") -> str:
+    """DuckDB twin of :func:`max_drawdown` over ``events``."""
+    return f"""
+        WITH eqc AS (
+            SELECT {key}, ts, event_id,
+                   CAST(value AS DECIMAL(18,2)) AS x,
+                   SUM(CAST(value AS DECIMAL(18,2))) OVER w AS eq
+            FROM {src}
+            WINDOW w AS (PARTITION BY {key} ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        curve AS (
+            SELECT {key}, x, eq, MAX(eq) OVER w2 - eq AS dd
+            FROM eqc
+            WINDOW w2 AS (PARTITION BY {key} ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        SELECT {key},
+               CAST(MAX(dd) AS DOUBLE) AS max_drawdown,
+               CAST(MAX(eq) AS DOUBLE) AS peak_equity,
+               CAST(SUM(x) AS DOUBLE) AS final_equity,
+               COUNT(*) AS n_events
+        FROM curve GROUP BY {key}
+    """
+
+
+def bollinger_bands(
+    df: DataFrame,
+    partition_by: list[str],
+    n_rows: int = 20,
+    n_sigma: int = 2,
+    value: str = "value",
+    order: tuple[str, ...] = ("ts", "event_id"),
+    scale: int = 2,
+) -> DataFrame:
+    """Bollinger bands: rolling ``n_rows``-row mean ± ``n_sigma``
+    population standard deviations per key -- the volatility envelope,
+    sharing :func:`rolling_corr`'s exactness discipline: integer-exact
+    DECIMAL frame sums (Sx, Sxx, n), ONE cast to double each, then a
+    fixed IEEE tree (+,-,*,/,sqrt are all correctly rounded; no libm).
+    Zero-variance frames pin both bands to the mean via a double guard
+    identical in the oracle.  ONE window; bounded frame state.
+    """
+    x = dec(value, scale)
+    w = Window.partitionBy(*partition_by).orderBy(
+        *[F.col(c) for c in order]
+    ).rowsBetween(-(n_rows - 1), 0)
+    n = F.count(F.lit(1)).over(w).cast("double")
+    sx = F.sum(x).over(w).cast("double")
+    sxx = F.sum(x * x).over(w).cast("double")
+    mean = sx / n
+    var = (n * sxx - sx * sx) / (n * n)
+    band = F.when(var > 0, F.lit(float(n_sigma)) * F.sqrt(var)).otherwise(
+        F.lit(0.0)
+    )
+    return df.select(
+        *[F.col(c) for c in partition_by],
+        "ts",
+        "event_id",
+        mean.alias("mid"),
+        (mean + band).alias("upper"),
+        (mean - band).alias("lower"),
+    )
+
+
+def sql_bollinger_bands(
+    src: str = "events",
+    key: str = "user_id",
+    n_rows: int = 20,
+    n_sigma: int = 2,
+) -> str:
+    """DuckDB twin of :func:`bollinger_bands`."""
+    return f"""
+        WITH sums AS (
+            SELECT {key}, ts, event_id,
+                   CAST(COUNT(*) OVER w AS DOUBLE) AS n,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w
+                        AS DOUBLE) AS sx,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))
+                            * CAST(value AS DECIMAL(18,2))) OVER w
+                        AS DOUBLE) AS sxx
+            FROM {src}
+            WINDOW w AS (PARTITION BY {key} ORDER BY ts, event_id
+                         ROWS BETWEEN {n_rows - 1} PRECEDING
+                         AND CURRENT ROW))
+        SELECT {key}, ts, event_id,
+               sx / n AS mid,
+               sx / n + (CASE WHEN (n * sxx - sx * sx) / (n * n) > 0
+                              THEN {n_sigma}.0 * sqrt((n * sxx - sx * sx)
+                                                      / (n * n))
+                              ELSE 0.0 END) AS upper,
+               sx / n - (CASE WHEN (n * sxx - sx * sx) / (n * n) > 0
+                              THEN {n_sigma}.0 * sqrt((n * sxx - sx * sx)
+                                                      / (n * n))
+                              ELSE 0.0 END) AS lower
+        FROM sums
+    """

@@ -776,7 +776,38 @@ def q_stream_pq_codes(spark, sf_dir):
     )
 
 
+def q_minhash_sigs(spark, sf_dir):
+    """The zero-shuffle minhash signatures (plan='narrow'): each doc's
+    16-permutation signature as pure column expressions over its own
+    shingle array -- gates the narrow path the whole LSH family now
+    rides (values provably equal to the explode+min-agg formulation)."""
+    from async_stream_processing_spark.llm.dedup import minhash_signatures
+
+    return minhash_signatures(_docs(spark, sf_dir))
+
+
+def q_dedup_keep_best(spark, sf_dir):
+    """Cluster near-dups, keep the longest member per cluster (ties ->
+    min doc_id); singletons survive as themselves -- the keep-best dedup
+    pass of RefinedWeb-style pipelines, one row per surviving doc."""
+    from async_stream_processing_spark.llm.dedup import dedup_keep_best
+
+    return dedup_keep_best(_docs(spark, sf_dir), threshold=0.25)
+
+
+def q_temperature_mixture(spark, sf_dir):
+    """Alpha=0.5 temperature mixture weights per source (Conneau &
+    Lample 2019): sqrt-scaled counts, integer-quantized so the
+    cross-source sum is order-free, budgets by integer DIV."""
+    from async_stream_processing_spark.llm.curation import temperature_mixture
+
+    return temperature_mixture(_docs(spark, sf_dir), total_target=1000)
+
+
 LLM_QUERIES = {
+    "minhash_sigs": q_minhash_sigs,
+    "dedup_keep_best": q_dedup_keep_best,
+    "temperature_mixture": q_temperature_mixture,
     "stream_pq_codes": q_stream_pq_codes,
     "pq_dedup_groups": q_pq_dedup_groups,
     "bpe_merge_pairs": q_bpe_merge_pairs,
@@ -1058,7 +1089,46 @@ def llm_oracle_sql() -> dict[str, str]:
         sql_bpe_train,
     )
 
+    from async_stream_processing_spark.llm.curation import (
+        sql_temperature_mixture,
+    )
+
     return {
+        "minhash_sigs": f"""
+            WITH {_sql_doc_shingles()},
+            {_sql_minhash_sig()}
+            SELECT * FROM sig
+        """,
+        "dedup_keep_best": f"""
+            WITH RECURSIVE {_sql_doc_shingles()},
+            {_sql_minhash_sig()},
+            {_sql_lsh_pairs(0.25)},
+            pairs AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.25),
+            edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+                      UNION SELECT doc_b, doc_a FROM pairs),
+            nodes AS (SELECT DISTINCT a AS v FROM edges),
+            walk(v, r) AS (
+                SELECT v, v FROM nodes
+                UNION
+                SELECT e.a, w.r FROM edges e JOIN walk w ON e.b = w.v),
+            comp AS (SELECT v AS doc_id, MIN(r) AS cluster_id
+                     FROM walk GROUP BY v),
+            labeled AS (
+                SELECT d.doc_id, d.n_chars,
+                       COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+                FROM documents d LEFT JOIN comp c USING (doc_id)),
+            csz AS (SELECT cluster_id, COUNT(*) AS cluster_size
+                    FROM labeled GROUP BY cluster_id),
+            ranked AS (
+                SELECT l.cluster_id, l.doc_id, l.n_chars, s.cluster_size,
+                       ROW_NUMBER() OVER (PARTITION BY l.cluster_id
+                           ORDER BY l.n_chars DESC, l.doc_id ASC) AS rn
+                FROM labeled l JOIN csz s USING (cluster_id))
+            SELECT cluster_id, doc_id AS survivor_doc_id,
+                   CAST(cluster_size AS BIGINT) AS cluster_size, n_chars
+            FROM ranked WHERE rn = 1
+        """,
+        "temperature_mixture": sql_temperature_mixture(total_target=1000),
         "stream_pq_codes": sql_pq_codes(m=8, ksub=16, d=64),
         "pq_dedup_groups": sql_pq_dedup_groups(m=8, ksub=16, d=64, block_m=4),
         "bpe_merge_pairs": sql_bpe_merge_pairs(k=20),

@@ -232,3 +232,82 @@ def test_positional_index_matches_global_row_number(spark, tmp_path):
     # positions are contiguous per source partition and globally unique;
     # the per-row mapping matches the sequential-reader order
     assert got == truth
+
+
+def test_max_drawdown_hand_computed(spark):
+    from async_stream_processing_spark.operators.windows import max_drawdown
+
+    # equity walk: 10, 30, 5, 20, -5  -> peak 30, trough -5, dd 35
+    vals = [10.0, 20.0, -25.0, 15.0, -25.0]
+    rows = [
+        (i, __import__("datetime").datetime(2024, 1, 1, 0, i), 1, v)
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double"
+    )
+    out = max_drawdown(df, ["user_id"]).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["max_drawdown"] == 35.0
+    assert r["peak_equity"] == 30.0
+    assert r["final_equity"] == -5.0
+    assert r["n_events"] == 5
+
+
+def test_bollinger_bands_constant_series_pins_to_mean(spark):
+    from async_stream_processing_spark.operators.windows import (
+        bollinger_bands,
+    )
+
+    rows = [
+        (i, __import__("datetime").datetime(2024, 1, 1, 0, i), 1, 7.0)
+        for i in range(5)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double"
+    )
+    out = bollinger_bands(df, ["user_id"], n_rows=3).collect()
+    assert all(r["mid"] == r["upper"] == r["lower"] == 7.0 for r in out)
+
+
+def test_temperature_mixture_boosts_low_resource_sources(spark):
+    import math
+
+    from async_stream_processing_spark.llm.curation import temperature_mixture
+
+    rows = [(i, "big" if i < 900 else "small") for i in range(1000)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    out = {r["source"]: r for r in
+           temperature_mixture(docs, total_target=100).collect()}
+    # proportional would give small 10%; sqrt-temperature gives ~25%
+    w_small = math.sqrt(100) / (math.sqrt(900) + math.sqrt(100))
+    assert abs(out["small"]["weight"] - w_small) < 1e-9
+    assert out["small"]["target_docs"] == int(100 * w_small)
+    assert out["big"]["n_docs"] == 900
+    # budgets never exceed the target total
+    assert sum(r["target_docs"] for r in out.values()) <= 100
+
+
+def test_dedup_keep_best_keeps_longest_and_singletons(spark):
+    from async_stream_processing_spark.llm.dedup import dedup_keep_best
+
+    base = ("the quick brown fox jumps over the lazy sleeping dog "
+            "while rain falls softly on the quiet empty street tonight")
+    docs = spark.createDataFrame(
+        [
+            (0, base, len(base)),
+            (1, base + " extra trailing words here", len(base) + 27),
+            (2, "a completely different short unrelated document "
+                "about weather patterns in the north", 83),
+        ],
+        "doc_id long, text string, n_chars long",
+    )
+    out = {r["cluster_id"]: r for r in
+           dedup_keep_best(docs, threshold=0.5).collect()}
+    # docs 0 and 1 are near-dups -> one cluster keeping the LONGER doc 1
+    assert out[0]["survivor_doc_id"] == 1
+    assert out[0]["cluster_size"] == 2
+    # doc 2 is a singleton surviving as itself
+    assert out[2]["survivor_doc_id"] == 2
+    assert out[2]["cluster_size"] == 1
