@@ -2116,6 +2116,19 @@ def q_zorder_prune_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zorder_prune_stats(load_table(spark, sf_dir, "orders"))
 
 
+def q_hilbert_prune_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear vs Z-order vs HILBERT clustering under the same band
+    predicates -- the liquid-clustering curve choice as data: the
+    Hilbert walk (unrolled integer CASE chain, bit-identical in both
+    engines) gives each file a tighter zone box than Morton's diagonal
+    jumps."""
+    from async_stream_processing_spark.plans.layout import (
+        hilbert_prune_stats,
+    )
+
+    return hilbert_prune_stats(load_table(spark, sf_dir, "orders"))
+
+
 def q_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANALYZE-style per-column statistics over orders — the CBO input
     relation (exact NDV via one multi-distinct scan; the 100 TB path
@@ -2671,12 +2684,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_prune_stats": q_zorder_prune_stats,
         "dedup_minhash_lsh": LLM_QUERIES["dedup_minhash_lsh"],
         "dedup_clusters": LLM_QUERIES["dedup_clusters"],
+        "gopher_repetition": LLM_QUERIES["gopher_repetition"],
+        "gopher_repetition_full": LLM_QUERIES["gopher_repetition_full"],
         # --- (c) NEW in round 6 ---
+        "bpe_apply": LLM_QUERIES["bpe_apply"],
+        "filter_audit": LLM_QUERIES["filter_audit"],
+        "knn_refine": LLM_QUERIES["knn_refine"],
+        "stream_minhash_sigs": LLM_QUERIES["stream_minhash_sigs"],
         "minhash_sigs": LLM_QUERIES["minhash_sigs"],
         "dedup_keep_best": LLM_QUERIES["dedup_keep_best"],
         "temperature_mixture": LLM_QUERIES["temperature_mixture"],
         "max_drawdown": q_max_drawdown,
         "bollinger_bands": q_bollinger_bands,
+        "hilbert_prune_stats": q_hilbert_prune_stats,
         # --- (d) re-confirm filler ---
         "ohlc_bars": q_ohlc_bars,
         "rolling_corr": q_rolling_corr,
@@ -2704,22 +2724,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_upsert_state": q_stream_upsert_state,
         "tfidf_top_terms": LLM_QUERIES["tfidf_top_terms"],
         "token_rarity": LLM_QUERIES["token_rarity"],
+        "triangle_counts": q_triangle_counts,
+        # ================= end of the 50-key gate window =================
         "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
-        "triangle_counts": q_triangle_counts,
         "zscore_outliers": q_zscore_outliers,
         "cms_token_counts": LLM_QUERIES["cms_token_counts"],
         "stream_c4_quality": LLM_QUERIES["stream_c4_quality"],
-        "gopher_repetition_full": LLM_QUERIES["gopher_repetition_full"],
         "c4_quality": LLM_QUERIES["c4_quality"],
-        # ================= end of the 50-key gate window =================
         "hashed_ngram_features": LLM_QUERIES["hashed_ngram_features"],
         "dsir_score": LLM_QUERIES["dsir_score"],
         "ngram_novelty": LLM_QUERIES["ngram_novelty"],
         "source_overlap": LLM_QUERIES["source_overlap"],
         "approx_equidepth": q_approx_equidepth,
         "filter_project": q_filter_project,
-        "gopher_repetition": LLM_QUERIES["gopher_repetition"],
         "mixture_sample": LLM_QUERIES["mixture_sample"],
         "inverted_index": LLM_QUERIES["inverted_index"],
         "bfs_levels": q_bfs_levels,
@@ -2820,7 +2838,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 "source_overlap", "knn_ivfpq", "bpe_train",
                 "dedup_pair_recall", "rp_project", "line_dedup",
                 "dedup_minhash_lsh", "dedup_clusters", "minhash_sigs",
-                "dedup_keep_best", "temperature_mixture",
+                "dedup_keep_best", "temperature_mixture", "bpe_apply",
+                "knn_refine", "stream_minhash_sigs", "filter_audit",
             )
         },
         "vwap_2min": q_vwap_2min,
@@ -4142,12 +4161,14 @@ def oracle_sql() -> dict[str, str]:
                        - CAST(s.sx AS DECIMAL(38,0)) * s.sx AS den) nd
     """
     from async_stream_processing_spark.plans.layout import (
+        sql_hilbert_prune_stats,
         sql_zorder_prune_stats,
     )
     from async_stream_processing_spark.plans.stats import sql_table_stats
 
     out["table_stats"] = sql_table_stats("orders", _ORDERS_STATS_COLS)
     out["zorder_prune_stats"] = sql_zorder_prune_stats("orders")
+    out["hilbert_prune_stats"] = sql_hilbert_prune_stats("orders")
     out["dq_audit"] = """
         SELECT 'events_user_id_null' AS check_name,
                COUNT(*) FILTER (WHERE user_id IS NULL) AS n_violations

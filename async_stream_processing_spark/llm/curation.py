@@ -67,6 +67,51 @@ def _word_chars(words) -> F.Column:
     )
 
 
+def _top_ngram_chars(n: int, text_col: str = "__t", min_count: int = 1):
+    """``count * gram-word-chars`` of THE most frequent word n-gram of
+    one document (ties toward longer, then lexicographically greater
+    gram), computed PER ROW: sort the doc's own shingle array and fold
+    over the runs -- O(L log L) per doc, ZERO shuffles, vs the explode +
+    (doc, n, gram) shuffle + rank window formulation (A/B at sf0.1:
+    2.3 s vs 3.8 s warm, and the removed shuffle is corpus-sized at
+    100 TB).  The statistic is per-document by definition, so nothing
+    cross-row is lost."""
+    arr = F.array_sort(shingles(text_col, n))
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("bc"),
+        F.lit(0).cast("long").alias("bgc"),
+        F.lit(None).cast("string").alias("bs"),
+    )
+
+    def merge(acc, x):
+        run2 = F.when(x == acc["prev"], acc["run"] + 1).otherwise(
+            F.lit(1).cast("long")
+        )
+        gc2 = (F.length(x) - F.lit(n - 1)).cast("long")
+        better = (run2 > acc["bc"]) | (
+            (run2 == acc["bc"])
+            & ((gc2 > acc["bgc"]) | ((gc2 == acc["bgc"]) & (x > acc["bs"])))
+        )
+        return F.struct(
+            x.alias("prev"),
+            run2.alias("run"),
+            F.when(better, run2).otherwise(acc["bc"]).alias("bc"),
+            F.when(better, gc2).otherwise(acc["bgc"]).alias("bgc"),
+            F.when(better, x).otherwise(acc["bs"]).alias("bs"),
+        )
+
+    folded = F.aggregate(arr, init, merge)
+    out = (folded["bc"] * folded["bgc"]).cast("long")
+    if min_count > 1:
+        # the full rule set only scores a top gram that actually repeats
+        out = F.when(folded["bc"] >= min_count, out).otherwise(
+            F.lit(0).cast("long")
+        )
+    return out
+
+
 def gopher_repetition(docs: DataFrame, text: str = "text") -> DataFrame:
     """Per-document Gopher repetition signals + integer-exact keep flags.
 
@@ -83,11 +128,11 @@ def gopher_repetition(docs: DataFrame, text: str = "text") -> DataFrame:
     cross-multiplication (e.g. top2 > 1/5  <=>  5*top2_chars >
     total_word_chars); ``keep`` = no flag fired.
 
-    ONE corpus scan and ONE generate for all four n-gram sizes: the four
-    shingle arrays are n-tagged and flattened into a single explode (a
-    4-branch union would re-scan the corpus per n), then aggregated
-    hierarchically — a shuffle on ``(doc_id, n, gram)`` followed by a
-    map-side-combinable rollup to ``doc_id``.
+    Plan shape: the top-gram signals are PER-DOCUMENT statistics, so
+    they compute as per-row sorted-run folds over each doc's own shingle
+    arrays (``_top_ngram_chars``) -- zero shuffles, one narrow pass for
+    all three n.  Only ``dup5`` (which needs token positions for the
+    interval-union coverage rule) pays a keyed explode.
     """
     from .dedup import fan_out
 
@@ -98,43 +143,13 @@ def gopher_repetition(docs: DataFrame, text: str = "text") -> DataFrame:
         "doc_id", _word_chars(tokens("__t")).alias("total_word_chars")
     )
 
-    def _tag(n: int):
-        # single-arg lambda: F.transform would feed the ARRAY INDEX to a
-        # second parameter, so the tag must close over n, not default it
-        return lambda s: F.struct(F.lit(n).alias("n"), s.alias("s"))
-
-    tagged = F.flatten(
-        F.array(*[F.transform(shingles("__t", n), _tag(n)) for n in (2, 3, 4)])
-    )
-    grams = base.select("doc_id", F.explode(tagged).alias("g")).select(
-        "doc_id", F.col("g.n").alias("n"), F.col("g.s").alias("s")
-    )
-    per = grams.groupBy("doc_id", "n", "s").agg(F.count(F.lit(1)).alias("c"))
-    # gram word-chars: the shingle string is space-joined -> minus n-1 seps
-    per = per.withColumn(
-        "gc", (F.length("s") - (F.col("n") - F.lit(1))).cast("long")
-    )
     # THE most frequent gram per (doc, n) -- not the max-coverage gram:
-    # the paper's rule scores the top-count gram's coverage
-    w_top = Window.partitionBy("doc_id", "n").orderBy(
-        F.desc("c"), F.desc("gc"), F.desc("s")
-    )
-    per = per.withColumn("rn", F.row_number().over(w_top))
-    wide = per.groupBy("doc_id").agg(
-        *[
-            F.coalesce(
-                F.max(
-                    F.when(
-                        (F.col("n") == n) & (F.col("rn") == 1),
-                        F.col("c") * F.col("gc"),
-                    )
-                ),
-                F.lit(0),
-            )
-            .cast("long")
-            .alias(f"top{n}_chars")
-            for n in (2, 3, 4)
-        ],
+    # the paper's rule scores the top-count gram's coverage.  Per-doc
+    # statistic -> per-row sorted-run fold, no explode, no shuffle
+    # (see _top_ngram_chars).
+    wide = base.select(
+        "doc_id",
+        *[_top_ngram_chars(n).alias(f"top{n}_chars") for n in (2, 3, 4)],
     )
     # dup5: UNIQUE character coverage — positions of every occurrence of a
     # duplicated 5-gram, interval-unioned over token indices, then summed
@@ -818,38 +833,13 @@ def gopher_repetition_full(docs: DataFrame, text: str = "text") -> DataFrame:
     lines = dup_elements("\n", "line")
     paras = dup_elements("\n\n", "para")
 
-    # top {2,3,4}-grams: one tagged explode (same shape as the core op)
-    def _tag(n: int):
-        return lambda s: F.struct(F.lit(n).alias("n"), s.alias("s"))
-
-    tagged = F.flatten(
-        F.array(*[F.transform(shingles("__t", n), _tag(n)) for n in (2, 3, 4)])
-    )
-    grams = base.select("doc_id", F.explode(tagged).alias("g")).select(
-        "doc_id", F.col("g.n").alias("n"), F.col("g.s").alias("s")
-    )
-    per = grams.groupBy("doc_id", "n", "s").agg(F.count(F.lit(1)).alias("c"))
-    per = per.withColumn(
-        "gc", (F.length("s") - (F.col("n") - F.lit(1))).cast("long")
-    )
-    w_top = Window.partitionBy("doc_id", "n").orderBy(
-        F.desc("c"), F.desc("gc"), F.desc("s")
-    )
-    per = per.withColumn("rn", F.row_number().over(w_top))
-    top_wide = per.groupBy("doc_id").agg(
+    # top {2,3,4}-grams: per-doc statistic -> per-row sorted-run fold
+    # (zero shuffles; see _top_ngram_chars).  min_count=2: the full rule
+    # set only scores a top gram that actually repeats.
+    top_wide = base.select(
+        "doc_id",
         *[
-            F.coalesce(
-                F.max(
-                    F.when(
-                        (F.col("n") == n) & (F.col("rn") == 1)
-                        & (F.col("c") >= 2),
-                        F.col("c") * F.col("gc"),
-                    )
-                ),
-                F.lit(0),
-            )
-            .cast("long")
-            .alias(f"top{n}_chars")
+            _top_ngram_chars(n, min_count=2).alias(f"top{n}_chars")
             for n in (2, 3, 4)
         ],
     )
@@ -1086,4 +1076,63 @@ def sql_gopher_repetition_full(src: str = "documents") -> str:
         LEFT JOIN l_para ON l_para.doc_id = t.doc_id
         LEFT JOIN tw ON tw.doc_id = t.doc_id
         LEFT JOIN dn ON dn.doc_id = t.doc_id
+    """
+
+
+def filter_audit(docs: DataFrame, key: str = "source") -> DataFrame:
+    """The filter-funnel report every curation run prints before anyone
+    trusts it: per ``key``, how many documents and tokens the Gopher and
+    C4 quality stacks each remove, and what survives both -- the "what
+    did my filters delete" audit that catches a filter silently nuking a
+    source (the practical failure mode of quality filtering at scale).
+
+    Pure composition: both quality relations are zero-shuffle column
+    expressions over the same scan, joined back on doc_id and collapsed
+    by ONE #sources-row aggregation.  All counts integer-exact.
+
+    Output per key: docs_total, tokens_total, docs_pass_gopher,
+    docs_pass_c4, docs_pass_both, tokens_pass_both.
+    """
+    g = gopher_quality(docs).select(
+        "doc_id", "n_words", F.col("keep").alias("keep_gopher")
+    )
+    c = c4_quality(docs).select("doc_id", F.col("keep").alias("keep_c4"))
+    j = docs.select("doc_id", key).join(g, "doc_id").join(c, "doc_id")
+    both = F.col("keep_gopher") & F.col("keep_c4")
+    return j.groupBy(key).agg(
+        F.count(F.lit(1)).alias("docs_total"),
+        F.sum("n_words").alias("tokens_total"),
+        F.count_if(F.col("keep_gopher")).alias("docs_pass_gopher"),
+        F.count_if(F.col("keep_c4")).alias("docs_pass_c4"),
+        F.count_if(both).alias("docs_pass_both"),
+        F.coalesce(
+            F.sum(F.when(both, F.col("n_words"))), F.lit(0).cast("long")
+        ).alias("tokens_pass_both"),
+    )
+
+
+def sql_filter_audit(src: str = "documents", key: str = "source") -> str:
+    """DuckDB twin of :func:`filter_audit` (the two quality oracles as
+    CTEs; BIGINT casts guard the HUGEINT sum promotion)."""
+    return f"""
+        WITH g AS ({sql_gopher_quality(src)}),
+        c AS ({sql_c4_quality(src)}),
+        j AS (SELECT d.{key}, g.n_words,
+                     g.keep AS keep_gopher, c.keep AS keep_c4
+              FROM {src} d
+              JOIN g ON g.doc_id = d.doc_id
+              JOIN c ON c.doc_id = d.doc_id)
+        SELECT {key},
+               COUNT(*) AS docs_total,
+               CAST(SUM(n_words) AS BIGINT) AS tokens_total,
+               CAST(SUM(CASE WHEN keep_gopher THEN 1 ELSE 0 END) AS BIGINT)
+                   AS docs_pass_gopher,
+               CAST(SUM(CASE WHEN keep_c4 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS docs_pass_c4,
+               CAST(SUM(CASE WHEN keep_gopher AND keep_c4 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS docs_pass_both,
+               CAST(COALESCE(SUM(CASE WHEN keep_gopher AND keep_c4
+                                      THEN n_words END), 0) AS BIGINT)
+                   AS tokens_pass_both
+        FROM j GROUP BY {key}
     """

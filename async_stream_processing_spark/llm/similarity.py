@@ -998,3 +998,87 @@ def sql_knn_ivfpq(
         SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, adc_q
         FROM ranked WHERE rank <= {k}
     """
+
+
+def knn_refine(
+    embeddings: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    shortlist: int = 20,
+    m: int = 8,
+    ksub: int = 16,
+    d: int = 64,
+) -> DataFrame:
+    """Two-stage retrieval (the standard ANN deployment shape, Jegou et
+    al. 2011 §VII): a cheap PQ-ADC pass shortlists ``shortlist``
+    candidates per query, then ONLY those candidates get the exact
+    d-dimensional cosine and the final top-``k`` comes from the exact
+    scores.  At billion-vector scale the exact math touches
+    ``q * shortlist`` vectors instead of the corpus -- the refine join
+    is shortlist-sized and the full-precision vectors are fetched by
+    key, which is why PQ stores keep the raw vectors row-addressable.
+
+    Portability: the shortlist is :func:`knn_pq_adc`'s integer-exact
+    ADC ranking; the re-rank is the same fixed-IEEE-tree ``cosine``
+    every exact-kNN query here uses, so both stages replay identically
+    in the oracle.  Output: (query_id, neighbor_id, rank, cos_exact).
+    """
+    short = knn_pq_adc(embeddings, n_queries, shortlist, m, ksub, d)
+    q = embeddings.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    cand = (
+        short.select("query_id", "neighbor_id")
+        .join(
+            embeddings.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("embedding").alias("n_emb"),
+            ),
+            "neighbor_id",
+        )
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("q_emb"), F.col("n_emb")).alias("cos_exact"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_exact"), F.asc("neighbor_id")
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_exact")
+    )
+
+
+def sql_knn_refine(
+    n_queries: int = 10,
+    k: int = 5,
+    shortlist: int = 20,
+    m: int = 8,
+    ksub: int = 16,
+    d: int = 64,
+    src: str = "embeddings",
+) -> str:
+    """DuckDB twin of :func:`knn_refine` (ADC shortlist CTE + exact
+    cosine re-rank)."""
+    inner = sql_knn_pq_adc(n_queries, shortlist, m, ksub, d, src)
+    return f"""
+        WITH short AS ({inner}),
+        rer AS (
+            SELECT s.query_id, s.neighbor_id,
+                   {sql_cosine('q.embedding', 'e.embedding')} AS cos_exact
+            FROM short s
+            JOIN {src} e ON e.vec_id = s.neighbor_id
+            JOIN {src} q ON q.vec_id = s.query_id),
+        ranked AS (
+            SELECT query_id, neighbor_id, cos_exact,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY cos_exact DESC, neighbor_id ASC) AS rank
+            FROM rer)
+        SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+               cos_exact
+        FROM ranked WHERE rank <= {k}
+    """

@@ -931,3 +931,105 @@ def sql_bpe_train(n_merges: int = 3, src: str = "documents") -> str:
                      FROM v{r}) AS BIGINT) AS vocab_tokens_after
         FROM b{r}""")
     return "WITH " + ",".join(parts) + " " + " UNION ALL ".join(selects)
+
+
+def bpe_apply(
+    docs: DataFrame,
+    n_merges: int = 3,
+    text: str = "text",
+    merges: list[str] | None = None,
+) -> DataFrame:
+    """ENCODE with a learned BPE merge table -- the other half of
+    :func:`bpe_train` (train once, tokenize the corpus forever): apply
+    the ``n_merges`` learned rules in order to every word of every
+    document and report per-document token counts.
+
+    ``merges`` accepts a precomputed rule list (the deployment shape: a
+    driver-held model applied to any corpus); when omitted the rules are
+    learned from ``docs`` itself via :func:`bpe_train` (whose single
+    row-per-round output IS the model crossing to the driver).
+
+    The encode pass is NARROW: per doc, a ``transform`` over its own
+    token array builds each word's padded symbol string and runs the
+    merge replaces inline -- no explode, no join, no shuffle before the
+    final nothing (output is per-doc).  At 100 TB this is the map stage
+    every tokenizer sharding job runs; the merge table rides in the plan
+    (3 rules here; ship as a broadcast data row past ~100s of rules, the
+    ``rp_project`` lesson).
+
+    Output: (doc_id, n_words, n_symbols, n_tokens_bpe) -- symbols before
+    vs after merging, all integers (fully portable).
+    """
+    if merges is None:
+        merges = [
+            r["pair"]
+            for r in sorted(
+                bpe_train(docs, n_merges, text).collect(),
+                key=lambda r: r["merge_round"],
+            )
+        ]
+
+    def encode(w):
+        s = F.concat(
+            F.lit(" "), F.array_join(F.split(w, ""), " "), F.lit(" ")
+        )
+        for p in merges:
+            s = _bpe_merge_once(s, p)
+        return F.size(F.split(F.trim(s), " ")).cast("long")
+
+    ws = tokens(text)
+    n_sym = F.aggregate(
+        F.transform(ws, lambda w: F.size(F.split(w, "")).cast("long")),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    n_tok = F.aggregate(
+        F.transform(ws, encode),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    return docs.select(
+        "doc_id",
+        F.size(ws).cast("long").alias("n_words"),
+        n_sym.alias("n_symbols"),
+        n_tok.alias("n_tokens_bpe"),
+    )
+
+
+def sql_bpe_apply(n_merges: int = 3, src: str = "documents") -> str:
+    """DuckDB twin of :func:`bpe_apply`: the training CTE chain of
+    :func:`sql_bpe_train` learns the same rules, then the corpus encode
+    unrolls one CTE per merge round."""
+    from ..functions.text import sql_tokens
+
+    train = sql_bpe_train(n_merges, src)
+    chain = train[len("WITH ") : train.index("SELECT CAST(1")]
+    parts = [chain.rstrip().rstrip(",")]
+    parts.append(f"""
+        docw AS (SELECT doc_id, unnest({sql_tokens('text')}) AS w
+                 FROM {src}),
+        enc0 AS (SELECT doc_id,
+                        CAST(len(string_split(w, '')) AS BIGINT) AS n0,
+                        ' ' || array_to_string(string_split(w, ''), ' ')
+                            || ' ' AS s
+                 FROM docw)""")
+    for r in range(1, n_merges + 1):
+        merged_expr = "s"
+        for _ in range(_BPE_MERGE_PASSES):
+            merged_expr = (
+                f"replace({merged_expr}, ' ' || b.pair || ' ', "
+                f"' ' || replace(b.pair, ' ', '') || ' ')"
+            )
+        parts.append(f"""
+        enc{r} AS (SELECT doc_id, n0, {merged_expr} AS s
+                   FROM enc{r - 1} CROSS JOIN b{r} b)""")
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f"""
+        SELECT doc_id, COUNT(*) AS n_words,
+               CAST(SUM(n0) AS BIGINT) AS n_symbols,
+               CAST(SUM(len(string_split(trim(s), ' '))) AS BIGINT)
+                   AS n_tokens_bpe
+        FROM enc{n_merges} GROUP BY doc_id"""
+    )

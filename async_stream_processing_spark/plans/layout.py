@@ -176,3 +176,197 @@ def sql_zorder_prune_stats(
         coded AS (SELECT x, y, {m} AS m FROM bucketed)
         {sel}
     """
+
+
+def hilbert_steps(bits: int) -> list[int]:
+    """The fixed unroll of side lengths for a ``bits``-level Hilbert
+    walk: s = 2^(bits-1) .. 1."""
+    return [1 << (bits - 1 - i) for i in range(bits)]
+
+
+def hilbert_code_steps(df: DataFrame, bits: int = 4) -> DataFrame:
+    """Append Hilbert-curve distance ``hd`` for integer columns (x, y) in
+    [0, 2^bits): the standard xy2d walk (Hamilton's iterative form)
+    unrolled into ``bits`` chained projections -- each step is pure
+    integer CASE/bit arithmetic on (hx, hy, hd), so the whole derivation
+    is one narrow codegen stage, bit-identical in any engine.
+
+    Hilbert preserves locality strictly better than Morton (no long
+    diagonal jumps), which is why Databricks liquid clustering and
+    recent Iceberg orderings prefer it; the measurable payoff is fewer
+    files scanned per band predicate (see :func:`hilbert_prune_stats`).
+    """
+    out = df.select("*", F.col("x").alias("hx"), F.col("y").alias("hy"),
+                    F.lit(0).cast("long").alias("hd"))
+    for s in hilbert_steps(bits):
+        rx = F.when(F.col("hx").bitwiseAND(F.lit(s)) > 0, 1).otherwise(0)
+        ry = F.when(F.col("hy").bitwiseAND(F.lit(s)) > 0, 1).otherwise(0)
+        d2 = F.col("hd") + F.lit(s * s).cast("long") * (
+            (F.lit(3) * rx).bitwiseXOR(ry)
+        ).cast("long")
+        # rotation: ry==0 -> (maybe flip within s) then swap hx/hy
+        flip = (ry == 0) & (rx == 1)
+        nx = F.when(flip, F.lit(s - 1) - F.col("hx")).otherwise(F.col("hx"))
+        ny = F.when(flip, F.lit(s - 1) - F.col("hy")).otherwise(F.col("hy"))
+        out = out.select(
+            *[c for c in out.columns if c not in ("hx", "hy", "hd")],
+            F.when(ry == 0, ny).otherwise(F.col("hx")).alias("hx"),
+            F.when(ry == 0, nx).otherwise(F.col("hy")).alias("hy"),
+            d2.alias("hd"),
+        )
+    return out
+
+
+def sql_hilbert_steps(bits: int = 4) -> str:
+    """CTE chain fragment computing ``hd`` from coded(x, y): returns SQL
+    text 'h0 AS (...), h1 AS (...), ...' with the final CTE named
+    ``h{bits}`` exposing (x, y, m, hd)."""
+    parts = [
+        "h0 AS (SELECT x, y, m, x AS hx, y AS hy, CAST(0 AS BIGINT) AS hd"
+        " FROM coded)"
+    ]
+    for i, s in enumerate(hilbert_steps(bits)):
+        p = i
+        rx = f"(CASE WHEN (hx & {s}) > 0 THEN 1 ELSE 0 END)"
+        ry = f"(CASE WHEN (hy & {s}) > 0 THEN 1 ELSE 0 END)"
+        parts.append(f"""
+        h{i + 1} AS (
+            SELECT x, y, m,
+                   CASE WHEN {ry} = 0 THEN
+                        CASE WHEN {rx} = 1 THEN {s - 1} - hy ELSE hy END
+                        ELSE hx END AS hx,
+                   CASE WHEN {ry} = 0 THEN
+                        CASE WHEN {rx} = 1 THEN {s - 1} - hx ELSE hx END
+                        ELSE hy END AS hy,
+                   hd + {s * s} * CAST(xor(3 * {rx}, {ry}) AS BIGINT) AS hd
+            FROM h{p})""")
+    return ",".join(parts)
+
+
+def hilbert_prune_stats(
+    orders: DataFrame,
+    buckets: int = 16,
+    band: tuple[int, int] = (4, 7),
+) -> DataFrame:
+    """Three-way file-skipping comparison -- linear vs Z-order vs Hilbert
+    clustering -- under the same single-dimension band predicates as
+    :func:`zorder_prune_stats` (same binning, same zone-map scan rule).
+    6 rows: {linear_x, zorder, hilbert} x {x_band, y_band}.  The result
+    is the layout decision as DATA: Hilbert's strictly-better locality
+    shows up (or doesn't, for this distribution) in files_scanned.
+    """
+    if buckets < 2 or buckets & (buckets - 1):
+        raise ValueError(f"buckets must be a power of two >= 2, got {buckets}")
+    bits = buckets.bit_length() - 1
+    lo, hi = band
+    anchors = orders.agg(
+        F.min("o_custkey").alias("min_ck"),
+        F.max("o_custkey").alias("max_ck"),
+        F.min(F.unix_micros(F.col("o_orderdate"))).alias("min_us"),
+        F.max(F.unix_micros(F.col("o_orderdate"))).alias("max_us"),
+    )
+    x = F.expr(
+        f"((o_custkey - min_ck) * {buckets}) DIV (max_ck - min_ck + 1)"
+    )
+    y = F.expr(
+        f"((unix_micros(o_orderdate) - min_us) * {buckets})"
+        f" DIV (max_us - min_us + 1)"
+    )
+    coded = (
+        orders.crossJoin(F.broadcast(anchors))
+        .select(x.cast("long").alias("x"), y.cast("long").alias("y"))
+        .select(
+            "x", "y", morton_code(F.col("x"), F.col("y"), bits=bits).alias("m")
+        )
+    )
+    coded = hilbert_code_steps(coded, bits=bits).select("x", "y", "m", "hd")
+    layouts = {
+        "linear_x": F.col("x"),
+        "zorder": (F.col("m") / buckets).cast("long"),
+        "hilbert": (F.col("hd") / buckets).cast("long"),
+    }
+    preds = {"x_band": "x", "y_band": "y"}
+    rows_sel = {
+        p: coded.filter(
+            (F.col(c) >= lo) & (F.col(c) <= hi)
+        ).agg(F.count(F.lit(1)).alias(f"rows_{p}"))
+        for p, c in preds.items()
+    }
+    out = None
+    for lname, fexpr in layouts.items():
+        zones = coded.groupBy(fexpr.alias("file_id")).agg(
+            F.min("x").alias("min_x"),
+            F.max("x").alias("max_x"),
+            F.min("y").alias("min_y"),
+            F.max("y").alias("max_y"),
+        )
+        for pname, pcol in preds.items():
+            scanned = F.count_if(
+                ~((F.col(f"max_{pcol}") < lo) | (F.col(f"min_{pcol}") > hi))
+            )
+            stat = (
+                zones.agg(
+                    F.count(F.lit(1)).cast("long").alias("files_total"),
+                    scanned.cast("long").alias("files_scanned"),
+                )
+                .crossJoin(F.broadcast(rows_sel[pname]))
+                .select(
+                    F.lit(lname).alias("layout"),
+                    F.lit(pname).alias("predicate"),
+                    "files_total",
+                    "files_scanned",
+                    F.col(f"rows_{pname}").alias("rows_selected"),
+                )
+            )
+            out = stat if out is None else out.unionByName(stat)
+    return out
+
+
+def sql_hilbert_prune_stats(
+    src: str = "orders", buckets: int = 16, band: tuple[int, int] = (4, 7)
+) -> str:
+    """DuckDB twin of :func:`hilbert_prune_stats`."""
+    if buckets < 2 or buckets & (buckets - 1):
+        raise ValueError(f"buckets must be a power of two >= 2, got {buckets}")
+    bits = buckets.bit_length() - 1
+    lo, hi = band
+    m = sql_morton_code("x", "y", bits=bits)
+    branches = []
+    for lname, fexpr in (
+        ("linear_x", "x"),
+        ("zorder", f"m // {buckets}"),
+        ("hilbert", f"hd // {buckets}"),
+    ):
+        for pname, pcol in (("x_band", "x"), ("y_band", "y")):
+            branches.append(f"""
+            SELECT '{lname}' AS layout, '{pname}' AS predicate,
+                   (SELECT COUNT(*) FROM (
+                        SELECT {fexpr} AS f FROM hfinal GROUP BY 1))
+                       AS files_total,
+                   (SELECT COUNT(*) FROM (
+                        SELECT {fexpr} AS f,
+                               MIN({pcol}) AS mn, MAX({pcol}) AS mx
+                        FROM hfinal GROUP BY 1)
+                    WHERE NOT (mx < {lo} OR mn > {hi}))
+                       AS files_scanned,
+                   (SELECT COUNT(*) FROM hfinal
+                    WHERE {pcol} >= {lo} AND {pcol} <= {hi})
+                       AS rows_selected""")
+    sel = " UNION ALL ".join(branches)
+    return f"""
+        WITH anchors AS (
+            SELECT MIN(o_custkey) AS min_ck, MAX(o_custkey) AS max_ck,
+                   MIN(epoch_us(o_orderdate)) AS min_us,
+                   MAX(epoch_us(o_orderdate)) AS max_us
+            FROM {src}),
+        bucketed AS (
+            SELECT ((o_custkey - a.min_ck) * {buckets})
+                       // (a.max_ck - a.min_ck + 1) AS x,
+                   ((epoch_us(o_orderdate) - a.min_us) * {buckets})
+                       // (a.max_us - a.min_us + 1) AS y
+            FROM {src} CROSS JOIN anchors a),
+        coded AS (SELECT x, y, {m} AS m FROM bucketed),
+        {sql_hilbert_steps(bits)},
+        hfinal AS (SELECT x, y, m, hd FROM h{bits})
+        {sel}
+    """

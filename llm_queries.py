@@ -776,6 +776,46 @@ def q_stream_pq_codes(spark, sf_dir):
     )
 
 
+def q_filter_audit(spark, sf_dir):
+    """Per-source filter-funnel report: docs/tokens removed by the
+    Gopher and C4 quality stacks and what survives both -- the audit
+    table a curation run prints before anyone trusts it."""
+    from async_stream_processing_spark.llm.curation import filter_audit
+
+    return filter_audit(_docs(spark, sf_dir))
+
+
+def q_knn_refine(spark, sf_dir):
+    """Two-stage ANN: PQ-ADC shortlist (20 per query) then exact cosine
+    re-rank of only the shortlist -- the deployment composition that
+    keeps exact math off the corpus."""
+    from async_stream_processing_spark.llm.similarity import knn_refine
+
+    return knn_refine(_emb(spark, sf_dir), n_queries=10, k=5, shortlist=20)
+
+
+def q_stream_minhash_sigs(spark, sf_dir):
+    """minhash_sigs EXECUTED BY THE STREAMING ENGINE: the narrow plan is
+    stateless (per-row column expressions), so signatures compute on
+    ingest in append mode with zero state -- same oracle as the batch
+    query."""
+    from async_stream_processing_spark.llm.dedup import minhash_signatures
+    from async_stream_processing_spark.sources.parquet import stream_table
+    from async_stream_processing_spark.streaming.replay import drain
+
+    s = stream_table(spark, sf_dir, "documents")
+    return drain(minhash_signatures(s), output_mode="append")
+
+
+def q_bpe_apply(spark, sf_dir):
+    """BPE ENCODE: learn 3 merge rules (bpe_train's driver-held model),
+    apply them in order to every word of every document as a narrow
+    transform -- per-doc word/symbol/token counts, all integers."""
+    from async_stream_processing_spark.llm.text_analysis import bpe_apply
+
+    return bpe_apply(_docs(spark, sf_dir), n_merges=3)
+
+
 def q_minhash_sigs(spark, sf_dir):
     """The zero-shuffle minhash signatures (plan='narrow'): each doc's
     16-permutation signature as pure column expressions over its own
@@ -805,6 +845,10 @@ def q_temperature_mixture(spark, sf_dir):
 
 
 LLM_QUERIES = {
+    "bpe_apply": q_bpe_apply,
+    "filter_audit": q_filter_audit,
+    "knn_refine": q_knn_refine,
+    "stream_minhash_sigs": q_stream_minhash_sigs,
     "minhash_sigs": q_minhash_sigs,
     "dedup_keep_best": q_dedup_keep_best,
     "temperature_mixture": q_temperature_mixture,
@@ -1093,7 +1137,24 @@ def llm_oracle_sql() -> dict[str, str]:
         sql_temperature_mixture,
     )
 
+    from async_stream_processing_spark.llm.text_analysis import (
+        sql_bpe_apply,
+    )
+
+    from async_stream_processing_spark.llm.similarity import sql_knn_refine
+
+    minhash_sig_sql = f"""
+            WITH {_sql_doc_shingles()},
+            {_sql_minhash_sig()}
+            SELECT * FROM sig
+        """
+    from async_stream_processing_spark.llm.curation import sql_filter_audit
+
     return {
+        "bpe_apply": sql_bpe_apply(n_merges=3),
+        "filter_audit": sql_filter_audit(),
+        "knn_refine": sql_knn_refine(n_queries=10, k=5, shortlist=20),
+        "stream_minhash_sigs": minhash_sig_sql,
         "minhash_sigs": f"""
             WITH {_sql_doc_shingles()},
             {_sql_minhash_sig()}

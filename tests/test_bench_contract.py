@@ -85,13 +85,21 @@ def test_heavy_query_budgets_sf01(spark):
         "noop"
     ).mode("overwrite").save()
     spark.catalog.clearCache()
-    over = []
-    for name, r5 in R5_BUDGETS_SF01.items():
-        budget = 2.0 * r5 + 4.0
+    def measure(name):
         t0 = time.time()
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         took = time.time() - t0
         spark.catalog.clearCache()
+        return took
+
+    over = []
+    for name, r5 in R5_BUDGETS_SF01.items():
+        budget = 2.0 * r5 + 4.0
+        took = measure(name)
+        if took > budget:
+            # one re-measure before failing: a colliding heavy process on
+            # the shared host (the 13-25% variance band) must not fail CI
+            took = min(took, measure(name))
         if took > budget:
             over.append(f"{name}: {took:.1f}s > budget {budget:.1f}s")
     assert not over, "; ".join(over)

@@ -768,3 +768,35 @@ def test_bpe_merge_replace_dialect_is_stable_on_runs(spark):
     got = [r["m"] for r in
            df.select(_bpe_merge_once(F.col("s"), "a a").alias("m")).collect()]
     assert got == [" aa aa ", " aa a "]
+
+
+def test_bpe_apply_merges_reduce_token_count(spark):
+    """Encoding with learned rules never increases token count, strictly
+    decreases where a learned pair occurs, and a precomputed merge list
+    (the deployment shape) reproduces the self-trained result."""
+    from async_stream_processing_spark.llm.text_analysis import (
+        bpe_apply,
+        bpe_train,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "the theme there"), (1, "other brother"), (2, "xyz")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in bpe_apply(docs, n_merges=2).collect()}
+    for r in out.values():
+        assert r["n_tokens_bpe"] <= r["n_symbols"]
+    # 'th'/'he' dominate: docs containing them compress, doc 2 cannot
+    assert out[0]["n_tokens_bpe"] < out[0]["n_symbols"]
+    assert out[2]["n_tokens_bpe"] == out[2]["n_symbols"] == 3
+    merges = [
+        r["pair"]
+        for r in sorted(
+            bpe_train(docs, 2).collect(), key=lambda r: r["merge_round"]
+        )
+    ]
+    redo = {r["doc_id"]: r for r in
+            bpe_apply(docs, merges=merges).collect()}
+    assert {k: tuple(v) for k, v in out.items()} == {
+        k: tuple(v) for k, v in redo.items()
+    }

@@ -265,3 +265,45 @@ def test_zorder_prunes_both_axes_linear_only_its_sort_key(spark):
     # z-order prunes BOTH axes
     assert z_x["files_scanned"] * 2 <= z_x["files_total"]
     assert z_y["files_scanned"] * 2 <= z_y["files_total"]
+
+
+def test_hilbert_code_matches_reference_walk(spark):
+    """Both engines' unrolled Hilbert chain must equal the canonical
+    xy2d walk on the full 16x16 grid, and be a bijection onto 0..255."""
+    import duckdb
+
+    from async_stream_processing_spark.plans.layout import (
+        hilbert_code_steps,
+        sql_hilbert_steps,
+    )
+
+    def xy2d(n, x, y):
+        d, s = 0, n // 2
+        while s > 0:
+            rx = 1 if (x & s) > 0 else 0
+            ry = 1 if (y & s) > 0 else 0
+            d += s * s * ((3 * rx) ^ ry)
+            if ry == 0:
+                if rx == 1:
+                    x, y = s - 1 - x, s - 1 - y
+                x, y = y, x
+            s //= 2
+        return d
+
+    bits, n = 4, 16
+    exp = {(x, y): xy2d(n, x, y) for x in range(n) for y in range(n)}
+    df = spark.createDataFrame(
+        [(x, y, 0) for x in range(n) for y in range(n)], "x long, y long, m long"
+    )
+    got = {(r["x"], r["y"]): r["hd"]
+           for r in hilbert_code_steps(df, bits).collect()}
+    assert got == exp
+    assert sorted(got.values()) == list(range(n * n))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE coded AS SELECT x, y, 0::BIGINT AS m FROM "
+        "(SELECT unnest(range(16)) x), (SELECT unnest(range(16)) y)"
+    )
+    q = "WITH " + sql_hilbert_steps(bits) + f" SELECT x, y, hd FROM h{bits}"
+    dd = {(int(r[0]), int(r[1])): int(r[2]) for r in con.execute(q).fetchall()}
+    assert dd == exp

@@ -217,6 +217,15 @@ def main() -> None:
         "bpe_merge_pairs": (lambda d: bpe_merge_pairs(d, k=20), docs1, docs8),
         "pq_codes": (lambda e: pq_codes(e), emb1, emb8),
         "knn_pq_adc": (lambda e: knn_pq_adc(e, n_queries=10, k=5), emb1, emb8),
+        # round 6
+        "minhash_sigs": (lambda d: _mh_sigs(d), docs1, docs8),
+        "dedup_keep_best": (lambda d: _keep_best(d), docs1, docs8),
+        "temperature_mixture": (lambda d: _temp_mix(d), docs1, docs8),
+        "bpe_apply": (lambda d: _bpe_apply(d), docs1, docs8),
+        "filter_audit": (lambda d: _filter_audit(d), docs1, docs8),
+        "knn_refine": (lambda e: _knn_refine(e), emb1, emb8),
+        "max_drawdown": (lambda ev: _max_dd(ev), ev1, ev8),
+        "bollinger_bands": (lambda ev: _bollinger(ev), ev1, ev8),
     }
     for name, (fn, one, eight) in r5_ops.items():
         if ONLY and name not in ONLY:
@@ -326,6 +335,54 @@ def _scd2(ev: DataFrame) -> DataFrame:
         "user_id", "version", "event_type", "valid_from",
         F.lead("valid_from").over(w2).alias("valid_to"), "n_events",
     )
+
+
+def _mh_sigs(docs):
+    from async_stream_processing_spark.llm.dedup import minhash_signatures
+
+    return minhash_signatures(docs)
+
+
+def _keep_best(docs):
+    from async_stream_processing_spark.llm.dedup import dedup_keep_best
+
+    return dedup_keep_best(docs, threshold=0.25)
+
+
+def _temp_mix(docs):
+    from async_stream_processing_spark.llm.curation import temperature_mixture
+
+    return temperature_mixture(docs)
+
+
+def _bpe_apply(docs):
+    from async_stream_processing_spark.llm.text_analysis import bpe_apply
+
+    return bpe_apply(docs, n_merges=3)
+
+
+def _filter_audit(docs):
+    from async_stream_processing_spark.llm.curation import filter_audit
+
+    return filter_audit(docs)
+
+
+def _knn_refine(emb):
+    from async_stream_processing_spark.llm.similarity import knn_refine
+
+    return knn_refine(emb, n_queries=10, k=5, shortlist=20)
+
+
+def _max_dd(ev):
+    from async_stream_processing_spark.operators.windows import max_drawdown
+
+    return max_drawdown(ev, ["user_id"])
+
+
+def _bollinger(ev):
+    from async_stream_processing_spark.operators.windows import bollinger_bands
+
+    return bollinger_bands(ev, ["user_id"], n_rows=20)
 
 
 if __name__ == "__main__":
