@@ -2686,6 +2686,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": LLM_QUERIES["dedup_clusters"],
         "gopher_repetition": LLM_QUERIES["gopher_repetition"],
         "gopher_repetition_full": LLM_QUERIES["gopher_repetition_full"],
+        "simhash_fingerprint": LLM_QUERIES["simhash_fingerprint"],
+        "simhash_pairs": q_simhash_pairs,
         # --- (c) NEW in round 6 ---
         "bpe_apply": LLM_QUERIES["bpe_apply"],
         "filter_audit": LLM_QUERIES["filter_audit"],
@@ -2723,9 +2725,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_rightouter": q_stream_rightouter,
         "stream_upsert_state": q_stream_upsert_state,
         "tfidf_top_terms": LLM_QUERIES["tfidf_top_terms"],
+        # ================= end of the 50-key gate window =================
         "token_rarity": LLM_QUERIES["token_rarity"],
         "triangle_counts": q_triangle_counts,
-        # ================= end of the 50-key gate window =================
         "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
         "zscore_outliers": q_zscore_outliers,
@@ -2767,9 +2769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_sliding_2min": q_stream_sliding_2min,
         "rank_family": q_rank_family,
         "value_percentiles": q_value_percentiles,
-        "simhash_pairs": q_simhash_pairs,
         "tpch_q9": q_tpch_q9,
-        "dedup_minhash_lsh": LLM_QUERIES["dedup_minhash_lsh"],
         # --- green in round 4 ---
         "user_event_paths": q_user_event_paths,
         "ivf_kmeans_assign": LLM_QUERIES["ivf_kmeans_assign"],

@@ -433,15 +433,52 @@ def lsh_pair_recall(
     )
 
 
-def simhash(docs: DataFrame, bits: int = 32, hash_mode: str = "md5") -> DataFrame:
+def simhash(
+    docs: DataFrame,
+    bits: int = 32,
+    hash_mode: str = "md5",
+    plan: str = "narrow",
+) -> DataFrame:
     """Per-doc SimHash: bit j set iff the majority of the doc's (distinct)
     token hashes have bit j set.  Ties (exactly half) -> bit set, a fixed
     documented convention.
 
-    Implemented as one explode + one groupBy with ``bits`` conditional-sum
-    columns (all map-side combinable); the signature is assembled with
-    shift-adds -- no UDF.
+    ``plan='narrow'`` (default): a per-document signature needs no
+    aggregation -- the distinct-token hash array is per-row
+    (``array_distinct``), each bit's vote is a ``size(filter(...))``
+    over it, and the signature assembles with shift-adds.  ZERO
+    shuffles (the ``minhash_signatures`` narrow lesson); at 100 TB this
+    removes the corpus-sized distinct-(doc, tok) exchange.
+
+    ``plan='agg'``: the explode + distinct + groupBy formulation with
+    ``bits`` conditional sums (one map-side-combined shuffle behind the
+    distinct).  Values identical by construction.
     """
+    if plan == "narrow":
+        arr = F.array_distinct(
+            F.split(F.lower(F.trim(F.col("text"))), " +")
+        )
+        hasher = (
+            (lambda t: F.abs(F.xxhash64(t)))
+            if hash_mode == "xxhash64"
+            else stable_hash60
+        )
+        hs = F.transform(arr, hasher)
+        base = fan_out(docs).select(
+            "doc_id", hs.alias("_hs"), F.size(hs).cast("long").alias("n_tok")
+        )
+        sig = F.lit(0).cast("long")
+        for j in range(bits):
+            vote = F.size(
+                F.filter(
+                    F.col("_hs"),
+                    lambda h: F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1,
+                )
+            ).cast("long")
+            sig = sig + F.shiftleft(
+                (vote * 2 >= F.col("n_tok")).cast("long"), j
+            )
+        return base.select("doc_id", sig.alias("simhash"), "n_tok")
     toks = (
         fan_out(docs)
         .select("doc_id", F.explode(F.split(F.lower(F.trim(F.col("text"))), " +")).alias("tok"))

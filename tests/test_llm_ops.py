@@ -800,3 +800,22 @@ def test_bpe_apply_merges_reduce_token_count(spark):
     assert {k: tuple(v) for k, v in out.items()} == {
         k: tuple(v) for k, v in redo.items()
     }
+
+
+def test_simhash_narrow_equals_agg(spark):
+    """The zero-shuffle per-row simhash (array_distinct + bit filters)
+    must equal the explode+distinct+groupBy formulation exactly."""
+    from async_stream_processing_spark.llm.dedup import simhash
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the cat sat on the mat the cat"),
+            (1, "a completely different set of words here"),
+            (2, "the cat sat on the mat the cat"),
+            (3, "x"),
+        ],
+        "doc_id long, text string",
+    )
+    a = sorted(map(tuple, simhash(docs, plan="agg").collect()))
+    b = sorted(map(tuple, simhash(docs, plan="narrow").collect()))
+    assert a == b and len(a) == 4
