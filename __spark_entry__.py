@@ -2688,6 +2688,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_repetition_full": LLM_QUERIES["gopher_repetition_full"],
         "simhash_fingerprint": LLM_QUERIES["simhash_fingerprint"],
         "simhash_pairs": q_simhash_pairs,
+        "pipeline_end_to_end": LLM_QUERIES["pipeline_end_to_end"],
         # --- (c) NEW in round 6 ---
         "bpe_apply": LLM_QUERIES["bpe_apply"],
         "filter_audit": LLM_QUERIES["filter_audit"],
@@ -2724,8 +2725,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_stratified_sample": LLM_QUERIES["quality_stratified_sample"],
         "stream_rightouter": q_stream_rightouter,
         "stream_upsert_state": q_stream_upsert_state,
-        "tfidf_top_terms": LLM_QUERIES["tfidf_top_terms"],
         # ================= end of the 50-key gate window =================
+        "tfidf_top_terms": LLM_QUERIES["tfidf_top_terms"],
         "token_rarity": LLM_QUERIES["token_rarity"],
         "triangle_counts": q_triangle_counts,
         "tpch_q3": q_tpch_q3,
