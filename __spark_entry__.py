@@ -2692,8 +2692,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- (c) NEW in round 6 ---
         "bpe_apply": LLM_QUERIES["bpe_apply"],
         "filter_audit": LLM_QUERIES["filter_audit"],
+        "dedup_source_matrix": LLM_QUERIES["dedup_source_matrix"],
+        "ivfpq_recall": LLM_QUERIES["ivfpq_recall"],
         "knn_refine": LLM_QUERIES["knn_refine"],
         "stream_minhash_sigs": LLM_QUERIES["stream_minhash_sigs"],
+        "stream_simhash": LLM_QUERIES["stream_simhash"],
+        "stream_bpe_apply": LLM_QUERIES["stream_bpe_apply"],
         "minhash_sigs": LLM_QUERIES["minhash_sigs"],
         "dedup_keep_best": LLM_QUERIES["dedup_keep_best"],
         "temperature_mixture": LLM_QUERIES["temperature_mixture"],
@@ -2721,11 +2725,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_coalesce": q_interval_coalesce,
         "pagerank_users": q_pagerank_users,
         "pattern_no_interrupt": q_pattern_no_interrupt,
+        # ================= end of the 50-key gate window =================
         "pca_project": LLM_QUERIES["pca_project"],
         "quality_stratified_sample": LLM_QUERIES["quality_stratified_sample"],
         "stream_rightouter": q_stream_rightouter,
         "stream_upsert_state": q_stream_upsert_state,
-        # ================= end of the 50-key gate window =================
         "tfidf_top_terms": LLM_QUERIES["tfidf_top_terms"],
         "token_rarity": LLM_QUERIES["token_rarity"],
         "triangle_counts": q_triangle_counts,
@@ -2841,6 +2845,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 "dedup_minhash_lsh", "dedup_clusters", "minhash_sigs",
                 "dedup_keep_best", "temperature_mixture", "bpe_apply",
                 "knn_refine", "stream_minhash_sigs", "filter_audit",
+                "dedup_source_matrix", "ivfpq_recall", "stream_simhash",
+                "stream_bpe_apply",
             )
         },
         "vwap_2min": q_vwap_2min,

@@ -732,6 +732,46 @@ def dedup_keep_best(
     )
 
 
+def dedup_source_matrix(
+    docs: DataFrame,
+    threshold: float = 0.25,
+    key: str = "source",
+    n_hashes: int = N_MINHASH,
+    bands: int = LSH_BANDS,
+    hash_mode: str = "md5",
+) -> DataFrame:
+    """Cross-source contamination matrix: verified near-dup pair counts
+    per unordered ``(source, source)`` pair -- the report that tells a
+    corpus owner WHICH sources are copying each other (mirrors, scrapes
+    of the same upstream, benchmark leakage between splits) before any
+    per-pair drilldown.  Diagonal rows are within-source duplication.
+
+    Plan: the pair relation is LSH-blocked (never all-pairs); attaching
+    sources is two joins against a (doc_id, source) projection, and the
+    matrix is one #sources^2-bounded aggregation.  Source labels
+    normalize to (least, greatest) so each unordered pair is one row.
+    """
+    pairs = minhash_dedup_pairs(
+        docs, threshold, n_hashes, bands, hash_mode
+    ).select("doc_a", "doc_b")
+    s = docs.select("doc_id", F.col(key))
+    sa = s.select(
+        F.col("doc_id").alias("doc_a"), F.col(key).alias("__src_a")
+    )
+    sb = s.select(
+        F.col("doc_id").alias("doc_b"), F.col(key).alias("__src_b")
+    )
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .groupBy(
+            F.least("__src_a", "__src_b").alias("src_lo"),
+            F.greatest("__src_a", "__src_b").alias("src_hi"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
 def line_dedup(docs: DataFrame, width: int = 10, text: str = "text") -> DataFrame:
     """Segment-level exact dedup (the CCNet/RefinedWeb paragraph-dedup
     shape, Wenzek et al. 2020 §3.1): split each document into

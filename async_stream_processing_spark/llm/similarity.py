@@ -1082,3 +1082,76 @@ def sql_knn_refine(
                cos_exact
         FROM ranked WHERE rank <= {k}
     """
+
+
+def ivfpq_recall(
+    embeddings: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    n_coarse: int = 8,
+    nprobe: int = 2,
+    m: int = 8,
+    ksub: int = 16,
+    d: int = 64,
+) -> DataFrame:
+    """Recall@k of the IVF-PQ index against exact brute force -- the
+    same eval-harness shape as :func:`ann_recall`, applied to the
+    billion-vector composition: how much of the true top-k does the
+    nprobe-cell + residual-code search return?  Re-tuning nprobe /
+    n_coarse / m shows up here as a changed row ("measure, don't
+    guess"), which is how the 100 TB index's parameters get chosen on a
+    slice before the full build."""
+    bf = knn_bruteforce(embeddings, n_queries=n_queries, k=k).select(
+        "query_id", "neighbor_id"
+    )
+    idx = knn_ivfpq(
+        embeddings, n_queries, k, n_coarse, nprobe, m, ksub, d
+    ).select("query_id", F.col("neighbor_id").alias("got_id"))
+    hits = (
+        bf.join(
+            idx,
+            (bf["query_id"] == idx["query_id"])
+            & (bf["neighbor_id"] == idx["got_id"]),
+            "left",
+        )
+        .groupBy(bf["query_id"])
+        .agg(F.count("got_id").alias("n_hits"))
+    )
+    return hits.select(
+        "query_id",
+        "n_hits",
+        (F.col("n_hits").cast("double") / F.lit(float(k))).alias("recall"),
+    )
+
+
+def sql_ivfpq_recall(
+    n_queries: int = 10,
+    k: int = 5,
+    n_coarse: int = 8,
+    nprobe: int = 2,
+    m: int = 8,
+    ksub: int = 16,
+    d: int = 64,
+    src: str = "embeddings",
+) -> str:
+    """DuckDB twin of :func:`ivfpq_recall` (brute-force CTE + the full
+    IVF-PQ pipeline CTE, joined on (query, neighbor))."""
+    ivf = sql_knn_ivfpq(n_queries, k, n_coarse, nprobe, m, ksub, d, src)
+    return f"""
+        WITH bf AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                       ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                           ORDER BY {sql_cosine('q.embedding', 'e.embedding')}
+                               DESC, e.vec_id ASC) AS rnk
+                FROM {src} e CROSS JOIN {src} q
+                WHERE q.vec_id < {n_queries} AND e.vec_id != q.vec_id)
+            WHERE rnk <= {k}),
+        idx AS ({ivf})
+        SELECT bf.query_id, COUNT(idx.neighbor_id) AS n_hits,
+               CAST(COUNT(idx.neighbor_id) AS DOUBLE) / {float(k)} AS recall
+        FROM bf LEFT JOIN idx
+          ON idx.query_id = bf.query_id
+         AND idx.neighbor_id = bf.neighbor_id
+        GROUP BY bf.query_id
+    """

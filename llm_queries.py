@@ -776,6 +776,22 @@ def q_stream_pq_codes(spark, sf_dir):
     )
 
 
+def q_dedup_source_matrix(spark, sf_dir):
+    """Cross-source near-dup contamination matrix: verified pair counts
+    per unordered source pair (diagonal = within-source duplication)."""
+    from async_stream_processing_spark.llm.dedup import dedup_source_matrix
+
+    return dedup_source_matrix(_docs(spark, sf_dir), threshold=0.25)
+
+
+def q_ivfpq_recall(spark, sf_dir):
+    """Recall@5 of the IVF-PQ index vs exact brute force -- the eval row
+    that justifies nprobe/n_coarse/m before a full 100 TB index build."""
+    from async_stream_processing_spark.llm.similarity import ivfpq_recall
+
+    return ivfpq_recall(_emb(spark, sf_dir), n_queries=10, k=5)
+
+
 def q_filter_audit(spark, sf_dir):
     """Per-source filter-funnel report: docs/tokens removed by the
     Gopher and C4 quality stacks and what survives both -- the audit
@@ -805,6 +821,43 @@ def q_stream_minhash_sigs(spark, sf_dir):
 
     s = stream_table(spark, sf_dir, "documents")
     return drain(minhash_signatures(s), output_mode="append")
+
+
+def q_stream_simhash(spark, sf_dir):
+    """simhash EXECUTED BY THE STREAMING ENGINE: the narrow signature is
+    stateless per-row column math, so fingerprints compute on ingest in
+    append mode -- same oracle as the batch query."""
+    from async_stream_processing_spark.llm.dedup import simhash
+    from async_stream_processing_spark.sources.parquet import stream_table
+    from async_stream_processing_spark.streaming.replay import drain
+
+    return drain(
+        simhash(stream_table(spark, sf_dir, "documents")),
+        output_mode="append",
+    )
+
+
+def q_stream_bpe_apply(spark, sf_dir):
+    """bpe_apply EXECUTED BY THE STREAMING ENGINE: merge rules learned
+    once from the BATCH corpus (driver-held model state), then the
+    encode is a stateless narrow map over arriving documents -- the
+    tokenize-on-ingest shape; same oracle as the batch query."""
+    from async_stream_processing_spark.llm.text_analysis import (
+        bpe_apply,
+        bpe_train,
+    )
+    from async_stream_processing_spark.sources.parquet import stream_table
+    from async_stream_processing_spark.streaming.replay import drain
+
+    batch = _docs(spark, sf_dir)
+    merges = [
+        r["pair"]
+        for r in sorted(
+            bpe_train(batch, 3).collect(), key=lambda r: r["merge_round"]
+        )
+    ]
+    s = stream_table(spark, sf_dir, "documents")
+    return drain(bpe_apply(s, merges=merges), output_mode="append")
 
 
 def q_bpe_apply(spark, sf_dir):
@@ -846,7 +899,11 @@ def q_temperature_mixture(spark, sf_dir):
 
 LLM_QUERIES = {
     "bpe_apply": q_bpe_apply,
+    "stream_simhash": q_stream_simhash,
+    "stream_bpe_apply": q_stream_bpe_apply,
     "filter_audit": q_filter_audit,
+    "dedup_source_matrix": q_dedup_source_matrix,
+    "ivfpq_recall": q_ivfpq_recall,
     "knn_refine": q_knn_refine,
     "stream_minhash_sigs": q_stream_minhash_sigs,
     "minhash_sigs": q_minhash_sigs,
@@ -1141,7 +1198,10 @@ def llm_oracle_sql() -> dict[str, str]:
         sql_bpe_apply,
     )
 
-    from async_stream_processing_spark.llm.similarity import sql_knn_refine
+    from async_stream_processing_spark.llm.similarity import (
+        sql_ivfpq_recall,
+        sql_knn_refine,
+    )
 
     minhash_sig_sql = f"""
             WITH {_sql_doc_shingles()},
@@ -1150,9 +1210,23 @@ def llm_oracle_sql() -> dict[str, str]:
         """
     from async_stream_processing_spark.llm.curation import sql_filter_audit
 
-    return {
+    out = {
         "bpe_apply": sql_bpe_apply(n_merges=3),
         "filter_audit": sql_filter_audit(),
+        "dedup_source_matrix": f"""
+            WITH {_sql_doc_shingles()},
+            {_sql_minhash_sig()},
+            {_sql_lsh_pairs(0.25)},
+            vp AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.25)
+            SELECT LEAST(da.source, db.source) AS src_lo,
+                   GREATEST(da.source, db.source) AS src_hi,
+                   COUNT(*) AS n_pairs
+            FROM vp
+            JOIN documents da ON da.doc_id = vp.doc_a
+            JOIN documents db ON db.doc_id = vp.doc_b
+            GROUP BY 1, 2
+        """,
+        "ivfpq_recall": sql_ivfpq_recall(n_queries=10, k=5),
         "knn_refine": sql_knn_refine(n_queries=10, k=5, shortlist=20),
         "stream_minhash_sigs": minhash_sig_sql,
         "minhash_sigs": f"""
@@ -1799,3 +1873,6 @@ def llm_oracle_sql() -> dict[str, str]:
             FROM embeddings
         """,
     }
+    out["stream_simhash"] = out["simhash_fingerprint"]
+    out["stream_bpe_apply"] = out["bpe_apply"]
+    return out

@@ -819,3 +819,40 @@ def test_simhash_narrow_equals_agg(spark):
     a = sorted(map(tuple, simhash(docs, plan="agg").collect()))
     b = sorted(map(tuple, simhash(docs, plan="narrow").collect()))
     assert a == b and len(a) == 4
+
+
+def test_dedup_source_matrix_counts_cross_source_pairs(spark):
+    from async_stream_processing_spark.llm.dedup import dedup_source_matrix
+
+    base = ("the quick brown fox jumps over the lazy sleeping dog "
+            "while rain falls softly on the quiet empty street tonight")
+    docs = spark.createDataFrame(
+        [
+            (0, base, "crawl"),
+            (1, base + " tail", "books"),
+            (2, base + " tail two", "crawl"),
+            (3, "entirely different words about mountain weather "
+                "and geology formations over long epochs", "books"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {(r["src_lo"], r["src_hi"]): r["n_pairs"]
+           for r in dedup_source_matrix(docs, threshold=0.5).collect()}
+    # docs 0,1,2 are mutual near-dups: pairs (0,1) crawl-books,
+    # (0,2) crawl-crawl, (1,2) books-crawl
+    assert out[("books", "crawl")] == 2
+    assert out[("crawl", "crawl")] == 1
+    assert ("books", "books") not in out
+
+
+def test_ivfpq_recall_bounds_and_self_consistency(spark):
+    from async_stream_processing_spark.llm.similarity import ivfpq_recall
+
+    from async_stream_processing_spark.sources.parquet import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    rows = ivfpq_recall(emb, n_queries=5, k=3).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert 0 <= r["n_hits"] <= 3
+        assert r["recall"] == r["n_hits"] / 3.0
