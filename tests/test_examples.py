@@ -28,6 +28,7 @@ EXAMPLES = [
     "e16_ops_observability",
     "e17_data_selection",
     "e18_vector_index",
+    "e19_curation_round6",
 ]
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "examples"))
