@@ -1155,3 +1155,100 @@ def sql_ivfpq_recall(
          AND idx.neighbor_id = bf.neighbor_id
         GROUP BY bf.query_id
     """
+
+
+def semdedup(
+    embeddings: DataFrame,
+    n_centroids: int = 8,
+    tau: float = 0.95,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """Semantic deduplication (SemDeDup, Abbas et al. 2023): cluster the
+    embedding space, then inside each cluster drop every vector that is
+    near-identical (cosine >= ``tau``) to a better-kept representative.
+
+    Representative rule (the parallel form production pipelines use in
+    place of the paper's sequential greedy sweep): a vector is DROPPED
+    iff some same-cell neighbor with cosine >= tau ranks ahead of it by
+    (centroid_cosine DESC, vec_id ASC) -- one deterministic pairwise
+    predicate, no iteration, no driver loop.  Keeping the
+    most-central member per near-identical group is the paper's
+    "keep one per duplicate group"; its "keep the outlier" variant is
+    the same predicate with the rank flipped.
+
+    Scale shape: assignment is the NARROW broadcast-matrix pass of
+    :func:`ivf_assign`; the only shuffle keys on ``centroid_id``, and
+    the pairwise work is confined within cells -- O(cell^2) per cell BY
+    DESIGN (SemDeDup's cost model), which is why production runs use
+    enough clusters that cells stay small (n_centroids is that dial;
+    pass ``centroids=kmeans_train(...)`` for trained cells).
+
+    Output: (vec_id, centroid_id, centroid_cosine, keep).
+    """
+    assign = ivf_assign(embeddings, n_centroids, centroids=centroids)
+    full = assign.join(embeddings.select("vec_id", "embedding"), "vec_id")
+    a = full.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("centroid_id"),
+        F.col("centroid_cosine").alias("a_cc"),
+        F.col("embedding").alias("a_emb"),
+    )
+    b = full.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("centroid_id"),
+        F.col("centroid_cosine").alias("b_cc"),
+        F.col("embedding").alias("b_emb"),
+    )
+    # b dominates a: same cell, near-identical, b ranks ahead
+    dominated = (
+        a.join(b, "centroid_id")
+        .filter(F.col("a_id") != F.col("b_id"))
+        .filter(
+            (F.col("b_cc") > F.col("a_cc"))
+            | ((F.col("b_cc") == F.col("a_cc"))
+               & (F.col("b_id") < F.col("a_id")))
+        )
+        .filter(cosine(F.col("a_emb"), F.col("b_emb")) >= F.lit(tau))
+        .select(F.col("a_id").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        assign.join(dominated.withColumn("__drop", F.lit(True)), "vec_id", "left")
+        .select(
+            "vec_id",
+            "centroid_id",
+            "centroid_cosine",
+            F.coalesce(~F.col("__drop"), F.lit(True)).alias("keep"),
+        )
+    )
+
+
+def sql_semdedup(
+    n_centroids: int = 8, tau: float = 0.95, src: str = "embeddings"
+) -> str:
+    """DuckDB twin of :func:`semdedup` (seed-centroid assignment)."""
+    return f"""
+        WITH cents AS (SELECT vec_id AS centroid_id, embedding AS c_emb
+                       FROM {src} WHERE vec_id < {n_centroids}),
+        assign AS (SELECT vec_id, centroid_id, cos AS centroid_cosine,
+                          embedding FROM (
+                       SELECT e.vec_id, c.centroid_id, e.embedding,
+                              {sql_cosine('e.embedding', 'c.c_emb')} AS cos,
+                              ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {sql_cosine('e.embedding', 'c.c_emb')} DESC,
+                                           c.centroid_id ASC) AS rnk
+                       FROM {src} e CROSS JOIN cents c)
+                   WHERE rnk = 1),
+        dominated AS (
+            SELECT DISTINCT a.vec_id
+            FROM assign a JOIN assign b
+              ON a.centroid_id = b.centroid_id
+             AND a.vec_id != b.vec_id
+             AND (b.centroid_cosine > a.centroid_cosine
+                  OR (b.centroid_cosine = a.centroid_cosine
+                      AND b.vec_id < a.vec_id))
+             AND {sql_cosine('a.embedding', 'b.embedding')} >= {tau})
+        SELECT s.vec_id, s.centroid_id, s.centroid_cosine,
+               (d.vec_id IS NULL) AS keep
+        FROM assign s LEFT JOIN dominated d ON d.vec_id = s.vec_id
+    """

@@ -776,6 +776,17 @@ def q_stream_pq_codes(spark, sf_dir):
     )
 
 
+def q_semdedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): cluster the embedding space, drop
+    within-cell near-identical vectors keeping the most-central member
+    per duplicate group (the parallel dominated-pair form).  tau tuned
+    to the synthetic corpus's cosine range so the verdict is
+    non-trivial at every sf."""
+    from async_stream_processing_spark.llm.similarity import semdedup
+
+    return semdedup(_emb(spark, sf_dir), n_centroids=8, tau=0.4)
+
+
 def q_dedup_source_matrix(spark, sf_dir):
     """Cross-source near-dup contamination matrix: verified pair counts
     per unordered source pair (diagonal = within-source duplication)."""
@@ -903,6 +914,7 @@ LLM_QUERIES = {
     "stream_bpe_apply": q_stream_bpe_apply,
     "filter_audit": q_filter_audit,
     "dedup_source_matrix": q_dedup_source_matrix,
+    "semdedup": q_semdedup,
     "ivfpq_recall": q_ivfpq_recall,
     "knn_refine": q_knn_refine,
     "stream_minhash_sigs": q_stream_minhash_sigs,
@@ -1201,6 +1213,7 @@ def llm_oracle_sql() -> dict[str, str]:
     from async_stream_processing_spark.llm.similarity import (
         sql_ivfpq_recall,
         sql_knn_refine,
+        sql_semdedup,
     )
 
     minhash_sig_sql = f"""
@@ -1226,6 +1239,7 @@ def llm_oracle_sql() -> dict[str, str]:
             JOIN documents db ON db.doc_id = vp.doc_b
             GROUP BY 1, 2
         """,
+        "semdedup": sql_semdedup(n_centroids=8, tau=0.4),
         "ivfpq_recall": sql_ivfpq_recall(n_queries=10, k=5),
         "knn_refine": sql_knn_refine(n_queries=10, k=5, shortlist=20),
         "stream_minhash_sigs": minhash_sig_sql,

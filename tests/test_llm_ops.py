@@ -856,3 +856,29 @@ def test_ivfpq_recall_bounds_and_self_consistency(spark):
     for r in rows:
         assert 0 <= r["n_hits"] <= 3
         assert r["recall"] == r["n_hits"] / 3.0
+
+
+def test_semdedup_keeps_most_central_per_dup_group(spark):
+    """Two near-identical vectors in one cell: the one closer to the
+    centroid survives; a distinct vector in the same cell survives."""
+    from async_stream_processing_spark.llm.similarity import semdedup
+
+    rows = [
+        # vec_ids 0..1 are the seed centroids (n_centroids=2)
+        (0, [1.0, 0.0, 0.0, 0.0], 0),
+        (1, [0.0, 1.0, 0.0, 0.0], 0),
+        # 2 and 3: near-identical (cos > 0.99), FAR from both centroids
+        # (cos ~0.70) so neither is dominated by a centroid vector;
+        # 2 is marginally closer to its centroid than 3
+        (2, [0.7, 0.7, 0.05, 0.0], 0),
+        (3, [0.7, 0.7, 0.06, 0.0], 0),
+        # 4: same cell, far from 2/3
+        (4, [0.6, -0.5, 0.4, 0.0], 0),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = {r["vec_id"]: r for r in
+           semdedup(emb, n_centroids=2, tau=0.99).collect()}
+    assert out[2]["keep"] and not out[3]["keep"]
+    assert out[0]["keep"] and out[1]["keep"] and out[4]["keep"]
