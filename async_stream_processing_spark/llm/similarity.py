@@ -756,40 +756,26 @@ def sql_pq_dedup_groups(
 # -- IVF-PQ (coarse cells + residual product quantization) -------------------
 
 
-def knn_ivfpq(
+def ivfpq_encode(
     embeddings: DataFrame,
-    n_queries: int = 10,
-    k: int = 5,
     n_coarse: int = 8,
-    nprobe: int = 2,
     m: int = 8,
     ksub: int = 16,
     d: int = 64,
-) -> DataFrame:
-    """IVF-PQ approximate top-k (the FAISS ``IVFADC`` shape, Jegou et
-    al. 2011 §IV): a coarse quantizer routes each vector to one of
-    ``n_coarse`` inverted cells, the RESIDUAL (vector minus its cell
-    centroid) is product-quantized to ``m`` codes, and a query scans
-    only its ``nprobe`` nearest cells, ranking candidates by asymmetric
-    distance between its own per-cell residual and the candidate codes.
-    This is the composition that actually runs at billion-vector scale:
-    IVF prunes the corpus to nprobe/n_coarse of its cells, PQ shrinks
-    what remains to ``m`` small ints per vector, and ADC turns each
-    candidate into m integer lookups + adds.
+):
+    """The BUILD half of IVF-PQ: coarse-assign each vector (narrow
+    broadcast-matrix pass), product-quantize its residual against the
+    residual codebook, and return the long code relation plus the two
+    driver-held model artifacts.
 
-    Determinism/portability: coarse centroids are the first
-    ``n_coarse`` vectors, the residual codebook the residuals of the
-    first ``ksub`` vectors; every argmin/ranking decision is either an
-    identical IEEE cosine expression tree or a floor-quantized BIGINT
-    distance (see ``_d2q``), so the oracle replays it bit-for-bit.
-
-    Scale posture: the coarse matrix and residual codebook are O((k+
-    ksub)*d) driver-held model state riding as one broadcast row each;
-    assignment + residual + encoding are ONE narrow corpus pass (no
-    shuffle); the per-query distance table is O(q*nprobe*m*ksub) rows
-    broadcast; the only corpus shuffle is the final per-query top-k.
-    At 100 TB, store codes bucketed by ``cell`` so probes become
-    partition-pruned reads."""
+    Returns ``(codes_long, coarse, rcode)``: ``codes_long`` is
+    (vec_id, cell, j, code) -- the relation a 100 TB corpus persists
+    BUCKETED BY ``cell`` (``plans.scale.write_bucketed``) so query
+    probes are partition-pruned reads with no corpus shuffle (pinned by
+    ``tests/test_scale.py::test_ivf_codes_bucketed_probe_skips_corpus_shuffle``);
+    ``coarse``/``rcode`` are the O(k*d) centroid and residual-codebook
+    model state the SEARCH half (:func:`knn_ivfpq`) bakes into the
+    query-side distance table."""
     dsub = d // m
     spark = embeddings.sparkSession
     coarse = sorted(_collect_centroids(_seed_centroids(embeddings, n_coarse)))
@@ -859,6 +845,46 @@ def knn_ivfpq(
             "j", "code"
         ),
     )
+    return codes_long, coarse, rcode
+
+
+def knn_ivfpq(
+    embeddings: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    n_coarse: int = 8,
+    nprobe: int = 2,
+    m: int = 8,
+    ksub: int = 16,
+    d: int = 64,
+) -> DataFrame:
+    """IVF-PQ approximate top-k (the FAISS ``IVFADC`` shape, Jegou et
+    al. 2011 §IV): a coarse quantizer routes each vector to one of
+    ``n_coarse`` inverted cells, the RESIDUAL (vector minus its cell
+    centroid) is product-quantized to ``m`` codes, and a query scans
+    only its ``nprobe`` nearest cells, ranking candidates by asymmetric
+    distance between its own per-cell residual and the candidate codes.
+    This is the composition that actually runs at billion-vector scale:
+    IVF prunes the corpus to nprobe/n_coarse of its cells, PQ shrinks
+    what remains to ``m`` small ints per vector, and ADC turns each
+    candidate into m integer lookups + adds.
+
+    Determinism/portability: coarse centroids are the first
+    ``n_coarse`` vectors, the residual codebook the residuals of the
+    first ``ksub`` vectors; every argmin/ranking decision is either an
+    identical IEEE cosine expression tree or a floor-quantized BIGINT
+    distance (see ``_d2q``), so the oracle replays it bit-for-bit.
+
+    Scale posture: the coarse matrix and residual codebook are O((k+
+    ksub)*d) driver-held model state riding as one broadcast row each;
+    assignment + residual + encoding are ONE narrow corpus pass (no
+    shuffle); the per-query distance table is O(q*nprobe*m*ksub) rows
+    broadcast; the only corpus shuffle is the final per-query top-k.
+    At 100 TB, store codes bucketed by ``cell`` so probes become
+    partition-pruned reads."""
+    codes_long, coarse, rcode = ivfpq_encode(embeddings, n_coarse, m, ksub, d)
+    dsub = d // m
+    spark = embeddings.sparkSession
     # query side: probe nprobe nearest cells, residualize per probed cell
     cents = spark.createDataFrame(
         [(int(cid), [float(x) for x in c]) for cid, c in coarse],

@@ -523,3 +523,34 @@ def test_stop_shingle_guard_bounds_candidate_pairs_on_degenerate_corpus(spark):
         guarded_sh.groupBy("h").count().agg(F.max("count")).collect()[0][0]
     )
     assert max_df <= int(n_docs * 0.2)
+
+
+def test_ivf_codes_bucketed_probe_skips_corpus_shuffle(spark, tmp_path):
+    """The 100 TB ANN-serving path (knn_ivfpq's docstring claim as a
+    TEST): PQ codes from ivfpq_encode persisted bucketed by ``cell``
+    once; grouping/joining the stored codes on the bucket key needs NO
+    exchange on the corpus side."""
+    import re
+
+    from async_stream_processing_spark.llm.similarity import ivfpq_encode
+    from async_stream_processing_spark.plans.scale import (
+        read_bucketed,
+        write_bucketed,
+    )
+    from async_stream_processing_spark.sources.parquet import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    codes_long, coarse, rcode = ivfpq_encode(emb)
+    assert len(coarse) == 8 and len(rcode) == 16  # model state shapes
+    write_bucketed(
+        codes_long, table="ivf_codes", bucket_by="cell", n_buckets=8,
+        path=str(tmp_path / "ivf_codes"),
+    )
+    stored = read_bucketed(spark, "ivf_codes")
+    # aggregating the bucketed table by its bucket key: no shuffle at all
+    agg_plan = (
+        stored.groupBy("cell", "j", "code").count()
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert not re.findall(r"Exchange hashpartitioning\(cell", agg_plan), agg_plan
+    spark.sql("DROP TABLE IF EXISTS ivf_codes")
