@@ -2693,6 +2693,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_apply": LLM_QUERIES["bpe_apply"],
         "filter_audit": LLM_QUERIES["filter_audit"],
         "dedup_source_matrix": LLM_QUERIES["dedup_source_matrix"],
+        "bigram_predictability": LLM_QUERIES["bigram_predictability"],
         "semdedup": LLM_QUERIES["semdedup"],
         "ivfpq_recall": LLM_QUERIES["ivfpq_recall"],
         "knn_refine": LLM_QUERIES["knn_refine"],
@@ -2724,8 +2725,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewma_users": q_ewma_users,
         "incremental_dedup": LLM_QUERIES["incremental_dedup"],
         "interval_coalesce": q_interval_coalesce,
-        "pagerank_users": q_pagerank_users,
         # ================= end of the 50-key gate window =================
+        "pagerank_users": q_pagerank_users,
         "pattern_no_interrupt": q_pattern_no_interrupt,
         "pca_project": LLM_QUERIES["pca_project"],
         "quality_stratified_sample": LLM_QUERIES["quality_stratified_sample"],
@@ -2847,7 +2848,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 "dedup_keep_best", "temperature_mixture", "bpe_apply",
                 "knn_refine", "stream_minhash_sigs", "filter_audit",
                 "dedup_source_matrix", "ivfpq_recall", "stream_simhash",
-                "stream_bpe_apply", "semdedup",
+                "stream_bpe_apply", "semdedup", "bigram_predictability",
             )
         },
         "vwap_2min": q_vwap_2min,

@@ -1033,3 +1033,90 @@ def sql_bpe_apply(n_merges: int = 3, src: str = "documents") -> str:
                    AS n_tokens_bpe
         FROM enc{n_merges} GROUP BY doc_id"""
     )
+
+
+def bigram_predictability(docs: DataFrame, text: str = "text") -> DataFrame:
+    """Bigram-LM predictability score: train corpus bigram counts, then
+    per document measure what fraction of its token transitions are the
+    TRAINED MODEL'S argmax continuation -- the log-free cousin of
+    perplexity filtering (CCNet trains a LM and keeps low-perplexity
+    text; here the decision statistic is a pure integer ratio, so it is
+    bit-portable where log-probabilities are not).  High predictability
+    = boilerplate-ish/templated text; near-zero = novel or noisy.
+
+    Plan: ONE corpus scan feeds the bigram-count aggregation (vocab^2-
+    bounded, map-side combined); the per-(w1) argmax is a partitioned
+    rank over that count table (vocab-sized, not corpus-sized); the
+    score join keys on (w1, w2) against the doc's own transition
+    multiset.  Token frequency is Zipfian -- the join key skew is the
+    AQE skew-join case, same as token_rarity.
+
+    Output: (doc_id, n_transitions, n_predicted, predictability).
+    """
+    from pyspark.sql import Window
+
+    w = tokens(text)
+    trans = docs.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size(w) >= 2,
+                F.zip_with(
+                    F.slice(w, 1, F.size(w) - 1),
+                    F.slice(w, 2, F.size(w) - 1),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                ),
+            ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+        ).alias("t"),
+    ).select("doc_id", F.col("t.w1").alias("w1"), F.col("t.w2").alias("w2"))
+    counts = trans.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    wr = Window.partitionBy("w1").orderBy(F.desc("c"), F.asc("w2"))
+    argmax = (
+        counts.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select("w1", F.col("w2").alias("w2_pred"))
+    )
+    scored = trans.join(argmax, "w1", "left").withColumn(
+        "hit", (F.col("w2") == F.col("w2_pred")).cast("long")
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_transitions"),
+            F.sum("hit").alias("n_predicted"),
+        )
+        .select(
+            "doc_id",
+            "n_transitions",
+            "n_predicted",
+            (F.col("n_predicted").cast("double")
+             / F.col("n_transitions").cast("double")).alias("predictability"),
+        )
+    )
+
+
+def sql_bigram_predictability(src: str = "documents") -> str:
+    """DuckDB twin of :func:`bigram_predictability`."""
+    from ..functions.text import sql_tokens
+
+    return f"""
+        WITH words AS (SELECT doc_id, {sql_tokens('text')} AS w FROM {src}),
+        trans AS (
+            SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+            FROM words, LATERAL unnest(range(1, len(w))) AS t(i)
+            WHERE len(w) >= 2),
+        counts AS (SELECT w1, w2, COUNT(*) AS c FROM trans GROUP BY w1, w2),
+        argmax AS (
+            SELECT w1, w2 AS w2_pred FROM (
+                SELECT w1, w2, ROW_NUMBER() OVER (PARTITION BY w1
+                    ORDER BY c DESC, w2 ASC) AS rn
+                FROM counts)
+            WHERE rn = 1)
+        SELECT t.doc_id, COUNT(*) AS n_transitions,
+               CAST(SUM(CASE WHEN t.w2 = a.w2_pred THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_predicted,
+               CAST(SUM(CASE WHEN t.w2 = a.w2_pred THEN 1 ELSE 0 END)
+                    AS DOUBLE) / COUNT(*) AS predictability
+        FROM trans t LEFT JOIN argmax a ON a.w1 = t.w1
+        GROUP BY t.doc_id
+    """

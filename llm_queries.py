@@ -776,6 +776,17 @@ def q_stream_pq_codes(spark, sf_dir):
     )
 
 
+def q_bigram_predictability(spark, sf_dir):
+    """Bigram-LM predictability: fraction of each doc's transitions that
+    are the trained model's argmax continuation -- perplexity filtering's
+    log-free, bit-portable cousin (high = templated/boilerplate)."""
+    from async_stream_processing_spark.llm.text_analysis import (
+        bigram_predictability,
+    )
+
+    return bigram_predictability(_docs(spark, sf_dir))
+
+
 def q_semdedup(spark, sf_dir):
     """SemDeDup (Abbas et al. 2023): cluster the embedding space, drop
     within-cell near-identical vectors keeping the most-central member
@@ -914,6 +925,7 @@ LLM_QUERIES = {
     "stream_bpe_apply": q_stream_bpe_apply,
     "filter_audit": q_filter_audit,
     "dedup_source_matrix": q_dedup_source_matrix,
+    "bigram_predictability": q_bigram_predictability,
     "semdedup": q_semdedup,
     "ivfpq_recall": q_ivfpq_recall,
     "knn_refine": q_knn_refine,
@@ -1207,6 +1219,7 @@ def llm_oracle_sql() -> dict[str, str]:
     )
 
     from async_stream_processing_spark.llm.text_analysis import (
+        sql_bigram_predictability,
         sql_bpe_apply,
     )
 
@@ -1239,6 +1252,7 @@ def llm_oracle_sql() -> dict[str, str]:
             JOIN documents db ON db.doc_id = vp.doc_b
             GROUP BY 1, 2
         """,
+        "bigram_predictability": sql_bigram_predictability(),
         "semdedup": sql_semdedup(n_centroids=8, tau=0.4),
         "ivfpq_recall": sql_ivfpq_recall(n_queries=10, k=5),
         "knn_refine": sql_knn_refine(n_queries=10, k=5, shortlist=20),

@@ -882,3 +882,24 @@ def test_semdedup_keeps_most_central_per_dup_group(spark):
            semdedup(emb, n_centroids=2, tau=0.99).collect()}
     assert out[2]["keep"] and not out[3]["keep"]
     assert out[0]["keep"] and out[1]["keep"] and out[4]["keep"]
+
+
+def test_bigram_predictability_templated_vs_novel(spark):
+    from async_stream_processing_spark.llm.text_analysis import (
+        bigram_predictability,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b a b a b a b"),          # perfectly templated
+            (1, "a c a d a e a f"),          # 'a' continuations all tie
+            (2, "x"),                        # no transitions -> absent
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in bigram_predictability(docs).collect()}
+    assert out[0]["predictability"] == 1.0
+    # doc 1: argmax of 'a' -> lexicographically first among {b,c,d,e,f}
+    # ties resolve to 'b' (count 4 from doc 0's corpus presence)
+    assert out[1]["n_transitions"] == 7
+    assert 2 not in out
