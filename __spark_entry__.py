@@ -2223,6 +2223,45 @@ def q_ewma_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ewma_users EXECUTED BY THE STREAMING ENGINE: the keyed ordered
+    fold runs over ``array_sort(collect_list(...))`` state, so the
+    recurrence is computed from a CANONICALIZED event list --
+    micro-batch-arrival-order-independent by construction -- and the
+    drained result hash-matches the SAME oracle as the batch query.
+    Per-key state is the key's event list (the sessionize bound)."""
+    from async_stream_processing_spark.sources.parquet import stream_table
+    from async_stream_processing_spark.streaming.replay import drain
+
+    s = stream_table(spark, sf_dir, "events")
+    x = (
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+        * F.lit(1_000_000)
+    )
+    arr = F.array_sort(
+        F.collect_list(F.struct("ts", "event_id", x.alias("x")))
+    )
+    xs = F.transform(arr, lambda a: a["x"])
+
+    def step(acc, v):
+        y = acc * 7 + v * 3
+        return ((y - y % 10) / 10).cast("long")
+
+    agg = s.groupBy("user_id").agg(xs.alias("xs"))
+    ewma_scaled = F.aggregate(
+        F.slice(F.col("xs"), 2, F.greatest(F.size("xs") - 1, F.lit(0))),
+        F.element_at(F.col("xs"), 1),
+        step,
+    )
+    out = agg.select(
+        "user_id",
+        F.size("xs").cast("long").alias("n_events"),
+        ewma_scaled.alias("ewma_scaled"),
+        (ewma_scaled.cast("double") / F.lit(100_000_000.0)).alias("ewma"),
+    )
+    return drain(out, output_mode="complete")
+
+
 def q_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANALYZE-style equi-depth histogram of l_extendedprice: 10 buckets
     with equal row counts (NTILE), each reporting min/max/count — the
@@ -2665,11 +2704,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # THREE r5 hash-reds (bm25_topk, knn_pq_adc, bpe_merge_pairs) plus the
     # FIVE never-driver-gated keys (knn_ivfpq, bpe_train, dedup_pair_recall,
     # rp_project, line_dedup) -- the five HUGEINT oracles are now CAST to
-    # BIGINT and all eight re-verified dtype-strict locally; (b) keys whose
-    # CODE changed after the r5 gate ran (zorder_prune_stats derives morton
-    # bits from `buckets`; knn_ivfpq fetches the assigned centroid by array
-    # position; rp_project ships its sign matrix as a broadcast data row);
-    # (c) queries NEW in round 6; (d) re-confirmation filler.
+    # BIGINT and all eight re-verified dtype-strict locally; (b) every key
+    # whose CODE (or underlying operator plan) changed after the r5 gate
+    # ran: zorder_prune_stats (morton bits derived from `buckets`),
+    # knn_ivfpq (centroid fetched by array position), rp_project
+    # (broadcast-data-row sign matrix), the minhash family
+    # (dedup_minhash_lsh, dedup_clusters, incremental_dedup,
+    # pipeline_end_to_end -- narrow zero-shuffle signatures + the shared
+    # (band, sig) bucket exchange), the simhash pair
+    # (simhash_fingerprint, simhash_pairs -- narrow per-row signatures),
+    # and the gopher pair (gopher_repetition, gopher_repetition_full --
+    # per-row sorted-run top-gram folds); (c) the SIXTEEN queries NEW in
+    # round 6; (d) re-confirmation filler.  After this gate runs, every
+    # declared query has at least one driver-green row in some round.
     return {
         # --- (a) r5 reds (dtype-only) + never-driver-gated ---
         "bm25_topk": LLM_QUERIES["bm25_topk"],
@@ -2706,6 +2753,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "max_drawdown": q_max_drawdown,
         "bollinger_bands": q_bollinger_bands,
         "hilbert_prune_stats": q_hilbert_prune_stats,
+        "stream_ewma": q_stream_ewma,
         # --- (d) re-confirm filler ---
         "ohlc_bars": q_ohlc_bars,
         "rolling_corr": q_rolling_corr,
@@ -2724,8 +2772,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "equidepth_histogram": q_equidepth_histogram,
         "ewma_users": q_ewma_users,
         "incremental_dedup": LLM_QUERIES["incremental_dedup"],
-        "interval_coalesce": q_interval_coalesce,
         # ================= end of the 50-key gate window =================
+        "interval_coalesce": q_interval_coalesce,
         "pagerank_users": q_pagerank_users,
         "pattern_no_interrupt": q_pattern_no_interrupt,
         "pca_project": LLM_QUERIES["pca_project"],
@@ -4205,7 +4253,7 @@ def oracle_sql() -> dict[str, str]:
                COUNT(*) FILTER (WHERE l_quantity <= 0)
         FROM lineitem
     """
-    out["ewma_users"] = """
+    out["ewma_users"] = out["stream_ewma"] = """
         WITH xs AS (
             SELECT user_id,
                    list(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
