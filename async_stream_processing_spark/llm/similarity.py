@@ -1212,18 +1212,33 @@ def semdedup(
     Output: (vec_id, centroid_id, centroid_cosine, keep).
     """
     assign = ivf_assign(embeddings, n_centroids, centroids=centroids)
-    full = assign.join(embeddings.select("vec_id", "embedding"), "vec_id")
+    # repartition on the self-join key BEFORE aliasing: the join would
+    # shuffle both sides on centroid_id anyway; hoisting that into one
+    # shared exchange lets AQE stage reuse compute the (narrow,
+    # reuse-point-free) assignment pass once for both sides — the
+    # lsh_candidate_pairs lesson
+    # precompute each vector's norm ONCE: the pairwise test then costs a
+    # dot product + one multiply/divide per pair instead of re-deriving
+    # both norms O(cell) times each (same expression tree, so the
+    # cosine value is bit-identical: dot / (norm_a * norm_b))
+    full = (
+        assign.join(embeddings.select("vec_id", "embedding"), "vec_id")
+        .withColumn("__n", norm(F.col("embedding")))
+        .repartition("centroid_id")
+    )
     a = full.select(
         F.col("vec_id").alias("a_id"),
         F.col("centroid_id"),
         F.col("centroid_cosine").alias("a_cc"),
         F.col("embedding").alias("a_emb"),
+        F.col("__n").alias("a_n"),
     )
     b = full.select(
         F.col("vec_id").alias("b_id"),
         F.col("centroid_id"),
         F.col("centroid_cosine").alias("b_cc"),
         F.col("embedding").alias("b_emb"),
+        F.col("__n").alias("b_n"),
     )
     # b dominates a: same cell, near-identical, b ranks ahead
     dominated = (
@@ -1234,7 +1249,11 @@ def semdedup(
             | ((F.col("b_cc") == F.col("a_cc"))
                & (F.col("b_id") < F.col("a_id")))
         )
-        .filter(cosine(F.col("a_emb"), F.col("b_emb")) >= F.lit(tau))
+        .filter(
+            dot(F.col("a_emb"), F.col("b_emb"))
+            / (F.col("a_n") * F.col("b_n"))
+            >= F.lit(tau)
+        )
         .select(F.col("a_id").alias("vec_id"))
         .distinct()
     )
