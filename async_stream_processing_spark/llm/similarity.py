@@ -71,15 +71,27 @@ def knn_bruteforce(
     The query side is broadcast (it is small by construction); the corpus
     streams through one stage -- no shuffle of the corpus itself.
     """
+    # norms hoisted to one column per side: each (query, candidate) pair
+    # costs a dot + one multiply/divide, not two norm re-derivations
+    # (dot/(qn*cn) is the same expression tree cosine() builds, so the
+    # value is bit-identical)
     q = embeddings.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        norm(F.col("embedding")).alias("q_n"),
     )
     c = embeddings.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb")
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        norm(F.col("embedding")).alias("c_n"),
     )
     scored = (
         c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cos", cosine(F.col("q_emb"), F.col("c_emb")))
+        .withColumn(
+            "cos",
+            dot(F.col("q_emb"), F.col("c_emb"))
+            / (F.col("q_n") * F.col("c_n")),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
@@ -134,17 +146,23 @@ def knn_lsh(
     q = withb.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
+        norm(F.col("embedding")).alias("q_n"),
         F.col("bucket"),
     )
     c = withb.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("c_emb"),
+        norm(F.col("embedding")).alias("c_n"),
         F.col("bucket"),
     )
     scored = (
         c.join(q, "bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cos", cosine(F.col("q_emb"), F.col("c_emb")))
+        .withColumn(
+            "cos",
+            dot(F.col("q_emb"), F.col("c_emb"))
+            / (F.col("q_n") * F.col("c_n")),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
