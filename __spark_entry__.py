@@ -2735,6 +2735,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_repetition_full": LLM_QUERIES["gopher_repetition_full"],
         "simhash_fingerprint": LLM_QUERIES["simhash_fingerprint"],
         "simhash_pairs": q_simhash_pairs,
+        "embedding_dedup": LLM_QUERIES["embedding_dedup"],
+        "knn_bruteforce": LLM_QUERIES["knn_bruteforce"],
+        "knn_lsh": LLM_QUERIES["knn_lsh"],
         "pipeline_end_to_end": LLM_QUERIES["pipeline_end_to_end"],
         # --- (c) NEW in round 6 ---
         "bpe_apply": LLM_QUERIES["bpe_apply"],
@@ -2765,15 +2768,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gap_fill": q_gap_fill,
         "stream_pq_codes": LLM_QUERIES["stream_pq_codes"],
         "bloom_decontaminate": LLM_QUERIES["bloom_decontaminate"],
-        "dq_audit": q_dq_audit,
         "table_stats": q_table_stats,
         "embedding_covariance": LLM_QUERIES["embedding_covariance"],
         "embedding_dedup_clusters": LLM_QUERIES["embedding_dedup_clusters"],
-        "equidepth_histogram": q_equidepth_histogram,
-        "ewma_users": q_ewma_users,
         "incremental_dedup": LLM_QUERIES["incremental_dedup"],
         # ================= end of the 50-key gate window =================
+        "dq_audit": q_dq_audit,
+        "equidepth_histogram": q_equidepth_histogram,
         "interval_coalesce": q_interval_coalesce,
+        "ewma_users": q_ewma_users,
         "pagerank_users": q_pagerank_users,
         "pattern_no_interrupt": q_pattern_no_interrupt,
         "pca_project": LLM_QUERIES["pca_project"],

@@ -157,17 +157,34 @@ def q_knn_ivf(spark, sf_dir):
 
 
 def q_embedding_dedup(spark, sf_dir):
-    """Embedding near-dup: bucket-mate pairs with cosine >= 0.35."""
-    from async_stream_processing_spark.llm.similarity import cosine
+    """Embedding near-dup: bucket-mate pairs with cosine >= 0.35.
+    Norms hoisted to one column per side (the semdedup lesson: each
+    pair costs a dot + one multiply/divide, value bit-identical); the
+    bucket relation is repartitioned on the join key so both self-join
+    sides share one exchange."""
+    from async_stream_processing_spark.llm.similarity import dot, norm
 
     b = lsh_buckets(_emb(spark, sf_dir), n_planes=6)
-    withb = _emb(spark, sf_dir).join(b.select("vec_id", "bucket"), "vec_id")
-    a = withb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"), "bucket")
-    c = withb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"), "bucket")
+    withb = (
+        _emb(spark, sf_dir)
+        .join(b.select("vec_id", "bucket"), "vec_id")
+        .withColumn("__n", norm(F.col("embedding")))
+        .repartition("bucket")
+    )
+    a = withb.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"),
+        F.col("__n").alias("na"), "bucket",
+    )
+    c = withb.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"),
+        F.col("__n").alias("nb"), "bucket",
+    )
     return (
         a.join(c, "bucket")
         .filter(F.col("vec_a") < F.col("vec_b"))
-        .withColumn("cos", cosine(F.col("ea"), F.col("eb")))
+        .withColumn(
+            "cos", dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+        )
         .filter(F.col("cos") >= 0.35)
         .select("vec_a", "vec_b", F.col("cos").alias("cosine"))
     )
