@@ -2262,6 +2262,52 @@ def q_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drain(out, output_mode="complete")
 
 
+def q_stream_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_drawdown EXECUTED BY THE STREAMING ENGINE: the equity/peak/
+    drawdown recurrence folds over ``array_sort(collect_list(...))``
+    state in integer CENTS (exact; the decimal-sum discipline), so the
+    drained result is micro-batch-arrival-order-independent and
+    hash-matches the SAME oracle as the batch query."""
+    from async_stream_processing_spark.sources.parquet import stream_table
+    from async_stream_processing_spark.streaming.replay import drain
+
+    s = stream_table(spark, sf_dir, "events")
+    x = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    arr = F.array_sort(
+        F.collect_list(F.struct("ts", "event_id", x.alias("x")))
+    )
+    xs = F.transform(arr, lambda a: a["x"])
+    agg = s.groupBy("user_id").agg(xs.alias("xs"))
+    first = F.element_at(F.col("xs"), 1)
+    init = F.struct(
+        first.alias("eq"), first.alias("peak"),
+        F.lit(0).cast("long").alias("dd"),
+    )
+
+    def step(acc, v):
+        eq2 = acc["eq"] + v
+        peak2 = F.greatest(acc["peak"], eq2)
+        return F.struct(
+            eq2.alias("eq"),
+            peak2.alias("peak"),
+            F.greatest(acc["dd"], peak2 - eq2).alias("dd"),
+        )
+
+    folded = F.aggregate(
+        F.slice(F.col("xs"), 2, F.greatest(F.size("xs") - 1, F.lit(0))),
+        init,
+        step,
+    )
+    out = agg.select(
+        "user_id",
+        (folded["dd"].cast("double") / F.lit(100.0)).alias("max_drawdown"),
+        (folded["peak"].cast("double") / F.lit(100.0)).alias("peak_equity"),
+        (folded["eq"].cast("double") / F.lit(100.0)).alias("final_equity"),
+        F.size("xs").cast("long").alias("n_events"),
+    )
+    return drain(out, output_mode="complete")
+
+
 def q_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANALYZE-style equi-depth histogram of l_extendedprice: 10 buckets
     with equal row counts (NTILE), each reporting min/max/count — the
@@ -2757,6 +2803,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bollinger_bands": q_bollinger_bands,
         "hilbert_prune_stats": q_hilbert_prune_stats,
         "stream_ewma": q_stream_ewma,
+        "stream_max_drawdown": q_stream_max_drawdown,
         # --- (d) re-confirm filler ---
         "ohlc_bars": q_ohlc_bars,
         "rolling_corr": q_rolling_corr,
@@ -2768,11 +2815,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gap_fill": q_gap_fill,
         "stream_pq_codes": LLM_QUERIES["stream_pq_codes"],
         "bloom_decontaminate": LLM_QUERIES["bloom_decontaminate"],
-        "table_stats": q_table_stats,
         "embedding_covariance": LLM_QUERIES["embedding_covariance"],
         "embedding_dedup_clusters": LLM_QUERIES["embedding_dedup_clusters"],
         "incremental_dedup": LLM_QUERIES["incremental_dedup"],
         # ================= end of the 50-key gate window =================
+        "table_stats": q_table_stats,
         "dq_audit": q_dq_audit,
         "equidepth_histogram": q_equidepth_histogram,
         "interval_coalesce": q_interval_coalesce,
@@ -3604,7 +3651,7 @@ def oracle_sql() -> dict[str, str]:
         sql_max_drawdown,
     )
 
-    out["max_drawdown"] = sql_max_drawdown()
+    out["max_drawdown"] = out["stream_max_drawdown"] = sql_max_drawdown()
     out["bollinger_bands"] = sql_bollinger_bands(n_rows=20)
     out["rolling_corr"] = """
         WITH lagged AS (
