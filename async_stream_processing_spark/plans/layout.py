@@ -204,7 +204,16 @@ def hilbert_code_steps(df: DataFrame, bits: int = 4) -> DataFrame:
         d2 = F.col("hd") + F.lit(s * s).cast("long") * (
             (F.lit(3) * rx).bitwiseXOR(ry)
         ).cast("long")
-        # rotation: ry==0 -> (maybe flip within s) then swap hx/hy
+        # rotation: ry==0 -> (maybe flip within s) then swap hx/hy.
+        # INVARIANT (r6 ADVICE): the s-1 flip acts on the UNMASKED
+        # coordinate, so hx/hy go negative in later steps.  That is safe
+        # by design: only the low log2(s) bits of the coordinate are
+        # ever read again (step s' < s tests hx & s'), and under
+        # two's-complement those bits of (s-1-hx) equal the intended
+        # complement regardless of sign -- both engines (Spark, DuckDB)
+        # use two's-complement BIGINT &, and the full 16x16 grid is
+        # pinned against the canonical xy2d walk in both
+        # (tests/test_plans.py / the hilbert_prune_stats oracle).
         flip = (ry == 0) & (rx == 1)
         nx = F.when(flip, F.lit(s - 1) - F.col("hx")).otherwise(F.col("hx"))
         ny = F.when(flip, F.lit(s - 1) - F.col("hy")).otherwise(F.col("hy"))

@@ -74,15 +74,23 @@ R5_BUDGETS_SF01 = {
 def test_heavy_query_budgets_sf01(spark):
     """Each historically-slowest query must stay within 2x its r5 detail
     time (+4 s grace) at sf0.1 -- a regression fails HERE, not silently
-    in the bench total."""
+    in the bench total.
+
+    Wall-clock budgets are only meaningful on an uncontended host
+    (r6 ADVICE): skipped by default under plain ``pytest``; set
+    ``RUN_BENCH_BUDGETS=1`` to run (the round-close verification does).
+    Two re-measures with back-off absorb a transient colliding neighbor
+    even then."""
     import time
+
+    import pytest
 
     import __spark_entry__ as entrymod
 
+    if os.environ.get("RUN_BENCH_BUDGETS") != "1":
+        pytest.skip("wall-clock budgets need an idle host: RUN_BENCH_BUDGETS=1")
     sf_dir = "/root/testdata/sf0.1"
     if not os.path.isdir(sf_dir):
-        import pytest
-
         pytest.skip("sf0.1 fixture absent")
     qs = entrymod.queries()
     # warm the session outside any measured window
@@ -102,9 +110,13 @@ def test_heavy_query_budgets_sf01(spark):
     for name, r5 in R5_BUDGETS_SF01.items():
         budget = 2.0 * r5 + 4.0
         took = measure(name)
-        if took > budget:
-            # one re-measure before failing: a colliding heavy process on
-            # the shared host (the 13-25% variance band) must not fail CI
+        # up to two re-measures with back-off before failing: a colliding
+        # heavy process on the shared host (the 13-25% variance band)
+        # must not fail CI
+        for backoff in (2.0, 5.0):
+            if took <= budget:
+                break
+            time.sleep(backoff)
             took = min(took, measure(name))
         if took > budget:
             over.append(f"{name}: {took:.1f}s > budget {budget:.1f}s")

@@ -821,6 +821,30 @@ def test_simhash_narrow_equals_agg(spark):
     assert a == b and len(a) == 4
 
 
+def test_minhash_narrow_equals_agg(spark):
+    """The zero-shuffle per-row minhash signatures (array_min over the
+    doc's own shingle-hash array) must equal the explode + keyed-min-agg
+    formulation exactly -- min over a multiset == min over its set.
+    Edge cases: a sub-n-word doc (no shingles -> absent from BOTH
+    outputs) and a doc whose repetition yields duplicate shingles."""
+    from async_stream_processing_spark.llm.dedup import minhash_signatures
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the cat sat on the mat"),
+            (1, "the cat sat the cat sat the cat sat"),  # duplicate shingles
+            (2, "two words"),                             # < n=3: no shingles
+            (3, "a completely different set of words entirely here"),
+            (4, ""),                                      # empty text
+        ],
+        "doc_id long, text string",
+    )
+    a = sorted(map(tuple, minhash_signatures(docs, plan="agg").collect()))
+    b = sorted(map(tuple, minhash_signatures(docs, plan="narrow").collect()))
+    assert a == b
+    assert [r[0] for r in a] == [0, 1, 3]  # 2 and 4 have no shingles
+
+
 def test_dedup_source_matrix_counts_cross_source_pairs(spark):
     from async_stream_processing_spark.llm.dedup import dedup_source_matrix
 
