@@ -60,6 +60,63 @@ def replay_stream(
     return df
 
 
+def _data_files(root: str) -> set[str]:
+    """Data files under ``root`` the way Spark's file source sees them:
+    recursive, skipping hidden/metadata entries (``_``/``.`` prefixes).
+    Paths are normalized scheme-less absolute strings."""
+    import os
+
+    out: set[str] = set()
+    for dirpath, dirnames, filenames in os.walk(root):
+        dirnames[:] = [d for d in dirnames if not d.startswith(("_", "."))]
+        for f in filenames:
+            if not f.startswith(("_", ".")):
+                out.add(os.path.abspath(os.path.join(dirpath, f)))
+    return out
+
+
+def _strip_scheme(path: str) -> str:
+    return path.split("://", 1)[-1] if "://" in path else path
+
+
+def _logged_source_files(checkpoint: str, before_batch: int) -> set[str]:
+    """Files the file source has WAL'd to batches STRICTLY BEFORE
+    ``before_batch``, from the checkpoint's source metadata log
+    (``<ckpt>/sources/<i>/<log>`` -- "v1" header + one JSON entry per
+    file carrying its ``batchId``; compacted logs repeat the full
+    history, so a plain union stays complete).  The source writes a
+    batch's entries during offset discovery, BEFORE the batch executes,
+    so at batch k this set is exactly "what batches 0..k-1 consumed" --
+    the drain boundary -- and it persists across restarts, which is
+    what makes live-start detection checkpoint-safe: a resumed query
+    never redelivers committed batches, so runtime observation alone
+    would under-count the drained backlog."""
+    import json
+    import os
+
+    seen: set[str] = set()
+    src_root = os.path.join(checkpoint, "sources")
+    if not os.path.isdir(src_root):
+        return seen
+    for dirpath, _dirs, files in os.walk(src_root):
+        for f in files:
+            if f.startswith("."):
+                continue
+            try:
+                with open(os.path.join(dirpath, f)) as fh:
+                    for line in fh:
+                        line = line.strip()
+                        if line.startswith("{"):
+                            entry = json.loads(line)
+                            if "path" in entry and entry.get(
+                                "batchId", -1
+                            ) < before_batch:
+                                seen.add(_strip_scheme(entry["path"]))
+            except (OSError, ValueError):
+                continue
+    return seen
+
+
 def process_stream(
     stream: DataFrame,
     callback: Callable[[DataFrame, int], None],
@@ -67,26 +124,78 @@ def process_stream(
     on_live_start: Callable[[], None] | None = None,
     checkpoint: str | None = None,
     available_now: bool = True,
+    past_path: str | None = None,
 ):
     """A3 ``process_stream`` (processor.py:169-194) on foreachBatch.
 
     ``callback(batch_df, batch_id)`` replaces the per-event callback --
     batch-at-a-time is the Spark-native contract (vectorized, not
-    row-at-a-time).  ``on_start`` fires before the query starts;
-    ``on_live_start`` fires on the first batch after the initial backlog
-    (batch 0 is the drained past when the source has history).
-    Returns the StreamingQuery; with ``available_now`` the caller should
-    ``awaitTermination()`` to emulate a pure-past run.
+    row-at-a-time).  ``on_start`` fires before the query starts.
+
+    ``on_live_start`` fires when the recorded past is EXHAUSTED -- the
+    reference's semantics (processor.py:190-191: the hook runs after the
+    ``past`` iterable is fully consumed, before the first live event),
+    NOT at any fixed batch id.  The reference receives past and future
+    as separate arguments, so the Spark form needs the same information:
+    ``past_path`` names the recorded-past directory (the one given to
+    :func:`replay_stream`).  Detection is source-side and restart-safe:
+
+    * the backlog is snapshotted as the set of data files under
+      ``past_path`` at call time;
+    * the drain boundary comes from the file source's OWN metadata log
+      in the checkpoint (each file is WAL'd with the batch id that
+      consumes it, before that batch runs): at batch ``k`` the past is
+      exhausted iff every backlog file is logged to a batch ``< k``.
+      A multi-batch backfill (``maxFilesPerTrigger``) therefore stays
+      "past" for batches 0..n-1, however many there are, and the hook
+      fires BEFORE the first truly-live batch's callback;
+    * because that log persists, a RESTARTED query neither re-fires
+      mid-backfill nor waits for batches that will never be redelivered
+      -- the prior run's consumed files are simply already logged.
+    * without a checkpoint the detection falls back to
+      ``batch_df.inputFiles()`` accumulation (works for single-source
+      streams; a union's micro-batch plan does not expose file names,
+      so pass ``checkpoint`` for merged past+live streams -- the
+      lifecycle shape that wants ``on_live_start`` should be
+      checkpointed anyway).
+
+    A batch that STRADDLES the boundary (last backlog file + first live
+    file under one trigger) is processed before the hook -- the
+    batch-at-a-time analog of the reference's event boundary.  With
+    ``available_now`` the query stops at drain, so the hook only ever
+    fires if a live phase exists (pass ``available_now=False`` for the
+    reference's past-into-live lifecycle).  Returns the StreamingQuery.
     """
+    import os
+
     if on_start is not None:
         on_start()
-    seen_first = {"done": False}
+    if on_live_start is not None and past_path is None:
+        raise ValueError(
+            "on_live_start needs past_path (the recorded-past directory): "
+            "live-start is defined as the moment that backlog drains"
+        )
 
-    def _each(batch_df: DataFrame, batch_id: int) -> None:
-        if seen_first["done"] and on_live_start is not None and batch_id == 1:
-            on_live_start()
-        callback(batch_df, batch_id)
-        seen_first["done"] = True
+    if on_live_start is not None:
+        backlog = {_strip_scheme(p) for p in _data_files(past_path)}
+        seen: set[str] = set()  # inputFiles fallback (no-checkpoint runs)
+        state = {"fired": False}
+
+        def _each(batch_df: DataFrame, batch_id: int) -> None:
+            if not state["fired"]:
+                drained_by = set(seen)
+                if checkpoint:
+                    drained_by |= _logged_source_files(checkpoint, batch_id)
+                if not (backlog - drained_by):
+                    state["fired"] = True
+                    on_live_start()
+            callback(batch_df, batch_id)
+            seen.update(_strip_scheme(p) for p in batch_df.inputFiles())
+
+    else:
+
+        def _each(batch_df: DataFrame, batch_id: int) -> None:
+            callback(batch_df, batch_id)
 
     writer = stream.writeStream.foreachBatch(_each)
     if checkpoint:

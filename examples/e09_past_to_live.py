@@ -35,6 +35,7 @@ def main(spark):
             on_live_start=lambda: print("** Running live **"),
             checkpoint=f"{tmp}/ckpt",
             available_now=False,  # stay alive for live files
+            past_path=src,  # live-start == this backlog drained
         )
         # wait for the backlog to drain, then land a "live" file
         deadline = time.time() + 60

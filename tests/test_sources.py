@@ -140,6 +140,7 @@ def test_past_to_live_end_to_end(spark, tmp_path):
         on_live_start=on_live,
         checkpoint=str(tmp_path / "ckpt"),
         available_now=False,  # keep running into the live phase
+        past_path=past_dir,
     )
     deadline = time.time() + 90
     while time.time() < deadline:
@@ -190,3 +191,141 @@ def test_past_to_live_end_to_end(spark, tmp_path):
         "ts", "seq"
     ).collect()
     assert lv[-1]["hist"] == 2.0 and lv[-1]["live"] == 101.5
+
+
+def _write_tick(spark, path, t0, sec, val):
+    from datetime import timedelta
+
+    spark.createDataFrame(
+        [(t0 + timedelta(seconds=sec), float(val))],
+        "ts timestamp, value double",
+    ).coalesce(1).write.mode("append").parquet(path)
+
+
+def test_live_start_fires_after_multibatch_backlog(spark, tmp_path):
+    """r6 verdict item 1: with ``maxFilesPerTrigger=1`` over a 3-file
+    backlog, batches 0..2 are all 'past' -- ``on_live_start`` must fire
+    after ALL of them and BEFORE the first truly-live batch's callback
+    (reference processor.py:190-191: the hook runs when the past
+    iterable is exhausted, not at any fixed batch id)."""
+    import time
+    from datetime import datetime
+
+    from async_stream_processing_spark.streaming.replay import (
+        process_stream,
+        replay_stream,
+    )
+
+    t0 = datetime(2024, 1, 1)
+    past_dir = str(tmp_path / "past")
+    for i in range(3):
+        _write_tick(spark, past_dir, t0, i, i)
+
+    events: list[tuple[str, object]] = []
+
+    def each(batch_df, batch_id):
+        vals = sorted(r["value"] for r in batch_df.collect())
+        events.append(("batch", (batch_id, vals)))
+
+    stream = replay_stream(
+        spark, past_dir, "ts timestamp, value double",
+        max_files_per_trigger=1,
+    )
+    q = process_stream(
+        stream, each,
+        on_live_start=lambda: events.append(("live_start", None)),
+        checkpoint=str(tmp_path / "ckpt"),
+        available_now=False,
+        past_path=past_dir,
+    )
+    try:
+        deadline = time.time() + 60
+        # wait for the whole 3-row backlog to drain
+        while time.time() < deadline and sum(
+            len(v[1]) for k, v in events if k == "batch"
+        ) < 3:
+            time.sleep(0.2)
+        assert "live_start" not in [k for k, _ in events], (
+            "hook fired mid-backfill: " + repr(events)
+        )
+        # land the live file; its batch must be preceded by live_start
+        _write_tick(spark, past_dir, t0, 100, 999.0)
+        while time.time() < deadline and 999.0 not in [
+            v for k, ev in events if k == "batch" for v in ev[1]
+        ]:
+            time.sleep(0.2)
+    finally:
+        q.stop()
+    kinds = [k for k, _ in events]
+    assert "live_start" in kinds
+    n_past_batches = len([
+        1 for k, ev in events[: kinds.index("live_start")] if k == "batch"
+    ])
+    assert n_past_batches >= 3  # the whole multi-batch backfill came first
+    first_live = next(
+        i for i, (k, ev) in enumerate(events)
+        if k == "batch" and 999.0 in ev[1]
+    )
+    assert kinds.index("live_start") < first_live
+
+
+def test_live_start_survives_checkpoint_restart(spark, tmp_path):
+    """A restarted query must not re-count the backlog it already
+    committed: run 1 drains the 3-file past (availableNow) without
+    firing the hook; run 2 resumes from the checkpoint and must fire
+    ``on_live_start`` before its first (live) batch, recovering the
+    drained-file set from the checkpoint's file-source log."""
+    import time
+    from datetime import datetime
+
+    from async_stream_processing_spark.streaming.replay import (
+        process_stream,
+        replay_stream,
+    )
+
+    t0 = datetime(2024, 1, 1)
+    past_dir = str(tmp_path / "past")
+    ckpt = str(tmp_path / "ckpt")
+    for i in range(3):
+        _write_tick(spark, past_dir, t0, i, i)
+
+    fired1: list[int] = []
+    q1 = process_stream(
+        replay_stream(spark, past_dir, "ts timestamp, value double",
+                      max_files_per_trigger=1),
+        lambda b, i: b.collect(),
+        on_live_start=lambda: fired1.append(1),
+        checkpoint=ckpt,
+        available_now=True,
+        past_path=past_dir,
+    )
+    q1.awaitTermination(60)
+    assert not fired1  # pure-past run: the hook belongs to the live phase
+
+    events: list[tuple[str, object]] = []
+    q2 = process_stream(
+        replay_stream(spark, past_dir, "ts timestamp, value double"),
+        lambda b, i: events.append(
+            ("batch", sorted(r["value"] for r in b.collect()))
+        ),
+        on_live_start=lambda: events.append(("live_start", None)),
+        checkpoint=ckpt,
+        available_now=False,
+        past_path=past_dir,
+    )
+    try:
+        _write_tick(spark, past_dir, t0, 100, 999.0)
+        deadline = time.time() + 60
+        while time.time() < deadline and 999.0 not in [
+            v for k, ev in events if k == "batch" for v in ev
+        ]:
+            time.sleep(0.2)
+    finally:
+        q2.stop()
+    kinds = [k for k, _ in events]
+    assert "live_start" in kinds
+    first_live = next(
+        i for i, (k, ev) in enumerate(events)
+        if k == "batch" and 999.0 in ev
+    )
+    assert kinds.index("live_start") < first_live
