@@ -431,6 +431,120 @@ def minhash_dedup_pairs(
     )
 
 
+def corpus_bucket_sets(
+    docs: DataFrame,
+    n_hashes: int = N_MINHASH,
+    bands: int = LSH_BANDS,
+    hash_mode: str = "md5",
+) -> DataFrame:
+    """(band, sig, doc_id, hs, n): LSH band buckets CARRYING each doc's
+    distinct shingle-hash set -- the store-once relation an incremental
+    dedup service persists **bucketed by ``sig``**
+    (``plans/scale.write_bucketed``), so that every future ingest batch
+    both finds its candidates AND verifies exact Jaccard from the one
+    stored table, without ever reshuffling or re-reading the corpus
+    text.  Entirely narrow (per-row column expressions over the doc's
+    own shingle array: the ``minhash_signatures(plan='narrow')``
+    lesson), so it also runs unchanged on a STREAMING relation --
+    encode-on-ingest.
+
+    The signature is computed over the DISTINCT hash array: ``min``
+    over a set equals ``min`` over the multiset the batch twin uses,
+    so signatures (and therefore buckets) are identical
+    (test-pinned by ``test_minhash_narrow_equals_agg``).
+    """
+    coeffs = minhash_coeffs(n_hashes)
+    hasher = (
+        (lambda s: F.abs(F.xxhash64(s)))
+        if hash_mode == "xxhash64"
+        else stable_hash60
+    )
+    hs = F.array_distinct(F.transform(shingles("text", 3), hasher))
+    base = fan_out(docs).select("doc_id", hs.alias("hs")).filter(
+        F.size("hs") > 0
+    )
+    rows = n_hashes // bands
+    mh = [
+        F.array_min(F.transform(F.col("hs"), lambda h: minhash_term(h, a, b)))
+        for (a, b) in coeffs
+    ]
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                "_", F.lit(b), *[mh[b * rows + r] for r in range(rows)]
+            ).alias("sig"),
+        )
+        for b in range(bands)
+    ]
+    return base.select(
+        "doc_id",
+        "hs",
+        F.size("hs").cast("long").alias("n"),
+        F.explode(F.array(*band_cols)).alias("bk"),
+    ).select(
+        F.col("bk.band").alias("band"),
+        F.col("bk.sig").alias("sig"),
+        "doc_id",
+        "hs",
+        "n",
+    )
+
+
+def stream_incremental_dedup(
+    new_docs: DataFrame,
+    stored_sets: DataFrame,
+    threshold: float = 0.25,
+    n_hashes: int = N_MINHASH,
+    bands: int = LSH_BANDS,
+    hash_mode: str = "md5",
+) -> DataFrame:
+    """Incremental near-dedup ON INGEST: arriving documents (a streaming
+    OR batch relation) are verified against the stored corpus
+    (:func:`corpus_bucket_sets`, persisted bucketed by ``sig``) inside
+    the arrival plan itself -- the reference's past->live posture
+    (processor.py:185-194) composed with the north-star dedup.
+
+    Plan, per micro-batch: the new docs' buckets + shingle sets compute
+    NARROW (no state, no shuffle before the probe); the stream-static
+    equi-join re-plans the static side each batch, and the corpus is
+    never repartitioned in either planner outcome -- a small arriving
+    batch BROADCASTS into the corpus scan (the observed micro-batch
+    plan: BuildLeft on the stream side, the only shuffle exchange is
+    the pair-level dedup), and at batch sizes where the planner picks
+    a sort-merge join instead, the store's bucketing keeps the corpus
+    side exchange-free.  Zero corpus-side exchange asserted by
+    ``tests/test_scale.py::test_stream_incremental_dedup_zero_corpus_exchange``.
+    Exact Jaccard is per-row ``array_intersect`` on the two carried
+    sets; ``dropDuplicates`` collapses multi-band agreements (same pair
+    -> same values, so survivor choice is immaterial; state is
+    pair-keyed and watermark-boundable in production).
+
+    Output matches the batch ``incremental_dedup`` oracle:
+    (doc_new, doc_corpus, jaccard).
+    """
+    probe = corpus_bucket_sets(new_docs, n_hashes, bands, hash_mode)
+    j = probe.alias("nw").join(stored_sets.alias("c"), ["band", "sig"])
+    v = j.select(
+        F.col("nw.doc_id").alias("doc_new"),
+        F.col("c.doc_id").alias("doc_corpus"),
+        F.size(F.array_intersect(F.col("nw.hs"), F.col("c.hs")))
+        .cast("long")
+        .alias("n_common"),
+        F.col("nw.n").alias("n_a"),
+        F.col("c.n").alias("n_b"),
+    ).withColumn(
+        "jaccard",
+        F.col("n_common").cast("double")
+        / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
+    )
+    return (
+        v.filter(F.col("jaccard") >= threshold)
+        .dropDuplicates(["doc_new", "doc_corpus"])
+        .select("doc_new", "doc_corpus", "jaccard")
+    )
+
+
 def lsh_pair_recall(
     docs: DataFrame,
     threshold: float = 0.25,

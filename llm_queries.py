@@ -572,6 +572,50 @@ def q_incremental_dedup(spark, sf_dir):
 
 
 
+def q_stream_incremental_dedup(spark, sf_dir):
+    """incremental_dedup EXECUTED BY THE STREAMING ENGINE: the stored
+    corpus (doc_id % 5 != 0) is persisted ONCE as
+    ``corpus_bucket_sets`` bucketed by band signature; arriving
+    documents (doc_id % 5 == 0) probe it per micro-batch -- candidates
+    AND exact-Jaccard verification from the one stored table, zero
+    corpus-side exchange (the reference's past->live posture,
+    processor.py:185-194, composed with the north-star dedup).  Same
+    oracle as the batch query."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from async_stream_processing_spark.llm.dedup import (
+        corpus_bucket_sets,
+        stream_incremental_dedup,
+    )
+    from async_stream_processing_spark.plans.scale import write_bucketed
+    from async_stream_processing_spark.sources.parquet import stream_table
+    from async_stream_processing_spark.streaming.replay import drain
+
+    docs = _docs(spark, sf_dir)
+    store_path = tempfile.mkdtemp(prefix="asp_incr_store_")
+    table = "asp_corpus_sets_" + uuid.uuid4().hex[:8]
+    write_bucketed(
+        corpus_bucket_sets(docs.filter(F.col("doc_id") % 5 != 0)),
+        table=table, bucket_by="sig", n_buckets=8, sort_by="sig",
+        path=store_path,
+    )
+    try:
+        stored = spark.table(table)
+        s = stream_table(spark, sf_dir, "documents").filter(
+            F.col("doc_id") % 5 == 0
+        )
+        out = drain(
+            stream_incremental_dedup(s, stored, threshold=0.25),
+            output_mode="append",
+        ).localCheckpoint(eager=True)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        shutil.rmtree(store_path, ignore_errors=True)
+    return out
+
+
 def q_c4_quality(spark, sf_dir):
     """C4 page-cleanup rules (Raffel et al. 2020 §2.2): line-level
     terminal-punctuation + min-words retention, page-level sentence /
@@ -973,6 +1017,7 @@ LLM_QUERIES = {
     "source_overlap": q_source_overlap,
     "heavy_hitters": q_heavy_hitters,
     "incremental_dedup": q_incremental_dedup,
+    "stream_incremental_dedup": q_stream_incremental_dedup,
     "substring_dups": q_substring_dups,
     "inverted_index": q_inverted_index,
     "doc_chunks": q_doc_chunks,
@@ -1920,4 +1965,5 @@ def llm_oracle_sql() -> dict[str, str]:
     }
     out["stream_simhash"] = out["simhash_fingerprint"]
     out["stream_bpe_apply"] = out["bpe_apply"]
+    out["stream_incremental_dedup"] = out["incremental_dedup"]
     return out
