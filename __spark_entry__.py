@@ -2819,6 +2819,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dedup_clusters": LLM_QUERIES["embedding_dedup_clusters"],
         "incremental_dedup": LLM_QUERIES["incremental_dedup"],
         "stream_incremental_dedup": LLM_QUERIES["stream_incremental_dedup"],
+        "ivfpq_upsert": LLM_QUERIES["ivfpq_upsert"],
         # ================= end of the 50-key gate window =================
         "table_stats": q_table_stats,
         "dq_audit": q_dq_audit,

@@ -794,9 +794,26 @@ def ivfpq_encode(
     ``coarse``/``rcode`` are the O(k*d) centroid and residual-codebook
     model state the SEARCH half (:func:`knn_ivfpq`) bakes into the
     query-side distance table."""
-    dsub = d // m
-    spark = embeddings.sparkSession
     coarse = sorted(_collect_centroids(_seed_centroids(embeddings, n_coarse)))
+    assigned = _ivf_assign_with(embeddings, coarse)
+    # residual codebook: residuals of the first ksub vectors (model state)
+    rcode = sorted(
+        (row["vec_id"], list(row["r"]))
+        for row in assigned.filter(F.col("vec_id") < ksub).collect()
+    )
+    return ivfpq_encode_with_model(embeddings, coarse, rcode, m, d), coarse, rcode
+
+
+def _ivf_assign_with(
+    embeddings: DataFrame, coarse: list[tuple[int, list[float]]]
+) -> DataFrame:
+    """(vec_id, cell, r): coarse-assign against GIVEN centroids -- one
+    narrow broadcast-matrix pass (assign to max-cosine cell, subtract
+    its centroid).  The 0-based array index rides in the argmax struct
+    so the winning centroid vector is fetched by POSITION, never
+    reconstructed from its id (ids below n_coarse need not be
+    contiguous)."""
+    spark = embeddings.sparkSession
     cmat = spark.createDataFrame(
         [(
             [int(cid) for cid, _ in coarse],
@@ -804,10 +821,6 @@ def ivfpq_encode(
         )],
         "c_ids array<bigint>, c_vecs array<array<double>>",
     )
-    # one narrow pass: assign to max-cosine cell, subtract its centroid
-    # carry the 0-based array index in the argmax struct so the winning
-    # centroid vector is fetched by POSITION, never reconstructed from
-    # its id (ids below n_coarse need not be contiguous)
     scored = F.transform(
         F.col("c_vecs"),
         lambda c, i: F.struct(
@@ -819,7 +832,7 @@ def ivfpq_encode(
         ),
     )
     best = F.array_max(scored)
-    assigned = (
+    return (
         embeddings.crossJoin(F.broadcast(cmat))
         .select("vec_id", "embedding", "c_vecs", best.alias("b"))
         .select(
@@ -832,11 +845,25 @@ def ivfpq_encode(
             ).alias("r"),
         )
     )
-    # residual codebook: residuals of the first ksub vectors (model state)
-    rcode = sorted(
-        (row["vec_id"], list(row["r"]))
-        for row in assigned.filter(F.col("vec_id") < ksub).collect()
-    )
+
+
+def ivfpq_encode_with_model(
+    embeddings: DataFrame,
+    coarse: list[tuple[int, list[float]]],
+    rcode: list[tuple[int, list[float]]],
+    m: int = 8,
+    d: int = 64,
+) -> DataFrame:
+    """Encode vectors against an EXISTING IVF-PQ model (coarse centroids
+    + residual codebook as driver-held model state) -- the
+    index-MAINTENANCE path: a new ingest batch is coded by the serving
+    model, never by retraining (retraining re-codes the whole corpus;
+    that is a rebuild, the e18 lifecycle).  One narrow pass, two
+    broadcast model rows, no shuffle; returns ``codes_long``
+    (vec_id, cell, j, code)."""
+    dsub = d // m
+    spark = embeddings.sparkSession
+    assigned = _ivf_assign_with(embeddings, coarse)
     rmat = spark.createDataFrame(
         [(
             [int(rid) for rid, _ in rcode],
@@ -856,14 +883,81 @@ def ivfpq_encode(
         )
         enc_cols.append(F.array_min(cand)["rid"].alias(f"code_{j}"))
     codes = assigned.crossJoin(F.broadcast(rmat)).select(*enc_cols)
-    codes_long = codes.select(
+    return codes.select(
         "vec_id",
         "cell",
         F.posexplode(F.array(*[F.col(f"code_{j}") for j in range(m)])).alias(
             "j", "code"
         ),
     )
-    return codes_long, coarse, rcode
+
+
+def ivfpq_upsert(
+    spark: "SparkSession",
+    store_path: str,
+    new_vectors: DataFrame,
+    coarse: list[tuple[int, list[float]]],
+    rcode: list[tuple[int, list[float]]],
+    m: int = 8,
+    d: int = 64,
+) -> list[int]:
+    """Merge a new vector batch into a CELL-PARTITIONED IVF-PQ code
+    store without touching unaffected cells -- ANN index maintenance
+    (r6 verdict item 6; the vector-index lifecycle e18 otherwise
+    rebuilds).  The store at ``store_path`` is the ``codes_long``
+    relation laid out ``partitionBy("cell")``; an upsert:
+
+    1. encodes the batch against the SERVING model (narrow,
+       :func:`ivfpq_encode_with_model` -- no retrain, no corpus access);
+    2. collects the touched cell ids (O(batch) driver scalars);
+    3. reads ONLY those cell partitions back (partition-pruned scan),
+       drops rows whose ``vec_id`` is re-ingested (update-wins), unions
+       the new codes, and
+    4. dynamically overwrites just the touched cell directories
+       (the ``streaming.upsert.merge_batch`` discipline).
+
+    Rewrite amplification is |touched cells| / n_cells of the store, not
+    1.0 -- at a billion vectors an ingest batch touches its own cells
+    only, and the stored corpus is never reshuffled (asserted by
+    ``tests/test_llm_ops.py::test_ivfpq_upsert_touched_cells_only``).
+    Idempotent: re-delivering the same batch yields the same store.
+    Returns the touched cell ids (sorted).
+    """
+    new_codes = ivfpq_encode_with_model(
+        new_vectors, coarse, rcode, m, d
+    ).localCheckpoint(eager=True)
+    touched = sorted(
+        r["cell"] for r in new_codes.select("cell").distinct().collect()
+    )
+    if not touched:
+        return touched
+    merged = new_codes
+    import os
+
+    if os.path.exists(store_path):
+        current = spark.read.parquet(store_path).filter(
+            F.col("cell").isin(touched)
+        )
+        new_ids = new_codes.select("vec_id").distinct()
+        kept = current.join(new_ids, "vec_id", "left_anti")
+        merged = new_codes.unionByName(
+            kept.select("vec_id", "cell", "j", "code")
+        )
+    # break lineage before overwriting what was just read; the merged
+    # relation is touched-cells-sized, not corpus-sized
+    merged = merged.localCheckpoint(eager=True)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            merged.repartition(len(touched), F.col("cell"))
+            .write.mode("overwrite")
+            .partitionBy("cell")
+            .parquet(store_path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return touched
 
 
 def knn_ivfpq(
@@ -971,27 +1065,25 @@ def knn_ivfpq(
     )
 
 
-def sql_knn_ivfpq(
-    n_queries: int = 10,
-    k: int = 5,
-    n_coarse: int = 8,
-    nprobe: int = 2,
-    m: int = 8,
-    ksub: int = 16,
-    d: int = 64,
-    src: str = "embeddings",
-) -> str:
-    """DuckDB twin of :func:`knn_ivfpq` (coarse assign -> residual ->
-    residual codebook -> codes -> probes -> dtab -> integer ADC)."""
-    dsub = d // m
-    js = ", ".join(f"({j})" for j in range(m))
-    sub = lambda arr: f"{arr}[j.j*{dsub}+1 : j.j*{dsub}+{dsub}]"  # noqa: E731
-    residual = (
+def _sql_ivfpq_residual() -> str:
+    return (
         "list_transform(list_zip({a}, {b}), "
         "p -> CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))"
     )
-    return f"""
-        WITH cents AS (SELECT vec_id AS cid, embedding AS c
+
+
+def _sql_ivfpq_code_ctes(
+    n_coarse: int, m: int, ksub: int, d: int, src: str
+) -> str:
+    """The encode half of the IVF-PQ oracle as CTE text (cents -> assign
+    -> resid -> rcode -> enc -> codes) -- shared by :func:`sql_knn_ivfpq`
+    and :func:`sql_ivfpq_codes` so the upsert oracle replays the exact
+    same model + coding decisions."""
+    dsub = d // m
+    js = ", ".join(f"({j})" for j in range(m))
+    sub = lambda arr: f"{arr}[j.j*{dsub}+1 : j.j*{dsub}+{dsub}]"  # noqa: E731
+    residual = _sql_ivfpq_residual()
+    return f"""cents AS (SELECT vec_id AS cid, embedding AS c
                        FROM {src} WHERE vec_id < {n_coarse}),
         assign AS (SELECT vec_id, embedding, cid AS cell, c AS c_emb FROM (
                        SELECT e.vec_id, e.embedding, cents.cid, cents.c,
@@ -1013,7 +1105,44 @@ def sql_knn_ivfpq(
                                ROW_NUMBER() OVER (PARTITION BY vec_id, j
                                    ORDER BY d2q ASC, rid ASC) AS rnk
                         FROM enc)
-                  WHERE rnk = 1),
+                  WHERE rnk = 1)"""
+
+
+def sql_ivfpq_codes(
+    n_coarse: int = 8,
+    m: int = 8,
+    ksub: int = 16,
+    d: int = 64,
+    src: str = "embeddings",
+) -> str:
+    """DuckDB twin of the IVF-PQ code store CONTENTS -- what the
+    cell-partitioned lake must hold after any build/upsert sequence over
+    the same final corpus (the ``ivfpq_upsert`` oracle: merging a batch
+    into a store must equal rebuilding from the union)."""
+    return f"""
+        WITH {_sql_ivfpq_code_ctes(n_coarse, m, ksub, d, src)}
+        SELECT vec_id, cell, j, code FROM codes
+    """
+
+
+def sql_knn_ivfpq(
+    n_queries: int = 10,
+    k: int = 5,
+    n_coarse: int = 8,
+    nprobe: int = 2,
+    m: int = 8,
+    ksub: int = 16,
+    d: int = 64,
+    src: str = "embeddings",
+) -> str:
+    """DuckDB twin of :func:`knn_ivfpq` (coarse assign -> residual ->
+    residual codebook -> codes -> probes -> dtab -> integer ADC)."""
+    dsub = d // m
+    js = ", ".join(f"({j})" for j in range(m))
+    sub = lambda arr: f"{arr}[j.j*{dsub}+1 : j.j*{dsub}+{dsub}]"  # noqa: E731
+    residual = _sql_ivfpq_residual()
+    return f"""
+        WITH {_sql_ivfpq_code_ctes(n_coarse, m, ksub, d, src)},
         probes AS (SELECT query_id, cell,
                           {residual.format(a='q_emb', b='c_emb')} AS q_r
                    FROM (SELECT q.vec_id AS query_id, q.embedding AS q_emb,

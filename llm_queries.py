@@ -867,6 +867,49 @@ def q_dedup_source_matrix(spark, sf_dir):
     return dedup_source_matrix(_docs(spark, sf_dir), threshold=0.25)
 
 
+def q_ivfpq_upsert(spark, sf_dir):
+    """ANN index MAINTENANCE (r6 verdict item 6): a cell-partitioned
+    IVF-PQ code store built from the corpus (vec_id % 50 != 37), then a
+    new vector batch (vec_id % 50 == 37) merged in by
+    ``ivfpq_upsert`` -- encoded against the SERVING model, touched cell
+    directories dynamically overwritten, stored corpus never reshuffled
+    (rewrite asserted touched-cells-only in tests/test_llm_ops.py).
+    The split leaves the model's seed vectors (vec_id < 16) in the
+    corpus, so the serving model equals the full-corpus model and the
+    oracle is simply: the final store must equal a clean rebuild over
+    the final corpus (``sql_ivfpq_codes``)."""
+    import shutil
+    import tempfile
+
+    from async_stream_processing_spark.llm.similarity import (
+        ivfpq_encode,
+        ivfpq_upsert,
+    )
+
+    emb = _emb(spark, sf_dir)
+    corpus = emb.filter(F.col("vec_id") % 50 != 37)
+    batch = emb.filter(F.col("vec_id") % 50 == 37)
+    store = tempfile.mkdtemp(prefix="asp_ivfpq_store_")
+    shutil.rmtree(store)
+    try:
+        codes_long, coarse, rcode = ivfpq_encode(corpus)
+        codes_long.write.mode("overwrite").partitionBy("cell").parquet(store)
+        ivfpq_upsert(spark, store, batch, coarse, rcode)
+        out = (
+            spark.read.parquet(store)
+            .select(
+                "vec_id",
+                F.col("cell").cast("long").alias("cell"),  # partition col
+                "j",
+                "code",
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+    return out
+
+
 def q_ivfpq_recall(spark, sf_dir):
     """Recall@5 of the IVF-PQ index vs exact brute force -- the eval row
     that justifies nprobe/n_coarse/m before a full 100 TB index build."""
@@ -989,6 +1032,7 @@ LLM_QUERIES = {
     "bigram_predictability": q_bigram_predictability,
     "semdedup": q_semdedup,
     "ivfpq_recall": q_ivfpq_recall,
+    "ivfpq_upsert": q_ivfpq_upsert,
     "knn_refine": q_knn_refine,
     "stream_minhash_sigs": q_stream_minhash_sigs,
     "minhash_sigs": q_minhash_sigs,
@@ -1287,6 +1331,7 @@ def llm_oracle_sql() -> dict[str, str]:
 
     from async_stream_processing_spark.llm.similarity import (
         sql_ivfpq_recall,
+        sql_ivfpq_codes,
         sql_knn_refine,
         sql_semdedup,
     )
@@ -1317,6 +1362,7 @@ def llm_oracle_sql() -> dict[str, str]:
         "bigram_predictability": sql_bigram_predictability(),
         "semdedup": sql_semdedup(n_centroids=8, tau=0.4),
         "ivfpq_recall": sql_ivfpq_recall(n_queries=10, k=5),
+        "ivfpq_upsert": sql_ivfpq_codes(),
         "knn_refine": sql_knn_refine(n_queries=10, k=5, shortlist=20),
         "stream_minhash_sigs": minhash_sig_sql,
         "minhash_sigs": f"""

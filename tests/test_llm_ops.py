@@ -927,3 +927,74 @@ def test_bigram_predictability_templated_vs_novel(spark):
     # ties resolve to 'b' (count 4 from doc 0's corpus presence)
     assert out[1]["n_transitions"] == 7
     assert 2 not in out
+
+
+def test_ivfpq_upsert_touched_cells_only(spark, tmp_path):
+    """Index maintenance contract: merging a batch (a) rewrites ONLY the
+    cell partitions the batch lands in, (b) leaves the store equal to a
+    clean rebuild over the final corpus, (c) is idempotent, and (d)
+    update-wins for a re-ingested vec_id."""
+    import os
+
+    from async_stream_processing_spark.llm.similarity import (
+        ivfpq_encode,
+        ivfpq_upsert,
+    )
+    from async_stream_processing_spark.sources.parquet import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 50 != 37)
+    batch = emb.filter(F.col("vec_id") % 50 == 37)
+    store = str(tmp_path / "store")
+    codes_long, coarse, rcode = ivfpq_encode(corpus)
+    codes_long.write.mode("overwrite").partitionBy("cell").parquet(store)
+
+    def snapshot():
+        out = {}
+        for d in os.listdir(store):
+            if d.startswith("cell="):
+                p = os.path.join(store, d)
+                out[d] = sorted(
+                    (f, os.path.getmtime(os.path.join(p, f)))
+                    for f in os.listdir(p) if not f.startswith(("_", "."))
+                )
+        return out
+
+    before = snapshot()
+    touched = ivfpq_upsert(spark, store, batch, coarse, rcode)
+    after = snapshot()
+    assert touched  # the batch landed somewhere
+    untouched_dirs = [d for d in before if int(d.split("=")[1]) not in touched]
+    assert untouched_dirs, "degenerate fixture: batch touched every cell"
+    for d in untouched_dirs:  # (a) untouched partitions byte-untouched
+        assert after[d] == before[d]
+    for cell in touched:      # touched partitions really were rewritten
+        assert after[f"cell={cell}"] != before.get(f"cell={cell}")
+
+    def content():
+        return {
+            tuple(r) for r in spark.read.parquet(store)
+            .select("vec_id", F.col("cell").cast("long"), "j", "code")
+            .collect()
+        }
+
+    got = content()
+    # (b) equal to a clean rebuild over the final corpus (same model:
+    # the seed vectors vec_id<16 are all in the corpus split)
+    rebuild, _, _ = ivfpq_encode(emb)
+    assert got == {tuple(r) for r in rebuild.collect()}
+    # (c) idempotent re-delivery
+    ivfpq_upsert(spark, store, batch, coarse, rcode)
+    assert content() == got
+    # (d) update-wins: re-ingest one vec_id with a different embedding;
+    # its old codes are replaced, nothing else changes
+    one = batch.limit(1).select("vec_id").first()["vec_id"]
+    mutated = emb.filter(F.col("vec_id") == one).select(
+        "vec_id",
+        F.transform("embedding", lambda x: -x).alias("embedding"),
+    )
+    ivfpq_upsert(spark, store, mutated, coarse, rcode)
+    got2 = content()
+    assert {r for r in got if r[0] != one} == {r for r in got2 if r[0] != one}
+    assert {r for r in got2 if r[0] == one} != {r for r in got if r[0] == one}
