@@ -2820,6 +2820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup": LLM_QUERIES["incremental_dedup"],
         "stream_incremental_dedup": LLM_QUERIES["stream_incremental_dedup"],
         "ivfpq_upsert": LLM_QUERIES["ivfpq_upsert"],
+        "substring_dup_spans": LLM_QUERIES["substring_dup_spans"],
         # ================= end of the 50-key gate window =================
         "table_stats": q_table_stats,
         "dq_audit": q_dq_audit,

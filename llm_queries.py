@@ -550,6 +550,20 @@ def q_substring_dups(spark, sf_dir):
     return substring_dups(_docs(spark, sf_dir), n=20, w=8)
 
 
+def q_substring_dup_spans(spark, sf_dir):
+    """EXACT duplicated character spans (Lee et al. 2022 ExactSubstr
+    shape, winnowing-bounded): winnow-selected gram matches merged into
+    maximal verified spans per document pair at the matching diagonal;
+    every reported span is a certified literal equality
+    (llm/dedup.substring_dup_spans).  Gram occurrence cap 50 is the
+    boilerplate skew guard, applied identically in both engines."""
+    from async_stream_processing_spark.llm.dedup import substring_dup_spans
+
+    return substring_dup_spans(
+        _docs(spark, sf_dir), n=20, w=8, max_occurrences=50
+    )
+
+
 def q_incremental_dedup(spark, sf_dir):
     """Incremental (batch-vs-stored-corpus) near-dedup SEMANTICS, gated:
     an ingest batch (doc_id % 5 == 0) checked against the stored corpus
@@ -1063,6 +1077,7 @@ LLM_QUERIES = {
     "incremental_dedup": q_incremental_dedup,
     "stream_incremental_dedup": q_stream_incremental_dedup,
     "substring_dups": q_substring_dups,
+    "substring_dup_spans": q_substring_dup_spans,
     "inverted_index": q_inverted_index,
     "doc_chunks": q_doc_chunks,
     "stream_gopher_quality": q_stream_gopher_quality,
@@ -1278,6 +1293,7 @@ def llm_oracle_sql() -> dict[str, str]:
     from async_stream_processing_spark.llm.dedup import (
         sql_line_dedup,
         sql_substring_dups,
+        sql_substring_dup_spans,
     )
     from async_stream_processing_spark.llm.text_analysis import (
         sql_heavy_hitters,
@@ -1482,6 +1498,8 @@ def llm_oracle_sql() -> dict[str, str]:
         "source_overlap": sql_source_overlap(),
         "heavy_hitters": sql_heavy_hitters(k=30),
         "substring_dups": sql_substring_dups(n=20, w=8),
+        "substring_dup_spans": sql_substring_dup_spans(
+            n=20, w=8, max_occurrences=50),
         "inverted_index": sql_inverted_index(max_postings=1000),
         "doc_chunks": sql_chunk_documents(budget=64, overlap=16),
         "stream_gopher_quality": sql_gopher_quality(),

@@ -998,3 +998,78 @@ def test_ivfpq_upsert_touched_cells_only(spark, tmp_path):
     got2 = content()
     assert {r for r in got if r[0] != one} == {r for r in got2 if r[0] != one}
     assert {r for r in got2 if r[0] == one} != {r for r in got if r[0] == one}
+
+
+def test_substring_dup_spans_verified_and_merged(spark):
+    """Every reported span is a literal character equality at the stated
+    positions; matches on one diagonal merge into ONE maximal span; the
+    >= n+w-1 winnowing guarantee holds regardless of alignment."""
+    from async_stream_processing_spark.llm.dedup import substring_dup_spans
+
+    shared = "this exact passage is copied verbatim between two documents"
+    texts = [
+        "AAA " + shared + " and then doc zero rambles on differently",
+        "completely other opening here :: " + shared + " trailing tail",
+        "no overlap with anybody at all in this one, purely unique text!",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    out = substring_dup_spans(docs, n=20, w=8, max_occurrences=50).collect()
+    pairs = {(r["doc_a"], r["doc_b"]) for r in out}
+    assert pairs == {(0, 1)}  # doc 2 shares nothing
+    assert len(out) == 1      # one diagonal -> one merged island
+    r = out[0]
+    sub_a = texts[0][r["pos_a"] - 1: r["pos_a"] - 1 + r["span_len"]]
+    sub_b = texts[1][r["pos_b"] - 1: r["pos_b"] - 1 + r["span_len"]]
+    assert sub_a == sub_b and len(sub_a) == r["span_len"]  # certified
+    # the TRUE maximal shared span includes the common ' ' on each side
+    # (both docs surround the passage with spaces); the report is a
+    # certified sub-span of it
+    assert r["span_len"] >= 20 and sub_a in (" " + shared + " ")
+
+    # alignment independence: shift doc 1's copy by one char -- winnowing
+    # is content-defined, so the span is still found
+    docs2 = spark.createDataFrame(
+        [(0, texts[0]), (1, "X" + texts[1])], "doc_id long, text string"
+    )
+    out2 = substring_dup_spans(docs2, n=20, w=8).collect()
+    assert len(out2) == 1 and out2[0]["span_len"] >= 20
+
+
+def test_substring_dup_spans_skew_cap(spark):
+    """The occurrence cap drops boilerplate grams BEFORE the self-join
+    (quadratic-bucket guard): an all-docs-share-boilerplate corpus
+    produces no boilerplate pairs under the cap, while a planted rare
+    pair is still found -- and the capped gram really does exceed the
+    cap in the selected-gram relation."""
+    from async_stream_processing_spark.llm.dedup import (
+        _winnowed_grams,
+        substring_dup_spans,
+    )
+
+    boiler = "subscribe to our newsletter for all the latest updates today"
+    rare = "the one genuinely duplicated passage of real document content"
+    # fillers share NO cross-doc substring (distinct letters, distinct
+    # lengths) -- the only true duplicates are the boilerplate (capped)
+    # and the planted rare passage
+    texts = [
+        boiler + " " + chr(97 + i) * (21 + i) for i in range(12)
+    ]
+    texts[3] = texts[3] + " " + rare
+    texts[7] = rare + " " + texts[7]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    cap = 4
+    # the boilerplate gram is genuinely hot: some selected gram occurs
+    # in more than `cap` documents
+    occ = (
+        _winnowed_grams(docs, n=20, w=8).groupBy("gram").count()
+        .agg(F.max("count")).first()[0]
+    )
+    assert occ > cap
+    out = substring_dup_spans(docs, n=20, w=8, max_occurrences=cap).collect()
+    pairs = {(r["doc_a"], r["doc_b"]) for r in out}
+    assert (3, 7) in pairs                       # rare pair survives
+    assert all(p == (3, 7) for p in pairs), pairs  # boilerplate capped away
