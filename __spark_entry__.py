@@ -2821,6 +2821,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_incremental_dedup": LLM_QUERIES["stream_incremental_dedup"],
         "ivfpq_upsert": LLM_QUERIES["ivfpq_upsert"],
         "substring_dup_spans": LLM_QUERIES["substring_dup_spans"],
+        "knn_ivfpq_served": LLM_QUERIES["knn_ivfpq_served"],
+        "stream_ivfpq_upsert": LLM_QUERIES["stream_ivfpq_upsert"],
         # ================= end of the 50-key gate window =================
         "table_stats": q_table_stats,
         "dq_audit": q_dq_audit,

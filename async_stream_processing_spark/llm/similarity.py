@@ -946,17 +946,19 @@ def ivfpq_upsert(
     # break lineage before overwriting what was just read; the merged
     # relation is touched-cells-sized, not corpus-sized
     merged = merged.localCheckpoint(eager=True)
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        (
-            merged.repartition(len(touched), F.col("cell"))
-            .write.mode("overwrite")
-            .partitionBy("cell")
-            .parquet(store_path)
-        )
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    # dynamic overwrite as a PER-WRITE option, not session conf: SQLConf
+    # is thread-local, so a session-level set is INVISIBLE to a write
+    # planned on a streaming micro-batch thread (foreachBatch runs under
+    # the query's cloned session) -- with static mode the 'overwrite'
+    # would silently replace the WHOLE store with the touched cells
+    # (caught by the stream_ivfpq_upsert rebuild-equality oracle)
+    (
+        merged.repartition(len(touched), F.col("cell"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cell")
+        .parquet(store_path)
+    )
     return touched
 
 
@@ -995,6 +997,37 @@ def knn_ivfpq(
     At 100 TB, store codes bucketed by ``cell`` so probes become
     partition-pruned reads."""
     codes_long, coarse, rcode = ivfpq_encode(embeddings, n_coarse, m, ksub, d)
+    return ivfpq_search(
+        embeddings, codes_long, coarse, rcode, n_queries, k, nprobe, m, d
+    )
+
+
+def ivfpq_search(
+    embeddings: DataFrame,
+    codes_long: DataFrame,
+    coarse: list[tuple[int, list[float]]],
+    rcode: list[tuple[int, list[float]]],
+    n_queries: int = 10,
+    k: int = 5,
+    nprobe: int = 2,
+    m: int = 8,
+    d: int = 64,
+    prune_cells: bool = False,
+) -> DataFrame:
+    """The SEARCH half of IVF-PQ against an existing code relation --
+    what an ANN serving tier runs: queries probe their ``nprobe``
+    nearest cells, build the per-cell integer distance table from the
+    driver-held model, and rank candidates by ADC.
+
+    ``prune_cells=True`` is the served-from-store path: the union of
+    probed cell ids (O(n_queries * nprobe) driver scalars -- model-sized
+    traffic, never corpus) becomes a LITERAL ``cell IN (...)`` filter on
+    the code relation, so a CELL-PARTITIONED store is read
+    partition-pruned -- the scan never opens unprobed cells' files
+    (asserted by ``tests/test_streaming.py::test_ivfpq_served_reads_only_probed_cells``).
+    With the default ``False`` the filter is omitted and the cell
+    equality in the ADC join does the restriction (the plan
+    :func:`knn_ivfpq` has always had)."""
     dsub = d // m
     spark = embeddings.sparkSession
     # query side: probe nprobe nearest cells, residualize per probed cell
@@ -1041,6 +1074,13 @@ def knn_ivfpq(
             ).alias("j", "d2q"),
         )
     )
+    if prune_cells:
+        # O(n_queries * nprobe) driver scalars; the literal IN list is
+        # what lets the partitioned store prune unprobed directories
+        probed = sorted(
+            r["cell"] for r in probes.select("cell").distinct().collect()
+        )
+        codes_long = codes_long.filter(F.col("cell").isin(probed))
     adc = (
         codes_long.join(
             F.broadcast(dtab),

@@ -87,17 +87,20 @@ def merge_batch(
             .filter(F.col("__rn") == 1)
             .drop("__rn", "__src")
         )
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        (
-            merged.repartition(len(touched), F.col(BUCKET_COL))
-            .write.mode("overwrite")
-            .partitionBy(BUCKET_COL)
-            .parquet(path)
-        )
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    # dynamic overwrite as a PER-WRITE option, not session conf: SQLConf
+    # is thread-local, and this merge usually runs inside foreachBatch on
+    # the micro-batch thread, where the query's CLONED session is active
+    # -- a session-level conf.set from the driver thread is invisible
+    # there, and static mode would replace the whole lake with the
+    # touched buckets (a sparse batch then silently drops every other
+    # bucket; regression-tested in test_streaming.py)
+    (
+        merged.repartition(len(touched), F.col(BUCKET_COL))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(BUCKET_COL)
+        .parquet(path)
+    )
 
 
 def upsert_sink(

@@ -58,6 +58,38 @@ def main(spark):
         n=5,
         label="PQ-prefix dedup candidate groups",
     )
+
+    # index MAINTENANCE: a new ingest batch merges into a
+    # cell-partitioned IVF-PQ store without a rebuild -- encode against
+    # the serving model, rewrite only the touched cell directories
+    import shutil
+    import tempfile
+
+    from async_stream_processing_spark.llm.similarity import (
+        ivfpq_encode,
+        ivfpq_upsert,
+    )
+
+    store = tempfile.mkdtemp(prefix="e18_ivfpq_")
+    shutil.rmtree(store)
+    try:
+        corpus = emb.filter(F.col("vec_id") % 50 != 37)
+        batch = emb.filter(F.col("vec_id") % 50 == 37)
+        codes_long, coarse, rcode = ivfpq_encode(corpus)
+        codes_long.write.mode("overwrite").partitionBy("cell").parquet(store)
+        touched = ivfpq_upsert(spark, store, batch, coarse, rcode)
+        n_cells = len(coarse)
+        print(
+            f"upsert touched {len(touched)}/{n_cells} cells "
+            f"({sorted(touched)}); untouched cell files unchanged"
+        )
+        show(
+            spark.read.parquet(store).groupBy("cell").count().orderBy("cell"),
+            n=8,
+            label="code store after upsert (per-cell row counts)",
+        )
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
     return groups
 
 

@@ -924,6 +924,91 @@ def q_ivfpq_upsert(spark, sf_dir):
     return out
 
 
+def q_knn_ivfpq_served(spark, sf_dir):
+    """IVF-PQ search SERVED FROM THE LAKE: codes persisted once as a
+    cell-partitioned parquet store; the query-side probe list becomes a
+    literal partition filter, so the scan opens ONLY the probed cells'
+    files (pruning asserted in tests/test_llm_ops.py) -- the ANN serving
+    posture at billion-vector scale.  Results identical to knn_ivfpq
+    (same oracle)."""
+    import shutil
+    import tempfile
+
+    from async_stream_processing_spark.llm.similarity import (
+        ivfpq_encode,
+        ivfpq_search,
+    )
+
+    emb = _emb(spark, sf_dir)
+    store = tempfile.mkdtemp(prefix="asp_ivfpq_serve_")
+    shutil.rmtree(store)
+    try:
+        codes_long, coarse, rcode = ivfpq_encode(emb)
+        codes_long.write.mode("overwrite").partitionBy("cell").parquet(store)
+        stored = spark.read.parquet(store).select(
+            "vec_id", F.col("cell").cast("long").alias("cell"), "j", "code"
+        )
+        out = ivfpq_search(
+            emb, stored, coarse, rcode,
+            n_queries=10, k=5, nprobe=2, prune_cells=True,
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+    return out
+
+
+def q_stream_ivfpq_upsert(spark, sf_dir):
+    """ivfpq_upsert EXECUTED BY THE STREAMING ENGINE: new vectors arrive
+    through readStream and each micro-batch merges into the
+    cell-partitioned code store via foreachBatch + ivfpq_upsert
+    (touched-cells-only dynamic overwrite; idempotent merge = the
+    exactly-once foreachBatch recipe, the stream_upsert_state pattern).
+    The final store must equal a clean rebuild over the final corpus --
+    same oracle as the batch ivfpq_upsert."""
+    import shutil
+    import tempfile
+
+    from async_stream_processing_spark.llm.similarity import (
+        ivfpq_encode,
+        ivfpq_upsert,
+    )
+    from async_stream_processing_spark.sources.parquet import stream_table
+
+    emb = _emb(spark, sf_dir)
+    store = tempfile.mkdtemp(prefix="asp_ivfpq_sstore_")
+    ck = tempfile.mkdtemp(prefix="asp_ivfpq_sck_")
+    shutil.rmtree(store)
+    try:
+        codes_long, coarse, rcode = ivfpq_encode(
+            emb.filter(F.col("vec_id") % 50 != 37)
+        )
+        codes_long.write.mode("overwrite").partitionBy("cell").parquet(store)
+        s = stream_table(spark, sf_dir, "embeddings").filter(
+            F.col("vec_id") % 50 == 37
+        )
+        q = (
+            s.writeStream.foreachBatch(
+                lambda b, _i: ivfpq_upsert(spark, store, b, coarse, rcode)
+            )
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        out = (
+            spark.read.parquet(store)
+            .select(
+                "vec_id", F.col("cell").cast("long").alias("cell"),
+                "j", "code",
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+        shutil.rmtree(ck, ignore_errors=True)
+    return out
+
+
 def q_ivfpq_recall(spark, sf_dir):
     """Recall@5 of the IVF-PQ index vs exact brute force -- the eval row
     that justifies nprobe/n_coarse/m before a full 100 TB index build."""
@@ -1047,6 +1132,8 @@ LLM_QUERIES = {
     "semdedup": q_semdedup,
     "ivfpq_recall": q_ivfpq_recall,
     "ivfpq_upsert": q_ivfpq_upsert,
+    "knn_ivfpq_served": q_knn_ivfpq_served,
+    "stream_ivfpq_upsert": q_stream_ivfpq_upsert,
     "knn_refine": q_knn_refine,
     "stream_minhash_sigs": q_stream_minhash_sigs,
     "minhash_sigs": q_minhash_sigs,
@@ -1379,6 +1466,9 @@ def llm_oracle_sql() -> dict[str, str]:
         "semdedup": sql_semdedup(n_centroids=8, tau=0.4),
         "ivfpq_recall": sql_ivfpq_recall(n_queries=10, k=5),
         "ivfpq_upsert": sql_ivfpq_codes(),
+        "stream_ivfpq_upsert": sql_ivfpq_codes(),
+        "knn_ivfpq_served": sql_knn_ivfpq(
+            n_queries=10, k=5, n_coarse=8, nprobe=2),
         "knn_refine": sql_knn_refine(n_queries=10, k=5, shortlist=20),
         "stream_minhash_sigs": minhash_sig_sql,
         "minhash_sigs": f"""

@@ -396,6 +396,100 @@ def test_upsert_sink_rewrites_only_touched_buckets(spark, tmp_path):
     assert got[7] == "v7x" and len(got) == 40
 
 
+def test_upsert_sink_sparse_batch_on_stream_thread(spark, tmp_path):
+    """Regression (r7): SQLConf is thread-local, so dynamic partition
+    overwrite must ride the WRITE OPTION, not session conf -- a merge
+    planned on the micro-batch thread under static mode would replace
+    the whole lake with the batch's buckets.  A sparse second
+    micro-batch (one key, one bucket) must leave every other bucket's
+    rows in place."""
+    from async_stream_processing_spark.streaming.replay import replay_stream
+    from async_stream_processing_spark.streaming.upsert import (
+        read_current,
+        upsert_sink,
+    )
+
+    src = str(tmp_path / "sp_in")
+    lake = str(tmp_path / "sp_lake")
+    ck = str(tmp_path / "sp_ck")
+    schema = "k long, v string, ver long"
+    # file 1: 40 keys across all 8 buckets; file 2: ONE key
+    spark.createDataFrame(
+        [(i, f"v{i}", 0) for i in range(40)], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame([(7, "v7x", 5)], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    s = replay_stream(spark, src, schema, ts_col="ver", watermark=None,
+                      max_files_per_trigger=1)
+    upsert_sink(s, lake, keys=["k"], version_col="ver",
+                checkpoint=ck, n_buckets=8).awaitTermination()
+    got = {(r["k"], r["v"]) for r in read_current(spark, lake).collect()}
+    assert len(got) == 40           # nothing outside bucket(7) was lost
+    assert (7, "v7x") in got
+
+
+def test_ivfpq_served_reads_only_probed_cells(spark, tmp_path):
+    """prune_cells=True turns the probe list into a literal partition
+    filter: the served search's scan opens files ONLY under the probed
+    cells' directories, and the results equal the unpruned search."""
+    from async_stream_processing_spark.llm.similarity import (
+        ivfpq_encode,
+        ivfpq_search,
+    )
+    from async_stream_processing_spark.sources.parquet import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    store = str(tmp_path / "serve_store")
+    codes_long, coarse, rcode = ivfpq_encode(emb)
+    codes_long.write.mode("overwrite").partitionBy("cell").parquet(store)
+    stored = spark.read.parquet(store).select(
+        "vec_id", F.col("cell").cast("long").alias("cell"), "j", "code"
+    )
+    unpruned = sorted(map(tuple, ivfpq_search(
+        emb, stored, coarse, rcode, n_queries=3, k=4, nprobe=2,
+        prune_cells=False,
+    ).collect()))
+
+    served = ivfpq_search(
+        emb, stored, coarse, rcode, n_queries=3, k=4, nprobe=2,
+        prune_cells=True,
+    )
+    # read the literal probe list off the scan's partition filters
+    import os
+    import re
+
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"cell.{0,20} IN \(([0-9,\- ]+)\)", plan)
+    assert m, plan[:1500]
+    probed = {int(x) for x in m.group(1).split(",")}
+    all_cells = {
+        int(d.split("=")[1])
+        for d in os.listdir(store) if d.startswith("cell=")
+    }
+    assert probed < all_cells  # strictly fewer cells than the store holds
+
+    # the strong proof (the partition-pruning test's discipline): corrupt
+    # every UNPROBED cell's files -- the served query still runs, because
+    # the scan never opens those bytes -- and results equal the unpruned
+    # search (which ran before the corruption)
+    for cell in all_cells - probed:
+        d = os.path.join(store, f"cell={cell}")
+        for f in os.listdir(d):
+            if not f.startswith(("_", ".")):
+                with open(os.path.join(d, f), "wb") as fh:
+                    fh.write(b"corrupt")
+    served_again = ivfpq_search(
+        emb,
+        spark.read.parquet(store).select(
+            "vec_id", F.col("cell").cast("long").alias("cell"), "j", "code"
+        ),
+        coarse, rcode, n_queries=3, k=4, nprobe=2, prune_cells=True,
+    )
+    assert sorted(map(tuple, served_again.collect())) == unpruned
+
+
 def test_observed_metrics_in_progress(spark, tmp_path):
     """observe() metrics ride the progress feed: row count and event-time
     high watermark per micro-batch, no extra pass over the data."""
