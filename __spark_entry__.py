@@ -2746,24 +2746,11 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Key order matters: the driver's CORRECTNESS gate covers the FIRST 50
-    # keys only.  Round 6's window (per the r5 verdict checklist): (a) the
-    # THREE r5 hash-reds (bm25_topk, knn_pq_adc, bpe_merge_pairs) plus the
-    # FIVE never-driver-gated keys (knn_ivfpq, bpe_train, dedup_pair_recall,
-    # rp_project, line_dedup) -- the five HUGEINT oracles are now CAST to
-    # BIGINT and all eight re-verified dtype-strict locally; (b) every key
-    # whose CODE (or underlying operator plan) changed after the r5 gate
-    # ran: zorder_prune_stats (morton bits derived from `buckets`),
-    # knn_ivfpq (centroid fetched by array position), rp_project
-    # (broadcast-data-row sign matrix), the minhash family
-    # (dedup_minhash_lsh, dedup_clusters, incremental_dedup,
-    # pipeline_end_to_end -- narrow zero-shuffle signatures + the shared
-    # (band, sig) bucket exchange), the simhash pair
-    # (simhash_fingerprint, simhash_pairs -- narrow per-row signatures),
-    # and the gopher pair (gopher_repetition, gopher_repetition_full --
-    # per-row sorted-run top-gram folds); (c) the SIXTEEN queries NEW in
-    # round 6; (d) re-confirmation filler.  After this gate runs, every
-    # declared query has at least one driver-green row in some round.
-    return {
+    # keys only.  `base` below holds every declared query (insertion order
+    # irrelevant); GATE_WINDOW -- defined after this function with the
+    # round's composition rationale -- is hoisted to the front
+    # mechanically, so rotating the window is a one-list edit.
+    base = {
         # --- (a) r5 reds (dtype-only) + never-driver-gated ---
         "bm25_topk": LLM_QUERIES["bm25_topk"],
         "knn_pq_adc": LLM_QUERIES["knn_pq_adc"],
@@ -2977,6 +2964,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "first_seen": q_first_seen,
         "timer_ticks": q_timer_ticks,
     }
+    out = {k: base[k] for k in GATE_WINDOW}
+    out.update(base)
+    return out
+
+
+#: Round-7 gate window: the driver checks the FIRST 50 `queries()` keys.
+#: Composition (mechanically verified by tools/check_window.py):
+#: (a) the FIVE queries new this round (never driver-gated);
+#: (b) the THIRTEEN keys whose code or underlying operator plan changed
+#:     after the r6 gate ran: the minhash-pair family (narrow
+#:     array_intersect verification + checkpointed candidates), the CC
+#:     loop (pinned conf, sum convergence probe, window sizes), line_dedup
+#:     (window first-seen + narrow n_segs), pipeline_end_to_end (pushable
+#:     n_chars prefilter), substring_dups (_winnowed_grams factoring),
+#:     knn_ivfpq/ivfpq_recall (ivfpq_encode/search factoring),
+#:     stream_upsert_state (per-write dynamic-overwrite option);
+#: (c) re-confirmation filler: the 32 stalest keys -- every remaining key
+#:     last gated in round 2, plus the two oldest round-3 keys.
+GATE_WINDOW = [
+    # (a) new in round 7
+    "stream_incremental_dedup", "ivfpq_upsert", "substring_dup_spans",
+    "knn_ivfpq_served", "stream_ivfpq_upsert",
+    # (b) changed after the r6 gate
+    "line_dedup", "dedup_minhash_lsh", "dedup_clusters", "dedup_keep_best",
+    "dedup_source_matrix", "dedup_pair_recall", "incremental_dedup",
+    "pipeline_end_to_end", "embedding_dedup_clusters", "substring_dups",
+    "knn_ivfpq", "ivfpq_recall", "stream_upsert_state",
+    # (c) stalest re-confirmations (last gated r2, then oldest r3)
+    "cart_fold_state", "demux_counts", "event_deltas", "feedback_orders",
+    "first_seen", "positional_zip", "revenue_rollup", "rows_frame_last5",
+    "semi_anti_join", "sessionize", "sessionize_native", "set_ops_multiset",
+    "stream_cart_fold", "stream_join_1h", "timer_ticks", "topk_per_priority",
+    "tpch_q1", "tpch_q10", "tpch_q13", "tpch_q15", "tpch_q16", "tpch_q17",
+    "tpch_q19", "tpch_q21", "tpch_q22", "tpch_q4", "tpch_q7", "tpch_q8",
+    "trade_pnl_asof", "vwap_2min", "ann_lsh_buckets", "decontaminate",
+]
 
 
 _EVENTS_VOL = f"(SELECT *, {_VOL} AS vol, event_id AS seq FROM events)"

@@ -117,6 +117,8 @@ def main() -> None:
                 li, "l_orderkey", "l_partkey", 2, 1, 20),
             li1, li8),
         "substring_dups": (_sub_dups, docs1, docs8),
+        "substring_dup_spans": (_sub_spans, docs1, docs8),
+        "line_dedup": (_line_dedup, docs1, docs8),
         "twap_daily": (_twap, ev1, ev8),
         "interval_coalesce": (_coalesce, ev1, ev8),
         "ewma_users": (_ewma, ev1, ev8),
@@ -371,6 +373,18 @@ def _knn_refine(emb):
     from async_stream_processing_spark.llm.similarity import knn_refine
 
     return knn_refine(emb, n_queries=10, k=5, shortlist=20)
+
+
+def _sub_spans(docs):
+    from async_stream_processing_spark.llm.dedup import substring_dup_spans
+
+    return substring_dup_spans(docs, n=20, w=8, max_occurrences=50)
+
+
+def _line_dedup(docs):
+    from async_stream_processing_spark.llm.dedup import line_dedup
+
+    return line_dedup(docs, width=10)
 
 
 def _max_dd(ev):
