@@ -2971,7 +2971,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 #: Round-7 gate window: the driver checks the FIRST 50 `queries()` keys.
 #: Composition (mechanically verified by tools/check_window.py):
-#: (a) the FIVE queries new this round (never driver-gated);
+#: (a) the SEVEN queries new this round (never driver-gated);
 #: (b) the THIRTEEN keys whose code or underlying operator plan changed
 #:     after the r6 gate ran: the minhash-pair family (narrow
 #:     array_intersect verification + checkpointed candidates), the CC
@@ -2980,12 +2980,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #:     n_chars prefilter), substring_dups (_winnowed_grams factoring),
 #:     knn_ivfpq/ivfpq_recall (ivfpq_encode/search factoring),
 #:     stream_upsert_state (per-write dynamic-overwrite option);
-#: (c) re-confirmation filler: the 32 stalest keys -- every remaining key
-#:     last gated in round 2, plus the two oldest round-3 keys.
+#: (c) re-confirmation filler: the 30 stalest keys -- every remaining key
+#:     last gated in round 2.
 GATE_WINDOW = [
     # (a) new in round 7
     "stream_incremental_dedup", "ivfpq_upsert", "substring_dup_spans",
     "knn_ivfpq_served", "stream_ivfpq_upsert",
+    "perceptron_train", "perceptron_score",
     # (b) changed after the r6 gate
     "line_dedup", "dedup_minhash_lsh", "dedup_clusters", "dedup_keep_best",
     "dedup_source_matrix", "dedup_pair_recall", "incremental_dedup",
@@ -2998,7 +2999,7 @@ GATE_WINDOW = [
     "stream_cart_fold", "stream_join_1h", "timer_ticks", "topk_per_priority",
     "tpch_q1", "tpch_q10", "tpch_q13", "tpch_q15", "tpch_q16", "tpch_q17",
     "tpch_q19", "tpch_q21", "tpch_q22", "tpch_q4", "tpch_q7", "tpch_q8",
-    "trade_pnl_asof", "vwap_2min", "ann_lsh_buckets", "decontaminate",
+    "trade_pnl_asof", "vwap_2min",
 ]
 
 

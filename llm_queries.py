@@ -630,6 +630,27 @@ def q_stream_incremental_dedup(spark, sf_dir):
     return out
 
 
+def q_perceptron_train(spark, sf_dir):
+    """Quality-classifier TRAINING as a distributed bounded-round loop
+    (llm/classifier.py): integer batch perceptron over DSIR hashed
+    n-gram features, labels bootstrapped from the Gopher rule gate --
+    the CCNet/LLaMA-style curation-classifier shape with an unrolled
+    CTE-chain oracle (the pagerank discipline).  Output: the trained
+    weight vector as (bucket, weight) rows."""
+    from async_stream_processing_spark.llm.classifier import perceptron_train
+
+    return perceptron_train(_docs(spark, sf_dir), n_buckets=64, n_rounds=3)
+
+
+def q_perceptron_score(spark, sf_dir):
+    """Whole-corpus scoring with the trained quality classifier: one
+    broadcast dot product per document (margin, prediction, agreement
+    with the rule teacher)."""
+    from async_stream_processing_spark.llm.classifier import perceptron_score
+
+    return perceptron_score(_docs(spark, sf_dir), n_buckets=64, n_rounds=3)
+
+
 def q_c4_quality(spark, sf_dir):
     """C4 page-cleanup rules (Raffel et al. 2020 §2.2): line-level
     terminal-punctuation + min-words retention, page-level sentence /
@@ -1163,6 +1184,8 @@ LLM_QUERIES = {
     "heavy_hitters": q_heavy_hitters,
     "incremental_dedup": q_incremental_dedup,
     "stream_incremental_dedup": q_stream_incremental_dedup,
+    "perceptron_train": q_perceptron_train,
+    "perceptron_score": q_perceptron_score,
     "substring_dups": q_substring_dups,
     "substring_dup_spans": q_substring_dup_spans,
     "inverted_index": q_inverted_index,
@@ -1438,6 +1461,10 @@ def llm_oracle_sql() -> dict[str, str]:
         sql_knn_refine,
         sql_semdedup,
     )
+    from async_stream_processing_spark.llm.classifier import (
+        sql_perceptron_score,
+        sql_perceptron_train,
+    )
 
     minhash_sig_sql = f"""
             WITH {_sql_doc_shingles()},
@@ -1466,6 +1493,10 @@ def llm_oracle_sql() -> dict[str, str]:
         "semdedup": sql_semdedup(n_centroids=8, tau=0.4),
         "ivfpq_recall": sql_ivfpq_recall(n_queries=10, k=5),
         "ivfpq_upsert": sql_ivfpq_codes(),
+        "perceptron_train": sql_perceptron_train(
+            n_buckets=64, n_rounds=3),
+        "perceptron_score": sql_perceptron_score(
+            n_buckets=64, n_rounds=3),
         "stream_ivfpq_upsert": sql_ivfpq_codes(),
         "knn_ivfpq_served": sql_knn_ivfpq(
             n_queries=10, k=5, n_coarse=8, nprobe=2),

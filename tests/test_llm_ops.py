@@ -1073,3 +1073,54 @@ def test_substring_dup_spans_skew_cap(spark):
     pairs = {(r["doc_a"], r["doc_b"]) for r in out}
     assert (3, 7) in pairs                       # rare pair survives
     assert all(p == (3, 7) for p in pairs), pairs  # boilerplate capped away
+
+
+def test_perceptron_round1_is_label_weighted_feature_sum(spark):
+    """Round-1 semantics pinned: with w_0 = 0 every doc is misclassified
+    (y * 0 <= 0), so w_1[b] = sum_d y_d * count[d, b] exactly -- and the
+    score relation is self-consistent (margin from final w; correct ==
+    (pred == y))."""
+    from collections import defaultdict
+
+    from async_stream_processing_spark.llm.classifier import (
+        _labels,
+        perceptron_score,
+        perceptron_train_weights,
+    )
+    from async_stream_processing_spark.llm.importance import (
+        hashed_ngram_features,
+    )
+
+    texts = [
+        # >=50 words, mean word length in [3,10], stop hits, alphabetic
+        # -> Gopher keep (y=+1)
+        ("the cat sat on the mat with some warm food today " * 6).strip(),
+        ("the dog ran in the park with some good toys today " * 6).strip(),
+        # short docs -> flag_n_words -> drop (y=-1)
+        "tiny one",
+        "another small",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    B = 16
+    w1 = perceptron_train_weights(docs, n_buckets=B, n_rounds=1)
+    y = {r["doc_id"]: r["y"] for r in _labels(docs).collect()}
+    assert set(y.values()) == {1, -1}  # the fixture really is two-class
+    expect = defaultdict(int)
+    for r in hashed_ngram_features(docs, n_buckets=B).collect():
+        expect[r["bucket"]] += y[r["doc_id"]] * r["count"]
+    assert w1 == [expect[b] for b in range(B)]
+
+    scored = perceptron_score(docs, n_buckets=B, n_rounds=3).collect()
+    w3 = perceptron_train_weights(docs, n_buckets=B, n_rounds=3)
+    feats = defaultdict(int)
+    for r in hashed_ngram_features(docs, n_buckets=B).collect():
+        feats[(r["doc_id"], r["bucket"])] = r["count"]
+    for r in scored:
+        margin = sum(
+            c * w3[b] for (d, b), c in feats.items() if d == r["doc_id"]
+        )
+        assert r["margin"] == margin
+        assert r["pred"] == (1 if margin > 0 else -1)
+        assert r["correct"] == (r["pred"] == r["y"])
