@@ -243,6 +243,30 @@ def q_decontaminate(spark, sf_dir):
     return decontaminate(docs, bench, n=8)
 
 
+def q_stream_decontaminate(spark, sf_dir):
+    """Decontamination ON INGEST: the benchmark's Bloom prefilter is
+    driver-held model state built once (128 KiB); arriving corpus
+    documents are pruned by the broadcast sketch and exact-verified per
+    micro-batch THROUGH THE STREAMING ENGINE -- the gate a training-data
+    intake runs before anything lands in the lake.  Identical output to
+    the batch query (blooms have no false negatives; the verification
+    join removes false positives), so the same oracle applies."""
+    from async_stream_processing_spark.llm.decontaminate import (
+        bloom_decontaminate,
+    )
+    from async_stream_processing_spark.sources.parquet import stream_table
+    from async_stream_processing_spark.streaming.replay import drain
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") < 20).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    s = stream_table(spark, sf_dir, "documents")
+    return drain(
+        bloom_decontaminate(s, bench, n=8), output_mode="complete"
+    )
+
+
 def q_redact_pii(spark, sf_dir):
     """PII-style scrubbing over text with synthetic contact strings
     (the corpus itself is clean word-salad, so the query plants
@@ -1184,6 +1208,7 @@ LLM_QUERIES = {
     "heavy_hitters": q_heavy_hitters,
     "incremental_dedup": q_incremental_dedup,
     "stream_incremental_dedup": q_stream_incremental_dedup,
+    "stream_decontaminate": q_stream_decontaminate,
     "perceptron_train": q_perceptron_train,
     "perceptron_score": q_perceptron_score,
     "substring_dups": q_substring_dups,
@@ -2151,4 +2176,5 @@ def llm_oracle_sql() -> dict[str, str]:
     out["stream_simhash"] = out["simhash_fingerprint"]
     out["stream_bpe_apply"] = out["bpe_apply"]
     out["stream_incremental_dedup"] = out["incremental_dedup"]
+    out["stream_decontaminate"] = out["decontaminate"]
     return out
