@@ -229,3 +229,51 @@ def sql_perceptron_score(
                (CASE WHEN margin > 0 THEN 1 ELSE -1 END) = y AS correct
         FROM sm
     """
+
+
+def perceptron_score_narrow(
+    docs: DataFrame, weights: list[int], n_buckets: int = 64
+) -> DataFrame:
+    """Score documents with a TRAINED weight vector as a pure per-row
+    expression -- the deployment half of train-offline / score-online:
+    margin = fold over the doc's own gram array of
+    ``w[hash(gram) % B]``, the label comes from the inline Gopher keep
+    expression, and nothing aggregates -- so scoring is STATELESS and
+    runs unchanged on a STREAMING relation in append mode
+    (score-on-ingest, zero state).  The per-row multiset fold equals
+    the sparse bucket-count dot product by linearity, so the batch
+    :func:`perceptron_score` oracle applies verbatim.  The
+    O(n_buckets) weight vector rides as a literal -- at 64 longs
+    codegen handles it; a large model would ship as a broadcast data
+    row (the rp_project lesson).  Output schema matches
+    ``perceptron_score``: (doc_id, margin, pred, y, correct)."""
+    from ..functions.hashing import stable_hash60
+    from .curation import gopher_keep_expr
+    from .importance import _grams
+
+    w_arr = F.array(*[F.lit(int(x)).cast("long") for x in weights])
+    margin = F.aggregate(
+        F.transform(
+            _grams("text"),
+            lambda g: F.element_at(
+                w_arr, (stable_hash60(g) % n_buckets + 1).cast("int")
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    pred = (
+        F.when(margin > 0, F.lit(1)).otherwise(F.lit(-1)).cast("long")
+    )
+    y = (
+        F.when(gopher_keep_expr("text"), F.lit(1))
+        .otherwise(F.lit(-1))
+        .cast("long")
+    )
+    return docs.select(
+        "doc_id",
+        margin.alias("margin"),
+        pred.alias("pred"),
+        y.alias("y"),
+        (pred == y).alias("correct"),
+    )

@@ -308,6 +308,29 @@ GOPHER_MIN_STOP_HITS = 2
 GOPHER_ALPHA_NUM, GOPHER_ALPHA_DEN = 4, 5  # alpha_words/n_words >= 4/5
 
 
+def gopher_keep_expr(text: str = "text") -> "F.Column":
+    """The Gopher keep decision as ONE narrow column expression over the
+    raw text column -- the same four integer-space flags as
+    :func:`gopher_quality`, usable inside any per-row select (streaming
+    stateless scoring, inline label bootstrapping) without that
+    function's projection."""
+    w = tokens(text)
+    n_words = F.size(w).cast("long")
+    total_chars = _word_chars(w)
+    stop = F.array(*[F.lit(s) for s in LANG_STOPWORDS["en"]])
+    stop_hits = F.size(F.filter(w, lambda x: F.array_contains(stop, x))).cast(
+        "long"
+    )
+    alpha_words = F.size(F.filter(w, lambda x: x.rlike("[a-z]"))).cast("long")
+    flag_n = (n_words < GOPHER_MIN_WORDS) | (n_words > GOPHER_MAX_WORDS)
+    flag_len = (GOPHER_MIN_MEAN_LEN * n_words > total_chars) | (
+        total_chars > GOPHER_MAX_MEAN_LEN * n_words
+    )
+    flag_stop = stop_hits < GOPHER_MIN_STOP_HITS
+    flag_alpha = GOPHER_ALPHA_DEN * alpha_words < GOPHER_ALPHA_NUM * n_words
+    return ~(flag_n | flag_len | flag_stop | flag_alpha)
+
+
 def gopher_quality(docs: DataFrame, text: str = "text") -> DataFrame:
     """Gopher document-quality rules as pure column expressions (zero
     shuffles, zero UDFs).  Every flag is decided in integer space:

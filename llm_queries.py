@@ -675,6 +675,28 @@ def q_perceptron_score(spark, sf_dir):
     return perceptron_score(_docs(spark, sf_dir), n_buckets=64, n_rounds=3)
 
 
+def q_stream_perceptron_score(spark, sf_dir):
+    """Train-offline / SCORE-ON-INGEST: the perceptron weights are
+    learned once from the batch corpus (driver model state), then
+    arriving documents are scored THROUGH THE STREAMING ENGINE as a
+    stateless per-row fold (margin = w-weighted gram sum, label from the
+    inline Gopher keep expression) -- append mode, zero state.  Same
+    oracle as the batch perceptron_score."""
+    from async_stream_processing_spark.llm.classifier import (
+        perceptron_score_narrow,
+        perceptron_train_weights,
+    )
+    from async_stream_processing_spark.sources.parquet import stream_table
+    from async_stream_processing_spark.streaming.replay import drain
+
+    w = perceptron_train_weights(_docs(spark, sf_dir), n_buckets=64,
+                                 n_rounds=3)
+    s = stream_table(spark, sf_dir, "documents")
+    return drain(
+        perceptron_score_narrow(s, w, n_buckets=64), output_mode="append"
+    )
+
+
 def q_c4_quality(spark, sf_dir):
     """C4 page-cleanup rules (Raffel et al. 2020 §2.2): line-level
     terminal-punctuation + min-words retention, page-level sentence /
@@ -1211,6 +1233,7 @@ LLM_QUERIES = {
     "stream_decontaminate": q_stream_decontaminate,
     "perceptron_train": q_perceptron_train,
     "perceptron_score": q_perceptron_score,
+    "stream_perceptron_score": q_stream_perceptron_score,
     "substring_dups": q_substring_dups,
     "substring_dup_spans": q_substring_dup_spans,
     "inverted_index": q_inverted_index,
@@ -2177,4 +2200,5 @@ def llm_oracle_sql() -> dict[str, str]:
     out["stream_bpe_apply"] = out["bpe_apply"]
     out["stream_incremental_dedup"] = out["incremental_dedup"]
     out["stream_decontaminate"] = out["decontaminate"]
+    out["stream_perceptron_score"] = out["perceptron_score"]
     return out
