@@ -113,46 +113,16 @@ def perceptron_train(
 def perceptron_score(
     docs: DataFrame, n_buckets: int = 64, n_rounds: int = 3
 ) -> DataFrame:
-    """Score every document with the trained weights: one broadcast
-    join + one map-side-combined aggregation -- the whole-corpus scoring
-    pass that makes the classifier worth training (the Gopher rules
-    re-derive token statistics per doc; the classifier is a dot
-    product).  Output: (doc_id, margin, pred, y, correct)."""
-    spark = docs.sparkSession
+    """Score every document with the trained weights -- the
+    whole-corpus scoring pass that makes the classifier worth training
+    (the Gopher rules re-derive token statistics per doc; the
+    classifier is one weighted fold).  Scoring itself is
+    :func:`perceptron_score_narrow` -- a stateless per-row expression,
+    no second feature relation, no join (the per-row multiset fold
+    equals the sparse bucket-count dot product by linearity).
+    Output: (doc_id, margin, pred, y, correct)."""
     w = perceptron_train_weights(docs, n_buckets, n_rounds)
-    w_rel = spark.createDataFrame(
-        [(b, wb) for b, wb in enumerate(w)], "bucket long, w long"
-    )
-    fx = hashed_ngram_features(docs, n_buckets=n_buckets).select(
-        "doc_id", "bucket", "count"
-    )
-    margins = (
-        fx.join(F.broadcast(w_rel), "bucket")
-        .groupBy("doc_id")
-        .agg(
-            F.sum((F.col("count") * F.col("w")).cast("decimal(38,0)"))
-            .cast("long")
-            .alias("margin")
-        )
-    )
-    return (
-        margins.join(_labels(docs), "doc_id")
-        .select(
-            "doc_id",
-            "margin",
-            F.when(F.col("margin") > 0, F.lit(1))
-            .otherwise(F.lit(-1))
-            .cast("long")
-            .alias("pred"),
-            "y",
-            (
-                F.when(F.col("margin") > 0, F.lit(1))
-                .otherwise(F.lit(-1))
-                .cast("long")
-                == F.col("y")
-            ).alias("correct"),
-        )
-    )
+    return perceptron_score_narrow(docs, w, n_buckets)
 
 
 def _sql_perceptron_ctes(
