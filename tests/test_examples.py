@@ -29,6 +29,7 @@ EXAMPLES = [
     "e17_data_selection",
     "e18_vector_index",
     "e19_curation_round6",
+    "e20_streaming_intake",
 ]
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "examples"))
