@@ -47,24 +47,30 @@ def test_bench_stdout_contract(tmp_path):
 
 # --- per-query bench budgets (r5 verdict item 7) ---------------------------
 # The slowest queries are all iterative/composed; a 2x regression in one of
-# them hides inside the 193-query total.  Budgets are the worst ROUND-6
-# BENCH_DETAIL observation at sf0.1 (two full runs) with 2x headroom (the
-# host shows 13-25% run-to-run hypervisor variance) plus a flat 4 s
-# floor-of-noise grace for first-plan codegen under the test session's
-# config.  The r5 numbers these replaced: gopher_repetition_full 6.12,
-# gopher_repetition 4.72, rp_project 4.67, simhash_pairs 4.02 — all now
-# well below their old bases after the narrow-plan round.
+# them hides inside the 202-query total.  Budgets are the worst ROUND-7
+# BENCH_DETAIL observation at sf0.1 (four full runs spanning the host's
+# 330-397 s variance band) with 2x headroom plus a flat 4 s floor-of-noise
+# grace for first-plan codegen under the test session's config.
 R5_BUDGETS_SF01 = {
-    "dedup_clusters": 5.90,
-    "dedup_keep_best": 5.50,
-    "pipeline_end_to_end": 5.50,
+    "gopher_repetition_full": 8.45,
+    "ivf_kmeans_assign": 7.37,
+    "stream_perceptron_score": 6.69,
+    "stream_decontaminate": 6.09,
+    "stream_incremental_dedup": 6.61,
+    "knn_ivfpq_served": 6.46,
+    "stream_ivfpq_upsert": 6.25,
+    "ivfpq_recall": 6.12,
+    "ivfpq_upsert": 6.01,
+    "perceptron_score": 6.01,
+    "substring_dup_spans": 5.95,
+    "knn_ivfpq": 5.65,
+    "dedup_keep_best": 5.58,
+    "dedup_clusters": 5.41,
+    "perceptron_train": 5.27,
+    "pipeline_end_to_end": 4.74,
     "embedding_dedup_clusters": 5.30,
-    "gopher_repetition_full": 5.25,
-    "dedup_minhash_lsh": 5.12,
-    "ivf_kmeans_assign": 5.64,
+    "dedup_minhash_lsh": 4.42,
     "semdedup": 5.75,
-    "knn_ivfpq": 4.81,
-    "ivfpq_recall": 4.51,
     "gopher_repetition": 3.00,
     "rp_project": 1.50,
     "simhash_pairs": 2.60,
