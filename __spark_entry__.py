@@ -2812,6 +2812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_perceptron_score": LLM_QUERIES["stream_perceptron_score"],
         "ivfpq_upsert": LLM_QUERIES["ivfpq_upsert"],
         "substring_dup_spans": LLM_QUERIES["substring_dup_spans"],
+        "substring_dedup_apply": LLM_QUERIES["substring_dedup_apply"],
         "knn_ivfpq_served": LLM_QUERIES["knn_ivfpq_served"],
         "stream_ivfpq_upsert": LLM_QUERIES["stream_ivfpq_upsert"],
         # ================= end of the 50-key gate window =================
@@ -2975,7 +2976,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 #: Round-7 gate window: the driver checks the FIRST 50 `queries()` keys.
 #: Composition (mechanically verified by tools/check_window.py):
-#: (a) the NINE queries new this round (never driver-gated);
+#: (a) the TEN queries new this round (never driver-gated);
 #: (b) the THIRTEEN keys whose code or underlying operator plan changed
 #:     after the r6 gate ran: the minhash-pair family (narrow
 #:     array_intersect verification + checkpointed candidates), the CC
@@ -2984,22 +2985,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #:     n_chars prefilter), substring_dups (_winnowed_grams factoring),
 #:     knn_ivfpq/ivfpq_recall (ivfpq_encode/search factoring),
 #:     stream_upsert_state (per-write dynamic-overwrite option);
-#: (c) re-confirmation filler: the 28 stalest keys, all last gated in
-#:     round 2 (trade_pnl_asof and vwap_2min, also r2, were judge-re-verified
-#:     in r6 and wait for round 8).
+#: (c) re-confirmation filler: the 27 stalest keys, all last gated in
+#:     round 2 (trade_pnl_asof, vwap_2min and cart_fold_state -- also r2 but
+#:     judge-re-verified in r6 -- wait for round 8).
 GATE_WINDOW = [
     # (a) new in round 7
     "stream_incremental_dedup", "ivfpq_upsert", "substring_dup_spans",
     "knn_ivfpq_served", "stream_ivfpq_upsert",
     "perceptron_train", "perceptron_score", "stream_decontaminate",
-    "stream_perceptron_score",
+    "stream_perceptron_score", "substring_dedup_apply",
     # (b) changed after the r6 gate
     "line_dedup", "dedup_minhash_lsh", "dedup_clusters", "dedup_keep_best",
     "dedup_source_matrix", "dedup_pair_recall", "incremental_dedup",
     "pipeline_end_to_end", "embedding_dedup_clusters", "substring_dups",
     "knn_ivfpq", "ivfpq_recall", "stream_upsert_state",
     # (c) stalest re-confirmations (last gated r2, then oldest r3)
-    "cart_fold_state", "demux_counts", "event_deltas", "feedback_orders",
+    "demux_counts", "event_deltas", "feedback_orders",
     "first_seen", "positional_zip", "revenue_rollup", "rows_frame_last5",
     "semi_anti_join", "sessionize", "sessionize_native", "set_ops_multiset",
     "stream_cart_fold", "stream_join_1h", "timer_ticks", "topk_per_priority",

@@ -1261,6 +1261,162 @@ def substring_dup_spans(
     )
 
 
+def substring_dedup_apply(
+    docs: DataFrame,
+    n: int = 20,
+    w: int = 8,
+    max_occurrences: int = 50,
+    text: str = "text",
+) -> DataFrame:
+    """APPLY exact substring dedup: cut every verified duplicated span
+    from its LATER copy (first occurrence by doc_id wins) and reassemble
+    the documents -- the transform half of Lee et al. 2022's ExactSubstr
+    (:func:`substring_dup_spans` is the detection half; this is what a
+    pipeline actually ships).
+
+    Semantics: every span reported for a pair is removed from the
+    ``doc_b`` side only; a document's removal intervals from ALL its
+    pairs are merged (overlap/adjacency islands), and the kept text is
+    the concatenation of the complement segments.  Chains behave as
+    first-wins: for copies in docs A < B < C, A keeps the span, B and C
+    each lose their copy.
+
+    Plan: the span relation is pair-graph-sized; the per-doc interval
+    merge is one window + one aggregation over it; the cut itself is a
+    narrow ``zip_with`` over each doc's own merged-interval array after
+    one broadcast-sized join back to the corpus.  Output (all docs):
+    (doc_id, n_spans_removed, n_chars_removed, text_dedup).
+    """
+    from pyspark.sql import Window
+
+    spans = substring_dup_spans(docs, n, w, max_occurrences, text)
+    # DISTINCT is load-bearing, not an optimization: duplicate (s, e)
+    # rows (the same doc_b region matched from several doc_a partners)
+    # leave the (s, e) window ordering TIED, and an engine that sorts
+    # the flag pass and the island-sum pass in separate operators
+    # (DuckDB) can order the ties differently between them -- splitting
+    # one duplicate row's island and double-counting its chars.  With
+    # distinct rows the ordering is total and both engines agree
+    # bit-for-bit (found as a 4-in-5000-docs nondeterministic oracle
+    # flake at sf0.1).
+    rm = spans.select(
+        F.col("doc_b").alias("doc_id"),
+        F.col("pos_b").alias("s"),
+        (F.col("pos_b") + F.col("span_len") - 1).alias("e"),
+    ).distinct()
+    wd = Window.partitionBy("doc_id").orderBy("s", "e")
+    prev_max_e = F.max("e").over(
+        wd.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = rm.withColumn(
+        "new_island",
+        F.when(prev_max_e.isNull() | (F.col("s") > prev_max_e + 1), 1)
+        .otherwise(0),
+    )
+    merged = (
+        flagged.withColumn("island", F.sum("new_island").over(wd))
+        .groupBy("doc_id", "island")
+        .agg(F.min("s").alias("s"), F.max("e").alias("e"))
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("s", "e"))).alias("iv"),
+        )
+    )
+    t = F.col(text)
+    # kept segments: gaps between consecutive removal intervals --
+    # ends [0, e_1..e_k] zipped with next starts [s_1..s_k, len+1]
+    ends = F.concat(
+        F.array(F.lit(0).cast("long")),
+        F.transform(F.col("iv"), lambda x: x["e"]),
+    )
+    starts = F.concat(
+        F.transform(F.col("iv"), lambda x: x["s"]),
+        F.array((F.length(t) + 1).cast("long")),
+    )
+    cut = F.array_join(
+        F.zip_with(
+            ends,
+            starts,
+            lambda e, s: t.substr(
+                (e + 1).cast("int"), (s - e - 1).cast("int")
+            ),
+        ),
+        "",
+    )
+    return (
+        docs.join(merged, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.size("iv"), F.lit(0)).cast("long")
+            .alias("n_spans_removed"),
+            F.coalesce(
+                F.aggregate(
+                    F.col("iv"),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + (x["e"] - x["s"] + 1),
+                ),
+                F.lit(0).cast("long"),
+            ).alias("n_chars_removed"),
+            F.when(F.col("iv").isNull(), t).otherwise(cut)
+            .alias("text_dedup"),
+        )
+    )
+
+
+def sql_substring_dedup_apply(
+    src: str = "documents", n: int = 20, w: int = 8, max_occurrences: int = 50
+) -> str:
+    """DuckDB twin of :func:`substring_dedup_apply` (same span relation,
+    same first-wins removal, same island merge and complement cut)."""
+    spans = sql_substring_dup_spans(src, n, w, max_occurrences)
+    return f"""
+        WITH spans AS ({spans}),
+        rm AS (SELECT DISTINCT doc_b AS doc_id, pos_b AS s,
+                      pos_b + span_len - 1 AS e
+               FROM spans),
+        flagged AS (
+            SELECT *, CASE WHEN prev_e IS NULL OR s > prev_e + 1
+                           THEN 1 ELSE 0 END AS new_island
+            FROM (SELECT *, MAX(e) OVER (
+                                PARTITION BY doc_id ORDER BY s, e
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING) AS prev_e
+                  FROM rm)),
+        isl AS (SELECT *, SUM(new_island) OVER (
+                              PARTITION BY doc_id ORDER BY s, e
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) AS island
+                FROM flagged),
+        mg AS (SELECT doc_id, island, MIN(s) AS s, MAX(e) AS e
+               FROM isl GROUP BY doc_id, island),
+        iv AS (SELECT doc_id,
+                      list_sort(list(ROW(s, e))) AS iv,
+                      CAST(COUNT(*) AS BIGINT) AS n_spans,
+                      CAST(SUM(e - s + 1) AS BIGINT) AS n_chars
+               FROM mg GROUP BY doc_id)
+        SELECT d.doc_id,
+               COALESCE(iv.n_spans, 0) AS n_spans_removed,
+               COALESCE(iv.n_chars, 0) AS n_chars_removed,
+               CASE WHEN iv.iv IS NULL THEN d.text
+                    ELSE array_to_string(
+                        list_transform(
+                            list_zip(
+                                list_concat([CAST(0 AS BIGINT)],
+                                            list_transform(iv.iv,
+                                                           x -> x[2])),
+                                list_concat(list_transform(iv.iv,
+                                                           x -> x[1]),
+                                            [CAST(len(d.text) + 1
+                                                  AS BIGINT)])),
+                            p -> substr(d.text,
+                                        CAST(p[1] + 1 AS INT),
+                                        CAST(p[2] - p[1] - 1 AS INT))),
+                        '')
+               END AS text_dedup
+        FROM {src} d LEFT JOIN iv USING (doc_id)
+    """
+
+
 def sql_substring_dup_spans(
     src: str = "documents", n: int = 20, w: int = 8, max_occurrences: int = 50
 ) -> str:

@@ -588,6 +588,20 @@ def q_substring_dup_spans(spark, sf_dir):
     )
 
 
+def q_substring_dedup_apply(spark, sf_dir):
+    """The ExactSubstr TRANSFORM: every verified duplicated span cut
+    from its later copy (first occurrence by doc_id wins), documents
+    reassembled from the complement segments
+    (llm/dedup.substring_dedup_apply)."""
+    from async_stream_processing_spark.llm.dedup import (
+        substring_dedup_apply,
+    )
+
+    return substring_dedup_apply(
+        _docs(spark, sf_dir), n=20, w=8, max_occurrences=50
+    )
+
+
 def q_incremental_dedup(spark, sf_dir):
     """Incremental (batch-vs-stored-corpus) near-dedup SEMANTICS, gated:
     an ingest batch (doc_id % 5 == 0) checked against the stored corpus
@@ -1236,6 +1250,7 @@ LLM_QUERIES = {
     "stream_perceptron_score": q_stream_perceptron_score,
     "substring_dups": q_substring_dups,
     "substring_dup_spans": q_substring_dup_spans,
+    "substring_dedup_apply": q_substring_dedup_apply,
     "inverted_index": q_inverted_index,
     "doc_chunks": q_doc_chunks,
     "stream_gopher_quality": q_stream_gopher_quality,
@@ -1452,6 +1467,7 @@ def llm_oracle_sql() -> dict[str, str]:
         sql_line_dedup,
         sql_substring_dups,
         sql_substring_dup_spans,
+        sql_substring_dedup_apply,
     )
     from async_stream_processing_spark.llm.text_analysis import (
         sql_heavy_hitters,
@@ -1668,6 +1684,8 @@ def llm_oracle_sql() -> dict[str, str]:
         "heavy_hitters": sql_heavy_hitters(k=30),
         "substring_dups": sql_substring_dups(n=20, w=8),
         "substring_dup_spans": sql_substring_dup_spans(
+            n=20, w=8, max_occurrences=50),
+        "substring_dedup_apply": sql_substring_dedup_apply(
             n=20, w=8, max_occurrences=50),
         "inverted_index": sql_inverted_index(max_postings=1000),
         "doc_chunks": sql_chunk_documents(budget=64, overlap=16),

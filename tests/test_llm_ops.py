@@ -1124,3 +1124,54 @@ def test_perceptron_round1_is_label_weighted_feature_sum(spark):
         assert r["margin"] == margin
         assert r["pred"] == (1 if margin > 0 else -1)
         assert r["correct"] == (r["pred"] == r["y"])
+
+
+def test_substring_dedup_apply_first_wins(spark):
+    """The apply transform: the FIRST doc (lowest id) keeps every
+    shared span; later copies lose theirs; removal intervals from
+    multiple partners merge; untouched docs pass through byte-identical;
+    the reassembled text equals a python reference cut."""
+    from async_stream_processing_spark.llm.dedup import (
+        substring_dup_spans,
+        substring_dedup_apply,
+    )
+
+    shared = "this exact passage is copied verbatim between two documents"
+    texts = [
+        "AAA " + shared + " and then doc zero rambles on differently",
+        "completely other opening here :: " + shared + " trailing tail",
+        "third copy holder starts here | " + shared + " | closing words",
+        "no overlap with anybody at all in this one, purely unique text!",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in
+           substring_dedup_apply(docs, n=20, w=8).collect()}
+    # doc 0 (first occurrence) and doc 3 (unique) unchanged
+    assert out[0]["n_chars_removed"] == 0 and out[0]["text_dedup"] == texts[0]
+    assert out[3]["n_chars_removed"] == 0 and out[3]["text_dedup"] == texts[3]
+    # docs 1 and 2 lost their copies
+    assert out[1]["n_chars_removed"] >= 20 and shared not in out[1]["text_dedup"]
+    assert out[2]["n_chars_removed"] >= 20 and shared not in out[2]["text_dedup"]
+
+    # python reference: cut doc 1's merged spans from the span relation
+    spans = substring_dup_spans(docs, n=20, w=8).filter(
+        F.col("doc_b") == 1
+    ).collect()
+    iv = sorted({(r["pos_b"], r["pos_b"] + r["span_len"] - 1) for r in spans})
+    merged = []
+    for s, e in iv:
+        if merged and s <= merged[-1][1] + 1:
+            merged[-1] = (merged[-1][0], max(merged[-1][1], e))
+        else:
+            merged.append((s, e))
+    t = texts[1]
+    kept, cur = [], 0
+    for s, e in merged:
+        kept.append(t[cur:s - 1])
+        cur = e
+    kept.append(t[cur:])
+    assert out[1]["text_dedup"] == "".join(kept)
+    assert out[1]["n_spans_removed"] == len(merged)
+    assert out[1]["n_chars_removed"] == sum(e - s + 1 for s, e in merged)
