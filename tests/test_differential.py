@@ -132,3 +132,18 @@ def test_differential_fuzz_text_expressions(spark):
     )
     failures = fuzz_text(spark, con, SF, n_cases=20, seed=20260814)
     assert not failures, failures[:3]
+
+
+def test_differential_fuzz_array_expressions(spark):
+    """ARRAY grammar (round 7): transform / filter / aggregate folds /
+    slice / distinct / element_at over the token array -- the narrow
+    per-row layer the zero-shuffle signature, winnowing, and scoring
+    plans all stand on; row-for-row exact across engines."""
+    from tools.fuzz_differential import fuzz_array
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+    failures = fuzz_array(spark, con, SF, n_cases=20, seed=20260814)
+    assert not failures, failures[:3]

@@ -481,6 +481,75 @@ TEXT_FILTERS = [
     ("F.instr(F.col('text'), '{needle}') > 0", "STRPOS(text, '{needle}') > 0"),
 ]
 
+# --- array grammar: the narrow per-row layer the round-7 plans stand on
+# (transform / filter / aggregate / slice / distinct over the token
+# array).  SW / DW render the word array in each engine; every pair is
+# dtype-aligned (explicit BIGINT casts, NULL-coalesced folds).
+_SW = "F.split(F.lower(F.trim(F.col('text'))), ' +')"
+_DW = "string_split_regex(lower(trim(text)), ' +')"
+
+ARR_EXPRS = [
+    (f"F.size({_SW}).cast('long')", f"CAST(len({_DW}) AS BIGINT)"),
+    (f"F.size(F.array_distinct({_SW})).cast('long')",
+     f"CAST(len(list_distinct({_DW})) AS BIGINT)"),
+    (f"F.size(F.filter({_SW}, lambda x: F.length(x) > {{w5}})).cast('long')",
+     f"CAST(len(list_filter({_DW}, x -> len(x) > {{w5}})) AS BIGINT)"),
+    (f"F.aggregate({_SW}, F.lit(0).cast('long'),"
+     " lambda a, x: a + F.length(x))",
+     f"CAST(COALESCE(list_sum(list_transform({_DW}, x -> len(x))), 0)"
+     " AS BIGINT)"),
+    (f"F.coalesce(F.array_position({_SW}, '{{needle}}'), F.lit(0))"
+     ".cast('long')",
+     f"CAST(COALESCE(list_position({_DW}, '{{needle}}'), 0) AS BIGINT)"),
+    (f"F.array_join(F.slice({_SW}, 1, {{w5}}), '-')",
+     f"array_to_string(({_DW})[1:{{w5}}], '-')"),
+    (f"F.array_join(F.reverse({_SW}), '|')",
+     f"array_to_string(list_reverse({_DW}), '|')"),
+    (f"F.when(F.size({_SW}) >= {{w5}}, F.element_at({_SW}, {{w5}}))",
+     f"CASE WHEN len({_DW}) >= {{w5}} THEN ({_DW})[{{w5}}] END"),
+    (f"F.array_join(F.array_sort(F.slice({_SW}, 1, {{w5}})), ' ')",
+     f"array_to_string(list_sort(({_DW})[1:{{w5}}]), ' ')"),
+    (f"F.aggregate(F.transform({_SW}, lambda x: F.length(x) * F.length(x)),"
+     " F.lit(0).cast('long'), lambda a, x: a + x)",
+     f"CAST(COALESCE(list_sum(list_transform({_DW},"
+     " x -> len(x) * len(x))), 0) AS BIGINT)"),
+    (f"F.size(F.flatten(F.transform({_SW},"
+     " lambda x: F.split(x, 'a')))).cast('long')",
+     f"CAST(len(flatten(list_transform({_DW},"
+     " x -> string_split_regex(x, 'a')))) AS BIGINT)"),
+]
+
+
+def gen_array_case(rng: "random.Random") -> dict:
+    subs = {
+        "m": rng.choice([2, 3, 5, 7]),
+        "w5": rng.randint(1, 5),
+        "nc": rng.randint(50, 300),
+        "lang": rng.choice(["en", "de", "es", "fr", "zh"]),
+        "needle": rng.choice(["key", "row", "scan", "table", "value", "zz"]),
+        "p": rng.randint(1, 20),
+    }
+    n_filters = rng.randint(0, 2)
+    fs = rng.sample(TEXT_FILTERS, n_filters) if n_filters else []
+    exprs = rng.sample(ARR_EXPRS, rng.randint(2, 5))
+    return {
+        "filters": [(a.format(**subs), b.format(**subs)) for a, b in fs],
+        "exprs": [(a.format(**subs), b.format(**subs)) for a, b in exprs],
+        "subs": subs,
+    }
+
+
+def fuzz_array(spark, con, sf_dir: str, n_cases: int, seed: int):
+    rng = random.Random(seed)
+    failures = []
+    for i in range(n_cases):
+        case = gen_array_case(rng)
+        err = compare(run_spark_text(spark, sf_dir, case),
+                      run_duckdb_text(con, case))
+        if err:
+            failures.append((i, err, case))
+    return failures
+
 
 def gen_text_case(rng: random.Random) -> dict:
     subs = {
@@ -543,6 +612,7 @@ def main():
     window = "--window" in sys.argv
     scalar = "--scalar" in sys.argv
     text = "--text" in sys.argv
+    array = "--array" in sys.argv
     n = int(args[0]) if len(args) > 0 else 50
     seed = int(args[1]) if len(args) > 1 else 20260814
     sf_dir = args[2] if len(args) > 2 else "/root/testdata/sf0.01"
@@ -566,6 +636,8 @@ def main():
         failures = fuzz_scalar(spark, con, sf_dir, n, seed)
     elif text:
         failures = fuzz_text(spark, con, sf_dir, n, seed)
+    elif array:
+        failures = fuzz_array(spark, con, sf_dir, n, seed)
     else:
         failures = fuzz(spark, con, sf_dir, n, seed)
     mode = (", streaming" if streaming else
