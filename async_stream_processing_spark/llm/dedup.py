@@ -92,6 +92,43 @@ def _shingle_hash(mode: str) -> Column:
     return stable_hash60(F.col("shingle"))
 
 
+def _hash_fn(hash_mode: str):
+    """The per-string hash as a callable -- ONE definition for every
+    narrow plan (signatures, bucket sets, simhash) so the oracle-portable
+    md5 path and the production xxhash64 path can never drift apart."""
+    if hash_mode == "xxhash64":
+        return lambda s: F.abs(F.xxhash64(s))
+    return stable_hash60
+
+
+def _narrow_minhash_cols(hs: Column, coeffs) -> list[Column]:
+    """mh_j expressions over a per-row shingle-hash array -- the narrow
+    signature shared by minhash_signatures(plan='narrow') and
+    corpus_bucket_sets (min over a multiset == min over its set, so the
+    same expressions serve both the raw and the distinct array)."""
+    return [
+        F.array_min(F.transform(hs, lambda h: minhash_term(h, a, b)))
+        for (a, b) in coeffs
+    ]
+
+
+def _band_structs(mh: list[Column], bands: int) -> list[Column]:
+    """(band, sig) structs from a signature expression list -- the ONE
+    definition of the band-signature encoding (``concat_ws('_', band,
+    mh...)``); a store persisted by corpus_bucket_sets and candidates
+    built by lsh_band_buckets must always agree on this format."""
+    rows = len(mh) // bands
+    return [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                "_", F.lit(b), *[mh[b * rows + r] for r in range(rows)]
+            ).alias("sig"),
+        )
+        for b in range(bands)
+    ]
+
+
 def exact_dedup(docs: DataFrame, text: str = "text") -> DataFrame:
     """Canonical doc per distinct normalized text + duplicate count."""
     key = F.md5(F.lower(F.trim(F.col(text))))
@@ -180,18 +217,13 @@ def minhash_signatures(
     """
     coeffs = minhash_coeffs(n_hashes)
     if plan == "narrow":
-        hasher = (
-            (lambda s: F.abs(F.xxhash64(s)))
-            if hash_mode == "xxhash64"
-            else stable_hash60
-        )
-        hs = F.transform(shingles("text", n), hasher)
+        hs = F.transform(shingles("text", n), _hash_fn(hash_mode))
         out = fan_out(docs).select("doc_id", hs.alias("_hs"))
         cols = [F.col("doc_id")] + [
-            F.array_min(
-                F.transform(F.col("_hs"), lambda h: minhash_term(h, a, b))
-            ).alias(f"mh_{j}")
-            for j, (a, b) in enumerate(coeffs)
+            mh.alias(f"mh_{j}")
+            for j, mh in enumerate(
+                _narrow_minhash_cols(F.col("_hs"), coeffs)
+            )
         ]
         return out.filter(F.size("_hs") > 0).select(*cols)
     sh = _exploded_shingle_hashes(docs, n, hash_mode)
@@ -211,13 +243,9 @@ def lsh_band_buckets(
     then joins its buckets against the stored corpus WITHOUT reshuffling
     the corpus -- see tests/test_scale.py::test_incremental_dedup_bucketed.
     """
-    rows = n_hashes // bands
-    band_cols = []
-    for b in range(bands):
-        sig = F.concat_ws(
-            "_", F.lit(b), *[F.col(f"mh_{b * rows + r}") for r in range(rows)]
-        )
-        band_cols.append(F.struct(F.lit(b).alias("band"), sig.alias("sig")))
+    band_cols = _band_structs(
+        [F.col(f"mh_{j}") for j in range(n_hashes)], bands
+    )
     return signatures.select(
         "doc_id", F.explode(F.array(*band_cols)).alias("bk")
     ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.sig").alias("sig"))
@@ -254,37 +282,6 @@ def lsh_candidate_pairs(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
         .distinct()
-    )
-
-
-def jaccard_for_pairs(
-    pairs: DataFrame, shingle_hashes: DataFrame
-) -> DataFrame:
-    """Exact Jaccard for given candidate pairs from their shingle-hash sets.
-
-    ``intersection / (|A| + |B| - intersection)`` -- all integers until one
-    final double division, so bit-exact everywhere.
-    """
-    sizes = shingle_hashes.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    inter = (
-        pairs.join(shingle_hashes.alias("sa"), pairs.doc_a == F.col("sa.doc_id"))
-        .join(
-            shingle_hashes.alias("sb"),
-            (pairs.doc_b == F.col("sb.doc_id")) & (F.col("sa.h") == F.col("sb.h")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    return (
-        pairs.join(inter, ["doc_a", "doc_b"], "left")
-        .na.fill({"n_common": 0})
-        .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "n_a"), "doc_a")
-        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "n_b"), "doc_b")
-        .withColumn(
-            "jaccard",
-            F.col("n_common").cast("double")
-            / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
-        )
     )
 
 
@@ -392,12 +389,9 @@ def minhash_dedup_pairs(
         .union(cands.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    hasher = (
-        (lambda s: F.abs(F.xxhash64(s)))
-        if hash_mode == "xxhash64"
-        else stable_hash60
+    hs = F.array_distinct(
+        F.transform(shingles("text", 3), _hash_fn(hash_mode))
     )
-    hs = F.array_distinct(F.transform(shingles("text", 3), hasher))
     sets = (
         fan_out(docs)
         .join(F.broadcast(cand_docs), "doc_id", "left_semi")
@@ -454,29 +448,14 @@ def corpus_bucket_sets(
     (test-pinned by ``test_minhash_narrow_equals_agg``).
     """
     coeffs = minhash_coeffs(n_hashes)
-    hasher = (
-        (lambda s: F.abs(F.xxhash64(s)))
-        if hash_mode == "xxhash64"
-        else stable_hash60
+    hs = F.array_distinct(
+        F.transform(shingles("text", 3), _hash_fn(hash_mode))
     )
-    hs = F.array_distinct(F.transform(shingles("text", 3), hasher))
     base = fan_out(docs).select("doc_id", hs.alias("hs")).filter(
         F.size("hs") > 0
     )
-    rows = n_hashes // bands
-    mh = [
-        F.array_min(F.transform(F.col("hs"), lambda h: minhash_term(h, a, b)))
-        for (a, b) in coeffs
-    ]
-    band_cols = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.concat_ws(
-                "_", F.lit(b), *[mh[b * rows + r] for r in range(rows)]
-            ).alias("sig"),
-        )
-        for b in range(bands)
-    ]
+    mh = _narrow_minhash_cols(F.col("hs"), coeffs)
+    band_cols = _band_structs(mh, bands)
     return base.select(
         "doc_id",
         "hs",
@@ -622,12 +601,7 @@ def simhash(
         arr = F.array_distinct(
             F.split(F.lower(F.trim(F.col("text"))), " +")
         )
-        hasher = (
-            (lambda t: F.abs(F.xxhash64(t)))
-            if hash_mode == "xxhash64"
-            else stable_hash60
-        )
-        hs = F.transform(arr, hasher)
+        hs = F.transform(arr, _hash_fn(hash_mode))
         base = fan_out(docs).select(
             "doc_id", hs.alias("_hs"), F.size(hs).cast("long").alias("n_tok")
         )
@@ -762,7 +736,12 @@ def connected_components(
     by re-planning and task overhead on few-row shuffles, not by data
     (A/B at sf0.1: dedup_clusters ~6.3 -> ~4.5 s warm).  A big graph
     keeps the session's settings -- the threshold, not the pin, is what
-    scales.
+    scales.  NOTE the pin is SESSION conf for the loop's duration
+    (restored in a finally) and so assumes the single-controller
+    execution model this engine uses throughout -- a host application
+    planning unrelated queries on the same session from another thread
+    during the loop would see the pinned settings; isolate with a
+    ``spark.newSession()`` there (same SparkContext, separate conf).
     """
     spark = edges.sparkSession
     both = edges.select("doc_a", "doc_b").unionByName(

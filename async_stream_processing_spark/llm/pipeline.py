@@ -46,7 +46,10 @@ def training_pipeline(
     row-group-prunes short-document files before any CPU touches them.
     """
     docs = docs.withColumn("n_words", F.size(tokens("text")).cast("long"))
-    if "n_chars" in docs.columns and min_words > 0:
+    # min_words >= 2 only: at k=1 the implication fails for EMPTY text
+    # (split('') yields [''] -> n_words=1 while n_chars=0), so the
+    # "redundant" bound would wrongly drop empty docs the exact gate keeps
+    if "n_chars" in docs.columns and min_words >= 2:
         docs = docs.filter(F.col("n_chars") >= 2 * min_words - 1)
     kept = docs.filter(F.col("n_words") >= min_words)
 

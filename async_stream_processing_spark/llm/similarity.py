@@ -892,6 +892,43 @@ def ivfpq_encode_with_model(
     )
 
 
+#: id-bucket count of the store's direct map (vec_id -> cell); sizes the
+#: lookup's partition pruning, not correctness
+IVFPQ_IDMAP_BUCKETS = 16
+
+
+def ivfpq_write_store(codes_long: DataFrame, store_path: str) -> None:
+    """Lay down a full IVF-PQ code store: ``<store>/codes`` partitioned
+    by ``cell`` (the search side: probes read only their cells) plus
+    ``<store>/idmap`` -- the vec_id -> cell DIRECT MAP partitioned by
+    ``idb = vec_id mod {IVFPQ_IDMAP_BUCKETS}`` (the maintenance side:
+    an upsert must find a re-ingested vector's OLD cell without
+    scanning the corpus; FAISS keeps the same structure as its
+    DirectMap)."""
+    codes_long.write.mode("overwrite").partitionBy("cell").parquet(
+        store_path + "/codes"
+    )
+    idmap = (
+        codes_long.select("vec_id", "cell")
+        .distinct()
+        .withColumn(
+            "idb", F.pmod(F.col("vec_id"), F.lit(IVFPQ_IDMAP_BUCKETS))
+            .cast("int")
+        )
+    )
+    idmap.write.mode("overwrite").partitionBy("idb").parquet(
+        store_path + "/idmap"
+    )
+
+
+def ivfpq_read_codes(spark: "SparkSession", store_path: str) -> DataFrame:
+    """The stored code relation (vec_id, cell, j, code) with the
+    partition column restored to its logical type."""
+    return spark.read.parquet(store_path + "/codes").select(
+        "vec_id", F.col("cell").cast("long").alias("cell"), "j", "code"
+    )
+
+
 def ivfpq_upsert(
     spark: "SparkSession",
     store_path: str,
@@ -901,63 +938,108 @@ def ivfpq_upsert(
     m: int = 8,
     d: int = 64,
 ) -> list[int]:
-    """Merge a new vector batch into a CELL-PARTITIONED IVF-PQ code
-    store without touching unaffected cells -- ANN index maintenance
-    (r6 verdict item 6; the vector-index lifecycle e18 otherwise
-    rebuilds).  The store at ``store_path`` is the ``codes_long``
-    relation laid out ``partitionBy("cell")``; an upsert:
+    """Merge a new vector batch into an IVF-PQ store
+    (:func:`ivfpq_write_store` layout) without touching unaffected
+    cells -- ANN index maintenance (r6 verdict item 6).  An upsert:
 
     1. encodes the batch against the SERVING model (narrow,
        :func:`ivfpq_encode_with_model` -- no retrain, no corpus access);
-    2. collects the touched cell ids (O(batch) driver scalars);
-    3. reads ONLY those cell partitions back (partition-pruned scan),
-       drops rows whose ``vec_id`` is re-ingested (update-wins), unions
-       the new codes, and
-    4. dynamically overwrites just the touched cell directories
-       (the ``streaming.upsert.merge_batch`` discipline).
+    2. finds each re-ingested ``vec_id``'s OLD cell through the direct
+       map, reading only the id buckets the batch hashes into
+       (partition-pruned; an updated embedding usually CHANGES its
+       argmax cell, so the old cell must be rewritten too or stale
+       codes would keep answering queries -- the r7 review finding);
+    3. reads ONLY the touched cell partitions back (new cells + old
+       cells), drops rows whose ``vec_id`` is re-ingested
+       (update-wins), unions the new codes;
+    4. dynamically overwrites just the touched cell directories and the
+       touched id-bucket directories (the ``streaming.upsert``
+       merge discipline).
 
-    Rewrite amplification is |touched cells| / n_cells of the store, not
-    1.0 -- at a billion vectors an ingest batch touches its own cells
-    only, and the stored corpus is never reshuffled (asserted by
-    ``tests/test_llm_ops.py::test_ivfpq_upsert_touched_cells_only``).
+    Rewrite amplification is |touched cells| / n_cells (codes) plus
+    |touched id buckets| / {IVFPQ_IDMAP_BUCKETS} (idmap rows are two
+    ints per vector); the stored corpus is never reshuffled (asserted
+    by ``tests/test_llm_ops.py::test_ivfpq_upsert_touched_cells_only``).
     Idempotent: re-delivering the same batch yields the same store.
     Returns the touched cell ids (sorted).
     """
+    import os
+
     new_codes = ivfpq_encode_with_model(
         new_vectors, coarse, rcode, m, d
     ).localCheckpoint(eager=True)
-    touched = sorted(
+    new_id_rel = new_codes.select("vec_id").distinct()
+    new_ids = [r["vec_id"] for r in new_id_rel.collect()]
+    if not new_ids:
+        return []
+    touched = {
         r["cell"] for r in new_codes.select("cell").distinct().collect()
-    )
-    if not touched:
-        return touched
-    merged = new_codes
-    import os
+    }
+    id_buckets = sorted({i % IVFPQ_IDMAP_BUCKETS for i in new_ids})
 
-    if os.path.exists(store_path):
-        current = spark.read.parquet(store_path).filter(
-            F.col("cell").isin(touched)
+    merged = new_codes
+    has_store = os.path.exists(store_path + "/codes")
+    if has_store:
+        # old cells of re-ingested vectors, via the pruned direct map
+        idmap = spark.read.parquet(store_path + "/idmap").filter(
+            F.col("idb").isin(id_buckets)
         )
-        new_ids = new_codes.select("vec_id").distinct()
-        kept = current.join(new_ids, "vec_id", "left_anti")
+        old_cells = {
+            r["cell"]
+            for r in idmap.join(
+                F.broadcast(new_id_rel), "vec_id", "left_semi"
+            ).select("cell").distinct().collect()
+        }
+        touched |= old_cells
+        current = ivfpq_read_codes(spark, store_path).filter(
+            F.col("cell").isin(sorted(touched))
+        )
+        kept = current.join(
+            F.broadcast(new_id_rel), "vec_id", "left_anti"
+        )
         merged = new_codes.unionByName(
             kept.select("vec_id", "cell", "j", "code")
         )
+    touched = sorted(touched)
     # break lineage before overwriting what was just read; the merged
-    # relation is touched-cells-sized, not corpus-sized
+    # relation is touched-cells-sized, not corpus-sized.  Dynamic
+    # overwrite rides the WRITE OPTION, not session conf: SQLConf is
+    # thread-local, so a session-level set is INVISIBLE to a write
+    # planned on a streaming micro-batch thread (foreachBatch runs
+    # under the query's cloned session) -- with static mode the
+    # 'overwrite' would silently replace the WHOLE store with the
+    # touched cells (caught by the stream_ivfpq_upsert oracle)
     merged = merged.localCheckpoint(eager=True)
-    # dynamic overwrite as a PER-WRITE option, not session conf: SQLConf
-    # is thread-local, so a session-level set is INVISIBLE to a write
-    # planned on a streaming micro-batch thread (foreachBatch runs under
-    # the query's cloned session) -- with static mode the 'overwrite'
-    # would silently replace the WHOLE store with the touched cells
-    # (caught by the stream_ivfpq_upsert rebuild-equality oracle)
     (
         merged.repartition(len(touched), F.col("cell"))
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("cell")
-        .parquet(store_path)
+        .parquet(store_path + "/codes")
+    )
+    # direct-map maintenance: touched id buckets only
+    new_map = (
+        new_codes.select("vec_id", "cell")
+        .distinct()
+        .withColumn(
+            "idb", F.pmod(F.col("vec_id"), F.lit(IVFPQ_IDMAP_BUCKETS))
+            .cast("int")
+        )
+    )
+    if has_store:
+        cur_map = spark.read.parquet(store_path + "/idmap").filter(
+            F.col("idb").isin(id_buckets)
+        ).join(F.broadcast(new_id_rel), "vec_id", "left_anti")
+        new_map = new_map.unionByName(
+            cur_map.select("vec_id", "cell", "idb")
+        )
+    new_map = new_map.localCheckpoint(eager=True)
+    (
+        new_map.repartition(len(id_buckets), F.col("idb"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("idb")
+        .parquet(store_path + "/idmap")
     )
     return touched
 

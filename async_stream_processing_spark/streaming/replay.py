@@ -76,7 +76,18 @@ def _data_files(root: str) -> set[str]:
 
 
 def _strip_scheme(path: str) -> str:
-    return path.split("://", 1)[-1] if "://" in path else path
+    """Normalize a path for set comparison: drop the URI scheme AND
+    percent-decode -- the source WAL stores Hadoop-encoded URIs
+    (``my%20corpus``), while ``os.walk`` yields raw filesystem paths;
+    comparing them un-decoded would silently never match for any
+    past_path containing a space/'#'/'%'/non-ASCII character (and the
+    live-start hook would never fire)."""
+    from urllib.parse import unquote
+
+    p = path.split("://", 1)[-1] if "://" in path else path
+    if p.startswith("file:"):
+        p = p[len("file:"):]
+    return unquote(p)
 
 
 def _logged_source_files(checkpoint: str, before_batch: int) -> set[str]:

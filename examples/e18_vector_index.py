@@ -67,7 +67,9 @@ def main(spark):
 
     from async_stream_processing_spark.llm.similarity import (
         ivfpq_encode,
+        ivfpq_read_codes,
         ivfpq_upsert,
+        ivfpq_write_store,
     )
 
     store = tempfile.mkdtemp(prefix="e18_ivfpq_")
@@ -76,7 +78,7 @@ def main(spark):
         corpus = emb.filter(F.col("vec_id") % 50 != 37)
         batch = emb.filter(F.col("vec_id") % 50 == 37)
         codes_long, coarse, rcode = ivfpq_encode(corpus)
-        codes_long.write.mode("overwrite").partitionBy("cell").parquet(store)
+        ivfpq_write_store(codes_long, store)
         touched = ivfpq_upsert(spark, store, batch, coarse, rcode)
         n_cells = len(coarse)
         print(
@@ -84,7 +86,7 @@ def main(spark):
             f"({sorted(touched)}); untouched cell files unchanged"
         )
         show(
-            spark.read.parquet(store).groupBy("cell").count().orderBy("cell"),
+            ivfpq_read_codes(spark, store).groupBy("cell").count().orderBy("cell"),
             n=8,
             label="code store after upsert (per-cell row counts)",
         )

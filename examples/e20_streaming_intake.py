@@ -47,6 +47,7 @@ def main(spark):
     from async_stream_processing_spark.llm.similarity import (
         ivfpq_encode,
         ivfpq_upsert,
+        ivfpq_write_store,
     )
     from async_stream_processing_spark.plans.scale import write_bucketed
     from async_stream_processing_spark.sources.parquet import (
@@ -110,9 +111,7 @@ def main(spark):
             codes, coarse, rcode = ivfpq_encode(
                 emb.filter(F.col("vec_id") % 50 != 37)
             )
-            codes.write.mode("overwrite").partitionBy("cell").parquet(
-                ann_store
-            )
+            ivfpq_write_store(codes, ann_store)
             touched = ivfpq_upsert(
                 spark, ann_store,
                 emb.filter(F.col("vec_id") % 50 == 37), coarse, rcode,

@@ -978,7 +978,9 @@ def q_ivfpq_upsert(spark, sf_dir):
 
     from async_stream_processing_spark.llm.similarity import (
         ivfpq_encode,
+        ivfpq_read_codes,
         ivfpq_upsert,
+        ivfpq_write_store,
     )
 
     emb = _emb(spark, sf_dir)
@@ -988,18 +990,9 @@ def q_ivfpq_upsert(spark, sf_dir):
     shutil.rmtree(store)
     try:
         codes_long, coarse, rcode = ivfpq_encode(corpus)
-        codes_long.write.mode("overwrite").partitionBy("cell").parquet(store)
+        ivfpq_write_store(codes_long, store)
         ivfpq_upsert(spark, store, batch, coarse, rcode)
-        out = (
-            spark.read.parquet(store)
-            .select(
-                "vec_id",
-                F.col("cell").cast("long").alias("cell"),  # partition col
-                "j",
-                "code",
-            )
-            .localCheckpoint(eager=True)
-        )
+        out = ivfpq_read_codes(spark, store).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(store, ignore_errors=True)
     return out
@@ -1017,7 +1010,9 @@ def q_knn_ivfpq_served(spark, sf_dir):
 
     from async_stream_processing_spark.llm.similarity import (
         ivfpq_encode,
+        ivfpq_read_codes,
         ivfpq_search,
+        ivfpq_write_store,
     )
 
     emb = _emb(spark, sf_dir)
@@ -1025,10 +1020,8 @@ def q_knn_ivfpq_served(spark, sf_dir):
     shutil.rmtree(store)
     try:
         codes_long, coarse, rcode = ivfpq_encode(emb)
-        codes_long.write.mode("overwrite").partitionBy("cell").parquet(store)
-        stored = spark.read.parquet(store).select(
-            "vec_id", F.col("cell").cast("long").alias("cell"), "j", "code"
-        )
+        ivfpq_write_store(codes_long, store)
+        stored = ivfpq_read_codes(spark, store)
         out = ivfpq_search(
             emb, stored, coarse, rcode,
             n_queries=10, k=5, nprobe=2, prune_cells=True,
@@ -1051,7 +1044,9 @@ def q_stream_ivfpq_upsert(spark, sf_dir):
 
     from async_stream_processing_spark.llm.similarity import (
         ivfpq_encode,
+        ivfpq_read_codes,
         ivfpq_upsert,
+        ivfpq_write_store,
     )
     from async_stream_processing_spark.sources.parquet import stream_table
 
@@ -1063,7 +1058,7 @@ def q_stream_ivfpq_upsert(spark, sf_dir):
         codes_long, coarse, rcode = ivfpq_encode(
             emb.filter(F.col("vec_id") % 50 != 37)
         )
-        codes_long.write.mode("overwrite").partitionBy("cell").parquet(store)
+        ivfpq_write_store(codes_long, store)
         s = stream_table(spark, sf_dir, "embeddings").filter(
             F.col("vec_id") % 50 == 37
         )
@@ -1076,14 +1071,7 @@ def q_stream_ivfpq_upsert(spark, sf_dir):
             .start()
         )
         q.awaitTermination(300)
-        out = (
-            spark.read.parquet(store)
-            .select(
-                "vec_id", F.col("cell").cast("long").alias("cell"),
-                "j", "code",
-            )
-            .localCheckpoint(eager=True)
-        )
+        out = ivfpq_read_codes(spark, store).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(store, ignore_errors=True)
         shutil.rmtree(ck, ignore_errors=True)

@@ -933,12 +933,19 @@ def test_ivfpq_upsert_touched_cells_only(spark, tmp_path):
     """Index maintenance contract: merging a batch (a) rewrites ONLY the
     cell partitions the batch lands in, (b) leaves the store equal to a
     clean rebuild over the final corpus, (c) is idempotent, and (d)
-    update-wins for a re-ingested vec_id."""
+    update-wins for a re-ingested vec_id INCLUDING one whose changed
+    embedding moves it to a DIFFERENT coarse cell -- the stale codes in
+    its old cell must be cleaned up through the direct map (r7 review
+    finding: touched-new-cells-only scanning silently left them
+    behind)."""
     import os
 
     from async_stream_processing_spark.llm.similarity import (
         ivfpq_encode,
+        ivfpq_encode_with_model,
+        ivfpq_read_codes,
         ivfpq_upsert,
+        ivfpq_write_store,
     )
     from async_stream_processing_spark.sources.parquet import load_table
     from pyspark.sql import functions as F
@@ -948,13 +955,14 @@ def test_ivfpq_upsert_touched_cells_only(spark, tmp_path):
     batch = emb.filter(F.col("vec_id") % 50 == 37)
     store = str(tmp_path / "store")
     codes_long, coarse, rcode = ivfpq_encode(corpus)
-    codes_long.write.mode("overwrite").partitionBy("cell").parquet(store)
+    ivfpq_write_store(codes_long, store)
+    codes_dir = os.path.join(store, "codes")
 
     def snapshot():
         out = {}
-        for d in os.listdir(store):
+        for d in os.listdir(codes_dir):
             if d.startswith("cell="):
-                p = os.path.join(store, d)
+                p = os.path.join(codes_dir, d)
                 out[d] = sorted(
                     (f, os.path.getmtime(os.path.join(p, f)))
                     for f in os.listdir(p) if not f.startswith(("_", "."))
@@ -973,11 +981,7 @@ def test_ivfpq_upsert_touched_cells_only(spark, tmp_path):
         assert after[f"cell={cell}"] != before.get(f"cell={cell}")
 
     def content():
-        return {
-            tuple(r) for r in spark.read.parquet(store)
-            .select("vec_id", F.col("cell").cast("long"), "j", "code")
-            .collect()
-        }
+        return {tuple(r) for r in ivfpq_read_codes(spark, store).collect()}
 
     got = content()
     # (b) equal to a clean rebuild over the final corpus (same model:
@@ -987,17 +991,32 @@ def test_ivfpq_upsert_touched_cells_only(spark, tmp_path):
     # (c) idempotent re-delivery
     ivfpq_upsert(spark, store, batch, coarse, rcode)
     assert content() == got
-    # (d) update-wins: re-ingest one vec_id with a different embedding;
-    # its old codes are replaced, nothing else changes
+    # (d) update-wins ACROSS CELLS: negate one re-ingested embedding --
+    # its argmax-cosine cell flips, so the stale codes sit in a cell the
+    # new batch does NOT touch; the direct map must route the cleanup.
     one = batch.limit(1).select("vec_id").first()["vec_id"]
     mutated = emb.filter(F.col("vec_id") == one).select(
         "vec_id",
         F.transform("embedding", lambda x: -x).alias("embedding"),
     )
+    old_cell = next(r[1] for r in got if r[0] == one)
+    new_cell = ivfpq_encode_with_model(mutated, coarse, rcode).select(
+        "cell"
+    ).first()["cell"]
+    assert new_cell != old_cell, "fixture did not move cells; pick another"
     ivfpq_upsert(spark, store, mutated, coarse, rcode)
     got2 = content()
-    assert {r for r in got if r[0] != one} == {r for r in got2 if r[0] != one}
-    assert {r for r in got2 if r[0] == one} != {r for r in got if r[0] == one}
+    # everything else untouched; the moved vector is EXACTLY its fresh
+    # encode -- no stale rows in the old cell (rebuild-equality on the
+    # mutated corpus pins it)
+    assert {r for r in got2 if r[0] != one} == {r for r in got if r[0] != one}
+    fresh = {
+        tuple(r) for r in ivfpq_encode_with_model(
+            mutated, coarse, rcode
+        ).collect()
+    }
+    assert {r for r in got2 if r[0] == one} == fresh
+    assert all(r[1] == new_cell for r in got2 if r[0] == one)
 
 
 def test_substring_dup_spans_verified_and_merged(spark):
@@ -1175,3 +1194,38 @@ def test_substring_dedup_apply_first_wins(spark):
     assert out[1]["text_dedup"] == "".join(kept)
     assert out[1]["n_spans_removed"] == len(merged)
     assert out[1]["n_chars_removed"] == sum(e - s + 1 for s, e in merged)
+
+
+def test_gopher_keep_expr_matches_gopher_quality(spark):
+    """The inline keep expression (streaming scoring labels) must equal
+    gopher_quality's keep column row-for-row -- pinned on edge cases so
+    the two hand-maintained flag stacks can never drift silently (they
+    back the SAME perceptron oracle from two plans)."""
+    from async_stream_processing_spark.llm.curation import (
+        gopher_keep_expr,
+        gopher_quality,
+    )
+
+    texts = [
+        ("the cat sat on the mat with some warm food today " * 6).strip(),
+        "tiny one",                                   # n_words flag
+        ("a b c d " * 20).strip(),                    # mean word len < 3
+        ("zzzz " * 60).strip(),                       # no stop words
+        ("the and " + "1234 " * 58).strip(),          # alpha ratio
+        "",                                           # empty text
+        ("the longword extravagant " * 25).strip(),
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    inline = {
+        r["doc_id"]: r["k"]
+        for r in docs.select(
+            "doc_id", gopher_keep_expr("text").alias("k")
+        ).collect()
+    }
+    full = {
+        r["doc_id"]: r["keep"] for r in gopher_quality(docs).collect()
+    }
+    assert inline == full
+    assert set(inline.values()) == {True, False}  # both classes exercised

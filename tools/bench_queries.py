@@ -1,6 +1,6 @@
 """Time a subset of declared queries warm (2 runs, keep the best).
 
-Usage: python tools/bench_queries.py q1 q2 ...  [--sf /root/testdata/sf0.1]
+Usage: python tools/bench_queries.py q1 q2 ...  [--sf=/root/testdata/sf0.1]
 Prints one line per query: name, cold, warm seconds.  For A/B work only --
 the round's official numbers come from bench.py (full registry, one pass).
 """
