@@ -1504,3 +1504,206 @@ def sql_substring_dups(src: str = "documents", n: int = 20, w: int = 8) -> str:
         FROM agg a
         JOIN firstpos f ON f.gram = a.gram AND f.doc_id = a.first_doc_id
     """
+
+
+def tfidf_cosine_pairs(
+    docs: DataFrame,
+    tau: float = 0.6,
+    max_df_ratio: float = 0.5,
+    text: str = "text",
+) -> DataFrame:
+    """Sparse tf-idf cosine near-dup pairs: documents as tf-idf vectors
+    over a df-capped vocabulary, pairs with cosine >= ``tau`` -- the
+    bag-of-words similarity family's member BETWEEN exact Jaccard
+    (:func:`ngram_jaccard` -- set-valued, order-blind) and embeddings
+    (:func:`~.similarity.semdedup` -- dense, model-dependent): term
+    FREQUENCY matters, rare terms dominate, no model needed.
+
+    The df cap is part of the DEFINITION, not an approximation: terms
+    in more than ``max_df_ratio`` of documents are dropped from the
+    representation (sklearn's ``max_df``), which simultaneously (a)
+    removes stopword mass that carries no similarity signal and (b) IS
+    the skew cap -- the postings self-join fans out quadratically per
+    term, and the dropped head terms are exactly the quadratic ones
+    (the max_doc_ratio lesson from the shingle join).
+
+    Exactness: weights are floor-quantized BIGINTs
+    ``floor(tf * (N - df + 0.5)/(df + 0.5))`` (the bm25 ratio-idf
+    dialect -- log-free), so dot products and squared norms are
+    order-free integer sums; cosine is then two exactly-rounded IEEE
+    sqrt/divides.  Pairs where every shared term floors to weight 0
+    score cosine 0 and fall out at any positive tau.
+
+    Plan: one token-explode agg -> (doc, term, w) postings; df relation
+    is vocab-sized and broadcast; the self-join shuffles postings ONCE
+    on the term key; norms join pair-graph-sized output.  Output:
+    (doc_a, doc_b, dot, cosine) for pairs with cosine >= tau.
+    """
+    toks = fan_out(docs).select(
+        "doc_id", F.explode(tokens(text)).alias("tok")
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    stats = tf.agg(
+        F.count_distinct("doc_id").alias("n_docs")
+    )
+    df_t = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    w_q = F.floor(
+        F.col("tf").cast("double")
+        * ((F.col("n_docs").cast("double") - F.col("df").cast("double")
+            + F.lit(0.5))
+           / (F.col("df").cast("double") + F.lit(0.5)))
+    ).cast("long")
+    posts = (
+        tf.join(F.broadcast(df_t), "tok")
+        .crossJoin(F.broadcast(stats))
+        .filter(
+            F.col("df").cast("double")
+            <= F.lit(max_df_ratio) * F.col("n_docs").cast("double")
+        )
+        .select("doc_id", "tok", w_q.alias("w"))
+        .filter(F.col("w") > 0)
+        # posts feeds FOUR consumers (two self-join sides + two norm
+        # joins); materialize once instead of re-running the
+        # token-explode aggregation per side (the checkpointed-candidates
+        # pattern from minhash_dedup_pairs) -- 23 -> 8 exchanges
+        .localCheckpoint(eager=True)
+    )
+    n2 = posts.groupBy("doc_id").agg(
+        F.sum(F.col("w") * F.col("w")).alias("n2")
+    )
+    a = posts.select(
+        F.col("doc_id").alias("doc_a"), "tok", F.col("w").alias("wa")
+    )
+    b = posts.select(
+        F.col("doc_id").alias("doc_b"), "tok", F.col("w").alias("wb")
+    )
+    dots = (
+        a.join(b, "tok")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    cos = (
+        (F.col("dot").cast("double")
+         / F.sqrt(F.col("n2a").cast("double")))
+        / F.sqrt(F.col("n2b").cast("double"))
+    )
+    return (
+        dots.join(
+            n2.select(F.col("doc_id").alias("doc_a"), F.col("n2").alias("n2a")),
+            "doc_a",
+        )
+        .join(
+            n2.select(F.col("doc_id").alias("doc_b"), F.col("n2").alias("n2b")),
+            "doc_b",
+        )
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= tau)
+        .select("doc_a", "doc_b", "dot", "cosine")
+    )
+
+
+def sql_tfidf_cosine_pairs(
+    tau: float = 0.6, max_df_ratio: float = 0.5, src: str = "documents"
+) -> str:
+    """DuckDB twin of :func:`tfidf_cosine_pairs`."""
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, unnest({sql_tokens('text')}) AS tok FROM {src}),
+        tf AS (SELECT doc_id, tok, COUNT(*) AS tf
+               FROM toks GROUP BY doc_id, tok),
+        stats AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tf),
+        df_t AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+        posts AS (
+            SELECT tf.doc_id, tf.tok,
+                   CAST(FLOOR(CAST(tf.tf AS DOUBLE)
+                       * ((CAST(s.n_docs AS DOUBLE) - CAST(d.df AS DOUBLE)
+                           + 0.5)
+                          / (CAST(d.df AS DOUBLE) + 0.5))) AS BIGINT) AS w
+            FROM tf JOIN df_t d USING (tok) CROSS JOIN stats s
+            WHERE CAST(d.df AS DOUBLE)
+                  <= {max_df_ratio} * CAST(s.n_docs AS DOUBLE)),
+        posts_nz AS (SELECT * FROM posts WHERE w > 0),
+        n2 AS (SELECT doc_id, CAST(SUM(w * w) AS BIGINT) AS n2
+               FROM posts_nz GROUP BY doc_id),
+        dots AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(SUM(a.w * b.w) AS BIGINT) AS dot
+            FROM posts_nz a JOIN posts_nz b USING (tok)
+            WHERE a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id),
+        scored AS (
+            SELECT d.doc_a, d.doc_b, d.dot,
+                   (CAST(d.dot AS DOUBLE) / SQRT(CAST(na.n2 AS DOUBLE)))
+                       / SQRT(CAST(nb.n2 AS DOUBLE)) AS cosine
+            FROM dots d
+            JOIN n2 na ON na.doc_id = d.doc_a
+            JOIN n2 nb ON nb.doc_id = d.doc_b)
+        SELECT doc_a, doc_b, dot, cosine FROM scored WHERE cosine >= {tau}
+    """
+
+
+def intradoc_dedup(
+    docs: DataFrame, width: int = 10, text: str = "text"
+) -> DataFrame:
+    """WITHIN-document repeated-segment removal: drop every repetition
+    of a ``width``-word segment inside the SAME document (first
+    occurrence wins) and reassemble -- the intra-page cleanup that runs
+    before corpus-level :func:`line_dedup` in web-curation pipelines
+    (repeated nav blocks / chrome inside one page; Gopher's repetition
+    SIGNALS measure this, this operator REMOVES it).
+
+    Plan: the entire operator is ONE narrow pass -- segmentation,
+    first-occurrence filter, and reassembly are array expressions over
+    each document's own tokens (the filter's seen-set is the segment
+    array's own prefix: position-in-prefix == 0).  Zero shuffles, zero
+    joins, zero state at ANY corpus size; per-doc cost is O(segs^2)
+    with segs = words/width, bounded by page length, not corpus size.
+
+    Output: (doc_id, n_segs, n_kept, text_dedup).
+    """
+    base = fan_out(docs).select("doc_id", tokens(text).alias("w"))
+    starts = F.sequence(
+        F.lit(0).cast("long"), ((F.size("w") - 1) / width).cast("long")
+    )
+    segs = F.transform(
+        starts,
+        lambda i: F.array_join(
+            F.slice(F.col("w"), i.cast("int") * width + 1, width), " "
+        ),
+    )
+    kept = F.filter(
+        F.col("segs"),
+        lambda s, i: F.array_position(F.slice(F.col("segs"), 1, i), s) == 0,
+    )
+    return base.select("doc_id", segs.alias("segs")).select(
+        "doc_id",
+        F.size("segs").cast("long").alias("n_segs"),
+        F.size(kept).cast("long").alias("n_kept"),
+        F.array_join(kept, " ").alias("text_dedup"),
+    )
+
+
+def sql_intradoc_dedup(src: str = "documents", width: int = 10) -> str:
+    """DuckDB twin of :func:`intradoc_dedup` (the window-min form of the
+    same first-occurrence rule; per-doc partitioning makes it exact)."""
+    return f"""
+        WITH base AS (SELECT doc_id, {sql_tokens('text')} AS w FROM {src}),
+        seg AS (SELECT doc_id, CAST(t.i AS BIGINT) AS seg_idx,
+                       array_to_string(
+                           w[t.i * {width} + 1 : t.i * {width} + {width}],
+                           ' ') AS seg
+                FROM base,
+                     unnest(generate_series(
+                         0, CAST((len(w) - 1) // {width} AS BIGINT))) AS t(i)),
+        first AS (SELECT doc_id, seg_idx, seg,
+                         MIN(seg_idx) OVER (PARTITION BY doc_id, seg)
+                             AS first_idx
+                  FROM seg),
+        tot AS (SELECT doc_id, COUNT(*) AS n_segs FROM seg GROUP BY doc_id),
+        re AS (SELECT doc_id, COUNT(*) AS n_kept,
+                      string_agg(seg, ' ' ORDER BY seg_idx) AS text_dedup
+               FROM first WHERE seg_idx = first_idx GROUP BY doc_id)
+        SELECT t.doc_id, t.n_segs, r.n_kept, r.text_dedup
+        FROM tot t JOIN re r USING (doc_id)
+    """

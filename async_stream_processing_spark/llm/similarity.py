@@ -1566,3 +1566,228 @@ def sql_semdedup(
                (d.vec_id IS NULL) AS keep
         FROM assign s LEFT JOIN dominated d ON d.vec_id = s.vec_id
     """
+
+
+# -- scalar quantization (SQ8) ---------------------------------------------
+
+def sq8_stats(embeddings: DataFrame, d: int = 64) -> DataFrame:
+    """Per-dimension (lo, hi) training statistics for SQ8 -- ONE corpus
+    scan aggregating 2*d min/max expressions (map-side combined to a
+    single row), i.e. O(d) MODEL STATE in the kmeans/PQ-codebook
+    convention.  Returned as a 1-row (lo array, hi array) DataFrame to
+    ride as a broadcast alongside the encode scan."""
+    lo = F.array(*[
+        F.min(F.element_at("embedding", j + 1).cast("double"))
+        for j in range(d)
+    ]).alias("lo")
+    hi = F.array(*[
+        F.max(F.element_at("embedding", j + 1).cast("double"))
+        for j in range(d)
+    ]).alias("hi")
+    return embeddings.agg(lo, hi)
+
+
+def _sq8_code(x: Column, lo: Column, hi: Column) -> Column:
+    """One SQ8 code: floor-quantize x onto the 256-level [lo, hi] grid.
+
+    Every op is an exactly-rounded IEEE -,*,/ evaluated in the SAME
+    left-to-right order as the DuckDB twin, and floor is exact, so codes
+    are bit-stable across engines/partitionings/retries.  A degenerate
+    dimension (hi == lo) encodes as 0; the LEAST guard absorbs the
+    x == hi boundary, where (x-lo)*255/(hi-lo) may round to 255.0 + ulp."""
+    span = hi - lo
+    c = F.floor(((x - lo) * F.lit(255.0)) / span).cast("long")
+    return F.when(span == 0, F.lit(0).cast("long")).otherwise(
+        F.least(F.greatest(c, F.lit(0).cast("long")), F.lit(255).cast("long"))
+    )
+
+
+def sq8_codes(
+    embeddings: DataFrame, d: int = 64, stats: DataFrame | None = None
+) -> DataFrame:
+    """SQ8 scalar-quantization encoding (the FAISS ``SQ8`` index family):
+    each float dimension compresses independently to one uint8 level on
+    the corpus's per-dimension [min, max] grid -- 4x over float32 with
+    no codebook training, the standard first rung of the ANN compression
+    ladder below PQ (:func:`pq_codes` is 32x but needs a codebook).
+
+    Plan: the stats row (O(d) model state, :func:`sq8_stats`) broadcasts;
+    the encode itself is a NARROW one-pass ``transform`` over each
+    vector's own array -- no shuffle, no join, so a 100 TB corpus encodes
+    at scan speed and the 64-byte codes are what later queries touch.
+    Pass ``stats`` to encode a NEW batch against a FROZEN serving grid
+    (the ivfpq_encode_with_model convention).
+
+    Output: (vec_id, codes array<bigint> of d values in [0, 255]).
+    """
+    st = stats if stats is not None else sq8_stats(embeddings, d)
+    emb = _as_double(F.col("embedding"))
+    codes = F.transform(
+        emb,
+        lambda x, i: _sq8_code(
+            x,
+            F.element_at(F.col("lo"), i + F.lit(1)),
+            F.element_at(F.col("hi"), i + F.lit(1)),
+        ),
+    )
+    return embeddings.crossJoin(F.broadcast(st)).select(
+        "vec_id", codes.alias("codes")
+    )
+
+
+def knn_sq8(
+    embeddings: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    d: int = 64,
+) -> DataFrame:
+    """Symmetric-distance top-k over SQ8 codes (FAISS SQ8 + SDC): both
+    query and corpus quantize onto the same grid and the scan distance
+    is a pure INTEGER sum of squared code deltas -- order-free BIGINT
+    math, no float ops on the corpus side, bit-identical on every
+    engine/partitioning/retry.
+
+    Plan: one narrow encode pass (:func:`sq8_codes`), query codes are
+    n_queries rows riding as a broadcast, the per-query top-k is the
+    knn_bruteforce partitioned-window shape.  The corpus never shuffles
+    until that rank; compose with IVF cells to prune candidates at real
+    scale.  Output: (query_id, neighbor_id, rank, d2_sq8).
+    """
+    codes = sq8_codes(embeddings, d)
+    qc = codes.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("codes").alias("q_codes")
+    )
+    d2 = _fold_sum(
+        F.zip_with(
+            F.col("codes"), F.col("q_codes"), lambda a, b: (a - b) * (a - b)
+        )
+    ).cast("long")
+    scored = (
+        codes.crossJoin(F.broadcast(qc))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", d2.alias("d2_sq8"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("d2_sq8"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "rank",
+            "d2_sq8",
+        )
+    )
+
+
+def _sql_sq8_ctes(d: int = 64, src: str = "embeddings") -> str:
+    """Shared CTE block: per-dim stats + per-vector SQ8 codes."""
+    return f"""
+        dims AS (
+            SELECT t.j,
+                   MIN(CAST(embedding[t.j] AS DOUBLE)) AS lo,
+                   MAX(CAST(embedding[t.j] AS DOUBLE)) AS hi
+            FROM {src}, LATERAL unnest(range(1, {d + 1})) AS t(j)
+            GROUP BY t.j),
+        codes AS (
+            SELECT e.vec_id,
+                   list(CASE WHEN d.hi = d.lo THEN 0
+                        ELSE LEAST(GREATEST(CAST(FLOOR(
+                            ((CAST(e.embedding[t.j] AS DOUBLE) - d.lo)
+                             * 255.0) / (d.hi - d.lo)) AS BIGINT),
+                            0), 255) END ORDER BY t.j) AS codes
+            FROM {src} e, LATERAL unnest(range(1, {d + 1})) AS t(j)
+            JOIN dims d ON d.j = t.j
+            GROUP BY e.vec_id)"""
+
+
+def sql_sq8_codes(d: int = 64, src: str = "embeddings") -> str:
+    """DuckDB twin of :func:`sq8_codes` (same grid, same float op
+    order, same floor/clamp decisions)."""
+    return f"""
+        WITH {_sql_sq8_ctes(d, src)}
+        SELECT vec_id, codes FROM codes
+    """
+
+
+def sql_knn_sq8(
+    n_queries: int = 10, k: int = 5, d: int = 64, src: str = "embeddings"
+) -> str:
+    """DuckDB twin of :func:`knn_sq8` (integer SDC over shared codes)."""
+    return f"""
+        WITH {_sql_sq8_ctes(d, src)},
+        scored AS (
+            SELECT q.vec_id AS query_id, c.vec_id,
+                   CAST(list_reduce(list_transform(
+                       list_zip(c.codes, q.codes),
+                       p -> (p[1] - p[2]) * (p[1] - p[2])),
+                       (x, y) -> x + y) AS BIGINT) AS d2_sq8
+            FROM codes c JOIN codes q ON q.vec_id < {n_queries}
+            WHERE c.vec_id != q.vec_id),
+        ranked AS (
+            SELECT query_id, vec_id AS neighbor_id, d2_sq8,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY d2_sq8 ASC, vec_id ASC) AS rank
+            FROM scored)
+        SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, d2_sq8
+        FROM ranked WHERE rank <= {k}
+    """
+
+
+def sq8_recall(
+    embeddings: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    d: int = 64,
+) -> DataFrame:
+    """Recall@k of the SQ8 symmetric-distance search against exact
+    brute force -- the :func:`ann_recall` eval-harness shape applied to
+    the scalar-quantization rung, completing the measured ladder
+    (LSH -> SQ8 -> PQ -> IVF-PQ): pick the cheapest compression whose
+    recall row is acceptable BEFORE building the 100 TB index."""
+    bf = knn_bruteforce(embeddings, n_queries=n_queries, k=k).select(
+        "query_id", "neighbor_id"
+    )
+    idx = knn_sq8(embeddings, n_queries=n_queries, k=k, d=d).select(
+        "query_id", F.col("neighbor_id").alias("got_id")
+    )
+    hits = (
+        bf.join(
+            idx,
+            (bf["query_id"] == idx["query_id"])
+            & (bf["neighbor_id"] == idx["got_id"]),
+            "left",
+        )
+        .groupBy(bf["query_id"])
+        .agg(F.count("got_id").alias("n_hits"))
+    )
+    return hits.select(
+        "query_id",
+        "n_hits",
+        (F.col("n_hits").cast("double") / F.lit(float(k))).alias("recall"),
+    )
+
+
+def sql_sq8_recall(
+    n_queries: int = 10, k: int = 5, d: int = 64, src: str = "embeddings"
+) -> str:
+    """DuckDB twin of :func:`sq8_recall`."""
+    idx = sql_knn_sq8(n_queries, k, d, src)
+    return f"""
+        WITH bf AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                       ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                           ORDER BY {sql_cosine('q.embedding', 'e.embedding')}
+                               DESC, e.vec_id ASC) AS rnk
+                FROM {src} e CROSS JOIN {src} q
+                WHERE q.vec_id < {n_queries} AND e.vec_id != q.vec_id)
+            WHERE rnk <= {k}),
+        idx AS ({idx})
+        SELECT bf.query_id, COUNT(idx.neighbor_id) AS n_hits,
+               CAST(COUNT(idx.neighbor_id) AS DOUBLE) / {float(k)} AS recall
+        FROM bf LEFT JOIN idx
+          ON idx.query_id = bf.query_id
+         AND idx.neighbor_id = bf.neighbor_id
+        GROUP BY bf.query_id
+    """

@@ -1120,3 +1120,322 @@ def sql_bigram_predictability(src: str = "documents") -> str:
         FROM trans t LEFT JOIN argmax a ON a.w1 = t.w1
         GROUP BY t.doc_id
     """
+
+
+def _trigram_rows(docs: DataFrame, text: str = "text") -> DataFrame:
+    """(doc_id, w1, w2, w3) -- every adjacent token triple, generate-side
+    (one transform over the doc's own token array, no shuffle)."""
+    w = tokens(text)
+    tri = F.when(
+        F.size(w) >= 3,
+        F.zip_with(
+            F.zip_with(
+                F.slice(w, 1, F.size(w) - 2),
+                F.slice(w, 2, F.size(w) - 2),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            ),
+            F.slice(w, 3, F.size(w) - 2),
+            lambda p, c: F.struct(
+                p["w1"].alias("w1"), p["w2"].alias("w2"), c.alias("w3")
+            ),
+        ),
+    ).otherwise(
+        F.array().cast("array<struct<w1:string,w2:string,w3:string>>")
+    )
+    return docs.select("doc_id", F.explode(tri).alias("t")).select(
+        "doc_id", "t.w1", "t.w2", "t.w3"
+    )
+
+
+def _bigram_rows(docs: DataFrame, text: str = "text") -> DataFrame:
+    """(doc_id, b1, b2) -- every adjacent token pair, generate-side."""
+    w = tokens(text)
+    big = F.when(
+        F.size(w) >= 2,
+        F.zip_with(
+            F.slice(w, 1, F.size(w) - 1),
+            F.slice(w, 2, F.size(w) - 1),
+            lambda a, b: F.struct(a.alias("b1"), b.alias("b2")),
+        ),
+    ).otherwise(F.array().cast("array<struct<b1:string,b2:string>>"))
+    return docs.select("doc_id", F.explode(big).alias("t")).select(
+        "doc_id", "t.b1", "t.b2"
+    )
+
+
+def trigram_backoff_score(
+    docs: DataFrame, text: str = "text"
+) -> DataFrame:
+    """Stupid-Backoff trigram LM scoring (Brants et al. 2007, "Large
+    Language Models in Machine Translation" -- THE published web-scale
+    LM recipe: no discounting, no normalization, score
+    ``S(w3|w1 w2) = c123/c12``, backing off to ``0.4 * c23/c2``, then to
+    ``0.4^2 * c3/N``), the perplexity-filtering statistic of
+    CCNet-style curation in its distributed-counts form.
+
+    The LM trains on the EVEN-doc_id half of the corpus and scores every
+    document, so odd documents genuinely exercise the backoff chain
+    (scoring a corpus against a model trained on all of it can never
+    back off -- every trigram has count >= 1).  Per-transition scores are
+    floor-quantized to a 1e-6 grid and summed as BIGINTs, so the
+    per-document score is order-free and engine/partitioning/retry
+    exact; every float op before the floor is an exactly-rounded IEEE
+    divide/multiply evaluated in the same order in both twins.
+
+    Plan: trigram/bigram extraction is generate-side (zip_with over each
+    doc's own token array); model counts are vocab-bounded aggregates of
+    the model half, pre-joined MODEL-side into (trigram, c123, c12) and
+    (bigram, c23, c2) relations so the corpus-sized score stream joins
+    THREE times on token keys (Zipf-skewed -- the AQE skew-join case),
+    never more; N rides as a 1-row broadcast.  Output: one row per
+    document with >= 1 trigram: (doc_id, n_trigrams, sb_q, sb_score).
+    """
+    model = trigram_model(docs.filter(F.col("doc_id") % 2 == 0), text)
+    return _sb_score_against(_trigram_rows(docs, text), model)
+
+
+def trigram_model(
+    model_docs: DataFrame, text: str = "text"
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """The Stupid-Backoff serving model as four relations:
+    ``(tri_full, big_full, uni_c, n_row)`` -- trigrams pre-joined with
+    their context counts, bigrams with theirs, unigrams, and the 1-row
+    total.  All vocab-bounded; built once and reused by the batch
+    scorer and the score-on-ingest streaming path."""
+    tri_c = (
+        _trigram_rows(model_docs, text)
+        .groupBy("w1", "w2", "w3")
+        .agg(F.count(F.lit(1)).alias("c123"))
+    )
+    big_c = (
+        _bigram_rows(model_docs, text)
+        .groupBy("b1", "b2")
+        .agg(F.count(F.lit(1)).alias("cb"))
+    )
+    uni_c = (
+        model_docs.select(F.explode(tokens(text)).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    n_row = uni_c.agg(F.sum("c1").alias("n_model"))
+    # model-side pre-joins: vocab-sized, never corpus-sized
+    tri_full = tri_c.join(
+        big_c.select(
+            F.col("b1").alias("w1"), F.col("b2").alias("w2"),
+            F.col("cb").alias("c12"),
+        ),
+        ["w1", "w2"],
+    )
+    big_full = big_c.select(
+        F.col("b1").alias("w2"), F.col("b2").alias("w3"),
+        F.col("cb").alias("c23"),
+    ).join(
+        uni_c.select(F.col("tok").alias("w2"), F.col("c1").alias("c2")),
+        "w2",
+    )
+    return tri_full, big_full, uni_c, n_row
+
+
+def _sb_score_against(
+    trans: DataFrame,
+    model: tuple[DataFrame, DataFrame, DataFrame, DataFrame],
+) -> DataFrame:
+    """Score a (doc_id, w1, w2, w3) transition stream -- batch or
+    streaming -- against a :func:`trigram_model`."""
+    tri_full, big_full, uni_c, n_row = model
+    j = (
+        trans.join(tri_full, ["w1", "w2", "w3"], "left")
+        .join(big_full, ["w2", "w3"], "left")
+        .join(
+            uni_c.select(F.col("tok").alias("w3"), F.col("c1").alias("c3u")),
+            "w3",
+            "left",
+        )
+        .crossJoin(F.broadcast(n_row))
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    sq = F.when(
+        F.col("c123").isNotNull(),
+        F.floor((d("c123") / d("c12")) * F.lit(1e6)),
+    ).when(
+        F.col("c23").isNotNull(),
+        F.floor((F.lit(0.4) * (d("c23") / d("c2"))) * F.lit(1e6)),
+    ).otherwise(
+        F.floor(
+            (F.lit(0.16)
+             * (F.coalesce(d("c3u"), F.lit(0.0)) / d("n_model")))
+            * F.lit(1e6)
+        )
+    ).cast("long")
+    return (
+        j.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_trigrams"),
+            F.sum(sq).alias("sb_q"),
+        )
+        .select(
+            "doc_id",
+            "n_trigrams",
+            "sb_q",
+            (F.col("sb_q").cast("double")
+             / (F.lit(1e6) * F.col("n_trigrams").cast("double"))
+             ).alias("sb_score"),
+        )
+    )
+
+
+def sql_trigram_backoff_score(src: str = "documents") -> str:
+    """DuckDB twin of :func:`trigram_backoff_score` (same model half,
+    same backoff chain, same quantized-score decisions)."""
+    from ..functions.text import sql_tokens
+
+    return f"""
+        WITH words AS (SELECT doc_id, {sql_tokens('text')} AS w FROM {src}),
+        tri AS (
+            SELECT doc_id, w[i] AS w1, w[i + 1] AS w2, w[i + 2] AS w3
+            FROM words, LATERAL unnest(range(1, len(w) - 1)) AS t(i)
+            WHERE len(w) >= 3),
+        big AS (
+            SELECT doc_id, w[i] AS b1, w[i + 1] AS b2
+            FROM words, LATERAL unnest(range(1, len(w))) AS t(i)
+            WHERE len(w) >= 2),
+        tri_c AS (SELECT w1, w2, w3, COUNT(*) AS c123 FROM tri
+                  WHERE doc_id % 2 = 0 GROUP BY w1, w2, w3),
+        big_c AS (SELECT b1, b2, COUNT(*) AS cb FROM big
+                  WHERE doc_id % 2 = 0 GROUP BY b1, b2),
+        uni_c AS (SELECT tok, COUNT(*) AS c1 FROM (
+                      SELECT doc_id, unnest(w) AS tok FROM words)
+                  WHERE doc_id % 2 = 0 GROUP BY tok),
+        n_row AS (SELECT CAST(SUM(c1) AS BIGINT) AS n_model FROM uni_c),
+        tri_full AS (
+            SELECT t.w1, t.w2, t.w3, t.c123, b.cb AS c12
+            FROM tri_c t JOIN big_c b ON b.b1 = t.w1 AND b.b2 = t.w2),
+        big_full AS (
+            SELECT b.b1 AS w2, b.b2 AS w3, b.cb AS c23, u.c1 AS c2
+            FROM big_c b JOIN uni_c u ON u.tok = b.b1),
+        scored AS (
+            SELECT t.doc_id,
+                   CASE WHEN tf.c123 IS NOT NULL THEN
+                            FLOOR((CAST(tf.c123 AS DOUBLE)
+                                   / CAST(tf.c12 AS DOUBLE)) * 1e6)
+                        WHEN bf.c23 IS NOT NULL THEN
+                            FLOOR((0.4 * (CAST(bf.c23 AS DOUBLE)
+                                          / CAST(bf.c2 AS DOUBLE))) * 1e6)
+                        ELSE
+                            FLOOR((0.16 * (CAST(COALESCE(u.c1, 0) AS DOUBLE)
+                                           / CAST(n.n_model AS DOUBLE)))
+                                  * 1e6)
+                   END AS sq
+            FROM tri t
+            LEFT JOIN tri_full tf
+                   ON tf.w1 = t.w1 AND tf.w2 = t.w2 AND tf.w3 = t.w3
+            LEFT JOIN big_full bf ON bf.w2 = t.w2 AND bf.w3 = t.w3
+            LEFT JOIN uni_c u ON u.tok = t.w3
+            CROSS JOIN n_row n)
+        SELECT doc_id, COUNT(*) AS n_trigrams,
+               CAST(SUM(sq) AS BIGINT) AS sb_q,
+               CAST(SUM(sq) AS DOUBLE) / (1e6 * COUNT(*)) AS sb_score
+        FROM scored GROUP BY doc_id
+    """
+
+
+def trigram_score_on_ingest(
+    stream_docs: DataFrame,
+    model: tuple[DataFrame, DataFrame, DataFrame, DataFrame],
+    text: str = "text",
+) -> DataFrame:
+    """Stupid-Backoff scoring ON INGEST: arriving documents score
+    against a FROZEN serving :func:`trigram_model` through the
+    streaming engine -- trigram extraction stays generate-side on the
+    stream, the three model joins are stream-static (the model
+    relations re-broadcast per micro-batch; vocab-bounded, never
+    corpus-bounded), and the per-document aggregation runs in the
+    state store (complete mode).  Same output columns -- and oracle --
+    as the batch :func:`trigram_backoff_score`."""
+    return _sb_score_against(_trigram_rows(stream_docs, text), model)
+
+
+def source_tv_distance(docs: DataFrame, text: str = "text") -> DataFrame:
+    """Per-source token-distribution drift: the TOTAL-VARIATION distance
+    ``TV(P_source, P_corpus) = 0.5 * sum_t |p_s(t) - p_c(t)|`` between
+    each source's unigram distribution and the whole corpus's -- the
+    domain-shift diagnostic a mixture designer reads before setting
+    sampling weights (and the log-free cousin of the KL term in DoReMi:
+    ``ln`` is the one non-portable op, while TV is closed under exact
+    integer arithmetic).
+
+    Exactness: with common denominator ``N_s * N``, each in-source term
+    is ``|c_st*N - c_t*N_s|`` -- an INTEGER; tokens absent from the
+    source contribute ``sum c_t/N = (N - sum_{t in s} c_t) / N``, also
+    integer-numerator.  Both sums are order-free BIGINTs, so TV is one
+    exact division at the end.  (BIGINT bounds: numerators <=
+    2*N*N_s -- fine to ~3e9 corpus tokens; at true 100 TB promote the
+    sums to decimal(38,0), the connected-components convention.)
+
+    Plan: one corpus scan -> (source, token) counts (map-side combined);
+    token-level corpus totals join vocab-sized relations; per-source
+    totals and N ride as broadcasts; output is #sources rows.
+    """
+    toks = docs.select("source", F.explode(tokens(text)).alias("tok"))
+    st = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c_st"))
+    src_tot = st.groupBy("source").agg(F.sum("c_st").alias("n_s"))
+    tok_tot = st.groupBy("tok").agg(F.sum("c_st").alias("c_t"))
+    n_row = src_tot.agg(F.sum("n_s").alias("n"))
+    j = (
+        st.join(tok_tot, "tok")
+        .join(F.broadcast(src_tot), "source")
+        .crossJoin(F.broadcast(n_row))
+    )
+    per_src = j.groupBy("source").agg(
+        F.max("n_s").alias("n_src_tokens"),
+        F.sum(
+            F.abs(F.col("c_st") * F.col("n") - F.col("c_t") * F.col("n_s"))
+        ).alias("a_num"),
+        F.sum("c_t").alias("c_in"),
+        F.max("n").alias("n_all"),
+    )
+    num = (F.col("a_num")
+           + (F.col("n_all") - F.col("c_in")) * F.col("n_src_tokens"))
+    return per_src.select(
+        "source",
+        "n_src_tokens",
+        num.alias("tv_num"),
+        (num.cast("double")
+         / (F.lit(2.0) * F.col("n_src_tokens").cast("double")
+            * F.col("n_all").cast("double"))).alias("tv"),
+    )
+
+
+def sql_source_tv_distance(src: str = "documents") -> str:
+    """DuckDB twin of :func:`source_tv_distance`."""
+    from ..functions.text import sql_tokens
+
+    return f"""
+        WITH toks AS (
+            SELECT source, unnest({sql_tokens('text')}) AS tok FROM {src}),
+        st AS (SELECT source, tok, COUNT(*) AS c_st
+               FROM toks GROUP BY source, tok),
+        src_tot AS (SELECT source, CAST(SUM(c_st) AS BIGINT) AS n_s
+                    FROM st GROUP BY source),
+        tok_tot AS (SELECT tok, CAST(SUM(c_st) AS BIGINT) AS c_t
+                    FROM st GROUP BY tok),
+        n_row AS (SELECT CAST(SUM(n_s) AS BIGINT) AS n FROM src_tot),
+        per_src AS (
+            SELECT st.source,
+                   MAX(s.n_s) AS n_src_tokens,
+                   CAST(SUM(ABS(st.c_st * n.n - t.c_t * s.n_s))
+                        AS BIGINT) AS a_num,
+                   CAST(SUM(t.c_t) AS BIGINT) AS c_in,
+                   MAX(n.n) AS n_all
+            FROM st
+            JOIN tok_tot t USING (tok)
+            JOIN src_tot s USING (source)
+            CROSS JOIN n_row n
+            GROUP BY st.source)
+        SELECT source, n_src_tokens,
+               a_num + (n_all - c_in) * n_src_tokens AS tv_num,
+               CAST(a_num + (n_all - c_in) * n_src_tokens AS DOUBLE)
+                   / (2.0 * CAST(n_src_tokens AS DOUBLE)
+                      * CAST(n_all AS DOUBLE)) AS tv
+        FROM per_src
+    """

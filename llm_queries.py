@@ -1191,7 +1191,126 @@ def q_temperature_mixture(spark, sf_dir):
     return temperature_mixture(_docs(spark, sf_dir), total_target=1000)
 
 
+def q_sq8_codes(spark, sf_dir):
+    """SQ8 scalar-quantization encoding (FAISS SQ8): each dimension to
+    one uint8 level on the corpus's per-dim [min,max] grid -- 4x
+    compression with no codebook, the first rung of the ANN ladder;
+    NARROW one-pass encode against an O(d) broadcast stats row."""
+    from async_stream_processing_spark.llm.similarity import sq8_codes
+
+    return sq8_codes(_emb(spark, sf_dir), d=64)
+
+
+def q_knn_sq8(spark, sf_dir):
+    """Symmetric-distance top-k over SQ8 codes: pure INTEGER squared
+    code deltas (order-free BIGINT sums, no corpus-side float math),
+    query codes as a broadcast, per-query top-k window."""
+    from async_stream_processing_spark.llm.similarity import knn_sq8
+
+    return knn_sq8(_emb(spark, sf_dir), n_queries=10, k=5, d=64)
+
+
+def q_stream_sq8_codes(spark, sf_dir):
+    """sq8_codes EXECUTED BY THE STREAMING ENGINE: encode-on-ingest
+    against a FROZEN serving grid (stats trained batch-side, riding as
+    a stream-static broadcast -- the model-state shape), append mode;
+    same oracle as the batch query."""
+    from async_stream_processing_spark.llm.similarity import sq8_codes, sq8_stats
+    from async_stream_processing_spark.sources.parquet import (
+        load_table,
+        stream_table,
+    )
+    from async_stream_processing_spark.streaming.replay import drain
+
+    stats = sq8_stats(load_table(spark, sf_dir, "embeddings"), d=64)
+    s = stream_table(spark, sf_dir, "embeddings")
+    return drain(sq8_codes(s, d=64, stats=stats), output_mode="append")
+
+
+def q_sq8_recall(spark, sf_dir):
+    """Recall@5 of the SQ8 symmetric-distance search vs exact brute
+    force -- completes the measured ANN-compression ladder (LSH/SQ8/
+    PQ/IVF-PQ each carry a recall row)."""
+    from async_stream_processing_spark.llm.similarity import sq8_recall
+
+    return sq8_recall(_emb(spark, sf_dir), n_queries=10, k=5, d=64)
+
+
+def q_trigram_backoff(spark, sf_dir):
+    """Stupid-Backoff trigram LM scoring (Brants et al. 2007 -- the
+    published web-scale LM recipe; CCNet's perplexity filter in
+    distributed-counts form): model trained on the even-doc_id half so
+    held-out docs genuinely back off, per-transition scores
+    floor-quantized and summed as order-free BIGINTs."""
+    from async_stream_processing_spark.llm.text_analysis import (
+        trigram_backoff_score,
+    )
+
+    return trigram_backoff_score(_docs(spark, sf_dir))
+
+
+def q_stream_trigram_backoff(spark, sf_dir):
+    """trigram_backoff EXECUTED BY THE STREAMING ENGINE: the LM trains
+    once on the batch corpus's even half (vocab-bounded serving
+    relations), arriving documents score per micro-batch via
+    stream-static joins and a state-store aggregation (complete mode)
+    -- perplexity filtering composed with the reference's past->live
+    intake posture.  Same oracle as the batch query."""
+    from async_stream_processing_spark.llm.text_analysis import (
+        trigram_model,
+        trigram_score_on_ingest,
+    )
+    from async_stream_processing_spark.sources.parquet import stream_table
+    from async_stream_processing_spark.streaming.replay import drain
+
+    docs = _docs(spark, sf_dir)
+    model = trigram_model(docs.filter(F.col("doc_id") % 2 == 0))
+    s = stream_table(spark, sf_dir, "documents")
+    return drain(trigram_score_on_ingest(s, model), output_mode="complete")
+
+
+def q_source_tv_distance(spark, sf_dir):
+    """Per-source token-distribution drift: total-variation distance
+    between each source's unigram distribution and the corpus's --
+    exact integer numerators over a common denominator (the log-free
+    cousin of DoReMi's KL term)."""
+    from async_stream_processing_spark.llm.text_analysis import (
+        source_tv_distance,
+    )
+
+    return source_tv_distance(_docs(spark, sf_dir))
+
+
+def q_tfidf_cosine_pairs(spark, sf_dir):
+    """Sparse tf-idf cosine near-dup pairs (>= 0.6) over a df-capped
+    vocabulary: integer-quantized ratio-idf weights, order-free BIGINT
+    dots/norms; the df cap (sklearn max_df) IS the join's skew cap."""
+    from async_stream_processing_spark.llm.dedup import tfidf_cosine_pairs
+
+    return tfidf_cosine_pairs(_docs(spark, sf_dir), tau=0.6)
+
+
+def q_intradoc_dedup(spark, sf_dir):
+    """Within-document repeated-segment removal (first occurrence wins,
+    reassembled): the intra-page cleanup before corpus-level line_dedup.
+    ONE narrow pass -- the seen-set is the segment array's own prefix;
+    zero shuffles at any corpus size.  width=2 exercises the removal
+    path on the driver corpus (r7 probe: 181 docs lose segments)."""
+    from async_stream_processing_spark.llm.dedup import intradoc_dedup
+
+    return intradoc_dedup(_docs(spark, sf_dir), width=2)
+
+
 LLM_QUERIES = {
+    "sq8_codes": q_sq8_codes,
+    "knn_sq8": q_knn_sq8,
+    "stream_sq8_codes": q_stream_sq8_codes,
+    "sq8_recall": q_sq8_recall,
+    "trigram_backoff": q_trigram_backoff,
+    "stream_trigram_backoff": q_stream_trigram_backoff,
+    "source_tv_distance": q_source_tv_distance,
+    "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
+    "intradoc_dedup": q_intradoc_dedup,
     "bpe_apply": q_bpe_apply,
     "stream_simhash": q_stream_simhash,
     "stream_bpe_apply": q_stream_bpe_apply,
@@ -1525,7 +1644,30 @@ def llm_oracle_sql() -> dict[str, str]:
         """
     from async_stream_processing_spark.llm.curation import sql_filter_audit
 
+    from async_stream_processing_spark.llm.similarity import (
+        sql_knn_sq8,
+        sql_sq8_codes,
+        sql_sq8_recall,
+    )
+    from async_stream_processing_spark.llm.text_analysis import (
+        sql_source_tv_distance,
+        sql_trigram_backoff_score,
+    )
+    from async_stream_processing_spark.llm.dedup import (
+        sql_intradoc_dedup,
+        sql_tfidf_cosine_pairs,
+    )
+
     out = {
+        "sq8_codes": sql_sq8_codes(d=64),
+        "knn_sq8": sql_knn_sq8(n_queries=10, k=5, d=64),
+        "stream_sq8_codes": sql_sq8_codes(d=64),
+        "sq8_recall": sql_sq8_recall(n_queries=10, k=5, d=64),
+        "trigram_backoff": sql_trigram_backoff_score(),
+        "stream_trigram_backoff": sql_trigram_backoff_score(),
+        "source_tv_distance": sql_source_tv_distance(),
+        "tfidf_cosine_pairs": sql_tfidf_cosine_pairs(tau=0.6),
+        "intradoc_dedup": sql_intradoc_dedup(width=2),
         "bpe_apply": sql_bpe_apply(n_merges=3),
         "filter_audit": sql_filter_audit(),
         "dedup_source_matrix": f"""

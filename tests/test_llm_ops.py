@@ -1229,3 +1229,141 @@ def test_gopher_keep_expr_matches_gopher_quality(spark):
     }
     assert inline == full
     assert set(inline.values()) == {True, False}  # both classes exercised
+
+
+def test_sq8_codes_grid_endpoints_and_degenerate_dim(spark):
+    """Per-dim grid: the corpus min encodes to 0, the max to 255, the
+    midpoint to 127 (floor of 127.5); a CONSTANT dimension (hi == lo)
+    encodes to 0 instead of dividing by zero."""
+    from async_stream_processing_spark.llm.similarity import sq8_codes
+
+    vecs = [
+        [0.0, -1.0, 5.0],   # min in dims 0,1; constant dim 2
+        [1.0, 3.0, 5.0],    # max in dims 0,1
+        [0.5, 1.0, 5.0],    # midpoints
+    ]
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v], 0) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = {r["vec_id"]: list(r["codes"]) for r in sq8_codes(emb, d=3).collect()}
+    assert out[0] == [0, 0, 0]
+    assert out[1] == [255, 255, 0]
+    assert out[2] == [127, 127, 0]
+
+
+def test_knn_sq8_orders_by_integer_code_distance(spark):
+    """Hand-checkable 1-D ordering: with one informative dimension the
+    integer SDC ranking must follow the scalar ordering, and the query
+    itself is excluded."""
+    from async_stream_processing_spark.llm.similarity import knn_sq8
+
+    vals = [0.0, 0.1, 0.5, 0.9, 1.0]
+    emb = spark.createDataFrame(
+        [(i, [float(v), 0.0], 0) for i, v in enumerate(vals)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    rows = knn_sq8(emb, n_queries=1, k=4, d=2).collect()
+    order = [r["neighbor_id"] for r in sorted(rows, key=lambda r: r["rank"])]
+    assert order == [1, 2, 3, 4]
+    assert all(r["query_id"] == 0 and r["neighbor_id"] != 0 for r in rows)
+
+
+def test_trigram_backoff_tier_chain_exact(spark):
+    """Every Stupid-Backoff tier fires with hand-computed quantized
+    scores.  Model = even docs = {"a b c d"}: trigram (a,b,c) scores
+    tier-1 c123/c12 = 1.0; (z,c,d) has no model trigram but bigram
+    (c,d) exists -> tier-2 0.4 * c23/c2 = 0.4; (a,b,d) falls through to
+    tier-3 0.16 * c(d)/N = 0.16 * 1/4; an unknown final token scores
+    0."""
+    from async_stream_processing_spark.llm.text_analysis import (
+        trigram_backoff_score,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c d"),   # the model half
+            (1, "a b c"),     # tier 1
+            (3, "z c d"),     # tier 2
+            (5, "a b d"),     # tier 3, known unigram
+            (7, "a b qq"),    # tier 3, unknown unigram -> 0
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in trigram_backoff_score(docs).collect()}
+    assert out[1]["sb_q"] == 1_000_000
+    assert out[3]["sb_q"] == 400_000
+    assert out[5]["sb_q"] == 40_000          # 0.16 * (1/4) * 1e6
+    assert out[7]["sb_q"] == 0
+    # the model doc scores its own two trigrams at tier 1 (counts 1/1)
+    assert out[0]["n_trigrams"] == 2 and out[0]["sb_q"] == 2_000_000
+
+
+def test_source_tv_distance_identical_and_disjoint(spark):
+    """Two sources with identical unigram distributions sit at TV 0;
+    a disjoint-vocabulary source lands at the hand-computed 2/3 (its
+    mass fully displaced, but the corpus still contains it)."""
+    from async_stream_processing_spark.llm.text_analysis import (
+        source_tv_distance,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b", "en", "s1", 3),
+            (1, "a b", "en", "s2", 3),
+            (2, "c c", "en", "s3", 3),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = {r["source"]: r for r in source_tv_distance(docs).collect()}
+    # corpus = {a:2, b:2, c:2}, N=6; s1 = {a:1, b:1}, n_s=2
+    # in-source: |1*6-2*2| = 2 per token -> A=4; B = 6-4 = 2
+    # num = 4 + 2*2 = 8; tv = 8/24 = 1/3
+    assert out["s1"]["tv_num"] == 8 and abs(out["s1"]["tv"] - 1 / 3) < 1e-12
+    assert out["s2"]["tv_num"] == 8
+    # s3 = {c:2}: A = |2*6-2*2| = 8; B = 6-2 = 4; num = 16; tv = 2/3
+    assert out["s3"]["tv_num"] == 16 and abs(out["s3"]["tv"] - 2 / 3) < 1e-12
+
+
+def test_tfidf_cosine_pairs_identity_and_df_cap(spark):
+    """Identical documents score cosine ~1; documents sharing ONLY a
+    ubiquitous term (df above the cap) never pair -- the cap is part of
+    the representation, not a lossy shortcut."""
+    from async_stream_processing_spark.llm.dedup import tfidf_cosine_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the alpha beta gamma"),
+            (1, "the alpha beta gamma"),   # identical to 0
+            (2, "the delta epsilon"),       # shares only "the" with 0/1
+            (3, "the zeta eta"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = tfidf_cosine_pairs(docs, tau=0.5, max_df_ratio=0.5).collect()
+    pairs = {(r["doc_a"], r["doc_b"]): r["cosine"] for r in rows}
+    assert set(pairs) == {(0, 1)}
+    assert pairs[(0, 1)] > 0.999
+
+
+def test_intradoc_dedup_first_wins_within_doc_only(spark):
+    """Repeats collapse WITHIN a document (first occurrence wins,
+    reassembly preserves order); the same segment in another document
+    is untouched -- this operator is narrow by contract."""
+    from async_stream_processing_spark.llm.dedup import intradoc_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b a b c d"),
+            (1, "a b x y"),
+            (2, "c d c d c d"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in intradoc_dedup(docs, width=2).collect()}
+    assert out[0]["n_segs"] == 3 and out[0]["n_kept"] == 2
+    assert out[0]["text_dedup"] == "a b c d"
+    assert out[1]["n_segs"] == 2 and out[1]["n_kept"] == 2
+    assert out[1]["text_dedup"] == "a b x y"
+    assert out[2]["n_segs"] == 3 and out[2]["n_kept"] == 1
+    assert out[2]["text_dedup"] == "c d"

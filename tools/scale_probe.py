@@ -229,6 +229,33 @@ def main() -> None:
         "max_drawdown": (lambda ev: _max_dd(ev), ev1, ev8),
         "bollinger_bands": (lambda ev: _bollinger(ev), ev1, ev8),
     }
+    # round-7 continuation: SQ8, trigram LM, TV drift, tf-idf pairs,
+    # intra-doc dedup.  NB tfidf_cosine_pairs is super-unit BY
+    # CONSTRUCTION on the replicated fixture (8 identical copies of
+    # every doc pair across copies: ~64x pair volume at 8x input), the
+    # substring_dup_spans precedent.
+    from async_stream_processing_spark.llm.dedup import (
+        intradoc_dedup,
+        tfidf_cosine_pairs,
+    )
+    from async_stream_processing_spark.llm.similarity import knn_sq8, sq8_codes
+    from async_stream_processing_spark.llm.text_analysis import (
+        source_tv_distance,
+        trigram_backoff_score,
+    )
+
+    r5_ops.update({
+        "sq8_codes": (lambda e: sq8_codes(e), emb1, emb8),
+        "knn_sq8": (lambda e: knn_sq8(e, n_queries=10, k=5), emb1, emb8),
+        "trigram_backoff": (
+            lambda d: trigram_backoff_score(d), docs1, docs8),
+        "source_tv_distance": (
+            lambda d: source_tv_distance(d), docs1, docs8),
+        "tfidf_cosine_pairs": (
+            lambda d: tfidf_cosine_pairs(d, tau=0.6), docs1, docs8),
+        "intradoc_dedup": (
+            lambda d: intradoc_dedup(d, width=2), docs1, docs8),
+    })
     for name, (fn, one, eight) in r5_ops.items():
         if ONLY and name not in ONLY:
             continue
