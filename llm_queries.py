@@ -1227,6 +1227,18 @@ def q_stream_sq8_codes(spark, sf_dir):
     return drain(sq8_codes(s, d=64, stats=stats), output_mode="append")
 
 
+def q_doremi_mixture(spark, sf_dir):
+    """Domain-mixture OPTIMIZATION (DoReMi shape, Xie et al. 2023):
+    three multiplicative-weights rounds upweighting the domains most
+    divergent (TV) from the current weighted mixture -- integer
+    arithmetic throughout, weight update as O(n_domains) driver model
+    state, unrolled CTE-chain oracle.  Output: the (source, round,
+    w_q) trajectory."""
+    from async_stream_processing_spark.llm.curation import doremi_mixture
+
+    return doremi_mixture(_docs(spark, sf_dir), n_rounds=3)
+
+
 def q_sq8_recall(spark, sf_dir):
     """Recall@5 of the SQ8 symmetric-distance search vs exact brute
     force -- completes the measured ANN-compression ladder (LSH/SQ8/
@@ -1306,6 +1318,7 @@ LLM_QUERIES = {
     "knn_sq8": q_knn_sq8,
     "stream_sq8_codes": q_stream_sq8_codes,
     "sq8_recall": q_sq8_recall,
+    "doremi_mixture": q_doremi_mixture,
     "trigram_backoff": q_trigram_backoff,
     "stream_trigram_backoff": q_stream_trigram_backoff,
     "source_tv_distance": q_source_tv_distance,
@@ -1642,7 +1655,10 @@ def llm_oracle_sql() -> dict[str, str]:
             {_sql_minhash_sig()}
             SELECT * FROM sig
         """
-    from async_stream_processing_spark.llm.curation import sql_filter_audit
+    from async_stream_processing_spark.llm.curation import (
+        sql_doremi_mixture,
+        sql_filter_audit,
+    )
 
     from async_stream_processing_spark.llm.similarity import (
         sql_knn_sq8,
@@ -1663,6 +1679,7 @@ def llm_oracle_sql() -> dict[str, str]:
         "knn_sq8": sql_knn_sq8(n_queries=10, k=5, d=64),
         "stream_sq8_codes": sql_sq8_codes(d=64),
         "sq8_recall": sql_sq8_recall(n_queries=10, k=5, d=64),
+        "doremi_mixture": sql_doremi_mixture(n_rounds=3),
         "trigram_backoff": sql_trigram_backoff_score(),
         "stream_trigram_backoff": sql_trigram_backoff_score(),
         "source_tv_distance": sql_source_tv_distance(),

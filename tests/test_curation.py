@@ -521,3 +521,25 @@ def test_gopher_repetition_full_lines_paras_and_high_n(spark):
     # clean doc survives
     assert out[2]["keep"]
     assert out[2]["dup_line"] == 0 and out[2]["dup6_chars"] == 0
+
+
+def test_doremi_mixture_upweights_divergent_domain(spark):
+    """Three domains, two identical ('a') and one disjoint ('c'): the
+    disjoint domain is exactly twice as TV-divergent from the uniform
+    mixture (hand arithmetic: A_c = 2 * A_a), so every round moves
+    weight toward it; identical domains stay tied; the integer budget
+    is never exceeded."""
+    from async_stream_processing_spark.llm.curation import doremi_mixture
+
+    docs = spark.createDataFrame(
+        [(0, "a", "en", "s_a1", 1), (1, "a", "en", "s_a2", 1),
+         (2, "c", "en", "s_c", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = doremi_mixture(docs, n_rounds=2).collect()
+    w = {(r["source"], r["round"]): r["w_q"] for r in out}
+    assert w[("s_a1", 0)] == w[("s_a2", 0)] == w[("s_c", 0)] == 333_333
+    for rnd in (1, 2):
+        assert w[("s_c", rnd)] > w[("s_a1", rnd)] == w[("s_a2", rnd)]
+        assert sum(w[(s, rnd)] for s in ("s_a1", "s_a2", "s_c")) <= 1_000_000
+    assert w[("s_c", 2)] > w[("s_c", 1)]
