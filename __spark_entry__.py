@@ -2994,7 +2994,8 @@ GATE_WINDOW = [
     # cosine pairs, intra-doc dedup; tpch_q7/q8/q16/q17/q19/q21/q22
     # re-confirmations wait for round 8 to make room)
     "sq8_codes", "knn_sq8", "stream_sq8_codes", "sq8_recall",
-    "doremi_mixture", "trigram_backoff",
+    "doremi_mixture", "bpe_coverage", "packing_efficiency",
+    "trigram_backoff",
     "stream_trigram_backoff",
     "source_tv_distance", "tfidf_cosine_pairs", "intradoc_dedup",
     "stream_incremental_dedup", "ivfpq_upsert", "substring_dup_spans",
@@ -3011,7 +3012,6 @@ GATE_WINDOW = [
     "first_seen", "positional_zip", "revenue_rollup", "rows_frame_last5",
     "semi_anti_join", "sessionize", "sessionize_native", "set_ops_multiset",
     "stream_cart_fold", "stream_join_1h", "timer_ticks", "topk_per_priority",
-    "tpch_q1", "tpch_q10",
 ]
 
 

@@ -1314,3 +1314,54 @@ def sql_doremi_mixture(
         WITH {ctes}
         {unions}
     """
+
+
+def packing_efficiency(
+    docs: DataFrame,
+    budget: int = 512,
+    key: str = "source",
+    text: str = "text",
+) -> DataFrame:
+    """Packer EVAL: per-source fill statistics of the
+    :func:`pack_sequences` layout -- chunks produced, tokens laid out,
+    and ``fill_ratio`` = tokens / (chunks * budget), the fraction of
+    the training batch that is real data rather than padding (the
+    number a pretraining run pays for directly).  One #sources-bounded
+    aggregate over the packing relation."""
+    packed = pack_sequences(docs, budget=budget, key=key, text=text)
+    return (
+        packed.groupBy(key)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct("chunk_id").alias("n_chunks"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+        .select(
+            key,
+            "n_docs",
+            "n_chunks",
+            "n_tokens",
+            (F.col("n_tokens").cast("double")
+             / (F.col("n_chunks").cast("double") * F.lit(float(budget)))
+             ).alias("fill_ratio"),
+        )
+    )
+
+
+def sql_packing_efficiency(
+    src: str = "documents", budget: int = 512, key: str = "source"
+) -> str:
+    """DuckDB twin of :func:`packing_efficiency`."""
+    return f"""
+        WITH packed AS ({sql_pack_sequences(src=src, budget=budget,
+                                            key=key)})
+        SELECT {key},
+               COUNT(*) AS n_docs,
+               CAST(COUNT(DISTINCT chunk_id) AS BIGINT) AS n_chunks,
+               CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+               CAST(SUM(n_tokens) AS DOUBLE)
+                   / (CAST(COUNT(DISTINCT chunk_id) AS DOUBLE)
+                      * {float(budget)}) AS fill_ratio
+        FROM packed
+        GROUP BY {key}
+    """

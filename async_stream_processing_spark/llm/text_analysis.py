@@ -1439,3 +1439,48 @@ def sql_source_tv_distance(src: str = "documents") -> str:
                       * CAST(n_all AS DOUBLE)) AS tv
         FROM per_src
     """
+
+
+def bpe_coverage(
+    docs: DataFrame, n_merges: int = 3, text: str = "text"
+) -> DataFrame:
+    """Tokenizer EVAL: per-source compression achieved by the learned
+    BPE merges -- the measured row that decides whether a vocabulary is
+    worth shipping (the ann_recall discipline applied to the tokenizer
+    family: train / apply / MEASURE).  ``compression`` is tokens-after
+    over symbols-before; 1.0 means the merges never fired on that
+    source.  One narrow encode pass + a doc-level join to recover the
+    source key + one #sources-bounded aggregate."""
+    enc = bpe_apply(docs, n_merges=n_merges, text=text)
+    j = enc.join(docs.select("doc_id", "source"), "doc_id")
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_symbols").alias("n_symbols"),
+            F.sum("n_tokens_bpe").alias("n_tokens_bpe"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_symbols",
+            "n_tokens_bpe",
+            (F.col("n_tokens_bpe").cast("double")
+             / F.col("n_symbols").cast("double")).alias("compression"),
+        )
+    )
+
+
+def sql_bpe_coverage(n_merges: int = 3, src: str = "documents") -> str:
+    """DuckDB twin of :func:`bpe_coverage` (wraps the bpe_apply twin)."""
+    return f"""
+        WITH enc AS ({sql_bpe_apply(n_merges=n_merges, src=src)})
+        SELECT d.source,
+               COUNT(*) AS n_docs,
+               CAST(SUM(enc.n_symbols) AS BIGINT) AS n_symbols,
+               CAST(SUM(enc.n_tokens_bpe) AS BIGINT) AS n_tokens_bpe,
+               CAST(SUM(enc.n_tokens_bpe) AS DOUBLE)
+                   / CAST(SUM(enc.n_symbols) AS DOUBLE) AS compression
+        FROM enc JOIN {src} d USING (doc_id)
+        GROUP BY d.source
+    """

@@ -1227,6 +1227,24 @@ def q_stream_sq8_codes(spark, sf_dir):
     return drain(sq8_codes(s, d=64, stats=stats), output_mode="append")
 
 
+def q_bpe_coverage(spark, sf_dir):
+    """Tokenizer eval: per-source BPE compression (tokens-after /
+    symbols-before) -- the measured row that decides whether the
+    learned vocabulary ships (train / apply / MEASURE)."""
+    from async_stream_processing_spark.llm.text_analysis import bpe_coverage
+
+    return bpe_coverage(_docs(spark, sf_dir), n_merges=3)
+
+
+def q_packing_efficiency(spark, sf_dir):
+    """Packer eval: per-source fill ratio of the pack_sequences layout
+    (tokens / chunks*budget) -- the padding fraction a pretraining run
+    pays for directly."""
+    from async_stream_processing_spark.llm.curation import packing_efficiency
+
+    return packing_efficiency(_docs(spark, sf_dir), budget=512)
+
+
 def q_doremi_mixture(spark, sf_dir):
     """Domain-mixture OPTIMIZATION (DoReMi shape, Xie et al. 2023):
     three multiplicative-weights rounds upweighting the domains most
@@ -1319,6 +1337,8 @@ LLM_QUERIES = {
     "stream_sq8_codes": q_stream_sq8_codes,
     "sq8_recall": q_sq8_recall,
     "doremi_mixture": q_doremi_mixture,
+    "bpe_coverage": q_bpe_coverage,
+    "packing_efficiency": q_packing_efficiency,
     "trigram_backoff": q_trigram_backoff,
     "stream_trigram_backoff": q_stream_trigram_backoff,
     "source_tv_distance": q_source_tv_distance,
@@ -1637,6 +1657,7 @@ def llm_oracle_sql() -> dict[str, str]:
     from async_stream_processing_spark.llm.text_analysis import (
         sql_bigram_predictability,
         sql_bpe_apply,
+        sql_bpe_coverage,
     )
 
     from async_stream_processing_spark.llm.similarity import (
@@ -1658,6 +1679,7 @@ def llm_oracle_sql() -> dict[str, str]:
     from async_stream_processing_spark.llm.curation import (
         sql_doremi_mixture,
         sql_filter_audit,
+        sql_packing_efficiency,
     )
 
     from async_stream_processing_spark.llm.similarity import (
@@ -1680,6 +1702,8 @@ def llm_oracle_sql() -> dict[str, str]:
         "stream_sq8_codes": sql_sq8_codes(d=64),
         "sq8_recall": sql_sq8_recall(n_queries=10, k=5, d=64),
         "doremi_mixture": sql_doremi_mixture(n_rounds=3),
+        "bpe_coverage": sql_bpe_coverage(n_merges=3),
+        "packing_efficiency": sql_packing_efficiency(budget=512),
         "trigram_backoff": sql_trigram_backoff_score(),
         "stream_trigram_backoff": sql_trigram_backoff_score(),
         "source_tv_distance": sql_source_tv_distance(),

@@ -543,3 +543,23 @@ def test_doremi_mixture_upweights_divergent_domain(spark):
         assert w[("s_c", rnd)] > w[("s_a1", rnd)] == w[("s_a2", rnd)]
         assert sum(w[(s, rnd)] for s in ("s_a1", "s_a2", "s_c")) <= 1_000_000
     assert w[("s_c", 2)] > w[("s_c", 1)]
+
+
+def test_packing_efficiency_hand_computed(spark):
+    """Four 3-token docs at budget 4 lay out at offsets 0/3/6/9 ->
+    chunks {0,0,1,2}: 3 chunks, 12 tokens, fill exactly 1.0.  A single
+    over-budget doc yields one chunk with fill > 1 (offset chunking
+    counts the spill in the first chunk -- the eval surfaces it rather
+    than hiding it)."""
+    from async_stream_processing_spark.llm.curation import packing_efficiency
+
+    docs = spark.createDataFrame(
+        [(i, "a b c", "en", "s1", 5) for i in range(4)]
+        + [(10, " ".join(["t"] * 10), "en", "s2", 19)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = {r["source"]: r for r in
+           packing_efficiency(docs, budget=4).collect()}
+    assert out["s1"]["n_chunks"] == 3 and out["s1"]["n_tokens"] == 12
+    assert abs(out["s1"]["fill_ratio"] - 1.0) < 1e-12
+    assert out["s2"]["n_chunks"] == 1 and out["s2"]["fill_ratio"] == 2.5

@@ -1367,3 +1367,21 @@ def test_intradoc_dedup_first_wins_within_doc_only(spark):
     assert out[1]["text_dedup"] == "a b x y"
     assert out[2]["n_segs"] == 3 and out[2]["n_kept"] == 1
     assert out[2]["text_dedup"] == "c d"
+
+
+def test_bpe_coverage_compression_bounds(spark):
+    """Compression is tokens-after / symbols-before: strictly below 1
+    on a source the learned merges fire on, exactly 1 on a source made
+    of single characters no merge can touch."""
+    from async_stream_processing_spark.llm.text_analysis import bpe_coverage
+
+    docs = spark.createDataFrame(
+        [(0, "abab abab abab", "en", "mergey", 14),
+         (1, "abab abab", "en", "mergey", 9),
+         (2, "q w e r t", "en", "atomic", 9)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = {r["source"]: r for r in bpe_coverage(docs, n_merges=2).collect()}
+    assert out["mergey"]["compression"] < 1.0
+    assert out["mergey"]["n_tokens_bpe"] < out["mergey"]["n_symbols"]
+    assert out["atomic"]["compression"] == 1.0
