@@ -2993,6 +2993,8 @@ GATE_WINDOW = [
     # SQ8 family, Stupid-Backoff trigram LM, source TV drift, tf-idf
     # cosine pairs, intra-doc dedup; tpch_q7/q8/q16/q17/q19/q21/q22
     # re-confirmations wait for round 8 to make room)
+    "lsh_s_curve", "unimax_mixture", "hard_negatives", "pmi_pairs",
+    "langid_confusion",
     "sq8_codes", "knn_sq8", "stream_sq8_codes", "sq8_recall",
     "doremi_mixture", "bpe_coverage", "packing_efficiency",
     "trigram_backoff",
@@ -3007,10 +3009,12 @@ GATE_WINDOW = [
     "dedup_source_matrix", "dedup_pair_recall", "incremental_dedup",
     "pipeline_end_to_end", "embedding_dedup_clusters", "substring_dups",
     "knn_ivfpq", "ivfpq_recall", "stream_upsert_state",
-    # (c) stalest re-confirmations (last gated r2, then oldest r3)
+    # (c) stalest re-confirmations (last gated r2, then oldest r3;
+    # revenue_rollup, rows_frame_last5, semi_anti_join, sessionize_native
+    # and set_ops_multiset rotated out to make room for the five
+    # late-round-7 additions -- first in line for round 8)
     "demux_counts", "event_deltas", "feedback_orders",
-    "first_seen", "positional_zip", "revenue_rollup", "rows_frame_last5",
-    "semi_anti_join", "sessionize", "sessionize_native", "set_ops_multiset",
+    "first_seen", "positional_zip", "sessionize",
     "stream_cart_fold", "stream_join_1h", "timer_ticks", "topk_per_priority",
 ]
 

@@ -609,6 +609,137 @@ def sql_temperature_mixture(
     """
 
 
+def unimax_mixture(
+    docs: DataFrame,
+    budget_tokens: int = 200_000,
+    epoch_cap: int = 4,
+    key: str = "source",
+    text: str = "text",
+) -> DataFrame:
+    """UniMax mixture allocation (Chung et al. 2023, "UniMax: Fairer and
+    More Effective Language Sampling for Large-Scale Multilingual
+    Pretraining"): distribute a total token ``budget`` across sources as
+    uniformly as possible, but never ask any source for more than
+    ``epoch_cap`` epochs of its own data -- the waterfilling that
+    temperature sampling approximates without a hard repeat bound.
+
+    Exact integer waterfilling instead of the paper's iterative loop:
+    with sources sorted ascending by ``cap_s = epoch_cap * n_tokens_s``,
+    source ``i`` is capped iff ``cap_i * (k - i) + S_i <= B`` (``S_i`` the
+    running cap prefix sum) -- the condition is monotone in ``i`` (its
+    increment is ``(cap_{i+1} - cap_i) * (k - i) >= 0``), so the capped
+    set is a prefix and one window pass finds it.  Uncapped sources share
+    the remainder by integer DIV (portable truncation; the discarded
+    remainder is < #sources tokens).  All decisions are integer
+    arithmetic; ``epochs`` is the single IEEE division, reporting only.
+
+    The corpus is scanned once for per-source token counts; everything
+    after runs on the #sources-row aggregate (O(10^2) rows by nature, so
+    its global windows sort a model-sized relation, not the corpus).
+    """
+    per = docs.groupBy(key).agg(
+        F.sum(F.size(tokens(text))).alias("n_tokens")
+    )
+    c = per.select(
+        key,
+        "n_tokens",
+        (F.lit(epoch_cap) * F.col("n_tokens")).alias("cap_tokens"),
+    )
+    wo = Window.orderBy("cap_tokens", key).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.partitionBy()
+    ranked = c.select(
+        key,
+        "n_tokens",
+        "cap_tokens",
+        F.row_number()
+        .over(Window.orderBy("cap_tokens", key))
+        .cast("long")
+        .alias("__i"),
+        F.sum("cap_tokens").over(wo).alias("__s"),
+        F.count(F.lit(1)).over(wall).alias("__k"),
+    )
+    flagged = ranked.withColumn(
+        "capped",
+        (
+            F.col("cap_tokens") * (F.col("__k") - F.col("__i"))
+            + F.col("__s")
+        )
+        <= F.lit(budget_tokens),
+    )
+    g = flagged.select(
+        "*",
+        F.coalesce(
+            F.max(F.when(F.col("capped"), F.col("__i"))).over(wall),
+            F.lit(0).cast("long"),
+        ).alias("__istar"),
+        F.coalesce(
+            F.max(F.when(F.col("capped"), F.col("__s"))).over(wall),
+            F.lit(0).cast("long"),
+        ).alias("__sstar"),
+    )
+    alloc = F.when(F.col("capped"), F.col("cap_tokens")).otherwise(
+        F.expr(
+            f"({budget_tokens} - __sstar) div nullif(__k - __istar, 0)"
+        )
+    )
+    return g.select(
+        key,
+        "n_tokens",
+        "cap_tokens",
+        "capped",
+        alloc.alias("alloc_tokens"),
+        F.when(
+            F.col("n_tokens") > 0,
+            alloc.cast("double") / F.col("n_tokens").cast("double"),
+        ).alias("epochs"),
+    )
+
+
+def sql_unimax_mixture(
+    src: str = "documents",
+    key: str = "source",
+    budget_tokens: int = 200_000,
+    epoch_cap: int = 4,
+) -> str:
+    """DuckDB twin of :func:`unimax_mixture` (same integer waterfilling;
+    window SUM/COUNT cast from DuckDB's HUGEINT back to BIGINT)."""
+    alloc = (
+        "CASE WHEN capped THEN cap_tokens ELSE "
+        f"({budget_tokens} - sstar) // NULLIF(k - istar, 0) END"
+    )
+    return f"""
+        WITH per AS (SELECT {key},
+                            CAST(SUM(len({sql_tokens('text')})) AS BIGINT)
+                                AS n_tokens
+                     FROM {src} GROUP BY {key}),
+        c AS (SELECT {key}, n_tokens,
+                     {epoch_cap} * n_tokens AS cap_tokens FROM per),
+        w AS (SELECT *,
+                     CAST(ROW_NUMBER() OVER (ORDER BY cap_tokens, {key})
+                          AS BIGINT) AS i,
+                     CAST(SUM(cap_tokens) OVER (ORDER BY cap_tokens, {key}
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS s,
+                     CAST(COUNT(*) OVER () AS BIGINT) AS k
+              FROM c),
+        f AS (SELECT *, (cap_tokens * (k - i) + s <= {budget_tokens})
+                            AS capped FROM w),
+        g AS (SELECT *,
+                     COALESCE(MAX(CASE WHEN capped THEN i END) OVER (), 0)
+                         AS istar,
+                     COALESCE(MAX(CASE WHEN capped THEN s END) OVER (), 0)
+                         AS sstar
+              FROM f)
+        SELECT {key}, n_tokens, cap_tokens, capped,
+               {alloc} AS alloc_tokens,
+               CASE WHEN n_tokens > 0 THEN
+                   CAST({alloc} AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+               END AS epochs
+        FROM g
+    """
+
+
 def chunk_documents(
     docs: DataFrame,
     budget: int = 64,

@@ -576,6 +576,64 @@ def lsh_pair_recall(
     )
 
 
+def lsh_s_curve(
+    docs: DataFrame,
+    n_hashes: int = N_MINHASH,
+    bands: int = LSH_BANDS,
+    hash_mode: str = "md5",
+) -> DataFrame:
+    """Empirical LSH detection curve: per true-Jaccard decile, what
+    fraction of pairs the banded blocker catches -- the measured twin of
+    the theoretical S-curve ``1 - (1 - s^r)^b`` that every banding
+    parameter choice is made from.  :func:`lsh_pair_recall` answers
+    "what is recall at my threshold"; this answers "WHERE does the
+    blocker's cliff sit", which is what a re-tune actually needs (Mining
+    of Massive Datasets ch. 3 shape; run on an eval slice, deploy the
+    chosen (n_hashes, bands) on the full corpus).
+
+    Ground truth = ALL shared-shingle pairs (anything with Jaccard > 0 --
+    a pair sharing zero shingles has Jaccard 0 and is out of scope by
+    construction); the vigintile bin is an integer quotient
+    (``(20*n_common) div union``, clamped to 19), so binning is bit-exact
+    in any engine.  Bin 0 holds the low-similarity mass the blocker is
+    SUPPOSED to skip -- its near-zero catch rate is the junk-pair savings,
+    while the top bins' catch rate is the recall cliff.  One
+    shared-shingle self-join for truth + the narrow-signature bucket join
+    for the candidates; ``catch_rate`` is the single IEEE division.
+    """
+    sh = doc_shingle_hashes(docs, hash_mode=hash_mode)
+    truth = jaccard_pairs_direct(sh, 0.0).select(
+        "doc_a",
+        "doc_b",
+        F.least(
+            F.lit(19).cast("long"),
+            F.expr("(20 * n_common) div (n_a + n_b - n_common)"),
+        ).alias("j_bin"),
+    )
+    cand = lsh_candidate_pairs(
+        minhash_signatures(docs, n_hashes, hash_mode=hash_mode),
+        n_hashes,
+        bands,
+    ).withColumn("caught", F.lit(1))
+    j = truth.join(cand, ["doc_a", "doc_b"], "left")
+    return (
+        j.groupBy("j_bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.coalesce(F.col("caught"), F.lit(0))).alias("n_caught"),
+        )
+        .select(
+            "j_bin",
+            "n_pairs",
+            "n_caught",
+            (
+                F.col("n_caught").cast("double")
+                / F.col("n_pairs").cast("double")
+            ).alias("catch_rate"),
+        )
+    )
+
+
 def simhash(
     docs: DataFrame,
     bits: int = 32,

@@ -101,6 +101,83 @@ def knn_bruteforce(
     )
 
 
+def hard_negatives(
+    embeddings: DataFrame, n_queries: int = 10, k: int = 5
+) -> DataFrame:
+    """Contrastive hard-negative mining: for each query vector, the top-k
+    most cosine-similar corpus vectors with a DIFFERENT label -- the
+    pairs an embedding-model training run wants in its contrastive batch
+    (easy negatives teach nothing; same-label neighbors are positives,
+    not negatives).  The ``label`` column plays the class/positive-set
+    role.
+
+    Same plan shape as :func:`knn_bruteforce`: the query side is
+    broadcast, the corpus streams through one narrow stage (norms hoisted
+    to one column per side), and the only shuffle is the per-query top-k
+    window over the scored pairs.  At 100 TB the brute-force scorer swaps
+    for :func:`ivfpq_search`'s shortlist with this same label predicate
+    as the post-filter."""
+    q = embeddings.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        norm(F.col("embedding")).alias("q_n"),
+        F.col("label").alias("query_label"),
+    )
+    c = embeddings.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        norm(F.col("embedding")).alias("c_n"),
+        F.col("label").alias("neighbor_label"),
+    )
+    scored = c.join(
+        F.broadcast(q),
+        (F.col("neighbor_id") != F.col("query_id"))
+        & (F.col("neighbor_label") != F.col("query_label")),
+    ).withColumn(
+        "cos",
+        dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_n") * F.col("c_n")),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "query_label",
+            "neighbor_label",
+            F.col("rank").cast("long").alias("rank"),
+            F.col("cos").alias("cosine"),
+        )
+    )
+
+
+def sql_hard_negatives(
+    n_queries: int = 10, k: int = 5, src: str = "embeddings"
+) -> str:
+    """DuckDB twin of :func:`hard_negatives`."""
+    return f"""
+        WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb,
+                          label AS query_label
+                   FROM {src} WHERE vec_id < {n_queries}),
+        scored AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+                          q.query_label, e.label AS neighbor_label,
+                          {sql_cosine('q.q_emb', 'e.embedding')} AS cos
+                   FROM {src} e CROSS JOIN q
+                   WHERE e.vec_id != q.query_id
+                     AND e.label != q.query_label)
+        SELECT query_id, neighbor_id, query_label, neighbor_label,
+               CAST(rank AS BIGINT) AS rank, cos AS cosine
+        FROM (SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY query_id
+                  ORDER BY cos DESC, neighbor_id ASC) AS rank
+              FROM scored)
+        WHERE rank <= {k}
+    """
+
+
 def _plane_weight(j: int, idx0: Column) -> Column:
     """Deterministic integer hyperplane weight for plane j, 0-based dim."""
     return ((F.lit(131 * j) + F.lit(137) * idx0) % 19 - F.lit(9)).cast("double")

@@ -1484,3 +1484,121 @@ def sql_bpe_coverage(n_merges: int = 3, src: str = "documents") -> str:
         FROM enc JOIN {src} d USING (doc_id)
         GROUP BY d.source
     """
+
+
+def pmi_pairs(
+    docs: DataFrame,
+    min_count: int = 5,
+    k: int = 50,
+    text: str = "text",
+    quantum: int = 1_000_000,
+) -> DataFrame:
+    """Top-k PMI collocations over adjacent token bigrams (Church & Hanks
+    1990) -- the corpus-analysis row behind multi-word-expression vocab
+    entries and tokenizer merge sanity checks.
+
+    PMI = log P(x,y)/(P(x)P(y)); the log is the one non-portable op, and
+    it is monotone, so the RANKING runs on the exact integer quotient
+    ``pmi_q = (quantum * c_xy * N) div (c_x * c_y)`` and the double
+    ``pmi_ratio`` (one IEEE division of exact integer products) is
+    reporting only.  Integer budget: ``quantum * c_xy * N < 2^63`` --
+    holds with ~10^2 headroom at sf0.1; drop ``quantum`` (or move the
+    products to decimal(38,0)) for corpora past ~10^9 bigrams.
+
+    Plan: ONE corpus-side bigram explode -> one groupBy; both marginals
+    and N derive from the vocabulary-sized pair table, never from a
+    second corpus pass.  Top-k is orderBy+limit (TakeOrdered -- no global
+    window sort), with the deterministic (pmi_q DESC, x, y) total
+    tiebreak so the cut is portable."""
+    from ..functions.text import shingles
+
+    bg = docs.select(F.explode(shingles(text, 2)).alias("g"))
+    pair = (
+        bg.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+        .select(
+            F.element_at(F.split("g", " "), 1).alias("x"),
+            F.element_at(F.split("g", " "), 2).alias("y"),
+            "c_xy",
+        )
+    )
+    cx = pair.groupBy("x").agg(F.sum("c_xy").alias("c_x"))
+    cy = pair.groupBy("y").agg(F.sum("c_xy").alias("c_y"))
+    n = pair.agg(F.sum("c_xy").alias("n_bigrams"))
+    j = (
+        pair.filter(F.col("c_xy") >= min_count)
+        .join(cx, "x")
+        .join(cy, "y")
+        .crossJoin(F.broadcast(n))
+    )
+    scored = j.select(
+        "x",
+        "y",
+        "c_xy",
+        "c_x",
+        "c_y",
+        "n_bigrams",
+        F.expr(f"({quantum} * c_xy * n_bigrams) div (c_x * c_y)").alias(
+            "pmi_q"
+        ),
+        (
+            (F.col("c_xy") * F.col("n_bigrams")).cast("double")
+            / (F.col("c_x") * F.col("c_y")).cast("double")
+        ).alias("pmi_ratio"),
+    )
+    return scored.orderBy(F.desc("pmi_q"), "x", "y").limit(k)
+
+
+def sql_pmi_pairs(
+    min_count: int = 5,
+    k: int = 50,
+    src: str = "documents",
+    quantum: int = 1_000_000,
+) -> str:
+    """DuckDB twin of :func:`pmi_pairs`."""
+    from ..functions.text import sql_shingles, sql_tokens
+
+    return f"""
+        WITH words AS (SELECT doc_id, {sql_tokens('text')} AS w FROM {src}),
+        bg AS (SELECT unnest({sql_shingles('w', 2)}) AS g FROM words),
+        pair AS (SELECT string_split(g, ' ')[1] AS x,
+                        string_split(g, ' ')[2] AS y,
+                        COUNT(*) AS c_xy
+                 FROM bg GROUP BY 1, 2),
+        cx AS (SELECT x, CAST(SUM(c_xy) AS BIGINT) AS c_x
+               FROM pair GROUP BY x),
+        cy AS (SELECT y, CAST(SUM(c_xy) AS BIGINT) AS c_y
+               FROM pair GROUP BY y),
+        n AS (SELECT CAST(SUM(c_xy) AS BIGINT) AS n_bigrams FROM pair)
+        SELECT p.x, p.y, CAST(p.c_xy AS BIGINT) AS c_xy, c_x, c_y,
+               n_bigrams,
+               ({quantum} * p.c_xy * n_bigrams) // (c_x * c_y) AS pmi_q,
+               CAST(p.c_xy * n_bigrams AS DOUBLE)
+                   / CAST(c_x * c_y AS DOUBLE) AS pmi_ratio
+        FROM pair p JOIN cx USING (x) JOIN cy USING (y) CROSS JOIN n
+        WHERE p.c_xy >= {min_count}
+        ORDER BY pmi_q DESC, x, y
+        LIMIT {k}
+    """
+
+
+def langid_confusion(docs: DataFrame, text: str = "text") -> DataFrame:
+    """Eval harness for :func:`lang_id` (the ann_recall discipline applied
+    to the language-ID family): confusion matrix of predicted vs stored
+    language label, with each cell's share of its true-label total --
+    per-language recall sits on the diagonal.  Two #langs^2-bounded
+    aggregations over the lang_id output; the corpus is scanned once."""
+    p = lang_id(docs, text)
+    cell = p.groupBy("lang_label", "lang_pred").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    tot = cell.groupBy("lang_label").agg(F.sum("n_docs").alias("n_label"))
+    return cell.join(tot, "lang_label").select(
+        "lang_label",
+        "lang_pred",
+        "n_docs",
+        "n_label",
+        (
+            F.col("n_docs").cast("double") / F.col("n_label").cast("double")
+        ).alias("rate"),
+    )

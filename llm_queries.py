@@ -1331,7 +1331,60 @@ def q_intradoc_dedup(spark, sf_dir):
     return intradoc_dedup(_docs(spark, sf_dir), width=2)
 
 
+def q_lsh_s_curve(spark, sf_dir):
+    """Empirical LSH detection S-curve: per true-Jaccard vigintile, the
+    fraction of shared-shingle pairs the banded blocker catches -- the
+    calibration row a (n_hashes, bands) re-tune reads.  Integer-exact
+    binning; one IEEE division per bin."""
+    from async_stream_processing_spark.llm.dedup import lsh_s_curve
+
+    return lsh_s_curve(_docs(spark, sf_dir))
+
+
+def q_unimax_mixture(spark, sf_dir):
+    """UniMax budget allocation (Chung et al. 2023): uniform token budget
+    across sources with a hard epoch cap, as one exact integer
+    waterfilling window pass over the #sources aggregate."""
+    from async_stream_processing_spark.llm.curation import unimax_mixture
+
+    return unimax_mixture(_docs(spark, sf_dir), budget_tokens=200_000,
+                          epoch_cap=4)
+
+
+def q_hard_negatives(spark, sf_dir):
+    """Contrastive hard-negative mining: top-5 most cosine-similar
+    DIFFERENT-label vectors per query -- broadcast queries, one narrow
+    corpus pass, per-query top-k window."""
+    from async_stream_processing_spark.llm.similarity import hard_negatives
+
+    return hard_negatives(_emb(spark, sf_dir), n_queries=10, k=5)
+
+
+def q_pmi_pairs(spark, sf_dir):
+    """Top-50 PMI collocations over adjacent-token bigrams: ranking on
+    the exact integer quotient (log is monotone), marginals derived from
+    the pair table -- ONE corpus explode, TakeOrdered cut."""
+    from async_stream_processing_spark.llm.text_analysis import pmi_pairs
+
+    return pmi_pairs(_docs(spark, sf_dir), min_count=5, k=50)
+
+
+def q_langid_confusion(spark, sf_dir):
+    """lang_id eval harness: predicted-vs-label confusion matrix with
+    per-cell share of the true-label total (diagonal = recall)."""
+    from async_stream_processing_spark.llm.text_analysis import (
+        langid_confusion,
+    )
+
+    return langid_confusion(_docs(spark, sf_dir))
+
+
 LLM_QUERIES = {
+    "lsh_s_curve": q_lsh_s_curve,
+    "unimax_mixture": q_unimax_mixture,
+    "hard_negatives": q_hard_negatives,
+    "pmi_pairs": q_pmi_pairs,
+    "langid_confusion": q_langid_confusion,
     "sq8_codes": q_sq8_codes,
     "knn_sq8": q_knn_sq8,
     "stream_sq8_codes": q_stream_sq8_codes,
@@ -1468,7 +1521,9 @@ def _sql_minhash_sig() -> str:
     """
 
 
-def _sql_lsh_pairs(threshold: float) -> str:
+def _sql_lsh_cand() -> str:
+    """CTE fragment: LSH band buckets + distinct candidate pairs (needs
+    the ``sig`` CTE from :func:`_sql_minhash_sig` in scope)."""
     rows = N_MINHASH // LSH_BANDS
     band_rows = []
     for b in range(LSH_BANDS):
@@ -1481,7 +1536,13 @@ def _sql_lsh_pairs(threshold: float) -> str:
         buckets AS ({buckets}),
         cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
                  FROM buckets a JOIN buckets b
-                   ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+                   ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)
+    """
+
+
+def _sql_lsh_pairs(threshold: float) -> str:
+    return f"""
+        {_sql_lsh_cand()},
         sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
         inter AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
                   FROM cand c
@@ -1696,7 +1757,63 @@ def llm_oracle_sql() -> dict[str, str]:
         sql_tfidf_cosine_pairs,
     )
 
+    from async_stream_processing_spark.llm.curation import (
+        sql_unimax_mixture,
+    )
+    from async_stream_processing_spark.llm.similarity import (
+        sql_hard_negatives,
+    )
+    from async_stream_processing_spark.llm.text_analysis import (
+        sql_pmi_pairs,
+    )
+
     out = {
+        "lsh_s_curve": f"""
+            WITH {_sql_doc_shingles()},
+            {_sql_minhash_sig()},
+            {_sql_lsh_cand()},
+            sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+            allp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                            COUNT(*) AS n_common
+                     FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+                     GROUP BY 1, 2),
+            truth AS (SELECT p.doc_a, p.doc_b,
+                             LEAST(19, (20 * p.n_common)
+                                   // (za.n + zb.n - p.n_common)) AS j_bin
+                      FROM allp p
+                      JOIN sizes za ON za.doc_id = p.doc_a
+                      JOIN sizes zb ON zb.doc_id = p.doc_b)
+            SELECT t.j_bin,
+                   COUNT(*) AS n_pairs,
+                   CAST(SUM(CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_caught,
+                   CAST(SUM(CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END)
+                        AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS catch_rate
+            FROM truth t LEFT JOIN cand c
+              ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+            GROUP BY t.j_bin
+        """,
+        "unimax_mixture": sql_unimax_mixture(
+            budget_tokens=200_000, epoch_cap=4),
+        "hard_negatives": sql_hard_negatives(n_queries=10, k=5),
+        "pmi_pairs": sql_pmi_pairs(min_count=5, k=50),
+        "langid_confusion": f"""
+            WITH h AS (SELECT doc_id, lang AS lang_label,
+                   {", ".join(f'{_lang_hits_sql(lang)} AS h_{lang}' for lang in langs)}
+                       FROM documents),
+            pred AS (SELECT lang_label,
+                            CASE WHEN {max_hits} > 0 THEN {winner}
+                                 ELSE 'und' END AS lang_pred
+                     FROM h),
+            cell AS (SELECT lang_label, lang_pred, COUNT(*) AS n_docs
+                     FROM pred GROUP BY 1, 2),
+            tot AS (SELECT lang_label, CAST(SUM(n_docs) AS BIGINT) AS n_label
+                    FROM cell GROUP BY 1)
+            SELECT lang_label, lang_pred, CAST(n_docs AS BIGINT) AS n_docs,
+                   n_label,
+                   CAST(n_docs AS DOUBLE) / CAST(n_label AS DOUBLE) AS rate
+            FROM cell JOIN tot USING (lang_label)
+        """,
         "sq8_codes": sql_sq8_codes(d=64),
         "knn_sq8": sql_knn_sq8(n_queries=10, k=5, d=64),
         "stream_sq8_codes": sql_sq8_codes(d=64),

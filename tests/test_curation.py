@@ -563,3 +563,61 @@ def test_packing_efficiency_hand_computed(spark):
     assert out["s1"]["n_chunks"] == 3 and out["s1"]["n_tokens"] == 12
     assert abs(out["s1"]["fill_ratio"] - 1.0) < 1e-12
     assert out["s2"]["n_chunks"] == 1 and out["s2"]["fill_ratio"] == 2.5
+
+
+def test_unimax_waterfilling_matches_bruteforce(spark):
+    """The one-pass integer waterfilling equals the paper's iterative
+    allocation loop on a fixture with capped, uncapped and boundary
+    sources."""
+    from async_stream_processing_spark.llm.curation import unimax_mixture
+
+    # sources with very different sizes; budget forces a mixed outcome
+    texts = {
+        "tiny": ["a b c"] * 2,                 # 6 tokens, cap 12
+        "small": ["a b c d e"] * 4,            # 20 tokens, cap 40
+        "mid": ["a b c d e f g h i j"] * 20,   # 200 tokens, cap 400
+        "big": ["a b c d e f g h i j"] * 100,  # 1000 tokens, cap 2000
+    }
+    rows, i = [], 0
+    for src, ts in texts.items():
+        for t in ts:
+            rows.append((i, t, src))
+            i += 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    budget, cap = 600, 2
+    out = {
+        r["source"]: r
+        for r in unimax_mixture(
+            docs, budget_tokens=budget, epoch_cap=cap, key="source"
+        ).collect()
+    }
+
+    # brute-force waterfilling: smallest cap first
+    caps = sorted(
+        (cap * sum(len(t.split()) for t in ts), src)
+        for src, ts in texts.items()
+    )
+    remaining, left = budget, len(caps)
+    expect = {}
+    for cap_tokens, src in caps:
+        share = remaining // left
+        if cap_tokens <= share:
+            expect[src] = cap_tokens
+            remaining -= cap_tokens
+        else:
+            expect[src] = share
+            remaining -= share
+        left -= 1
+    # NOTE: the closed form gives every uncapped source the SAME share
+    # (B - S*) div (k - i*); the sequential loop above re-divides after
+    # each uncapped grant, which only differs by the dribbled remainder.
+    # Compare capped sources exactly and uncapped within 1 token/source.
+    for src, r in out.items():
+        if r["capped"]:
+            assert r["alloc_tokens"] == expect[src] == r["cap_tokens"]
+        else:
+            assert abs(r["alloc_tokens"] - expect[src]) <= len(caps)
+            assert r["alloc_tokens"] < r["cap_tokens"]
+    assert sum(r["alloc_tokens"] for r in out.values()) <= budget
+    # fixture sanity: the outcome is actually mixed
+    assert {r["capped"] for r in out.values()} == {True, False}

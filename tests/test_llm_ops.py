@@ -1385,3 +1385,116 @@ def test_bpe_coverage_compression_bounds(spark):
     assert out["mergey"]["compression"] < 1.0
     assert out["mergey"]["n_tokens_bpe"] < out["mergey"]["n_symbols"]
     assert out["atomic"]["compression"] == 1.0
+
+
+def test_lsh_s_curve_identical_docs_caught(spark):
+    """An identical pair (Jaccard 1.0 -> bin 19) MUST be caught (equal
+    signatures agree on every band); bins stay in [0, 19]; n_caught is
+    bounded by n_pairs."""
+    from async_stream_processing_spark.llm.dedup import lsh_s_curve
+
+    base = ("the quick brown fox jumps over the lazy sleeping dog "
+            "while rain falls softly on the quiet empty street tonight")
+    docs = spark.createDataFrame(
+        [
+            (0, base),
+            (1, base),                                     # exact dup of 0
+            (2, "the quick brown fox likes warm dry weather in spring"),
+            (3, "completely unrelated words about numerical linear algebra"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["j_bin"]: r for r in lsh_s_curve(docs).collect()}
+    assert all(0 <= b <= 19 for b in rows)
+    assert rows[19]["n_caught"] == rows[19]["n_pairs"] >= 1
+    assert rows[19]["catch_rate"] == 1.0
+    for r in rows.values():
+        assert 0 <= r["n_caught"] <= r["n_pairs"]
+
+
+def test_hard_negatives_label_and_rank_contract(spark):
+    """Every mined negative has a DIFFERENT label from its query; ranks
+    are 1..k dense per query; cosine is non-increasing in rank."""
+    from async_stream_processing_spark.llm.similarity import hard_negatives
+
+    rows = [
+        (i, [float((i * 7 + j * 3) % 5 + 1) for j in range(4)], i % 2)
+        for i in range(12)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = hard_negatives(emb, n_queries=3, k=4).collect()
+    by_q = {}
+    for r in out:
+        assert r["neighbor_label"] != r["query_label"]
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        cosines = [r["cosine"] for r in rs]
+        assert cosines == sorted(cosines, reverse=True)
+
+
+def test_pmi_pairs_brute_force(spark):
+    """Counts and integer PMI quotients match a brute-force recount on a
+    tiny corpus."""
+    from collections import Counter
+
+    from async_stream_processing_spark.llm.text_analysis import pmi_pairs
+
+    texts = [
+        "new york is a big city",
+        "new york has new parks in new york",
+        "big city life in a big city",
+    ]
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    out = pmi_pairs(docs, min_count=2, k=100).collect()
+
+    pairs = Counter()
+    for t in texts:
+        w = t.split()
+        pairs.update(zip(w, w[1:]))
+    cx, cy = Counter(), Counter()
+    for (x, y), c in pairs.items():
+        cx[x] += c
+        cy[y] += c
+    n = sum(pairs.values())
+    expect = {
+        (x, y): (c, cx[x], cy[y], (1_000_000 * c * n) // (cx[x] * cy[y]))
+        for (x, y), c in pairs.items()
+        if c >= 2
+    }
+    got = {
+        (r["x"], r["y"]): (r["c_xy"], r["c_x"], r["c_y"], r["pmi_q"])
+        for r in out
+    }
+    assert got == expect
+
+
+def test_langid_confusion_row_shares(spark):
+    """Each label's cell counts sum to its n_label and rates sum to 1."""
+    from async_stream_processing_spark.llm.text_analysis import (
+        langid_confusion,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the cat and the dog are in the house", "en"),
+            (1, "el gato y el perro en la casa", "es"),
+            (2, "le chat et le chien dans la maison", "fr"),
+            (3, "zzz qqq xxx", "en"),  # no stopword hits -> 'und'
+        ],
+        "doc_id long, text string, lang string",
+    )
+    out = langid_confusion(docs).collect()
+    by_label = {}
+    for r in out:
+        by_label.setdefault(r["lang_label"], []).append(r)
+    for label, rs in by_label.items():
+        assert sum(r["n_docs"] for r in rs) == rs[0]["n_label"]
+        assert abs(sum(r["rate"] for r in rs) - 1.0) < 1e-12
+    en = {r["lang_pred"]: r["n_docs"] for r in by_label["en"]}
+    assert en.get("und") == 1 and en.get("en") == 1

@@ -164,8 +164,14 @@ def test_weighted_sample_zero_exchanges(spark):
 #   bm25_topk            (1) rank window runs AFTER .limit(k) (the
 #                            weighted_sample pattern): input is the k
 #                            TakeOrderedAndProject survivors, not corpus
+#   unimax_mixture       (3) integer waterfilling (rank/cumsum, the
+#                            capped-prefix probe, i*/S* extraction) over
+#                            the #sources-row aggregate -- O(10^2) rows
+#                            by nature; the corpus itself is scanned once
+#                            and only groupBy-shuffled
 UNPARTITIONED_WINDOW_ALLOWLIST = {
     "bm25_topk": 1,
+    "unimax_mixture": 3,
     "positional_zip": 2,
     "running_combine": 3,
     "spread_bid_ask": 2,
