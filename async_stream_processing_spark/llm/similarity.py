@@ -1780,10 +1780,11 @@ def _sql_sq8_ctes(d: int = 64, src: str = "embeddings") -> str:
 
 def sql_sq8_codes(d: int = 64, src: str = "embeddings") -> str:
     """DuckDB twin of :func:`sq8_codes` (same grid, same float op
-    order, same floor/clamp decisions)."""
+    order, same floor/clamp decisions); codes '_'-joined to match the
+    gate query's primitive-column projection."""
     return f"""
         WITH {_sql_sq8_ctes(d, src)}
-        SELECT vec_id, codes FROM codes
+        SELECT vec_id, array_to_string(codes, '_') AS codes_str FROM codes
     """
 
 

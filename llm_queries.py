@@ -1191,14 +1191,26 @@ def q_temperature_mixture(spark, sf_dir):
     return temperature_mixture(_docs(spark, sf_dir), total_target=1000)
 
 
+def _codes_str(col: str):
+    """'_'-join an integer code array for gate output (array cells void
+    the driver's pandas canonicalizer -- the user_event_paths lesson)."""
+    return F.concat_ws(
+        "_", F.transform(F.col(col), lambda c: c.cast("string"))
+    ).alias("codes_str")
+
+
 def q_sq8_codes(spark, sf_dir):
     """SQ8 scalar-quantization encoding (FAISS SQ8): each dimension to
     one uint8 level on the corpus's per-dim [min,max] grid -- 4x
     compression with no codebook, the first rung of the ANN ladder;
-    NARROW one-pass encode against an O(d) broadcast stats row."""
+    NARROW one-pass encode against an O(d) broadcast stats row.  The
+    code array is emitted '_'-joined (the user_event_paths lesson: the
+    driver's canonicalizer cannot hash array cells)."""
     from async_stream_processing_spark.llm.similarity import sq8_codes
 
-    return sq8_codes(_emb(spark, sf_dir), d=64)
+    return sq8_codes(_emb(spark, sf_dir), d=64).select(
+        "vec_id", _codes_str("codes")
+    )
 
 
 def q_knn_sq8(spark, sf_dir):
@@ -1224,7 +1236,10 @@ def q_stream_sq8_codes(spark, sf_dir):
 
     stats = sq8_stats(load_table(spark, sf_dir, "embeddings"), d=64)
     s = stream_table(spark, sf_dir, "embeddings")
-    return drain(sq8_codes(s, d=64, stats=stats), output_mode="append")
+    enc = sq8_codes(s, d=64, stats=stats).select(
+        "vec_id", _codes_str("codes")
+    )
+    return drain(enc, output_mode="append")
 
 
 def q_bpe_coverage(spark, sf_dir):
