@@ -1645,6 +1645,124 @@ def sql_semdedup(
     """
 
 
+def kmeans_silhouette(
+    embeddings: DataFrame,
+    n_centroids: int = 8,
+    centroids: DataFrame | None = None,
+    quantum: int = 1_000_000_000,
+) -> DataFrame:
+    """Clustering-quality eval: per-cell SIMPLIFIED silhouette (the
+    centroid-based O(n*k) variant of Rousseeuw 1987 that sklearn and
+    every at-scale pipeline use -- exact silhouette is O(n^2) pairwise).
+    With cosine distance ``d = 1 - cos``: ``a`` = distance to own
+    (nearest) centroid, ``b`` = distance to second-nearest, ``s =
+    (b - a) / max(a, b)`` in [0, 1]; higher = tighter, more separated
+    cells.  The measured row a ``n_centroids`` re-tune of the
+    IVF/SemDeDup cell count reads (the ann_recall discipline applied to
+    the clustering family).
+
+    Plan: the centroid matrix rides as ONE broadcast data row (the
+    ``_assign_literal`` convention), each vector scores k fold-cosines
+    and takes the top-2 via ``array_sort`` -- a NARROW pass, zero
+    shuffles before the #cells-sized aggregate.  Portability: top-2
+    extraction is lexicographic struct order (ties to the smaller
+    centroid id, the oracle's ``cos DESC, id ASC``); each per-row ``s``
+    is floor-quantized to an integer at ``quantum`` so the per-cell sum
+    is order-free, then ONE integer division + one exact scale-down
+    yield the mean.
+
+    Output: (centroid_id, n_vecs, s_sum_q, mean_silhouette).
+    """
+    cents = centroids if centroids is not None \
+        else _seed_centroids(embeddings, n_centroids)
+    rows = sorted(_collect_centroids(cents))
+    cmat = embeddings.sparkSession.createDataFrame(
+        [(
+            [int(cid) for cid, _ in rows],
+            [[float(x) for x in c] for _, c in rows],
+        )],
+        "c_ids array<bigint>, c_vecs array<array<double>>",
+    )
+    scored = F.transform(
+        F.col("c_vecs"),
+        lambda c, i: F.struct(
+            cosine(F.col("embedding"), c).alias("cos"),
+            (-F.element_at(F.col("c_ids"), i + F.lit(1)))
+            .cast("long")
+            .alias("neg_id"),
+        ),
+    )
+    top = F.array_sort(scored)
+    picked = (
+        embeddings.crossJoin(F.broadcast(cmat))
+        .select(
+            "vec_id",
+            F.element_at(top, -1).alias("b1"),
+            F.element_at(top, -2).alias("b2"),
+        )
+        .select(
+            (-F.col("b1.neg_id")).alias("centroid_id"),
+            (F.lit(1.0) - F.col("b1.cos")).alias("da"),
+            (F.lit(1.0) - F.col("b2.cos")).alias("db"),
+        )
+    )
+    s = (F.col("db") - F.col("da")) / F.greatest("da", "db")
+    s_q = F.when(
+        F.greatest("da", "db") > 0, F.floor(s * F.lit(float(quantum)))
+    ).otherwise(F.lit(0)).cast("long")
+    per_cell = picked.select("centroid_id", s_q.alias("s_q")).groupBy(
+        "centroid_id"
+    ).agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum("s_q").alias("s_sum_q"),
+    )
+    return per_cell.select(
+        "centroid_id",
+        "n_vecs",
+        "s_sum_q",
+        (
+            F.expr("s_sum_q div n_vecs").cast("double")
+            / F.lit(float(quantum))
+        ).alias("mean_silhouette"),
+    )
+
+
+def sql_kmeans_silhouette(
+    n_centroids: int = 8,
+    src: str = "embeddings",
+    quantum: int = 1_000_000_000,
+) -> str:
+    """DuckDB twin of :func:`kmeans_silhouette` (rank-window top-2; same
+    da/db/s expression order, same floor-quantization)."""
+    return f"""
+        WITH cents AS (SELECT vec_id AS centroid_id, embedding AS c_emb
+                       FROM {src} WHERE vec_id < {n_centroids}),
+        scored AS (SELECT e.vec_id, c.centroid_id,
+                          {sql_cosine('e.embedding', 'c.c_emb')} AS cos,
+                          ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {sql_cosine('e.embedding', 'c.c_emb')}
+                                  DESC, c.centroid_id ASC) AS rnk
+                   FROM {src} e CROSS JOIN cents c),
+        picked AS (SELECT vec_id,
+                          MAX(CASE WHEN rnk = 1 THEN centroid_id END)
+                              AS centroid_id,
+                          1.0 - MAX(CASE WHEN rnk = 1 THEN cos END) AS da,
+                          1.0 - MAX(CASE WHEN rnk = 2 THEN cos END) AS db
+                   FROM scored WHERE rnk <= 2 GROUP BY vec_id),
+        quant AS (SELECT centroid_id,
+                         CASE WHEN GREATEST(da, db) > 0 THEN
+                             CAST(FLOOR(((db - da) / GREATEST(da, db))
+                                        * {float(quantum)}) AS BIGINT)
+                         ELSE 0 END AS s_q
+                  FROM picked)
+        SELECT centroid_id, COUNT(*) AS n_vecs,
+               CAST(SUM(s_q) AS BIGINT) AS s_sum_q,
+               CAST(CAST(SUM(s_q) AS BIGINT) // COUNT(*) AS DOUBLE)
+                   / {float(quantum)} AS mean_silhouette
+        FROM quant GROUP BY centroid_id
+    """
+
+
 # -- scalar quantization (SQ8) ---------------------------------------------
 
 def sq8_stats(embeddings: DataFrame, d: int = 64) -> DataFrame:

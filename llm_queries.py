@@ -1191,6 +1191,18 @@ def q_temperature_mixture(spark, sf_dir):
     return temperature_mixture(_docs(spark, sf_dir), total_target=1000)
 
 
+def q_kmeans_silhouette(spark, sf_dir):
+    """Clustering eval: per-cell SIMPLIFIED silhouette (centroid-based
+    O(n*k), cosine distance) -- the measured row an n_centroids re-tune
+    reads; narrow top-2 scoring against one broadcast centroid row,
+    order-free integer-quantized sums."""
+    from async_stream_processing_spark.llm.similarity import (
+        kmeans_silhouette,
+    )
+
+    return kmeans_silhouette(_emb(spark, sf_dir), n_centroids=8)
+
+
 def _codes_str(col: str):
     """'_'-join an integer code array for gate output (array cells void
     the driver's pandas canonicalizer -- the user_event_paths lesson)."""
@@ -1396,6 +1408,7 @@ def q_langid_confusion(spark, sf_dir):
 
 LLM_QUERIES = {
     "lsh_s_curve": q_lsh_s_curve,
+    "kmeans_silhouette": q_kmeans_silhouette,
     "unimax_mixture": q_unimax_mixture,
     "hard_negatives": q_hard_negatives,
     "pmi_pairs": q_pmi_pairs,
@@ -1777,6 +1790,7 @@ def llm_oracle_sql() -> dict[str, str]:
     )
     from async_stream_processing_spark.llm.similarity import (
         sql_hard_negatives,
+        sql_kmeans_silhouette,
     )
     from async_stream_processing_spark.llm.text_analysis import (
         sql_pmi_pairs,
@@ -1811,6 +1825,7 @@ def llm_oracle_sql() -> dict[str, str]:
         "unimax_mixture": sql_unimax_mixture(
             budget_tokens=200_000, epoch_cap=4),
         "hard_negatives": sql_hard_negatives(n_queries=10, k=5),
+        "kmeans_silhouette": sql_kmeans_silhouette(n_centroids=8),
         "pmi_pairs": sql_pmi_pairs(min_count=5, k=50),
         "langid_confusion": f"""
             WITH h AS (SELECT doc_id, lang AS lang_label,

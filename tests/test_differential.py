@@ -147,3 +147,18 @@ def test_differential_fuzz_array_expressions(spark):
     )
     failures = fuzz_array(spark, con, SF, n_cases=20, seed=20260814)
     assert not failures, failures[:3]
+
+
+def test_differential_fuzz_rollup_pinned_seed(spark):
+    """Grouping-sets grammar: random dims x {ROLLUP, CUBE, GROUPING
+    SETS} with GROUPING() flags and portable integer aggregates, the
+    multi-dimensional-aggregate layer revenue_rollup / cube_orders stand
+    on; one ANSI string run through BOTH engines."""
+    from tools.fuzz_differential import fuzz_rollup
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{SF}/events.parquet'"
+    )
+    failures = fuzz_rollup(spark, con, SF, n_cases=15, seed=20260814)
+    assert not failures, failures[:3]

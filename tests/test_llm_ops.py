@@ -1498,3 +1498,26 @@ def test_langid_confusion_row_shares(spark):
         assert abs(sum(r["rate"] for r in rs) - 1.0) < 1e-12
     en = {r["lang_pred"]: r["n_docs"] for r in by_label["en"]}
     assert en.get("und") == 1 and en.get("en") == 1
+
+
+def test_kmeans_silhouette_separated_clusters(spark):
+    """Two tight, well-separated direction clusters score near-1
+    silhouette; a cell's n_vecs covers every vector assigned to it."""
+    from async_stream_processing_spark.llm.similarity import (
+        kmeans_silhouette,
+    )
+
+    rows = []
+    for i in range(10):
+        base = [1.0, 0.0, 0.0, 0.0] if i % 2 == 0 else [0.0, 1.0, 0.0, 0.0]
+        # tiny per-vector jitter that keeps each cluster tight
+        vec = [b + (0.001 * ((i * 13 + j) % 7)) for j, b in enumerate(base)]
+        rows.append((i, vec, 0))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = kmeans_silhouette(emb, n_centroids=2).collect()
+    assert sum(r["n_vecs"] for r in out) == 10
+    for r in out:
+        assert 0.9 < r["mean_silhouette"] <= 1.0
+        assert r["s_sum_q"] <= r["n_vecs"] * 1_000_000_000

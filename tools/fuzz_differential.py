@@ -606,6 +606,73 @@ def fuzz_text(spark, con, sf_dir: str, n_cases: int, seed: int):
     return failures
 
 
+def gen_rollup_case(rng: random.Random) -> dict:
+    """One grouping-sets case: random dims x {ROLLUP, CUBE, GROUPING
+    SETS} x portable integer aggregates, rendered as ONE ANSI string
+    both engines parse -- probes the multi-dimensional aggregate layer
+    (super-aggregate row generation, GROUPING() flags, NULL-dim vs
+    rollup-NULL disambiguation) that no hand-written oracle fuzzes."""
+    import itertools as it
+
+    m = rng.choice([2, 3, 5, 7])
+    k = rng.choice([3, 10, 50])
+    dim_pool = [
+        "event_type",
+        f"(user_id % {k})",
+        f"(event_id % {m})",
+        "CASE WHEN value >= 100 THEN 'hi' ELSE 'lo' END",
+    ]
+    dims = rng.sample(dim_pool, rng.randint(1, 3))
+    mode = rng.choice(["ROLLUP", "CUBE", "SETS"])
+    if mode == "SETS":
+        subsets = [
+            list(s)
+            for n_ in range(len(dims))
+            for s in it.combinations(range(len(dims)), n_)
+        ]
+        # the full set is always a member: every selected dim must be a
+        # grouping column or GROUPING(dim) / SELECT dim is ill-formed
+        fam = [list(range(len(dims)))] + rng.sample(
+            subsets, rng.randint(0, min(3, len(subsets)))
+        )
+        inner = ", ".join(
+            "(" + ", ".join(dims[i] for i in s) + ")" for s in fam
+        )
+        group = f"GROUPING SETS ({inner})"
+    else:
+        group = f"{mode}(" + ", ".join(dims) + ")"
+    where = f" WHERE event_id % {m} = {rng.randint(0, 1)}" \
+        if rng.random() < 0.5 else ""
+    sel_dims = ", ".join(f"{d} AS d{i}" for i, d in enumerate(dims))
+    sel_flags = ", ".join(
+        f"CAST(GROUPING({d}) AS INT) AS g{i}" for i, d in enumerate(dims)
+    )
+    sql = (
+        f"SELECT {sel_dims}, {sel_flags}, COUNT(*) AS n, "
+        f"CAST(SUM(user_id % 97) AS BIGINT) AS s_mod, "
+        f"MIN(event_id) AS mn, MAX(event_id) AS mx "
+        f"FROM events{where} GROUP BY {group}"
+    )
+    return {"sql": sql}
+
+
+def fuzz_rollup(spark, con, sf_dir: str, n_cases: int, seed: int):
+    from async_stream_processing_spark.sources.parquet import load_table
+
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    rng = random.Random(seed)
+    failures = []
+    for i in range(n_cases):
+        case = gen_rollup_case(rng)
+        err = compare(
+            spark.sql(case["sql"]).toPandas(),
+            con.execute(case["sql"]).df(),
+        )
+        if err:
+            failures.append((i, err, case))
+    return failures
+
+
 def main():
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     streaming = "--streaming" in sys.argv
@@ -613,6 +680,7 @@ def main():
     scalar = "--scalar" in sys.argv
     text = "--text" in sys.argv
     array = "--array" in sys.argv
+    rollup = "--rollup" in sys.argv
     n = int(args[0]) if len(args) > 0 else 50
     seed = int(args[1]) if len(args) > 1 else 20260814
     sf_dir = args[2] if len(args) > 2 else "/root/testdata/sf0.01"
@@ -638,11 +706,13 @@ def main():
         failures = fuzz_text(spark, con, sf_dir, n, seed)
     elif array:
         failures = fuzz_array(spark, con, sf_dir, n, seed)
+    elif rollup:
+        failures = fuzz_rollup(spark, con, sf_dir, n, seed)
     else:
         failures = fuzz(spark, con, sf_dir, n, seed)
     mode = (", streaming" if streaming else
             ", window" if window else ", scalar" if scalar
-            else ", text" if text else "")
+            else ", text" if text else ", rollup" if rollup else "")
     for i, err, case in failures:
         print(f"FAIL case {i}: {err}\n  {case}")
     print(f"{'FAIL' if failures else 'PASS'}: {n - len(failures)}/{n} "

@@ -256,6 +256,35 @@ def main() -> None:
         "intradoc_dedup": (
             lambda d: intradoc_dedup(d, width=2), docs1, docs8),
     })
+    # round-7 late additions.  NB lsh_s_curve's truth join is super-unit
+    # by construction on the replicated fixture (every cross-copy pair
+    # repeats: ~64x shared-shingle pair volume at 8x input), the
+    # tfidf_cosine_pairs precedent.
+    from async_stream_processing_spark.llm.curation import unimax_mixture
+    from async_stream_processing_spark.llm.dedup import lsh_s_curve
+    from async_stream_processing_spark.llm.similarity import (
+        hard_negatives,
+        kmeans_silhouette,
+    )
+    from async_stream_processing_spark.llm.text_analysis import (
+        langid_confusion,
+        pmi_pairs,
+    )
+
+    r5_ops.update({
+        "lsh_s_curve": (lambda d: lsh_s_curve(d), docs1, docs8),
+        "unimax_mixture": (
+            lambda d: unimax_mixture(d, budget_tokens=200_000, epoch_cap=4),
+            docs1, docs8),
+        "hard_negatives": (
+            lambda e: hard_negatives(e, n_queries=10, k=5), emb1, emb8),
+        "kmeans_silhouette": (
+            lambda e: kmeans_silhouette(e, n_centroids=8), emb1, emb8),
+        "pmi_pairs": (
+            lambda d: pmi_pairs(d, min_count=5, k=50), docs1, docs8),
+        "langid_confusion": (
+            lambda d: langid_confusion(d), docs1, docs8),
+    })
     for name, (fn, one, eight) in r5_ops.items():
         if ONLY and name not in ONLY:
             continue
