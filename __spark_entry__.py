@@ -2994,7 +2994,8 @@ GATE_WINDOW = [
     # cosine pairs, intra-doc dedup; tpch_q7/q8/q16/q17/q19/q21/q22
     # re-confirmations wait for round 8 to make room)
     "lsh_s_curve", "unimax_mixture", "hard_negatives", "pmi_pairs",
-    "langid_confusion", "kmeans_silhouette",
+    "langid_confusion", "kmeans_silhouette", "perceptron_eval",
+    "source_token_diversity",
     "sq8_codes", "knn_sq8", "stream_sq8_codes", "sq8_recall",
     "doremi_mixture", "bpe_coverage", "packing_efficiency",
     "trigram_backoff",
@@ -3014,8 +3015,7 @@ GATE_WINDOW = [
     # and set_ops_multiset rotated out to make room for the five
     # late-round-7 additions -- first in line for round 8)
     "demux_counts", "event_deltas", "feedback_orders",
-    "first_seen", "positional_zip", "sessionize",
-    "stream_cart_fold", "stream_join_1h", "timer_ticks",
+    "first_seen", "positional_zip", "sessionize", "stream_cart_fold",
 ]
 
 

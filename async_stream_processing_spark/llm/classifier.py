@@ -247,3 +247,119 @@ def perceptron_score_narrow(
         y.alias("y"),
         (pred == y).alias("correct"),
     )
+
+
+def perceptron_eval(
+    docs: DataFrame,
+    n_buckets: int = 64,
+    n_rounds: int = 3,
+    holdout_mod: int = 5,
+) -> DataFrame:
+    """Held-out eval of the quality classifier -- the MEASURE row that
+    decides whether the trained scorer ships (the ann_recall discipline
+    applied to the classifier family): train on ``doc_id % holdout_mod
+    != 0``, score the held-out rest, report the confusion counts and
+    precision / recall / accuracy against the Gopher teacher labels.
+
+    The holdout gate is the same deterministic doc_id split the
+    incremental-dedup queries use -- a stand-in for the hash-gated
+    train_val_split at eval time (simple enough to inline into the
+    unrolled training oracle).  Scoring the held-out docs is the
+    stateless narrow fold (:func:`perceptron_score_narrow`), so eval
+    costs one training run on 4/5 of the corpus plus one scan of the
+    rest; the three ratios are single IEEE divisions of exact integer
+    counts, NULL on zero denominators in both engines.
+
+    Output: one row (n_eval, tp, fp, fn, tn, precision, recall,
+    accuracy)."""
+    train = docs.filter(F.col("doc_id") % holdout_mod != 0)
+    w = perceptron_train_weights(train, n_buckets, n_rounds)
+    scored = perceptron_score_narrow(
+        docs.filter(F.col("doc_id") % holdout_mod == 0), w, n_buckets
+    )
+    c = scored.agg(
+        F.count(F.lit(1)).alias("n_eval"),
+        F.sum(((F.col("pred") == 1) & (F.col("y") == 1)).cast("long"))
+        .alias("tp"),
+        F.sum(((F.col("pred") == 1) & (F.col("y") == -1)).cast("long"))
+        .alias("fp"),
+        F.sum(((F.col("pred") == -1) & (F.col("y") == 1)).cast("long"))
+        .alias("fn"),
+        F.sum(((F.col("pred") == -1) & (F.col("y") == -1)).cast("long"))
+        .alias("tn"),
+    )
+    return c.select(
+        "n_eval", "tp", "fp", "fn", "tn",
+        F.when(
+            F.col("tp") + F.col("fp") > 0,
+            F.col("tp").cast("double")
+            / (F.col("tp") + F.col("fp")).cast("double"),
+        ).alias("precision"),
+        F.when(
+            F.col("tp") + F.col("fn") > 0,
+            F.col("tp").cast("double")
+            / (F.col("tp") + F.col("fn")).cast("double"),
+        ).alias("recall"),
+        F.when(
+            F.col("n_eval") > 0,
+            (F.col("tp") + F.col("tn")).cast("double")
+            / F.col("n_eval").cast("double"),
+        ).alias("accuracy"),
+    )
+
+
+def sql_perceptron_eval(
+    src: str = "documents",
+    n_buckets: int = 64,
+    n_rounds: int = 3,
+    holdout_mod: int = 5,
+) -> str:
+    """DuckDB twin of :func:`perceptron_eval`: the training chain
+    unrolled over the TRAIN split, final weights applied to the
+    held-out split's features, confusion counts aggregated."""
+    train_src = (
+        f"(SELECT * FROM {src} WHERE doc_id % {holdout_mod} != 0)"
+    )
+    eval_src = (
+        f"(SELECT * FROM {src} WHERE doc_id % {holdout_mod} = 0)"
+    )
+    from .curation import sql_gopher_quality
+    from .importance import sql_hashed_ngram_features
+
+    ctes, wfin = _sql_perceptron_ctes(train_src, n_buckets, n_rounds)
+    return f"""
+        WITH {ctes},
+        fe AS (
+            SELECT f.doc_id, f.bucket, f."count", l.y
+            FROM ({sql_hashed_ngram_features(eval_src, n_buckets)}) f
+            JOIN (SELECT doc_id,
+                         CASE WHEN keep THEN CAST(1 AS BIGINT)
+                              ELSE CAST(-1 AS BIGINT) END AS y
+                  FROM ({sql_gopher_quality(eval_src)}) gq) l
+              USING (doc_id)),
+        sm AS (SELECT doc_id, y,
+                      CAST(SUM("count" * {wfin}.w) AS BIGINT) AS margin
+               FROM fe JOIN {wfin} USING (bucket)
+               GROUP BY doc_id, y),
+        conf AS (SELECT COUNT(*) AS n_eval,
+                        CAST(SUM(CASE WHEN margin > 0 AND y = 1
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+                        CAST(SUM(CASE WHEN margin > 0 AND y = -1
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+                        CAST(SUM(CASE WHEN margin <= 0 AND y = 1
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+                        CAST(SUM(CASE WHEN margin <= 0 AND y = -1
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+                 FROM sm)
+        SELECT n_eval, tp, fp, fn, tn,
+               CASE WHEN tp + fp > 0 THEN
+                   CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END
+                   AS precision,
+               CASE WHEN tp + fn > 0 THEN
+                   CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) END
+                   AS recall,
+               CASE WHEN n_eval > 0 THEN
+                   CAST(tp + tn AS DOUBLE) / CAST(n_eval AS DOUBLE) END
+                   AS accuracy
+        FROM conf
+    """

@@ -1602,3 +1602,66 @@ def langid_confusion(docs: DataFrame, text: str = "text") -> DataFrame:
             F.col("n_docs").cast("double") / F.col("n_label").cast("double")
         ).alias("rate"),
     )
+
+
+def source_token_diversity(docs: DataFrame, text: str = "text") -> DataFrame:
+    """Per-source vocabulary-diversity signals, log-free: Simpson index
+    ``1 - sum(c_t^2) / N^2`` (the probability two random tokens differ --
+    the entropy-filter cousin that needs no log, like
+    bigram_predictability vs perplexity) plus the type/token ratio.  A
+    boilerplate-flooded or template-generated source shows up as a
+    diversity cliff next to its peers.
+
+    One corpus explode -> one (source, token) count -> one #sources
+    aggregate; ``sum(c_t^2)`` runs in decimal(38,0) so a 100 TB source
+    cannot overflow (emitted as BIGINT -- exact while below 2^63), and
+    both ratios are IEEE ops on exact integers (the N*N product is done
+    in double: exactly-rounded, portable, no 2^63 ceiling)."""
+    from ..functions.text import tokens as _tokens
+
+    st = (
+        docs.select("source", F.explode(_tokens(text)).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per = st.groupBy("source").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum((F.col("c") * F.col("c")).cast("decimal(38,0)"))
+        .cast("long")
+        .alias("sum_c2"),
+    )
+    n_d = F.col("n_tokens").cast("double")
+    return per.select(
+        "source",
+        "n_tokens",
+        "n_types",
+        "sum_c2",
+        (F.lit(1.0) - F.col("sum_c2").cast("double") / (n_d * n_d))
+        .alias("simpson_diversity"),
+        (F.col("n_types").cast("double") / n_d).alias("type_token_ratio"),
+    )
+
+
+def sql_source_token_diversity(src: str = "documents") -> str:
+    """DuckDB twin of :func:`source_token_diversity`."""
+    from ..functions.text import sql_tokens
+
+    return f"""
+        WITH toks AS (SELECT source, unnest({sql_tokens('text')}) AS tok
+                      FROM {src}),
+        st AS (SELECT source, tok, COUNT(*) AS c
+               FROM toks GROUP BY source, tok),
+        per AS (SELECT source,
+                       CAST(SUM(c) AS BIGINT) AS n_tokens,
+                       COUNT(*) AS n_types,
+                       CAST(SUM(c * c) AS BIGINT) AS sum_c2
+                FROM st GROUP BY source)
+        SELECT source, n_tokens, n_types, sum_c2,
+               1.0 - CAST(sum_c2 AS DOUBLE)
+                   / (CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE))
+                   AS simpson_diversity,
+               CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                   AS type_token_ratio
+        FROM per
+    """

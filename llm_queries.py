@@ -1203,6 +1203,26 @@ def q_kmeans_silhouette(spark, sf_dir):
     return kmeans_silhouette(_emb(spark, sf_dir), n_centroids=8)
 
 
+def q_perceptron_eval(spark, sf_dir):
+    """Held-out eval of the quality classifier (train on doc_id%5!=0,
+    score the rest): confusion counts + precision/recall/accuracy vs the
+    Gopher teacher -- the MEASURE row of train/apply/measure."""
+    from async_stream_processing_spark.llm.classifier import perceptron_eval
+
+    return perceptron_eval(_docs(spark, sf_dir), n_buckets=64, n_rounds=3)
+
+
+def q_source_token_diversity(spark, sf_dir):
+    """Per-source Simpson diversity + type/token ratio (log-free entropy
+    cousin): template-generated sources show up as a diversity cliff.
+    One explode, two keyed aggregates."""
+    from async_stream_processing_spark.llm.text_analysis import (
+        source_token_diversity,
+    )
+
+    return source_token_diversity(_docs(spark, sf_dir))
+
+
 def _codes_str(col: str):
     """'_'-join an integer code array for gate output (array cells void
     the driver's pandas canonicalizer -- the user_event_paths lesson)."""
@@ -1409,6 +1429,8 @@ def q_langid_confusion(spark, sf_dir):
 LLM_QUERIES = {
     "lsh_s_curve": q_lsh_s_curve,
     "kmeans_silhouette": q_kmeans_silhouette,
+    "perceptron_eval": q_perceptron_eval,
+    "source_token_diversity": q_source_token_diversity,
     "unimax_mixture": q_unimax_mixture,
     "hard_negatives": q_hard_negatives,
     "pmi_pairs": q_pmi_pairs,
@@ -1794,6 +1816,10 @@ def llm_oracle_sql() -> dict[str, str]:
     )
     from async_stream_processing_spark.llm.text_analysis import (
         sql_pmi_pairs,
+        sql_source_token_diversity,
+    )
+    from async_stream_processing_spark.llm.classifier import (
+        sql_perceptron_eval,
     )
 
     out = {
@@ -1826,6 +1852,9 @@ def llm_oracle_sql() -> dict[str, str]:
             budget_tokens=200_000, epoch_cap=4),
         "hard_negatives": sql_hard_negatives(n_queries=10, k=5),
         "kmeans_silhouette": sql_kmeans_silhouette(n_centroids=8),
+        "perceptron_eval": sql_perceptron_eval(
+            n_buckets=64, n_rounds=3, holdout_mod=5),
+        "source_token_diversity": sql_source_token_diversity(),
         "pmi_pairs": sql_pmi_pairs(min_count=5, k=50),
         "langid_confusion": f"""
             WITH h AS (SELECT doc_id, lang AS lang_label,

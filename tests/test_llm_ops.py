@@ -1521,3 +1521,55 @@ def test_kmeans_silhouette_separated_clusters(spark):
     for r in out:
         assert 0.9 < r["mean_silhouette"] <= 1.0
         assert r["s_sum_q"] <= r["n_vecs"] * 1_000_000_000
+
+
+def test_perceptron_eval_confusion_consistency(spark):
+    """Confusion cells partition the held-out set; n_eval counts exactly
+    the doc_id % 5 == 0 docs; ratios agree with their integer counts."""
+    from async_stream_processing_spark.llm.classifier import perceptron_eval
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog near the river bank "
+        "while evening light settles over the quiet village rooftops",
+        "aaa bbb ccc",
+        "the market opened higher today as traders weighed the central "
+        "bank statement against fresh employment figures from the north",
+        "x y z 1 2 3 4 5 6 7 8 9",
+    ]
+    rows = [(i, texts[i % 4], "s") for i in range(40)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    )
+    r = perceptron_eval(docs, n_buckets=16, n_rounds=2).collect()[0]
+    assert r["n_eval"] == 8  # doc_ids 0,5,10,...,35
+    assert r["tp"] + r["fp"] + r["fn"] + r["tn"] == r["n_eval"]
+    if r["tp"] + r["fp"] > 0:
+        assert abs(r["precision"] - r["tp"] / (r["tp"] + r["fp"])) < 1e-15
+    if r["tp"] + r["fn"] > 0:
+        assert abs(r["recall"] - r["tp"] / (r["tp"] + r["fn"])) < 1e-15
+    assert abs(r["accuracy"] - (r["tp"] + r["tn"]) / r["n_eval"]) < 1e-15
+
+
+def test_source_token_diversity_extremes(spark):
+    """All-identical tokens -> Simpson 0; all-distinct -> 1 - 1/N."""
+    from async_stream_processing_spark.llm.text_analysis import (
+        source_token_diversity,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "spam spam spam spam", "mono"),
+            (1, "spam spam spam spam", "mono"),
+            (2, "one two three four", "multi"),
+            (3, "five six seven eight", "multi"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {r["source"]: r for r in source_token_diversity(docs).collect()}
+    mono, multi = out["mono"], out["multi"]
+    assert mono["n_tokens"] == 8 and mono["n_types"] == 1
+    assert mono["sum_c2"] == 64 and mono["simpson_diversity"] == 0.0
+    assert multi["n_tokens"] == 8 and multi["n_types"] == 8
+    assert multi["sum_c2"] == 8
+    assert abs(multi["simpson_diversity"] - (1 - 1 / 8)) < 1e-15
+    assert multi["type_token_ratio"] == 1.0

@@ -285,6 +285,14 @@ def main() -> None:
         "langid_confusion": (
             lambda d: langid_confusion(d), docs1, docs8),
     })
+    from async_stream_processing_spark.llm.text_analysis import (
+        source_token_diversity,
+    )
+
+    r5_ops.update({
+        "source_token_diversity": (
+            lambda d: source_token_diversity(d), docs1, docs8),
+    })
     for name, (fn, one, eight) in r5_ops.items():
         if ONLY and name not in ONLY:
             continue
