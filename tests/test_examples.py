@@ -30,6 +30,7 @@ EXAMPLES = [
     "e18_vector_index",
     "e19_curation_round6",
     "e20_streaming_intake",
+    "e21_eval_sweep",
 ]
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "examples"))
