@@ -162,3 +162,18 @@ def test_differential_fuzz_rollup_pinned_seed(spark):
     )
     failures = fuzz_rollup(spark, con, SF, n_cases=15, seed=20260814)
     assert not failures, failures[:3]
+
+
+def test_differential_fuzz_setop_pinned_seed(spark):
+    """Set-operation grammar: 2-3 branches x {UNION, INTERSECT, EXCEPT}
+    x {distinct, ALL} with explicit parens -- bag-vs-set semantics and
+    ALL-variant duplicate counting, one ANSI string through both
+    engines."""
+    from tools.fuzz_differential import fuzz_setop
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{SF}/events.parquet'"
+    )
+    failures = fuzz_setop(spark, con, SF, n_cases=15, seed=20260814)
+    assert not failures, failures[:3]

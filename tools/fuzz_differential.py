@@ -673,6 +673,71 @@ def fuzz_rollup(spark, con, sf_dir: str, n_cases: int, seed: int):
     return failures
 
 
+SETOP_EXPRS = [
+    "event_type",
+    "(user_id % {k})",
+    "(event_id % {m})",
+    "CASE WHEN value >= {v} THEN 'hi' ELSE 'lo' END",
+    "CAST(LENGTH(event_type) AS INT)",
+]
+
+SETOP_PREDS = [
+    "event_id % {m} = 0",
+    "user_id % {k} < {j}",
+    "event_type = '{et}'",
+    "value >= {v}",
+    "TRUE",
+]
+
+
+def gen_setop_case(rng: random.Random) -> dict:
+    """One set-operation case: 2-3 SELECT branches over events combined
+    with {UNION, INTERSECT, EXCEPT} x {distinct, ALL}, explicit parens
+    (no reliance on precedence), rendered as ONE ANSI string both
+    engines parse -- probes bag-vs-set semantics, duplicate counting in
+    the ALL variants, and NULL-row equality in set membership."""
+    subs = {
+        "m": rng.choice([2, 3, 5, 7]),
+        "k": rng.choice([3, 10, 50]),
+        "j": rng.randint(1, 9),
+        "v": round(rng.uniform(-50, 400), 2),
+        "et": rng.choice(EVENT_TYPES),
+    }
+    exprs = rng.sample(SETOP_EXPRS, rng.randint(1, 3))
+    sel = ", ".join(
+        f"{e.format(**subs)} AS c{i}" for i, e in enumerate(exprs)
+    )
+    ops = ["UNION", "UNION ALL", "INTERSECT", "INTERSECT ALL",
+           "EXCEPT", "EXCEPT ALL"]
+    n_branches = rng.randint(2, 3)
+    branches = [
+        f"SELECT {sel} FROM events "
+        f"WHERE {rng.choice(SETOP_PREDS).format(**subs)}"
+        for _ in range(n_branches)
+    ]
+    sql = branches[0]
+    for b in branches[1:]:
+        sql = f"({sql}) {rng.choice(ops)} ({b})"
+    return {"sql": sql}
+
+
+def fuzz_setop(spark, con, sf_dir: str, n_cases: int, seed: int):
+    from async_stream_processing_spark.sources.parquet import load_table
+
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    rng = random.Random(seed)
+    failures = []
+    for i in range(n_cases):
+        case = gen_setop_case(rng)
+        err = compare(
+            spark.sql(case["sql"]).toPandas(),
+            con.execute(case["sql"]).df(),
+        )
+        if err:
+            failures.append((i, err, case))
+    return failures
+
+
 def main():
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     streaming = "--streaming" in sys.argv
@@ -681,6 +746,7 @@ def main():
     text = "--text" in sys.argv
     array = "--array" in sys.argv
     rollup = "--rollup" in sys.argv
+    setop = "--setop" in sys.argv
     n = int(args[0]) if len(args) > 0 else 50
     seed = int(args[1]) if len(args) > 1 else 20260814
     sf_dir = args[2] if len(args) > 2 else "/root/testdata/sf0.01"
@@ -708,11 +774,14 @@ def main():
         failures = fuzz_array(spark, con, sf_dir, n, seed)
     elif rollup:
         failures = fuzz_rollup(spark, con, sf_dir, n, seed)
+    elif setop:
+        failures = fuzz_setop(spark, con, sf_dir, n, seed)
     else:
         failures = fuzz(spark, con, sf_dir, n, seed)
     mode = (", streaming" if streaming else
             ", window" if window else ", scalar" if scalar
-            else ", text" if text else ", rollup" if rollup else "")
+            else ", text" if text else ", rollup" if rollup
+            else ", setop" if setop else "")
     for i, err, case in failures:
         print(f"FAIL case {i}: {err}\n  {case}")
     print(f"{'FAIL' if failures else 'PASS'}: {n - len(failures)}/{n} "
