@@ -1,7 +1,7 @@
 """Differential query fuzzer: random relational expressions executed by
 BOTH Spark and DuckDB from one AST, compared exactly.
 
-The hand-written oracle gate proves the 123 declared queries; this tool
+The hand-written oracle gate proves the declared queries; this tool
 probes the space BETWEEN them -- filter/group/aggregate combinations
 nobody wrote by hand -- for engine-behavior divergence (the SQLancer /
 SparkFuzz idea, specialized to this repo's portability contract).
