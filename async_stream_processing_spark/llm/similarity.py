@@ -982,8 +982,16 @@ def ivfpq_write_store(codes_long: DataFrame, store_path: str) -> None:
     an upsert must find a re-ingested vector's OLD cell without
     scanning the corpus; FAISS keeps the same structure as its
     DirectMap)."""
-    codes_long.write.mode("overwrite").partitionBy("cell").parquet(
-        store_path + "/codes"
+    # repartition on the partition column before writing: without it
+    # every shuffle partition spills a file into every cell directory
+    # (shuffle_partitions x n_cells small files -- the classic
+    # lakehouse small-file trap; at real scale pair this with
+    # maxRecordsPerFile to split hot cells into bounded files)
+    (
+        codes_long.repartition("cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(store_path + "/codes")
     )
     idmap = (
         codes_long.select("vec_id", "cell")
@@ -993,8 +1001,11 @@ def ivfpq_write_store(codes_long: DataFrame, store_path: str) -> None:
             .cast("int")
         )
     )
-    idmap.write.mode("overwrite").partitionBy("idb").parquet(
-        store_path + "/idmap"
+    (
+        idmap.repartition("idb")
+        .write.mode("overwrite")
+        .partitionBy("idb")
+        .parquet(store_path + "/idmap")
     )
 
 
