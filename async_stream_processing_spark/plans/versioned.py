@@ -1,0 +1,176 @@
+"""Manifest-based versioned lake: snapshot isolation + time travel.
+
+The minimal transactional-lake core (the Iceberg/Delta idea reduced to
+its load-bearing mechanism) for pipelines that re-run, backfill and
+audit at 100 TB:
+
+* **Data files are immutable**; every commit writes NEW parquet files
+  under ``<lake>/data/`` and then publishes ONE manifest JSON listing
+  every file visible in that version.  The manifest publish is an
+  atomic ``O_CREAT|O_EXCL`` create -- the single commit point.
+* **Readers never list the data directory.**  They read a manifest and
+  load exactly its files, so a crashed or in-flight writer's orphan
+  files are invisible (snapshot isolation), and reading ``version=N``
+  after later commits reproduces the exact bytes of version N (time
+  travel -- the "which corpus snapshot trained this model" answer).
+* **Concurrent committers race on the version file**: the loser's
+  ``O_EXCL`` create fails and the commit retries against the new head
+  (optimistic concurrency, append-only semantics make the retry safe).
+* **vacuum** deletes data files referenced by no kept manifest --
+  storage reclamation is decoupled from logical deletes.
+
+Scale notes: a manifest here is a flat JSON file list; at real scale
+the same structure nests (manifest-of-manifests) so a commit appends
+O(1) metadata instead of rewriting the file list -- the mechanism
+(immutable data + atomic manifest swap + pinned-version reads) is
+identical.  Reference parity: the reference engine has no storage
+layer; this is part of the lake surface the 100 TB posture requires
+(compact_lake, write_partitioned_lake, write_bucketed are the
+siblings in ``plans/scale.py``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+_MANIFEST_DIR = "_manifests"
+_DATA_DIR = "data"
+
+
+def _manifest_path(path: str, version: int) -> str:
+    return os.path.join(path, _MANIFEST_DIR, f"v{version:09d}.json")
+
+
+def versions(path: str) -> list[int]:
+    """Committed version numbers, ascending (empty for a fresh lake)."""
+    mdir = os.path.join(path, _MANIFEST_DIR)
+    if not os.path.isdir(mdir):
+        return []
+    out = []
+    for f in os.listdir(mdir):
+        if f.startswith("v") and f.endswith(".json"):
+            out.append(int(f[1:-5]))
+    return sorted(out)
+
+
+def _read_manifest(path: str, version: int) -> dict:
+    with open(_manifest_path(path, version)) as f:
+        return json.load(f)
+
+
+def _write_data(df: DataFrame, path: str) -> list[str]:
+    """Write df's parquet files under data/<uuid>/ and return their
+    lake-relative paths.  The directory is invisible to readers until a
+    manifest references it."""
+    token = uuid.uuid4().hex
+    target = os.path.join(path, _DATA_DIR, token)
+    df.write.mode("error").parquet(target)
+    rel = []
+    for dp, _, fs in os.walk(target):
+        for f in fs:
+            if f.endswith(".parquet"):
+                rel.append(
+                    os.path.relpath(os.path.join(dp, f), path)
+                )
+    return sorted(rel)
+
+
+def _commit(path: str, files: list[str], parent: int | None,
+            operation: str, max_retries: int = 20) -> int:
+    """Publish a manifest atomically; on a version-number race, retry
+    against the new head (safe: ``files`` already embeds the intended
+    base -- append recomputes it per attempt via the caller loop, so
+    only overwrite commits and first-writer appends land here)."""
+    os.makedirs(os.path.join(path, _MANIFEST_DIR), exist_ok=True)
+    for _ in range(max_retries):
+        vs = versions(path)
+        v = (vs[-1] if vs else 0) + 1
+        body = {
+            "version": v,
+            "parent": parent if parent is not None else (vs[-1] if vs else None),
+            "operation": operation,
+            "files": files,
+        }
+        try:
+            fd = os.open(
+                _manifest_path(path, v),
+                os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+            )
+        except FileExistsError:
+            continue  # lost the race; retry against the new head
+        with os.fdopen(fd, "w") as f:
+            json.dump(body, f)
+        return v
+    raise RuntimeError(f"commit contention: {max_retries} retries exhausted")
+
+
+def commit_append(df: DataFrame, path: str) -> int:
+    """Append ``df`` as a new version: new data files + a manifest that
+    is (head's files + new files).  Returns the committed version."""
+    new_files = _write_data(df, path)
+    while True:
+        vs = versions(path)
+        base = _read_manifest(path, vs[-1])["files"] if vs else []
+        try:
+            return _commit(
+                path, sorted(base) + new_files,
+                parent=vs[-1] if vs else None,
+                operation="append", max_retries=1,
+            )
+        except RuntimeError:
+            continue  # head moved between the base read and the publish
+
+
+def commit_overwrite(df: DataFrame, path: str) -> int:
+    """Replace the logical table content with ``df`` (a new version; old
+    versions stay readable until vacuumed)."""
+    new_files = _write_data(df, path)
+    return _commit(path, new_files, parent=None, operation="overwrite")
+
+
+def read_version(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Load a pinned version (default: head).  Reads exactly the
+    manifest's files -- orphan / in-flight files never appear."""
+    vs = versions(path)
+    if not vs:
+        raise FileNotFoundError(f"no committed versions under {path}")
+    v = vs[-1] if version is None else version
+    m = _read_manifest(path, v)
+    if not m["files"]:
+        raise ValueError(f"version {v} is empty")
+    return spark.read.parquet(*[os.path.join(path, f) for f in m["files"]])
+
+
+def vacuum(path: str, keep_last: int = 1) -> dict:
+    """Delete data files referenced by none of the last ``keep_last``
+    manifests (and drop the older manifests).  Returns counts for
+    observability."""
+    vs = versions(path)
+    keep = vs[-keep_last:] if keep_last > 0 else []
+    live: set[str] = set()
+    for v in keep:
+        live.update(_read_manifest(path, v)["files"])
+    removed = 0
+    droot = os.path.join(path, _DATA_DIR)
+    for dp, _, fs in os.walk(droot):
+        for f in fs:
+            full = os.path.join(dp, f)
+            rel = os.path.relpath(full, path)
+            if f.endswith(".parquet") and rel not in live:
+                os.remove(full)
+                removed += 1
+    # drop empty data dirs + superseded manifests
+    for dp, dirs, fs in os.walk(droot, topdown=False):
+        if not dirs and not fs and dp != droot:
+            shutil.rmtree(dp, ignore_errors=True)
+    for v in vs:
+        if v not in keep:
+            os.remove(_manifest_path(path, v))
+    return {"versions_kept": keep, "files_removed": removed}

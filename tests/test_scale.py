@@ -627,3 +627,100 @@ def test_ivf_codes_bucketed_probe_skips_corpus_shuffle(spark, tmp_path):
     )
     assert not re.findall(r"Exchange hashpartitioning\(cell", agg_plan), agg_plan
     spark.sql("DROP TABLE IF EXISTS ivf_codes")
+
+
+def test_versioned_lake_time_travel(spark, tmp_path):
+    """Append commits produce monotonically growing snapshots; a pinned
+    read of v1 after later commits reproduces v1's exact rows; overwrite
+    starts a fresh logical content while old versions stay readable."""
+    from async_stream_processing_spark.plans.versioned import (
+        commit_append,
+        commit_overwrite,
+        read_version,
+        versions,
+    )
+
+    lake = str(tmp_path / "lake")
+    d1 = spark.range(0, 10).withColumnRenamed("id", "k")
+    d2 = spark.range(10, 15).withColumnRenamed("id", "k")
+    assert commit_append(d1, lake) == 1
+    assert commit_append(d2, lake) == 2
+    assert versions(lake) == [1, 2]
+    assert sorted(r["k"] for r in read_version(spark, lake).collect()) \
+        == list(range(15))
+    assert sorted(r["k"] for r in read_version(spark, lake, 1).collect()) \
+        == list(range(10))
+    d3 = spark.range(100, 103).withColumnRenamed("id", "k")
+    assert commit_overwrite(d3, lake) == 3
+    assert sorted(r["k"] for r in read_version(spark, lake).collect()) \
+        == [100, 101, 102]
+    # time travel across the overwrite
+    assert sorted(r["k"] for r in read_version(spark, lake, 2).collect()) \
+        == list(range(15))
+
+
+def test_versioned_lake_uncommitted_files_invisible(spark, tmp_path):
+    """Snapshot isolation: data files without a manifest (a crashed
+    writer) never appear in any read."""
+    import os
+
+    from async_stream_processing_spark.plans.versioned import (
+        commit_append,
+        read_version,
+    )
+
+    lake = str(tmp_path / "lake")
+    commit_append(spark.range(0, 5).withColumnRenamed("id", "k"), lake)
+    # simulate a writer that died after writing data, before committing
+    orphan = os.path.join(lake, "data", "orphan")
+    spark.range(1000, 1100).withColumnRenamed("id", "k") \
+        .write.parquet(orphan)
+    rows = sorted(r["k"] for r in read_version(spark, lake).collect())
+    assert rows == list(range(5))
+
+
+def test_versioned_lake_vacuum_and_conflict(spark, tmp_path):
+    """vacuum removes files no kept manifest references (old versions
+    become unreadable; the kept head still reads exactly); a version-file
+    collision retries to the next number instead of clobbering."""
+    import os
+
+    from async_stream_processing_spark.plans.versioned import (
+        _manifest_path,
+        commit_append,
+        read_version,
+        vacuum,
+        versions,
+    )
+
+    lake = str(tmp_path / "lake")
+    commit_append(spark.range(0, 5).withColumnRenamed("id", "k"), lake)
+    commit_append(spark.range(5, 8).withColumnRenamed("id", "k"), lake)
+    commit_overwrite_rows = [99]
+    from async_stream_processing_spark.plans.versioned import (
+        commit_overwrite,
+    )
+
+    commit_overwrite(
+        spark.createDataFrame([(99,)], "k long"), lake
+    )
+    stats = vacuum(lake, keep_last=1)
+    assert stats["versions_kept"] == [3]
+    assert stats["files_removed"] > 0
+    assert versions(lake) == [3]
+    assert [r["k"] for r in read_version(spark, lake).collect()] \
+        == commit_overwrite_rows
+    # conflict: a concurrent writer already holds version 4 (its
+    # manifest declares empty content); our commit must land at 5 and
+    # build on v4's declared content, not clobber the file
+    os.makedirs(os.path.dirname(_manifest_path(lake, 4)), exist_ok=True)
+    with open(_manifest_path(lake, 4), "w") as f:
+        f.write('{"version": 4, "files": []}')
+    v = commit_append(
+        spark.createDataFrame([(7,)], "k long"), lake
+    )
+    assert v == 5
+    assert sorted(r["k"] for r in read_version(spark, lake, 5).collect()) \
+        == [7]
+    # v3's content is untouched by the race
+    assert [r["k"] for r in read_version(spark, lake, 3).collect()] == [99]
