@@ -31,6 +31,7 @@ EXAMPLES = [
     "e19_curation_round6",
     "e20_streaming_intake",
     "e21_eval_sweep",
+    "e22_versioned_corpus",
 ]
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "examples"))
