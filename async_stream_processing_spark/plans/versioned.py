@@ -81,7 +81,8 @@ def _write_data(df: DataFrame, path: str) -> list[str]:
 
 
 def _commit(path: str, files: list[str], parent: int | None,
-            operation: str, max_retries: int = 20) -> int:
+            operation: str, max_retries: int = 20,
+            meta: dict | None = None) -> int:
     """Publish a manifest atomically; on a version-number race, retry
     against the new head (safe: ``files`` already embeds the intended
     base -- append recomputes it per attempt via the caller loop, so
@@ -95,6 +96,7 @@ def _commit(path: str, files: list[str], parent: int | None,
             "parent": parent if parent is not None else (vs[-1] if vs else None),
             "operation": operation,
             "files": files,
+            **(meta or {}),
         }
         try:
             fd = os.open(
@@ -109,7 +111,7 @@ def _commit(path: str, files: list[str], parent: int | None,
     raise RuntimeError(f"commit contention: {max_retries} retries exhausted")
 
 
-def commit_append(df: DataFrame, path: str) -> int:
+def commit_append(df: DataFrame, path: str, meta: dict | None = None) -> int:
     """Append ``df`` as a new version: new data files + a manifest that
     is (head's files + new files).  Returns the committed version."""
     new_files = _write_data(df, path)
@@ -120,7 +122,7 @@ def commit_append(df: DataFrame, path: str) -> int:
             return _commit(
                 path, sorted(base) + new_files,
                 parent=vs[-1] if vs else None,
-                operation="append", max_retries=1,
+                operation="append", max_retries=1, meta=meta,
             )
         except RuntimeError:
             continue  # head moved between the base read and the publish
@@ -174,3 +176,40 @@ def vacuum(path: str, keep_last: int = 1) -> dict:
         if v not in keep:
             os.remove(_manifest_path(path, v))
     return {"versions_kept": keep, "files_removed": removed}
+
+
+def committed_batch_ids(path: str) -> set[int]:
+    """Streaming batch ids already committed to this lake (manifests
+    carry ``batch_id`` when written by :func:`versioned_sink`)."""
+    out = set()
+    for v in versions(path):
+        b = _read_manifest(path, v).get("batch_id")
+        if b is not None:
+            out.add(int(b))
+    return out
+
+
+def versioned_sink(stream_df: DataFrame, path: str, checkpoint: str):
+    """EXACTLY-ONCE streaming append into the versioned lake: each
+    micro-batch commits as one version whose manifest records its
+    ``batch_id``; a re-delivered batch (foreachBatch's at-least-once
+    contract after a crash or checkpoint restart) finds its id already
+    committed and SKIPS -- the Delta txn-version recipe.  A writer that
+    died between data write and manifest publish leaves only orphan
+    files, which no reader ever sees, so the retry is safe, not merely
+    idempotent-by-overwrite (the ``streaming/upsert`` discipline,
+    without needing a keyed merge).
+
+    Returns the started StreamingQuery (caller awaits/stops it)."""
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id in committed_batch_ids(path):
+            return
+        commit_append(batch_df, path, meta={"batch_id": batch_id})
+
+    return (
+        stream_df.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -724,3 +724,47 @@ def test_versioned_lake_vacuum_and_conflict(spark, tmp_path):
         == [7]
     # v3's content is untouched by the race
     assert [r["k"] for r in read_version(spark, lake, 3).collect()] == [99]
+
+
+def test_versioned_sink_exactly_once(spark, tmp_path):
+    """Streaming append into the versioned lake: one version per
+    micro-batch with its batch_id recorded; a FULL re-delivery (same
+    source, fresh checkpoint, so every batch id replays) commits
+    nothing new -- the exactly-once recipe."""
+    from async_stream_processing_spark.plans.versioned import (
+        committed_batch_ids,
+        read_version,
+        versioned_sink,
+        versions,
+    )
+
+    src = str(tmp_path / "src")
+    for i in range(3):
+        spark.range(i * 10, i * 10 + 10).withColumnRenamed("id", "k") \
+            .coalesce(1).write.mode("append").parquet(src)
+    lake = str(tmp_path / "lake")
+
+    stream = (
+        spark.readStream.schema("k long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = versioned_sink(stream, lake, str(tmp_path / "ck1"))
+    q.awaitTermination(120)
+    n_versions = len(versions(lake))
+    assert n_versions >= 1
+    assert committed_batch_ids(lake) == set(range(n_versions))
+    rows = sorted(r["k"] for r in read_version(spark, lake).collect())
+    assert rows == list(range(30))
+
+    # full re-delivery: fresh checkpoint replays every batch id
+    stream2 = (
+        spark.readStream.schema("k long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q2 = versioned_sink(stream2, lake, str(tmp_path / "ck2"))
+    q2.awaitTermination(120)
+    assert len(versions(lake)) == n_versions  # nothing re-committed
+    rows2 = sorted(r["k"] for r in read_version(spark, lake).collect())
+    assert rows2 == list(range(30))
