@@ -74,6 +74,12 @@ R5_BUDGETS_SF01 = {
     "gopher_repetition": 3.00,
     "rp_project": 1.50,
     "simhash_pairs": 2.60,
+    # round-7 continuation additions (bases = the continuation session's
+    # idle observations; the heavy two are training/eval composites)
+    "perceptron_eval": 8.03,
+    "lsh_s_curve": 4.10,
+    "langid_confusion": 2.21,
+    "kmeans_silhouette": 2.00,
 }
 
 
