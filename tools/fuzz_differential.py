@@ -780,8 +780,8 @@ def main():
         failures = fuzz(spark, con, sf_dir, n, seed)
     mode = (", streaming" if streaming else
             ", window" if window else ", scalar" if scalar
-            else ", text" if text else ", rollup" if rollup
-            else ", setop" if setop else "")
+            else ", text" if text else ", array" if array
+            else ", rollup" if rollup else ", setop" if setop else "")
     for i, err, case in failures:
         print(f"FAIL case {i}: {err}\n  {case}")
     print(f"{'FAIL' if failures else 'PASS'}: {n - len(failures)}/{n} "
