@@ -149,6 +149,28 @@ def q_ivf_assign(spark, sf_dir):
     return ivf_assign(_emb(spark, sf_dir), n_centroids=8)
 
 
+def q_stream_ivf_assign(spark, sf_dir):
+    """ivf_assign EXECUTED BY THE STREAMING ENGINE: cell assignment on
+    ingest against FROZEN serving centroids (collected batch-side as
+    O(k*d) model state, riding as one broadcast data row), append mode,
+    zero state -- the routing half of a streaming ANN ingest path
+    (stream_ivfpq_upsert is the storage half).  Same oracle as the
+    batch ivf_assign."""
+    from async_stream_processing_spark.llm.similarity import (
+        _seed_centroids,
+        ivf_assign,
+    )
+    from async_stream_processing_spark.sources.parquet import (
+        load_table,
+        stream_table,
+    )
+    from async_stream_processing_spark.streaming.replay import drain
+
+    cents = _seed_centroids(load_table(spark, sf_dir, "embeddings"), 8)
+    s = stream_table(spark, sf_dir, "embeddings")
+    return drain(ivf_assign(s, 8, centroids=cents), output_mode="append")
+
+
 def q_knn_ivf(spark, sf_dir):
     """IVF ANN top-3 with nprobe=2 cell probing."""
     from async_stream_processing_spark.llm.similarity import knn_ivf
@@ -1512,6 +1534,7 @@ LLM_QUERIES = {
     "knn_lsh": q_knn_lsh,
     "knn_lsh_multiprobe": q_knn_lsh_multiprobe,
     "ivf_assign": q_ivf_assign,
+    "stream_ivf_assign": q_stream_ivf_assign,
     "ivf_kmeans_assign": q_ivf_kmeans_assign,
     "knn_ivf": q_knn_ivf,
     "embedding_dedup": q_embedding_dedup,
@@ -2193,6 +2216,19 @@ def llm_oracle_sql() -> dict[str, str]:
             FROM ranked WHERE rank <= 3
         """,
         "ivf_assign": f"""
+            WITH cents AS (SELECT vec_id AS centroid_id, embedding AS c_emb
+                           FROM embeddings WHERE vec_id < 8),
+            scored AS (SELECT e.vec_id, c.centroid_id,
+                              {sql_cosine('e.embedding', 'c.c_emb')} AS cos
+                       FROM embeddings e CROSS JOIN cents c),
+            ranked AS (SELECT *, ROW_NUMBER() OVER (
+                           PARTITION BY vec_id
+                           ORDER BY cos DESC, centroid_id ASC) AS rnk
+                       FROM scored)
+            SELECT vec_id, centroid_id, cos AS centroid_cosine
+            FROM ranked WHERE rnk = 1
+        """,
+"stream_ivf_assign": f"""
             WITH cents AS (SELECT vec_id AS centroid_id, embedding AS c_emb
                            FROM embeddings WHERE vec_id < 8),
             scored AS (SELECT e.vec_id, c.centroid_id,
