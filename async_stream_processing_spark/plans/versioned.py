@@ -136,10 +136,18 @@ def commit_overwrite(df: DataFrame, path: str) -> int:
 
 
 def read_version(
-    spark: SparkSession, path: str, version: int | None = None
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    merge_schema: bool = False,
 ) -> DataFrame:
     """Load a pinned version (default: head).  Reads exactly the
-    manifest's files -- orphan / in-flight files never appear."""
+    manifest's files -- orphan / in-flight files never appear.
+
+    ``merge_schema=True`` unions file schemas across commits (schema
+    evolution: rows from before a column existed read as NULL) -- the
+    footer-merge pass costs one metadata read per file, so at real
+    scale the merged schema would be cached in the manifest instead."""
     vs = versions(path)
     if not vs:
         raise FileNotFoundError(f"no committed versions under {path}")
@@ -147,7 +155,10 @@ def read_version(
     m = _read_manifest(path, v)
     if not m["files"]:
         raise ValueError(f"version {v} is empty")
-    return spark.read.parquet(*[os.path.join(path, f) for f in m["files"]])
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(*[os.path.join(path, f) for f in m["files"]])
 
 
 def vacuum(path: str, keep_last: int = 1) -> dict:

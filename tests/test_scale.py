@@ -768,3 +768,27 @@ def test_versioned_sink_exactly_once(spark, tmp_path):
     assert len(versions(lake)) == n_versions  # nothing re-committed
     rows2 = sorted(r["k"] for r in read_version(spark, lake).collect())
     assert rows2 == list(range(30))
+
+
+def test_versioned_lake_schema_evolution(spark, tmp_path):
+    """An append that adds a column reads back with merge_schema: old
+    rows NULL in the new column; a pinned pre-evolution read keeps the
+    old schema."""
+    from async_stream_processing_spark.plans.versioned import (
+        commit_append,
+        read_version,
+    )
+
+    lake = str(tmp_path / "lake")
+    commit_append(
+        spark.createDataFrame([(1,), (2,)], "k long"), lake
+    )
+    commit_append(
+        spark.createDataFrame([(3, "en")], "k long, lang string"), lake
+    )
+    head = read_version(spark, lake, merge_schema=True)
+    assert set(head.columns) == {"k", "lang"}
+    rows = {r["k"]: r["lang"] for r in head.collect()}
+    assert rows == {1: None, 2: None, 3: "en"}
+    v1 = read_version(spark, lake, 1)
+    assert v1.columns == ["k"]
