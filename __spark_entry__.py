@@ -2996,6 +2996,7 @@ GATE_WINDOW = [
     "lsh_s_curve", "unimax_mixture", "hard_negatives", "pmi_pairs",
     "langid_confusion", "kmeans_silhouette", "perceptron_eval",
     "source_token_diversity", "stream_ivf_assign",
+    "versioned_time_travel", "stream_versioned_sink",
     "sq8_codes", "knn_sq8", "stream_sq8_codes", "sq8_recall",
     "doremi_mixture", "bpe_coverage", "packing_efficiency",
     "trigram_backoff",
@@ -3015,7 +3016,7 @@ GATE_WINDOW = [
     # and set_ops_multiset rotated out to make room for the five
     # late-round-7 additions -- first in line for round 8)
     "demux_counts", "event_deltas", "feedback_orders",
-    "first_seen", "positional_zip", "stream_cart_fold",
+    "positional_zip",
 ]
 
 

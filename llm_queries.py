@@ -1213,6 +1213,65 @@ def q_temperature_mixture(spark, sf_dir):
     return temperature_mixture(_docs(spark, sf_dir), total_target=1000)
 
 
+def q_versioned_time_travel(spark, sf_dir):
+    """Versioned-lake lifecycle gate (the ivfpq_upsert oracle pattern):
+    commit the corpus as v1 (doc_id%5!=0), append the rest as v2, then
+    TIME-TRAVEL read v1 -- which must equal a plain filter of the source
+    table even though the head has moved (snapshot isolation as a
+    hash-checked result, not just a pytest claim)."""
+    import shutil
+    import tempfile
+
+    from async_stream_processing_spark.plans.versioned import (
+        commit_append,
+        read_version,
+    )
+
+    docs = _docs(spark, sf_dir)
+    lake = tempfile.mkdtemp(prefix="asp_vlake_")
+    shutil.rmtree(lake, ignore_errors=True)
+    try:
+        commit_append(docs.filter(F.col("doc_id") % 5 != 0), lake)
+        commit_append(docs.filter(F.col("doc_id") % 5 == 0), lake)
+        out = read_version(spark, lake, 1).select(
+            "doc_id", "text", "lang", "source", "n_chars"
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(lake, ignore_errors=True)
+    return out
+
+
+def q_stream_versioned_sink(spark, sf_dir):
+    """versioned_sink EXECUTED BY THE STREAMING ENGINE: micro-batches
+    commit one lake version each (batch_id in the manifest); the final
+    head must equal the whole source table -- and the exactly-once claim
+    is hash-gated, not just unit-tested."""
+    import shutil
+    import tempfile
+
+    from async_stream_processing_spark.plans.versioned import (
+        read_version,
+        versioned_sink,
+    )
+    from async_stream_processing_spark.sources.parquet import stream_table
+
+    lake = tempfile.mkdtemp(prefix="asp_vsink_")
+    shutil.rmtree(lake, ignore_errors=True)
+    ck = tempfile.mkdtemp(prefix="asp_vsink_ck_")
+    shutil.rmtree(ck, ignore_errors=True)
+    try:
+        s = stream_table(spark, sf_dir, "documents")
+        q = versioned_sink(s, lake, ck)
+        q.awaitTermination(300)
+        out = read_version(spark, lake).select(
+            "doc_id", "text", "lang", "source", "n_chars"
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(lake, ignore_errors=True)
+        shutil.rmtree(ck, ignore_errors=True)
+    return out
+
+
 def q_kmeans_silhouette(spark, sf_dir):
     """Clustering eval: per-cell SIMPLIFIED silhouette (centroid-based
     O(n*k), cosine distance) -- the measured row an n_centroids re-tune
@@ -1451,6 +1510,8 @@ def q_langid_confusion(spark, sf_dir):
 LLM_QUERIES = {
     "lsh_s_curve": q_lsh_s_curve,
     "kmeans_silhouette": q_kmeans_silhouette,
+    "versioned_time_travel": q_versioned_time_travel,
+    "stream_versioned_sink": q_stream_versioned_sink,
     "perceptron_eval": q_perceptron_eval,
     "source_token_diversity": q_source_token_diversity,
     "unimax_mixture": q_unimax_mixture,
@@ -1878,6 +1939,13 @@ def llm_oracle_sql() -> dict[str, str]:
         "perceptron_eval": sql_perceptron_eval(
             n_buckets=64, n_rounds=3, holdout_mod=5),
         "source_token_diversity": sql_source_token_diversity(),
+        "versioned_time_travel": """
+            SELECT doc_id, text, lang, source, n_chars
+            FROM documents WHERE doc_id % 5 != 0
+        """,
+        "stream_versioned_sink": """
+            SELECT doc_id, text, lang, source, n_chars FROM documents
+        """,
         "pmi_pairs": sql_pmi_pairs(min_count=5, k=50),
         "langid_confusion": f"""
             WITH h AS (SELECT doc_id, lang AS lang_label,
