@@ -1998,3 +1998,194 @@ def sql_sq8_recall(
          AND idx.neighbor_id = bf.neighbor_id
         GROUP BY bf.query_id
     """
+
+
+# -- rotated PQ (the OPQ "random rotation" rung) -----------------------------
+
+def rotated_embeddings(
+    embeddings: DataFrame, d: int = 64, seed: int = 7
+) -> DataFrame:
+    """Dense ±1 rotation of the embedding space (the Achlioptas/JL sign
+    matrix at k = d) -- the cheap stand-in for OPQ's learned rotation
+    (Ge et al. 2013 motivates rotating before PQ: when a few dimensions
+    carry most of the variance, PQ subspaces are unbalanced and codes
+    waste bits; a dense sign mix spreads variance across all subspaces).
+    Learned rotations need an SVD (not cross-engine portable); the
+    seeded sign matrix is deterministic everywhere and keeps the whole
+    rotated-PQ chain oracle-exact -- and whether it actually helps on a
+    given corpus is MEASURED by :func:`pq_rotation_recall`, not assumed.
+
+    Same narrow model-as-data plan as ``rp_project(mode='data')``: the
+    matrix rides as ONE broadcast row, each output dim is a fold seeded
+    with the first product, so values bit-match the left-associated
+    literal sums the oracle renders.  Output: (vec_id, embedding
+    array<double> of length d).
+    """
+    from .linalg import rp_signs
+
+    signs = rp_signs(d, d, seed)
+    model = embeddings.sparkSession.createDataFrame(
+        [([[float(s) for s in row] for row in signs],)],
+        "rot_signs array<array<double>>",
+    )
+    embd = _as_double(F.col("embedding"))
+    outs = []
+    for j in range(d):
+        prods = F.zip_with(
+            embd,
+            F.element_at(F.col("rot_signs"), j + 1),
+            lambda x, s: x * s,
+        )
+        outs.append(
+            F.aggregate(
+                F.slice(prods, 2, d - 1),
+                F.element_at(prods, 1),
+                lambda a, x: a + x,
+            )
+        )
+    return embeddings.crossJoin(F.broadcast(model)).select(
+        "vec_id", F.array(*outs).alias("embedding")
+    )
+
+
+def sql_rotated_src(d: int = 64, seed: int = 7,
+                    src: str = "embeddings") -> str:
+    """The rotated corpus as a subquery string usable wherever the PQ
+    twins take a ``src`` (same literal sign sums as the Spark fold)."""
+    from .linalg import rp_signs
+
+    signs = rp_signs(d, d, seed)
+    exprs = []
+    for j in range(d):
+        terms = [
+            ("" if s > 0 else "-") + f"CAST(embedding[{i + 1}] AS DOUBLE)"
+            for i, s in enumerate(signs[j])
+        ]
+        exprs.append("(" + " + ".join(terms) + ")")
+    arr = "[" + ", ".join(exprs) + "]"
+    return f"(SELECT vec_id, {arr} AS embedding FROM {src})"
+
+
+def knn_pq_rotated(
+    embeddings: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    m: int = 8,
+    ksub: int = 16,
+    d: int = 64,
+    seed: int = 7,
+) -> DataFrame:
+    """PQ-ADC top-k in the ±1-rotated space: rotate (narrow), then the
+    whole verified PQ chain (codebook train, encode, integer ADC rank)
+    runs unchanged on the rotated relation.  Output schema matches
+    knn_pq_adc."""
+    return knn_pq_adc(
+        rotated_embeddings(embeddings, d, seed), n_queries, k, m, ksub, d
+    )
+
+
+def sql_knn_pq_rotated(
+    n_queries: int = 10,
+    k: int = 5,
+    m: int = 8,
+    ksub: int = 16,
+    d: int = 64,
+    seed: int = 7,
+    src: str = "embeddings",
+) -> str:
+    """DuckDB twin of :func:`knn_pq_rotated`."""
+    return sql_knn_pq_adc(
+        n_queries, k, m, ksub, d, src=sql_rotated_src(d, seed, src)
+    )
+
+
+def pq_rotation_recall(
+    embeddings: DataFrame,
+    n_queries: int = 10,
+    k: int = 3,
+    m: int = 8,
+    ksub: int = 16,
+    d: int = 64,
+    seed: int = 7,
+) -> DataFrame:
+    """Does rotation help PQ on THIS corpus?  Per query: recall@k of
+    plain PQ-ADC and of rotated PQ-ADC, both against the exact cosine
+    top-k in the ORIGINAL space -- the measured row that decides whether
+    the rotation ships (the ann_recall discipline; note the rotated
+    ranking also absorbs the sign matrix's JL distortion, which is
+    exactly why it must be measured, not assumed)."""
+    exact = knn_bruteforce(embeddings, n_queries, k).select(
+        "query_id", "neighbor_id"
+    )
+    plain = knn_pq_adc(embeddings, n_queries, k, m, ksub, d).select(
+        "query_id", F.col("neighbor_id").alias("pq_id")
+    )
+    rot = knn_pq_rotated(embeddings, n_queries, k, m, ksub, d, seed).select(
+        "query_id", F.col("neighbor_id").alias("rot_id")
+    )
+    hits_p = exact.join(
+        plain,
+        (exact.query_id == plain.query_id)
+        & (F.col("neighbor_id") == F.col("pq_id")),
+        "left",
+    ).groupBy(exact.query_id.alias("query_id")).agg(
+        F.count("pq_id").alias("n_hits_pq")
+    )
+    hits_r = exact.join(
+        rot,
+        (exact.query_id == rot.query_id)
+        & (F.col("neighbor_id") == F.col("rot_id")),
+        "left",
+    ).groupBy(exact.query_id.alias("query_id")).agg(
+        F.count("rot_id").alias("n_hits_rot")
+    )
+    return hits_p.join(hits_r, "query_id").select(
+        "query_id",
+        "n_hits_pq",
+        "n_hits_rot",
+        (F.col("n_hits_pq").cast("double") / F.lit(float(k)))
+        .alias("recall_pq"),
+        (F.col("n_hits_rot").cast("double") / F.lit(float(k)))
+        .alias("recall_rotated"),
+    )
+
+
+def sql_pq_rotation_recall(
+    n_queries: int = 10,
+    k: int = 3,
+    m: int = 8,
+    ksub: int = 16,
+    d: int = 64,
+    seed: int = 7,
+    src: str = "embeddings",
+) -> str:
+    """DuckDB twin of :func:`pq_rotation_recall`."""
+    return f"""
+        WITH exact AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                       ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                           ORDER BY {sql_cosine('q.embedding', 'e.embedding')}
+                               DESC, e.vec_id ASC) AS rnk
+                FROM {src} e
+                CROSS JOIN (SELECT * FROM {src}
+                            WHERE vec_id < {n_queries}) q
+                WHERE e.vec_id != q.vec_id)
+            WHERE rnk <= {k}),
+        pq AS ({sql_knn_pq_adc(n_queries, k, m, ksub, d, src=src)}),
+        rot AS ({sql_knn_pq_rotated(n_queries, k, m, ksub, d, seed, src)}),
+        hp AS (SELECT e.query_id, COUNT(p.neighbor_id) AS n_hits_pq
+               FROM exact e LEFT JOIN pq p
+                 ON e.query_id = p.query_id
+                AND e.neighbor_id = p.neighbor_id
+               GROUP BY e.query_id),
+        hr AS (SELECT e.query_id, COUNT(r.neighbor_id) AS n_hits_rot
+               FROM exact e LEFT JOIN rot r
+                 ON e.query_id = r.query_id
+                AND e.neighbor_id = r.neighbor_id
+               GROUP BY e.query_id)
+        SELECT query_id, n_hits_pq, n_hits_rot,
+               CAST(n_hits_pq AS DOUBLE) / {float(k)} AS recall_pq,
+               CAST(n_hits_rot AS DOUBLE) / {float(k)} AS recall_rotated
+        FROM hp JOIN hr USING (query_id)
+    """

@@ -1272,6 +1272,27 @@ def q_stream_versioned_sink(spark, sf_dir):
     return out
 
 
+def q_knn_pq_rotated(spark, sf_dir):
+    """PQ-ADC top-k in a ±1-rotated space (the OPQ random-rotation rung,
+    Ge et al. 2013 / Achlioptas JL signs): rotation is a narrow
+    model-as-data pass, then the verified PQ chain runs unchanged on
+    the rotated relation."""
+    from async_stream_processing_spark.llm.similarity import knn_pq_rotated
+
+    return knn_pq_rotated(_emb(spark, sf_dir), n_queries=10, k=5)
+
+
+def q_pq_rotation_recall(spark, sf_dir):
+    """Does rotation help PQ here?  recall@3 of plain vs rotated PQ-ADC
+    against the exact original-space top-k -- the measured row that
+    decides whether the rotation ships."""
+    from async_stream_processing_spark.llm.similarity import (
+        pq_rotation_recall,
+    )
+
+    return pq_rotation_recall(_emb(spark, sf_dir), n_queries=10, k=3)
+
+
 def q_kmeans_silhouette(spark, sf_dir):
     """Clustering eval: per-cell SIMPLIFIED silhouette (centroid-based
     O(n*k), cosine distance) -- the measured row an n_centroids re-tune
@@ -1511,6 +1532,8 @@ LLM_QUERIES = {
     "lsh_s_curve": q_lsh_s_curve,
     "kmeans_silhouette": q_kmeans_silhouette,
     "versioned_time_travel": q_versioned_time_travel,
+    "knn_pq_rotated": q_knn_pq_rotated,
+    "pq_rotation_recall": q_pq_rotation_recall,
     "stream_versioned_sink": q_stream_versioned_sink,
     "perceptron_eval": q_perceptron_eval,
     "source_token_diversity": q_source_token_diversity,
@@ -1897,6 +1920,8 @@ def llm_oracle_sql() -> dict[str, str]:
     from async_stream_processing_spark.llm.similarity import (
         sql_hard_negatives,
         sql_kmeans_silhouette,
+        sql_knn_pq_rotated,
+        sql_pq_rotation_recall,
     )
     from async_stream_processing_spark.llm.text_analysis import (
         sql_pmi_pairs,
@@ -1936,6 +1961,8 @@ def llm_oracle_sql() -> dict[str, str]:
             budget_tokens=200_000, epoch_cap=4),
         "hard_negatives": sql_hard_negatives(n_queries=10, k=5),
         "kmeans_silhouette": sql_kmeans_silhouette(n_centroids=8),
+        "knn_pq_rotated": sql_knn_pq_rotated(n_queries=10, k=5),
+        "pq_rotation_recall": sql_pq_rotation_recall(n_queries=10, k=3),
         "perceptron_eval": sql_perceptron_eval(
             n_buckets=64, n_rounds=3, holdout_mod=5),
         "source_token_diversity": sql_source_token_diversity(),

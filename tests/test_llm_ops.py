@@ -1573,3 +1573,42 @@ def test_source_token_diversity_extremes(spark):
     assert multi["sum_c2"] == 8
     assert abs(multi["simpson_diversity"] - (1 - 1 / 8)) < 1e-15
     assert multi["type_token_ratio"] == 1.0
+
+
+def test_rotated_embeddings_matches_numpy(spark):
+    """The fold-based ±1 rotation equals the straightforward matrix
+    product (same seeded sign matrix)."""
+    import numpy as np
+
+    from async_stream_processing_spark.llm.linalg import rp_signs
+    from async_stream_processing_spark.llm.similarity import (
+        rotated_embeddings,
+    )
+
+    d = 8
+    rows = [(i, [float((i * 5 + j * 3) % 7 - 3) for j in range(d)])
+            for i in range(6)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r["vec_id"]: list(r["embedding"])
+           for r in rotated_embeddings(emb, d=d).collect()}
+    S = np.array(rp_signs(d, d, 7), dtype=np.float64)
+    for i, v in rows:
+        x = np.array(np.array(v, dtype=np.float32), dtype=np.float64)
+        expect = S @ x
+        assert np.allclose(got[i], expect, rtol=0, atol=1e-12)
+
+
+def test_pq_rotation_recall_contract(spark):
+    """Recall columns are hit-counts over k, bounded and consistent."""
+    from async_stream_processing_spark.llm.similarity import (
+        pq_rotation_recall,
+    )
+    from async_stream_processing_spark.sources.parquet import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    out = pq_rotation_recall(emb, n_queries=5, k=3).collect()
+    assert len(out) == 5
+    for r in out:
+        assert 0 <= r["n_hits_pq"] <= 3 and 0 <= r["n_hits_rot"] <= 3
+        assert r["recall_pq"] == r["n_hits_pq"] / 3
+        assert r["recall_rotated"] == r["n_hits_rot"] / 3
