@@ -80,6 +80,8 @@ R5_BUDGETS_SF01 = {
     "lsh_s_curve": 4.10,
     "langid_confusion": 2.21,
     "kmeans_silhouette": 2.00,
+    "knn_pq_rotated": 7.48,
+    "pq_rotation_recall": 9.41,
 }
 
 
