@@ -2029,22 +2029,24 @@ def rotated_embeddings(
         "rot_signs array<array<double>>",
     )
     embd = _as_double(F.col("embedding"))
-    outs = []
-    for j in range(d):
-        prods = F.zip_with(
-            embd,
-            F.element_at(F.col("rot_signs"), j + 1),
-            lambda x, s: x * s,
-        )
-        outs.append(
-            F.aggregate(
-                F.slice(prods, 2, d - 1),
-                F.element_at(prods, 1),
-                lambda a, x: a + x,
-            )
-        )
+
+    def prods(row):
+        return F.zip_with(embd, row, lambda x, s: x * s)
+
+    # ONE nested transform over the sign rows instead of d unrolled fold
+    # columns: plan size O(1) in d (A/B: bitwise-equal values, slightly
+    # faster -- higher-order functions are interpreted, so the win is
+    # plan/codegen size, not arithmetic)
+    out = F.transform(
+        F.col("rot_signs"),
+        lambda row: F.aggregate(
+            F.slice(prods(row), 2, d - 1),
+            F.element_at(prods(row), 1),
+            lambda a, x: a + x,
+        ),
+    )
     return embeddings.crossJoin(F.broadcast(model)).select(
-        "vec_id", F.array(*outs).alias("embedding")
+        "vec_id", out.alias("embedding")
     )
 
 
