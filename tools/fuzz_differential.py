@@ -217,6 +217,17 @@ SCALARS = [
      "F.col('user_id').cast('string'))",
      "event_type || '_' || CAST(user_id AS VARCHAR)"),
     ("F.year('ts')", "CAST(EXTRACT(year FROM ts) AS INT)"),
+    # temporal structure ops: truncation, interval arithmetic, iso
+    # weekday, minute-of-day -- each rendered per dialect, values
+    # identical (timestamps are exact microseconds, no float path)
+    ("F.date_trunc('day', F.col('ts'))", "date_trunc('day', ts)"),
+    ("F.date_trunc('hour', F.col('ts'))", "date_trunc('hour', ts)"),
+    ("F.col('ts') + F.expr('INTERVAL {d} HOURS')",
+     "ts + INTERVAL {d} HOUR"),
+    ("F.expr('weekday(ts) + 1')", "CAST(EXTRACT(isodow FROM ts) AS INT)"),
+    ("(F.hour('ts') * 60 + F.minute('ts'))",
+     "CAST(EXTRACT(hour FROM ts) * 60 + EXTRACT(minute FROM ts) AS INT)"),
+    ("F.to_date('ts')", "CAST(ts AS DATE)"),
     ("F.month('ts')", "CAST(EXTRACT(month FROM ts) AS INT)"),
     ("F.hour('ts')", "CAST(EXTRACT(hour FROM ts) AS INT)"),
     ("F.when(F.col('value') >= {v}, F.lit('hi')).otherwise(F.lit('lo'))",
