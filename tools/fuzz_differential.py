@@ -62,6 +62,10 @@ JOINS = [
     (None, None, None),
     ("inner", "inner", "JOIN"),
     ("left", "left", "LEFT JOIN"),
+    # semi/anti render as EXISTS / NOT EXISTS on the SQL side -- the
+    # dialect-portable equivalent of Spark's left_semi / left_anti
+    ("semi", "left_semi", None),
+    ("anti", "left_anti", None),
 ]
 
 JOIN_FILTERS = [
@@ -146,8 +150,14 @@ def run_duckdb(con, case: dict):
     # WHERE on the left-join result would differ, so the source is a
     # pre-filtered subquery in both renderings.
     ev_where = " AND ".join(q for _, q in case["filters"]) or "TRUE"
+    if kind == "semi":
+        ev_where += (" AND EXISTS (SELECT 1 FROM customer"
+                     " WHERE c_custkey = user_id)")
+    elif kind == "anti":
+        ev_where += (" AND NOT EXISTS (SELECT 1 FROM customer"
+                     " WHERE c_custkey = user_id)")
     src = f"(SELECT * FROM events WHERE {ev_where}) e"
-    if kind:
+    if kind in ("inner", "left"):
         src += f" {sql_join} customer ON e.user_id = c_custkey"
     post = " AND ".join(q for _, q in case.get("join_filters", []))
     where = f"WHERE {post}" if post else ""
