@@ -63,6 +63,18 @@ def _read_manifest(path: str, version: int) -> dict:
         return json.load(f)
 
 
+def _is_torn(path: str, version: int) -> bool:
+    """A writer that died between claiming the version file (O_EXCL)
+    and writing its body leaves a torn manifest: the version NUMBER is
+    burned (later committers skip past it) but the snapshot never
+    became visible.  Readers treat it as absent."""
+    try:
+        _read_manifest(path, version)
+        return False
+    except (json.JSONDecodeError, OSError):
+        return True
+
+
 def _write_data(df: DataFrame, path: str) -> list[str]:
     """Write df's parquet files under data/<uuid>/ and return their
     lake-relative paths.  The directory is invisible to readers until a
@@ -116,7 +128,7 @@ def commit_append(df: DataFrame, path: str, meta: dict | None = None) -> int:
     is (head's files + new files).  Returns the committed version."""
     new_files = _write_data(df, path)
     while True:
-        vs = versions(path)
+        vs = [v for v in versions(path) if not _is_torn(path, v)]
         base = _read_manifest(path, vs[-1])["files"] if vs else []
         try:
             return _commit(
@@ -148,7 +160,7 @@ def read_version(
     evolution: rows from before a column existed read as NULL) -- the
     footer-merge pass costs one metadata read per file, so at real
     scale the merged schema would be cached in the manifest instead."""
-    vs = versions(path)
+    vs = [v for v in versions(path) if not _is_torn(path, v)]
     if not vs:
         raise FileNotFoundError(f"no committed versions under {path}")
     v = vs[-1] if version is None else version
@@ -165,7 +177,8 @@ def vacuum(path: str, keep_last: int = 1) -> dict:
     """Delete data files referenced by none of the last ``keep_last``
     manifests (and drop the older manifests).  Returns counts for
     observability."""
-    vs = versions(path)
+    all_vs = versions(path)
+    vs = [v for v in all_vs if not _is_torn(path, v)]
     keep = vs[-keep_last:] if keep_last > 0 else []
     live: set[str] = set()
     for v in keep:
@@ -183,7 +196,7 @@ def vacuum(path: str, keep_last: int = 1) -> dict:
     for dp, dirs, fs in os.walk(droot, topdown=False):
         if not dirs and not fs and dp != droot:
             shutil.rmtree(dp, ignore_errors=True)
-    for v in vs:
+    for v in all_vs:
         if v not in keep:
             os.remove(_manifest_path(path, v))
     return {"versions_kept": keep, "files_removed": removed}
@@ -194,6 +207,8 @@ def committed_batch_ids(path: str) -> set[int]:
     carry ``batch_id`` when written by :func:`versioned_sink`)."""
     out = set()
     for v in versions(path):
+        if _is_torn(path, v):
+            continue
         b = _read_manifest(path, v).get("batch_id")
         if b is not None:
             out.add(int(b))

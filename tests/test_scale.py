@@ -792,3 +792,34 @@ def test_versioned_lake_schema_evolution(spark, tmp_path):
     assert rows == {1: None, 2: None, 3: "en"}
     v1 = read_version(spark, lake, 1)
     assert v1.columns == ["k"]
+
+
+def test_versioned_lake_torn_manifest_skipped(spark, tmp_path):
+    """A writer that died after claiming a version file but before
+    writing its body (torn manifest) must be invisible to readers: the
+    head falls back to the last parseable version, the burned number is
+    skipped by the next commit, and vacuum clears the torn file."""
+    import os
+
+    from async_stream_processing_spark.plans.versioned import (
+        _manifest_path,
+        commit_append,
+        read_version,
+        vacuum,
+        versions,
+    )
+
+    lake = str(tmp_path / "lake")
+    commit_append(spark.createDataFrame([(1,)], "k long"), lake)
+    # simulate the torn head: claimed (exists) but empty
+    open(_manifest_path(lake, 2), "w").close()
+    assert versions(lake) == [1, 2]
+    assert [r["k"] for r in read_version(spark, lake).collect()] == [1]
+    v = commit_append(spark.createDataFrame([(2,)], "k long"), lake)
+    assert v == 3  # the burned number stays burned
+    assert sorted(r["k"] for r in read_version(spark, lake).collect()) \
+        == [1, 2]
+    vacuum(lake, keep_last=1)
+    assert not os.path.exists(_manifest_path(lake, 2))
+    assert sorted(r["k"] for r in read_version(spark, lake).collect()) \
+        == [1, 2]
