@@ -2997,6 +2997,7 @@ GATE_WINDOW = [
     "langid_confusion", "kmeans_silhouette", "perceptron_eval",
     "source_token_diversity", "stream_ivf_assign",
     "versioned_time_travel", "stream_versioned_sink",
+    "versioned_merge", "versioned_compact",
     "knn_pq_rotated", "pq_rotation_recall",
     "sq8_codes", "knn_sq8", "stream_sq8_codes", "sq8_recall",
     "doremi_mixture", "bpe_coverage", "packing_efficiency",
@@ -3012,10 +3013,9 @@ GATE_WINDOW = [
     "dedup_source_matrix", "dedup_pair_recall", "incremental_dedup",
     "pipeline_end_to_end", "embedding_dedup_clusters", "substring_dups",
     "knn_ivfpq", "ivfpq_recall", "stream_upsert_state",
-    # (c) stalest re-confirmations (last gated r2; the other r2 keys
-    # rotated out to make room for the continuation additions -- first
-    # in line for round 8)
-    "demux_counts", "event_deltas",
+    # (c) stalest re-confirmations rotated out to round 8 to make room
+    # for the third-continuation additions (demux_counts, event_deltas
+    # -- both last gated r2, both double-green there).
 ]
 
 

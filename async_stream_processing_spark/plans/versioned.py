@@ -202,6 +202,108 @@ def vacuum(path: str, keep_last: int = 1) -> dict:
     return {"versions_kept": keep, "files_removed": removed}
 
 
+def merge_into(
+    spark: SparkSession,
+    path: str,
+    source: DataFrame,
+    key_cols: list[str],
+    delete_col: str | None = None,
+) -> int:
+    """MERGE a change batch into the lake head as ONE new version —
+    the Delta/Iceberg copy-on-write MERGE reduced to its mechanism:
+
+    * WHEN MATCHED (by ``key_cols``) → the target row is REPLACED by
+      the source row (update), or DROPPED if the source row's
+      ``delete_col`` is true (delete).
+    * WHEN NOT MATCHED → the source row is INSERTED (unless flagged
+      for delete, which is then a no-op).
+
+    Copy-on-write at FILE granularity — the 100 TB posture:
+
+    1. Find the TOUCHED files: one narrow scan of the head tagged with
+       ``input_file_name`` semi-joined (broadcast — a CDC batch is the
+       small side) against the source keys.  Only files that actually
+       contain a matched key are rewritten.
+    2. Rewrite = touched files' rows with matched keys removed, UNION
+       the surviving source rows.  Untouched files are carried into the
+       new manifest BY REFERENCE — zero bytes moved or rewritten for
+       them (tested: their relative paths survive verbatim).
+    3. Commit = one atomic manifest publish; the pre-merge version
+       stays time-travel-readable until vacuumed.
+
+    A key appearing twice in ``source`` is a caller error (the merge
+    would be order-dependent); enforced with one cheap count.
+    Returns the committed version."""
+    from pyspark.sql import functions as F
+
+    vs = [v for v in versions(path) if not _is_torn(path, v)]
+    if not vs:
+        raise FileNotFoundError(f"no committed versions under {path}")
+    head = vs[-1]
+    head_files = _read_manifest(path, head)["files"]
+
+    dup = (
+        source.groupBy(*key_cols).count().filter(F.col("count") > 1).limit(1)
+    )
+    if dup.count() > 0:
+        raise ValueError("merge source has duplicate keys")
+
+    data_cols = [c for c in source.columns if c != delete_col]
+    src_keys = source.select(*key_cols)
+    target = spark.read.parquet(
+        *[os.path.join(path, f) for f in head_files]
+    ).withColumn("_file", F.input_file_name())
+
+    # 1. touched files: those containing at least one matched key
+    touched_abs = [
+        r["_file"]
+        for r in target.join(F.broadcast(src_keys), key_cols, "left_semi")
+        .select("_file").distinct().collect()
+    ]
+    # input_file_name yields URIs (file://...); map back to lake-relative
+    touched_rel = set()
+    for uri in touched_abs:
+        p = uri[7:] if uri.startswith("file://") else (
+            uri[5:] if uri.startswith("file:") else uri)
+        touched_rel.add(os.path.relpath(p, os.path.abspath(path)))
+    kept = [f for f in head_files if f not in touched_rel]
+
+    # 2. rewrite: survivors of touched files + surviving source rows
+    upserts = (
+        source.filter(~F.col(delete_col)) if delete_col is not None
+        else source
+    ).select(*data_cols)
+    if touched_rel:
+        touched_rows = spark.read.parquet(
+            *[os.path.join(path, f) for f in sorted(touched_rel)]
+        ).select(*data_cols)
+        survivors = touched_rows.join(
+            F.broadcast(src_keys), key_cols, "left_anti"
+        )
+        rewrite = survivors.unionByName(upserts)
+    else:
+        rewrite = upserts
+    new_files = _write_data(rewrite, path)
+
+    # 3. one atomic commit; pre-merge head stays readable
+    return _commit(
+        path, sorted(kept) + new_files, parent=head, operation="merge",
+        meta={"touched_files": len(touched_rel),
+              "carried_files": len(kept)},
+    )
+
+
+def compact(spark: SparkSession, path: str, target_files: int = 1) -> int:
+    """OPTIMIZE: rewrite the head's files into ``target_files`` larger
+    ones as a new version — content logically identical, old version
+    still time-travel-readable, small files reclaimed by vacuum.  The
+    coalesce is shuffle-free (file-level re-bin, not a repartition)."""
+    df = read_version(spark, path).coalesce(target_files)
+    new_files = _write_data(df, path)
+    vs = [v for v in versions(path) if not _is_torn(path, v)]
+    return _commit(path, new_files, parent=vs[-1], operation="compact")
+
+
 def committed_batch_ids(path: str) -> set[int]:
     """Streaming batch ids already committed to this lake (manifests
     carry ``batch_id`` when written by :func:`versioned_sink`)."""

@@ -1272,6 +1272,83 @@ def q_stream_versioned_sink(spark, sf_dir):
     return out
 
 
+def q_versioned_merge(spark, sf_dir):
+    """MERGE-as-one-version gate (Delta MERGE INTO semantics, copy-on-
+    write at file granularity): target = doc_id%3!=0 committed across
+    several files; one CDC batch updates doc_id%4==0 (UPPER(text),
+    lang='merged' -- inserts where unmatched) and deletes doc_id%7==0
+    (disjoint from updates).  The post-merge head must equal the plain
+    SQL merge expression; only-touched-files-rewritten is pinned in
+    pytest, the RESULT is hash-gated here."""
+    import shutil
+    import tempfile
+
+    from async_stream_processing_spark.plans.versioned import (
+        commit_append,
+        merge_into,
+        read_version,
+    )
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    lake = tempfile.mkdtemp(prefix="asp_vmerge_")
+    shutil.rmtree(lake, ignore_errors=True)
+    try:
+        commit_append(
+            docs.filter(F.col("doc_id") % 3 != 0).repartition(4), lake
+        )
+        ups = docs.filter(F.col("doc_id") % 4 == 0).select(
+            "doc_id",
+            F.upper("text").alias("text"),
+            F.lit("merged").alias("lang"),
+            "source", "n_chars",
+            F.lit(False).alias("is_delete"),
+        )
+        dels = docs.filter(
+            (F.col("doc_id") % 7 == 0) & (F.col("doc_id") % 4 != 0)
+        ).select(
+            "doc_id", "text", "lang", "source", "n_chars",
+            F.lit(True).alias("is_delete"),
+        )
+        merge_into(
+            spark, lake, ups.unionByName(dels), ["doc_id"],
+            delete_col="is_delete",
+        )
+        out = read_version(spark, lake).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(lake, ignore_errors=True)
+    return out
+
+
+def q_versioned_compact(spark, sf_dir):
+    """OPTIMIZE gate: three appends (doc_id mod 3 slices) then a compact
+    rewrite into one file as a new version -- the head must still equal
+    the whole source table (compaction changes bytes, never content)."""
+    import shutil
+    import tempfile
+
+    from async_stream_processing_spark.plans.versioned import (
+        commit_append,
+        compact,
+        read_version,
+    )
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    lake = tempfile.mkdtemp(prefix="asp_vcompact_")
+    shutil.rmtree(lake, ignore_errors=True)
+    try:
+        for m in range(3):
+            commit_append(docs.filter(F.col("doc_id") % 3 == m), lake)
+        compact(spark, lake, target_files=1)
+        out = read_version(spark, lake).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(lake, ignore_errors=True)
+    return out
+
+
 def q_knn_pq_rotated(spark, sf_dir):
     """PQ-ADC top-k in a ±1-rotated space (the OPQ random-rotation rung,
     Ge et al. 2013 / Achlioptas JL signs): rotation is a narrow
@@ -1532,6 +1609,8 @@ LLM_QUERIES = {
     "lsh_s_curve": q_lsh_s_curve,
     "kmeans_silhouette": q_kmeans_silhouette,
     "versioned_time_travel": q_versioned_time_travel,
+    "versioned_merge": q_versioned_merge,
+    "versioned_compact": q_versioned_compact,
     "knn_pq_rotated": q_knn_pq_rotated,
     "pq_rotation_recall": q_pq_rotation_recall,
     "stream_versioned_sink": q_stream_versioned_sink,
@@ -1971,6 +2050,24 @@ def llm_oracle_sql() -> dict[str, str]:
             FROM documents WHERE doc_id % 5 != 0
         """,
         "stream_versioned_sink": """
+            SELECT doc_id, text, lang, source, n_chars FROM documents
+        """,
+        "versioned_merge": """
+            WITH target AS (SELECT doc_id, text, lang, source, n_chars
+                            FROM documents WHERE doc_id % 3 != 0),
+            ups AS (SELECT doc_id, UPPER(text) AS text,
+                           'merged' AS lang, source, n_chars
+                    FROM documents WHERE doc_id % 4 = 0),
+            dels AS (SELECT doc_id FROM documents
+                     WHERE doc_id % 7 = 0 AND doc_id % 4 != 0)
+            SELECT t.doc_id, t.text, t.lang, t.source, t.n_chars
+            FROM target t
+            WHERE t.doc_id NOT IN (SELECT doc_id FROM ups)
+              AND t.doc_id NOT IN (SELECT doc_id FROM dels)
+            UNION ALL
+            SELECT doc_id, text, lang, source, n_chars FROM ups
+        """,
+        "versioned_compact": """
             SELECT doc_id, text, lang, source, n_chars FROM documents
         """,
         "pmi_pairs": sql_pmi_pairs(min_count=5, k=50),

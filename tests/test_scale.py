@@ -823,3 +823,116 @@ def test_versioned_lake_torn_manifest_skipped(spark, tmp_path):
     assert not os.path.exists(_manifest_path(lake, 2))
     assert sorted(r["k"] for r in read_version(spark, lake).collect()) \
         == [1, 2]
+
+
+def test_versioned_merge_copy_on_write(spark, tmp_path):
+    """MERGE as one version: update / delete / insert semantics, and the
+    copy-on-write claim — files with no matched key are carried into the
+    new manifest BY REFERENCE (verbatim relative paths), only touched
+    files rewritten; the pre-merge version stays time-travel-readable."""
+    from async_stream_processing_spark.plans.versioned import (
+        _read_manifest,
+        commit_append,
+        merge_into,
+        read_version,
+    )
+
+    lake = str(tmp_path / "lake")
+    # two appends -> two disjoint file sets; the merge touches only v2's
+    commit_append(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b")], "k long, v string"
+        ).coalesce(1),
+        lake,
+    )
+    commit_append(
+        spark.createDataFrame(
+            [(3, "c"), (4, "d")], "k long, v string"
+        ).coalesce(1),
+        lake,
+    )
+    v1_files = set(_read_manifest(lake, 1)["files"])
+
+    changes = spark.createDataFrame(
+        [
+            (3, "C", False),   # matched -> update
+            (4, None, True),   # matched -> delete
+            (9, "i", False),   # not matched -> insert
+            (99, None, True),  # not matched + delete -> no-op
+        ],
+        "k long, v string, is_delete boolean",
+    )
+    v = merge_into(spark, lake, changes, ["k"], delete_col="is_delete")
+    assert v == 3
+    head = {(r["k"], r["v"]) for r in read_version(spark, lake).collect()}
+    assert head == {(1, "a"), (2, "b"), (3, "C"), (9, "i")}
+    # copy-on-write: v1's files (keys 1,2 — untouched) carried verbatim
+    m3 = _read_manifest(lake, 3)
+    assert v1_files <= set(m3["files"])
+    assert m3["touched_files"] == 1 and m3["carried_files"] >= 1
+    # pre-merge snapshot intact
+    pre = {(r["k"], r["v"]) for r in read_version(spark, lake, 2).collect()}
+    assert pre == {(1, "a"), (2, "b"), (3, "c"), (4, "d")}
+    # duplicate-key source is rejected (order-dependent merge)
+    import pytest
+
+    dup = spark.createDataFrame(
+        [(5, "x", False), (5, "y", False)],
+        "k long, v string, is_delete boolean",
+    )
+    with pytest.raises(ValueError):
+        merge_into(spark, lake, dup, ["k"], delete_col="is_delete")
+
+
+def test_versioned_merge_insert_only_and_no_delete_col(spark, tmp_path):
+    """An insert-only merge (no matched keys) rewrites nothing; without
+    a delete_col every source row upserts."""
+    from async_stream_processing_spark.plans.versioned import (
+        _read_manifest,
+        commit_append,
+        merge_into,
+        read_version,
+    )
+
+    lake = str(tmp_path / "lake")
+    commit_append(
+        spark.createDataFrame([(1, "a")], "k long, v string"), lake
+    )
+    v = merge_into(
+        spark, lake,
+        spark.createDataFrame([(2, "b")], "k long, v string"), ["k"],
+    )
+    m = _read_manifest(lake, v)
+    assert m["touched_files"] == 0
+    head = {(r["k"], r["v"]) for r in read_version(spark, lake).collect()}
+    assert head == {(1, "a"), (2, "b")}
+
+
+def test_versioned_compact(spark, tmp_path):
+    """OPTIMIZE: the head's many small files rewrite into one as a new
+    version; content identical, the pre-compact version still readable,
+    vacuum reclaims the small files."""
+    from async_stream_processing_spark.plans.versioned import (
+        _read_manifest,
+        commit_append,
+        compact,
+        read_version,
+        vacuum,
+    )
+
+    lake = str(tmp_path / "lake")
+    for i in range(4):
+        commit_append(
+            spark.createDataFrame([(i,)], "k long").coalesce(1), lake
+        )
+    assert len(_read_manifest(lake, 4)["files"]) >= 4
+    v = compact(spark, lake, target_files=1)
+    assert len(_read_manifest(lake, v)["files"]) == 1
+    assert sorted(r["k"] for r in read_version(spark, lake).collect()) \
+        == [0, 1, 2, 3]
+    assert sorted(r["k"] for r in read_version(spark, lake, 4).collect()) \
+        == [0, 1, 2, 3]
+    stats = vacuum(lake, keep_last=1)
+    assert stats["files_removed"] >= 4
+    assert sorted(r["k"] for r in read_version(spark, lake).collect()) \
+        == [0, 1, 2, 3]
