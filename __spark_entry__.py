@@ -824,6 +824,18 @@ def q_event_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user OLS value trend via distributed normal equations: five
+    exact-int64 sufficient sums in ONE keyed pass (map-side combined),
+    closed-form slope/intercept/r2 on the per-key aggregate row only --
+    the regression shape that holds at 100 TB because nothing but
+    |keys| rows exists after the scan."""
+    from async_stream_processing_spark.operators.analytics import ols_trend
+    from async_stream_processing_spark.sources.parquet import load_table
+
+    return ols_trend(load_table(spark, sf_dir, "events"), min_points=10)
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization (gaps-and-islands, 30-min gap): per-user sessions
     with start/end/count/exact sum."""
@@ -2864,6 +2876,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q21": q_tpch_q21,
         "semi_anti_join": q_semi_anti,
         "event_deltas": q_event_deltas,
+        "ols_trend": q_ols_trend,
         "revenue_rollup": q_revenue_rollup,
         "topk_per_priority": q_topk_per_priority,
         "trade_pnl_bucketed": q_trade_pnl_bucketed,
@@ -2997,7 +3010,7 @@ GATE_WINDOW = [
     "langid_confusion", "kmeans_silhouette", "perceptron_eval",
     "source_token_diversity", "stream_ivf_assign",
     "versioned_time_travel", "stream_versioned_sink",
-    "versioned_merge", "versioned_compact",
+    "versioned_merge", "versioned_compact", "ols_trend",
     "knn_pq_rotated", "pq_rotation_recall",
     "sq8_codes", "knn_sq8", "stream_sq8_codes", "sq8_recall",
     "doremi_mixture", "bpe_coverage", "packing_efficiency",
@@ -3012,7 +3025,9 @@ GATE_WINDOW = [
     "line_dedup", "dedup_minhash_lsh", "dedup_clusters", "dedup_keep_best",
     "dedup_source_matrix", "dedup_pair_recall", "incremental_dedup",
     "pipeline_end_to_end", "embedding_dedup_clusters", "substring_dups",
-    "knn_ivfpq", "ivfpq_recall", "stream_upsert_state",
+    "knn_ivfpq", "stream_upsert_state",
+    # ivfpq_recall (same changed code family as knn_ivfpq, green r6)
+    # rotated to round 8 to keep the window at 50.
     # (c) stalest re-confirmations rotated out to round 8 to make room
     # for the third-continuation additions (demux_counts, event_deltas
     # -- both last gated r2, both double-green there).
@@ -3065,6 +3080,45 @@ _SIMHASH_PAIRS_SQL = _simhash_pairs_sql()
 def oracle_sql() -> dict[str, str]:
     out = {
         **llm_oracle_sql(),
+        "ols_trend": """
+            WITH d AS (
+                SELECT user_id,
+                       CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                           AS y_c,
+                       CAST(ROW_NUMBER() OVER (
+                            PARTITION BY user_id ORDER BY ts, event_id)
+                            AS BIGINT) AS x
+                FROM events),
+            a AS (
+                SELECT user_id,
+                       CAST(COUNT(*) AS BIGINT) AS n_points,
+                       CAST(SUM(x) AS BIGINT) AS sx,
+                       CAST(SUM(x * x) AS BIGINT) AS sxx,
+                       CAST(SUM(y_c) AS BIGINT) AS sy,
+                       CAST(SUM(x * y_c) AS BIGINT) AS sxy,
+                       CAST(SUM(y_c * y_c) AS BIGINT) AS syy
+                FROM d GROUP BY user_id
+                HAVING COUNT(*) >= 10),
+            b AS (
+                SELECT user_id, n_points, sx, sy,
+                       n_points * sxy - sx * sy AS num,
+                       n_points * sxx - sx * sx AS den_x,
+                       n_points * syy - sy * sy AS den_y
+                FROM a),
+            c AS (
+                SELECT user_id, n_points, sx, sy, num, den_y,
+                       CAST(num AS DOUBLE) / CAST(den_x AS DOUBLE)
+                           AS slope_cents
+                FROM b)
+            SELECT user_id, n_points, slope_cents,
+                   (CAST(sy AS DOUBLE) - slope_cents * CAST(sx AS DOUBLE))
+                       / CAST(n_points AS DOUBLE) AS intercept_cents,
+                   CASE WHEN den_y > 0
+                        THEN slope_cents *
+                             (CAST(num AS DOUBLE) / CAST(den_y AS DOUBLE))
+                   END AS r2
+            FROM c
+        """,
         "event_deltas": f"""
             SELECT user_id, ts, seq, value,
                    LAG(ts)  OVER w AS prev_ts,

@@ -406,3 +406,60 @@ def approx_equidepth_histogram(
             F.count(F.lit(1)).alias("n_rows"),
         )
     )
+
+
+def ols_trend(df: DataFrame, key: str = "user_id", value: str = "value",
+              min_points: int = 10) -> DataFrame:
+    """Per-key ordinary-least-squares trend: regress ``value`` (2-dp
+    money, worked in integer cents) on the event's per-key time index
+    (1..n by ``(ts, seq)``) via the NORMAL EQUATIONS -- the distributed
+    regression shape: one keyed pass accumulates the five sufficient
+    sums (map-side combinable), the closed-form solve touches only the
+    per-key aggregate row.  No data leaves the executors; at 100 TB the
+    aggregate relation is |keys| rows.
+
+    Bit-portability: all sums are exact int64 (x <= group size, y in
+    cents; bounds documented against the driver data leave >=1e5
+    headroom), so slope = num/den is ONE IEEE division of two exactly-
+    representable integers, and intercept/r2 are fixed IEEE trees over
+    identical doubles in any engine.  At group sizes where n*Sxy would
+    pass 2^53 the same sums carry in decimal(38,0) and r2 ships
+    floor-quantized (the zscore_outliers convention).
+    """
+    w = Window.partitionBy(key).orderBy(TS, "event_id")
+    d = df.select(
+        key, TS, "event_id",
+        (F.col(value).cast("decimal(18,2)") * 100)
+        .cast("long").alias("y_c"),
+    ).withColumn("x", F.row_number().over(w))
+    a = (
+        d.groupBy(key).agg(
+            F.count("*").alias("n_points"),
+            F.sum("x").alias("sx"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum("y_c").alias("sy"),
+            F.sum(F.col("x") * F.col("y_c")).alias("sxy"),
+            F.sum(F.col("y_c") * F.col("y_c")).alias("syy"),
+        )
+        .filter(F.col("n_points") >= min_points)
+    )
+    n, sx, sxx = F.col("n_points"), F.col("sx"), F.col("sxx")
+    sy, sxy, syy = F.col("sy"), F.col("sxy"), F.col("syy")
+    a = a.withColumn("num", n * sxy - sx * sy) \
+         .withColumn("den_x", n * sxx - sx * sx) \
+         .withColumn("den_y", n * syy - sy * sy)
+    slope = (F.col("num").cast("double") / F.col("den_x").cast("double"))
+    a = a.withColumn("slope_cents", slope)
+    intercept = (
+        (sy.cast("double") - F.col("slope_cents") * sx.cast("double"))
+        / n.cast("double")
+    )
+    r2 = F.when(
+        F.col("den_y") > 0,
+        F.col("slope_cents")
+        * (F.col("num").cast("double") / F.col("den_y").cast("double")),
+    )
+    return a.select(
+        key, "n_points", "slope_cents",
+        intercept.alias("intercept_cents"), r2.alias("r2"),
+    )

@@ -204,3 +204,59 @@ def test_gap_fill_carries_last_value_across_gaps(spark):
     assert (h1["n_obs"], h1["value_ffill"]) == (0, 10.0)  # gap: carried
     assert (h2["n_obs"], h2["value_ffill"]) == (2, 40.0)  # last by arrival
     assert out[(2, T0)]["n_obs"] == 1
+
+
+def test_ols_trend_matches_numpy_least_squares(spark):
+    """The normal-equation closed form must agree with numpy's lstsq on
+    a small keyed fixture (to float tolerance), including an r2=NULL
+    constant-y key and the min_points gate."""
+    from datetime import datetime, timedelta
+
+    import numpy as np
+
+    from async_stream_processing_spark.operators.analytics import ols_trend
+
+    t0 = datetime(2024, 1, 1)
+    rows, ys = [], {1: [], 2: []}
+    rng = [3.25, 7.5, 1.0, 9.75, 2.5, 8.0, 4.25, 6.5, 0.75, 5.0, 9.0, 2.25]
+    eid = 0
+    for k in (1, 2):
+        for i, v in enumerate(rng):
+            y = v * k + (i * 0.5 if k == 1 else 0.0)
+            rows.append((eid, t0 + timedelta(seconds=i), k, y))
+            ys[k].append(y)
+            eid += 1
+    # key 3: constant y -> den_y == 0 -> r2 NULL
+    for i in range(12):
+        rows.append((eid, t0 + timedelta(seconds=i), 3, 5.0))
+        eid += 1
+    # key 4: below min_points -> filtered out
+    rows.append((eid, t0, 4, 1.0))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double"
+    )
+    out = {r["user_id"]: r for r in ols_trend(df, min_points=10).collect()}
+    assert set(out) == {1, 2, 3}
+    for k in (1, 2):
+        y = np.array([round(v * 100) for v in ys[k]], dtype=float)
+        x = np.arange(1, len(y) + 1, dtype=float)
+        slope, intercept = np.polyfit(x, y, 1)
+        assert abs(out[k]["slope_cents"] - slope) < 1e-6 * max(1, abs(slope))
+        assert abs(out[k]["intercept_cents"] - intercept) \
+            < 1e-6 * max(1, abs(intercept))
+        r = np.corrcoef(x, y)[0, 1]
+        assert abs(out[k]["r2"] - r * r) < 1e-9
+    assert out[3]["r2"] is None and out[3]["slope_cents"] == 0.0
+
+
+def test_ols_trend_single_exchange(spark):
+    """The window and the groupBy share the user_id partitioning: the
+    whole plan carries exactly ONE shuffle."""
+    from async_stream_processing_spark.operators.analytics import ols_trend
+    from async_stream_processing_spark.sources.parquet import load_table
+
+    df = ols_trend(load_table(spark, "/root/testdata/sf0.001", "events"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
