@@ -3011,6 +3011,7 @@ GATE_WINDOW = [
     "source_token_diversity", "stream_ivf_assign",
     "versioned_time_travel", "stream_versioned_sink",
     "versioned_merge", "versioned_compact", "ols_trend",
+    "knn_range_search",
     "knn_pq_rotated", "pq_rotation_recall",
     "sq8_codes", "knn_sq8", "stream_sq8_codes", "sq8_recall",
     "doremi_mixture", "bpe_coverage", "packing_efficiency",
@@ -3025,9 +3026,10 @@ GATE_WINDOW = [
     "line_dedup", "dedup_minhash_lsh", "dedup_clusters", "dedup_keep_best",
     "dedup_source_matrix", "dedup_pair_recall", "incremental_dedup",
     "pipeline_end_to_end", "embedding_dedup_clusters", "substring_dups",
-    "knn_ivfpq", "stream_upsert_state",
-    # ivfpq_recall (same changed code family as knn_ivfpq, green r6)
-    # rotated to round 8 to keep the window at 50.
+    "knn_ivfpq",
+    # ivfpq_recall + stream_upsert_state (changed code already green at
+    # an earlier gate; families represented by knn_ivfpq/ivfpq_upsert
+    # in-window) rotated to round 8 to keep the window at 50.
     # (c) stalest re-confirmations rotated out to round 8 to make room
     # for the third-continuation additions (demux_counts, event_deltas
     # -- both last gated r2, both double-green there).

@@ -101,6 +101,57 @@ def knn_bruteforce(
     )
 
 
+def range_search(
+    embeddings: DataFrame, n_queries: int = 10, tau: float = 0.5
+) -> DataFrame:
+    """FAISS-style RANGE search: every corpus vector whose cosine with
+    the query is >= ``tau`` (all-neighbors-within-radius, the dedup/
+    recall-audit primitive top-k cannot express -- k truncates exactly
+    the high-density neighborhoods a radius query is for).
+
+    Plan: queries broadcast, norms hoisted once per side, the corpus
+    streams through ONE narrow stage and the threshold filters BEFORE
+    anything shuffles -- with no top-k window the whole operator is
+    exchange-free (pinned by test).  At 100 TB the same predicate runs
+    on the IVF-probed shortlist (ivfpq_search) instead of the full
+    scan; the threshold semantics are identical."""
+    q = embeddings.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        norm(F.col("embedding")).alias("q_n"),
+    )
+    c = embeddings.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        norm(F.col("embedding")).alias("c_n"),
+    )
+    return (
+        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cos",
+            dot(F.col("q_emb"), F.col("c_emb"))
+            / (F.col("q_n") * F.col("c_n")),
+        )
+        .filter(F.col("cos") >= tau)
+        .select("query_id", "neighbor_id", F.col("cos").alias("cosine"))
+    )
+
+
+def sql_range_search(
+    n_queries: int = 10, tau: float = 0.5, src: str = "embeddings"
+) -> str:
+    """DuckDB twin of :func:`range_search`."""
+    return f"""
+        WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb
+                   FROM {src} WHERE vec_id < {n_queries})
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               {sql_cosine('q.q_emb', 'e.embedding')} AS cosine
+        FROM {src} e CROSS JOIN q
+        WHERE e.vec_id != q.query_id
+          AND {sql_cosine('q.q_emb', 'e.embedding')} >= {tau}
+    """
+
+
 def hard_negatives(
     embeddings: DataFrame, n_queries: int = 10, k: int = 5
 ) -> DataFrame:

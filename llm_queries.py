@@ -48,6 +48,7 @@ from async_stream_processing_spark.llm.similarity import (
     sql_cosine,
     sql_lsh_bucket,
     sql_norm,
+    sql_range_search,
 )
 from async_stream_processing_spark.llm.text_analysis import (
     fingerprints,
@@ -123,6 +124,16 @@ def q_simhash(spark, sf_dir):
 def q_knn_bruteforce(spark, sf_dir):
     """Exact cosine top-5 for the first 10 query vectors."""
     return knn_bruteforce(_emb(spark, sf_dir), n_queries=10, k=5)
+
+
+def q_knn_range_search(spark, sf_dir):
+    """FAISS-style range search: ALL neighbors with cosine >= 0.25 for
+    the first 10 queries (radius semantics top-k can't express);
+    queries broadcast, threshold filters in the narrow corpus pass --
+    the whole operator is exchange-free."""
+    from async_stream_processing_spark.llm.similarity import range_search
+
+    return range_search(_emb(spark, sf_dir), n_queries=10, tau=0.25)
 
 
 def q_ann_buckets(spark, sf_dir):
@@ -1693,6 +1704,7 @@ LLM_QUERIES = {
     "containment_pairs": q_containment_pairs,
     "simhash_fingerprint": q_simhash,
     "knn_bruteforce": q_knn_bruteforce,
+    "knn_range_search": q_knn_range_search,
     "ann_lsh_buckets": q_ann_buckets,
     "knn_lsh": q_knn_lsh,
     "knn_lsh_multiprobe": q_knn_lsh_multiprobe,
@@ -2350,6 +2362,7 @@ def llm_oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST({simhash_val} AS BIGINT) AS simhash, n_tok
             FROM votes
         """,
+        "knn_range_search": sql_range_search(n_queries=10, tau=0.25),
         "knn_bruteforce": f"""
             WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb
                        FROM embeddings WHERE vec_id < 10),

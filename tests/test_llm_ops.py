@@ -1612,3 +1612,28 @@ def test_pq_rotation_recall_contract(spark):
         assert 0 <= r["n_hits_pq"] <= 3 and 0 <= r["n_hits_rot"] <= 3
         assert r["recall_pq"] == r["n_hits_pq"] / 3
         assert r["recall_rotated"] == r["n_hits_rot"] / 3
+
+
+def test_range_search_radius_semantics_and_no_exchange(spark):
+    """Range search returns EVERY neighbor past the threshold (not a
+    truncated top-k), excludes self, and plans with zero exchanges --
+    the whole operator is one narrow broadcast pass."""
+    import re
+
+    from async_stream_processing_spark.llm.similarity import range_search
+
+    rows = [
+        (0, [1.0, 0.0, 0.0], 0),
+        (1, [0.9, 0.1, 0.0], 0),    # cos ~ 0.994
+        (2, [0.7, 0.7, 0.0], 1),    # cos ~ 0.707
+        (3, [0.0, 1.0, 0.0], 1),    # cos 0
+        (4, [-1.0, 0.0, 0.0], 1),   # cos -1
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = range_search(df, n_queries=1, tau=0.5).collect()
+    assert sorted(r["neighbor_id"] for r in out) == [1, 2]
+    plan = range_search(df, n_queries=1, tau=0.5) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert not re.findall(r"Exchange hashpartitioning", plan), plan
