@@ -1942,6 +1942,33 @@ def q_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bfs_levels(edges, seeds, n_iter=4)
 
 
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-round synchronous label propagation over the symmetrized
+    session-handoff graph (operators/graph.label_propagation):
+    community detection with deterministic min-label ties -- pure
+    integer iterate-join, oracle = unrolled CTE chain."""
+    from pyspark.sql import Window
+
+    from async_stream_processing_spark.operators.graph import (
+        label_propagation,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    directed = (
+        ev.select(
+            F.col("user_id").alias("src"),
+            F.lead("user_id").over(w).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull())
+        .filter(F.col("src") != F.col("dst"))
+    )
+    edges = directed.unionByName(
+        directed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return label_propagation(edges, n_iter=3)
+
+
 def q_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket co-occurrence over lineitem: part pairs ordered
     together in >= 2 orders (operators/analytics.cooccurrence_pairs).
@@ -2857,6 +2884,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": LLM_QUERIES["mixture_sample"],
         "inverted_index": LLM_QUERIES["inverted_index"],
         "bfs_levels": q_bfs_levels,
+        "label_propagation": q_label_propagation,
         "stream_fullouter": q_stream_fullouter,
         "stream_leftouter": q_stream_leftouter,
         "demux_counts": q_demux,
@@ -3011,7 +3039,7 @@ GATE_WINDOW = [
     "source_token_diversity", "stream_ivf_assign",
     "versioned_time_travel", "stream_versioned_sink",
     "versioned_merge", "versioned_compact", "ols_trend",
-    "knn_range_search",
+    "knn_range_search", "label_propagation",
     "knn_pq_rotated", "pq_rotation_recall",
     "sq8_codes", "knn_sq8", "stream_sq8_codes", "sq8_recall",
     "doremi_mixture", "bpe_coverage", "packing_efficiency",
@@ -3024,7 +3052,9 @@ GATE_WINDOW = [
     "stream_perceptron_score", "substring_dedup_apply",
     # (b) changed after the r6 gate
     "line_dedup", "dedup_minhash_lsh", "dedup_clusters", "dedup_keep_best",
-    "dedup_source_matrix", "dedup_pair_recall", "incremental_dedup",
+    "dedup_source_matrix", "incremental_dedup",
+    # dedup_pair_recall (same changed family as dedup_minhash_lsh,
+    # green r6) rotated to round 8 to keep the window at 50.
     "pipeline_end_to_end", "embedding_dedup_clusters", "substring_dups",
     "knn_ivfpq",
     # ivfpq_recall + stream_upsert_state (changed code already green at
@@ -4284,6 +4314,24 @@ def oracle_sql() -> dict[str, str]:
         "seeds AS (SELECT DISTINCT user_id AS node FROM events "
         "WHERE user_id % 50 = 0)",
         n_iter=4,
+    )
+    from async_stream_processing_spark.operators.graph import (
+        sql_label_propagation,
+    )
+
+    out["label_propagation"] = sql_label_propagation(
+        """dir_edges AS (
+            SELECT src, dst FROM (
+                SELECT user_id AS src,
+                       LEAD(user_id) OVER (PARTITION BY event_type
+                                           ORDER BY ts, event_id) AS dst
+                FROM events)
+            WHERE dst IS NOT NULL AND src <> dst),
+        edges AS (
+            SELECT src, dst FROM dir_edges
+            UNION ALL
+            SELECT dst AS src, src AS dst FROM dir_edges)""",
+        n_iter=3,
     )
     out["copurchase_pairs"] = """
         WITH d AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i

@@ -315,6 +315,91 @@ def sql_bfs_levels(edges_cte: str, seeds_cte: str, n_iter: int = 4) -> str:
     """
 
 
+def label_propagation(edges: DataFrame, n_iter: int = 3) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan et
+    al. 2007) with DETERMINISTIC ties: every node starts as its own
+    label; each round it adopts the most frequent label among its
+    in-neighbors over ``edges(src, dst)`` (symmetrize for undirected
+    communities), ties broken by the smaller label.  Classic LPA breaks
+    ties randomly; the min-label rule makes the fixed-round run pure
+    integer arithmetic — bit-identical across engines and
+    partitionings, so it unrolls into a CTE-chain oracle like
+    :func:`bfs_levels`.
+
+    Per round: one co-partitioned join of labels onto the (once-
+    partitioned, checkpointed) edge table, a (dst, label) count, and a
+    min-struct argmax per node — the same two-shuffle iterate-join
+    shape as PageRank.  Nodes with no in-edges keep their label.
+    """
+    edges = (
+        edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
+        .distinct()
+        .repartition("src")
+        .localCheckpoint(eager=False)
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    labels = nodes.select("node", F.col("node").alias("label"))
+    for _ in range(n_iter):
+        counts = (
+            edges.join(
+                labels.withColumnRenamed("node", "src"), "src"
+            )
+            .groupBy(F.col("dst").alias("node"), "label")
+            .agg(F.count("*").alias("cnt"))
+        )
+        # argmax by count, min label on ties: lexicographic min of
+        # (-cnt, label) — the ROW_NUMBER(ORDER BY cnt DESC, label) pick
+        majority = counts.groupBy("node").agg(
+            F.min(F.struct((-F.col("cnt")).alias("nc"), F.col("label")))
+            .getField("label")
+            .alias("new_label")
+        )
+        labels = (
+            labels.join(majority, "node", "left")
+            .select(
+                "node",
+                F.coalesce("new_label", "label").alias("label"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return labels
+
+
+def sql_label_propagation(edges_cte: str, n_iter: int = 3) -> str:
+    """DuckDB twin of :func:`label_propagation`: fixed rounds unrolled.
+    ``edges_cte`` must define ``edges(src, dst)``."""
+    ctes = [
+        edges_cte,
+        """e AS (SELECT DISTINCT src, dst FROM edges),
+        l0 AS (SELECT node, node AS label FROM (
+            SELECT src AS node FROM e UNION SELECT dst FROM e))""",
+    ]
+    for i in range(n_iter):
+        ctes.append(
+            f"""l{i + 1} AS (
+                SELECT n.node, COALESCE(m.new_label, n.label) AS label
+                FROM l{i} n LEFT JOIN (
+                    SELECT node, label AS new_label FROM (
+                        SELECT e.dst AS node, l.label,
+                               ROW_NUMBER() OVER (
+                                   PARTITION BY e.dst
+                                   ORDER BY COUNT(*) DESC, l.label ASC
+                               ) AS rn
+                        FROM e JOIN l{i} l ON l.node = e.src
+                        GROUP BY e.dst, l.label) t
+                    WHERE rn = 1) m ON m.node = n.node)"""
+        )
+    return f"""
+        WITH {','.join(ctes)}
+        SELECT node, CAST(label AS BIGINT) AS label FROM l{n_iter}
+    """
+
+
 # Connected components (pointer-jumping min-label, O(log d) rounds) lives
 # in llm.dedup where the near-dup pipeline composes it; re-exported here
 # so graph users find the whole family in one place.

@@ -621,3 +621,36 @@ def test_unimax_waterfilling_matches_bruteforce(spark):
     assert sum(r["alloc_tokens"] for r in out.values()) <= budget
     # fixture sanity: the outcome is actually mixed
     assert {r["capped"] for r in out.values()} == {True, False}
+
+
+def test_label_propagation_two_cliques(spark):
+    """Two 4-cliques bridged by one edge converge to two communities,
+    each labeled by its minimum member (deterministic min-label ties);
+    the bridge does not merge them in 3 rounds."""
+    from async_stream_processing_spark.operators.graph import (
+        label_propagation,
+    )
+
+    def clique(ns):
+        return [(a, b) for a in ns for b in ns if a != b]
+
+    edges = clique([1, 2, 3, 4]) + clique([10, 11, 12, 13]) \
+        + [(4, 10), (10, 4)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = {r["node"]: r["label"]
+           for r in label_propagation(df, n_iter=3).collect()}
+    assert all(out[n] == 1 for n in (1, 2, 3, 4))
+    assert all(out[n] == 10 for n in (10, 11, 12, 13))
+
+
+def test_label_propagation_isolated_node_keeps_label(spark):
+    """A node with no in-edges keeps its own label (coalesce path)."""
+    from async_stream_processing_spark.operators.graph import (
+        label_propagation,
+    )
+
+    df = spark.createDataFrame([(1, 2)], "src long, dst long")
+    out = {r["node"]: r["label"]
+           for r in label_propagation(df, n_iter=2).collect()}
+    assert out[1] == 1  # no in-edge: keeps itself
+    assert out[2] == 1  # adopts its only neighbor
