@@ -1942,6 +1942,20 @@ def q_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bfs_levels(edges, seeds, n_iter=4)
 
 
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-user outliers by median absolute deviation: exact
+    division-free doubled-medians (all integer cents), flag by one
+    integer cross-multiplication -- the heavy-tail-safe twin of
+    zscore_outliers (operators/analytics.mad_outliers)."""
+    from async_stream_processing_spark.operators.analytics import (
+        mad_outliers,
+    )
+
+    return mad_outliers(
+        load_table(spark, sf_dir, "events"), k_num=3, min_points=10
+    )
+
+
 def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-round synchronous label propagation over the symmetrized
     session-handoff graph (operators/graph.label_propagation):
@@ -2885,6 +2899,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inverted_index": LLM_QUERIES["inverted_index"],
         "bfs_levels": q_bfs_levels,
         "label_propagation": q_label_propagation,
+        "mad_outliers": q_mad_outliers,
         "stream_fullouter": q_stream_fullouter,
         "stream_leftouter": q_stream_leftouter,
         "demux_counts": q_demux,
@@ -3039,7 +3054,7 @@ GATE_WINDOW = [
     "source_token_diversity", "stream_ivf_assign",
     "versioned_time_travel", "stream_versioned_sink",
     "versioned_merge", "versioned_compact", "ols_trend",
-    "knn_range_search", "label_propagation",
+    "knn_range_search", "label_propagation", "mad_outliers",
     "knn_pq_rotated", "pq_rotation_recall",
     "sq8_codes", "knn_sq8", "stream_sq8_codes", "sq8_recall",
     "doremi_mixture", "bpe_coverage", "packing_efficiency",
@@ -3052,9 +3067,10 @@ GATE_WINDOW = [
     "stream_perceptron_score", "substring_dedup_apply",
     # (b) changed after the r6 gate
     "line_dedup", "dedup_minhash_lsh", "dedup_clusters", "dedup_keep_best",
-    "dedup_source_matrix", "incremental_dedup",
-    # dedup_pair_recall (same changed family as dedup_minhash_lsh,
-    # green r6) rotated to round 8 to keep the window at 50.
+    "incremental_dedup",
+    # dedup_pair_recall + dedup_source_matrix (same changed family as
+    # dedup_minhash_lsh, green r6) rotated to round 8 to keep the
+    # window at 50.
     "pipeline_end_to_end", "embedding_dedup_clusters", "substring_dups",
     "knn_ivfpq",
     # ivfpq_recall + stream_upsert_state (changed code already green at
@@ -3112,6 +3128,52 @@ _SIMHASH_PAIRS_SQL = _simhash_pairs_sql()
 def oracle_sql() -> dict[str, str]:
     out = {
         **llm_oracle_sql(),
+        "mad_outliers": """
+            WITH d AS (
+                SELECT user_id, event_id,
+                       CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                           AS y_c
+                FROM events),
+            r AS (
+                SELECT *,
+                       CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                                               ORDER BY y_c, event_id)
+                            AS BIGINT) AS r,
+                       CAST(COUNT(*) OVER (PARTITION BY user_id)
+                            AS BIGINT) AS n
+                FROM d),
+            r2 AS (SELECT *, (n + 1) // 2 AS lo, (n + 2) // 2 AS hi
+                   FROM r),
+            med AS (
+                SELECT user_id,
+                       CAST(SUM(CASE WHEN r = lo THEN y_c ELSE 0 END)
+                            + SUM(CASE WHEN r = hi THEN y_c ELSE 0 END)
+                            AS BIGINT) AS med2,
+                       MAX(n) AS n_points
+                FROM r2 GROUP BY user_id
+                HAVING MAX(n) >= 10),
+            e AS (
+                SELECT r2.user_id, r2.event_id, r2.y_c, r2.lo, r2.hi,
+                       med.n_points, med.med2,
+                       ABS(2 * r2.y_c - med.med2) AS dev2
+                FROM r2 JOIN med ON r2.user_id = med.user_id),
+            e2 AS (
+                SELECT *,
+                       CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                                               ORDER BY dev2, event_id)
+                            AS BIGINT) AS rr
+                FROM e),
+            mad AS (
+                SELECT user_id,
+                       CAST(SUM(CASE WHEN rr = lo THEN dev2 ELSE 0 END)
+                            + SUM(CASE WHEN rr = hi THEN dev2 ELSE 0 END)
+                            AS BIGINT) AS mad4
+                FROM e2 GROUP BY user_id)
+            SELECT e2.user_id, e2.event_id, e2.y_c, e2.n_points,
+                   e2.med2, mad.mad4, e2.dev2
+            FROM e2 JOIN mad ON e2.user_id = mad.user_id
+            WHERE 2 * e2.dev2 > 3 * mad.mad4
+        """,
         "ols_trend": """
             WITH d AS (
                 SELECT user_id,

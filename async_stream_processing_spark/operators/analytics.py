@@ -463,3 +463,66 @@ def ols_trend(df: DataFrame, key: str = "user_id", value: str = "value",
         key, "n_points", "slope_cents",
         intercept.alias("intercept_cents"), r2.alias("r2"),
     )
+
+
+def mad_outliers(df: DataFrame, key: str = "user_id",
+                 value: str = "value", k_num: int = 3, k_den: int = 1,
+                 min_points: int = 10) -> DataFrame:
+    """Robust per-key outliers by MEDIAN ABSOLUTE DEVIATION — the
+    heavy-tail-safe twin of ``zscore_outliers`` (one wild value drags a
+    mean/stddev gate; the median gate ignores it).  Flags rows with
+    |y - median| > (k_num/k_den) * MAD.
+
+    Exactness discipline: medians are EXACT and division-free — the
+    doubled-median convention ``D(S) = s_(lo) + s_(hi)`` (lo = hi at
+    odd n, so the middle element counts twice) keeps every quantity an
+    integer: ``med2`` = 2*median of cents, ``dev2_i = |2*y_i - med2|``
+    (half-cents), ``mad4`` = D(dev2) = 4*MAD in cents.  The flag
+    ``2*dev2*k_den > k_num*mad4`` is one integer cross-multiplication —
+    bit-identical in any engine, no IEEE ops at all.  With mad4 = 0
+    (over half the group identical) any deviation flags, the textbook
+    MAD degeneracy.  Plan: two windows + two joins all partitioned by
+    ``key`` — the exchange happens once.
+    """
+    y = (F.col(value).cast("decimal(18,2)") * 100).cast("long")
+    d = df.select(key, "event_id", y.alias("y_c"))
+    w = Window.partitionBy(key).orderBy("y_c", "event_id")
+    wn = Window.partitionBy(key)
+    d = (
+        d.withColumn("r", F.row_number().over(w))
+        .withColumn("n", F.count("*").over(wn))
+        .withColumn("lo", F.expr("(n + 1) div 2"))
+        .withColumn("hi", F.expr("(n + 2) div 2"))
+    )
+    med = (
+        d.groupBy(key).agg(
+            (
+                F.sum(F.when(F.col("r") == F.col("lo"), F.col("y_c"))
+                      .otherwise(0))
+                + F.sum(F.when(F.col("r") == F.col("hi"), F.col("y_c"))
+                        .otherwise(0))
+            ).alias("med2"),
+            F.max("n").alias("n_points"),
+        )
+        .filter(F.col("n_points") >= min_points)
+    )
+    e = d.join(med, key).withColumn(
+        "dev2", F.abs(2 * F.col("y_c") - F.col("med2"))
+    )
+    w2 = Window.partitionBy(key).orderBy("dev2", "event_id")
+    e = e.withColumn("r2", F.row_number().over(w2))
+    mad = e.groupBy(key).agg(
+        (
+            F.sum(F.when(F.col("r2") == F.col("lo"), F.col("dev2"))
+                  .otherwise(0))
+            + F.sum(F.when(F.col("r2") == F.col("hi"), F.col("dev2"))
+                    .otherwise(0))
+        ).alias("mad4")
+    )
+    return (
+        e.join(mad, key)
+        .filter(2 * F.col("dev2") * k_den > k_num * F.col("mad4"))
+        .select(
+            key, "event_id", "y_c", "n_points", "med2", "mad4", "dev2",
+        )
+    )

@@ -260,3 +260,42 @@ def test_ols_trend_single_exchange(spark):
     import re
 
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+
+
+def test_mad_outliers_brute_force_and_degeneracy(spark):
+    """The doubled-median construction equals a numpy median/MAD brute
+    force (odd AND even group sizes), and the mad4=0 degenerate group
+    flags exactly the rows that deviate at all."""
+    from datetime import datetime, timedelta
+
+    import numpy as np
+
+    from async_stream_processing_spark.operators.analytics import (
+        mad_outliers,
+    )
+
+    t0 = datetime(2024, 1, 1)
+    vals = {
+        1: [1.0, 1.1, 0.9, 1.05, 1.2, 0.95, 1.0, 1.15, 0.85, 99.0, 1.0],
+        2: [2.0, 2.1, 1.9, 2.05, 2.2, 1.95, 2.0, 2.15, 1.85, 50.0],
+        3: [5.0] * 11 + [7.0],  # mad = 0: any deviation flags
+    }
+    rows, eid = [], 0
+    for k, vs in vals.items():
+        for i, v in enumerate(vs):
+            rows.append((eid, t0 + timedelta(seconds=i), k, v))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double"
+    )
+    got = mad_outliers(df, k_num=3, min_points=10).collect()
+    by_key = {}
+    for r in got:
+        by_key.setdefault(r["user_id"], set()).add(r["y_c"])
+    for k in (1, 2):
+        y = np.array([round(v * 100) for v in vals[k]])
+        med = np.median(y)
+        mad = np.median(np.abs(y - med))
+        expect = {int(v) for v in y if abs(v - med) > 3 * mad}
+        assert by_key.get(k, set()) == expect, k
+    assert by_key[3] == {700}
