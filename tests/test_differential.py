@@ -177,3 +177,18 @@ def test_differential_fuzz_setop_pinned_seed(spark):
     )
     failures = fuzz_setop(spark, con, SF, n_cases=15, seed=20260814)
     assert not failures, failures[:3]
+
+
+def test_differential_fuzz_subquery_pinned_seed(spark):
+    """Subquery grammar: correlated [NOT] EXISTS, [NOT] IN, and scalar
+    aggregate comparisons -- probes the decorrelation layer (subquery ->
+    join rewrites) through one ANSI string in both engines."""
+    from tools.fuzz_differential import fuzz_subquery
+
+    con = duckdb.connect()
+    for t in ("events", "customer"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'"
+        )
+    failures = fuzz_subquery(spark, con, SF, n_cases=15, seed=20260814)
+    assert not failures, failures[:3]

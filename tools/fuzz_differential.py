@@ -759,6 +759,100 @@ def fuzz_setop(spark, con, sf_dir: str, n_cases: int, seed: int):
     return failures
 
 
+SUBQ_INNER_PREDS = [
+    "x.event_id % {m} = 0",
+    "x.value >= {v}",
+    "x.event_type = '{et}'",
+    "TRUE",
+]
+
+SUBQ_OUTER_PREDS = [
+    "e.value < {v2}",
+    "e.event_type <> '{et2}'",
+    "e.event_id % {m2} = 0",
+]
+
+
+def gen_subquery_case(rng: random.Random) -> dict:
+    """One subquery case: correlated [NOT] EXISTS, [NOT] IN against a
+    dimension subquery, and correlated/uncorrelated SCALAR aggregate
+    comparisons -- one ANSI string both engines parse.  Probes the
+    decorrelation layer (Spark rewrites these to joins; DuckDB to
+    dependent-join plans) that none of the hand oracles reach.
+    Scalar-subquery aggregates stick to MIN/MAX/COUNT (exact value
+    selection / integers): the comparison is then bit-portable."""
+    subs = {
+        "m": rng.choice([2, 3, 5, 7]),
+        "m2": rng.choice([2, 3, 5]),
+        "k": rng.choice([4, 8, 16, 50]),
+        "v": round(rng.uniform(-50, 400), 2),
+        "v2": round(rng.uniform(-50, 400), 2),
+        "et": rng.choice(EVENT_TYPES),
+        "et2": rng.choice(EVENT_TYPES),
+        "b": round(rng.uniform(-500, 5000), 2),
+        "j": rng.choice([3, 10, 25]),
+    }
+    inner = rng.choice(SUBQ_INNER_PREDS).format(**subs)
+    kind = rng.choice(
+        ["exists", "not_exists", "in", "not_in",
+         "scalar_corr", "scalar_uncorr"]
+    )
+    if kind in ("exists", "not_exists"):
+        neg = "NOT " if kind == "not_exists" else ""
+        pred = (
+            f"{neg}EXISTS (SELECT 1 FROM events x "
+            f"WHERE x.user_id = e.user_id AND {inner})"
+        )
+    elif kind in ("in", "not_in"):
+        neg = "NOT " if kind == "not_in" else ""
+        pred = (
+            f"e.user_id {neg}IN (SELECT c_custkey % {subs['k']} "
+            f"FROM customer WHERE c_acctbal >= {subs['b']})"
+        )
+    elif kind == "scalar_corr":
+        agg = rng.choice(
+            ["MIN(x.event_id)", "MAX(x.event_id)", "COUNT(*) * 7"]
+        )
+        op = rng.choice([">", "<=", "<>"])
+        pred = (
+            f"e.event_id {op} (SELECT {agg} FROM events x "
+            f"WHERE x.user_id = e.user_id AND {inner})"
+        )
+    else:
+        agg = rng.choice(["MAX(x.value)", "MIN(x.value)"])
+        pred = (
+            f"e.value >= (SELECT {agg} FROM events x WHERE {inner}) "
+            f"- {round(rng.uniform(0, 200), 2)}"
+        )
+    if rng.random() < 0.4:
+        pred += " AND " + rng.choice(SUBQ_OUTER_PREDS).format(**subs)
+    sql = (
+        f"SELECT e.user_id % {subs['j']} AS g, COUNT(*) AS n, "
+        f"MIN(e.event_id) AS mn, MAX(e.event_id) AS mx, "
+        f"CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sv "
+        f"FROM events e WHERE {pred} GROUP BY e.user_id % {subs['j']}"
+    )
+    return {"sql": sql}
+
+
+def fuzz_subquery(spark, con, sf_dir: str, n_cases: int, seed: int):
+    from async_stream_processing_spark.sources.parquet import load_table
+
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    rng = random.Random(seed)
+    failures = []
+    for i in range(n_cases):
+        case = gen_subquery_case(rng)
+        err = compare(
+            spark.sql(case["sql"]).toPandas(),
+            con.execute(case["sql"]).df(),
+        )
+        if err:
+            failures.append((i, err, case))
+    return failures
+
+
 def main():
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     streaming = "--streaming" in sys.argv
@@ -768,6 +862,7 @@ def main():
     array = "--array" in sys.argv
     rollup = "--rollup" in sys.argv
     setop = "--setop" in sys.argv
+    subquery = "--subquery" in sys.argv
     n = int(args[0]) if len(args) > 0 else 50
     seed = int(args[1]) if len(args) > 1 else 20260814
     sf_dir = args[2] if len(args) > 2 else "/root/testdata/sf0.01"
@@ -797,12 +892,15 @@ def main():
         failures = fuzz_rollup(spark, con, sf_dir, n, seed)
     elif setop:
         failures = fuzz_setop(spark, con, sf_dir, n, seed)
+    elif subquery:
+        failures = fuzz_subquery(spark, con, sf_dir, n, seed)
     else:
         failures = fuzz(spark, con, sf_dir, n, seed)
     mode = (", streaming" if streaming else
             ", window" if window else ", scalar" if scalar
             else ", text" if text else ", array" if array
-            else ", rollup" if rollup else ", setop" if setop else "")
+            else ", rollup" if rollup else ", setop" if setop
+            else ", subquery" if subquery else "")
     for i, err, case in failures:
         print(f"FAIL case {i}: {err}\n  {case}")
     print(f"{'FAIL' if failures else 'PASS'}: {n - len(failures)}/{n} "
