@@ -2315,6 +2315,71 @@ def q_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drain(out, output_mode="complete")
 
 
+def q_rsi_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilder RSI per user (14-period, recursive-seed dialect): diffs
+    of the ordered value series split into gains/losses, each smoothed
+    by the Wilder recurrence a' = (13*a + x) div 14 as an INDEPENDENT
+    keyed ordered fold (the ewma_users discipline: exact scaled
+    integers, truncating div bit-matched between Spark `div` and
+    DuckDB `//` -- all terms nonnegative here so floor == trunc), then
+    RSI = 100*AG/(AG+AL) as one fixed IEEE tree.  Classic RSI seeds
+    with the SMA of the first 14 diffs; this variant seeds with the
+    first diff (pure recurrence -- documented dialect, same fixpoint).
+    One shuffle: the lag window and the fold share the user partition."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    y = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    d = (
+        ev.select("user_id", "ts", "event_id", y.alias("y"))
+        .withColumn("diff", F.col("y") - F.lag("y").over(w))
+        .filter(F.col("diff").isNotNull())
+        .select(
+            "user_id", "ts", "event_id",
+            (F.greatest("diff", F.lit(0)) * 1_000_000).alias("g"),
+            (F.greatest(-F.col("diff"), F.lit(0)) * 1_000_000).alias("l"),
+        )
+    )
+    arr = F.array_sort(
+        F.collect_list(F.struct("ts", "event_id", "g", "l"))
+    )
+    agg = (
+        d.groupBy("user_id")
+        .agg(arr.alias("arr"))
+        .filter(F.size("arr") >= 14)
+    )
+
+    def wilder(xs):
+        def step(acc, v):
+            t = acc * 13 + v
+            return ((t - t % 14) / 14).cast("long")
+
+        return F.aggregate(
+            F.slice(xs, 2, F.greatest(F.size(xs) - 1, F.lit(0))),
+            F.element_at(xs, 1),
+            step,
+        )
+
+    gs = F.transform(F.col("arr"), lambda a: a["g"])
+    ls = F.transform(F.col("arr"), lambda a: a["l"])
+    agg = agg.select(
+        "user_id",
+        F.size("arr").cast("long").alias("n_diffs"),
+        wilder(gs).alias("ag_scaled"),
+        wilder(ls).alias("al_scaled"),
+    )
+    ag_d = F.col("ag_scaled").cast("double")
+    al_d = F.col("al_scaled").cast("double")
+    return agg.withColumn(
+        "rsi",
+        F.when(
+            F.col("ag_scaled") + F.col("al_scaled") > 0,
+            F.lit(100.0) * ag_d / (ag_d + al_d),
+        ),
+    )
+
+
 def q_stream_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     """max_drawdown EXECUTED BY THE STREAMING ENGINE: the equity/peak/
     drawdown recurrence folds over ``array_sort(collect_list(...))``
@@ -2874,6 +2939,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "equidepth_histogram": q_equidepth_histogram,
         "interval_coalesce": q_interval_coalesce,
         "ewma_users": q_ewma_users,
+        "rsi_users": q_rsi_users,
         "pagerank_users": q_pagerank_users,
         "pattern_no_interrupt": q_pattern_no_interrupt,
         "pca_project": LLM_QUERIES["pca_project"],
@@ -3055,6 +3121,7 @@ GATE_WINDOW = [
     "versioned_time_travel", "stream_versioned_sink",
     "versioned_merge", "versioned_compact", "ols_trend",
     "knn_range_search", "label_propagation", "mad_outliers",
+    "rsi_users",
     "knn_pq_rotated", "pq_rotation_recall",
     "sq8_codes", "knn_sq8", "stream_sq8_codes", "sq8_recall",
     "doremi_mixture", "bpe_coverage", "packing_efficiency",
@@ -3067,10 +3134,11 @@ GATE_WINDOW = [
     "stream_perceptron_score", "substring_dedup_apply",
     # (b) changed after the r6 gate
     "line_dedup", "dedup_minhash_lsh", "dedup_clusters", "dedup_keep_best",
-    "incremental_dedup",
     # dedup_pair_recall + dedup_source_matrix (same changed family as
-    # dedup_minhash_lsh, green r6) rotated to round 8 to keep the
-    # window at 50.
+    # dedup_minhash_lsh, green r6) and incremental_dedup (its changed
+    # bucketed-probe path is exercised in-window by
+    # stream_incremental_dedup, which hash-matches the same oracle)
+    # rotated to round 8 to keep the window at 50.
     "pipeline_end_to_end", "embedding_dedup_clusters", "substring_dups",
     "knn_ivfpq",
     # ivfpq_recall + stream_upsert_state (changed code already green at
@@ -4527,6 +4595,43 @@ def oracle_sql() -> dict[str, str]:
                CAST(list_reduce(v, (a, b) -> (7 * a + 3 * b) // 10)
                     AS DOUBLE) / 100000000.0 AS ewma
         FROM xs
+    """
+    out["rsi_users"] = """
+        WITH yv AS (
+            SELECT user_id, ts, event_id,
+                   CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+            FROM events),
+        d AS (
+            SELECT user_id, ts, event_id,
+                   y - LAG(y) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS diff
+            FROM yv),
+        gl AS (
+            SELECT user_id, ts, event_id,
+                   GREATEST(diff, 0) * 1000000 AS g,
+                   GREATEST(-diff, 0) * 1000000 AS l
+            FROM d WHERE diff IS NOT NULL),
+        xs AS (
+            SELECT user_id,
+                   list(g ORDER BY ts, event_id) AS gs,
+                   list(l ORDER BY ts, event_id) AS ls
+            FROM gl GROUP BY user_id
+            HAVING COUNT(*) >= 14),
+        folded AS (
+            SELECT user_id,
+                   CAST(len(gs) AS BIGINT) AS n_diffs,
+                   CAST(list_reduce(gs, (a, b) -> (13 * a + b) // 14)
+                        AS BIGINT) AS ag_scaled,
+                   CAST(list_reduce(ls, (a, b) -> (13 * a + b) // 14)
+                        AS BIGINT) AS al_scaled
+            FROM xs)
+        SELECT user_id, n_diffs, ag_scaled, al_scaled,
+               CASE WHEN ag_scaled + al_scaled > 0
+                    THEN 100.0 * CAST(ag_scaled AS DOUBLE)
+                         / (CAST(ag_scaled AS DOUBLE)
+                            + CAST(al_scaled AS DOUBLE))
+               END AS rsi
+        FROM folded
     """
     out["equidepth_histogram"] = """
         WITH b AS (SELECT l_extendedprice,

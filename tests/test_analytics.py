@@ -299,3 +299,59 @@ def test_mad_outliers_brute_force_and_degeneracy(spark):
         expect = {int(v) for v in y if abs(v - med) > 3 * mad}
         assert by_key.get(k, set()) == expect, k
     assert by_key[3] == {700}
+
+
+def test_rsi_users_brute_force_recurrence(spark):
+    """The two independent Wilder folds equal a Python reference of the
+    same recurrence (scaled-integer, truncating div), including the
+    all-gains degenerate key (rsi = 100)."""
+    from datetime import datetime, timedelta
+
+    import sys
+
+    sys.path.insert(0, ".")
+    import __spark_entry__ as m
+
+    t0 = datetime(2024, 1, 1)
+    vals = {
+        1: [10.0, 10.5, 10.2, 10.8, 10.1, 10.9, 10.3, 11.0, 10.4,
+            11.1, 10.5, 11.2, 10.6, 11.3, 10.7],   # 14 diffs mixed
+        2: [float(i) for i in range(1, 17)],        # all gains -> 100
+    }
+    rows, eid = [], 0
+    for k, vs in vals.items():
+        for i, v in enumerate(vs):
+            rows.append((eid, t0 + timedelta(seconds=i), k, v))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double"
+    )
+    import tempfile
+
+    d = tempfile.mkdtemp()
+    import pyarrow.parquet as pq
+    from pyarrow import Table
+
+    pq.write_table(
+        Table.from_pandas(df.toPandas()), f"{d}/events.parquet"
+    )
+    out = {r["user_id"]: r for r in m.queries()["rsi_users"](
+        spark, d).collect()}
+
+    def wilder(xs):
+        a = xs[0]
+        for v in xs[1:]:
+            t = a * 13 + v
+            a = t // 14  # nonnegative: floor == trunc
+        return a
+
+    for k, vs in vals.items():
+        cents = [round(v * 100) for v in vs]
+        diffs = [b - a for a, b in zip(cents, cents[1:])]
+        g = [max(x, 0) * 1_000_000 for x in diffs]
+        l = [max(-x, 0) * 1_000_000 for x in diffs]
+        ag, al = wilder(g), wilder(l)
+        assert out[k]["ag_scaled"] == ag and out[k]["al_scaled"] == al, k
+        want = 100.0 * ag / (ag + al)
+        assert abs(out[k]["rsi"] - want) < 1e-12
+    assert out[2]["rsi"] == 100.0
