@@ -2316,68 +2316,14 @@ def q_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_rsi_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Wilder RSI per user (14-period, recursive-seed dialect): diffs
-    of the ordered value series split into gains/losses, each smoothed
-    by the Wilder recurrence a' = (13*a + x) div 14 as an INDEPENDENT
-    keyed ordered fold (the ewma_users discipline: exact scaled
-    integers, truncating div bit-matched between Spark `div` and
-    DuckDB `//` -- all terms nonnegative here so floor == trunc), then
-    RSI = 100*AG/(AG+AL) as one fixed IEEE tree.  Classic RSI seeds
-    with the SMA of the first 14 diffs; this variant seeds with the
-    first diff (pure recurrence -- documented dialect, same fixpoint).
-    One shuffle: the lag window and the fold share the user partition."""
-    from pyspark.sql import Window
+    """Wilder RSI per user (14-period, recursive-seed dialect):
+    operators/windows.rsi_wilder -- gains/losses smoothed by the Wilder
+    recurrence as independent keyed ordered folds over exact scaled
+    integers, RSI as one fixed IEEE tree (see the operator docstring
+    for the bit-portability argument)."""
+    from async_stream_processing_spark.operators.windows import rsi_wilder
 
-    ev = load_table(spark, sf_dir, "events")
-    y = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    d = (
-        ev.select("user_id", "ts", "event_id", y.alias("y"))
-        .withColumn("diff", F.col("y") - F.lag("y").over(w))
-        .filter(F.col("diff").isNotNull())
-        .select(
-            "user_id", "ts", "event_id",
-            (F.greatest("diff", F.lit(0)) * 1_000_000).alias("g"),
-            (F.greatest(-F.col("diff"), F.lit(0)) * 1_000_000).alias("l"),
-        )
-    )
-    arr = F.array_sort(
-        F.collect_list(F.struct("ts", "event_id", "g", "l"))
-    )
-    agg = (
-        d.groupBy("user_id")
-        .agg(arr.alias("arr"))
-        .filter(F.size("arr") >= 14)
-    )
-
-    def wilder(xs):
-        def step(acc, v):
-            t = acc * 13 + v
-            return ((t - t % 14) / 14).cast("long")
-
-        return F.aggregate(
-            F.slice(xs, 2, F.greatest(F.size(xs) - 1, F.lit(0))),
-            F.element_at(xs, 1),
-            step,
-        )
-
-    gs = F.transform(F.col("arr"), lambda a: a["g"])
-    ls = F.transform(F.col("arr"), lambda a: a["l"])
-    agg = agg.select(
-        "user_id",
-        F.size("arr").cast("long").alias("n_diffs"),
-        wilder(gs).alias("ag_scaled"),
-        wilder(ls).alias("al_scaled"),
-    )
-    ag_d = F.col("ag_scaled").cast("double")
-    al_d = F.col("al_scaled").cast("double")
-    return agg.withColumn(
-        "rsi",
-        F.when(
-            F.col("ag_scaled") + F.col("al_scaled") > 0,
-            F.lit(100.0) * ag_d / (ag_d + al_d),
-        ),
-    )
+    return rsi_wilder(load_table(spark, sf_dir, "events"), period=14)
 
 
 def q_stream_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:

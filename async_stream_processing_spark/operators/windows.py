@@ -22,6 +22,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.numeric import dec
+from ..plans.event_relation import TS
 
 
 def _range_window(partition_by: list[str], seconds: int, order_col: str | None = None):
@@ -421,3 +422,66 @@ def sql_bollinger_bands(
                               ELSE 0.0 END) AS lower
         FROM sums
     """
+
+
+def rsi_wilder(df: DataFrame, key: str = "user_id",
+               value: str = "value", period: int = 14,
+               min_diffs: int = 14) -> DataFrame:
+    """Wilder RSI per key (recursive-seed dialect): ordered value diffs
+    split into gains/losses, each smoothed by the Wilder recurrence
+    ``a' = ((period-1)*a + x) div period`` as an INDEPENDENT keyed
+    ordered fold over exact scaled integers (the ewma_users
+    discipline; all terms nonnegative, so DuckDB ``//`` floor equals
+    Spark ``div`` truncation), then RSI = 100*AG/(AG+AL) as one fixed
+    IEEE tree.  Classic RSI seeds with the SMA of the first ``period``
+    diffs; this variant seeds with the first diff (pure recurrence —
+    documented dialect, same fixpoint).  One shuffle: the lag window
+    and the fold share the key partition."""
+    y = (F.col(value).cast("decimal(18,2)") * 100).cast("long")
+    w = Window.partitionBy(key).orderBy(TS, "event_id")
+    d = (
+        df.select(key, TS, "event_id", y.alias("y"))
+        .withColumn("diff", F.col("y") - F.lag("y").over(w))
+        .filter(F.col("diff").isNotNull())
+        .select(
+            key, TS, "event_id",
+            (F.greatest("diff", F.lit(0)) * 1_000_000).alias("g"),
+            (F.greatest(-F.col("diff"), F.lit(0)) * 1_000_000).alias("l"),
+        )
+    )
+    arr = F.array_sort(F.collect_list(F.struct(TS, "event_id", "g", "l")))
+    agg = (
+        d.groupBy(key).agg(arr.alias("arr"))
+        .filter(F.size("arr") >= min_diffs)
+    )
+
+    def wilder(xs):
+        def step(acc, v):
+            t = acc * (period - 1) + v
+            # (t - t%period)/period: exact multiple below 2^53, so the
+            # double division is exact (the ewma_users trick)
+            return ((t - t % period) / period).cast("long")
+
+        return F.aggregate(
+            F.slice(xs, 2, F.greatest(F.size(xs) - 1, F.lit(0))),
+            F.element_at(xs, 1),
+            step,
+        )
+
+    agg = agg.select(
+        key,
+        F.size("arr").cast("long").alias("n_diffs"),
+        wilder(F.transform(F.col("arr"), lambda a: a["g"]))
+        .alias("ag_scaled"),
+        wilder(F.transform(F.col("arr"), lambda a: a["l"]))
+        .alias("al_scaled"),
+    )
+    ag_d = F.col("ag_scaled").cast("double")
+    al_d = F.col("al_scaled").cast("double")
+    return agg.withColumn(
+        "rsi",
+        F.when(
+            F.col("ag_scaled") + F.col("al_scaled") > 0,
+            F.lit(100.0) * ag_d / (ag_d + al_d),
+        ),
+    )

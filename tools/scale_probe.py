@@ -185,7 +185,22 @@ def main() -> None:
         ).save()
         return 3  # fixed iteration count by construction
 
+    from async_stream_processing_spark.operators.graph import (
+        label_propagation,
+    )
+
+    def _lpa_rounds(ev):
+        e = handoff_edges(ev)
+        sym = e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        label_propagation(sym, n_iter=3).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        return 3  # fixed round count by construction
+
     iter_ops = {
+        "label_propagation": (_lpa_rounds, ev1, ev8),
         "pagerank_users": (_pagerank_rounds, ev1, ev8),
         "bfs_levels": (_bfs_rounds, ev1, ev8),
         "kcore_users": (_kcore_rounds, ev1, ev8),
@@ -292,6 +307,22 @@ def main() -> None:
     r5_ops.update({
         "source_token_diversity": (
             lambda d: source_token_diversity(d), docs1, docs8),
+    })
+    # round-7 third continuation: regression, robust outliers, RSI,
+    # range search.
+    from async_stream_processing_spark.llm.similarity import range_search
+    from async_stream_processing_spark.operators.analytics import (
+        mad_outliers,
+        ols_trend,
+    )
+    from async_stream_processing_spark.operators.windows import rsi_wilder
+
+    r5_ops.update({
+        "ols_trend": (lambda ev: ols_trend(ev), ev1, ev8),
+        "mad_outliers": (lambda ev: mad_outliers(ev), ev1, ev8),
+        "rsi_users": (lambda ev: rsi_wilder(ev), ev1, ev8),
+        "knn_range_search": (
+            lambda e: range_search(e, n_queries=10, tau=0.25), emb1, emb8),
     })
     for name, (fn, one, eight) in r5_ops.items():
         if ONLY and name not in ONLY:
