@@ -208,6 +208,7 @@ def merge_into(
     source: DataFrame,
     key_cols: list[str],
     delete_col: str | None = None,
+    meta: dict | None = None,
 ) -> int:
     """MERGE a change batch into the lake head as ONE new version —
     the Delta/Iceberg copy-on-write MERGE reduced to its mechanism:
@@ -289,7 +290,7 @@ def merge_into(
     return _commit(
         path, sorted(kept) + new_files, parent=head, operation="merge",
         meta={"touched_files": len(touched_rel),
-              "carried_files": len(kept)},
+              "carried_files": len(kept), **(meta or {})},
     )
 
 
@@ -337,6 +338,42 @@ def versioned_sink(stream_df: DataFrame, path: str, checkpoint: str):
 
     return (
         stream_df.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def versioned_merge_sink(
+    stream_df: DataFrame,
+    path: str,
+    key_cols: list[str],
+    checkpoint: str,
+    delete_col: str | None = None,
+):
+    """Streaming CDC APPLY into the versioned lake: every micro-batch
+    MERGEs (update/delete/insert by key, copy-on-write at file
+    granularity) as one version whose manifest records its ``batch_id``
+    -- so a re-delivered batch after a crash/checkpoint-restart finds
+    its id committed and SKIPS (the versioned_sink exactly-once recipe,
+    now for keyed mutations, i.e. the Delta streaming MERGE shape).
+    Cross-batch composition is exact as long as one batch does not
+    carry two rows for the same key (merge_into enforces per batch).
+
+    Returns the started StreamingQuery (caller awaits/stops it)."""
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id in committed_batch_ids(path):
+            return
+        if not batch_df.take(1):
+            return  # empty trigger: no version burned
+        merge_into(
+            batch_df.sparkSession, path, batch_df, key_cols,
+            delete_col=delete_col, meta={"batch_id": batch_id},
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(_apply)
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()

@@ -1332,6 +1332,66 @@ def q_versioned_merge(spark, sf_dir):
     return out
 
 
+def q_stream_versioned_merge(spark, sf_dir):
+    """versioned_merge EXECUTED BY THE STREAMING ENGINE: the CDC batch
+    is split into three files and streamed at maxFilesPerTrigger=1, so
+    the MERGE applies across three micro-batches (one lake version
+    each, batch_id in the manifest -- the Delta streaming MERGE shape);
+    the final head must hash-match the SAME oracle as the one-shot
+    batch merge."""
+    import shutil
+    import tempfile
+
+    from async_stream_processing_spark.plans.versioned import (
+        commit_append,
+        read_version,
+        versioned_merge_sink,
+    )
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    ups = docs.filter(F.col("doc_id") % 4 == 0).select(
+        "doc_id",
+        F.upper("text").alias("text"),
+        F.lit("merged").alias("lang"),
+        "source", "n_chars",
+        F.lit(False).alias("is_delete"),
+    )
+    dels = docs.filter(
+        (F.col("doc_id") % 7 == 0) & (F.col("doc_id") % 4 != 0)
+    ).select(
+        "doc_id", "text", "lang", "source", "n_chars",
+        F.lit(True).alias("is_delete"),
+    )
+    cdc = ups.unionByName(dels)
+
+    lake = tempfile.mkdtemp(prefix="asp_svmerge_")
+    src = tempfile.mkdtemp(prefix="asp_svmerge_src_")
+    ck = tempfile.mkdtemp(prefix="asp_svmerge_ck_")
+    for d in (lake, src, ck):
+        shutil.rmtree(d, ignore_errors=True)
+    try:
+        commit_append(
+            docs.filter(F.col("doc_id") % 3 != 0).repartition(4), lake
+        )
+        for m in range(3):  # three files -> three merge micro-batches
+            cdc.filter(F.col("doc_id") % 3 == m).coalesce(1) \
+                .write.mode("append").parquet(src)
+        stream = spark.readStream.schema(
+            spark.read.parquet(src).schema
+        ).option("maxFilesPerTrigger", 1).parquet(src)
+        q = versioned_merge_sink(
+            stream, lake, ["doc_id"], ck, delete_col="is_delete"
+        )
+        q.awaitTermination(300)
+        out = read_version(spark, lake).localCheckpoint(eager=True)
+    finally:
+        for d in (lake, src, ck):
+            shutil.rmtree(d, ignore_errors=True)
+    return out
+
+
 def q_versioned_compact(spark, sf_dir):
     """OPTIMIZE gate: three appends (doc_id mod 3 slices) then a compact
     rewrite into one file as a new version -- the head must still equal
@@ -1621,6 +1681,7 @@ LLM_QUERIES = {
     "kmeans_silhouette": q_kmeans_silhouette,
     "versioned_time_travel": q_versioned_time_travel,
     "versioned_merge": q_versioned_merge,
+    "stream_versioned_merge": q_stream_versioned_merge,
     "versioned_compact": q_versioned_compact,
     "knn_pq_rotated": q_knn_pq_rotated,
     "pq_rotation_recall": q_pq_rotation_recall,
@@ -2063,6 +2124,21 @@ def llm_oracle_sql() -> dict[str, str]:
         """,
         "stream_versioned_sink": """
             SELECT doc_id, text, lang, source, n_chars FROM documents
+        """,
+        "stream_versioned_merge": """
+            WITH target AS (SELECT doc_id, text, lang, source, n_chars
+                            FROM documents WHERE doc_id % 3 != 0),
+            ups AS (SELECT doc_id, UPPER(text) AS text,
+                           'merged' AS lang, source, n_chars
+                    FROM documents WHERE doc_id % 4 = 0),
+            dels AS (SELECT doc_id FROM documents
+                     WHERE doc_id % 7 = 0 AND doc_id % 4 != 0)
+            SELECT t.doc_id, t.text, t.lang, t.source, t.n_chars
+            FROM target t
+            WHERE t.doc_id NOT IN (SELECT doc_id FROM ups)
+              AND t.doc_id NOT IN (SELECT doc_id FROM dels)
+            UNION ALL
+            SELECT doc_id, text, lang, source, n_chars FROM ups
         """,
         "versioned_merge": """
             WITH target AS (SELECT doc_id, text, lang, source, n_chars

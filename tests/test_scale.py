@@ -936,3 +936,50 @@ def test_versioned_compact(spark, tmp_path):
     assert stats["files_removed"] >= 4
     assert sorted(r["k"] for r in read_version(spark, lake).collect()) \
         == [0, 1, 2, 3]
+
+
+def test_versioned_merge_sink_exactly_once(spark, tmp_path):
+    """Streaming CDC apply: one merge version per micro-batch with its
+    batch_id recorded; a FULL re-delivery (fresh checkpoint) commits
+    nothing new; final state equals the composed merges."""
+    from async_stream_processing_spark.plans.versioned import (
+        commit_append,
+        read_version,
+        versioned_merge_sink,
+        versions,
+    )
+
+    lake = str(tmp_path / "lake")
+    commit_append(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+        ),
+        lake,
+    )
+    src = str(tmp_path / "src")
+    # two CDC files -> two micro-batches at maxFilesPerTrigger=1
+    spark.createDataFrame(
+        [(2, "B", False), (3, None, True)],
+        "k long, v string, is_delete boolean",
+    ).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(
+        [(9, "i", False)], "k long, v string, is_delete boolean"
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    def run(ck):
+        stream = spark.readStream.schema(
+            "k long, v string, is_delete boolean"
+        ).option("maxFilesPerTrigger", 1).parquet(src)
+        q = versioned_merge_sink(
+            stream, lake, ["k"], ck, delete_col="is_delete"
+        )
+        q.awaitTermination(120)
+
+    run(str(tmp_path / "ck1"))
+    n = len(versions(lake))
+    head = {(r["k"], r["v"]) for r in read_version(spark, lake).collect()}
+    assert head == {(1, "a"), (2, "B"), (9, "i")}
+    run(str(tmp_path / "ck2"))  # full re-delivery: every batch id replays
+    assert len(versions(lake)) == n
+    assert {(r["k"], r["v"])
+            for r in read_version(spark, lake).collect()} == head
