@@ -3067,7 +3067,7 @@ GATE_WINDOW = [
     "versioned_time_travel", "stream_versioned_sink",
     "versioned_merge", "versioned_compact", "ols_trend",
     "knn_range_search", "label_propagation", "mad_outliers",
-    "rsi_users", "stream_versioned_merge",
+    "rsi_users", "stream_versioned_merge", "versioned_changes",
     "knn_pq_rotated", "pq_rotation_recall",
     "sq8_codes", "knn_sq8", "stream_sq8_codes", "sq8_recall",
     "doremi_mixture", "bpe_coverage", "packing_efficiency",
@@ -3085,9 +3085,11 @@ GATE_WINDOW = [
     # bucketed-probe path is exercised in-window by
     # stream_incremental_dedup, which hash-matches the same oracle)
     # rotated to round 8 to keep the window at 50.
-    "pipeline_end_to_end", "substring_dups",
-    # embedding_dedup_clusters (its changed CC loop is exercised
-    # in-window by dedup_clusters) rotated to round 8.
+    "pipeline_end_to_end",
+    # embedding_dedup_clusters + substring_dups (changed code exercised
+    # in-window by dedup_clusters / substring_dup_spans+
+    # substring_dedup_apply, all green at an earlier gate) rotated to
+    # round 8.
     "knn_ivfpq",
     # ivfpq_recall + stream_upsert_state (changed code already green at
     # an earlier gate; families represented by knn_ivfpq/ivfpq_upsert

@@ -1392,6 +1392,32 @@ def q_stream_versioned_merge(spark, sf_dir):
     return out
 
 
+def q_versioned_changes(spark, sf_dir):
+    """Change-data-feed gate: three appends (doc_id mod 3 slices); the
+    v1->v3 feed must be exactly the later two slices as inserts -- the
+    version diff reads only the differenced files, never the table."""
+    import shutil
+    import tempfile
+
+    from async_stream_processing_spark.plans.versioned import (
+        commit_append,
+        table_changes,
+    )
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    lake = tempfile.mkdtemp(prefix="asp_vcdf_")
+    shutil.rmtree(lake, ignore_errors=True)
+    try:
+        for m in range(3):
+            commit_append(docs.filter(F.col("doc_id") % 3 == m), lake)
+        out = table_changes(spark, lake, 1, 3).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(lake, ignore_errors=True)
+    return out
+
+
 def q_versioned_compact(spark, sf_dir):
     """OPTIMIZE gate: three appends (doc_id mod 3 slices) then a compact
     rewrite into one file as a new version -- the head must still equal
@@ -1683,6 +1709,7 @@ LLM_QUERIES = {
     "versioned_merge": q_versioned_merge,
     "stream_versioned_merge": q_stream_versioned_merge,
     "versioned_compact": q_versioned_compact,
+    "versioned_changes": q_versioned_changes,
     "knn_pq_rotated": q_knn_pq_rotated,
     "pq_rotation_recall": q_pq_rotation_recall,
     "stream_versioned_sink": q_stream_versioned_sink,
@@ -2157,6 +2184,11 @@ def llm_oracle_sql() -> dict[str, str]:
         """,
         "versioned_compact": """
             SELECT doc_id, text, lang, source, n_chars FROM documents
+        """,
+        "versioned_changes": """
+            SELECT doc_id, text, lang, source, n_chars,
+                   'insert' AS _change_type
+            FROM documents WHERE doc_id % 3 IN (1, 2)
         """,
         "pmi_pairs": sql_pmi_pairs(min_count=5, k=50),
         "langid_confusion": f"""

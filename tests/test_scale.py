@@ -983,3 +983,46 @@ def test_versioned_merge_sink_exactly_once(spark, tmp_path):
     assert len(versions(lake)) == n
     assert {(r["k"], r["v"])
             for r in read_version(spark, lake).collect()} == head
+
+
+def test_table_changes_merge_churn_and_empty_diff(spark, tmp_path):
+    """CDF across a MERGE: the touched file's carried rows surface as
+    self-cancelling delete+insert pairs, the update as delete(old) +
+    insert(new), the true delete as a lone delete; folding the feed by
+    key reproduces the head.  Identical versions produce an empty feed."""
+    from async_stream_processing_spark.plans.versioned import (
+        commit_append,
+        merge_into,
+        read_version,
+        table_changes,
+    )
+
+    lake = str(tmp_path / "lake")
+    commit_append(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+        ).coalesce(1),
+        lake,
+    )
+    merge_into(
+        spark, lake,
+        spark.createDataFrame(
+            [(2, "B", False), (3, None, True), (9, "i", False)],
+            "k long, v string, is_delete boolean",
+        ),
+        ["k"], delete_col="is_delete",
+    )
+    feed = table_changes(spark, lake, 1, 2).collect()
+    ins = {(r["k"], r["v"]) for r in feed if r["_change_type"] == "insert"}
+    dels = {(r["k"], r["v"]) for r in feed if r["_change_type"] == "delete"}
+    assert ins == {(1, "a"), (2, "B"), (9, "i")}
+    assert dels == {(1, "a"), (2, "b"), (3, "c")}
+    # replaying the feed onto v1 reproduces the head exactly:
+    # (v1 - deletes) + inserts
+    v1 = {(r["k"], r["v"])
+          for r in read_version(spark, lake, 1).collect()}
+    head = {(r["k"], r["v"]) for r in read_version(spark, lake).collect()}
+    assert (v1 - dels) | ins == head
+    empty = table_changes(spark, lake, 2, 2)
+    assert empty.count() == 0
+    assert "_change_type" in empty.columns
