@@ -3068,6 +3068,7 @@ GATE_WINDOW = [
     "versioned_merge", "versioned_compact", "ols_trend",
     "knn_range_search", "label_propagation", "mad_outliers",
     "rsi_users", "stream_versioned_merge", "versioned_changes",
+    "versioned_prune_read",
     "knn_pq_rotated", "pq_rotation_recall",
     "sq8_codes", "knn_sq8", "stream_sq8_codes", "sq8_recall",
     "doremi_mixture", "bpe_coverage", "packing_efficiency",
@@ -3079,7 +3080,9 @@ GATE_WINDOW = [
     "perceptron_train", "perceptron_score", "stream_decontaminate",
     "stream_perceptron_score", "substring_dedup_apply",
     # (b) changed after the r6 gate
-    "line_dedup", "dedup_minhash_lsh", "dedup_clusters", "dedup_keep_best",
+    "line_dedup", "dedup_minhash_lsh", "dedup_clusters",
+    # dedup_keep_best (changed code shares the checkpointed-pair family
+    # with dedup_clusters, green at the r6 gate) rotated to round 8.
     # dedup_pair_recall + dedup_source_matrix (same changed family as
     # dedup_minhash_lsh, green r6) and incremental_dedup (its changed
     # bucketed-probe path is exercised in-window by

@@ -123,18 +123,67 @@ def _commit(path: str, files: list[str], parent: int | None,
     raise RuntimeError(f"commit contention: {max_retries} retries exhausted")
 
 
-def commit_append(df: DataFrame, path: str, meta: dict | None = None) -> int:
+def _footer_stats(abs_path: str, cols: list[str]) -> dict:
+    """Per-column [min, max] from the parquet FOOTER (zero data read),
+    aggregated across row groups.  Columns without statistics are
+    omitted (a reader must then treat the file as unprunable)."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(abs_path).metadata
+    out: dict = {}
+    for g in range(md.num_row_groups):
+        rg = md.row_group(g)
+        for i in range(rg.num_columns):
+            c = rg.column(i)
+            name = c.path_in_schema
+            if name not in cols:
+                continue
+            st = c.statistics
+            if st is None or not st.has_min_max:
+                out[name] = None  # poison: stats unusable for this file
+                continue
+            lo, hi = st.min, st.max
+            if name in out and out[name] is not None:
+                lo = min(lo, out[name][0])
+                hi = max(hi, out[name][1])
+            if out.get(name, True) is not None:
+                out[name] = [lo, hi]
+    return {k: v for k, v in out.items() if v is not None}
+
+
+def commit_append(
+    df: DataFrame, path: str, meta: dict | None = None,
+    stats_cols: list[str] | None = None,
+) -> int:
     """Append ``df`` as a new version: new data files + a manifest that
-    is (head's files + new files).  Returns the committed version."""
+    is (head's files + new files).  With ``stats_cols``, each new
+    file's footer min/max for those columns is recorded in the manifest
+    (``stats`` map) so :func:`scan_version` can skip files by range —
+    the Iceberg scan-planning idea: pruning decisions from O(#files)
+    manifest metadata, zero data reads.  Returns the committed
+    version."""
     new_files = _write_data(df, path)
+    stats = {}
+    if stats_cols:
+        for f in new_files:
+            s = _footer_stats(os.path.join(path, f), stats_cols)
+            if s:
+                stats[f] = s
     while True:
         vs = [v for v in versions(path) if not _is_torn(path, v)]
-        base = _read_manifest(path, vs[-1])["files"] if vs else []
+        base_files, base_stats = [], {}
+        if vs:
+            m = _read_manifest(path, vs[-1])
+            base_files = m["files"]
+            base_stats = m.get("stats", {})
         try:
             return _commit(
-                path, sorted(base) + new_files,
+                path, sorted(base_files) + new_files,
                 parent=vs[-1] if vs else None,
-                operation="append", max_retries=1, meta=meta,
+                operation="append", max_retries=1,
+                meta={**({"stats": {**base_stats, **stats}}
+                         if (stats or base_stats) else {}),
+                      **(meta or {})},
             )
         except RuntimeError:
             continue  # head moved between the base read and the publish
@@ -215,6 +264,42 @@ def table_changes(
     return read_version(spark, path, v_to).limit(0).withColumn(
         "_change_type", F.lit("insert")
     )
+
+
+def scan_version(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    lo,
+    hi,
+    version: int | None = None,
+) -> DataFrame:
+    """Range-pruned read of a pinned version: opens ONLY the manifest
+    files whose recorded [min, max] for ``col`` intersects [lo, hi]
+    (files without recorded stats are conservatively kept), then
+    applies the range filter so the result is exact either way.  The
+    pruning decision costs one manifest read — no file footers, no data
+    — which is what makes a needle query against a 10^5-file snapshot
+    a metadata operation (proven by a corrupt-the-other-files test)."""
+    from pyspark.sql import functions as F
+
+    vs = [v for v in versions(path) if not _is_torn(path, v)]
+    if not vs:
+        raise FileNotFoundError(f"no committed versions under {path}")
+    v = vs[-1] if version is None else version
+    m = _read_manifest(path, v)
+    stats = m.get("stats", {})
+    keep = []
+    for f in m["files"]:
+        s = stats.get(f, {}).get(col)
+        if s is None or (s[0] <= hi and s[1] >= lo):
+            keep.append(f)
+    if not keep:
+        return read_version(spark, path, v).limit(0).filter(
+            F.col(col).between(lo, hi)
+        )
+    df = spark.read.parquet(*[os.path.join(path, f) for f in keep])
+    return df.filter(F.col(col).between(lo, hi))
 
 
 def vacuum(path: str, keep_last: int = 1) -> dict:

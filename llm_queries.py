@@ -1418,6 +1418,44 @@ def q_versioned_changes(spark, sf_dir):
     return out
 
 
+def q_versioned_prune_read(spark, sf_dir):
+    """Stat-pruned snapshot read gate: three range-disjoint appends
+    record footer min/max in the manifest; scan_version(doc_id in
+    [lo, hi]) must equal the plain filter (that it opens ONLY the
+    intersecting files is proven by the corruption test in pytest --
+    here the VALUES are hash-gated)."""
+    import shutil
+    import tempfile
+
+    from async_stream_processing_spark.plans.versioned import (
+        commit_append,
+        scan_version,
+    )
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    n = docs.count()
+    lake = tempfile.mkdtemp(prefix="asp_vprune_")
+    shutil.rmtree(lake, ignore_errors=True)
+    try:
+        third = (n + 2) // 3
+        for i in range(3):
+            commit_append(
+                docs.filter(
+                    (F.col("doc_id") >= i * third)
+                    & (F.col("doc_id") < (i + 1) * third)
+                ).coalesce(1),
+                lake, stats_cols=["doc_id"],
+            )
+        lo, hi = third // 2, third + third // 2
+        out = scan_version(spark, lake, "doc_id", lo, hi) \
+            .localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(lake, ignore_errors=True)
+    return out
+
+
 def q_versioned_compact(spark, sf_dir):
     """OPTIMIZE gate: three appends (doc_id mod 3 slices) then a compact
     rewrite into one file as a new version -- the head must still equal
@@ -1710,6 +1748,7 @@ LLM_QUERIES = {
     "stream_versioned_merge": q_stream_versioned_merge,
     "versioned_compact": q_versioned_compact,
     "versioned_changes": q_versioned_changes,
+    "versioned_prune_read": q_versioned_prune_read,
     "knn_pq_rotated": q_knn_pq_rotated,
     "pq_rotation_recall": q_pq_rotation_recall,
     "stream_versioned_sink": q_stream_versioned_sink,
@@ -2184,6 +2223,14 @@ def llm_oracle_sql() -> dict[str, str]:
         """,
         "versioned_compact": """
             SELECT doc_id, text, lang, source, n_chars FROM documents
+        """,
+        "versioned_prune_read": """
+            WITH p AS (SELECT ((COUNT(*) + 2) // 3) AS third
+                       FROM documents)
+            SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+            FROM documents d, p
+            WHERE d.doc_id BETWEEN p.third // 2
+                                AND p.third + p.third // 2
         """,
         "versioned_changes": """
             SELECT doc_id, text, lang, source, n_chars,
