@@ -2326,6 +2326,63 @@ def q_rsi_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rsi_wilder(load_table(spark, sf_dir, "events"), period=14)
 
 
+def q_stream_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rsi_users EXECUTED BY THE STREAMING ENGINE: per-key state is the
+    canonicalized event list (array_sort(collect_list) -- micro-batch-
+    arrival-order-independent), diffs derived from consecutive elements
+    of the sorted array (no lag window, which streaming cannot run),
+    then the same two Wilder folds and IEEE tree as the batch operator;
+    the drained result hash-matches the SAME oracle as rsi_users."""
+    from async_stream_processing_spark.sources.parquet import stream_table
+    from async_stream_processing_spark.streaming.replay import drain
+
+    period = 14
+    s = stream_table(spark, sf_dir, "events")
+    y = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    arr = F.array_sort(
+        F.collect_list(F.struct("ts", "event_id", y.alias("y")))
+    )
+    agg = s.groupBy("user_id").agg(arr.alias("arr"))
+    ys = F.transform(F.col("arr"), lambda a: a["y"])
+    n = F.size(ys)
+    diffs = F.transform(
+        F.slice(ys, 2, F.greatest(n - 1, F.lit(0))),
+        lambda v, i: v - F.element_at(ys, i + 1),
+    )
+    gs = F.transform(diffs, lambda d: F.greatest(d, F.lit(0)) * 1_000_000)
+    ls = F.transform(
+        diffs, lambda d: F.greatest(-d, F.lit(0)) * 1_000_000
+    )
+
+    def wilder(xs):
+        def step(acc, v):
+            t = acc * (period - 1) + v
+            return ((t - t % period) / period).cast("long")
+
+        return F.aggregate(
+            F.slice(xs, 2, F.greatest(F.size(xs) - 1, F.lit(0))),
+            F.element_at(xs, 1),
+            step,
+        )
+
+    agg = agg.select(
+        "user_id",
+        F.size(diffs).cast("long").alias("n_diffs"),
+        wilder(gs).alias("ag_scaled"),
+        wilder(ls).alias("al_scaled"),
+    ).filter(F.col("n_diffs") >= 14)
+    ag_d = F.col("ag_scaled").cast("double")
+    al_d = F.col("al_scaled").cast("double")
+    out = agg.withColumn(
+        "rsi",
+        F.when(
+            F.col("ag_scaled") + F.col("al_scaled") > 0,
+            F.lit(100.0) * ag_d / (ag_d + al_d),
+        ),
+    )
+    return drain(out, output_mode="complete")
+
+
 def q_stream_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     """max_drawdown EXECUTED BY THE STREAMING ENGINE: the equity/peak/
     drawdown recurrence folds over ``array_sort(collect_list(...))``
@@ -2854,6 +2911,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bollinger_bands": q_bollinger_bands,
         "hilbert_prune_stats": q_hilbert_prune_stats,
         "stream_ewma": q_stream_ewma,
+        "stream_rsi": q_stream_rsi,
         "stream_max_drawdown": q_stream_max_drawdown,
         # --- (d) re-confirm filler ---
         "ohlc_bars": q_ohlc_bars,
@@ -3068,7 +3126,7 @@ GATE_WINDOW = [
     "versioned_merge", "versioned_compact", "ols_trend",
     "knn_range_search", "label_propagation", "mad_outliers",
     "rsi_users", "stream_versioned_merge", "versioned_changes",
-    "versioned_prune_read",
+    "versioned_prune_read", "stream_rsi",
     "knn_pq_rotated", "pq_rotation_recall",
     "sq8_codes", "knn_sq8", "stream_sq8_codes", "sq8_recall",
     "doremi_mixture", "bpe_coverage", "packing_efficiency",
@@ -3080,7 +3138,10 @@ GATE_WINDOW = [
     "perceptron_train", "perceptron_score", "stream_decontaminate",
     "stream_perceptron_score", "substring_dedup_apply",
     # (b) changed after the r6 gate
-    "line_dedup", "dedup_minhash_lsh", "dedup_clusters",
+    "dedup_minhash_lsh", "dedup_clusters",
+    # line_dedup (r7 rewrite locally verified bit-exact at both SFs;
+    # shares the segment-hash machinery gated in-window via
+    # pipeline_end_to_end) rotated to round 8.
     # dedup_keep_best (changed code shares the checkpointed-pair family
     # with dedup_clusters, green at the r6 gate) rotated to round 8.
     # dedup_pair_recall + dedup_source_matrix (same changed family as
@@ -4549,7 +4610,7 @@ def oracle_sql() -> dict[str, str]:
                     AS DOUBLE) / 100000000.0 AS ewma
         FROM xs
     """
-    out["rsi_users"] = """
+    out["rsi_users"] = out["stream_rsi"] = """
         WITH yv AS (
             SELECT user_id, ts, event_id,
                    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
