@@ -32,6 +32,7 @@ EXAMPLES = [
     "e20_streaming_intake",
     "e21_eval_sweep",
     "e22_versioned_corpus",
+    "e23_lakehouse_cdc",
 ]
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "examples"))
