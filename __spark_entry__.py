@@ -3126,7 +3126,7 @@ GATE_WINDOW = [
     "versioned_merge", "versioned_compact", "ols_trend",
     "knn_range_search", "label_propagation", "mad_outliers",
     "rsi_users", "stream_versioned_merge", "versioned_changes",
-    "versioned_prune_read", "stream_rsi",
+    "versioned_prune_read", "stream_rsi", "versioned_point_lookup",
     "knn_pq_rotated", "pq_rotation_recall",
     "sq8_codes", "knn_sq8", "stream_sq8_codes", "sq8_recall",
     "doremi_mixture", "bpe_coverage", "packing_efficiency",
@@ -3154,10 +3154,10 @@ GATE_WINDOW = [
     # in-window by dedup_clusters / substring_dup_spans+
     # substring_dedup_apply, all green at an earlier gate) rotated to
     # round 8.
-    "knn_ivfpq",
-    # ivfpq_recall + stream_upsert_state (changed code already green at
-    # an earlier gate; families represented by knn_ivfpq/ivfpq_upsert
-    # in-window) rotated to round 8 to keep the window at 50.
+    # knn_ivfpq + ivfpq_recall + stream_upsert_state (changed code
+    # already green at an earlier gate; the factored ivfpq path is
+    # exercised in-window by ivfpq_upsert / knn_ivfpq_served /
+    # stream_ivfpq_upsert) rotated to round 8 to keep the window at 50.
     # (c) stalest re-confirmations rotated out to round 8 to make room
     # for the third-continuation additions (demux_counts, event_deltas
     # -- both last gated r2, both double-green there).

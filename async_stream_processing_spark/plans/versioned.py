@@ -151,9 +151,62 @@ def _footer_stats(abs_path: str, cols: list[str]) -> dict:
     return {k: v for k, v in out.items() if v is not None}
 
 
+def _bloom_probes(values, m_bits: int, k: int):
+    """Kirsch-Mitzenmacher probe rows for int64 values, after a
+    splitmix-style scramble (raw ids are sequential; unscrambled h2
+    would degenerate to 1).  Pure driver-side numpy — the bloom never
+    crosses an engine boundary, so there is no portability constraint."""
+    import numpy as np
+
+    v = np.asarray(values, dtype=np.uint64)
+    h = (v * np.uint64(0x9E3779B97F4A7C15)) & np.uint64((1 << 63) - 1)
+    h ^= h >> np.uint64(31)
+    h1 = h % np.uint64(m_bits)
+    h2 = ((h >> np.uint64(17)) | np.uint64(1)) % np.uint64(m_bits)
+    return h1, h2
+
+
+def _build_file_bloom(abs_path: str, col: str,
+                      m_bits: int, k: int) -> str:
+    """Bloom filter over one file's ``col`` values, base64-packed.
+    Costs one single-column read of a freshly written file at commit
+    time (an in-flight writer would fold this into the write itself;
+    same artifact)."""
+    import base64
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    vals = pq.read_table(abs_path, columns=[col])[col].to_numpy()
+    bits = np.zeros(m_bits, dtype=bool)
+    h1, h2 = _bloom_probes(vals, m_bits, k)
+    for i in range(k):
+        bits[(h1 + np.uint64(i) * h2) % np.uint64(m_bits)] = True
+    return base64.b64encode(np.packbits(bits).tobytes()).decode()
+
+
+def _bloom_might_contain(entry: dict, value: int) -> bool:
+    import base64
+
+    import numpy as np
+
+    bits = np.unpackbits(
+        np.frombuffer(base64.b64decode(entry["b64"]), dtype=np.uint8)
+    )
+    m, k = entry["m"], entry["k"]
+    h1, h2 = _bloom_probes([value], m, k)
+    return all(
+        bits[int((h1[0] + np.uint64(i) * h2[0]) % np.uint64(m))]
+        for i in range(k)
+    )
+
+
 def commit_append(
     df: DataFrame, path: str, meta: dict | None = None,
     stats_cols: list[str] | None = None,
+    bloom_cols: list[str] | None = None,
+    bloom_bits: int = 1 << 16,
+    bloom_k: int = 4,
 ) -> int:
     """Append ``df`` as a new version: new data files + a manifest that
     is (head's files + new files).  With ``stats_cols``, each new
@@ -169,21 +222,34 @@ def commit_append(
             s = _footer_stats(os.path.join(path, f), stats_cols)
             if s:
                 stats[f] = s
+    blooms = {}
+    if bloom_cols:
+        for f in new_files:
+            blooms[f] = {
+                c: {"m": bloom_bits, "k": bloom_k,
+                    "b64": _build_file_bloom(
+                        os.path.join(path, f), c, bloom_bits, bloom_k)}
+                for c in bloom_cols
+            }
     while True:
         vs = [v for v in versions(path) if not _is_torn(path, v)]
-        base_files, base_stats = [], {}
+        base_files, base_stats, base_blooms = [], {}, {}
         if vs:
             m = _read_manifest(path, vs[-1])
             base_files = m["files"]
             base_stats = m.get("stats", {})
+            base_blooms = m.get("blooms", {})
+        extra = {}
+        if stats or base_stats:
+            extra["stats"] = {**base_stats, **stats}
+        if blooms or base_blooms:
+            extra["blooms"] = {**base_blooms, **blooms}
         try:
             return _commit(
                 path, sorted(base_files) + new_files,
                 parent=vs[-1] if vs else None,
                 operation="append", max_retries=1,
-                meta={**({"stats": {**base_stats, **stats}}
-                         if (stats or base_stats) else {}),
-                      **(meta or {})},
+                meta={**extra, **(meta or {})},
             )
         except RuntimeError:
             continue  # head moved between the base read and the publish
@@ -300,6 +366,41 @@ def scan_version(
         )
     df = spark.read.parquet(*[os.path.join(path, f) for f in keep])
     return df.filter(F.col(col).between(lo, hi))
+
+
+def lookup_version(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    value: int,
+    version: int | None = None,
+) -> DataFrame:
+    """Point lookup against a pinned version via the manifest's
+    per-file BLOOM filters: only files whose bloom might contain
+    ``value`` are opened (no false negatives by construction, so the
+    equality filter on top makes the result exact; files without a
+    bloom are conservatively kept).  The row-level twin of
+    :func:`scan_version`'s range pruning — a primary-key fetch against
+    a 10^5-file snapshot touches O(1) files."""
+    from pyspark.sql import functions as F
+
+    vs = [v for v in versions(path) if not _is_torn(path, v)]
+    if not vs:
+        raise FileNotFoundError(f"no committed versions under {path}")
+    v = vs[-1] if version is None else version
+    m = _read_manifest(path, v)
+    blooms = m.get("blooms", {})
+    keep = []
+    for f in m["files"]:
+        entry = blooms.get(f, {}).get(col)
+        if entry is None or _bloom_might_contain(entry, value):
+            keep.append(f)
+    if not keep:
+        return read_version(spark, path, v).limit(0).filter(
+            F.col(col) == value
+        )
+    df = spark.read.parquet(*[os.path.join(path, f) for f in keep])
+    return df.filter(F.col(col) == value)
 
 
 def vacuum(path: str, keep_last: int = 1) -> dict:

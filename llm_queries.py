@@ -1456,6 +1456,49 @@ def q_versioned_prune_read(spark, sf_dir):
     return out
 
 
+def q_versioned_point_lookup(spark, sf_dir):
+    """Bloom point-lookup gate: bloom-tracked appends, then three
+    primary-key fetches (n/4, n/2, 3n/4) against the head -- each opens
+    only files whose manifest bloom might contain the key (no false
+    negatives proven in pytest by corrupting rejected files; the VALUES
+    are hash-gated here)."""
+    import shutil
+    import tempfile
+
+    from async_stream_processing_spark.plans.versioned import (
+        commit_append,
+        lookup_version,
+    )
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    n = docs.count()
+    lake = tempfile.mkdtemp(prefix="asp_vlookup_")
+    shutil.rmtree(lake, ignore_errors=True)
+    try:
+        third = (n + 2) // 3
+        for i in range(3):
+            commit_append(
+                docs.filter(
+                    (F.col("doc_id") >= i * third)
+                    & (F.col("doc_id") < (i + 1) * third)
+                ).coalesce(1),
+                lake, bloom_cols=["doc_id"],
+            )
+        parts = [
+            lookup_version(spark, lake, "doc_id", k)
+            for k in (n // 4, n // 2, (3 * n) // 4)
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out = out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(lake, ignore_errors=True)
+    return out
+
+
 def q_versioned_compact(spark, sf_dir):
     """OPTIMIZE gate: three appends (doc_id mod 3 slices) then a compact
     rewrite into one file as a new version -- the head must still equal
@@ -1749,6 +1792,7 @@ LLM_QUERIES = {
     "versioned_compact": q_versioned_compact,
     "versioned_changes": q_versioned_changes,
     "versioned_prune_read": q_versioned_prune_read,
+    "versioned_point_lookup": q_versioned_point_lookup,
     "knn_pq_rotated": q_knn_pq_rotated,
     "pq_rotation_recall": q_pq_rotation_recall,
     "stream_versioned_sink": q_stream_versioned_sink,
@@ -2223,6 +2267,12 @@ def llm_oracle_sql() -> dict[str, str]:
         """,
         "versioned_compact": """
             SELECT doc_id, text, lang, source, n_chars FROM documents
+        """,
+        "versioned_point_lookup": """
+            WITH p AS (SELECT COUNT(*) AS n FROM documents)
+            SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+            FROM documents d, p
+            WHERE d.doc_id IN (p.n // 4, p.n // 2, (3 * p.n) // 4)
         """,
         "versioned_prune_read": """
             WITH p AS (SELECT ((COUNT(*) + 2) // 3) AS third

@@ -1064,3 +1064,41 @@ def test_scan_version_prunes_by_manifest_stats(spark, tmp_path):
         for r in scan_version(spark, lake, "k", 120, 180).collect()
     )
     assert got == list(range(120, 181))
+
+
+def test_lookup_version_bloom_prunes_files(spark, tmp_path):
+    """Point lookup via manifest blooms: no false negatives over every
+    committed key, and the pruning is REAL -- corrupt every file whose
+    bloom rejects a probe key; the lookup still reads exactly."""
+    import os
+
+    from async_stream_processing_spark.plans.versioned import (
+        _bloom_might_contain,
+        _read_manifest,
+        commit_append,
+        lookup_version,
+    )
+
+    lake = str(tmp_path / "lake")
+    for lo in (0, 1000, 2000):
+        commit_append(
+            spark.range(lo, lo + 300).withColumnRenamed("id", "k")
+            .coalesce(1),
+            lake, bloom_cols=["k"], bloom_bits=1 << 12,
+        )
+    m = _read_manifest(lake, 3)
+    assert set(m["blooms"]) == set(m["files"])
+    # no false negatives: every key's own file passes its bloom
+    for probe in (0, 299, 1000, 1299, 2000, 2299, 1234):
+        got = lookup_version(spark, lake, "k", probe).collect()
+        assert [r["k"] for r in got] == [probe]
+    # pruning proof: corrupt files whose bloom REJECTS key 1234
+    rejected = 0
+    for f, bl in m["blooms"].items():
+        if not _bloom_might_contain(bl["k"], 1234):
+            with open(os.path.join(lake, f), "wb") as fh:
+                fh.write(b"garbage")
+            rejected += 1
+    assert rejected >= 1  # tiny bloom, disjoint ranges: some file rejects
+    got = lookup_version(spark, lake, "k", 1234).collect()
+    assert [r["k"] for r in got] == [1234]
