@@ -313,6 +313,22 @@ WINDOW_FUNCS = [
     ("F.lead('event_id', 1)", "LEAD(event_id, 1)"),
     ("F.count(F.lit(1))", "COUNT(*)"),
     ("F.min('event_id')", "MIN(event_id)"),
+    ("F.dense_rank()", "DENSE_RANK()"),
+    ("F.ntile(4)", "NTILE(4)"),
+    # percent_rank/cume_dist: one IEEE division of exact integers ->
+    # identical doubles in both engines; x 1e6 then an EXPLICIT FLOOR
+    # (DuckDB's CAST(double AS BIGINT) ROUNDS half-away while Spark's
+    # cast truncates -- a real cross-engine hazard this grammar found;
+    # floor is identical in both).  Spark needs .over() BEFORE the
+    # arithmetic, hence the W placeholder.
+    ("F.floor(F.percent_rank().over(W) * 1000000)",
+     "FLOOR(PERCENT_RANK() {over} * 1000000)"),
+    ("F.floor(F.cume_dist().over(W) * 1000000)",
+     "FLOOR(CUME_DIST() {over} * 1000000)"),
+    # default frame (RANGE UNBOUNDED PRECEDING .. CURRENT ROW) over a
+    # UNIQUE ordering: rows == range in both engines
+    ("F.first_value('event_id')", "FIRST_VALUE(event_id)"),
+    ("F.nth_value('event_id', 3)", "NTH_VALUE(event_id, 3)"),
 ]
 
 WINDOW_PARTS = [
@@ -355,8 +371,10 @@ def run_spark_window(spark, sf_dir: str, case: dict):
     for s, _ in case["filters"]:
         df = df.filter(eval(s, env))
     w = Window.partitionBy(eval(case["part"][0], env)).orderBy("event_id")
+    env["W"] = w
     cols = [F.col("event_id")] + [
-        eval(s, env).over(w).cast("long").alias(f"w{i}")
+        (eval(s, env) if ".over(W)" in s else eval(s, env).over(w))
+        .cast("long").alias(f"w{i}")
         for i, (s, _) in enumerate(case["wfuncs"])
     ]
     return df.select(*cols).toPandas()
@@ -366,7 +384,8 @@ def run_duckdb_window(con, case: dict):
     where = " AND ".join(q for _, q in case["filters"]) or "TRUE"
     over = f"OVER (PARTITION BY {case['part'][1]} ORDER BY event_id)"
     sel = ", ".join(
-        f"CAST({q} {over} AS BIGINT) AS w{i}"
+        f"CAST({q.format(over=over)} AS BIGINT) AS w{i}"
+        if "{over}" in q else f"CAST({q} {over} AS BIGINT) AS w{i}"
         for i, (_, q) in enumerate(case["wfuncs"])
     )
     return con.execute(
