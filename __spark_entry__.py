@@ -3127,6 +3127,7 @@ GATE_WINDOW = [
     "knn_range_search", "label_propagation", "mad_outliers",
     "rsi_users", "stream_versioned_merge", "versioned_changes",
     "versioned_prune_read", "stream_rsi", "versioned_point_lookup",
+    "vocab_growth",
     "knn_pq_rotated", "pq_rotation_recall",
     "sq8_codes", "knn_sq8", "stream_sq8_codes", "sq8_recall",
     "doremi_mixture", "bpe_coverage", "packing_efficiency",
@@ -3138,7 +3139,9 @@ GATE_WINDOW = [
     "perceptron_train", "perceptron_score", "stream_decontaminate",
     "stream_perceptron_score", "substring_dedup_apply",
     # (b) changed after the r6 gate
-    "dedup_minhash_lsh", "dedup_clusters",
+    "dedup_clusters",
+    # dedup_minhash_lsh (its changed candidate+verify machinery is the
+    # same path dedup_clusters composes in-window) rotated to round 8.
     # line_dedup (r7 rewrite locally verified bit-exact at both SFs;
     # shares the segment-hash machinery gated in-window via
     # pipeline_end_to_end) rotated to round 8.

@@ -1665,3 +1665,86 @@ def sql_source_token_diversity(src: str = "documents") -> str:
                    AS type_token_ratio
         FROM per
     """
+
+
+def vocab_growth(docs: DataFrame, bucket_docs: int = 50) -> DataFrame:
+    """Heaps'-law measurement: cumulative corpus tokens vs cumulative
+    DISTINCT types as the corpus grows in doc_id order, bucketed every
+    ``bucket_docs`` documents — the curve a tokenizer-budget or
+    dedup-saturation decision reads (a flattening type curve means new
+    documents stop contributing vocabulary).
+
+    Cumulative distinct is not windowable; the trick is exact and
+    one-pass: a type is NEW at the document where it FIRST appears
+    (min(doc_id) per token — one token-keyed shuffle over distinct
+    (token, doc) pairs), so cum_types = running sum of per-bucket
+    first-appearance counts.  The running sums are a single-partition
+    window over the BUCKET aggregate (O(corpus/bucket_docs) rows of
+    integers — aggregate-sized by construction, documented as such),
+    never over the corpus."""
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        "doc_id", F.explode(tokens("text")).alias("tok")
+    ).filter(F.col("tok") != "")
+    per_doc = toks.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens")
+    )
+    first_seen = toks.groupBy("tok").agg(F.min("doc_id").alias("first_doc"))
+    new_types = first_seen.groupBy(
+        F.col("first_doc").alias("doc_id")
+    ).agg(F.count("*").alias("n_new_types"))
+    per_doc = per_doc.join(new_types, "doc_id", "left").select(
+        (F.col("doc_id") - F.col("doc_id") % bucket_docs).alias("bucket"),
+        "n_tokens",
+        F.coalesce("n_new_types", F.lit(0)).alias("n_new_types"),
+    )
+    agg = per_doc.groupBy("bucket").agg(
+        F.sum("n_tokens").alias("bucket_tokens"),
+        F.sum("n_new_types").alias("bucket_types"),
+    )
+    w = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return agg.select(
+        "bucket",
+        F.sum("bucket_tokens").over(w).alias("cum_tokens"),
+        F.sum("bucket_types").over(w).alias("cum_types"),
+    )
+
+
+def sql_vocab_growth(bucket_docs: int = 50, src: str = "documents") -> str:
+    """DuckDB twin of :func:`vocab_growth`."""
+    return f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(string_split_regex(lower(trim(text)), ' +'))
+                       AS tok
+            FROM {src}),
+        tok2 AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+        per_doc AS (
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens
+            FROM tok2 GROUP BY doc_id),
+        first_seen AS (
+            SELECT tok, MIN(doc_id) AS first_doc FROM tok2 GROUP BY tok),
+        new_types AS (
+            SELECT first_doc AS doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_new_types
+            FROM first_seen GROUP BY first_doc),
+        b AS (
+            SELECT p.doc_id - p.doc_id % {bucket_docs} AS bucket,
+                   p.n_tokens,
+                   COALESCE(n.n_new_types, 0) AS n_new_types
+            FROM per_doc p LEFT JOIN new_types n USING (doc_id)),
+        agg AS (
+            SELECT bucket,
+                   CAST(SUM(n_tokens) AS BIGINT) AS bucket_tokens,
+                   CAST(SUM(n_new_types) AS BIGINT) AS bucket_types
+            FROM b GROUP BY bucket)
+        SELECT bucket,
+               CAST(SUM(bucket_tokens) OVER (ORDER BY bucket
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+               CAST(SUM(bucket_types) OVER (ORDER BY bucket
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_types
+        FROM agg
+    """

@@ -1569,6 +1569,16 @@ def q_perceptron_eval(spark, sf_dir):
     return perceptron_eval(_docs(spark, sf_dir), n_buckets=64, n_rounds=3)
 
 
+def q_vocab_growth(spark, sf_dir):
+    """Heaps'-law curve: cumulative tokens vs cumulative DISTINCT types
+    per 50-doc bucket -- cumulative distinct made one-pass exact via
+    first-appearance counting (min(doc_id) per token), running sums
+    over the O(#buckets) aggregate only."""
+    from async_stream_processing_spark.llm.text_analysis import vocab_growth
+
+    return vocab_growth(_docs(spark, sf_dir), bucket_docs=50)
+
+
 def q_source_token_diversity(spark, sf_dir):
     """Per-source Simpson diversity + type/token ratio (log-free entropy
     cousin): template-generated sources show up as a diversity cliff.
@@ -1798,6 +1808,7 @@ LLM_QUERIES = {
     "stream_versioned_sink": q_stream_versioned_sink,
     "perceptron_eval": q_perceptron_eval,
     "source_token_diversity": q_source_token_diversity,
+    "vocab_growth": q_vocab_growth,
     "unimax_mixture": q_unimax_mixture,
     "hard_negatives": q_hard_negatives,
     "pmi_pairs": q_pmi_pairs,
@@ -2188,6 +2199,7 @@ def llm_oracle_sql() -> dict[str, str]:
     from async_stream_processing_spark.llm.text_analysis import (
         sql_pmi_pairs,
         sql_source_token_diversity,
+        sql_vocab_growth,
     )
     from async_stream_processing_spark.llm.classifier import (
         sql_perceptron_eval,
@@ -2228,6 +2240,7 @@ def llm_oracle_sql() -> dict[str, str]:
         "perceptron_eval": sql_perceptron_eval(
             n_buckets=64, n_rounds=3, holdout_mod=5),
         "source_token_diversity": sql_source_token_diversity(),
+        "vocab_growth": sql_vocab_growth(bucket_docs=50),
         "versioned_time_travel": """
             SELECT doc_id, text, lang, source, n_chars
             FROM documents WHERE doc_id % 5 != 0

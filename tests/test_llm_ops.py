@@ -1637,3 +1637,28 @@ def test_range_search_radius_semantics_and_no_exchange(spark):
     plan = range_search(df, n_queries=1, tau=0.5) \
         ._jdf.queryExecution().executedPlan().toString()
     assert not re.findall(r"Exchange hashpartitioning", plan), plan
+
+
+def test_vocab_growth_brute_force(spark):
+    """The first-appearance construction equals a Python running-set
+    brute force, including a doc that adds no new types."""
+    from async_stream_processing_spark.llm.text_analysis import vocab_growth
+
+    texts = [
+        "a b c",          # 3 tokens, 3 new
+        "a b d",          # 3 tokens, 1 new
+        "a a a",          # 3 tokens, 0 new
+        "e f",            # bucket 2 (bucket_docs=3): 2 tokens, 2 new
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    out = {r["bucket"]: (r["cum_tokens"], r["cum_types"])
+           for r in vocab_growth(df, bucket_docs=3).collect()}
+    seen, cum_tok, brute = set(), 0, {}
+    for i, t in enumerate(texts):
+        ws = t.split()
+        cum_tok += len(ws)
+        seen |= set(ws)
+        brute[i - i % 3] = (cum_tok, len(seen))
+    assert out == brute
