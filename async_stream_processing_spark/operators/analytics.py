@@ -483,6 +483,11 @@ def mad_outliers(df: DataFrame, key: str = "user_id",
     (over half the group identical) any deviation flags, the textbook
     MAD degeneracy.  Plan: two windows + two joins all partitioned by
     ``key`` — the exchange happens once.
+
+    Contract: ``value`` must be non-null (engines disagree on NULL
+    sort position — Spark NULLS FIRST vs DuckDB NULLS LAST — so a
+    NULL-bearing column must be filtered before any rank-by-value
+    median; the driver tables carry no NULL values, asserted).
     """
     y = (F.col(value).cast("decimal(18,2)") * 100).cast("long")
     d = df.select(key, "event_id", y.alias("y_c"))
