@@ -179,6 +179,9 @@ UNPARTITIONED_WINDOW_ALLOWLIST = {
     "weighted_sample": 1,
     "quality_stratified_sample": 1,
     "cms_token_counts": 1,
+    # cumsum over the per-bucket AGGREGATE (O(corpus/bucket_docs) rows
+    # of integers), never the corpus -- documented in vocab_growth
+    "vocab_growth": 1,
 }
 
 
