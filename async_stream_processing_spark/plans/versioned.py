@@ -463,8 +463,12 @@ def merge_into(
        stays time-travel-readable until vacuumed.
 
     A key appearing twice in ``source`` is a caller error (the merge
-    would be order-dependent); enforced with one cheap count.
-    Returns the committed version."""
+    would be order-dependent); enforced with one cheap count.  A key
+    appearing twice in the TARGET (not the intended keyed-table shape)
+    collapses to the single source row on update — Delta would instead
+    rewrite every matched row to the same values; the collapse is the
+    saner semantics for a keyed lake and is documented rather than
+    hidden.  Returns the committed version."""
     from pyspark.sql import functions as F
 
     vs = [v for v in versions(path) if not _is_torn(path, v)]
