@@ -82,6 +82,11 @@ R5_BUDGETS_SF01 = {
     "kmeans_silhouette": 2.00,
     "knn_pq_rotated": 7.48,
     "pq_rotation_recall": 9.41,
+    # round-7 third continuation (bases = idle round-close run):
+    # the streaming CDC merge drains three micro-batches each doing a
+    # copy-on-write commit; LPA is a 3-round iterate-join
+    "stream_versioned_merge": 4.29,
+    "label_propagation": 2.99,
 }
 
 
