@@ -335,20 +335,29 @@ def table_changes(
 def scan_version(
     spark: SparkSession,
     path: str,
-    col: str,
-    lo,
-    hi,
+    col: str | None = None,
+    lo=None,
+    hi=None,
     version: int | None = None,
+    ranges: dict | None = None,
 ) -> DataFrame:
     """Range-pruned read of a pinned version: opens ONLY the manifest
-    files whose recorded [min, max] for ``col`` intersects [lo, hi]
+    files whose recorded [min, max] intersects the queried range(s)
     (files without recorded stats are conservatively kept), then
     applies the range filter so the result is exact either way.  The
     pruning decision costs one manifest read — no file footers, no data
     — which is what makes a needle query against a 10^5-file snapshot
-    a metadata operation (proven by a corrupt-the-other-files test)."""
+    a metadata operation (proven by a corrupt-the-other-files test).
+
+    Single predicate: ``scan_version(spark, path, col, lo, hi)``.
+    Conjunction: ``scan_version(spark, path, ranges={"a": (lo, hi),
+    "b": (lo, hi)})`` — a file survives only if EVERY queried column's
+    recorded range intersects (AND-pruning: Z-order/Hilbert-clustered
+    layouts make multi-column conjunctions prune multiplicatively)."""
     from pyspark.sql import functions as F
 
+    if ranges is None:
+        ranges = {col: (lo, hi)}
     vs = [v for v in versions(path) if not _is_torn(path, v)]
     if not vs:
         raise FileNotFoundError(f"no committed versions under {path}")
@@ -357,15 +366,25 @@ def scan_version(
     stats = m.get("stats", {})
     keep = []
     for f in m["files"]:
-        s = stats.get(f, {}).get(col)
-        if s is None or (s[0] <= hi and s[1] >= lo):
+        ok = True
+        for c, (c_lo, c_hi) in ranges.items():
+            s = stats.get(f, {}).get(c)
+            if s is not None and not (s[0] <= c_hi and s[1] >= c_lo):
+                ok = False
+                break
+        if ok:
             keep.append(f)
+
+    def _filtered(df: DataFrame) -> DataFrame:
+        for c, (c_lo, c_hi) in ranges.items():
+            df = df.filter(F.col(c).between(c_lo, c_hi))
+        return df
+
     if not keep:
-        return read_version(spark, path, v).limit(0).filter(
-            F.col(col).between(lo, hi)
-        )
-    df = spark.read.parquet(*[os.path.join(path, f) for f in keep])
-    return df.filter(F.col(col).between(lo, hi))
+        return _filtered(read_version(spark, path, v).limit(0))
+    return _filtered(
+        spark.read.parquet(*[os.path.join(path, f) for f in keep])
+    )
 
 
 def lookup_version(

@@ -1102,3 +1102,42 @@ def test_lookup_version_bloom_prunes_files(spark, tmp_path):
     assert rejected >= 1  # tiny bloom, disjoint ranges: some file rejects
     got = lookup_version(spark, lake, "k", 1234).collect()
     assert [r["k"] for r in got] == [1234]
+
+
+def test_scan_version_multi_column_and_pruning(spark, tmp_path):
+    """Conjunctive stat pruning: a file survives only if EVERY queried
+    column's range intersects -- proven by corrupting every file that
+    matches on one column but not the other."""
+    import os
+
+    from async_stream_processing_spark.plans.versioned import (
+        _read_manifest,
+        commit_append,
+        scan_version,
+    )
+
+    lake = str(tmp_path / "lake")
+    # three files: (k in [0,99], j constant 0), (k [0,99], j 1), (k [100,199], j 0)
+    for k_lo, j in ((0, 0), (0, 1), (100, 0)):
+        commit_append(
+            spark.range(k_lo, k_lo + 100)
+            .withColumnRenamed("id", "k")
+            .selectExpr("k", f"CAST({j} AS LONG) AS j")
+            .coalesce(1),
+            lake, stats_cols=["k", "j"],
+        )
+    m = _read_manifest(lake, 3)
+    # query k in [10,20] AND j in [1,1]: only file 2 matches both
+    for f, st in m["stats"].items():
+        k_ok = st["k"][0] <= 20 and st["k"][1] >= 10
+        j_ok = st["j"][0] <= 1 and st["j"][1] >= 1
+        if not (k_ok and j_ok):
+            with open(os.path.join(lake, f), "wb") as fh:
+                fh.write(b"garbage")
+    got = sorted(
+        r["k"]
+        for r in scan_version(
+            spark, lake, ranges={"k": (10, 20), "j": (1, 1)}
+        ).collect()
+    )
+    assert got == list(range(10, 21))
