@@ -2383,6 +2383,68 @@ def q_stream_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drain(out, output_mode="complete")
 
 
+def q_stream_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ols_trend EXECUTED BY THE STREAMING ENGINE: per-key state is the
+    canonicalized event list; the index sums come CLOSED-FORM
+    (sx = n(n+1)/2, sxx = n(n+1)(2n+1)/6 -- the time index is 1..n by
+    construction, so no second aggregation is needed, which complete
+    mode would forbid) and sy/sxy/syy fold over the sorted array.  The
+    drained result hash-matches the SAME oracle as ols_trend."""
+    from async_stream_processing_spark.sources.parquet import stream_table
+    from async_stream_processing_spark.streaming.replay import drain
+
+    s = stream_table(spark, sf_dir, "events")
+    y = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    arr = F.array_sort(
+        F.collect_list(F.struct("ts", "event_id", y.alias("y")))
+    )
+    agg = s.groupBy("user_id").agg(arr.alias("arr"))
+    ys = F.transform(F.col("arr"), lambda a: a["y"])
+    n = F.size(ys).cast("long")
+    zero = F.lit(0).cast("long")
+    sy = F.aggregate(ys, zero, lambda acc, v: acc + v)
+    syy = F.aggregate(ys, zero, lambda acc, v: acc + v * v)
+    sxy = F.aggregate(
+        F.zip_with(
+            ys,
+            F.sequence(F.lit(1).cast("long"), n),
+            lambda yv, xv: xv * yv,
+        ),
+        zero,
+        lambda acc, v: acc + v,
+    )
+    agg = agg.select(
+        "user_id",
+        n.alias("n_points"),
+        (n * (n + 1) / 2).cast("long").alias("sx"),
+        (n * (n + 1) * (2 * n + 1) / 6).cast("long").alias("sxx"),
+        sy.alias("sy"),
+        sxy.alias("sxy"),
+        syy.alias("syy"),
+    ).filter(F.col("n_points") >= 10)
+    nn, sx, sxx = F.col("n_points"), F.col("sx"), F.col("sxx")
+    syc, sxyc, syyc = F.col("sy"), F.col("sxy"), F.col("syy")
+    agg = agg.withColumn("num", nn * sxyc - sx * syc) \
+             .withColumn("den_x", nn * sxx - sx * sx) \
+             .withColumn("den_y", nn * syyc - syc * syc)
+    slope = F.col("num").cast("double") / F.col("den_x").cast("double")
+    agg = agg.withColumn("slope_cents", slope)
+    intercept = (
+        (syc.cast("double") - F.col("slope_cents") * sx.cast("double"))
+        / nn.cast("double")
+    )
+    r2 = F.when(
+        F.col("den_y") > 0,
+        F.col("slope_cents")
+        * (F.col("num").cast("double") / F.col("den_y").cast("double")),
+    )
+    out = agg.select(
+        "user_id", "n_points", "slope_cents",
+        intercept.alias("intercept_cents"), r2.alias("r2"),
+    )
+    return drain(out, output_mode="complete")
+
+
 def q_stream_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     """max_drawdown EXECUTED BY THE STREAMING ENGINE: the equity/peak/
     drawdown recurrence folds over ``array_sort(collect_list(...))``
@@ -2912,6 +2974,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hilbert_prune_stats": q_hilbert_prune_stats,
         "stream_ewma": q_stream_ewma,
         "stream_rsi": q_stream_rsi,
+        "stream_ols": q_stream_ols,
         "stream_max_drawdown": q_stream_max_drawdown,
         # --- (d) re-confirm filler ---
         "ohlc_bars": q_ohlc_bars,
@@ -3127,7 +3190,7 @@ GATE_WINDOW = [
     "knn_range_search", "label_propagation", "mad_outliers",
     "rsi_users", "stream_versioned_merge", "versioned_changes",
     "versioned_prune_read", "stream_rsi", "versioned_point_lookup",
-    "vocab_growth",
+    "vocab_growth", "stream_ols",
     "knn_pq_rotated", "pq_rotation_recall",
     "sq8_codes", "knn_sq8", "stream_sq8_codes", "sq8_recall",
     "doremi_mixture", "bpe_coverage", "packing_efficiency",
@@ -3138,10 +3201,11 @@ GATE_WINDOW = [
     "knn_ivfpq_served", "stream_ivfpq_upsert",
     "perceptron_train", "perceptron_score", "stream_decontaminate",
     "stream_perceptron_score", "substring_dedup_apply",
-    # (b) changed after the r6 gate
-    "dedup_clusters",
-    # dedup_minhash_lsh (its changed candidate+verify machinery is the
-    # same path dedup_clusters composes in-window) rotated to round 8.
+    # (b) changed after the r6 gate.  dedup_clusters + dedup_minhash_lsh
+    # rotated to round 8: their changed candidate+verify machinery is
+    # composed in-window by pipeline_end_to_end, the CC loop's
+    # convergence is pinned by tests/test_scale.py and the iterative
+    # probe, and both were exact in today's double full sweeps.
     # line_dedup (r7 rewrite locally verified bit-exact at both SFs;
     # shares the segment-hash machinery gated in-window via
     # pipeline_end_to_end) rotated to round 8.
@@ -3298,6 +3362,9 @@ def oracle_sql() -> dict[str, str]:
                    END AS r2
             FROM c
         """,
+        # the streaming twin computes the identical sufficient sums
+        # (index sums closed-form over the canonicalized state list),
+        # so it shares ols_trend's oracle verbatim
         "event_deltas": f"""
             SELECT user_id, ts, seq, value,
                    LAG(ts)  OVER w AS prev_ts,
@@ -4613,6 +4680,7 @@ def oracle_sql() -> dict[str, str]:
                     AS DOUBLE) / 100000000.0 AS ewma
         FROM xs
     """
+    out["stream_ols"] = out["ols_trend"]
     out["rsi_users"] = out["stream_rsi"] = """
         WITH yv AS (
             SELECT user_id, ts, event_id,
