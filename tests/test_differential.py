@@ -198,3 +198,19 @@ def test_differential_fuzz_subquery_pinned_seed(spark):
         )
     failures = fuzz_subquery(spark, con, SF, n_cases=15, seed=20260814)
     assert not failures, failures[:3]
+
+
+def test_differential_fuzz_multijoin_pinned_seed(spark):
+    """Three-table join chains (events -> customer -> nation), INNER or
+    LEFT at each hop, dims from all three tables -- join reordering and
+    null-extension through chained LEFT joins, one ANSI string in both
+    engines."""
+    from tools.fuzz_differential import fuzz_multijoin
+
+    con = duckdb.connect()
+    for t in ("events", "customer", "nation"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'"
+        )
+    failures = fuzz_multijoin(spark, con, SF, n_cases=15, seed=20260814)
+    assert not failures, failures[:3]

@@ -872,6 +872,83 @@ def fuzz_subquery(spark, con, sf_dir: str, n_cases: int, seed: int):
     return failures
 
 
+MULTIJOIN_DIMS = [
+    "e.event_type",
+    "(e.user_id % {k})",
+    "c.c_mktsegment",
+    "n.n_name",
+]
+
+MULTIJOIN_PREDS = [
+    "e.event_id % {m} = 0",
+    "e.value >= {v}",
+    "e.event_type <> '{et}'",
+]
+
+
+def gen_multijoin_case(rng: random.Random) -> dict:
+    """One 3-table join chain: events -> customer (user_id = c_custkey)
+    -> nation (c_nationkey = n_nationkey), INNER or LEFT at each hop,
+    dims drawn from all three tables -- probes join reordering,
+    null-extension through chained LEFT joins, and dim-side predicate
+    placement (inner hops may carry an ON-side dimension filter; LEFT
+    hops never do, the base grammar's WHERE-vs-ON lesson)."""
+    subs = {
+        "m": rng.choice([2, 3, 5, 7]),
+        "k": rng.choice([3, 10, 25]),
+        "v": round(rng.uniform(-50, 400), 2),
+        "et": rng.choice(EVENT_TYPES),
+        "b": round(rng.uniform(-500, 5000), 2),
+        "seg": rng.choice(SEGMENTS),
+    }
+    j1 = rng.choice(["JOIN", "LEFT JOIN"])
+    j2 = rng.choice(["JOIN", "LEFT JOIN"])
+    on1 = "e.user_id = c.c_custkey"
+    if j1 == "JOIN" and rng.random() < 0.5:
+        on1 += f" AND c.c_acctbal >= {subs['b']}"
+    on2 = "c.c_nationkey = n.n_nationkey"
+    # dims referencing a LEFT side are fine (null-extended groups);
+    # n_name through LEFT JOIN nation probes NULL-group handling
+    dims = rng.sample(MULTIJOIN_DIMS, rng.randint(1, 3))
+    where = ""
+    if rng.random() < 0.6:
+        where = " WHERE " + " AND ".join(
+            p.format(**subs)
+            for p in rng.sample(MULTIJOIN_PREDS, rng.randint(1, 2))
+        )
+    sel = ", ".join(
+        f"{d.format(**subs)} AS d{i}" for i, d in enumerate(dims)
+    )
+    grp = ", ".join(d.format(**subs) for d in dims)
+    sql = (
+        f"SELECT {sel}, COUNT(*) AS n, MIN(e.event_id) AS mn, "
+        f"CAST(COUNT(c.c_custkey) AS BIGINT) AS n_cust, "
+        f"CAST(COUNT(n.n_name) AS BIGINT) AS n_nat, "
+        f"CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sv "
+        f"FROM events e {j1} customer c ON {on1} "
+        f"{j2} nation n ON {on2}{where} GROUP BY {grp}"
+    )
+    return {"sql": sql}
+
+
+def fuzz_multijoin(spark, con, sf_dir: str, n_cases: int, seed: int):
+    from async_stream_processing_spark.sources.parquet import load_table
+
+    for t in ("events", "customer", "nation"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    rng = random.Random(seed)
+    failures = []
+    for i in range(n_cases):
+        case = gen_multijoin_case(rng)
+        err = compare(
+            spark.sql(case["sql"]).toPandas(),
+            con.execute(case["sql"]).df(),
+        )
+        if err:
+            failures.append((i, err, case))
+    return failures
+
+
 def main():
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     streaming = "--streaming" in sys.argv
@@ -882,6 +959,7 @@ def main():
     rollup = "--rollup" in sys.argv
     setop = "--setop" in sys.argv
     subquery = "--subquery" in sys.argv
+    multijoin = "--multijoin" in sys.argv
     n = int(args[0]) if len(args) > 0 else 50
     seed = int(args[1]) if len(args) > 1 else 20260814
     sf_dir = args[2] if len(args) > 2 else "/root/testdata/sf0.01"
@@ -893,7 +971,7 @@ def main():
     spark = get_spark("fuzz")
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
-    for t in ("events", "customer", "documents"):
+    for t in ("events", "customer", "documents", "nation"):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
         )
@@ -913,13 +991,16 @@ def main():
         failures = fuzz_setop(spark, con, sf_dir, n, seed)
     elif subquery:
         failures = fuzz_subquery(spark, con, sf_dir, n, seed)
+    elif multijoin:
+        failures = fuzz_multijoin(spark, con, sf_dir, n, seed)
     else:
         failures = fuzz(spark, con, sf_dir, n, seed)
     mode = (", streaming" if streaming else
             ", window" if window else ", scalar" if scalar
             else ", text" if text else ", array" if array
             else ", rollup" if rollup else ", setop" if setop
-            else ", subquery" if subquery else "")
+            else ", subquery" if subquery
+            else ", multijoin" if multijoin else "")
     for i, err, case in failures:
         print(f"FAIL case {i}: {err}\n  {case}")
     print(f"{'FAIL' if failures else 'PASS'}: {n - len(failures)}/{n} "
