@@ -475,3 +475,63 @@ def test_heavy_hitters_random_vs_bruteforce_any_partitioning(spark, data):
         ).collect()
     }
     assert got == expect, (seed, nparts)
+
+
+# target: (key, version-tag) rows; cdc: (key, op) where op in
+# {update, delete}; keys collide freely to exercise matched/unmatched
+merge_target_strategy = st.lists(
+    st.integers(0, 15), min_size=1, max_size=20, unique=True
+)
+merge_cdc_strategy = st.lists(
+    st.tuples(st.integers(0, 20), st.booleans()),
+    min_size=0, max_size=12,
+    unique_by=lambda t: t[0],
+)
+
+
+@given(target=merge_target_strategy, cdc=merge_cdc_strategy)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_versioned_merge_matches_dict_reference(spark, tmp_path_factory,
+                                                target, cdc):
+    """merge_into == the obvious dict fold (update/delete/insert by
+    key) on random targets and CDC batches, including empty CDC,
+    all-delete, and insert-only shapes; the pre-merge version stays
+    byte-stable."""
+    from async_stream_processing_spark.plans.versioned import (
+        commit_append,
+        merge_into,
+        read_version,
+    )
+
+    lake = str(tmp_path_factory.mktemp("vmerge") / "lake")
+    commit_append(
+        spark.createDataFrame(
+            [(k, f"t{k}") for k in target], "k long, v string"
+        ).repartition(2),
+        lake,
+    )
+    merge_into(
+        spark, lake,
+        spark.createDataFrame(
+            [(k, f"u{k}", d) for k, d in cdc],
+            "k long, v string, is_delete boolean",
+        ),
+        ["k"], delete_col="is_delete",
+    )
+    # dict reference
+    state = {k: f"t{k}" for k in target}
+    for k, d in cdc:
+        if d:
+            state.pop(k, None)
+        else:
+            state[k] = f"u{k}"
+    if state:
+        head = {(r["k"], r["v"])
+                for r in read_version(spark, lake).collect()}
+        assert head == set(state.items())
+    pre = {(r["k"], r["v"]) for r in read_version(spark, lake, 1).collect()}
+    assert pre == {(k, f"t{k}") for k in target}
