@@ -504,16 +504,42 @@ def merge_into(
 
     data_cols = [c for c in source.columns if c != delete_col]
     src_keys = source.select(*key_cols)
-    target = spark.read.parquet(
-        *[os.path.join(path, f) for f in head_files]
-    ).withColumn("_file", F.input_file_name())
 
-    # 1. touched files: those containing at least one matched key
-    touched_abs = [
-        r["_file"]
-        for r in target.join(F.broadcast(src_keys), key_cols, "left_semi")
-        .select("_file").distinct().collect()
-    ]
+    # 0. manifest-stat pre-prune: a file whose recorded key range
+    # cannot intersect the CDC batch's key span cannot contain a match
+    # — at 100 TB this turns the touched-file scan from a full head
+    # read into O(candidate files) (stats are per single key column;
+    # composite keys or stat-less files degrade to scanning all).
+    head_manifest = _read_manifest(path, head)
+    stats = head_manifest.get("stats", {})
+    candidates = head_files
+    if len(key_cols) == 1:
+        kc = key_cols[0]
+        bounds = source.agg(
+            F.min(kc).alias("lo"), F.max(kc).alias("hi")
+        ).first()
+        if bounds["lo"] is not None:
+            candidates = [
+                f for f in head_files
+                if stats.get(f, {}).get(kc) is None
+                or (stats[f][kc][0] <= bounds["hi"]
+                    and stats[f][kc][1] >= bounds["lo"])
+            ]
+    if not candidates:
+        touched_abs = []
+        target = None
+    else:
+        target = spark.read.parquet(
+            *[os.path.join(path, f) for f in candidates]
+        ).withColumn("_file", F.input_file_name())
+
+        # 1. touched files: those containing at least one matched key
+        touched_abs = [
+            r["_file"]
+            for r in target.join(
+                F.broadcast(src_keys), key_cols, "left_semi"
+            ).select("_file").distinct().collect()
+        ]
     # input_file_name yields URIs (file://...); map back to lake-relative
     touched_rel = set()
     for uri in touched_abs:
@@ -539,11 +565,22 @@ def merge_into(
         rewrite = upserts
     new_files = _write_data(rewrite, path)
 
-    # 3. one atomic commit; pre-merge head stays readable
+    # 3. one atomic commit; pre-merge head stays readable.  Stats are
+    # carried for kept files and recomputed (same columns) for the
+    # rewritten files, so merge does not degrade future stat pruning.
+    extra = {}
+    if stats:
+        stat_cols = sorted({c for s in stats.values() for c in s})
+        new_stats = {f: stats[f] for f in kept if f in stats}
+        for f in new_files:
+            s = _footer_stats(os.path.join(path, f), stat_cols)
+            if s:
+                new_stats[f] = s
+        extra["stats"] = new_stats
     return _commit(
         path, sorted(kept) + new_files, parent=head, operation="merge",
         meta={"touched_files": len(touched_rel),
-              "carried_files": len(kept), **(meta or {})},
+              "carried_files": len(kept), **extra, **(meta or {})},
     )
 
 

@@ -1141,3 +1141,53 @@ def test_scan_version_multi_column_and_pruning(spark, tmp_path):
         ).collect()
     )
     assert got == list(range(10, 21))
+
+
+def test_merge_stat_pruning_skips_cold_files(spark, tmp_path):
+    """A MERGE against a stat-tracked lake must not even READ files
+    whose key range cannot match the CDC batch -- proven by corrupting
+    the cold file before merging; and the merge CARRIES stats forward
+    (kept files keep theirs, rewritten files get fresh ones), so a
+    later range scan still prunes."""
+    import os
+
+    from async_stream_processing_spark.plans.versioned import (
+        _read_manifest,
+        commit_append,
+        merge_into,
+        scan_version,
+    )
+
+    lake = str(tmp_path / "lake")
+    for lo in (0, 1000):
+        commit_append(
+            spark.range(lo, lo + 100).selectExpr(
+                "id AS k", "CAST(id AS STRING) AS v"
+            ).coalesce(1),
+            lake, stats_cols=["k"],
+        )
+    m = _read_manifest(lake, 2)
+    # corrupt the low-range file: the CDC batch only touches [1000,1010]
+    for f, st in m["stats"].items():
+        if st["k"][1] < 1000:
+            with open(os.path.join(lake, f), "wb") as fh:
+                fh.write(b"garbage")
+    cdc = spark.createDataFrame(
+        [(1005, "UP", False), (1010, None, True), (2000, "NEW", False)],
+        "k long, v string, is_delete boolean",
+    )
+    v = merge_into(spark, lake, cdc, ["k"], delete_col="is_delete")
+    m2 = _read_manifest(lake, v)
+    assert m2["touched_files"] == 1  # the corrupted cold file never read
+    # stats carried + recomputed: a later scan on the new head prunes
+    assert len(m2["stats"]) == len(m2["files"])
+    got = sorted(
+        r["k"] for r in scan_version(spark, lake, "k", 1990, 2010).collect()
+    )
+    assert got == [2000]
+    # the corrupted cold file stays unreadable, so inspect the hot
+    # range through the pruned scan (read_version would open it)
+    head = {(r["k"], r["v"])
+            for r in scan_version(spark, lake, "k", 1000, 2100).collect()}
+    assert (1005, "UP") in head and (2000, "NEW") in head
+    assert all(k != 1010 for k, _ in head)
