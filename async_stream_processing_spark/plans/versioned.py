@@ -577,6 +577,21 @@ def merge_into(
             if s:
                 new_stats[f] = s
         extra["stats"] = new_stats
+    blooms = head_manifest.get("blooms", {})
+    if blooms:
+        any_entry = next(iter(blooms.values()))
+        bloom_cols = sorted(any_entry)
+        m_bits = any_entry[bloom_cols[0]]["m"]
+        k_probes = any_entry[bloom_cols[0]]["k"]
+        new_blooms = {f: blooms[f] for f in kept if f in blooms}
+        for f in new_files:
+            new_blooms[f] = {
+                c: {"m": m_bits, "k": k_probes,
+                    "b64": _build_file_bloom(
+                        os.path.join(path, f), c, m_bits, k_probes)}
+                for c in bloom_cols
+            }
+        extra["blooms"] = new_blooms
     return _commit(
         path, sorted(kept) + new_files, parent=head, operation="merge",
         meta={"touched_files": len(touched_rel),
@@ -588,11 +603,35 @@ def compact(spark: SparkSession, path: str, target_files: int = 1) -> int:
     """OPTIMIZE: rewrite the head's files into ``target_files`` larger
     ones as a new version — content logically identical, old version
     still time-travel-readable, small files reclaimed by vacuum.  The
-    coalesce is shuffle-free (file-level re-bin, not a repartition)."""
+    coalesce is shuffle-free (file-level re-bin, not a repartition).
+    Stats and blooms are recomputed for the rewritten files when the
+    head carried them, so maintenance never degrades pruning."""
     df = read_version(spark, path).coalesce(target_files)
     new_files = _write_data(df, path)
     vs = [v for v in versions(path) if not _is_torn(path, v)]
-    return _commit(path, new_files, parent=vs[-1], operation="compact")
+    m = _read_manifest(path, vs[-1])
+    extra: dict = {}
+    if m.get("stats"):
+        stat_cols = sorted({c for s in m["stats"].values() for c in s})
+        extra["stats"] = {
+            f: s for f in new_files
+            if (s := _footer_stats(os.path.join(path, f), stat_cols))
+        }
+    if m.get("blooms"):
+        any_entry = next(iter(m["blooms"].values()))
+        bloom_cols = sorted(any_entry)
+        mb = any_entry[bloom_cols[0]]["m"]
+        kp = any_entry[bloom_cols[0]]["k"]
+        extra["blooms"] = {
+            f: {c: {"m": mb, "k": kp,
+                    "b64": _build_file_bloom(
+                        os.path.join(path, f), c, mb, kp)}
+                for c in bloom_cols}
+            for f in new_files
+        }
+    return _commit(
+        path, new_files, parent=vs[-1], operation="compact", meta=extra
+    )
 
 
 def committed_batch_ids(path: str) -> set[int]:

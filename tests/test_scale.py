@@ -1191,3 +1191,57 @@ def test_merge_stat_pruning_skips_cold_files(spark, tmp_path):
             for r in scan_version(spark, lake, "k", 1000, 2100).collect()}
     assert (1005, "UP") in head and (2000, "NEW") in head
     assert all(k != 1010 for k, _ in head)
+
+
+def test_maintenance_preserves_blooms_and_stats(spark, tmp_path):
+    """MERGE and COMPACT carry/recompute manifest blooms and stats so
+    maintenance never degrades pruning: after both operations, a point
+    lookup and a range scan still skip cold files (corruption-proven)."""
+    import os
+
+    from async_stream_processing_spark.plans.versioned import (
+        _read_manifest,
+        commit_append,
+        compact,
+        lookup_version,
+        merge_into,
+        scan_version,
+    )
+
+    lake = str(tmp_path / "lake")
+    for lo in (0, 1000):
+        commit_append(
+            spark.range(lo, lo + 50).selectExpr(
+                "id AS k", "CAST(id AS STRING) AS v"
+            ).coalesce(1),
+            lake, stats_cols=["k"], bloom_cols=["k"], bloom_bits=1 << 12,
+        )
+    merge_into(
+        spark, lake,
+        spark.createDataFrame([(1005, "UP", False)],
+                              "k long, v string, is_delete boolean"),
+        ["k"], delete_col="is_delete",
+    )
+    v = compact(spark, lake, target_files=2)
+    m = _read_manifest(lake, v)
+    assert len(m["stats"]) == len(m["files"])
+    assert len(m["blooms"]) == len(m["files"])
+    # corrupt every file whose bloom rejects 1005 AND whose range
+    # misses it; both pruned paths must still read exactly
+    from async_stream_processing_spark.plans.versioned import (
+        _bloom_might_contain,
+    )
+
+    for f in m["files"]:
+        b_ok = _bloom_might_contain(m["blooms"][f]["k"], 1005)
+        s = m["stats"][f]["k"]
+        s_ok = s[0] <= 1005 <= s[1]
+        if not (b_ok or s_ok):
+            with open(os.path.join(lake, f), "wb") as fh:
+                fh.write(b"garbage")
+    assert [(r["k"], r["v"]) for r in
+            lookup_version(spark, lake, "k", 1005).collect()] \
+        == [(1005, "UP")]
+    assert sorted(
+        r["k"] for r in scan_version(spark, lake, "k", 1000, 1010).collect()
+    ) == list(range(1000, 1011))
