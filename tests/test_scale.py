@@ -1245,3 +1245,338 @@ def test_maintenance_preserves_blooms_and_stats(spark, tmp_path):
     assert sorted(
         r["k"] for r in scan_version(spark, lake, "k", 1000, 1010).collect()
     ) == list(range(1000, 1011))
+
+
+# ---------------------------------------------------------------- round 8
+
+
+def test_commit_conflict_merge_no_lost_update(spark, tmp_path, monkeypatch):
+    """The lost-update race (r8 advice, HIGH): a commit_append landing
+    between merge_into's head read and its manifest publish must NOT be
+    erased.  We inject the concurrent append right before the merge's
+    first commit attempt; the pinned publish must raise CommitConflict
+    internally, the merge must recompute against the new head, and the
+    final state must contain BOTH the concurrent rows and the merge."""
+    import async_stream_processing_spark.plans.versioned as V
+
+    lake = str(tmp_path / "lake")
+    V.commit_append(
+        spark.range(0, 10).selectExpr("id AS k", "CAST(id AS STRING) AS v"),
+        lake,
+    )
+
+    real_commit = V._commit
+    fired = {"done": False}
+
+    def racing_commit(path, files, parent, operation, meta=None,
+                      expected_head=0):
+        if operation == "merge" and not fired["done"]:
+            fired["done"] = True  # concurrent append sneaks in first
+            V.commit_append(
+                spark.createDataFrame([(100, "race")], "k long, v string"),
+                path,
+            )
+        return real_commit(path, files, parent, operation, meta=meta,
+                           expected_head=expected_head)
+
+    monkeypatch.setattr(V, "_commit", racing_commit)
+    V.merge_into(
+        spark, lake,
+        spark.createDataFrame([(3, "UP", False), (7, None, True)],
+                              "k long, v string, is_delete boolean"),
+        ["k"], delete_col="is_delete",
+    )
+    head = {(r["k"], r["v"])
+            for r in V.read_version(spark, lake).collect()}
+    assert (100, "race") in head          # the concurrent append survived
+    assert (3, "UP") in head              # the merge's update landed
+    assert all(k != 7 for k, _ in head)   # the merge's delete landed
+    assert len(head) == 10                # 10 - deleted + raced
+
+
+def test_commit_conflict_compact_no_lost_update(spark, tmp_path,
+                                                monkeypatch):
+    """compact's twin of the lost-update race: an append landing while
+    the compaction rewrites must survive into the post-compact head."""
+    import async_stream_processing_spark.plans.versioned as V
+
+    lake = str(tmp_path / "lake")
+    for lo in (0, 10):
+        V.commit_append(
+            spark.range(lo, lo + 10).selectExpr("id AS k"), lake
+        )
+
+    real_commit = V._commit
+    fired = {"done": False}
+
+    def racing_commit(path, files, parent, operation, meta=None,
+                      expected_head=0):
+        if operation == "compact" and not fired["done"]:
+            fired["done"] = True
+            V.commit_append(
+                spark.createDataFrame([(999,)], "k long"), path
+            )
+        return real_commit(path, files, parent, operation, meta=meta,
+                           expected_head=expected_head)
+
+    monkeypatch.setattr(V, "_commit", racing_commit)
+    V.compact(spark, lake, target_files=1)
+    rows = sorted(r["k"] for r in V.read_version(spark, lake).collect())
+    assert rows == list(range(20)) + [999]
+
+
+def test_merge_null_delete_flag_is_upsert(spark, tmp_path):
+    """A NULL delete flag means update/insert, never a silent delete
+    (r8 advice fix)."""
+    from async_stream_processing_spark.plans.versioned import (
+        commit_append,
+        merge_into,
+        read_version,
+    )
+
+    lake = str(tmp_path / "lake")
+    commit_append(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"),
+        lake,
+    )
+    merge_into(
+        spark, lake,
+        spark.createDataFrame([(1, "A", None), (3, "C", None)],
+                              "k long, v string, is_delete boolean"),
+        ["k"], delete_col="is_delete",
+    )
+    head = {(r["k"], r["v"]) for r in read_version(spark, lake).collect()}
+    assert head == {(1, "A"), (2, "b"), (3, "C")}
+
+
+def test_bloom_negative_keys_full_int64_domain(spark, tmp_path):
+    """Blooms build and probe identically over negative int64 keys (a
+    raw uint64 cast raises on NumPy>=2); NULL keys are dropped at build
+    time without poisoning the filter."""
+    from async_stream_processing_spark.plans.versioned import (
+        commit_append,
+        lookup_version,
+    )
+
+    lake = str(tmp_path / "lake")
+    commit_append(
+        spark.createDataFrame(
+            [(-5, "neg"), (-(1 << 62), "minish"), (7, "pos"), (None, "nul")],
+            "k long, v string",
+        ),
+        lake, bloom_cols=["k"], bloom_bits=1 << 12,
+    )
+    assert [r["v"] for r in lookup_version(spark, lake, "k", -5).collect()] \
+        == ["neg"]
+    assert [r["v"] for r in
+            lookup_version(spark, lake, "k", -(1 << 62)).collect()] \
+        == ["minish"]
+    assert [r["v"] for r in lookup_version(spark, lake, "k", 7).collect()] \
+        == ["pos"]
+
+
+def test_sink_idempotence_check_is_head_only(spark, tmp_path, monkeypatch):
+    """The per-trigger re-delivery check reads ONE manifest (the head),
+    not every manifest (r7 verdict item 2: the old scan made a stream's
+    own idempotence check O(versions^2) over its life)."""
+    import async_stream_processing_spark.plans.versioned as V
+
+    src = str(tmp_path / "src")
+    for i in range(6):
+        spark.range(i * 10, i * 10 + 10).selectExpr("id AS k") \
+            .coalesce(1).write.mode("append").parquet(src)
+    lake = str(tmp_path / "lake")
+    stream = (
+        spark.readStream.schema("k long")
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = V.versioned_sink(stream, lake, str(tmp_path / "ck"))
+    q.awaitTermination(120)
+    assert len(V.versions(lake)) >= 6
+
+    reads = {"n": 0}
+    real_read = V._read_manifest
+
+    def counting_read(path, version):
+        reads["n"] += 1
+        return real_read(path, version)
+
+    monkeypatch.setattr(V, "_read_manifest", counting_read)
+    assert V.last_committed_batch_id(lake) == len(V.versions(lake)) - 1
+    assert reads["n"] == 1  # head only, regardless of version count
+
+
+def test_versioned_sink_auto_compact_policy(spark, tmp_path):
+    """Maintenance policy (r7 verdict item 5): a 20-micro-batch drain
+    with compact_every=5 + vacuum_keep=3 ends with a bounded number of
+    live files and manifests, content identical to the source, and the
+    exactly-once watermark still intact across compaction+vacuum (a
+    fresh-checkpoint re-delivery commits nothing)."""
+    import async_stream_processing_spark.plans.versioned as V
+
+    src = str(tmp_path / "src")
+    n_batches = 20
+    for i in range(n_batches):
+        spark.range(i * 5, i * 5 + 5).selectExpr("id AS k") \
+            .coalesce(1).write.mode("append").parquet(src)
+    lake = str(tmp_path / "lake")
+
+    def _stream():
+        return (
+            spark.readStream.schema("k long")
+            .option("maxFilesPerTrigger", 1).parquet(src)
+        )
+
+    q = V.versioned_sink(_stream(), lake, str(tmp_path / "ck1"),
+                         compact_every=5, compact_target_files=1,
+                         vacuum_keep=3)
+    q.awaitTermination(240)
+    live = V._read_manifest(lake, V.versions(lake)[-1])["files"]
+    assert len(live) <= 5  # 1 compacted + <=4 post-compact appends
+    assert len(V.versions(lake)) <= 6  # vacuum bounds manifest count
+    rows = sorted(r["k"] for r in V.read_version(spark, lake).collect())
+    assert rows == list(range(n_batches * 5))
+
+    # watermark survived vacuum: full re-delivery commits nothing
+    head_before = V.versions(lake)[-1]
+    q2 = V.versioned_sink(_stream(), lake, str(tmp_path / "ck2"),
+                          compact_every=5, vacuum_keep=3)
+    q2.awaitTermination(240)
+    assert V.versions(lake)[-1] == head_before
+    rows2 = sorted(r["k"] for r in V.read_version(spark, lake).collect())
+    assert rows2 == rows
+
+
+def test_merge_composite_key_pruning_corruption_proof(spark, tmp_path):
+    """Composite-key MERGE pre-pruning (r7 verdict item 4): with stats
+    on BOTH key columns, files whose per-column ranges cannot intersect
+    the CDC batch are never opened — proven by corrupting them before
+    the merge."""
+    import os
+
+    from async_stream_processing_spark.plans.versioned import (
+        _read_manifest,
+        commit_append,
+        merge_into,
+        read_version,
+        versions,
+    )
+
+    lake = str(tmp_path / "lake")
+    # three files, disjoint on (a, b): a in {0,1,2} x b contiguous
+    for a in range(3):
+        commit_append(
+            spark.range(a * 100, a * 100 + 50).selectExpr(
+                f"CAST({a} AS LONG) AS a", "id AS b",
+                "CAST(id AS STRING) AS v",
+            ).coalesce(1),
+            lake, stats_cols=["a", "b"],
+        )
+    m = _read_manifest(lake, versions(lake)[-1])
+    # CDC touches only (a=1, b=120); corrupt every file whose range
+    # excludes it on EITHER column
+    for f in m["files"]:
+        s = m["stats"][f]
+        if not (s["a"][0] <= 1 <= s["a"][1]
+                and s["b"][0] <= 120 <= s["b"][1]):
+            with open(os.path.join(lake, f), "wb") as fh:
+                fh.write(b"garbage")
+    merge_into(
+        spark, lake,
+        spark.createDataFrame([(1, 120, "UP", False)],
+                              "a long, b long, v string, is_delete boolean"),
+        ["a", "b"], delete_col="is_delete",
+    )
+    # the merged file is readable through the new head's stats pruning
+    from async_stream_processing_spark.plans.versioned import scan_version
+
+    got = {(r["a"], r["b"], r["v"]) for r in scan_version(
+        spark, lake, ranges={"a": (1, 1), "b": (118, 122)}
+    ).collect()}
+    assert (1, 120, "UP") in got
+    assert got == {(1, b, "UP" if b == 120 else str(b))
+                   for b in range(118, 123)}
+
+
+def test_merge_schema_evolution(spark, tmp_path):
+    """MERGE with a source carrying a NEW column (Delta mergeSchema-on-
+    MERGE): carried rows read the new column as NULL; untouched files
+    keep their old schema and read through merge_schema=True."""
+    from async_stream_processing_spark.plans.versioned import (
+        commit_append,
+        merge_into,
+        read_version,
+    )
+
+    lake = str(tmp_path / "lake")
+    commit_append(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+        .coalesce(1), lake,
+    )
+    commit_append(
+        spark.createDataFrame([(3, "c")], "k long, v string").coalesce(1),
+        lake,
+    )
+    # without merge_schema a new source column is a loud error
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        merge_into(
+            spark, lake,
+            spark.createDataFrame([(1, "A", 9, False)],
+                                  "k long, v string, score long, "
+                                  "is_delete boolean"),
+            ["k"], delete_col="is_delete",
+        )
+    merge_into(
+        spark, lake,
+        spark.createDataFrame([(1, "A", 9, False)],
+                              "k long, v string, score long, "
+                              "is_delete boolean"),
+        ["k"], delete_col="is_delete", merge_schema=True,
+    )
+    head = read_version(spark, lake, merge_schema=True)
+    rows = {r["k"]: (r["v"], r["score"]) for r in head.collect()}
+    assert rows == {1: ("A", 9), 2: ("b", None), 3: ("c", None)}
+
+
+def test_table_changes_row_level_nets_cow_churn(spark, tmp_path):
+    """row_level=True CDF (r7 verdict item 8): a CoW merge's carried
+    rows self-cancel; what survives is exactly the update's preimage+
+    postimage, the delete, and the insert."""
+    from async_stream_processing_spark.plans.versioned import (
+        commit_append,
+        merge_into,
+        table_changes,
+        versions,
+    )
+
+    lake = str(tmp_path / "lake")
+    commit_append(
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(10)], "k long, v string"
+        ).coalesce(1),
+        lake,
+    )
+    merge_into(
+        spark, lake,
+        spark.createDataFrame(
+            [(3, "UP", False), (5, None, True), (99, "NEW", False)],
+            "k long, v string, is_delete boolean",
+        ),
+        ["k"], delete_col="is_delete",
+    )
+    v1, v2 = versions(lake)[0], versions(lake)[-1]
+
+    # file-level feed reports the whole rewritten file as churn
+    file_feed = table_changes(spark, lake, v1, v2).collect()
+    assert len(file_feed) > 6  # carried rows present as ins+del pairs
+
+    row_feed = {(r["k"], r["v"], r["_change_type"])
+                for r in table_changes(spark, lake, v1, v2,
+                                       row_level=True).collect()}
+    assert row_feed == {
+        (3, "v3", "delete"), (3, "UP", "insert"),   # update pre+post
+        (5, "v5", "delete"),                          # delete
+        (99, "NEW", "insert"),                        # insert
+    }
