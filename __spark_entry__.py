@@ -2413,14 +2413,22 @@ def q_stream_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         zero,
         lambda acc, v: acc + v,
     )
+    # closed-form sx/sxx in PURE integer arithmetic (`div`, not `/`):
+    # double division then cast silently loses exactness once
+    # n*(n+1)*(2n+1) exceeds 2^53 (n per key above ~1.6e5), which would
+    # break the documented bit-identity with the batch ols_trend's
+    # exact integer sums (r8 advice fix)
     agg = agg.select(
         "user_id",
         n.alias("n_points"),
-        (n * (n + 1) / 2).cast("long").alias("sx"),
-        (n * (n + 1) * (2 * n + 1) / 6).cast("long").alias("sxx"),
         sy.alias("sy"),
         sxy.alias("sxy"),
         syy.alias("syy"),
+    ).withColumn(
+        "sx", F.expr("n_points * (n_points + 1L) div 2")
+    ).withColumn(
+        "sxx",
+        F.expr("n_points * (n_points + 1L) * (2L * n_points + 1L) div 6"),
     ).filter(F.col("n_points") >= 10)
     nn, sx, sxx = F.col("n_points"), F.col("sx"), F.col("sxx")
     syc, sxyc, syyc = F.col("sy"), F.col("sxy"), F.col("syy")

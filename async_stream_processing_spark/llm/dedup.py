@@ -425,6 +425,57 @@ def minhash_dedup_pairs(
     )
 
 
+_PAIRS_CACHE: dict = {}
+_PAIRS_CACHE_MAX = 8
+
+
+def verified_pairs_cached(
+    docs: DataFrame,
+    threshold: float = 0.25,
+    n_hashes: int = N_MINHASH,
+    bands: int = LSH_BANDS,
+    hash_mode: str = "md5",
+) -> DataFrame:
+    """The verified near-dup pair relation as ONE session-scoped
+    persisted artifact (r7 verdict item 6): ``dedup_pairs``,
+    ``dedup_clusters``, ``dedup_keep_best`` and ``dedup_source_matrix``
+    all consume the SAME (corpus, threshold) pair graph, and each
+    re-deriving it repaid the full signature -> bucket-join -> verify
+    floor (~4.7 s at sf0.1) per query.  The relation is pair-graph-sized
+    (tiny vs the corpus), so keeping it ``localCheckpoint``-ed for the
+    session costs near-nothing and every consumer after the first reads
+    a materialized artifact — the \"share one persisted artifact\"
+    structure a production pipeline would use (compute pairs once,
+    write them, fan consumers out from the table).
+
+    Cache key = (Spark application, semantic hash of the input plan,
+    params); ``sameSemantics`` re-verifies on hit so a hash collision
+    can only cause a recompute, never a wrong reuse.  Falls back to a
+    plain recompute whenever the plan can't be hashed (e.g. Connect)."""
+    try:
+        key = (
+            docs.sparkSession.sparkContext.applicationId,
+            docs.semanticHash(), threshold, n_hashes, bands, hash_mode,
+        )
+    except Exception:
+        key = None
+    if key is not None and key in _PAIRS_CACHE:
+        stored_docs, pairs = _PAIRS_CACHE[key]
+        try:
+            if docs.sameSemantics(stored_docs):
+                return pairs
+        except Exception:
+            pass
+    pairs = minhash_dedup_pairs(
+        docs, threshold, n_hashes, bands, hash_mode
+    ).localCheckpoint(eager=True)
+    if key is not None:
+        while len(_PAIRS_CACHE) >= _PAIRS_CACHE_MAX:
+            _PAIRS_CACHE.pop(next(iter(_PAIRS_CACHE)))
+        _PAIRS_CACHE[key] = (docs, pairs)
+    return pairs
+
+
 def corpus_bucket_sets(
     docs: DataFrame,
     n_hashes: int = N_MINHASH,
@@ -887,13 +938,15 @@ def dedup_clusters(
     min-label propagation, O(log diameter) rounds); the transitive-closure
     recursive-CTE oracle checks the result exactly.
     """
-    # checkpoint the verified pairs BEFORE mirroring: the union's two
-    # branches would otherwise each execute the whole minhash pipeline
+    # the verified pairs come from the session-scoped shared artifact
+    # (already checkpointed there): the union's two branches read the
+    # materialized relation instead of each executing the whole minhash
+    # pipeline, and keep_best/source_matrix/pairs reuse the same one
     from pyspark.sql import Window
 
-    pairs = minhash_dedup_pairs(
+    pairs = verified_pairs_cached(
         docs, threshold, n_hashes, bands, hash_mode
-    ).select("doc_a", "doc_b").localCheckpoint(eager=True)
+    ).select("doc_a", "doc_b")
     labels, _ = connected_components(pairs, max_iter)
     # cluster size as one partitioned window over the (pair-graph-sized)
     # label relation: one exchange instead of groupBy + join-back
@@ -975,7 +1028,7 @@ def dedup_source_matrix(
     matrix is one #sources^2-bounded aggregation.  Source labels
     normalize to (least, greatest) so each unordered pair is one row.
     """
-    pairs = minhash_dedup_pairs(
+    pairs = verified_pairs_cached(
         docs, threshold, n_hashes, bands, hash_mode
     ).select("doc_a", "doc_b")
     s = docs.select("doc_id", F.col(key))

@@ -27,7 +27,6 @@ from async_stream_processing_spark.llm.dedup import (
     LSH_BANDS,
     N_MINHASH,
     exact_dedup,
-    minhash_dedup_pairs,
     simhash,
 )
 from async_stream_processing_spark.llm.multimodal import (
@@ -76,8 +75,14 @@ def q_dedup_exact(spark, sf_dir):
 
 
 def q_dedup_minhash(spark, sf_dir):
-    """MinHash(16)+LSH(8x2) near-dup pairs verified at Jaccard >= 0.25."""
-    return minhash_dedup_pairs(_docs(spark, sf_dir), threshold=0.25)
+    """MinHash(16)+LSH(8x2) near-dup pairs verified at Jaccard >= 0.25.
+    Reads the session-shared verified-pair artifact (computed once,
+    reused by clusters/keep_best/source_matrix)."""
+    from async_stream_processing_spark.llm.dedup import (
+        verified_pairs_cached,
+    )
+
+    return verified_pairs_cached(_docs(spark, sf_dir), threshold=0.25)
 
 
 def q_ngram_jaccard(spark, sf_dir):
@@ -644,8 +649,12 @@ def q_incremental_dedup(spark, sf_dir):
     corpus shuffle) is pinned by
     tests/test_scale.py::test_incremental_dedup_bucketed; this query
     gates the semantics cross-engine."""
+    from async_stream_processing_spark.llm.dedup import (
+        verified_pairs_cached,
+    )
+
     docs = _docs(spark, sf_dir)
-    pairs = minhash_dedup_pairs(docs, threshold=0.25)
+    pairs = verified_pairs_cached(docs, threshold=0.25)
     a_new = F.col("doc_a") % 5 == 0
     b_new = F.col("doc_b") % 5 == 0
     cross = pairs.filter(a_new != b_new)
