@@ -1536,6 +1536,150 @@ def q_versioned_compact(spark, sf_dir):
     return out
 
 
+def q_versioned_merge_composite(spark, sf_dir):
+    """MERGE on a COMPOSITE key (r7 verdict item 4): the lake is keyed
+    by (source, doc_id), committed as three range-sliced files with
+    manifest stats on BOTH key columns, and the CDC batch
+    updates/deletes/inserts by the two-column key.  The stat pre-prune
+    ANDs the per-column interval tests (corruption-proven in pytest);
+    here the merged VALUES are hash-gated cross-engine."""
+    import shutil
+    import tempfile
+
+    from async_stream_processing_spark.plans.versioned import (
+        commit_append,
+        merge_into,
+        read_version,
+    )
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    n = docs.count()
+    lake = tempfile.mkdtemp(prefix="asp_vmergec_")
+    shutil.rmtree(lake, ignore_errors=True)
+    try:
+        third = (n + 2) // 3
+        for i in range(3):
+            commit_append(
+                docs.filter(
+                    (F.col("doc_id") % 3 != 0)
+                    & (F.col("doc_id") >= i * third)
+                    & (F.col("doc_id") < (i + 1) * third)
+                ).coalesce(1),
+                lake, stats_cols=["source", "doc_id"],
+            )
+        ups = docs.filter(F.col("doc_id") % 4 == 0).select(
+            "source", "doc_id",
+            F.upper("text").alias("text"),
+            F.lit("cmerged").alias("lang"),
+            "n_chars",
+            F.lit(False).alias("is_delete"),
+        )
+        dels = docs.filter(
+            (F.col("doc_id") % 7 == 0) & (F.col("doc_id") % 4 != 0)
+        ).select(
+            "source", "doc_id", "text", "lang", "n_chars",
+            F.lit(True).alias("is_delete"),
+        )
+        merge_into(
+            spark, lake, ups.unionByName(dels), ["source", "doc_id"],
+            delete_col="is_delete",
+        )
+        out = read_version(spark, lake).select(
+            "doc_id", "text", "lang", "source", "n_chars"
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(lake, ignore_errors=True)
+    return out
+
+
+def q_versioned_changes_rows(spark, sf_dir):
+    """ROW-LEVEL change-data-feed (r7 verdict item 8): a copy-on-write
+    MERGE rewrites whole files, so the file-level CDF reports carried
+    rows as self-cancelling insert+delete churn; table_changes(...,
+    row_level=True) nets that churn out with exceptAll over the
+    differenced files.  The surviving feed must be EXACTLY the update
+    pre+post images and the deletes -- hash-gated against a DuckDB
+    diff-by-key oracle."""
+    import shutil
+    import tempfile
+
+    from async_stream_processing_spark.plans.versioned import (
+        commit_append,
+        merge_into,
+        table_changes,
+        versions,
+    )
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    lake = tempfile.mkdtemp(prefix="asp_vcdfrl_")
+    shutil.rmtree(lake, ignore_errors=True)
+    try:
+        commit_append(docs.repartition(4), lake)
+        ups = docs.filter(F.col("doc_id") % 4 == 0).select(
+            "doc_id",
+            F.upper("text").alias("text"),
+            F.lit("rl").alias("lang"),
+            "source", "n_chars",
+            F.lit(False).alias("is_delete"),
+        )
+        dels = docs.filter(
+            (F.col("doc_id") % 7 == 0) & (F.col("doc_id") % 4 != 0)
+        ).select(
+            "doc_id", "text", "lang", "source", "n_chars",
+            F.lit(True).alias("is_delete"),
+        )
+        merge_into(
+            spark, lake, ups.unionByName(dels), ["doc_id"],
+            delete_col="is_delete",
+        )
+        v1, v2 = versions(lake)[0], versions(lake)[-1]
+        out = table_changes(
+            spark, lake, v1, v2, row_level=True
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(lake, ignore_errors=True)
+    return out
+
+
+def q_stream_versioned_maintained(spark, sf_dir):
+    """versioned_sink WITH the auto-maintenance policy (r7 verdict item
+    5) EXECUTED BY THE STREAMING ENGINE: many micro-batches, compaction
+    every 4 commits, vacuum to the last 3 versions -- the drained head
+    must still equal the whole source table even though most manifests
+    and small files were rewritten/vacuumed mid-stream (maintenance
+    changes bytes, never content; the exactly-once watermark survives
+    vacuum)."""
+    import shutil
+    import tempfile
+
+    from async_stream_processing_spark.plans.versioned import (
+        read_version,
+        versioned_sink,
+    )
+    from async_stream_processing_spark.sources.parquet import stream_table
+
+    lake = tempfile.mkdtemp(prefix="asp_vmaint_")
+    shutil.rmtree(lake, ignore_errors=True)
+    ck = tempfile.mkdtemp(prefix="asp_vmaint_ck_")
+    shutil.rmtree(ck, ignore_errors=True)
+    try:
+        s = stream_table(spark, sf_dir, "documents")
+        q = versioned_sink(s, lake, ck, compact_every=4,
+                           compact_target_files=1, vacuum_keep=3)
+        q.awaitTermination(300)
+        out = read_version(spark, lake).select(
+            "doc_id", "text", "lang", "source", "n_chars"
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(lake, ignore_errors=True)
+        shutil.rmtree(ck, ignore_errors=True)
+    return out
+
+
 def q_knn_pq_rotated(spark, sf_dir):
     """PQ-ADC top-k in a ±1-rotated space (the OPQ random-rotation rung,
     Ge et al. 2013 / Achlioptas JL signs): rotation is a narrow
@@ -1807,6 +1951,9 @@ LLM_QUERIES = {
     "kmeans_silhouette": q_kmeans_silhouette,
     "versioned_time_travel": q_versioned_time_travel,
     "versioned_merge": q_versioned_merge,
+    "versioned_merge_composite": q_versioned_merge_composite,
+    "versioned_changes_rows": q_versioned_changes_rows,
+    "stream_versioned_maintained": q_stream_versioned_maintained,
     "stream_versioned_merge": q_stream_versioned_merge,
     "versioned_compact": q_versioned_compact,
     "versioned_changes": q_versioned_changes,
@@ -2308,6 +2455,38 @@ def llm_oracle_sql() -> dict[str, str]:
             SELECT doc_id, text, lang, source, n_chars,
                    'insert' AS _change_type
             FROM documents WHERE doc_id % 3 IN (1, 2)
+        """,
+        "versioned_merge_composite": """
+            WITH target AS (SELECT doc_id, text, lang, source, n_chars
+                            FROM documents WHERE doc_id % 3 != 0),
+            ups AS (SELECT doc_id, UPPER(text) AS text,
+                           'cmerged' AS lang, source, n_chars
+                    FROM documents WHERE doc_id % 4 = 0),
+            dels AS (SELECT doc_id FROM documents
+                     WHERE doc_id % 7 = 0 AND doc_id % 4 != 0)
+            SELECT t.doc_id, t.text, t.lang, t.source, t.n_chars
+            FROM target t
+            WHERE t.doc_id NOT IN (SELECT doc_id FROM ups)
+              AND t.doc_id NOT IN (SELECT doc_id FROM dels)
+            UNION ALL
+            SELECT doc_id, text, lang, source, n_chars FROM ups
+        """,
+        "versioned_changes_rows": """
+            WITH pre AS (SELECT doc_id, text, lang, source, n_chars
+                         FROM documents),
+            dels AS (SELECT doc_id FROM documents
+                     WHERE doc_id % 7 = 0 AND doc_id % 4 != 0)
+            SELECT doc_id, text, lang, source, n_chars,
+                   'delete' AS _change_type
+            FROM pre
+            WHERE doc_id % 4 = 0 OR doc_id IN (SELECT doc_id FROM dels)
+            UNION ALL
+            SELECT doc_id, UPPER(text) AS text, 'rl' AS lang, source,
+                   n_chars, 'insert' AS _change_type
+            FROM documents WHERE doc_id % 4 = 0
+        """,
+        "stream_versioned_maintained": """
+            SELECT doc_id, text, lang, source, n_chars FROM documents
         """,
         "pmi_pairs": sql_pmi_pairs(min_count=5, k=50),
         "langid_confusion": f"""
