@@ -2061,6 +2061,176 @@ def sql_sq8_recall(
     """
 
 
+# -- binary sign hashing (the 1-bit quantization rung) -----------------------
+
+def binary_sign_codes(embeddings: DataFrame, d: int = 64) -> DataFrame:
+    """1-bit sign quantization: dimension ``i`` contributes bit ``i`` iff
+    ``embedding[i] > 0`` — 32x over float32, the cheapest rung of the
+    ANN compression ladder (below SQ8/PQ), and the charikar-style code
+    whose Hamming distance estimates angular distance.  Packed into
+    ``d/32`` signed-long WORDS (``w0`` = dims 0-31, ``w1`` = 32-63) so
+    the distance is two XOR+popcounts — integer ALU ops inside
+    whole-stage codegen, no arrays, no UDF.
+
+    Plan: NARROW one-pass projection, zero shuffles; at 100 TB the
+    encode is a map over the corpus scan and the stored codes are 16
+    bytes/vector."""
+    assert d % 32 == 0, "d must pack into 32-bit words"
+    e = F.col("embedding")
+    words = []
+    for wj in range(d // 32):
+        acc = F.lit(0).cast("long")
+        for i in range(32):
+            acc = acc + F.when(
+                F.element_at(e, wj * 32 + i + 1) > 0.0,
+                F.lit(1 << i).cast("long"),
+            ).otherwise(F.lit(0).cast("long"))
+        words.append(acc.alias(f"w{wj}"))
+    return embeddings.select("vec_id", *words)
+
+
+def knn_hamming(
+    embeddings: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    d: int = 64,
+) -> DataFrame:
+    """Top-k by Hamming distance over the 1-bit sign codes: the binary
+    pre-ranking stage of a hash-then-rerank pipeline (compare
+    :func:`knn_sq8`'s 8-bit SDC).  Distance = sum of per-word
+    ``bit_count(w_a XOR w_b)`` — pure integer expressions; the query
+    side broadcasts, the corpus streams through one stage, ranking is
+    one per-query window over k-bounded candidates.  Ties break by
+    (hamming, vec_id) so the result is deterministic cross-engine."""
+    from pyspark.sql import Window
+
+    codes = binary_sign_codes(embeddings, d)
+    n_words = d // 32
+    q = codes.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        *[F.col(f"w{j}").alias(f"q{j}") for j in range(n_words)],
+    )
+    pairs = codes.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+    ham = None
+    for j in range(n_words):
+        term = F.bit_count(
+            F.col(f"w{j}").bitwiseXOR(F.col(f"q{j}"))
+        ).cast("long")
+        ham = term if ham is None else ham + term
+    pairs = pairs.select(
+        "query_id", F.col("vec_id").alias("neighbor_id"),
+        ham.alias("hamming"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("hamming"), F.asc("neighbor_id")
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id",
+                F.col("rank").cast("long").alias("rank"), "hamming")
+    )
+
+
+def hamming_recall(
+    embeddings: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    d: int = 64,
+) -> DataFrame:
+    """Recall@k of the 1-bit Hamming search against exact cosine brute
+    force — the eval row that places sign hashing on the measured
+    compression ladder (LSH -> 1-bit -> SQ8 -> PQ -> IVF-PQ)."""
+    bf = knn_bruteforce(embeddings, n_queries=n_queries, k=k).select(
+        "query_id", "neighbor_id"
+    )
+    idx = knn_hamming(embeddings, n_queries=n_queries, k=k, d=d).select(
+        "query_id", F.col("neighbor_id").alias("got_id")
+    )
+    hits = (
+        bf.join(
+            idx,
+            (bf["query_id"] == idx["query_id"])
+            & (bf["neighbor_id"] == idx["got_id"]),
+            "left",
+        )
+        .groupBy(bf["query_id"])
+        .agg(F.count("got_id").alias("n_hits"))
+    )
+    return hits.select(
+        "query_id",
+        "n_hits",
+        (F.col("n_hits").cast("double") / F.lit(float(k))).alias("recall"),
+    )
+
+
+def _sql_binary_codes_cte(d: int = 64, src: str = "embeddings") -> str:
+    words = []
+    for wj in range(d // 32):
+        terms = " + ".join(
+            f"(CASE WHEN embedding[{wj * 32 + i + 1}] > 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+            for i in range(32)
+        )
+        words.append(f"CAST({terms} AS BIGINT) AS w{wj}")
+    return f"bcodes AS (SELECT vec_id, {', '.join(words)} FROM {src})"
+
+
+def sql_binary_sign_codes(d: int = 64, src: str = "embeddings") -> str:
+    """DuckDB twin of :func:`binary_sign_codes`."""
+    cols = ", ".join(f"w{j}" for j in range(d // 32))
+    return f"WITH {_sql_binary_codes_cte(d, src)} SELECT vec_id, {cols} FROM bcodes"
+
+
+def sql_knn_hamming(
+    n_queries: int = 10, k: int = 5, d: int = 64, src: str = "embeddings"
+) -> str:
+    """DuckDB twin of :func:`knn_hamming` (same codes, same tie rule)."""
+    ham = " + ".join(
+        f"bit_count(xor(c.w{j}, q.w{j}))" for j in range(d // 32)
+    )
+    return f"""
+        WITH {_sql_binary_codes_cte(d, src)},
+        scored AS (
+            SELECT q.vec_id AS query_id, c.vec_id,
+                   CAST({ham} AS BIGINT) AS hamming
+            FROM bcodes c JOIN bcodes q ON q.vec_id < {n_queries}
+            WHERE c.vec_id != q.vec_id),
+        ranked AS (
+            SELECT query_id, vec_id AS neighbor_id, hamming,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY hamming ASC, vec_id ASC) AS rank
+            FROM scored)
+        SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, hamming
+        FROM ranked WHERE rank <= {k}
+    """
+
+
+def sql_hamming_recall(
+    n_queries: int = 10, k: int = 5, d: int = 64, src: str = "embeddings"
+) -> str:
+    """DuckDB twin of :func:`hamming_recall`."""
+    idx = sql_knn_hamming(n_queries, k, d, src)
+    return f"""
+        WITH bf AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                       ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                           ORDER BY {sql_cosine('q.embedding', 'e.embedding')}
+                               DESC, e.vec_id ASC) AS rnk
+                FROM {src} e CROSS JOIN {src} q
+                WHERE q.vec_id < {n_queries} AND e.vec_id != q.vec_id)
+            WHERE rnk <= {k}),
+        idx AS ({idx})
+        SELECT bf.query_id, COUNT(idx.neighbor_id) AS n_hits,
+               CAST(COUNT(idx.neighbor_id) AS DOUBLE) / {float(k)} AS recall
+        FROM bf LEFT JOIN idx
+          ON idx.query_id = bf.query_id
+         AND idx.neighbor_id = bf.neighbor_id
+        GROUP BY bf.query_id
+    """
+
+
 # -- rotated PQ (the OPQ "random rotation" rung) -----------------------------
 
 def rotated_embeddings(

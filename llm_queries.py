@@ -1660,14 +1660,25 @@ def q_stream_versioned_maintained(spark, sf_dir):
         read_version,
         versioned_sink,
     )
-    from async_stream_processing_spark.sources.parquet import stream_table
 
     lake = tempfile.mkdtemp(prefix="asp_vmaint_")
-    shutil.rmtree(lake, ignore_errors=True)
+    src = tempfile.mkdtemp(prefix="asp_vmaint_src_")
     ck = tempfile.mkdtemp(prefix="asp_vmaint_ck_")
-    shutil.rmtree(ck, ignore_errors=True)
+    for d in (lake, src, ck):
+        shutil.rmtree(d, ignore_errors=True)
     try:
-        s = stream_table(spark, sf_dir, "documents")
+        docs = _docs(spark, sf_dir).select(
+            "doc_id", "text", "lang", "source", "n_chars"
+        )
+        # ten source files -> ten micro-batches, so compaction fires
+        # repeatedly mid-stream (the driver table is ONE file = one
+        # trigger, which would never exercise the policy)
+        for p in range(10):
+            docs.filter(F.col("doc_id") % 10 == p).coalesce(1) \
+                .write.mode("append").parquet(src)
+        s = spark.readStream.schema(
+            spark.read.parquet(src).schema
+        ).option("maxFilesPerTrigger", 1).parquet(src)
         q = versioned_sink(s, lake, ck, compact_every=4,
                            compact_target_files=1, vacuum_keep=3)
         q.awaitTermination(300)
@@ -1675,8 +1686,8 @@ def q_stream_versioned_maintained(spark, sf_dir):
             "doc_id", "text", "lang", "source", "n_chars"
         ).localCheckpoint(eager=True)
     finally:
-        shutil.rmtree(lake, ignore_errors=True)
-        shutil.rmtree(ck, ignore_errors=True)
+        for d in (lake, src, ck):
+            shutil.rmtree(d, ignore_errors=True)
     return out
 
 
@@ -1792,6 +1803,37 @@ def q_stream_sq8_codes(spark, sf_dir):
         "vec_id", _codes_str("codes")
     )
     return drain(enc, output_mode="append")
+
+
+def q_knn_hamming(spark, sf_dir):
+    """1-bit sign-hash top-k: Hamming distance over packed sign words
+    (two XOR+popcounts per candidate, pure integer codegen) -- the
+    cheapest rung of the ANN compression ladder, deterministic ties."""
+    from async_stream_processing_spark.llm.similarity import knn_hamming
+
+    return knn_hamming(_emb(spark, sf_dir))
+
+
+def q_hamming_recall(spark, sf_dir):
+    """Recall@k of the 1-bit Hamming search vs exact cosine brute force
+    (the measured-ladder discipline: place the rung before using it)."""
+    from async_stream_processing_spark.llm.similarity import hamming_recall
+
+    return hamming_recall(_emb(spark, sf_dir))
+
+
+def q_stream_binary_codes(spark, sf_dir):
+    """binary_sign_codes EXECUTED BY THE STREAMING ENGINE: the 1-bit
+    encode is a stateless narrow projection, so it streams append-mode
+    with zero state; same oracle as the batch codes."""
+    from async_stream_processing_spark.llm.similarity import (
+        binary_sign_codes,
+    )
+    from async_stream_processing_spark.sources.parquet import stream_table
+    from async_stream_processing_spark.streaming.replay import drain
+
+    s = stream_table(spark, sf_dir, "embeddings")
+    return drain(binary_sign_codes(s), output_mode="append")
 
 
 def q_bpe_coverage(spark, sf_dir):
@@ -1970,6 +2012,9 @@ LLM_QUERIES = {
     "pmi_pairs": q_pmi_pairs,
     "langid_confusion": q_langid_confusion,
     "sq8_codes": q_sq8_codes,
+    "knn_hamming": q_knn_hamming,
+    "hamming_recall": q_hamming_recall,
+    "stream_binary_codes": q_stream_binary_codes,
     "knn_sq8": q_knn_sq8,
     "stream_sq8_codes": q_stream_sq8_codes,
     "sq8_recall": q_sq8_recall,
@@ -2330,6 +2375,9 @@ def llm_oracle_sql() -> dict[str, str]:
     )
 
     from async_stream_processing_spark.llm.similarity import (
+        sql_binary_sign_codes,
+        sql_hamming_recall,
+        sql_knn_hamming,
         sql_knn_sq8,
         sql_sq8_codes,
         sql_sq8_recall,
@@ -2507,6 +2555,9 @@ def llm_oracle_sql() -> dict[str, str]:
             FROM cell JOIN tot USING (lang_label)
         """,
         "sq8_codes": sql_sq8_codes(d=64),
+        "knn_hamming": sql_knn_hamming(),
+        "hamming_recall": sql_hamming_recall(),
+        "stream_binary_codes": sql_binary_sign_codes(d=64),
         "knn_sq8": sql_knn_sq8(n_queries=10, k=5, d=64),
         "stream_sq8_codes": sql_sq8_codes(d=64),
         "sq8_recall": sql_sq8_recall(n_queries=10, k=5, d=64),
