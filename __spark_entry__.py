@@ -836,6 +836,73 @@ def q_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ols_trend(load_table(spark, sf_dir, "events"), min_points=10)
 
 
+def q_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM drift detector per user (Page's SPC statistic):
+    the sequential recurrence s_t = max(0, s_{t-1} + y_t) computed via
+    its reflected-walk closed form (cumsum minus running min) -- ONE
+    ordered window sharing a single exchange+sort, integer cents
+    throughout (operators/analytics.cusum_drift)."""
+    from async_stream_processing_spark.operators.analytics import (
+        cusum_drift,
+    )
+    from async_stream_processing_spark.sources.parquet import load_table
+
+    return cusum_drift(load_table(spark, sf_dir, "events"))
+
+
+def q_stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cusum_drift EXECUTED BY THE STREAMING ENGINE: the detector folds
+    over ``array_sort(collect_list(...))`` state in integer cents --
+    micro-batch-arrival-order-independent, alarm id as an order-free
+    MIN -- and hash-matches the SAME oracle as the batch query."""
+    from async_stream_processing_spark.sources.parquet import stream_table
+    from async_stream_processing_spark.streaming.replay import drain
+
+    s = stream_table(spark, sf_dir, "events")
+    x = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    arr = F.array_sort(
+        F.collect_list(F.struct("ts", "event_id", x.alias("x")))
+    )
+    agg = s.groupBy("user_id").agg(arr.alias("arr"))
+    first = F.element_at(F.col("arr"), 1)["x"]
+    slack = F.lit(50).cast("long")
+    th = F.lit(2000).cast("long")
+    zero = F.lit(0).cast("long")
+    init = F.struct(
+        zero.alias("c"), zero.alias("m"), zero.alias("smax"),
+        zero.alias("n_over"),
+        F.lit(None).cast("long").alias("alarm"),
+    )
+
+    def step(acc, e):
+        c2 = acc["c"] + (e["x"] - first - slack)
+        m2 = F.least(acc["m"], c2)  # m starts at 0: m == min(0, run-min c)
+        sv = c2 - m2
+        over = sv > th
+        return F.struct(
+            c2.alias("c"),
+            m2.alias("m"),
+            F.greatest(acc["smax"], sv).alias("smax"),
+            (acc["n_over"]
+             + F.when(over, F.lit(1).cast("long")).otherwise(zero))
+            .alias("n_over"),
+            # least() skips NULLs: order-free MIN alarming event_id,
+            # identical to the batch/oracle MIN(CASE ...)
+            F.least(acc["alarm"], F.when(over, e["event_id"]))
+            .alias("alarm"),
+        )
+
+    folded = F.aggregate(F.col("arr"), init, step)
+    out = agg.select(
+        "user_id",
+        folded["smax"].alias("max_cusum"),
+        folded["n_over"].alias("n_over"),
+        folded["alarm"].alias("first_alarm_event"),
+        F.size("arr").cast("long").alias("n_points"),
+    ).filter(F.col("n_points") >= 10)
+    return drain(out, output_mode="complete")
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization (gaps-and-islands, 30-min gap): per-user sessions
     with start/end/count/exact sum."""
@@ -3041,6 +3108,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bfs_levels": q_bfs_levels,
         "label_propagation": q_label_propagation,
         "mad_outliers": q_mad_outliers,
+        "cusum_drift": q_cusum_drift,
+        "stream_cusum": q_stream_cusum,
         "stream_fullouter": q_stream_fullouter,
         "stream_leftouter": q_stream_leftouter,
         "demux_counts": q_demux,
@@ -4689,6 +4758,11 @@ def oracle_sql() -> dict[str, str]:
         FROM xs
     """
     out["stream_ols"] = out["ols_trend"]
+    from async_stream_processing_spark.operators.analytics import (
+        sql_cusum_drift,
+    )
+
+    out["cusum_drift"] = out["stream_cusum"] = sql_cusum_drift()
     out["rsi_users"] = out["stream_rsi"] = """
         WITH yv AS (
             SELECT user_id, ts, event_id,

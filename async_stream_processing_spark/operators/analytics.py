@@ -531,3 +531,103 @@ def mad_outliers(df: DataFrame, key: str = "user_id",
             key, "event_id", "y_c", "n_points", "med2", "mad4", "dev2",
         )
     )
+
+
+def cusum_drift(
+    df: DataFrame,
+    key: str = "user_id",
+    value: str = "value",
+    slack_cents: int = 50,
+    threshold_cents: int = 2000,
+    min_points: int = 10,
+) -> DataFrame:
+    """One-sided CUSUM drift detector per key (Page 1954, the SPC
+    changepoint workhorse): against the key's FIRST value as baseline,
+    accumulate ``s_t = max(0, s_{t-1} + (x_t - x_1 - slack))`` and
+    report the peak statistic, how many points exceeded the alarm
+    threshold, and the first alarming event — the "did this metric
+    drift upward, and when" question a data-quality monitor asks of
+    every ingest source.
+
+    The recurrence looks sequential, but the reflected walk has a
+    closed form: with ``c_t = cumsum(y)``, ``s_t = c_t - min(0,
+    running_min(c))`` — so the whole detector is ONE ordered window
+    (cumsum + running min share the exchange+sort) plus a final
+    aggregation, the same single-shuffle family as ``max_drawdown``.
+    All arithmetic in integer cents (exact, order-independent given the
+    total (ts, event_id) order); alarms are integer comparisons.
+    Reference parity: the running-fold family of e2_stats.py, upgraded
+    to a detector the reference lacks."""
+    x = (F.col(value).cast("decimal(18,2)") * 100).cast("long")
+    w_ord = Window.partitionBy(key).orderBy("ts", "event_id")
+    w_run = w_ord.rowsBetween(Window.unboundedPreceding, 0)
+    d = df.select(F.col(key), "ts", "event_id", x.alias("x"))
+    d = d.withColumn(
+        "y",
+        F.col("x") - F.first("x").over(w_ord)
+        - F.lit(int(slack_cents)).cast("long"),
+    )
+    d = d.withColumn("c", F.sum("y").over(w_run))
+    d = d.withColumn(
+        "s",
+        F.col("c")
+        - F.least(F.lit(0).cast("long"), F.min("c").over(w_run)),
+    )
+    th = F.lit(int(threshold_cents)).cast("long")
+    return (
+        d.groupBy(key)
+        .agg(
+            F.max("s").alias("max_cusum"),
+            F.sum(F.when(F.col("s") > th, 1).otherwise(0))
+            .cast("long").alias("n_over"),
+            F.min(F.when(F.col("s") > th, F.col("event_id")))
+            .alias("first_alarm_event"),
+            F.count(F.lit(1)).alias("n_points"),
+        )
+        .filter(F.col("n_points") >= min_points)
+    )
+
+
+def sql_cusum_drift(
+    src: str = "events",
+    key: str = "user_id",
+    slack_cents: int = 50,
+    threshold_cents: int = 2000,
+    min_points: int = 10,
+) -> str:
+    """DuckDB twin of :func:`cusum_drift` (same closed form, same
+    integer-cents space)."""
+    return f"""
+        WITH d AS (
+            SELECT {key}, ts, event_id,
+                   CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+            FROM {src}),
+        b AS (
+            SELECT {key}, ts, event_id,
+                   x - FIRST_VALUE(x) OVER w - {int(slack_cents)} AS y
+            FROM d
+            WINDOW w AS (PARTITION BY {key} ORDER BY ts, event_id)),
+        c AS (
+            SELECT {key}, ts, event_id,
+                   CAST(SUM(y) OVER w AS BIGINT) AS c
+            FROM b
+            WINDOW w AS (PARTITION BY {key} ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW)),
+        s AS (
+            SELECT {key}, event_id,
+                   c - LEAST(0, MIN(c) OVER w) AS s
+            FROM c
+            WINDOW w AS (PARTITION BY {key} ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW))
+        SELECT {key},
+               CAST(MAX(s) AS BIGINT) AS max_cusum,
+               CAST(SUM(CASE WHEN s > {int(threshold_cents)}
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_over,
+               MIN(CASE WHEN s > {int(threshold_cents)}
+                   THEN event_id END) AS first_alarm_event,
+               COUNT(*) AS n_points
+        FROM s GROUP BY {key}
+        HAVING COUNT(*) >= {int(min_points)}
+    """

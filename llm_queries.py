@@ -1645,6 +1645,50 @@ def q_versioned_changes_rows(spark, sf_dir):
     return out
 
 
+def q_versioned_merge_schema(spark, sf_dir):
+    """MERGE with schema evolution (Delta mergeSchema-on-MERGE, r7
+    verdict item 4): the CDC batch carries a NEW ``score`` column; the
+    merged head (read with merge_schema=True) must show the source rows
+    with their scores and every carried row with score NULL -- untouched
+    files keep their old schema on disk."""
+    import shutil
+    import tempfile
+
+    from async_stream_processing_spark.plans.versioned import (
+        commit_append,
+        merge_into,
+        read_version,
+    )
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    lake = tempfile.mkdtemp(prefix="asp_vmergesc_")
+    shutil.rmtree(lake, ignore_errors=True)
+    try:
+        commit_append(
+            docs.filter(F.col("doc_id") % 3 != 0).repartition(4), lake
+        )
+        ups = docs.filter(F.col("doc_id") % 4 == 0).select(
+            "doc_id",
+            F.upper("text").alias("text"),
+            F.lit("ev").alias("lang"),
+            "source", "n_chars",
+            (F.col("n_chars") * 2).alias("score"),
+            F.lit(False).alias("is_delete"),
+        )
+        merge_into(
+            spark, lake, ups, ["doc_id"],
+            delete_col="is_delete", merge_schema=True,
+        )
+        out = read_version(spark, lake, merge_schema=True).select(
+            "doc_id", "text", "lang", "source", "n_chars", "score"
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(lake, ignore_errors=True)
+    return out
+
+
 def q_stream_versioned_maintained(spark, sf_dir):
     """versioned_sink WITH the auto-maintenance policy (r7 verdict item
     5) EXECUTED BY THE STREAMING ENGINE: many micro-batches, compaction
@@ -1994,6 +2038,7 @@ LLM_QUERIES = {
     "versioned_time_travel": q_versioned_time_travel,
     "versioned_merge": q_versioned_merge,
     "versioned_merge_composite": q_versioned_merge_composite,
+    "versioned_merge_schema": q_versioned_merge_schema,
     "versioned_changes_rows": q_versioned_changes_rows,
     "stream_versioned_maintained": q_stream_versioned_maintained,
     "stream_versioned_merge": q_stream_versioned_merge,
@@ -2535,6 +2580,20 @@ def llm_oracle_sql() -> dict[str, str]:
         """,
         "stream_versioned_maintained": """
             SELECT doc_id, text, lang, source, n_chars FROM documents
+        """,
+        "versioned_merge_schema": """
+            WITH target AS (SELECT doc_id, text, lang, source, n_chars
+                            FROM documents WHERE doc_id % 3 != 0),
+            ups AS (SELECT doc_id, UPPER(text) AS text, 'ev' AS lang,
+                           source, n_chars,
+                           CAST(n_chars * 2 AS BIGINT) AS score
+                    FROM documents WHERE doc_id % 4 = 0)
+            SELECT t.doc_id, t.text, t.lang, t.source, t.n_chars,
+                   CAST(NULL AS BIGINT) AS score
+            FROM target t
+            WHERE t.doc_id NOT IN (SELECT doc_id FROM ups)
+            UNION ALL
+            SELECT doc_id, text, lang, source, n_chars, score FROM ups
         """,
         "pmi_pairs": sql_pmi_pairs(min_count=5, k=50),
         "langid_confusion": f"""

@@ -355,3 +355,43 @@ def test_rsi_users_brute_force_recurrence(spark):
         want = 100.0 * ag / (ag + al)
         assert abs(out[k]["rsi"] - want) < 1e-12
     assert out[2]["rsi"] == 100.0
+
+
+def test_cusum_closed_form_equals_naive_recurrence(spark):
+    """The reflected-walk closed form (cumsum - min(0, running min))
+    must equal the literal s_t = max(0, s_{t-1} + y_t) recurrence on a
+    fixture with sign changes, resets and an alarm crossing."""
+    from datetime import datetime, timezone
+
+    from async_stream_processing_spark.operators.analytics import (
+        cusum_drift,
+    )
+
+    vals = [10.0, 9.0, 15.0, 30.0, 5.0, 40.0, 45.0, 50.0, 2.0, 60.0,
+            70.0, 80.0]
+    rows = [
+        ("u1", datetime(2024, 1, 1, 0, 0, i, tzinfo=timezone.utc), i, v)
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id string, ts timestamp, event_id long, value double"
+    )
+    got = cusum_drift(
+        df, slack_cents=100, threshold_cents=3000, min_points=1
+    ).collect()
+    assert len(got) == 1
+    r = got[0]
+
+    # naive recurrence in integer cents
+    cents = [int(v * 100) for v in vals]
+    x1, s, smax, n_over, alarm = cents[0], 0, 0, 0, None
+    for eid, x in enumerate(cents):
+        s = max(0, s + (x - x1 - 100))
+        smax = max(smax, s)
+        if s > 3000:
+            n_over += 1
+            alarm = eid if alarm is None else min(alarm, eid)
+    assert r["max_cusum"] == smax
+    assert r["n_over"] == n_over
+    assert r["first_alarm_event"] == alarm
+    assert r["n_points"] == len(vals)
