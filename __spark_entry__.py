@@ -3240,71 +3240,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return out
 
 
-#: Round-7 gate window: the driver checks the FIRST 50 `queries()` keys.
+#: Round-8 gate window: the driver checks the FIRST 50 `queries()` keys.
 #: Composition (mechanically verified by tools/check_window.py):
-#: (a) the TEN queries new this round (never driver-gated);
-#: (b) the THIRTEEN keys whose code or underlying operator plan changed
-#:     after the r6 gate ran: the minhash-pair family (narrow
-#:     array_intersect verification + checkpointed candidates), the CC
-#:     loop (pinned conf, sum convergence probe, window sizes), line_dedup
-#:     (window first-seen + narrow n_segs), pipeline_end_to_end (pushable
-#:     n_chars prefilter), substring_dups (_winnowed_grams factoring),
-#:     knn_ivfpq/ivfpq_recall (ivfpq_encode/search factoring),
-#:     stream_upsert_state (per-write dynamic-overwrite option);
-#: (c) re-confirmation filler: the 27 stalest keys, all last gated in
-#:     round 2 (trade_pnl_asof, vwap_2min and cart_fold_state -- also r2 but
-#:     judge-re-verified in r6 -- wait for round 8).
+#: (a) the NINE queries new this round (never driver-gated): the
+#:     versioned-lake round-8 surface (composite-key merge, schema
+#:     evolution, row-level CDF, auto-maintained streaming sink), the
+#:     1-bit Hamming ANN rung, and the CUSUM drift detector;
+#: (b) the TWELVE keys queued from round 7 (changed after their last
+#:     gate; all twelve re-verified exact by the r7 judge);
+#: (c) the FIFTEEN keys whose code changed in round 8: every versioned_*
+#:     key (pinned-commit protocol + head-walk reads), the ivfpq upsert
+#:     family (engine-side id_buckets), the shared verified-pair
+#:     artifact consumers (dedup_minhash_lsh, dedup_clusters,
+#:     pipeline_end_to_end), and stream_ols (integer div);
+#: (d) re-confirmation filler: the 14 stalest keys, all last gated in
+#:     round 2.
 GATE_WINDOW = [
-    # (a) new in round 7 (the continuation session added seven more:
-    # SQ8 family, Stupid-Backoff trigram LM, source TV drift, tf-idf
-    # cosine pairs, intra-doc dedup; tpch_q7/q8/q16/q17/q19/q21/q22
-    # re-confirmations wait for round 8 to make room)
-    "lsh_s_curve", "unimax_mixture", "hard_negatives", "pmi_pairs",
-    "langid_confusion", "kmeans_silhouette", "perceptron_eval",
-    "source_token_diversity", "stream_ivf_assign",
-    "versioned_time_travel", "stream_versioned_sink",
-    "versioned_merge", "versioned_compact", "ols_trend",
-    "knn_range_search", "label_propagation", "mad_outliers",
-    "rsi_users", "stream_versioned_merge", "versioned_changes",
-    "versioned_prune_read", "stream_rsi", "versioned_point_lookup",
-    "vocab_growth", "stream_ols",
-    "knn_pq_rotated", "pq_rotation_recall",
-    "sq8_codes", "knn_sq8", "stream_sq8_codes", "sq8_recall",
-    "doremi_mixture", "bpe_coverage", "packing_efficiency",
-    "trigram_backoff",
-    "stream_trigram_backoff",
-    "source_tv_distance", "tfidf_cosine_pairs", "intradoc_dedup",
-    "stream_incremental_dedup", "ivfpq_upsert", "substring_dup_spans",
-    "knn_ivfpq_served", "stream_ivfpq_upsert",
-    "perceptron_train", "perceptron_score", "stream_decontaminate",
-    "stream_perceptron_score", "substring_dedup_apply",
-    # (b) changed after the r6 gate.  dedup_clusters + dedup_minhash_lsh
-    # rotated to round 8: their changed candidate+verify machinery is
-    # composed in-window by pipeline_end_to_end, the CC loop's
-    # convergence is pinned by tests/test_scale.py and the iterative
-    # probe, and both were exact in today's double full sweeps.
-    # line_dedup (r7 rewrite locally verified bit-exact at both SFs;
-    # shares the segment-hash machinery gated in-window via
-    # pipeline_end_to_end) rotated to round 8.
-    # dedup_keep_best (changed code shares the checkpointed-pair family
-    # with dedup_clusters, green at the r6 gate) rotated to round 8.
-    # dedup_pair_recall + dedup_source_matrix (same changed family as
-    # dedup_minhash_lsh, green r6) and incremental_dedup (its changed
-    # bucketed-probe path is exercised in-window by
-    # stream_incremental_dedup, which hash-matches the same oracle)
-    # rotated to round 8 to keep the window at 50.
-    "pipeline_end_to_end",
-    # embedding_dedup_clusters + substring_dups (changed code exercised
-    # in-window by dedup_clusters / substring_dup_spans+
-    # substring_dedup_apply, all green at an earlier gate) rotated to
-    # round 8.
-    # knn_ivfpq + ivfpq_recall + stream_upsert_state (changed code
-    # already green at an earlier gate; the factored ivfpq path is
-    # exercised in-window by ivfpq_upsert / knn_ivfpq_served /
-    # stream_ivfpq_upsert) rotated to round 8 to keep the window at 50.
-    # (c) stalest re-confirmations rotated out to round 8 to make room
-    # for the third-continuation additions (demux_counts, event_deltas
-    # -- both last gated r2, both double-green there).
+    # (a) new in round 8
+    "versioned_merge_composite", "versioned_changes_rows",
+    "stream_versioned_maintained", "versioned_merge_schema",
+    "knn_hamming", "hamming_recall", "stream_binary_codes",
+    "cusum_drift", "stream_cusum",
+    # (b) queued from round 7 (judge-re-verified exact)
+    "line_dedup", "dedup_keep_best", "knn_ivfpq", "ivfpq_recall",
+    "dedup_pair_recall", "dedup_source_matrix", "incremental_dedup",
+    "embedding_dedup_clusters", "substring_dups", "stream_upsert_state",
+    "demux_counts", "event_deltas",
+    # (c) code changed in round 8
+    "versioned_time_travel", "stream_versioned_sink", "versioned_merge",
+    "versioned_compact", "stream_versioned_merge", "versioned_changes",
+    "versioned_prune_read", "versioned_point_lookup",
+    "ivfpq_upsert", "stream_ivfpq_upsert", "knn_ivfpq_served",
+    "dedup_minhash_lsh", "dedup_clusters", "pipeline_end_to_end",
+    "stream_ols",
+    # (d) stalest re-confirmations (all last gated round 2)
+    "cart_fold_state", "feedback_orders", "first_seen",
+    "positional_zip", "revenue_rollup", "rows_frame_last5",
+    "semi_anti_join", "sessionize", "sessionize_native",
+    "set_ops_multiset", "stream_cart_fold", "stream_join_1h",
+    "timer_ticks", "topk_per_priority",
 ]
 
 
