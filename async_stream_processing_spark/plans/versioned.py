@@ -761,13 +761,24 @@ def merge_into(
 
 
 def compact(spark: SparkSession, path: str, target_files: int = 1,
-            max_attempts: int = 20) -> int:
+            max_attempts: int = 20,
+            cluster_by: list[str] | None = None,
+            zorder_bits: int = 16) -> int:
     """OPTIMIZE: rewrite the head's files into ``target_files`` larger
     ones as a new version — content logically identical, old version
     still time-travel-readable, small files reclaimed by vacuum.  The
-    coalesce is shuffle-free (file-level re-bin, not a repartition).
-    Stats and blooms are recomputed for the rewritten files when the
-    head carried them, so maintenance never degrades pruning.
+    default coalesce is shuffle-free (file-level re-bin, not a
+    repartition).  Stats and blooms are recomputed for the rewritten
+    files when the head carried them, so maintenance never degrades
+    pruning.
+
+    ``cluster_by=[cols]`` is OPTIMIZE ZORDER BY: rows range-partition
+    on the Morton-interleaved key of the named integer columns
+    (``plans.scale.zorder_key``), so each rewritten file covers a tight
+    range of EVERY clustering column and the manifest's recomputed
+    min/max stats prune range queries on any of them — the one shuffle
+    it costs is the point (a plain coalesce preserves the arrival
+    layout, whose stats only serve the arrival order).
 
     Concurrency: ONE head version is pinned up front and used for the
     content read, the stats/blooms carry, the parent, AND the pinned
@@ -783,7 +794,15 @@ def compact(spark: SparkSession, path: str, target_files: int = 1,
             raise FileNotFoundError(f"no committed versions under {path}")
         head = _live_head(path)
         m = _read_manifest(path, pinned)
-        df = read_version(spark, path, version=pinned).coalesce(target_files)
+        df = read_version(spark, path, version=pinned)
+        if cluster_by:
+            from .scale import zorder_key
+
+            df = df.repartitionByRange(
+                target_files, zorder_key(cluster_by, bits=zorder_bits)
+            )
+        else:
+            df = df.coalesce(target_files)
         new_files = _write_data(df, path)
         extra: dict = {}
         if m.get("stats"):

@@ -1580,3 +1580,56 @@ def test_table_changes_row_level_nets_cow_churn(spark, tmp_path):
         (5, "v5", "delete"),                          # delete
         (99, "NEW", "insert"),                        # insert
     }
+
+
+def test_compact_cluster_by_zorder_tightens_stats(spark, tmp_path):
+    """OPTIMIZE ZORDER: after clustered compaction, the manifest stats
+    prune 2-D needle queries on EITHER clustering column -- proven by
+    corrupting every file whose recomputed ranges exclude the needle
+    (a plain coalesce of the same arrival layout would keep the full
+    domain of the second column in every file)."""
+    import os
+
+    from async_stream_processing_spark.plans.versioned import (
+        _read_manifest,
+        commit_append,
+        compact,
+        scan_version,
+        versions,
+    )
+
+    lake = str(tmp_path / "lake")
+    # arrival layout: id-major slices, so column `a` spans its full
+    # domain inside EVERY arriving file (worst case for a-pruning)
+    grid = spark.range(0, 4096).selectExpr(
+        "CAST(id % 64 AS LONG) AS a", "CAST(id div 64 AS LONG) AS b"
+    )
+    for lo in (0, 2048):
+        commit_append(
+            grid.filter((F.col("b") * 64 + F.col("a") >= lo)
+                        & (F.col("b") * 64 + F.col("a") < lo + 2048))
+            .coalesce(1),
+            lake, stats_cols=["a", "b"],
+        )
+    v = compact(spark, lake, target_files=16, cluster_by=["a", "b"],
+                zorder_bits=6)
+    m = _read_manifest(lake, v)
+    assert len(m["files"]) == 16
+    # needle: a in [0,7] x b in [0,7]; corrupt every file whose
+    # recomputed z-clustered ranges exclude it on either column
+    kept = 0
+    for f in m["files"]:
+        s = m["stats"][f]
+        if s["a"][0] <= 7 and s["a"][1] >= 0 and s["b"][0] <= 7 \
+                and s["b"][1] >= 0:
+            kept += 1
+        else:
+            with open(os.path.join(lake, f), "wb") as fh:
+                fh.write(b"garbage")
+    assert kept < 16  # clustering actually localized the needle
+    got = {(r["a"], r["b"]) for r in scan_version(
+        spark, lake, ranges={"a": (0, 7), "b": (0, 7)}
+    ).collect()}
+    assert got == {(a, b) for a in range(8) for b in range(8)}
+    # the pre-compact version is untouched history
+    assert versions(lake)[0] in versions(lake)
