@@ -2061,6 +2061,88 @@ def sql_sq8_recall(
     """
 
 
+# -- Matryoshka prefix truncation (the dimension-reduction rung) -------------
+
+def matryoshka_recall(
+    embeddings: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    d_prefix: int = 16,
+) -> DataFrame:
+    """Recall@k of exact search over only the FIRST ``d_prefix``
+    dimensions vs full-dimension exact search — the Matryoshka
+    representation question (Kusupati et al. 2022): how much of the
+    neighbor structure survives truncating the embedding to a prefix?
+    MRL-trained embeddings front-load information, so serving at a
+    prefix is a 4x storage/compute cut IF this row says recall holds —
+    the same measure-before-deploy discipline as the quantization
+    rungs (:func:`sq8_recall`, :func:`hamming_recall`).
+
+    Plan: the truncation is a narrow ``slice`` projection (zero
+    shuffle); both searches broadcast the query side and stream the
+    corpus once."""
+    trunc = embeddings.select(
+        "vec_id", F.slice("embedding", 1, d_prefix).alias("embedding")
+    )
+    bf = knn_bruteforce(embeddings, n_queries=n_queries, k=k).select(
+        "query_id", "neighbor_id"
+    )
+    idx = knn_bruteforce(trunc, n_queries=n_queries, k=k).select(
+        "query_id", F.col("neighbor_id").alias("got_id")
+    )
+    hits = (
+        bf.join(
+            idx,
+            (bf["query_id"] == idx["query_id"])
+            & (bf["neighbor_id"] == idx["got_id"]),
+            "left",
+        )
+        .groupBy(bf["query_id"])
+        .agg(F.count("got_id").alias("n_hits"))
+    )
+    return hits.select(
+        "query_id",
+        "n_hits",
+        (F.col("n_hits").cast("double") / F.lit(float(k))).alias("recall"),
+    )
+
+
+def sql_matryoshka_recall(
+    n_queries: int = 10, k: int = 5, d_prefix: int = 16,
+    src: str = "embeddings",
+) -> str:
+    """DuckDB twin of :func:`matryoshka_recall` (same prefix slice,
+    same fold order, same tie rule)."""
+    pa = f"q.embedding[1:{d_prefix}]"
+    pb = f"e.embedding[1:{d_prefix}]"
+    return f"""
+        WITH bf AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                       ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                           ORDER BY {sql_cosine('q.embedding', 'e.embedding')}
+                               DESC, e.vec_id ASC) AS rnk
+                FROM {src} e CROSS JOIN {src} q
+                WHERE q.vec_id < {n_queries} AND e.vec_id != q.vec_id)
+            WHERE rnk <= {k}),
+        idx AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                       ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                           ORDER BY {sql_cosine(pa, pb)}
+                               DESC, e.vec_id ASC) AS rnk
+                FROM {src} e CROSS JOIN {src} q
+                WHERE q.vec_id < {n_queries} AND e.vec_id != q.vec_id)
+            WHERE rnk <= {k})
+        SELECT bf.query_id, COUNT(idx.neighbor_id) AS n_hits,
+               CAST(COUNT(idx.neighbor_id) AS DOUBLE) / {float(k)} AS recall
+        FROM bf LEFT JOIN idx
+          ON idx.query_id = bf.query_id
+         AND idx.neighbor_id = bf.neighbor_id
+        GROUP BY bf.query_id
+    """
+
+
 # -- binary sign hashing (the 1-bit quantization rung) -----------------------
 
 def binary_sign_codes(embeddings: DataFrame, d: int = 64) -> DataFrame:

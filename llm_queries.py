@@ -1849,6 +1849,49 @@ def q_stream_sq8_codes(spark, sf_dir):
     return drain(enc, output_mode="append")
 
 
+def q_matryoshka_recall(spark, sf_dir):
+    """Recall@k of exact search over the first 16 dims vs the full 64
+    (Matryoshka prefix truncation): the measure-before-deploy row for
+    serving embeddings at a prefix."""
+    from async_stream_processing_spark.llm.similarity import (
+        matryoshka_recall,
+    )
+
+    return matryoshka_recall(_emb(spark, sf_dir))
+
+
+def q_versioned_compact_zorder(spark, sf_dir):
+    """OPTIMIZE ZORDER gate: three appends then a CLUSTERED compaction
+    (Morton range-partition on (doc_id, n_chars)) -- the head must
+    still equal the whole source table (clustering changes layout,
+    never content; that the recomputed stats prune both columns is
+    corruption-proven in pytest)."""
+    import shutil
+    import tempfile
+
+    from async_stream_processing_spark.plans.versioned import (
+        commit_append,
+        compact,
+        read_version,
+    )
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    lake = tempfile.mkdtemp(prefix="asp_vzorder_")
+    shutil.rmtree(lake, ignore_errors=True)
+    try:
+        for m in range(3):
+            commit_append(docs.filter(F.col("doc_id") % 3 == m), lake,
+                          stats_cols=["doc_id", "n_chars"])
+        compact(spark, lake, target_files=4,
+                cluster_by=["doc_id", "n_chars"], zorder_bits=12)
+        out = read_version(spark, lake).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(lake, ignore_errors=True)
+    return out
+
+
 def q_knn_hamming(spark, sf_dir):
     """1-bit sign-hash top-k: Hamming distance over packed sign words
     (two XOR+popcounts per candidate, pure integer codegen) -- the
@@ -2058,6 +2101,8 @@ LLM_QUERIES = {
     "langid_confusion": q_langid_confusion,
     "sq8_codes": q_sq8_codes,
     "knn_hamming": q_knn_hamming,
+    "matryoshka_recall": q_matryoshka_recall,
+    "versioned_compact_zorder": q_versioned_compact_zorder,
     "hamming_recall": q_hamming_recall,
     "stream_binary_codes": q_stream_binary_codes,
     "knn_sq8": q_knn_sq8,
@@ -2422,6 +2467,7 @@ def llm_oracle_sql() -> dict[str, str]:
     from async_stream_processing_spark.llm.similarity import (
         sql_binary_sign_codes,
         sql_hamming_recall,
+        sql_matryoshka_recall,
         sql_knn_hamming,
         sql_knn_sq8,
         sql_sq8_codes,
@@ -2615,6 +2661,10 @@ def llm_oracle_sql() -> dict[str, str]:
         """,
         "sq8_codes": sql_sq8_codes(d=64),
         "knn_hamming": sql_knn_hamming(),
+        "matryoshka_recall": sql_matryoshka_recall(),
+        "versioned_compact_zorder": """
+            SELECT doc_id, text, lang, source, n_chars FROM documents
+        """,
         "hamming_recall": sql_hamming_recall(),
         "stream_binary_codes": sql_binary_sign_codes(d=64),
         "knn_sq8": sql_knn_sq8(n_queries=10, k=5, d=64),
