@@ -101,6 +101,49 @@ def knn_bruteforce(
     )
 
 
+
+_GT_CACHE: dict = {}
+
+
+def knn_bruteforce_cached(
+    embeddings: DataFrame, n_queries: int = 10, k: int = 5
+) -> DataFrame:
+    """The exact top-k ground truth as ONE session-scoped persisted
+    artifact (the ``llm.dedup.verified_pairs_cached`` discipline):
+    every recall eval on the ladder (LSH, 1-bit Hamming, SQ8, PQ,
+    rotated PQ, IVF-PQ, Matryoshka prefix) compares against the SAME
+    (corpus, n_queries, k) exact search, and each previously re-ran the
+    full brute-force pass.  The artifact is n_queries*k rows (tiny), so
+    keeping it localCheckpointed costs nothing and every eval after the
+    first reads a materialized relation — a production eval harness
+    computes ground truth once and writes it, for the same reason.
+
+    ``sameSemantics`` re-verifies every cache hit, so a semanticHash
+    collision can only cause a recompute, never a wrong reuse; falls
+    back to a plain recompute when the plan can't be hashed."""
+    try:
+        key = (
+            embeddings.sparkSession.sparkContext.applicationId,
+            embeddings.semanticHash(), n_queries, k,
+        )
+    except Exception:
+        key = None
+    if key is not None and key in _GT_CACHE:
+        stored, gt = _GT_CACHE[key]
+        try:
+            if embeddings.sameSemantics(stored):
+                return gt
+        except Exception:
+            pass
+    gt = knn_bruteforce(
+        embeddings, n_queries=n_queries, k=k
+    ).localCheckpoint(eager=True)
+    if key is not None:
+        while len(_GT_CACHE) >= 8:
+            _GT_CACHE.pop(next(iter(_GT_CACHE)))
+        _GT_CACHE[key] = (embeddings, gt)
+    return gt
+
 def range_search(
     embeddings: DataFrame, n_queries: int = 10, tau: float = 0.5
 ) -> DataFrame:
@@ -829,7 +872,7 @@ def ann_recall(
     and the expensive side remains whatever the index search costs.  A
     recall regression after re-tuning n_planes shows up here as a
     changed row, not a hunch."""
-    bf = knn_bruteforce(embeddings, n_queries=n_queries, k=k).select(
+    bf = knn_bruteforce_cached(embeddings, n_queries=n_queries, k=k).select(
         "query_id", "neighbor_id"
     )
     idx = knn_lsh(
@@ -1545,7 +1588,7 @@ def ivfpq_recall(
     n_coarse / m shows up here as a changed row ("measure, don't
     guess"), which is how the 100 TB index's parameters get chosen on a
     slice before the full build."""
-    bf = knn_bruteforce(embeddings, n_queries=n_queries, k=k).select(
+    bf = knn_bruteforce_cached(embeddings, n_queries=n_queries, k=k).select(
         "query_id", "neighbor_id"
     )
     idx = knn_ivfpq(
@@ -2013,7 +2056,7 @@ def sq8_recall(
     the scalar-quantization rung, completing the measured ladder
     (LSH -> SQ8 -> PQ -> IVF-PQ): pick the cheapest compression whose
     recall row is acceptable BEFORE building the 100 TB index."""
-    bf = knn_bruteforce(embeddings, n_queries=n_queries, k=k).select(
+    bf = knn_bruteforce_cached(embeddings, n_queries=n_queries, k=k).select(
         "query_id", "neighbor_id"
     )
     idx = knn_sq8(embeddings, n_queries=n_queries, k=k, d=d).select(
@@ -2084,7 +2127,7 @@ def matryoshka_recall(
     trunc = embeddings.select(
         "vec_id", F.slice("embedding", 1, d_prefix).alias("embedding")
     )
-    bf = knn_bruteforce(embeddings, n_queries=n_queries, k=k).select(
+    bf = knn_bruteforce_cached(embeddings, n_queries=n_queries, k=k).select(
         "query_id", "neighbor_id"
     )
     idx = knn_bruteforce(trunc, n_queries=n_queries, k=k).select(
@@ -2223,7 +2266,7 @@ def hamming_recall(
     """Recall@k of the 1-bit Hamming search against exact cosine brute
     force — the eval row that places sign hashing on the measured
     compression ladder (LSH -> 1-bit -> SQ8 -> PQ -> IVF-PQ)."""
-    bf = knn_bruteforce(embeddings, n_queries=n_queries, k=k).select(
+    bf = knn_bruteforce_cached(embeddings, n_queries=n_queries, k=k).select(
         "query_id", "neighbor_id"
     )
     idx = knn_hamming(embeddings, n_queries=n_queries, k=k, d=d).select(
@@ -2429,7 +2472,7 @@ def pq_rotation_recall(
     the rotation ships (the ann_recall discipline; note the rotated
     ranking also absorbs the sign matrix's JL distortion, which is
     exactly why it must be measured, not assumed)."""
-    exact = knn_bruteforce(embeddings, n_queries, k).select(
+    exact = knn_bruteforce_cached(embeddings, n_queries, k).select(
         "query_id", "neighbor_id"
     )
     plain = knn_pq_adc(embeddings, n_queries, k, m, ksub, d).select(
