@@ -409,13 +409,26 @@ def table_changes(
 
     ins, dels = _read(added), _read(removed)
     if row_level and ins is not None and dels is not None:
+        # exceptAll needs identical schemas; across a schema-evolution
+        # boundary (merge_schema merge) the removed files lack the new
+        # columns -- align by adding them as NULL (a carried row whose
+        # new column is NULL then still self-cancels; a row that gained
+        # a non-NULL value correctly surfaces as delete+insert)
+        all_cols = list(dict.fromkeys([*ins.columns, *dels.columns]))
+        types = {**dict(dels.dtypes), **dict(ins.dtypes)}
+        for c in all_cols:
+            if c not in ins.columns:
+                ins = ins.withColumn(c, F.lit(None).cast(types[c]))
+            if c not in dels.columns:
+                dels = dels.withColumn(c, F.lit(None).cast(types[c]))
+        ins, dels = ins.select(*all_cols), dels.select(*all_cols)
         ins, dels = ins.exceptAll(dels), dels.exceptAll(ins)
     if ins is not None:
         ins = ins.withColumn("_change_type", F.lit("insert"))
     if dels is not None:
         dels = dels.withColumn("_change_type", F.lit("delete"))
     if ins is not None and dels is not None:
-        return ins.unionByName(dels)
+        return ins.unionByName(dels, allowMissingColumns=True)
     if ins is not None:
         return ins
     if dels is not None:

@@ -1633,3 +1633,40 @@ def test_compact_cluster_by_zorder_tightens_stats(spark, tmp_path):
     assert got == {(a, b) for a in range(8) for b in range(8)}
     # the pre-compact version is untouched history
     assert versions(lake)[0] in versions(lake)
+
+
+def test_row_level_cdf_across_schema_evolution(spark, tmp_path):
+    """row_level table_changes spans a mergeSchema MERGE: the removed
+    files lack the new column, so the netting aligns schemas with typed
+    NULLs -- carried rows (new column NULL on both sides) self-cancel,
+    the updated row surfaces as delete(pre, score NULL) + insert(post,
+    score set)."""
+    from async_stream_processing_spark.plans.versioned import (
+        commit_append,
+        merge_into,
+        table_changes,
+        versions,
+    )
+
+    lake = str(tmp_path / "lake")
+    commit_append(
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(6)], "k long, v string"
+        ).coalesce(1),
+        lake,
+    )
+    merge_into(
+        spark, lake,
+        spark.createDataFrame([(2, "UP", 9, False)],
+                              "k long, v string, score long, "
+                              "is_delete boolean"),
+        ["k"], delete_col="is_delete", merge_schema=True,
+    )
+    v1, v2 = versions(lake)[0], versions(lake)[-1]
+    feed = {(r["k"], r["v"], r["score"], r["_change_type"])
+            for r in table_changes(spark, lake, v1, v2,
+                                   row_level=True).collect()}
+    assert feed == {
+        (2, "v2", None, "delete"),
+        (2, "UP", 9, "insert"),
+    }
