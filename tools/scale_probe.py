@@ -150,6 +150,30 @@ def main() -> None:
     emb1 = load_table(spark, SF_DIR, "embeddings")
     emb8 = x8(emb1, ["vec_id"], 1_000_000)
 
+    # --- round-8 additions: single-window detector + 1-bit ANN rung ---
+    from async_stream_processing_spark.llm.similarity import (
+        binary_sign_codes,
+        knn_hamming,
+    )
+    from async_stream_processing_spark.operators.analytics import (
+        cusum_drift,
+    )
+
+    ops_r8 = {
+        "cusum_drift": (lambda d: cusum_drift(d), ev1, ev8),
+        "binary_sign_codes": (lambda e: binary_sign_codes(e), emb1, emb8),
+        "knn_hamming": (lambda e: knn_hamming(e), emb1, emb8),
+    }
+    for name, (fn, one, eight) in ops_r8.items():
+        if ONLY and name not in ONLY:
+            continue
+        t1 = warm_time(fn(one))
+        t8 = warm_time(fn(eight))
+        print(
+            f"{name:22s} 1x={t1:6.2f}s  8x={t8:6.2f}s  ratio={t8 / t1:5.2f}x",
+            flush=True,
+        )
+
     def _cc_rounds(docs):
         pairs = minhash_dedup_pairs(docs, threshold=0.25).select(
             "doc_a", "doc_b"
