@@ -33,6 +33,7 @@ EXAMPLES = [
     "e21_eval_sweep",
     "e22_versioned_corpus",
     "e23_lakehouse_cdc",
+    "e24_lakehouse_hardening",
 ]
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "examples"))
