@@ -3242,11 +3242,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 #: Round-8 gate window: the driver checks the FIRST 50 `queries()` keys.
 #: Composition (mechanically verified by tools/check_window.py):
-#: (a) the ELEVEN queries new this round (never driver-gated): the
+#: (a) the TWELVE queries new this round (never driver-gated): the
 #:     versioned-lake round-8 surface (composite-key merge, schema
 #:     evolution, row-level CDF, auto-maintained streaming sink), the
 #:     1-bit Hamming ANN rung with its Matryoshka-truncation sibling,
-#:     the clustered-compaction gate, and the CUSUM drift detector;
+#:     the clustered-compaction and zero-copy shallow-clone gates, and
+#:     the CUSUM drift detector;
 #: (b) the TWELVE keys queued from round 7 (changed after their last
 #:     gate; all twelve re-verified exact by the r7 judge);
 #: (c) the FIFTEEN keys whose code changed in round 8: every versioned_*
@@ -3254,16 +3255,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #:     family (engine-side id_buckets), the shared verified-pair
 #:     artifact consumers (dedup_minhash_lsh, dedup_clusters,
 #:     pipeline_end_to_end), and stream_ols (integer div);
-#: (d) re-confirmation filler: the 12 stalest keys, all last gated in
-#:     round 2 (timer_ticks + topk_per_priority rotate to round 9 to
-#:     make room for the two late round-8 additions).
+#: (d) re-confirmation filler: the 11 stalest keys, all last gated in
+#:     round 2 (timer_ticks, topk_per_priority and set_ops_multiset
+#:     rotate to round 9 to make room for the late round-8 additions).
 GATE_WINDOW = [
     # (a) new in round 8
     "versioned_merge_composite", "versioned_changes_rows",
     "stream_versioned_maintained", "versioned_merge_schema",
     "knn_hamming", "hamming_recall", "stream_binary_codes",
     "cusum_drift", "stream_cusum", "matryoshka_recall",
-    "versioned_compact_zorder",
+    "versioned_compact_zorder", "versioned_clone",
     # (b) queued from round 7 (judge-re-verified exact)
     "line_dedup", "dedup_keep_best", "knn_ivfpq", "ivfpq_recall",
     "dedup_pair_recall", "dedup_source_matrix", "incremental_dedup",
@@ -3280,7 +3281,7 @@ GATE_WINDOW = [
     "cart_fold_state", "feedback_orders", "first_seen",
     "positional_zip", "revenue_rollup", "rows_frame_last5",
     "semi_anti_join", "sessionize", "sessionize_native",
-    "set_ops_multiset", "stream_cart_fold", "stream_join_1h",
+    "stream_cart_fold", "stream_join_1h",
 ]
 
 

@@ -1689,6 +1689,54 @@ def q_versioned_merge_schema(spark, sf_dir):
     return out
 
 
+def q_versioned_clone(spark, sf_dir):
+    """SHALLOW CLONE gate: clone the corpus lake zero-copy (manifest
+    references the source's files by absolute path), then MERGE a CDC
+    batch into the CLONE -- the clone's head must equal the SQL merge
+    expression while the source lake stays byte-untouched (pinned in
+    pytest; the VALUES are hash-gated here)."""
+    import shutil
+    import tempfile
+
+    from async_stream_processing_spark.plans.versioned import (
+        commit_append,
+        merge_into,
+        read_version,
+        shallow_clone,
+    )
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    src = tempfile.mkdtemp(prefix="asp_vclone_src_")
+    dst = tempfile.mkdtemp(prefix="asp_vclone_dst_")
+    for d in (src, dst):
+        shutil.rmtree(d, ignore_errors=True)
+    try:
+        for m in range(3):
+            commit_append(docs.filter(F.col("doc_id") % 3 == m), src)
+        shallow_clone(src, dst)
+        ups = docs.filter(F.col("doc_id") % 5 == 0).select(
+            "doc_id", "text",
+            F.lit("cloned").alias("lang"),
+            "source", "n_chars",
+            F.lit(False).alias("is_delete"),
+        )
+        dels = docs.filter(
+            (F.col("doc_id") % 11 == 0) & (F.col("doc_id") % 5 != 0)
+        ).select(
+            "doc_id", "text", "lang", "source", "n_chars",
+            F.lit(True).alias("is_delete"),
+        )
+        merge_into(spark, dst, ups.unionByName(dels), ["doc_id"],
+                   delete_col="is_delete")
+        out = read_version(spark, dst).localCheckpoint(eager=True)
+    finally:
+        for d in (src, dst):
+            shutil.rmtree(d, ignore_errors=True)
+    return out
+
+
 def q_stream_versioned_maintained(spark, sf_dir):
     """versioned_sink WITH the auto-maintenance policy (r7 verdict item
     5) EXECUTED BY THE STREAMING ENGINE: many micro-batches, compaction
@@ -2084,6 +2132,7 @@ LLM_QUERIES = {
     "versioned_merge_schema": q_versioned_merge_schema,
     "versioned_changes_rows": q_versioned_changes_rows,
     "stream_versioned_maintained": q_stream_versioned_maintained,
+    "versioned_clone": q_versioned_clone,
     "stream_versioned_merge": q_stream_versioned_merge,
     "versioned_compact": q_versioned_compact,
     "versioned_changes": q_versioned_changes,
@@ -2626,6 +2675,19 @@ def llm_oracle_sql() -> dict[str, str]:
         """,
         "stream_versioned_maintained": """
             SELECT doc_id, text, lang, source, n_chars FROM documents
+        """,
+        "versioned_clone": """
+            WITH ups AS (SELECT doc_id, text, 'cloned' AS lang,
+                                source, n_chars
+                         FROM documents WHERE doc_id % 5 = 0),
+            dels AS (SELECT doc_id FROM documents
+                     WHERE doc_id % 11 = 0 AND doc_id % 5 != 0)
+            SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+            FROM documents d
+            WHERE d.doc_id % 5 != 0
+              AND d.doc_id NOT IN (SELECT doc_id FROM dels)
+            UNION ALL
+            SELECT doc_id, text, lang, source, n_chars FROM ups
         """,
         "versioned_merge_schema": """
             WITH target AS (SELECT doc_id, text, lang, source, n_chars

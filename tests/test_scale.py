@@ -1670,3 +1670,67 @@ def test_row_level_cdf_across_schema_evolution(spark, tmp_path):
         (2, "v2", None, "delete"),
         (2, "UP", 9, "insert"),
     }
+
+
+def test_shallow_clone_zero_copy_and_independent_merge(spark, tmp_path):
+    """SHALLOW CLONE: zero data files copied (the clone's manifest
+    references the source's files by absolute path), reads equal the
+    source snapshot, stats/blooms carry so pruning works from commit
+    one, and a MERGE into the clone copy-on-writes ONLY clone-local
+    files -- the source lake's bytes and manifests are untouched."""
+    import os
+
+    from async_stream_processing_spark.plans.versioned import (
+        _read_manifest,
+        commit_append,
+        lookup_version,
+        merge_into,
+        read_version,
+        shallow_clone,
+        versions,
+    )
+
+    src = str(tmp_path / "src")
+    for lo in (0, 100):
+        commit_append(
+            spark.range(lo, lo + 50).selectExpr(
+                "id AS k", "CAST(id AS STRING) AS v"
+            ).coalesce(1),
+            src, stats_cols=["k"], bloom_cols=["k"], bloom_bits=1 << 12,
+        )
+    src_versions = versions(src)
+    src_files = set(_read_manifest(src, src_versions[-1])["files"])
+
+    dst = str(tmp_path / "clone")
+    v = shallow_clone(src, dst)
+    assert v == 1
+    # zero-copy: no data files under the clone
+    assert not os.path.isdir(os.path.join(dst, "data"))
+    got = sorted(r["k"] for r in read_version(spark, dst).collect())
+    assert got == list(range(0, 50)) + list(range(100, 150))
+    # carried blooms serve point lookups on the clone immediately
+    assert [r["v"] for r in lookup_version(spark, dst, "k", 110).collect()] \
+        == ["110"]
+
+    # merge into the CLONE: only clone-local rewrite files appear
+    merge_into(
+        spark, dst,
+        spark.createDataFrame([(110, "UP", False), (130, None, True)],
+                              "k long, v string, is_delete boolean"),
+        ["k"], delete_col="is_delete",
+    )
+    head = {(r["k"], r["v"]) for r in read_version(spark, dst).collect()}
+    assert (110, "UP") in head and all(k != 130 for k, _ in head)
+    m2 = _read_manifest(dst, versions(dst)[-1])
+    local = [f for f in m2["files"] if not os.path.isabs(f)]
+    assert local, "merge must have written clone-local rewrite files"
+    for f in local:
+        assert os.path.exists(os.path.join(dst, f))
+    # the untouched source file is still carried by absolute reference
+    carried_abs = [f for f in m2["files"] if os.path.isabs(f)]
+    assert len(carried_abs) == 1  # the 0-49 file had no matched key
+    # source lake untouched: same versions, same files, same content
+    assert versions(src) == src_versions
+    assert set(_read_manifest(src, src_versions[-1])["files"]) == src_files
+    src_rows = sorted(r["k"] for r in read_version(spark, src).collect())
+    assert src_rows == list(range(0, 50)) + list(range(100, 150))
