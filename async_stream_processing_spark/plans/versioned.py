@@ -159,6 +159,22 @@ def _head_version(path: str) -> int | None:
     return None
 
 
+
+def _content_version_at(path: str, head: int) -> int | None:
+    """Highest non-torn version <= the PINNED head — the snapshot a
+    pinned commit must compute its content against.  Reading "the
+    current head" in a separate listing after pinning would reintroduce
+    the lost-update race in miniature: a commit landing between the two
+    listings would be read as content but not covered by the pin, so
+    the pinned publish would succeed while silently absorbing-then-
+    dropping the racer.  Constraining the content read to <= the pin
+    makes any later commit fail the O_EXCL create instead."""
+    for v in sorted((v for v in versions(path) if v <= head),
+                    reverse=True):
+        if not _is_torn(path, v):
+            return v
+    return None
+
 def _carry_batch_meta(parent_manifest: dict | None,
                       meta: dict | None) -> dict:
     """Fold the streaming idempotence watermark forward: every commit
@@ -297,7 +313,7 @@ def commit_append(
     while True:
         head = _live_head(path)
         base_files, base_stats, base_blooms, head_m = [], {}, {}, None
-        hv = _head_version(path)
+        hv = _content_version_at(path, head)
         if hv is not None:
             head_m = _read_manifest(path, hv)
             base_files = head_m["files"]
@@ -329,7 +345,7 @@ def commit_overwrite(df: DataFrame, path: str,
     new_files = _write_data(df, path)
     while True:
         head = _live_head(path)
-        hv = _head_version(path)
+        hv = _content_version_at(path, head)
         head_m = _read_manifest(path, hv) if hv is not None else None
         try:
             return _commit(
@@ -676,10 +692,10 @@ def merge_into(
     ).first()
 
     for _ in range(max_attempts):
-        hv = _head_version(path)
+        head = _live_head(path)
+        hv = _content_version_at(path, head)
         if hv is None:
             raise FileNotFoundError(f"no committed versions under {path}")
-        head = _live_head(path)
         head_manifest = _read_manifest(path, hv)
         head_files = head_manifest["files"]
 
@@ -848,10 +864,10 @@ def compact(spark: SparkSession, path: str, target_files: int = 1,
     publish raise and the whole compaction recomputes against the new
     head (lost attempts leave only invisible orphan files)."""
     for _ in range(max_attempts):
-        pinned = _head_version(path)
+        head = _live_head(path)
+        pinned = _content_version_at(path, head)
         if pinned is None:
             raise FileNotFoundError(f"no committed versions under {path}")
-        head = _live_head(path)
         m = _read_manifest(path, pinned)
         df = read_version(spark, path, version=pinned)
         if cluster_by:
