@@ -1734,3 +1734,48 @@ def test_shallow_clone_zero_copy_and_independent_merge(spark, tmp_path):
     assert set(_read_manifest(src, src_versions[-1])["files"]) == src_files
     src_rows = sorted(r["k"] for r in read_version(spark, src).collect())
     assert src_rows == list(range(0, 50)) + list(range(100, 150))
+
+
+def test_concurrent_committers_no_lost_updates(spark, tmp_path):
+    """Pinned-commit protocol under REAL contention: 8 threads each
+    commit_append their own slice into one lake concurrently.  Every
+    committed version must be contiguous, every thread's rows must
+    survive into the head (no lost updates), and every manifest's file
+    list must be a superset of its parent's (append monotonicity)."""
+    import threading
+
+    from async_stream_processing_spark.plans.versioned import (
+        _read_manifest,
+        commit_append,
+        read_version,
+        versions,
+    )
+
+    lake = str(tmp_path / "lake")
+    errs = []
+
+    def worker(i):
+        try:
+            commit_append(
+                spark.range(i * 100, i * 100 + 100).selectExpr("id AS k")
+                .coalesce(1),
+                lake,
+            )
+        except Exception as e:  # noqa: BLE001
+            errs.append((i, e))
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs, errs
+    vs = versions(lake)
+    assert vs == list(range(1, 9))  # contiguous, one per committer
+    rows = sorted(r["k"] for r in read_version(spark, lake).collect())
+    assert rows == list(range(800))  # no thread's commit was erased
+    prev: set = set()
+    for v in vs:
+        files = set(_read_manifest(lake, v)["files"])
+        assert prev <= files  # append-only monotone file sets
+        prev = files
