@@ -1779,3 +1779,17 @@ def test_concurrent_committers_no_lost_updates(spark, tmp_path):
         files = set(_read_manifest(lake, v)["files"])
         assert prev <= files  # append-only monotone file sets
         prev = files
+
+
+def test_lake_lifecycle_fuzz_pinned_seeds(spark):
+    """Sequence-level differential adversary for the transactional
+    layer (tools/fuzz_lake.py): random append/merge/compact/vacuum/
+    clone walks vs a dict model, head compared after EVERY commit,
+    pinned snapshots re-read after churn, bloom lookups spot-checked.
+    Two pinned seeds here; larger sweeps run at round close."""
+    import random
+
+    import tools.fuzz_lake as fl
+
+    for seed in (20260815, 20260816):
+        fl.run_case(spark, random.Random(seed))

@@ -1,0 +1,181 @@
+"""Lake-lifecycle differential fuzzer: random transactional op
+sequences executed by the versioned lake AND by a plain Python dict
+model, compared exactly after every commit — the sequence-level
+adversary for the transactional layer (the relational fuzzer's sibling:
+``fuzz_differential.py`` probes query space; this probes COMMIT space).
+
+Each case runs a seeded random sequence of:
+
+* ``append``  — new keyed rows (commit_append, stats+blooms tracked)
+* ``merge``   — update/delete/insert CDC batch (merge_into, CoW)
+* ``compact`` — OPTIMIZE (plain or ZORDER-clustered)
+* ``vacuum``  — drop history beyond a random keep-last
+* ``clone``   — zero-copy shallow clone; the walk CONTINUES ON THE
+  CLONE (source snapshot is pinned in the model and re-checked at the
+  end — proves clone independence over arbitrary later mutations)
+
+After every commit the head must equal the model (full multiset
+compare); a random pinned snapshot is re-read later (time travel under
+churn); point lookups through the bloom path must agree with the model.
+
+Usage: python tools/fuzz_lake.py [n_cases] [seed]
+Also driven by tests/test_scale.py with pinned seeds.
+"""
+
+from __future__ import annotations
+
+import random
+import shutil
+import sys
+import tempfile
+
+sys.path.insert(0, ".")
+
+
+def run_case(spark, rng: random.Random, n_ops: int = 8) -> None:
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from async_stream_processing_spark.plans.versioned import (
+        commit_append,
+        compact,
+        lookup_version,
+        merge_into,
+        read_version,
+        shallow_clone,
+        vacuum,
+        versions,
+    )
+
+    root = tempfile.mkdtemp(prefix="asp_lakefuzz_")
+    lake = root + "/lake"
+    clones = 0
+    model: dict[int, int] = {}  # k -> v (keyed table semantics)
+    next_k = 0
+    # (path, version, snapshot) pins re-checked at the end; for a clone
+    # the snapshot is the SOURCE state at clone time
+    pins: list[tuple[str, int, dict[int, int]]] = []
+
+    def fresh_rows(n):
+        nonlocal next_k
+        rows = [(next_k + i, rng.randrange(1000)) for i in range(n)]
+        next_k += n
+        return rows
+
+    def df_of(rows, with_flag=False):
+        if with_flag:
+            return spark.createDataFrame(
+                [(k, v, bool(d)) for (k, v, d) in rows],
+                "k long, v long, is_delete boolean",
+            )
+        return spark.createDataFrame(rows, "k long, v long")
+
+    def check_head():
+        got = {(r["k"], r["v"]) for r in read_version(spark, lake).collect()}
+        want = set(model.items())
+        assert got == want, (
+            f"head mismatch: extra={got - want} missing={want - got}"
+        )
+
+    # seed the lake
+    rows = fresh_rows(rng.randrange(5, 30))
+    model.update(dict(rows))
+    commit_append(df_of(rows).coalesce(1), lake,
+                  stats_cols=["k"], bloom_cols=["k"], bloom_bits=1 << 12)
+    check_head()
+
+    for _ in range(n_ops):
+        op = rng.choice(
+            ["append", "append", "merge", "merge", "compact", "vacuum",
+             "clone", "pin"]
+        )
+        if op == "append":
+            rows = fresh_rows(rng.randrange(1, 20))
+            model.update(dict(rows))
+            commit_append(
+                df_of(rows).coalesce(rng.choice([1, 2])), lake,
+                stats_cols=["k"], bloom_cols=["k"], bloom_bits=1 << 12,
+            )
+        elif op == "merge":
+            keys = list(model)
+            ups = [(k, rng.randrange(1000), 0)
+                   for k in rng.sample(keys, min(len(keys),
+                                                 rng.randrange(1, 8)))]
+            remaining = [k for k in keys if k not in {u[0] for u in ups}]
+            dels = [(k, 0, 1)
+                    for k in rng.sample(remaining,
+                                        min(len(remaining),
+                                            rng.randrange(0, 4)))]
+            ins = [(k, v, 0) for (k, v) in fresh_rows(rng.randrange(0, 5))]
+            cdc = ups + dels + ins
+            if not cdc:
+                continue
+            for k, v, d in cdc:
+                if d:
+                    model.pop(k, None)
+                else:
+                    model[k] = v
+            merge_into(spark, lake, df_of(cdc, with_flag=True), ["k"],
+                       delete_col="is_delete")
+        elif op == "compact":
+            if rng.random() < 0.5:
+                compact(spark, lake, target_files=rng.choice([1, 2]))
+            else:
+                compact(spark, lake, target_files=rng.choice([1, 2, 4]),
+                        cluster_by=["k", "v"], zorder_bits=10)
+        elif op == "vacuum":
+            vacuum(lake, keep_last=rng.choice([1, 2, 3]))
+        elif op == "clone":
+            clones += 1
+            dst = f"{root}/clone{clones}"
+            shallow_clone(lake, dst)
+            # the source state is pinned; the walk continues on the
+            # clone, so later mutations must never leak back
+            pins.append((lake, versions(lake)[-1], dict(model)))
+            lake = dst
+        elif op == "pin":
+            pins.append((lake, versions(lake)[-1], dict(model)))
+        check_head()
+        # bloom point lookup on a random live key and a random absent key
+        if model and rng.random() < 0.5:
+            k = rng.choice(list(model))
+            got = [(r["k"], r["v"])
+                   for r in lookup_version(spark, lake, "k", k).collect()]
+            assert got == [(k, model[k])], (k, got, model[k])
+            absent = next_k + 10_000
+            assert lookup_version(spark, lake, "k", absent).count() == 0
+
+    # time travel: every pin must still read its exact snapshot —
+    # UNLESS its manifest was vacuumed away (legal history loss) or it
+    # was a clone source whose files a later source-side vacuum dropped
+    for path, v, snap in pins:
+        if v not in versions(path):
+            continue  # vacuumed: pinned read is legitimately gone
+        got = {(r["k"], r["v"])
+               for r in read_version(spark, path, v).collect()}
+        assert got == set(snap.items()), f"pin {path}@{v} drifted"
+    shutil.rmtree(root, ignore_errors=True)
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    seed = int(sys.argv[2]) if len(sys.argv) > 2 else 20260815
+
+    from async_stream_processing_spark import get_spark
+
+    spark = get_spark("lakefuzz", shuffle_partitions=4)
+    spark.sparkContext.setLogLevel("ERROR")
+    failures = 0
+    for i in range(n):
+        rng = random.Random(seed + i)
+        try:
+            run_case(spark, rng)
+        except AssertionError as e:
+            failures += 1
+            print(f"CASE {i} FAILED: {e}")
+    print(f"PASS: {n - failures}/{n} (lake lifecycle, seed {seed})")
+    if failures:
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
