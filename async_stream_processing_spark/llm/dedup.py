@@ -449,13 +449,19 @@ def verified_pairs_cached(
     write them, fan consumers out from the table).
 
     Cache key = (Spark application, semantic hash of the input plan,
-    params); ``sameSemantics`` re-verifies on hit so a hash collision
-    can only cause a recompute, never a wrong reuse.  Falls back to a
-    plain recompute whenever the plan can't be hashed (e.g. Connect)."""
+    input-file fingerprint, params); ``sameSemantics`` re-verifies on
+    hit so a hash collision can only cause a recompute, never a wrong
+    reuse, and the file fingerprint (paths+mtimes+sizes, round-9
+    advice) makes a rewritten/appended source MISS instead of serving
+    the stale pair graph.  Falls back to a plain recompute whenever the
+    plan can't be hashed (e.g. Connect)."""
+    from ._cache import data_fingerprint
+
     try:
         key = (
             docs.sparkSession.sparkContext.applicationId,
-            docs.semanticHash(), threshold, n_hashes, bands, hash_mode,
+            docs.semanticHash(), data_fingerprint(docs),
+            threshold, n_hashes, bands, hash_mode,
         )
     except Exception:
         key = None

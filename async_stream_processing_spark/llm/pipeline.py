@@ -21,6 +21,36 @@ from ..functions.hashing import stable_hash60
 from ..functions.text import tokens
 from .dedup import verified_pairs_cached
 
+# Bounded registry of persisted exact-dedup corpora (round-9 advice,
+# low: persist() without unpersist accumulated one executor-storage
+# entry per DISTINCT input over a long-lived session).  Keyed by the
+# canonicalized plan's semantic hash + verified by sameSemantics on
+# hit; evicting the oldest entry unpersists it, so executor storage
+# holds at most _CANON_CACHE_MAX cached corpora at any time.
+_CANON_CACHE: dict[int, DataFrame] = {}
+_CANON_CACHE_MAX = 4
+
+
+def _persist_canon(canon: DataFrame) -> DataFrame:
+    key = canon._jdf.queryExecution().analyzed().semanticHash()
+    hit = _CANON_CACHE.get(key)
+    if hit is not None and hit.sameSemantics(canon):
+        return hit
+    if len(_CANON_CACHE) >= _CANON_CACHE_MAX:
+        oldest = next(iter(_CANON_CACHE))
+        _CANON_CACHE.pop(oldest).unpersist(blocking=False)
+    cached = canon.persist()
+    _CANON_CACHE[key] = cached
+    return cached
+
+
+def release_pipeline_cache() -> None:
+    """Unpersist every corpus the pipeline registry holds (e.g. at the
+    end of a curation job in a shared long-lived session)."""
+    for df in _CANON_CACHE.values():
+        df.unpersist(blocking=False)
+    _CANON_CACHE.clear()
+
 
 def training_pipeline(
     docs: DataFrame,
@@ -67,8 +97,11 @@ def training_pipeline(
     # window.  persist() (not localCheckpoint) keeps the LINEAGE in the
     # plan, so the pushed parquet scan stays visible/prunable and a lost
     # executor recomputes instead of failing; Spark's cache manager
-    # dedupes by canonicalized plan, so repeated runs share one entry.
-    canon = canon.persist()
+    # dedupes by canonicalized plan, so repeated runs share one entry;
+    # the bounded module registry (_persist_canon) additionally
+    # unpersists evicted corpora so distinct inputs can't accumulate
+    # executor storage over a long-lived session (round-9 advice).
+    canon = _persist_canon(canon)
 
     # near-dedup on the surviving corpus, via the session-shared
     # verified-pair artifact (pair-graph-sized localCheckpoint): repeat

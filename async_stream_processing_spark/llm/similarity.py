@@ -119,12 +119,18 @@ def knn_bruteforce_cached(
     computes ground truth once and writes it, for the same reason.
 
     ``sameSemantics`` re-verifies every cache hit, so a semanticHash
-    collision can only cause a recompute, never a wrong reuse; falls
-    back to a plain recompute when the plan can't be hashed."""
+    collision can only cause a recompute, never a wrong reuse; the
+    input-file fingerprint (paths+mtimes+sizes, round-9 advice) makes a
+    rewritten/appended source MISS instead of serving stale ground
+    truth; falls back to a plain recompute when the plan can't be
+    hashed."""
+    from ._cache import data_fingerprint
+
     try:
         key = (
             embeddings.sparkSession.sparkContext.applicationId,
-            embeddings.semanticHash(), n_queries, k,
+            embeddings.semanticHash(), data_fingerprint(embeddings),
+            n_queries, k,
         )
     except Exception:
         key = None

@@ -34,6 +34,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -178,17 +179,35 @@ def _content_version_at(path: str, head: int) -> int | None:
 def _carry_batch_meta(parent_manifest: dict | None,
                       meta: dict | None) -> dict:
     """Fold the streaming idempotence watermark forward: every commit
-    (append, merge, compact, overwrite) carries ``last_batch_id`` =
-    max(parent's watermark, this commit's own ``batch_id``) so the
-    sinks' re-delivery check reads ONLY the head manifest — O(1) per
-    micro-batch instead of re-reading every manifest (r7 verdict
-    item 2)."""
+    (append, merge, compact, overwrite) carries ``last_batch_ids`` =
+    per-app max(parent's watermark, this commit's own ``batch_id``) so
+    the sinks' re-delivery check reads ONLY the head manifest — O(1)
+    per micro-batch instead of re-reading every manifest (r7 verdict
+    item 2).
+
+    The watermark is keyed by ``txn_app_id`` (the Delta ``txnAppId``
+    idea; round-9 advice, medium): two streaming queries writing the
+    same lake under DISTINCT app ids keep independent watermarks, so
+    stream B's batch 3 is no longer masked by stream A's batch 7.
+    Sinks that omit the id share the ``"default"`` key — i.e. the old
+    single-writer semantics, loudly documented on the sinks."""
     out = dict(meta or {})
-    prev = (parent_manifest or {}).get("last_batch_id")
+    marks: dict[str, int] = {
+        str(a): int(b)
+        for a, b in ((parent_manifest or {}).get(
+            "last_batch_ids") or {}).items()
+    }
+    # legacy scalar watermark from pre-r9 manifests folds into "default"
+    legacy = (parent_manifest or {}).get("last_batch_id")
+    if legacy is not None:
+        marks["default"] = max(int(legacy), marks.get("default", -1))
     own = out.get("batch_id")
-    cands = [b for b in (prev, own) if b is not None]
-    if cands:
-        out["last_batch_id"] = max(int(b) for b in cands)
+    if own is not None:
+        app = str(out.get("txn_app_id", "default"))
+        marks[app] = max(int(own), marks.get(app, -1))
+    if marks:
+        out["last_batch_ids"] = marks
+        out["last_batch_id"] = max(marks.values())  # audit/back-compat
     return out
 
 
@@ -582,10 +601,20 @@ def shallow_clone(src: str, dst: str, version: int | None = None) -> int:
                    meta=meta, expected_head=0)
 
 
-def vacuum(path: str, keep_last: int = 1) -> dict:
+def vacuum(path: str, keep_last: int = 1,
+           torn_grace_seconds: float = 300.0) -> dict:
     """Delete data files referenced by none of the last ``keep_last``
     manifests (and drop the older manifests).  Returns counts for
-    observability."""
+    observability.
+
+    Torn manifests are only reaped after ``torn_grace_seconds`` of
+    mtime age: a freshly-claimed O_EXCL manifest whose body is still
+    being written is indistinguishable from a genuinely torn one, and
+    unlinking it mid-write would let the racing commit "succeed" into
+    an unlinked fd — silently losing the commit the pinned-publish
+    protocol exists to protect (round-9 advice, low).  A stale torn
+    manifest (crashed writer) ages past the grace and is reclaimed by
+    the next vacuum."""
     all_vs = versions(path)
     vs = [v for v in all_vs if not _is_torn(path, v)]
     keep = vs[-keep_last:] if keep_last > 0 else []
@@ -605,9 +634,22 @@ def vacuum(path: str, keep_last: int = 1) -> dict:
     for dp, dirs, fs in os.walk(droot, topdown=False):
         if not dirs and not fs and dp != droot:
             shutil.rmtree(dp, ignore_errors=True)
+    now = time.time()
     for v in all_vs:
-        if v not in keep:
-            os.remove(_manifest_path(path, v))
+        if v in keep:
+            continue
+        mp = _manifest_path(path, v)
+        if _is_torn(path, v):
+            try:
+                age = now - os.path.getmtime(mp)
+            except OSError:
+                continue  # already gone (racer finished or cleaned up)
+            if age < torn_grace_seconds:
+                continue  # possibly a just-claimed in-flight commit
+        try:
+            os.remove(mp)
+        except FileNotFoundError:
+            pass
     return {"versions_kept": keep, "files_removed": removed}
 
 
@@ -869,7 +911,14 @@ def compact(spark: SparkSession, path: str, target_files: int = 1,
         if pinned is None:
             raise FileNotFoundError(f"no committed versions under {path}")
         m = _read_manifest(path, pinned)
-        df = read_version(spark, path, version=pinned)
+        # merge_schema: a merge_into(merge_schema=True) head legitimately
+        # mixes file schemas (untouched files keep the old columns).
+        # Reading one file's schema here would rewrite the WHOLE table
+        # without the evolved column and vacuum would then delete the
+        # only files that still had it — permanent silent data loss
+        # (round-9 advice, high).  The footer-merge pass is O(files)
+        # metadata reads, which compaction already pays for stats.
+        df = read_version(spark, path, version=pinned, merge_schema=True)
         if cluster_by:
             from .scale import zorder_key
 
@@ -925,22 +974,36 @@ def committed_batch_ids(path: str) -> set[int]:
     return out
 
 
-def last_committed_batch_id(path: str) -> int | None:
+def last_committed_batch_id(path: str,
+                            txn_app_id: str | None = None) -> int | None:
     """Highest streaming batch id committed to this lake, read from the
-    HEAD manifest only (every commit carries the ``last_batch_id``
+    HEAD manifest only (every commit carries the ``last_batch_ids``
     watermark forward via :func:`_carry_batch_meta`) — the O(1)
     per-trigger idempotence check (r7 verdict item 2: the old
     every-manifest scan made a long-running stream's own re-delivery
     check O(versions²) over its life).  Sound because foreachBatch
     batch ids are monotone within a checkpoint lineage: a re-delivered
     batch after a crash/restart is always the LATEST uncommitted id,
-    so ``batch_id <= watermark`` ⟺ already committed."""
+    so ``batch_id <= watermark`` ⟺ already committed.
+
+    ``txn_app_id`` scopes the check to ONE streaming query's watermark
+    (round-9 advice, medium — two sinks under distinct app ids no
+    longer mask each other); ``None`` returns the max across all apps
+    (the audit/back-compat view)."""
     for v in reversed(versions(path)):
         try:
             m = _read_manifest(path, v)
         except (json.JSONDecodeError, OSError):
             continue  # torn head: walk back
-        b = m.get("last_batch_id")
+        marks = m.get("last_batch_ids")
+        if marks is None:
+            b = m.get("last_batch_id")  # pre-r9 manifest
+            if b is None:
+                return None
+            return int(b) if txn_app_id in (None, "default") else None
+        if txn_app_id is None:
+            return max(int(b) for b in marks.values()) if marks else None
+        b = marks.get(str(txn_app_id))
         return None if b is None else int(b)
     return None
 
@@ -968,7 +1031,8 @@ def _auto_maintain(spark: SparkSession, path: str, version: int,
 def versioned_sink(stream_df: DataFrame, path: str, checkpoint: str,
                    compact_every: int | None = None,
                    compact_target_files: int = 1,
-                   vacuum_keep: int | None = None):
+                   vacuum_keep: int | None = None,
+                   txn_app_id: str = "default"):
     """EXACTLY-ONCE streaming append into the versioned lake: each
     micro-batch commits as one version whose manifest records its
     ``batch_id``; a re-delivered batch (foreachBatch's at-least-once
@@ -985,13 +1049,21 @@ def versioned_sink(stream_df: DataFrame, path: str, checkpoint: str,
     and (with ``vacuum_keep``) old versions vacuumed — see
     :func:`_auto_maintain`.
 
+    ``txn_app_id`` identifies THIS streaming query's watermark (Delta
+    ``txnAppId``).  Two concurrent sinks into one lake MUST pass
+    distinct ids or their batch-id watermarks mask each other and data
+    is silently dropped (round-9 advice, medium); the ``"default"``
+    shared key preserves the single-writer crash-redelivery semantics
+    (a fresh checkpoint replaying the same source skips).
+
     Returns the started StreamingQuery (caller awaits/stops it)."""
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
-        last = last_committed_batch_id(path)
+        last = last_committed_batch_id(path, txn_app_id)
         if last is not None and batch_id <= last:
             return
-        v = commit_append(batch_df, path, meta={"batch_id": batch_id})
+        v = commit_append(batch_df, path, meta={
+            "batch_id": batch_id, "txn_app_id": txn_app_id})
         _auto_maintain(batch_df.sparkSession, path, v, compact_every,
                        compact_target_files, vacuum_keep)
 
@@ -1012,6 +1084,7 @@ def versioned_merge_sink(
     compact_every: int | None = None,
     compact_target_files: int = 1,
     vacuum_keep: int | None = None,
+    txn_app_id: str = "default",
 ):
     """Streaming CDC APPLY into the versioned lake: every micro-batch
     MERGEs (update/delete/insert by key, copy-on-write at file
@@ -1028,14 +1101,15 @@ def versioned_merge_sink(
     Returns the started StreamingQuery (caller awaits/stops it)."""
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        last = last_committed_batch_id(path)
+        last = last_committed_batch_id(path, txn_app_id)
         if last is not None and batch_id <= last:
             return
         if not batch_df.take(1):
             return  # empty trigger: no version burned
         v = merge_into(
             batch_df.sparkSession, path, batch_df, key_cols,
-            delete_col=delete_col, meta={"batch_id": batch_id},
+            delete_col=delete_col,
+            meta={"batch_id": batch_id, "txn_app_id": txn_app_id},
         )
         _auto_maintain(batch_df.sparkSession, path, v, compact_every,
                        compact_target_files, vacuum_keep)

@@ -1706,3 +1706,66 @@ def test_ivfpq_upsert_driver_traffic_is_o_model(spark, tmp_path,
         if "vec_id" in cols:  # only the take(1) emptiness probe
             assert n_rows <= 1, f"batch keys crossed to driver: {cols}"
         assert n_rows <= 4 * IVFPQ_IDMAP_BUCKETS, (n_rows, cols)
+
+
+def test_session_caches_miss_on_rewritten_source(spark, tmp_path):
+    """Round-9 advice (low): the session artifact caches key on the
+    LOGICAL PLAN's semantics, which don't see data changes — rewriting
+    the source parquet within one application must MISS (via the
+    input-file fingerprint) and recompute, not serve the stale
+    artifact."""
+    import numpy as np
+
+    from async_stream_processing_spark.llm.similarity import (
+        knn_bruteforce_cached,
+    )
+
+    path = str(tmp_path / "emb")
+
+    def write(seed):
+        rng = np.random.default_rng(seed)
+        rows = [
+            (i, [float(x) for x in rng.standard_normal(8)])
+            for i in range(40)
+        ]
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        ).coalesce(1).write.mode("overwrite").parquet(path)
+
+    write(7)
+    df = spark.read.parquet(path)
+    gt1 = {tuple(r) for r in knn_bruteforce_cached(
+        df, n_queries=3, k=2).collect()}
+    # overwrite the SAME path with different vectors: identical plan
+    # semantics, different data — the fingerprint must force a MISS
+    write(8)
+    df2 = spark.read.parquet(path)
+    gt2 = {tuple(r) for r in knn_bruteforce_cached(
+        df2, n_queries=3, k=2).collect()}
+    assert gt2 and gt1 != gt2, (
+        "stale ground truth served after source rewrite")
+
+
+def test_pipeline_canon_registry_bounded_unpersist(spark):
+    """Round-9 advice (low): training_pipeline's persisted corpus is
+    held in a bounded registry; eviction unpersists, so a long-lived
+    session can't accumulate executor storage."""
+    import async_stream_processing_spark.llm.pipeline as P
+
+    P.release_pipeline_cache()
+    dfs = []
+    for i in range(P._CANON_CACHE_MAX + 2):
+        docs = spark.createDataFrame(
+            [(j, f"src{i}", " ".join(["w"] * 50) + f" doc{i}_{j}",
+              300 + j)
+             for j in range(6)],
+            "doc_id long, source string, text string, n_chars long",
+        )
+        P.training_pipeline(docs, min_words=5).collect()
+        dfs.append(docs)
+    assert len(P._CANON_CACHE) <= P._CANON_CACHE_MAX
+    live = [df for df in P._CANON_CACHE.values()
+            if df.storageLevel.useMemory or df.storageLevel.useDisk]
+    assert len(live) == len(P._CANON_CACHE)
+    P.release_pipeline_cache()
+    assert not P._CANON_CACHE

@@ -798,7 +798,11 @@ def test_versioned_lake_torn_manifest_skipped(spark, tmp_path):
     """A writer that died after claiming a version file but before
     writing its body (torn manifest) must be invisible to readers: the
     head falls back to the last parseable version, the burned number is
-    skipped by the next commit, and vacuum clears the torn file."""
+    skipped by the next commit, and vacuum clears the torn file once it
+    ages past the in-flight grace (round-9 advice: a FRESH torn file is
+    indistinguishable from a racing commit's just-claimed slot, so the
+    default grace keeps it; grace 0 is the explicit dead-writer
+    cleanup)."""
     import os
 
     from async_stream_processing_spark.plans.versioned import (
@@ -819,7 +823,7 @@ def test_versioned_lake_torn_manifest_skipped(spark, tmp_path):
     assert v == 3  # the burned number stays burned
     assert sorted(r["k"] for r in read_version(spark, lake).collect()) \
         == [1, 2]
-    vacuum(lake, keep_last=1)
+    vacuum(lake, keep_last=1, torn_grace_seconds=0)
     assert not os.path.exists(_manifest_path(lake, 2))
     assert sorted(r["k"] for r in read_version(spark, lake).collect()) \
         == [1, 2]
@@ -1793,3 +1797,151 @@ def test_lake_lifecycle_fuzz_pinned_seeds(spark):
 
     for seed in (20260815, 20260816):
         fl.run_case(spark, random.Random(seed))
+
+
+def test_compact_preserves_evolved_schema(spark, tmp_path):
+    """Round-9 advice (high): compacting a schema-evolved lake must
+    read the head with mergeSchema — before the fix, compact inferred
+    the schema from ONE file, rewrote the whole table without the
+    evolved column, and vacuum then deleted the only files that still
+    had it (permanent silent loss).  merge_schema=True -> compact ->
+    vacuum must keep the evolved column and its values."""
+    from async_stream_processing_spark.plans.versioned import (
+        commit_append,
+        compact,
+        merge_into,
+        read_version,
+        vacuum,
+    )
+
+    lake = str(tmp_path / "lake")
+    commit_append(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+        .coalesce(1), lake,
+    )
+    commit_append(
+        spark.createDataFrame([(3, "c")], "k long, v string").coalesce(1),
+        lake,
+    )
+    merge_into(
+        spark, lake,
+        spark.createDataFrame([(1, "A", 9, False)],
+                              "k long, v string, score long, "
+                              "is_delete boolean"),
+        ["k"], delete_col="is_delete", merge_schema=True,
+    )
+    compact(spark, lake, target_files=1)
+    vacuum(lake, keep_last=1)
+    head = read_version(spark, lake)  # one file now: plain read suffices
+    assert "score" in head.columns
+    rows = {r["k"]: (r["v"], r["score"]) for r in head.collect()}
+    assert rows == {1: ("A", 9), 2: ("b", None), 3: ("c", None)}
+    # ZORDER compact across the evolved schema preserves it too
+    merge_into(
+        spark, lake,
+        spark.createDataFrame([(4, "d", None, False)],
+                              "k long, v string, score long, "
+                              "is_delete boolean"),
+        ["k"], delete_col="is_delete", merge_schema=True,
+    )
+    compact(spark, lake, target_files=2, cluster_by=["k"])
+    head2 = read_version(spark, lake, merge_schema=True)
+    rows2 = {r["k"]: (r["v"], r["score"]) for r in head2.collect()}
+    assert rows2 == {1: ("A", 9), 2: ("b", None), 3: ("c", None),
+                     4: ("d", None)}
+
+
+def test_watermark_keyed_by_txn_app_id(spark, tmp_path):
+    """Round-9 advice (medium): the streaming idempotence watermark is
+    keyed per txn_app_id (Delta txnAppId), so stream B's batch 3 is no
+    longer masked by stream A's batch 7; commits without a batch carry
+    every app's watermark forward."""
+    from async_stream_processing_spark.plans.versioned import (
+        commit_append,
+        compact,
+        last_committed_batch_id,
+    )
+
+    lake = str(tmp_path / "lake")
+    df = spark.createDataFrame([(1,)], "k long").coalesce(1)
+    commit_append(df, lake, meta={"batch_id": 7, "txn_app_id": "A"})
+    assert last_committed_batch_id(lake, "A") == 7
+    assert last_committed_batch_id(lake, "B") is None  # B NOT masked
+    assert last_committed_batch_id(lake) == 7  # audit view: max
+    commit_append(df, lake, meta={"batch_id": 3, "txn_app_id": "B"})
+    assert last_committed_batch_id(lake, "A") == 7
+    assert last_committed_batch_id(lake, "B") == 3
+    # a batchless commit (compaction) carries BOTH watermarks forward
+    compact(spark, lake, target_files=1)
+    assert last_committed_batch_id(lake, "A") == 7
+    assert last_committed_batch_id(lake, "B") == 3
+
+
+def test_two_sinks_distinct_app_ids_no_masking(spark, tmp_path):
+    """Two streaming sinks into ONE lake under distinct txn_app_ids:
+    the second stream's low batch ids land even though the first
+    stream already committed higher ids (the pre-r9 single watermark
+    silently dropped them)."""
+    import async_stream_processing_spark.plans.versioned as V
+
+    src_a, src_b = str(tmp_path / "a"), str(tmp_path / "b")
+    for i in range(3):
+        spark.range(i * 10, i * 10 + 10).selectExpr("id AS k") \
+            .coalesce(1).write.mode("append").parquet(src_a)
+        spark.range(100 + i * 10, 100 + i * 10 + 10).selectExpr("id AS k") \
+            .coalesce(1).write.mode("append").parquet(src_b)
+    lake = str(tmp_path / "lake")
+
+    def _stream(src):
+        return (
+            spark.readStream.schema("k long")
+            .option("maxFilesPerTrigger", 1).parquet(src)
+        )
+
+    qa = V.versioned_sink(_stream(src_a), lake, str(tmp_path / "ck_a"),
+                          txn_app_id="sink-a")
+    qa.awaitTermination(120)
+    qb = V.versioned_sink(_stream(src_b), lake, str(tmp_path / "ck_b"),
+                          txn_app_id="sink-b")
+    qb.awaitTermination(120)
+    rows = sorted(r["k"] for r in V.read_version(spark, lake).collect())
+    assert rows == list(range(30)) + list(range(100, 130))
+    # each sink's own re-delivery still skips (fresh checkpoint, same id)
+    n_versions = len(V.versions(lake))
+    qb2 = V.versioned_sink(_stream(src_b), lake, str(tmp_path / "ck_b2"),
+                           txn_app_id="sink-b")
+    qb2.awaitTermination(120)
+    assert len(V.versions(lake)) == n_versions
+
+
+def test_vacuum_torn_grace_period(spark, tmp_path):
+    """Round-9 advice (low): vacuum must not unlink a FRESH torn
+    manifest — it is indistinguishable from a concurrent committer's
+    just-claimed O_EXCL file whose body is in flight.  Young torn
+    manifests survive vacuum; aged ones are reclaimed."""
+    import os
+
+    from async_stream_processing_spark.plans.versioned import (
+        _manifest_path,
+        commit_append,
+        vacuum,
+        versions,
+    )
+
+    lake = str(tmp_path / "lake")
+    for i in range(3):
+        commit_append(
+            spark.createDataFrame([(i,)], "k long").coalesce(1), lake
+        )
+    # a just-claimed (torn) manifest at version 4: empty body, fresh mtime
+    torn = _manifest_path(lake, 4)
+    open(torn, "w").close()
+    vacuum(lake, keep_last=1)
+    assert os.path.exists(torn)  # in-flight claim NOT reaped
+    assert versions(lake) == [3, 4]
+    # age it past the grace: the next vacuum reclaims it
+    old = os.path.getmtime(torn) - 3600
+    os.utime(torn, (old, old))
+    vacuum(lake, keep_last=1)
+    assert not os.path.exists(torn)
+    assert versions(lake) == [3]
