@@ -601,6 +601,61 @@ def shallow_clone(src: str, dst: str, version: int | None = None) -> int:
                    meta=meta, expected_head=0)
 
 
+def restore(path: str, version: int) -> int:
+    """RESTORE (Delta ``RESTORE TABLE ... TO VERSION`` semantics):
+    re-publish ``version``'s FILE SET as a NEW head commit — history is
+    preserved (the bad head stays readable/auditable below the new
+    one), zero data files are copied, and stats/blooms carry over
+    verbatim like :func:`shallow_clone` (they describe the same
+    immutable files, so pruned scans and point lookups keep working
+    from the first post-restore read).
+
+    This is the operational undo for a bad MERGE/overwrite at 100 TB:
+    O(1) metadata instead of re-writing the table.  The commit is
+    pinned like every other committer — a concurrent commit landing
+    between the head read and the publish raises
+    :class:`CommitConflict` internally and the restore re-pins and
+    republishes (its content is head-independent, so there is nothing
+    to recompute).  The streaming idempotence watermark folds forward
+    from the CURRENT head, not the restored version: a restore must
+    not resurrect already-committed batch ids, or a crash-redelivered
+    micro-batch would double-append after an unrelated restore.
+
+    Restoring past a vacuum is refused: if any of the target
+    manifest's data files no longer exist, the restore raises instead
+    of publishing a head that cannot be read (Delta behaves the
+    same)."""
+    if _is_torn(path, version):
+        raise ValueError(f"version {version} is torn/absent")
+    m = _read_manifest(path, version)
+    missing = [
+        f for f in m["files"]
+        if not os.path.exists(os.path.join(path, f))
+    ]
+    if missing:
+        raise FileNotFoundError(
+            f"cannot restore {path} to v{version}: {len(missing)} data "
+            f"file(s) were vacuumed (e.g. {missing[0]})"
+        )
+    meta: dict = {"restored_version": version}
+    if m.get("stats"):
+        meta["stats"] = m["stats"]
+    if m.get("blooms"):
+        meta["blooms"] = m["blooms"]
+    while True:
+        head = _live_head(path)
+        hv = _content_version_at(path, head)
+        head_m = _read_manifest(path, hv) if hv is not None else None
+        try:
+            return _commit(
+                path, m["files"], parent=hv, operation="restore",
+                meta=_carry_batch_meta(head_m, meta),
+                expected_head=head,
+            )
+        except CommitConflict:
+            continue
+
+
 def vacuum(path: str, keep_last: int = 1,
            torn_grace_seconds: float = 300.0) -> dict:
     """Delete data files referenced by none of the last ``keep_last``

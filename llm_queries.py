@@ -1737,6 +1737,53 @@ def q_versioned_clone(spark, sf_dir):
     return out
 
 
+def q_versioned_restore(spark, sf_dir):
+    """RESTORE gate (Delta RESTORE semantics, r8 verdict item 4): commit
+    the corpus subset as v1, MERGE a BAD cdc batch (lang='bad') as v2,
+    RESTORE to v1 (v3 -- a new head referencing v1's files, zero
+    copies, history preserved), then MERGE a good batch (v4).  The
+    final head must equal v1 merged with ONLY the good batch: the hash
+    gate proves the restore erased the bad merge's effect while the
+    post-restore merge still lands on top.  Stats/bloom carry and
+    point-lookup-after-restore are pinned in pytest; the VALUES are
+    gated here."""
+    import shutil
+    import tempfile
+
+    from async_stream_processing_spark.plans.versioned import (
+        commit_append,
+        merge_into,
+        read_version,
+        restore,
+    )
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    lake = tempfile.mkdtemp(prefix="asp_vrestore_")
+    shutil.rmtree(lake, ignore_errors=True)
+    try:
+        commit_append(
+            docs.filter(F.col("doc_id") % 5 != 0).repartition(4), lake
+        )
+        bad = docs.filter(F.col("doc_id") % 4 == 0).select(
+            "doc_id", F.upper("text").alias("text"),
+            F.lit("bad").alias("lang"), "source", "n_chars",
+        )
+        merge_into(spark, lake, bad, ["doc_id"])
+        v = restore(lake, 1)
+        assert v == 3, f"restore should publish v3, got v{v}"
+        good = docs.filter(F.col("doc_id") % 6 == 0).select(
+            "doc_id", F.upper("text").alias("text"),
+            F.lit("good").alias("lang"), "source", "n_chars",
+        )
+        merge_into(spark, lake, good, ["doc_id"])
+        out = read_version(spark, lake).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(lake, ignore_errors=True)
+    return out
+
+
 def q_stream_versioned_maintained(spark, sf_dir):
     """versioned_sink WITH the auto-maintenance policy (r7 verdict item
     5) EXECUTED BY THE STREAMING ENGINE: many micro-batches, compaction
@@ -2133,6 +2180,7 @@ LLM_QUERIES = {
     "versioned_changes_rows": q_versioned_changes_rows,
     "stream_versioned_maintained": q_stream_versioned_maintained,
     "versioned_clone": q_versioned_clone,
+    "versioned_restore": q_versioned_restore,
     "stream_versioned_merge": q_stream_versioned_merge,
     "versioned_compact": q_versioned_compact,
     "versioned_changes": q_versioned_changes,
@@ -2675,6 +2723,18 @@ def llm_oracle_sql() -> dict[str, str]:
         """,
         "stream_versioned_maintained": """
             SELECT doc_id, text, lang, source, n_chars FROM documents
+        """,
+        "versioned_restore": """
+            WITH base AS (SELECT doc_id, text, lang, source, n_chars
+                          FROM documents WHERE doc_id % 5 != 0),
+            good AS (SELECT doc_id, UPPER(text) AS text, 'good' AS lang,
+                            source, n_chars
+                     FROM documents WHERE doc_id % 6 = 0)
+            SELECT b.doc_id, b.text, b.lang, b.source, b.n_chars
+            FROM base b
+            WHERE b.doc_id NOT IN (SELECT doc_id FROM good)
+            UNION ALL
+            SELECT doc_id, text, lang, source, n_chars FROM good
         """,
         "versioned_clone": """
             WITH ups AS (SELECT doc_id, text, 'cloned' AS lang,

@@ -1945,3 +1945,91 @@ def test_vacuum_torn_grace_period(spark, tmp_path):
     vacuum(lake, keep_last=1)
     assert not os.path.exists(torn)
     assert versions(lake) == [3]
+
+
+def test_versioned_restore_republishes_old_version(spark, tmp_path):
+    """RESTORE (r8 verdict item 4): re-publishes an old version's file
+    set as a NEW head commit — history preserved, zero data files
+    copied, stats/blooms carried so the pruned point-lookup path works
+    from the first post-restore read, and a merge AFTER the restore
+    lands on the restored content (restore-then-merge pinned)."""
+    import os
+
+    from async_stream_processing_spark.plans.versioned import (
+        commit_append,
+        lookup_version,
+        merge_into,
+        read_version,
+        restore,
+        versions,
+    )
+
+    lake = str(tmp_path / "lake")
+    commit_append(
+        spark.createDataFrame([(k, k * 10) for k in range(8)],
+                              "k long, v long"),
+        lake, stats_cols=["k"], bloom_cols=["k"], bloom_bits=1 << 12,
+    )
+    # "bad" merge: clobber every v
+    merge_into(
+        spark, lake,
+        spark.createDataFrame([(k, -1) for k in range(8)],
+                              "k long, v long"),
+        ["k"],
+    )
+    n_files_before = sum(
+        len(fs) for _, _, fs in os.walk(os.path.join(lake, "data"))
+    )
+    assert restore(lake, 1) == 3
+    # zero-copy: no new data files written by the restore
+    n_files_after = sum(
+        len(fs) for _, _, fs in os.walk(os.path.join(lake, "data"))
+    )
+    assert n_files_after == n_files_before
+    # history preserved: the bad head stays readable below the new one
+    assert versions(lake) == [1, 2, 3]
+    assert {(r["k"], r["v"]) for r in read_version(spark, lake).collect()} \
+        == {(k, k * 10) for k in range(8)}
+    assert {r["v"] for r in read_version(spark, lake, 2).collect()} == {-1}
+    # blooms carried: point lookup prunes and answers on the new head
+    got = [(r["k"], r["v"])
+           for r in lookup_version(spark, lake, "k", 3).collect()]
+    assert got == [(3, 30)]
+    # restore-then-merge: the follow-up merge applies to restored content
+    merge_into(
+        spark, lake,
+        spark.createDataFrame([(0, 999), (100, 1)], "k long, v long"),
+        ["k"],
+    )
+    head = {(r["k"], r["v"]) for r in read_version(spark, lake).collect()}
+    assert (0, 999) in head and (100, 1) in head and (1, 10) in head
+
+
+def test_versioned_restore_refuses_vacuumed_target(spark, tmp_path):
+    """Restoring to a version whose data files were vacuumed must raise
+    (never publish an unreadable head), and the streaming idempotence
+    watermark folds forward from the CURRENT head — a restore must not
+    resurrect a lower batch-id watermark."""
+    import pytest as _pytest
+
+    from async_stream_processing_spark.plans.versioned import (
+        commit_append,
+        commit_overwrite,
+        last_committed_batch_id,
+        restore,
+        vacuum,
+    )
+
+    lake = str(tmp_path / "lake")
+    commit_append(spark.range(0, 4).withColumnRenamed("id", "k"), lake,
+                  meta={"batch_id": 3})
+    commit_overwrite(spark.range(10, 14).withColumnRenamed("id", "k"),
+                     lake, meta={"batch_id": 7})
+    assert last_committed_batch_id(lake) == 7
+    restore(lake, 1)
+    # watermark carried forward, not rolled back with the data
+    assert last_committed_batch_id(lake) == 7
+    # drop v1/v2's manifests and v1-only files, keep just the head
+    vacuum(lake, keep_last=1)
+    with _pytest.raises((FileNotFoundError, ValueError)):
+        restore(lake, 2)  # overwrite version: files vacuumed after restore

@@ -13,6 +13,11 @@ Each case runs a seeded random sequence of:
 * ``clone``   — zero-copy shallow clone; the walk CONTINUES ON THE
   CLONE (source snapshot is pinned in the model and re-checked at the
   end — proves clone independence over arbitrary later mutations)
+* ``restore`` — re-publish a random earlier version as a NEW head
+  (Delta RESTORE); the model rolls back to that version's snapshot,
+  and the walk continues on top.  Restoring to a version whose files
+  were vacuumed must REFUSE (FileNotFoundError) and leave state
+  unchanged — both paths exercised.
 
 After every commit the head must equal the model (full multiset
 compare); a random pinned snapshot is re-read later (time travel under
@@ -41,6 +46,7 @@ def run_case(spark, rng: random.Random, n_ops: int = 8) -> None:
         lookup_version,
         merge_into,
         read_version,
+        restore,
         shallow_clone,
         vacuum,
         versions,
@@ -54,6 +60,8 @@ def run_case(spark, rng: random.Random, n_ops: int = 8) -> None:
     # (path, version, snapshot) pins re-checked at the end; for a clone
     # the snapshot is the SOURCE state at clone time
     pins: list[tuple[str, int, dict[int, int]]] = []
+    # per-version snapshots of the CURRENT lake (restore targets)
+    snaps: dict[int, dict[int, int]] = {}
 
     def fresh_rows(n):
         nonlocal next_k
@@ -82,11 +90,12 @@ def run_case(spark, rng: random.Random, n_ops: int = 8) -> None:
     commit_append(df_of(rows).coalesce(1), lake,
                   stats_cols=["k"], bloom_cols=["k"], bloom_bits=1 << 12)
     check_head()
+    snaps[versions(lake)[-1]] = dict(model)
 
     for _ in range(n_ops):
         op = rng.choice(
             ["append", "append", "merge", "merge", "compact", "vacuum",
-             "clone", "pin"]
+             "clone", "pin", "restore"]
         )
         if op == "append":
             rows = fresh_rows(rng.randrange(1, 20))
@@ -132,9 +141,21 @@ def run_case(spark, rng: random.Random, n_ops: int = 8) -> None:
             # clone, so later mutations must never leak back
             pins.append((lake, versions(lake)[-1], dict(model)))
             lake = dst
+            snaps = {}  # restore targets are per-lake; the clone starts fresh
         elif op == "pin":
             pins.append((lake, versions(lake)[-1], dict(model)))
+        elif op == "restore":
+            live = [v for v in versions(lake) if v in snaps]
+            if live:
+                v = rng.choice(live)
+                try:
+                    restore(lake, v)
+                    model.clear()
+                    model.update(snaps[v])
+                except FileNotFoundError:
+                    pass  # target's files vacuumed: refused, state unchanged
         check_head()
+        snaps[versions(lake)[-1]] = dict(model)
         # bloom point lookup on a random live key and a random absent key
         if model and rng.random() < 0.5:
             k = rng.choice(list(model))
