@@ -93,12 +93,13 @@ def knn_bruteforce(
             / (F.col("q_n") * F.col("c_n")),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), F.col("cos").alias("cosine"))
-    )
+    # bounded top-k (r8 verdict item 5): partial per-partition rank then
+    # merge — no corpus-sized exchange into n_queries partitions
+    from ..plans.scale import topk_by_group
+
+    return topk_by_group(
+        scored, ["query_id"], [F.desc("cos"), F.asc("neighbor_id")], k
+    ).select("query_id", "neighbor_id", "rank", F.col("cos").alias("cosine"))
 
 
 
@@ -1983,16 +1984,15 @@ def knn_sq8(
         .filter(F.col("vec_id") != F.col("query_id"))
         .select("query_id", "vec_id", d2.alias("d2_sq8"))
     )
-    w = Window.partitionBy("query_id").orderBy(F.asc("d2_sq8"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            "rank",
-            "d2_sq8",
-        )
+    from ..plans.scale import topk_by_group
+
+    return topk_by_group(
+        scored, ["query_id"], [F.asc("d2_sq8"), F.asc("vec_id")], k
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        "rank",
+        "d2_sq8",
     )
 
 
@@ -2252,15 +2252,15 @@ def knn_hamming(
         "query_id", F.col("vec_id").alias("neighbor_id"),
         ham.alias("hamming"),
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.asc("hamming"), F.asc("neighbor_id")
-    )
-    return (
-        pairs.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id",
-                F.col("rank").cast("long").alias("rank"), "hamming")
-    )
+    # bounded top-k (r8 verdict item 5, What's wrong #2): the former
+    # single row_number window shuffled corpus x n_queries rows into
+    # n_queries partitions; the two-stage partial rank keeps the wide
+    # exchange at scan parallelism and funnels only P*k survivors
+    from ..plans.scale import topk_by_group
+
+    return topk_by_group(
+        pairs, ["query_id"], [F.asc("hamming"), F.asc("neighbor_id")], k
+    ).select("query_id", "neighbor_id", "rank", "hamming")
 
 
 def hamming_recall(
@@ -2278,6 +2278,89 @@ def hamming_recall(
     idx = knn_hamming(embeddings, n_queries=n_queries, k=k, d=d).select(
         "query_id", F.col("neighbor_id").alias("got_id")
     )
+    hits = (
+        bf.join(
+            idx,
+            (bf["query_id"] == idx["query_id"])
+            & (bf["neighbor_id"] == idx["got_id"]),
+            "left",
+        )
+        .groupBy(bf["query_id"])
+        .agg(F.count("got_id").alias("n_hits"))
+    )
+    return hits.select(
+        "query_id",
+        "n_hits",
+        (F.col("n_hits").cast("double") / F.lit(float(k))).alias("recall"),
+    )
+
+
+def knn_hamming_rerank(
+    embeddings: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    r: int = 20,
+    d: int = 64,
+) -> DataFrame:
+    """The production binary-then-rerank pipeline the sign-hash rung
+    exists for (r8 verdict item 3): 1-bit Hamming top-R PREFILTER
+    (16 B/vector codes, XOR+popcount integer ALU over the whole
+    corpus) -> EXACT cosine rerank of ONLY the R candidates per query
+    -> top-k.  Float math touches R*n_queries rows, never the corpus;
+    recall vs exact search is MEASURED by
+    :func:`hamming_rerank_recall`, not assumed.
+
+    Plan: the candidate list (R*n_queries rows) BROADCASTS back onto
+    the corpus scan, so the rerank reads only matching rows — one
+    corpus pass for codes, one semi-join-shaped pass for candidate
+    embeddings, bounded top-k ranks.  Ties break (cosine DESC,
+    neighbor_id ASC), deterministic cross-engine."""
+    cand = knn_hamming(embeddings, n_queries=n_queries, k=r, d=d).select(
+        "query_id", "neighbor_id"
+    )
+    q = embeddings.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        norm(F.col("embedding")).alias("q_n"),
+    )
+    c = embeddings.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        norm(F.col("embedding")).alias("c_n"),
+    )
+    rerank = (
+        c.join(F.broadcast(cand), "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .withColumn(
+            "cos",
+            dot(F.col("q_emb"), F.col("c_emb"))
+            / (F.col("q_n") * F.col("c_n")),
+        )
+    )
+    from ..plans.scale import topk_by_group
+
+    return topk_by_group(
+        rerank, ["query_id"], [F.desc("cos"), F.asc("neighbor_id")], k
+    ).select("query_id", "neighbor_id", "rank", F.col("cos").alias("cosine"))
+
+
+def hamming_rerank_recall(
+    embeddings: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    r: int = 20,
+    d: int = 64,
+) -> DataFrame:
+    """Recall@k of the Hamming-prefilter + exact-rerank pipeline against
+    exact cosine brute force — the deploy/no-deploy row for the
+    binary-then-rerank serving path (a candidate set of R that loses
+    true neighbors shows up here, and raising R is the knob)."""
+    bf = knn_bruteforce_cached(embeddings, n_queries=n_queries, k=k).select(
+        "query_id", "neighbor_id"
+    )
+    idx = knn_hamming_rerank(
+        embeddings, n_queries=n_queries, k=k, r=r, d=d
+    ).select("query_id", F.col("neighbor_id").alias("got_id"))
     hits = (
         bf.join(
             idx,
@@ -2342,6 +2425,58 @@ def sql_hamming_recall(
 ) -> str:
     """DuckDB twin of :func:`hamming_recall`."""
     idx = sql_knn_hamming(n_queries, k, d, src)
+    return f"""
+        WITH bf AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                       ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                           ORDER BY {sql_cosine('q.embedding', 'e.embedding')}
+                               DESC, e.vec_id ASC) AS rnk
+                FROM {src} e CROSS JOIN {src} q
+                WHERE q.vec_id < {n_queries} AND e.vec_id != q.vec_id)
+            WHERE rnk <= {k}),
+        idx AS ({idx})
+        SELECT bf.query_id, COUNT(idx.neighbor_id) AS n_hits,
+               CAST(COUNT(idx.neighbor_id) AS DOUBLE) / {float(k)} AS recall
+        FROM bf LEFT JOIN idx
+          ON idx.query_id = bf.query_id
+         AND idx.neighbor_id = bf.neighbor_id
+        GROUP BY bf.query_id
+    """
+
+
+def sql_knn_hamming_rerank(
+    n_queries: int = 10, k: int = 5, r: int = 20, d: int = 64,
+    src: str = "embeddings",
+) -> str:
+    """DuckDB twin of :func:`knn_hamming_rerank` (same codes, same
+    candidate set, same cosine tree, same tie rules)."""
+    cand = sql_knn_hamming(n_queries, r, d, src)
+    return f"""
+        WITH cand AS ({cand}),
+        rr AS (
+            SELECT c.query_id, c.neighbor_id,
+                   {sql_cosine('q.embedding', 'e.embedding')} AS cos
+            FROM cand c
+            JOIN {src} e ON e.vec_id = c.neighbor_id
+            JOIN {src} q ON q.vec_id = c.query_id),
+        ranked AS (
+            SELECT query_id, neighbor_id, cos,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY cos DESC, neighbor_id ASC) AS rank
+            FROM rr)
+        SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+               cos AS cosine
+        FROM ranked WHERE rank <= {k}
+    """
+
+
+def sql_hamming_rerank_recall(
+    n_queries: int = 10, k: int = 5, r: int = 20, d: int = 64,
+    src: str = "embeddings",
+) -> str:
+    """DuckDB twin of :func:`hamming_rerank_recall`."""
+    idx = sql_knn_hamming_rerank(n_queries, k, r, d, src)
     return f"""
         WITH bf AS (
             SELECT query_id, neighbor_id FROM (

@@ -68,6 +68,48 @@ def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
     return spark.table(table)
 
 
+def topk_by_group(
+    df: DataFrame,
+    group_cols: list,
+    order_cols: list,
+    k: int,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Bounded per-group top-k (r8 verdict item 5): per-partition
+    PARTIAL top-k, then a final top-k over the survivors.
+
+    A single ``row_number`` window over ``group_cols`` funnels EVERY
+    input row into |groups| shuffle partitions — for a knn scan that is
+    corpus x n_queries rows landing on n_queries tasks: a parallelism
+    collapse AND a per-task memory bomb at 100x corpus scale.  Stage 1
+    here ranks within (input partition, group) — the exchange key
+    carries the input partition id, so parallelism stays at the scan's
+    width and each task sorts only its own slice — and keeps k rows per
+    (partition, group).  Stage 2's exchange then moves at most
+    P*k*|groups| rows (P = scan partitions), never the corpus.
+
+    Identical results to the single-window form whenever ``order_cols``
+    is a TOTAL order within each group (callers pass a tiebreak
+    column): global top-k = top-k of the union of per-slice top-ks.
+    ``rank_col`` is emitted as BIGINT for cross-engine schema parity.
+    """
+    from pyspark.sql import Window
+
+    pid = "__tk_pid"
+    tagged = df.withColumn(pid, F.spark_partition_id())
+    w1 = Window.partitionBy(pid, *group_cols).orderBy(*order_cols)
+    partial = (
+        tagged.withColumn("__tk_r1", F.row_number().over(w1))
+        .filter(F.col("__tk_r1") <= k)
+        .drop("__tk_r1", pid)
+    )
+    w2 = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    return (
+        partial.withColumn(rank_col, F.row_number().over(w2).cast("long"))
+        .filter(F.col(rank_col) <= k)
+    )
+
+
 def zorder_key(cols: list, bits: int = 16) -> "F.Column":
     """Z-order (Morton) key: bit-interleave ``bits`` low bits of each
     integer column into one sortable value.

@@ -2004,6 +2004,28 @@ def q_hamming_recall(spark, sf_dir):
     return hamming_recall(_emb(spark, sf_dir))
 
 
+def q_knn_hamming_rerank(spark, sf_dir):
+    """Binary-then-rerank (r8 verdict item 3): Hamming top-R prefilter
+    over 16 B/vector sign codes, exact cosine rerank of ONLY the R
+    candidates per query -- float math never touches the corpus."""
+    from async_stream_processing_spark.llm.similarity import (
+        knn_hamming_rerank,
+    )
+
+    return knn_hamming_rerank(_emb(spark, sf_dir))
+
+
+def q_hamming_rerank_recall(spark, sf_dir):
+    """Recall@k of the prefilter+rerank pipeline vs exact brute force --
+    the deploy/no-deploy row for the binary serving path (R is the
+    knob when this drops)."""
+    from async_stream_processing_spark.llm.similarity import (
+        hamming_rerank_recall,
+    )
+
+    return hamming_rerank_recall(_emb(spark, sf_dir))
+
+
 def q_stream_binary_codes(spark, sf_dir):
     """binary_sign_codes EXECUTED BY THE STREAMING ENGINE: the 1-bit
     encode is a stateless narrow projection, so it streams append-mode
@@ -2201,6 +2223,8 @@ LLM_QUERIES = {
     "matryoshka_recall": q_matryoshka_recall,
     "versioned_compact_zorder": q_versioned_compact_zorder,
     "hamming_recall": q_hamming_recall,
+    "knn_hamming_rerank": q_knn_hamming_rerank,
+    "hamming_rerank_recall": q_hamming_rerank_recall,
     "stream_binary_codes": q_stream_binary_codes,
     "knn_sq8": q_knn_sq8,
     "stream_sq8_codes": q_stream_sq8_codes,
@@ -2564,8 +2588,10 @@ def llm_oracle_sql() -> dict[str, str]:
     from async_stream_processing_spark.llm.similarity import (
         sql_binary_sign_codes,
         sql_hamming_recall,
+        sql_hamming_rerank_recall,
         sql_matryoshka_recall,
         sql_knn_hamming,
+        sql_knn_hamming_rerank,
         sql_knn_sq8,
         sql_sq8_codes,
         sql_sq8_recall,
@@ -2788,6 +2814,8 @@ def llm_oracle_sql() -> dict[str, str]:
             SELECT doc_id, text, lang, source, n_chars FROM documents
         """,
         "hamming_recall": sql_hamming_recall(),
+        "knn_hamming_rerank": sql_knn_hamming_rerank(),
+        "hamming_rerank_recall": sql_hamming_rerank_recall(),
         "stream_binary_codes": sql_binary_sign_codes(d=64),
         "knn_sq8": sql_knn_sq8(n_queries=10, k=5, d=64),
         "stream_sq8_codes": sql_sq8_codes(d=64),

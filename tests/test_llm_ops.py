@@ -1769,3 +1769,43 @@ def test_pipeline_canon_registry_bounded_unpersist(spark):
     assert len(live) == len(P._CANON_CACHE)
     P.release_pipeline_cache()
     assert not P._CANON_CACHE
+
+
+def test_hamming_rerank_reads_only_candidates(spark):
+    """The exact-cosine rerank stage consumes ONLY the broadcast top-R
+    candidate set per query (r8 verdict item 3): the candidate list
+    broadcasts onto the corpus scan (BroadcastHashJoin, corpus never
+    shuffles for the rerank), and rerank output rows per query never
+    exceed R before the final top-k."""
+    from pyspark.sql import functions as F
+
+    from async_stream_processing_spark.llm.similarity import (
+        knn_hamming_rerank,
+    )
+    from async_stream_processing_spark.sources.parquet import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    out = knn_hamming_rerank(emb, n_queries=10, k=5, r=20)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" not in plan
+    assert "BroadcastHashJoin" in plan
+    # k <= per-query rows, and each query's candidates were capped at R
+    per_q = out.groupBy("query_id").count().agg(F.max("count")).first()[0]
+    assert per_q <= 5
+    # recall sanity: rerank can only IMPROVE on raw hamming order; with
+    # R=4k candidates the pipeline recovers most exact neighbors
+    from async_stream_processing_spark.llm.similarity import (
+        hamming_rerank_recall,
+    )
+
+    rec = hamming_rerank_recall(emb, n_queries=10, k=5, r=20)
+    # the exact rerank of the top-R candidate set can only IMPROVE on
+    # taking hamming's own top-k (same candidates, better metric); the
+    # absolute level is a property of the (random) fixture embeddings
+    from async_stream_processing_spark.llm.similarity import hamming_recall
+
+    raw = hamming_recall(emb, n_queries=10, k=5)
+    avg_rerank = rec.agg(F.avg("recall")).first()[0]
+    avg_raw = raw.agg(F.avg("recall")).first()[0]
+    assert avg_rerank >= avg_raw
+    assert avg_rerank > 0.2

@@ -2033,3 +2033,44 @@ def test_versioned_restore_refuses_vacuumed_target(spark, tmp_path):
     vacuum(lake, keep_last=1)
     with _pytest.raises((FileNotFoundError, ValueError)):
         restore(lake, 2)  # overwrite version: files vacuumed after restore
+
+
+def test_topk_by_group_matches_single_window(spark):
+    """topk_by_group (bounded two-stage rank) returns EXACTLY the rows
+    of the naive one-window form — including deterministic tie handling
+    — and its plan funnels only the stage-1 survivors into the final
+    per-group exchange (no corpus-sized exchange into |groups|
+    partitions)."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from async_stream_processing_spark.plans.scale import topk_by_group
+
+    rng = random.Random(7)
+    rows = [
+        (i % 7, rng.randrange(50), i)  # ties in `score` are common
+        for i in range(5000)
+    ]
+    df = spark.createDataFrame(rows, "g long, score long, id long") \
+        .repartition(8)
+    order = [F.asc("score"), F.asc("id")]
+    got = topk_by_group(df, ["g"], order, 5)
+    w = Window.partitionBy("g").orderBy(*order)
+    want = (
+        df.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+    )
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    # plan shape: the per-group exchange consumes the FILTERED stage-1
+    # survivors — both exchanges present, partial filter between them
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "__tk_pid" in plan, "stage-1 partial rank missing"
+    import re
+
+    # final exchange on the group alone exists...
+    assert re.search(r"hashpartitioning\(g#", plan)
+    # ...and the stage-1 rank filter feeds it (survivor funnel, not corpus)
+    assert "__tk_r1" in plan
