@@ -2559,6 +2559,100 @@ def q_stream_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_salted_hot_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted equi-join GATE (plans/scale.salted_join, r8 verdict
+    item 6): the derived key deliberately routes ~30% of all events to
+    key 0 (event_id%10<3) — the single-hot-key pathology AQE's
+    partition-splitting cannot fix when one KEY (not one partition)
+    exceeds an executor.  The dim side explodes x8 and the join is
+    hinted shuffle_hash (salting exists for dims too big to broadcast;
+    a broadcast would make the demo vacuous), so the hot key's rows
+    scatter across 8 (k, salt) buckets — R-way fan-out pinned in
+    pytest (tests/test_scale.py), VALUES hash-gated here against the
+    plain-SQL join."""
+    from async_stream_processing_spark.plans.scale import salted_join
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.when(F.col("event_id") % 10 < 3, F.lit(0))
+        .otherwise(F.col("user_id") % 100)
+        .alias("k"),
+        "value",
+    )
+    dim = ev.select("k").distinct().withColumn(
+        "label", F.concat(F.lit("seg_"), F.col("k"))
+    )
+    joined = salted_join(ev, dim.hint("shuffle_hash"), on="k", salt=8)
+    return joined.groupBy("k", "label").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("double").alias("sum_value"),
+    )
+
+
+def q_stream_late_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-data semantics as a HASH-GATED result (r8 verdict item 7):
+    out-of-order delivery with a real watermark, late rows beyond the
+    horizon DROPPED, stragglers within it AGGREGATED — proven against a
+    batch oracle that applies the same cutoffs, not just unit-tested.
+
+    Delivery: three files, oldest-first — two on-time slices (each
+    spanning the full time range), then every event_id%10==7 row
+    arriving LATE at batch 2.  Spark's paired watermarks make the
+    timing exact and oracle-expressible: the LATE-EVENT filter at batch
+    N uses the watermark from data through batch N-2 (here: max ts of
+    slice 0 - 30 min), state EVICTION/emission uses data through batch
+    N-1 (max on-time ts - 30 min).  So: a late row is dropped iff its
+    hour-window end <= max(slice0 ts) - 30 min, and a window emits
+    (append mode) iff its end <= max(on-time ts) - 30 min.  At sf0.001
+    this drops 99 of 100 late rows and accepts 1 straggler — both
+    paths exercised.  (The reference has NO late tolerance at all —
+    SURVEY §2 — so any watermark is strictly more forgiving.)"""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from async_stream_processing_spark.streaming.replay import drain
+
+    ev = load_table(spark, sf_dir, "events")
+    slices = [
+        (F.col("event_id") % 10 != 7) & (F.col("event_id") % 2 == 0),
+        (F.col("event_id") % 10 != 7) & (F.col("event_id") % 2 == 1),
+        F.col("event_id") % 10 == 7,  # the late arrivals
+    ]
+    d = tempfile.mkdtemp(prefix="asp_late_")
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    for i, pred in enumerate(slices):
+        sub = os.path.join(d, f"__b{i}")
+        ev.filter(pred).coalesce(1).write.mode("overwrite").parquet(sub)
+        part = next(
+            f for f in os.listdir(sub)
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        )
+        dst = os.path.join(d, f"events_{i:03d}.parquet")
+        os.replace(os.path.join(sub, part), dst)
+        shutil.rmtree(sub)
+        os.utime(dst, (1_600_000_000 + i * 10, 1_600_000_000 + i * 10))
+    schema = spark.read.parquet(d).schema
+    s = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    agg = (
+        s.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum((F.col("value").cast("decimal(18,2)") * 100)
+                  .cast("long")).alias("sum_cents"),
+        )
+        .select(F.col("win.start").alias("window_start"),
+                "n_events", "sum_cents")
+    )
+    return drain(agg, output_mode="append")
+
+
 def q_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANALYZE-style equi-depth histogram of l_extendedprice: 10 buckets
     with equal row counts (NTILE), each reporting min/max/count — the
@@ -3103,6 +3197,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mad_outliers": q_mad_outliers,
         "cusum_drift": q_cusum_drift,
         "stream_cusum": q_stream_cusum,
+        "salted_hot_join": q_salted_hot_join,
+        "stream_late_events": q_stream_late_events,
         "stream_fullouter": q_stream_fullouter,
         "stream_leftouter": q_stream_leftouter,
         "demux_counts": q_demux,
@@ -4733,6 +4829,47 @@ def oracle_sql() -> dict[str, str]:
     )
 
     out["cusum_drift"] = out["stream_cusum"] = sql_cusum_drift()
+    out["salted_hot_join"] = """
+        WITH ev AS (
+            SELECT CASE WHEN event_id % 10 < 3 THEN 0
+                        ELSE user_id % 100 END AS k,
+                   value
+            FROM events),
+        dim AS (SELECT DISTINCT k FROM ev)
+        SELECT ev.k,
+               'seg_' || CAST(ev.k AS VARCHAR) AS label,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                   AS sum_value
+        FROM ev JOIN dim ON ev.k = dim.k
+        GROUP BY ev.k
+    """
+    # stream_late_events: the engine's paired watermarks, rendered as
+    # SQL cutoffs — late filter = data through batch 0 (slice0 max -
+    # 30 min), emission = data through batch 1 (on-time max - 30 min);
+    # see q_stream_late_events for the derivation
+    out["stream_late_events"] = """
+        WITH ot AS (SELECT ts, value, event_id FROM events
+                    WHERE event_id % 10 != 7),
+        late AS (SELECT ts, value FROM events WHERE event_id % 10 = 7),
+        wl AS (SELECT max(ts) - INTERVAL 30 MINUTE AS wm FROM ot
+               WHERE event_id % 2 = 0),
+        w2 AS (SELECT max(ts) - INTERVAL 30 MINUTE AS wm FROM ot),
+        kept AS (
+            SELECT ts, value FROM ot
+            UNION ALL
+            SELECT l.ts, l.value FROM late l, wl
+            WHERE NOT (date_trunc('hour', l.ts) + INTERVAL 1 HOUR
+                       <= wl.wm)
+        )
+        SELECT window_start, n_events, sum_cents FROM (
+            SELECT date_trunc('hour', ts) AS window_start,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                                 AS BIGINT)) AS BIGINT) AS sum_cents
+            FROM kept GROUP BY 1), w2
+        WHERE window_start + INTERVAL 1 HOUR <= w2.wm
+    """
     out["rsi_users"] = out["stream_rsi"] = """
         WITH yv AS (
             SELECT user_id, ts, event_id,

@@ -2074,3 +2074,63 @@ def test_topk_by_group_matches_single_window(spark):
     assert re.search(r"hashpartitioning\(g#", plan)
     # ...and the stage-1 rank filter feeds it (survivor funnel, not corpus)
     assert "__tk_r1" in plan
+
+
+def test_salted_hot_join_fans_out_and_matches_plain(spark):
+    """salted_hot_join's R-way fan-out (r8 verdict item 6): the hot key's
+    rows really scatter across all 8 salt buckets (the join exchange key
+    includes __salt, so no single task owns the hot key), the join is a
+    SHUFFLE join (a broadcast would make salting vacuous), and the
+    salted result equals the plain join exactly."""
+    import sys
+
+    sys.path.insert(0, ".")
+    from pyspark.sql import functions as F
+
+    from __spark_entry__ import q_salted_hot_join
+    from async_stream_processing_spark.plans.scale import salted_join
+    from async_stream_processing_spark.sources.parquet import load_table
+
+    sf = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf, "events").select(
+        F.when(F.col("event_id") % 10 < 3, F.lit(0))
+        .otherwise(F.col("user_id") % 100).alias("k"),
+        "value",
+    )
+    # the hot key holds ~30% of all rows — the single-key pathology
+    hot_frac = ev.filter(F.col("k") == 0).count() / ev.count()
+    assert 0.25 < hot_frac < 0.40
+    dim = ev.select("k").distinct().withColumn(
+        "label", F.concat(F.lit("seg_"), F.col("k"))
+    )
+    joined = salted_join(ev, dim.hint("shuffle_hash"), on="k", salt=8)
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan
+    assert "BroadcastHashJoin" not in plan
+    assert "__salt" in plan  # the exchange key carries the salt
+    # R-way fan-out: the hot key's big-side rows use ALL 8 salt buckets
+    salted_big = ev.withColumn(
+        "__salt",
+        (F.abs(F.xxhash64(F.monotonically_increasing_id())) % 8)
+        .cast("int"),
+    )
+    n_buckets = (
+        salted_big.filter(F.col("k") == 0)
+        .select("__salt").distinct().count()
+    )
+    assert n_buckets == 8
+    # values: salted == plain, and the gated query agrees
+    plain = ev.join(dim, "k").groupBy("k", "label").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("double").alias("sum_value"),
+    )
+    salted = joined.groupBy("k", "label").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("double").alias("sum_value"),
+    )
+    assert salted.exceptAll(plain).count() == 0
+    assert plain.exceptAll(salted).count() == 0
+    gated = q_salted_hot_join(spark, sf)
+    assert gated.exceptAll(plain).count() == 0
