@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..plans.scale import topk_by_group
+
 
 def _as_double(arr: Column) -> Column:
     return F.transform(arr, lambda x: x.cast("double"))
@@ -95,8 +97,6 @@ def knn_bruteforce(
     )
     # bounded top-k (r8 verdict item 5): partial per-partition rank then
     # merge — no corpus-sized exchange into n_queries partitions
-    from ..plans.scale import topk_by_group
-
     return topk_by_group(
         scored, ["query_id"], [F.desc("cos"), F.asc("neighbor_id")], k
     ).select("query_id", "neighbor_id", "rank", F.col("cos").alias("cosine"))
@@ -238,20 +238,15 @@ def hard_negatives(
         "cos",
         dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_n") * F.col("c_n")),
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cos"), F.asc("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            "query_id",
-            "neighbor_id",
-            "query_label",
-            "neighbor_label",
-            F.col("rank").cast("long").alias("rank"),
-            F.col("cos").alias("cosine"),
-        )
+    return topk_by_group(
+        scored, ["query_id"], [F.desc("cos"), F.asc("neighbor_id")], k
+    ).select(
+        "query_id",
+        "neighbor_id",
+        "query_label",
+        "neighbor_label",
+        "rank",
+        F.col("cos").alias("cosine"),
     )
 
 
@@ -342,12 +337,9 @@ def knn_lsh(
             / (F.col("q_n") * F.col("c_n")),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), F.col("cos").alias("cosine"))
-    )
+    return topk_by_group(
+        scored, ["query_id"], [F.desc("cos"), F.asc("neighbor_id")], k
+    ).select("query_id", "neighbor_id", "rank", F.col("cos").alias("cosine"))
 
 
 def _seed_centroids(embeddings: DataFrame, n_centroids: int) -> DataFrame:
@@ -577,14 +569,11 @@ def knn_ivf(
         .filter(F.col("vec_id") != F.col("query_id"))
         .withColumn("cos", cosine(F.col("q_emb"), F.col("embedding")))
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
-    return (
-        cands.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            "query_id", F.col("vec_id").alias("neighbor_id"),
-            F.col("rank").cast("long").alias("rank"), F.col("cos").alias("cosine"),
-        )
+    return topk_by_group(
+        cands, ["query_id"], [F.desc("cos"), F.asc("vec_id")], k
+    ).select(
+        "query_id", F.col("vec_id").alias("neighbor_id"),
+        "rank", F.col("cos").alias("cosine"),
     )
 
 
@@ -623,14 +612,10 @@ def knn_lsh_multiprobe(
         .distinct()
         .withColumn("cos", cosine(F.col("q_emb"), F.col("c_emb")))
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            "query_id", "neighbor_id",
-            F.col("rank").cast("long").alias("rank"), F.col("cos").alias("cosine"),
-        )
+    return topk_by_group(
+        scored, ["query_id"], [F.desc("cos"), F.asc("neighbor_id")], k
+    ).select(
+        "query_id", "neighbor_id", "rank", F.col("cos").alias("cosine"),
     )
 
 
@@ -762,16 +747,13 @@ def knn_pq_adc(
         .agg(F.sum("d2q").alias("adc_q"))
         .filter(F.col("vec_id") != F.col("query_id"))
     )
-    w = Window.partitionBy("query_id").orderBy(F.asc("adc_q"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            F.col("rank").cast("long").alias("rank"),
-            "adc_q",
-        )
+    return topk_by_group(
+        scored, ["query_id"], [F.asc("adc_q"), F.asc("vec_id")], k
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        "rank",
+        "adc_q",
     )
 
 
@@ -1319,6 +1301,8 @@ def ivfpq_search(
     q = embeddings.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
+    # plain window is fine here: the input is n_queries x n_centroids
+    # MODEL-sized rows, not the corpus — no funnel to bound
     wq = Window.partitionBy("query_id").orderBy(
         F.desc("cos"), F.asc("centroid_id")
     )
@@ -1373,16 +1357,13 @@ def ivfpq_search(
         .groupBy("query_id", "vec_id")
         .agg(F.sum("d2q").alias("adc_q"))
     )
-    w = Window.partitionBy("query_id").orderBy(F.asc("adc_q"), F.asc("vec_id"))
-    return (
-        adc.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            F.col("rank").cast("long").alias("rank"),
-            "adc_q",
-        )
+    return topk_by_group(
+        adc, ["query_id"], [F.asc("adc_q"), F.asc("vec_id")], k
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        "rank",
+        "adc_q",
     )
 
 
@@ -1537,6 +1518,8 @@ def knn_refine(
             cosine(F.col("q_emb"), F.col("n_emb")).alias("cos_exact"),
         )
     )
+    # plain window is fine here: the rerank input is the R-candidate
+    # shortlist (R*n_queries rows), already bounded upstream
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos_exact"), F.asc("neighbor_id")
     )
@@ -1984,8 +1967,6 @@ def knn_sq8(
         .filter(F.col("vec_id") != F.col("query_id"))
         .select("query_id", "vec_id", d2.alias("d2_sq8"))
     )
-    from ..plans.scale import topk_by_group
-
     return topk_by_group(
         scored, ["query_id"], [F.asc("d2_sq8"), F.asc("vec_id")], k
     ).select(
@@ -2256,8 +2237,6 @@ def knn_hamming(
     # single row_number window shuffled corpus x n_queries rows into
     # n_queries partitions; the two-stage partial rank keeps the wide
     # exchange at scan parallelism and funnels only P*k survivors
-    from ..plans.scale import topk_by_group
-
     return topk_by_group(
         pairs, ["query_id"], [F.asc("hamming"), F.asc("neighbor_id")], k
     ).select("query_id", "neighbor_id", "rank", "hamming")
@@ -2337,8 +2316,6 @@ def knn_hamming_rerank(
             / (F.col("q_n") * F.col("c_n")),
         )
     )
-    from ..plans.scale import topk_by_group
-
     return topk_by_group(
         rerank, ["query_id"], [F.desc("cos"), F.asc("neighbor_id")], k
     ).select("query_id", "neighbor_id", "rank", F.col("cos").alias("cosine"))
