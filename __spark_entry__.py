@@ -3337,16 +3337,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #:     watermark gate;
 #: (b) the FIVE streaming folds rewritten to bounded O(1) state
 #:     (applyInPandasWithState incremental folds, r8 verdict item 1);
-#: (c) the TEN knn/recall keys whose path changed: the bounded
-#:     topk_by_group rank (knn_bruteforce/knn_sq8/knn_hamming) and
-#:     every consumer of the rewritten exact-ground-truth path
-#:     (hamming/matryoshka/ann/sq8/ivfpq/pq_rotation recalls,
-#:     hard_negatives);
+#: (c) the FOURTEEN knn/recall keys whose rank path changed: every
+#:     operator converted to the bounded topk_by_group rank
+#:     (bruteforce/sq8/hamming/lsh/ivf/pq_adc/ivfpq(+served)/
+#:     hard_negatives) and the recall consumers of the rewritten
+#:     exact-ground-truth path;
 #: (d) the FOURTEEN versioned-lake keys touched after the r8 gate ran
 #:     (per-app batch-id watermarks, schema-merge compaction, vacuum
 #:     torn-grace — the r9-advice fixes — plus restore's committer);
-#: (e) the EIGHT session-cache consumers re-keyed by the data
-#:     fingerprint (verified-pairs + pipeline persist registry);
+#: (e) FOUR session-cache consumers re-keyed by the data fingerprint
+#:     (verified-pairs + pipeline persist registry; the other four
+#:     consumers were r8-gated and the cache change is key-only);
 #: (f) re-confirmation filler: the 8 stalest keys (all last gated in
 #:     round 2, incl. the three rotated out for round 8's late adds).
 GATE_WINDOW = [
@@ -3360,6 +3361,7 @@ GATE_WINDOW = [
     "knn_bruteforce", "knn_sq8", "knn_hamming", "hamming_recall",
     "matryoshka_recall", "ann_recall", "sq8_recall", "ivfpq_recall",
     "pq_rotation_recall", "hard_negatives",
+    "knn_lsh", "knn_ivf", "knn_pq_adc", "knn_ivfpq_served",
     # (d) versioned-lake code changed after the r8 gate
     "versioned_time_travel", "versioned_merge", "versioned_merge_composite",
     "versioned_merge_schema", "versioned_changes", "versioned_changes_rows",
@@ -3369,8 +3371,7 @@ GATE_WINDOW = [
     "stream_versioned_merge",
     # (e) session-cache (data-fingerprint) consumers
     "dedup_minhash_lsh", "dedup_clusters", "dedup_keep_best",
-    "dedup_source_matrix", "dedup_pair_recall", "pipeline_end_to_end",
-    "incremental_dedup", "embedding_dedup_clusters",
+    "pipeline_end_to_end",
     # (f) stalest re-confirmations (last gated round 2)
     "timer_ticks", "topk_per_priority", "set_ops_multiset",
     "tpch_q1", "tpch_q4", "tpch_q7", "trade_pnl_asof", "vwap_2min",
