@@ -855,7 +855,7 @@ _SPLIT_DIRS: dict = {}
 
 
 def _events_time_split_dir(spark: SparkSession, sf_dir: str,
-                           n_parts: int = 4) -> str:
+                           n_parts: int = 2) -> str:
     """The events table re-landed as ``n_parts`` time-range files with
     ascending mtimes, so the file streaming source (oldest-first by
     default) delivers them as ``n_parts`` micro-batches in event-time
@@ -883,27 +883,28 @@ def _events_time_split_dir(spark: SparkSession, sf_dir: str,
     )
     d = tempfile.mkdtemp(prefix="asp_tsplit_")
     atexit.register(shutil.rmtree, d, ignore_errors=True)
+    # ONE write job for all slices (hive-partitioned by bucket), then the
+    # part files are renamed into flat oldest-first order
+    sub = os.path.join(d, "__by_bucket")
+    parts.repartition(n_parts, "__b").write.partitionBy("__b") \
+        .mode("overwrite").parquet(sub)
     for i in range(n_parts):
-        sub = os.path.join(d, f"__b{i}")
-        (
-            parts.filter(F.col("__b") == i).drop("__b")
-            .coalesce(1).write.mode("overwrite").parquet(sub)
-        )
+        bdir = os.path.join(sub, f"__b={i}")
         part = next(
-            f for f in os.listdir(sub)
+            f for f in os.listdir(bdir)
             if f.endswith(".parquet") and not f.startswith(("_", "."))
         )
         dst = os.path.join(d, f"events_{i:03d}.parquet")
-        os.replace(os.path.join(sub, part), dst)
-        shutil.rmtree(sub)
+        os.replace(os.path.join(bdir, part), dst)
         # distinct ascending mtimes pin the file source's oldest-first order
         os.utime(dst, (1_600_000_000 + i * 10, 1_600_000_000 + i * 10))
+    shutil.rmtree(sub)
     _SPLIT_DIRS[key] = d
     return d
 
 
 def _stream_time_ordered(spark: SparkSession, sf_dir: str,
-                         n_parts: int = 4) -> DataFrame:
+                         n_parts: int = 2) -> DataFrame:
     """Streaming DataFrame over the time-split replay: one micro-batch
     per time-range file, batches arriving in event-time order."""
     d = _events_time_split_dir(spark, sf_dir, n_parts)
@@ -924,7 +925,7 @@ def _drain_fold(spark: SparkSession, folded_stream: DataFrame) -> DataFrame:
     from async_stream_processing_spark.streaming.replay import drain
 
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
         out = drain(folded_stream, output_mode="append")
     finally:
