@@ -34,6 +34,7 @@ EXAMPLES = [
     "e22_versioned_corpus",
     "e23_lakehouse_cdc",
     "e24_lakehouse_hardening",
+    "e25_operational_recovery",
 ]
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "examples"))
