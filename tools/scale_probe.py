@@ -348,6 +348,37 @@ def main() -> None:
         "knn_range_search": (
             lambda e: range_search(e, n_queries=10, tau=0.25), emb1, emb8),
     })
+    # round-9 additions: the binary prefilter+rerank serving pipeline
+    # and the skew-salted hot join (derived key: ~30% of rows on key 0;
+    # dim = distinct keys, exploded x8 salts, shuffle-hash-hinted).
+    from async_stream_processing_spark.llm.similarity import (
+        knn_hamming_rerank,
+    )
+    from async_stream_processing_spark.plans.scale import salted_join
+
+    def _salted_hot(ev):
+        keyed = ev.select(
+            F.when(F.col("event_id") % 10 < 3, F.lit(0))
+            .otherwise(F.col("user_id") % 100).alias("k"),
+            "value",
+        )
+        dim = keyed.select("k").distinct().withColumn(
+            "label", F.concat(F.lit("seg_"), F.col("k"))
+        )
+        return salted_join(
+            keyed, dim.hint("shuffle_hash"), on="k", salt=8
+        ).groupBy("k", "label").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double").alias("sum_value"),
+        )
+
+    r5_ops.update({
+        "knn_hamming_rerank": (
+            lambda e: knn_hamming_rerank(e, n_queries=10, k=5, r=20),
+            emb1, emb8),
+        "salted_hot_join": (_salted_hot, ev1, ev8),
+    })
     for name, (fn, one, eight) in r5_ops.items():
         if ONLY and name not in ONLY:
             continue
