@@ -143,12 +143,13 @@ def cusum_fold_stream(stream, slack: int = 50, threshold: int = 2000):
     return _apply(stream, fold, out_schema, "cusum")
 
 
-def ewma_fold_stream(stream):
-    """EWMA (alpha = 0.3 in the x7/x3 scaled-integer dialect of
-    ``operators/windows.ewma_exact``) as an O(1)-state fold.  The
-    recurrence ``ew = trunc((ew*7 + x*3) / 10)`` matches Spark's
-    ``(y - y % 10) / 10`` truncate-toward-zero division; inputs here
-    are nonnegative scaled cents so floor == trunc."""
+def ewma_fold_stream(stream, w_old: int = 7, w_new: int = 3,
+                     den: int = 10):
+    """EWMA (alpha = w_new/den; default 0.3 — the x7/x3 scaled-integer
+    dialect of ``operators/windows.ewma_exact``) as an O(1)-state fold.
+    The recurrence ``ew = trunc((ew*w_old + x*w_new) / den)`` matches
+    Spark's ``(y - y % den) / den`` truncate-toward-zero division for
+    any sign (the fuzz grammar exercises non-default weights)."""
 
     def fold(key, pdfs, state):
         uid = int(key[0])
@@ -158,8 +159,8 @@ def ewma_fold_stream(stream):
             if n == 0:
                 ew = x
             else:
-                y = ew * 7 + x * 3
-                ew = y // 10 if y >= 0 else -((-y) // 10)
+                y = ew * w_old + x * w_new
+                ew = y // den if y >= 0 else -((-y) // den)
             n += 1
         yield _emit(state, (ew, n), ["ew", "n"]).assign(user_id=uid)
 

@@ -632,3 +632,18 @@ def test_incremental_folds_carry_state_across_batches(spark):
     batch = q_cusum_drift(spark, sf)
     assert finals.exceptAll(batch).count() == 0
     assert batch.exceptAll(finals).count() == 0
+
+
+def test_fold_fuzz_pinned_seeds(spark):
+    """Pinned-seed cases of the stream-fold differential fuzzer
+    (tools/fuzz_folds.py): random fold kind/params/input-subset/
+    micro-batch-count, streaming incremental fold vs the batch
+    closed-form over the sorted event list, exact integer equality."""
+    import random
+    import sys
+
+    sys.path.insert(0, ".")
+    from tools.fuzz_folds import run_case
+
+    for seed in (20260816, 20260816 + 3):
+        run_case(spark, random.Random(seed), "/root/testdata/sf0.001")
