@@ -2560,6 +2560,45 @@ def q_stream_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bollinger_bands EXECUTED BY THE STREAMING ENGINE with O(k)
+    per-key state — the bounded-WINDOW member of the fold family: the
+    ``applyInPandasWithState`` fold carries exactly the k-1 most recent
+    cents values (fixed-width scalar-long struct, k=20 pinned at plan
+    time) and emits each event's EXACT integer frame sums; the mean/±2σ
+    IEEE tree runs Spark-side, identical to the batch operator, so the
+    full rolling series hash-matches the SAME oracle as
+    ``bollinger_bands`` row for row."""
+    from async_stream_processing_spark.streaming.folds import (
+        bollinger_fold_stream,
+    )
+    from async_stream_processing_spark.streaming.replay import drain
+
+    s = _stream_time_ordered(spark, sf_dir).select(
+        "ts", "event_id", "user_id",
+        (F.col("value").cast("decimal(18,2)") * 100)
+        .cast("long").alias("x"),
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        out = drain(bollinger_fold_stream(s), output_mode="append")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    n_d = F.col("n").cast("double")
+    sx = F.col("sx_c").cast("double") / F.lit(100.0)
+    sxx = F.col("sxx_c4").cast("double") / F.lit(10000.0)
+    mean = sx / n_d
+    var = (n_d * sxx - sx * sx) / (n_d * n_d)
+    band = F.when(var > 0, F.lit(2.0) * F.sqrt(var)).otherwise(F.lit(0.0))
+    return out.select(
+        "user_id", "ts", "event_id",
+        mean.alias("mid"),
+        (mean + band).alias("upper"),
+        (mean - band).alias("lower"),
+    )
+
+
 def q_salted_hot_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-salted equi-join GATE (plans/scale.salted_join, r8 verdict
     item 6): the derived key deliberately routes ~30% of all events to
@@ -3200,6 +3239,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_cusum": q_stream_cusum,
         "salted_hot_join": q_salted_hot_join,
         "stream_late_events": q_stream_late_events,
+        "stream_bollinger": q_stream_bollinger,
         "stream_fullouter": q_stream_fullouter,
         "stream_leftouter": q_stream_leftouter,
         "demux_counts": q_demux,
@@ -3337,7 +3377,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #:     recall row, the skew-salted hot join, and the late-data
 #:     watermark gate;
 #: (b) the FIVE streaming folds rewritten to bounded O(1) state
-#:     (applyInPandasWithState incremental folds, r8 verdict item 1);
+#:     (applyInPandasWithState incremental folds, r8 verdict item 1),
+#:     plus the NEW O(k) rolling member (stream_bollinger);
 #: (c) the FOURTEEN knn/recall keys whose rank path changed: every
 #:     operator converted to the bounded topk_by_group rank
 #:     (bruteforce/sq8/hamming/lsh/ivf/pq_adc/ivfpq(+served)/
@@ -3349,15 +3390,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #: (e) FOUR session-cache consumers re-keyed by the data fingerprint
 #:     (verified-pairs + pipeline persist registry; the other four
 #:     consumers were r8-gated and the cache change is key-only);
-#: (f) re-confirmation filler: the 8 stalest keys (all last gated in
-#:     round 2, incl. the three rotated out for round 8's late adds).
+#: (f) re-confirmation filler: the 7 stalest keys (all last gated in
+#:     round 2, incl. the three rotated out for round 8's late adds;
+#:     tpch_q7 rotates to round 10 for the late stream_bollinger add).
 GATE_WINDOW = [
     # (a) new in round 9
     "versioned_restore", "knn_hamming_rerank", "hamming_rerank_recall",
     "salted_hot_join", "stream_late_events",
-    # (b) bounded-state streaming folds (rewritten r9)
+    # (b) bounded-state streaming folds (rewritten r9) + the O(k) member
     "stream_cusum", "stream_ewma", "stream_rsi", "stream_ols",
-    "stream_max_drawdown",
+    "stream_max_drawdown", "stream_bollinger",
     # (c) bounded top-k + ground-truth-path consumers
     "knn_bruteforce", "knn_sq8", "knn_hamming", "hamming_recall",
     "matryoshka_recall", "ann_recall", "sq8_recall", "ivfpq_recall",
@@ -3375,7 +3417,7 @@ GATE_WINDOW = [
     "pipeline_end_to_end",
     # (f) stalest re-confirmations (last gated round 2)
     "timer_ticks", "topk_per_priority", "set_ops_multiset",
-    "tpch_q1", "tpch_q4", "tpch_q7", "trade_pnl_asof", "vwap_2min",
+    "tpch_q1", "tpch_q4", "trade_pnl_asof", "vwap_2min",
 ]
 
 
@@ -4146,6 +4188,7 @@ def oracle_sql() -> dict[str, str]:
 
     out["max_drawdown"] = out["stream_max_drawdown"] = sql_max_drawdown()
     out["bollinger_bands"] = sql_bollinger_bands(n_rows=20)
+    out["stream_bollinger"] = out["bollinger_bands"]
     out["rolling_corr"] = """
         WITH lagged AS (
             SELECT user_id, ts, event_id,

@@ -51,8 +51,15 @@ __all__ = [
     "rsi_fold_stream",
     "ols_fold_stream",
     "drawdown_fold_stream",
+    "bollinger_fold_stream",
     "STATE_SCHEMAS",
 ]
+
+#: Frame width of the O(k) rolling fold's state (bollinger, k-1 carried
+#: values).  Fixed at module level so the state schema stays a
+#: FIXED-WIDTH struct of scalar longs — the same structural boundedness
+#: guarantee as the O(1) folds, for k known at plan time.
+BOLLINGER_K = 20
 
 #: State schemas are fixed-width scalar structs ONLY — the boundedness
 #: claim is structural and pytest-asserted (no ArrayType/MapType/String).
@@ -65,6 +72,11 @@ STATE_SCHEMAS = {
     "rsi": "prev_y BIGINT, ag BIGINT, al BIGINT, n BIGINT",
     "ols": "n BIGINT, sy BIGINT, sxy BIGINT, syy BIGINT",
     "drawdown": "eq BIGINT, peak BIGINT, dd BIGINT, n BIGINT",
+    # O(k) rolling frame: cnt + the (k-1) most recent values, oldest
+    # first, unused tail NULL — still a fixed-width scalar-long struct
+    "bollinger": "cnt BIGINT, " + ", ".join(
+        f"v{i} BIGINT" for i in range(BOLLINGER_K - 1)
+    ),
 }
 
 
@@ -222,6 +234,65 @@ def ols_fold_stream(stream):
 
     out_schema = "n BIGINT, sy BIGINT, sxy BIGINT, syy BIGINT, user_id BIGINT"
     return _apply(stream, fold, out_schema, "ols")
+
+
+def bollinger_fold_stream(stream, n_rows: int = BOLLINGER_K):
+    """Rolling ``n_rows``-row Bollinger frame sums as an O(k)-state fold
+    — the bounded-WINDOW case of the family (CUSUM/EWMA/OLS carry O(1)
+    scalars; a rows-frame statistic needs the k-1 most recent values to
+    retire the departing element, and nothing more — never the event
+    history).  Per row it emits the EXACT integer frame sums (n,
+    sum-cents, sum-cents²·1e-4) of the last ``n_rows`` values in
+    (ts, event_id) order; the mean/±2σ IEEE tree runs Spark-side
+    downstream, identical to ``operators/windows.bollinger_bands``, so
+    the drained series hash-matches the batch oracle row for row.
+
+    Output mode is append with ONE row per event (the rolling series,
+    not a per-key reduction), so no final-row selection applies."""
+    if n_rows != BOLLINGER_K:
+        raise ValueError(
+            f"state schema is fixed-width for k={BOLLINGER_K}; "
+            f"got n_rows={n_rows}"
+        )
+    k_carry = n_rows - 1
+
+    def fold(key, pdfs, state):
+        uid = int(key[0])
+        if state.exists:
+            st = state.get
+            cnt = st[0]
+            buf = [v for v in st[1:1 + cnt]]
+        else:
+            buf = []
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+        rows = []
+        for ts, eid, x in zip(
+            pdf["ts"].tolist(), pdf["event_id"].tolist(), pdf["x"].tolist()
+        ):
+            frame = buf + [x]  # last <= n_rows values incl. current
+            rows.append((
+                uid, ts, eid, len(frame),
+                sum(frame), sum(v * v for v in frame),
+            ))
+            buf.append(x)
+            if len(buf) > k_carry:
+                buf.pop(0)
+        assert len(buf) <= k_carry  # bounded BY CONSTRUCTION
+        state.update(
+            (len(buf), *buf, *([None] * (k_carry - len(buf))))
+        )
+        yield pd.DataFrame(
+            rows,
+            columns=["user_id", "ts", "event_id", "n", "sx_c", "sxx_c4"],
+            dtype=object,
+        )
+
+    out_schema = (
+        "user_id BIGINT, ts TIMESTAMP, event_id BIGINT, "
+        "n BIGINT, sx_c BIGINT, sxx_c4 BIGINT"
+    )
+    return _apply(stream, fold, out_schema, "bollinger")
 
 
 def drawdown_fold_stream(stream):

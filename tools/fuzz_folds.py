@@ -162,6 +162,20 @@ def _batch_ols(df):
     )
 
 
+def _batch_bollinger(df, n_rows: int):
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id") \
+        .rowsBetween(-(n_rows - 1), 0)
+    x = F.expr(CENTS)
+    return df.select(
+        "user_id", "ts", "event_id",
+        F.count(F.lit(1)).over(w).cast("long").alias("n"),
+        F.sum(x).over(w).cast("long").alias("sx_c"),
+        F.sum(x * x).over(w).cast("long").alias("sxx_c4"),
+    )
+
+
 def _batch_drawdown(df):
     agg = df.groupBy("user_id").agg(_arr("x").alias("arr"))
     xs = F.transform(F.col("arr"), lambda a: a["x"])
@@ -221,9 +235,15 @@ def run_case(spark, rng: random.Random, sf_dir: str) -> str:
         rsi_fold_stream,
     )
 
+    from async_stream_processing_spark.streaming.folds import (
+        BOLLINGER_K,
+        bollinger_fold_stream,
+    )
+
     pred_name, pred = rng.choice(PREDS)
     n_parts = rng.choice([2, 3, 4])
-    kind = rng.choice(["cusum", "ewma", "rsi", "ols", "drawdown"])
+    kind = rng.choice(["cusum", "ewma", "rsi", "ols", "drawdown",
+                       "bollinger"])
     df = load_table(spark, sf_dir, "events").filter(F.expr(pred))
     d = _split_write(spark, df, n_parts)
     try:
@@ -270,6 +290,26 @@ def run_case(spark, rng: random.Random, sf_dir: str) -> str:
             )).select("user_id", "n", "sy", "sxy", "syy")
             want = _batch_ols(df)
             label = "ols"
+        elif kind == "bollinger":
+            # per-ROW series (append mode emits each row once): compare
+            # the whole rolling output, no final-row selection
+            from async_stream_processing_spark.streaming.replay import (
+                drain,
+            )
+
+            prev = spark.conf.get("spark.sql.shuffle.partitions")
+            spark.conf.set("spark.sql.shuffle.partitions", "4")
+            try:
+                got = drain(
+                    bollinger_fold_stream(
+                        base.select("ts", "event_id", "user_id", "x")),
+                    output_mode="append",
+                ).select("user_id", "event_id", "n", "sx_c", "sxx_c4")
+            finally:
+                spark.conf.set("spark.sql.shuffle.partitions", prev)
+            want = _batch_bollinger(df, BOLLINGER_K).select(
+                "user_id", "event_id", "n", "sx_c", "sxx_c4")
+            label = f"bollinger(k={BOLLINGER_K})"
         else:
             got = _finals(spark, drawdown_fold_stream(
                 base.select("ts", "event_id", "user_id", "x"),
