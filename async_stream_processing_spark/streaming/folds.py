@@ -267,17 +267,24 @@ def bollinger_fold_stream(stream, n_rows: int = BOLLINGER_K):
         pdf = pd.concat(list(pdfs), ignore_index=True)
         pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
         rows = []
+        # running sums over the carried frame: O(1) per event (add the
+        # entering value, retire the departing one), not O(k)
+        run_sx = sum(buf)
+        run_sxx = sum(v * v for v in buf)
         for ts, eid, x in zip(
             pdf["ts"].tolist(), pdf["event_id"].tolist(), pdf["x"].tolist()
         ):
-            frame = buf + [x]  # last <= n_rows values incl. current
             rows.append((
-                uid, ts, eid, len(frame),
-                sum(frame), sum(v * v for v in frame),
+                uid, ts, eid, len(buf) + 1,
+                run_sx + x, run_sxx + x * x,
             ))
             buf.append(x)
+            run_sx += x
+            run_sxx += x * x
             if len(buf) > k_carry:
-                buf.pop(0)
+                old = buf.pop(0)
+                run_sx -= old
+                run_sxx -= old * old
         assert len(buf) <= k_carry  # bounded BY CONSTRUCTION
         state.update(
             (len(buf), *buf, *([None] * (k_carry - len(buf))))
