@@ -3372,10 +3372,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 #: Round-9 gate window: the driver checks the FIRST 50 `queries()` keys.
 #: Composition (mechanically verified by tools/check_window.py):
-#: (a) the FIVE queries new this round (never driver-gated): lake
-#:     RESTORE, the Hamming-prefilter exact-rerank pipeline + its
-#:     recall row, the skew-salted hot join, and the late-data
-#:     watermark gate;
+#: (a) the queries new this round (never driver-gated): lake RESTORE
+#:     and its DESCRIBE-HISTORY audit gate, the Hamming-prefilter
+#:     exact-rerank pipeline + its recall row, the skew-salted hot
+#:     join, and the late-data watermark gate;
 #: (b) the FIVE streaming folds rewritten to bounded O(1) state
 #:     (applyInPandasWithState incremental folds, r8 verdict item 1),
 #:     plus the NEW O(k) rolling member (stream_bollinger);
@@ -3390,13 +3390,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #: (e) FOUR session-cache consumers re-keyed by the data fingerprint
 #:     (verified-pairs + pipeline persist registry; the other four
 #:     consumers were r8-gated and the cache change is key-only);
-#: (f) re-confirmation filler: the 7 stalest keys (all last gated in
+#: (f) re-confirmation filler: the 6 stalest keys (all last gated in
 #:     round 2, incl. the three rotated out for round 8's late adds;
-#:     tpch_q7 rotates to round 10 for the late stream_bollinger add).
+#:     tpch_q4/q7 rotate to round 10 for the late r9 additions).
 GATE_WINDOW = [
     # (a) new in round 9
-    "versioned_restore", "knn_hamming_rerank", "hamming_rerank_recall",
-    "salted_hot_join", "stream_late_events",
+    "versioned_restore", "versioned_history", "knn_hamming_rerank",
+    "hamming_rerank_recall", "salted_hot_join", "stream_late_events",
     # (b) bounded-state streaming folds (rewritten r9) + the O(k) member
     "stream_cusum", "stream_ewma", "stream_rsi", "stream_ols",
     "stream_max_drawdown", "stream_bollinger",
@@ -3417,7 +3417,7 @@ GATE_WINDOW = [
     "pipeline_end_to_end",
     # (f) stalest re-confirmations (last gated round 2)
     "timer_ticks", "topk_per_priority", "set_ops_multiset",
-    "tpch_q1", "tpch_q4", "trade_pnl_asof", "vwap_2min",
+    "tpch_q1", "trade_pnl_asof", "vwap_2min",
 ]
 
 

@@ -601,6 +601,30 @@ def shallow_clone(src: str, dst: str, version: int | None = None) -> int:
                    meta=meta, expected_head=0)
 
 
+def history(path: str) -> list[dict]:
+    """DESCRIBE HISTORY analog: one dict per committed (non-torn)
+    version, oldest first — version, operation, parent, file count,
+    and the operation-specific metadata (streaming ``batch_id``,
+    ``restored_version``, ``cloned_from``).  O(versions) manifest
+    metadata reads, zero data reads — the audit view an operator
+    checks before a RESTORE."""
+    out = []
+    for v in versions(path):
+        if _is_torn(path, v):
+            continue
+        m = _read_manifest(path, v)
+        out.append({
+            "version": v,
+            "operation": m.get("operation"),
+            "parent": m.get("parent"),
+            "n_files": len(m.get("files", [])),
+            "batch_id": m.get("batch_id"),
+            "restored_version": m.get("restored_version"),
+            "cloned_from": m.get("cloned_from"),
+        })
+    return out
+
+
 def restore(path: str, version: int) -> int:
     """RESTORE (Delta ``RESTORE TABLE ... TO VERSION`` semantics):
     re-publish ``version``'s FILE SET as a NEW head commit — history is

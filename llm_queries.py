@@ -1784,6 +1784,52 @@ def q_versioned_restore(spark, sf_dir):
     return out
 
 
+def q_versioned_history(spark, sf_dir):
+    """DESCRIBE HISTORY gate: a four-commit lifecycle (append half,
+    append rest, update-only MERGE, RESTORE to v2) read back through
+    ``history()`` — each version's operation from manifest METADATA
+    joined with its actual pinned-read row count, so the audit view and
+    time travel are hash-checked together (a history row claiming an
+    operation whose snapshot doesn't match its expected count fails the
+    gate)."""
+    import shutil
+    import tempfile
+
+    from async_stream_processing_spark.plans.versioned import (
+        commit_append,
+        history,
+        merge_into,
+        read_version,
+        restore,
+    )
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    lake = tempfile.mkdtemp(prefix="asp_vhist_")
+    shutil.rmtree(lake, ignore_errors=True)
+    try:
+        commit_append(docs.filter(F.col("doc_id") % 2 == 0), lake)
+        commit_append(docs.filter(F.col("doc_id") % 2 != 0), lake)
+        ups = docs.filter(F.col("doc_id") % 3 == 0).select(
+            "doc_id", F.upper("text").alias("text"), "lang", "source",
+            "n_chars",
+        )
+        merge_into(spark, lake, ups, ["doc_id"])  # update-only
+        restore(lake, 2)
+        rows = [
+            (h["version"], h["operation"],
+             read_version(spark, lake, h["version"]).count())
+            for h in history(lake)
+        ]
+        out = spark.createDataFrame(
+            rows, "version long, operation string, n_rows long"
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(lake, ignore_errors=True)
+    return out
+
+
 def q_stream_versioned_maintained(spark, sf_dir):
     """versioned_sink WITH the auto-maintenance policy (r7 verdict item
     5) EXECUTED BY THE STREAMING ENGINE: many micro-batches, compaction
@@ -2203,6 +2249,7 @@ LLM_QUERIES = {
     "stream_versioned_maintained": q_stream_versioned_maintained,
     "versioned_clone": q_versioned_clone,
     "versioned_restore": q_versioned_restore,
+    "versioned_history": q_versioned_history,
     "stream_versioned_merge": q_stream_versioned_merge,
     "versioned_compact": q_versioned_compact,
     "versioned_changes": q_versioned_changes,
@@ -2749,6 +2796,17 @@ def llm_oracle_sql() -> dict[str, str]:
         """,
         "stream_versioned_maintained": """
             SELECT doc_id, text, lang, source, n_chars FROM documents
+        """,
+        "versioned_history": """
+            SELECT 1 AS version, 'append' AS operation,
+                   (SELECT COUNT(*) FROM documents WHERE doc_id % 2 = 0)
+                       AS n_rows
+            UNION ALL
+            SELECT 2, 'append', (SELECT COUNT(*) FROM documents)
+            UNION ALL
+            SELECT 3, 'merge', (SELECT COUNT(*) FROM documents)
+            UNION ALL
+            SELECT 4, 'restore', (SELECT COUNT(*) FROM documents)
         """,
         "versioned_restore": """
             WITH base AS (SELECT doc_id, text, lang, source, n_chars

@@ -2134,3 +2134,41 @@ def test_salted_hot_join_fans_out_and_matches_plain(spark):
     assert plain.exceptAll(salted).count() == 0
     gated = q_salted_hot_join(spark, sf)
     assert gated.exceptAll(plain).count() == 0
+
+
+def test_cdf_and_history_across_restore(spark, tmp_path):
+    """table_changes across a RESTORE boundary: the row-level feed nets
+    to exactly 'undo the bad merge' (bad rows deleted, originals
+    re-inserted), and history() reports the lifecycle with the
+    restore's metadata."""
+    from async_stream_processing_spark.plans.versioned import (
+        commit_append,
+        history,
+        merge_into,
+        restore,
+        table_changes,
+    )
+
+    lake = str(tmp_path / "lake")
+    commit_append(
+        spark.createDataFrame([(k, k * 10) for k in range(6)],
+                              "k long, v long"),
+        lake,
+    )
+    merge_into(
+        spark, lake,
+        spark.createDataFrame([(k, -1) for k in range(6)],
+                              "k long, v long"),
+        ["k"],
+    )
+    restore(lake, 1)
+    ch = table_changes(spark, lake, 2, 3, row_level=True)
+    got = {(r["k"], r["v"], r["_change_type"]) for r in ch.collect()}
+    want = {(k, -1, "delete") for k in range(6)} | {
+        (k, k * 10, "insert") for k in range(6)
+    }
+    assert got == want
+    h = history(lake)
+    assert [x["operation"] for x in h] == ["append", "merge", "restore"]
+    assert h[-1]["restored_version"] == 1
+    assert h[-1]["parent"] == 2
