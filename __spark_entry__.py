@@ -2599,6 +2599,48 @@ def q_stream_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rolling_corr EXECUTED BY THE STREAMING ENGINE with O(k) per-key
+    state — the two-series bounded-window fold: state carries the k-1
+    most recent (x, lag-x) pairs plus the previous value (the lag-1
+    crosses micro-batch boundaries through ``prev_x``); each event
+    emits its exact integer frame sums over lag-valid rows, and the
+    Pearson IEEE tree runs Spark-side identical to the batch operator,
+    so the full series hash-matches the SAME oracle as
+    ``rolling_corr``."""
+    from async_stream_processing_spark.streaming.folds import (
+        corr_fold_stream,
+    )
+    from async_stream_processing_spark.streaming.replay import drain
+
+    s = _stream_time_ordered(spark, sf_dir).select(
+        "ts", "event_id", "user_id",
+        (F.col("value").cast("decimal(18,2)") * 100)
+        .cast("long").alias("x"),
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        out = drain(corr_fold_stream(s), output_mode="append")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    n_d = F.col("n").cast("double")
+    sx = F.col("sx_c").cast("double") / F.lit(100.0)
+    sy = F.col("sy_c").cast("double") / F.lit(100.0)
+    sxy = F.col("sxy_c4").cast("double") / F.lit(10000.0)
+    sxx = F.col("sxx_c4").cast("double") / F.lit(10000.0)
+    syy = F.col("syy_c4").cast("double") / F.lit(10000.0)
+    vx = n_d * sxx - sx * sx
+    vy = n_d * syy - sy * sy
+    corr = F.when(
+        (vx > 0) & (vy > 0),
+        (n_d * sxy - sx * sy) / F.sqrt(vx * vy),
+    )
+    return out.select(
+        "user_id", "ts", "event_id", corr.alias("corr20"),
+    )
+
+
 def q_salted_hot_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-salted equi-join GATE (plans/scale.salted_join, r8 verdict
     item 6): the derived key deliberately routes ~30% of all events to
@@ -3240,6 +3282,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_hot_join": q_salted_hot_join,
         "stream_late_events": q_stream_late_events,
         "stream_bollinger": q_stream_bollinger,
+        "stream_rolling_corr": q_stream_rolling_corr,
         "stream_fullouter": q_stream_fullouter,
         "stream_leftouter": q_stream_leftouter,
         "demux_counts": q_demux,
@@ -3390,16 +3433,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #: (e) FOUR session-cache consumers re-keyed by the data fingerprint
 #:     (verified-pairs + pipeline persist registry; the other four
 #:     consumers were r8-gated and the cache change is key-only);
-#: (f) re-confirmation filler: the 6 stalest keys (all last gated in
+#: (f) re-confirmation filler: the 5 stalest keys (all last gated in
 #:     round 2, incl. the three rotated out for round 8's late adds;
-#:     tpch_q4/q7 rotate to round 10 for the late r9 additions).
+#:     tpch_q4/q7/vwap_2min rotate to round 10 for the late r9 adds).
 GATE_WINDOW = [
     # (a) new in round 9
     "versioned_restore", "versioned_history", "knn_hamming_rerank",
     "hamming_rerank_recall", "salted_hot_join", "stream_late_events",
-    # (b) bounded-state streaming folds (rewritten r9) + the O(k) member
+    # (b) bounded-state streaming folds (rewritten r9) + the O(k) members
     "stream_cusum", "stream_ewma", "stream_rsi", "stream_ols",
-    "stream_max_drawdown", "stream_bollinger",
+    "stream_max_drawdown", "stream_bollinger", "stream_rolling_corr",
     # (c) bounded top-k + ground-truth-path consumers
     "knn_bruteforce", "knn_sq8", "knn_hamming", "hamming_recall",
     "matryoshka_recall", "ann_recall", "sq8_recall", "ivfpq_recall",
@@ -3417,7 +3460,7 @@ GATE_WINDOW = [
     "pipeline_end_to_end",
     # (f) stalest re-confirmations (last gated round 2)
     "timer_ticks", "topk_per_priority", "set_ops_multiset",
-    "tpch_q1", "trade_pnl_asof", "vwap_2min",
+    "tpch_q1", "trade_pnl_asof",
 ]
 
 
@@ -4216,6 +4259,7 @@ def oracle_sql() -> dict[str, str]:
                END AS corr20
         FROM sums
     """
+    out["stream_rolling_corr"] = out["rolling_corr"]
     # contract oracle (cardinality_sketch pattern): the sketch histogram's
     # invariants -- 10 nonempty buckets, 2% depth tolerance, ordered
     # bounds -- hold exactly; the boolean derivation runs Spark-side.

@@ -52,6 +52,7 @@ __all__ = [
     "ols_fold_stream",
     "drawdown_fold_stream",
     "bollinger_fold_stream",
+    "corr_fold_stream",
     "STATE_SCHEMAS",
 ]
 
@@ -76,6 +77,11 @@ STATE_SCHEMAS = {
     # first, unused tail NULL — still a fixed-width scalar-long struct
     "bollinger": "cnt BIGINT, " + ", ".join(
         f"v{i} BIGINT" for i in range(BOLLINGER_K - 1)
+    ),
+    # O(k) rolling (x, lag-x) pairs + the carried previous value; y is
+    # NULL only for a key's very first row
+    "corr": "cnt BIGINT, prev_x BIGINT, " + ", ".join(
+        f"x{i} BIGINT, y{i} BIGINT" for i in range(BOLLINGER_K - 1)
     ),
 }
 
@@ -300,6 +306,91 @@ def bollinger_fold_stream(stream, n_rows: int = BOLLINGER_K):
         "n BIGINT, sx_c BIGINT, sxx_c4 BIGINT"
     )
     return _apply(stream, fold, out_schema, "bollinger")
+
+
+def corr_fold_stream(stream, n_rows: int = BOLLINGER_K):
+    """Rolling lag-1 Pearson frame sums as an O(k)-state fold — the
+    two-series member of the bounded-window family: state is the k-1
+    most recent (x, lag-x) pairs plus the carried previous value (the
+    lag crosses the micro-batch boundary through ``prev_x``).  Emits
+    each event's exact integer frame sums over the frame's lag-valid
+    rows (n, Sx, Sy, Sxy, Sxx, Syy — the cents/cents² discipline of
+    ``operators/windows.rolling_corr``); the Pearson IEEE tree runs
+    Spark-side downstream, so the drained series hash-matches the batch
+    oracle row for row.  Running sums retire the departing pair: O(1)
+    per event."""
+    if n_rows != BOLLINGER_K:
+        raise ValueError(
+            f"state schema is fixed-width for k={BOLLINGER_K}; "
+            f"got n_rows={n_rows}"
+        )
+    k_carry = n_rows - 1
+
+    def fold(key, pdfs, state):
+        uid = int(key[0])
+        if state.exists:
+            st = state.get
+            cnt, prev_x = st[0], st[1]
+            flat = st[2:2 + 2 * cnt]
+            buf = [(flat[2 * i], flat[2 * i + 1]) for i in range(cnt)]
+        else:
+            prev_x = None
+            buf = []
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+        rows = []
+        n_v = sum(1 for _, b in buf if b is not None)
+        sx = sum(a for a, b in buf if b is not None)
+        sy = sum(b for _, b in buf if b is not None)
+        sxy = sum(a * b for a, b in buf if b is not None)
+        sxx = sum(a * a for a, b in buf if b is not None)
+        syy = sum(b * b for _, b in buf if b is not None)
+        for ts, eid, x in zip(
+            pdf["ts"].tolist(), pdf["event_id"].tolist(), pdf["x"].tolist()
+        ):
+            y = prev_x
+            if y is not None:
+                rows.append((uid, ts, eid, n_v + 1, sx + x, sy + y,
+                             sxy + x * y, sxx + x * x, syy + y * y))
+            else:
+                rows.append((uid, ts, eid, n_v, sx, sy, sxy, sxx, syy))
+            buf.append((x, y))
+            if y is not None:
+                n_v += 1
+                sx += x
+                sy += y
+                sxy += x * y
+                sxx += x * x
+                syy += y * y
+            if len(buf) > k_carry:
+                ox, oy = buf.pop(0)
+                if oy is not None:
+                    n_v -= 1
+                    sx -= ox
+                    sy -= oy
+                    sxy -= ox * oy
+                    sxx -= ox * ox
+                    syy -= oy * oy
+            prev_x = x
+        assert len(buf) <= k_carry
+        flat_out: list = []
+        for a, b in buf:
+            flat_out.extend((a, b))
+        flat_out.extend([None] * (2 * (k_carry - len(buf))))
+        state.update((len(buf), prev_x, *flat_out))
+        yield pd.DataFrame(
+            rows,
+            columns=["user_id", "ts", "event_id", "n",
+                     "sx_c", "sy_c", "sxy_c4", "sxx_c4", "syy_c4"],
+            dtype=object,
+        )
+
+    out_schema = (
+        "user_id BIGINT, ts TIMESTAMP, event_id BIGINT, n BIGINT, "
+        "sx_c BIGINT, sy_c BIGINT, sxy_c4 BIGINT, sxx_c4 BIGINT, "
+        "syy_c4 BIGINT"
+    )
+    return _apply(stream, fold, out_schema, "corr")
 
 
 def drawdown_fold_stream(stream):

@@ -176,6 +176,29 @@ def _batch_bollinger(df, n_rows: int):
     )
 
 
+def _batch_corr(df, n_rows: int):
+    from pyspark.sql import Window
+
+    wl = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w = wl.rowsBetween(-(n_rows - 1), 0)
+    x = F.expr(CENTS)
+    lagged = df.withColumn("__y", F.lag(x, 1).over(wl))
+    y = F.col("__y")
+    return lagged.select(
+        "user_id", "ts", "event_id",
+        F.count("__y").over(w).cast("long").alias("n"),
+        F.coalesce(F.sum(F.when(y.isNotNull(), x)).over(w), F.lit(0))
+        .cast("long").alias("sx_c"),
+        F.coalesce(F.sum(y).over(w), F.lit(0)).cast("long").alias("sy_c"),
+        F.coalesce(F.sum(x * y).over(w), F.lit(0))
+        .cast("long").alias("sxy_c4"),
+        F.coalesce(F.sum(F.when(y.isNotNull(), x * x)).over(w), F.lit(0))
+        .cast("long").alias("sxx_c4"),
+        F.coalesce(F.sum(y * y).over(w), F.lit(0))
+        .cast("long").alias("syy_c4"),
+    )
+
+
 def _batch_drawdown(df):
     agg = df.groupBy("user_id").agg(_arr("x").alias("arr"))
     xs = F.transform(F.col("arr"), lambda a: a["x"])
@@ -238,12 +261,13 @@ def run_case(spark, rng: random.Random, sf_dir: str) -> str:
     from async_stream_processing_spark.streaming.folds import (
         BOLLINGER_K,
         bollinger_fold_stream,
+        corr_fold_stream,
     )
 
     pred_name, pred = rng.choice(PREDS)
     n_parts = rng.choice([2, 3, 4])
     kind = rng.choice(["cusum", "ewma", "rsi", "ols", "drawdown",
-                       "bollinger"])
+                       "bollinger", "corr"])
     df = load_table(spark, sf_dir, "events").filter(F.expr(pred))
     d = _split_write(spark, df, n_parts)
     try:
@@ -310,6 +334,26 @@ def run_case(spark, rng: random.Random, sf_dir: str) -> str:
             want = _batch_bollinger(df, BOLLINGER_K).select(
                 "user_id", "event_id", "n", "sx_c", "sxx_c4")
             label = f"bollinger(k={BOLLINGER_K})"
+        elif kind == "corr":
+            from async_stream_processing_spark.streaming.replay import (
+                drain,
+            )
+
+            prev = spark.conf.get("spark.sql.shuffle.partitions")
+            spark.conf.set("spark.sql.shuffle.partitions", "4")
+            try:
+                got = drain(
+                    corr_fold_stream(
+                        base.select("ts", "event_id", "user_id", "x")),
+                    output_mode="append",
+                ).select("user_id", "event_id", "n", "sx_c", "sy_c",
+                         "sxy_c4", "sxx_c4", "syy_c4")
+            finally:
+                spark.conf.set("spark.sql.shuffle.partitions", prev)
+            want = _batch_corr(df, BOLLINGER_K).select(
+                "user_id", "event_id", "n", "sx_c", "sy_c",
+                "sxy_c4", "sxx_c4", "syy_c4")
+            label = f"corr(k={BOLLINGER_K})"
         else:
             got = _finals(spark, drawdown_fold_stream(
                 base.select("ts", "event_id", "user_id", "x"),
