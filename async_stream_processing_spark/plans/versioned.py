@@ -680,6 +680,27 @@ def restore(path: str, version: int) -> int:
             continue
 
 
+def restore_to_timestamp(path: str, ts: float) -> int:
+    """RESTORE TO TIMESTAMP (the Delta sibling of
+    :func:`restore`): republish the newest committed version whose
+    manifest was PUBLISHED at or before ``ts`` (seconds since epoch).
+    Publication time is the manifest file's mtime — the only clock the
+    log has; commits are sequential per lake so mtime order equals
+    version order in practice, and the pick walks versions DOWN so a
+    skewed mtime can only select an older (safe) version, never a
+    newer one."""
+    candidates = [v for v in versions(path) if not _is_torn(path, v)]
+    for v in reversed(candidates):
+        try:
+            if os.path.getmtime(_manifest_path(path, v)) <= ts:
+                return restore(path, v)
+        except OSError:
+            continue
+    raise FileNotFoundError(
+        f"no committed version under {path} at or before ts={ts}"
+    )
+
+
 def vacuum(path: str, keep_last: int = 1,
            torn_grace_seconds: float = 300.0) -> dict:
     """Delete data files referenced by none of the last ``keep_last``
