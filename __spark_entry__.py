@@ -3433,13 +3433,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #: (e) FOUR session-cache consumers re-keyed by the data fingerprint
 #:     (verified-pairs + pipeline persist registry; the other four
 #:     consumers were r8-gated and the cache change is key-only);
-#: (f) re-confirmation filler: the 5 stalest keys (all last gated in
-#:     round 2, incl. the three rotated out for round 8's late adds;
-#:     tpch_q4/q7/vwap_2min rotate to round 10 for the late r9 adds).
+#: (f) re-confirmation filler: the 4 stalest keys (the three rotated
+#:     out for round 8's late adds, plus trade_pnl_asof;
+#:     tpch_q1/q4/q7/vwap_2min rotate to round 10 for late r9 adds).
 GATE_WINDOW = [
     # (a) new in round 9
     "versioned_restore", "versioned_history", "knn_hamming_rerank",
     "hamming_rerank_recall", "salted_hot_join", "stream_late_events",
+    "length_bucketed_packing",
     # (b) bounded-state streaming folds (rewritten r9) + the O(k) members
     "stream_cusum", "stream_ewma", "stream_rsi", "stream_ols",
     "stream_max_drawdown", "stream_bollinger", "stream_rolling_corr",
@@ -3460,7 +3461,7 @@ GATE_WINDOW = [
     "pipeline_end_to_end",
     # (f) stalest re-confirmations (last gated round 2)
     "timer_ticks", "topk_per_priority", "set_ops_multiset",
-    "tpch_q1", "trade_pnl_asof",
+    "trade_pnl_asof",
 ]
 
 

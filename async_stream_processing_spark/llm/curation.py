@@ -463,6 +463,97 @@ def pack_sequences(
     )
 
 
+def length_bucketed_packing(
+    docs: DataFrame,
+    n_length_buckets: int = 4,
+    batch_tokens: int = 2048,
+    text: str = "text",
+) -> DataFrame:
+    """Length-bucketed batch assignment with a padding-waste audit —
+    the batching layout a padded training loop actually pays for.
+
+    Documents are quantile-bucketed by token count (NTILE over
+    (n_tokens, doc_id) — deterministic ties), laid out LONGEST-FIRST
+    within each bucket, and cut into batches by cumulative token budget
+    (the :func:`pack_sequences` offset-chunking rule).  Because
+    batch-mates have similar lengths, padding-to-max inside a batch is
+    small; the output is the per-(bucket, batch) audit row —
+    ``pad_tokens = max_tokens * n_docs - sum_tokens`` is exactly the
+    wasted cells a pad-to-longest collator allocates.  All integer
+    arithmetic, cross-engine exact.
+
+    Scale shape: the quantile NTILE is a global sort at fixture scale;
+    at 100 TB the bucket boundaries come from ``approx_percentile``
+    (mergeable sketch, no global sort — the ``approx_equidepth``
+    pattern) and the within-bucket layout is one hash shuffle + sorted
+    pass per bucket, exactly :func:`pack_sequences`'s shape."""
+    n_tok = F.size(tokens(text)).cast("long")
+    base = docs.select("doc_id", n_tok.alias("n_tokens"))
+    wq = Window.orderBy(F.asc("n_tokens"), F.asc("doc_id"))
+    b = base.withColumn(
+        "bucket", (F.ntile(n_length_buckets).over(wq) - 1).cast("long")
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy(F.desc("n_tokens"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = b.withColumn(
+        "start_offset", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    ).withColumn(
+        "batch_id",
+        F.expr(f"start_offset DIV {batch_tokens}").cast("long"),
+    )
+    agg = off.groupBy("bucket", "batch_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("sum_tokens"),
+        F.max("n_tokens").cast("long").alias("max_tokens"),
+    )
+    return agg.withColumn(
+        "pad_tokens",
+        (F.col("max_tokens") * F.col("n_docs") - F.col("sum_tokens"))
+        .cast("long"),
+    )
+
+
+def sql_length_bucketed_packing(
+    src: str = "documents",
+    n_length_buckets: int = 4,
+    batch_tokens: int = 2048,
+) -> str:
+    """DuckDB twin of :func:`length_bucketed_packing` (same NTILE tie
+    rule, same longest-first layout, same offset chunking)."""
+    return f"""
+        WITH base AS (
+            SELECT doc_id,
+                   CAST(len({sql_tokens('text')}) AS BIGINT) AS n_tokens
+            FROM {src}),
+        bkt AS (
+            SELECT doc_id, n_tokens,
+                   CAST(NTILE({n_length_buckets}) OVER (
+                        ORDER BY n_tokens ASC, doc_id ASC) - 1
+                        AS BIGINT) AS bucket
+            FROM base),
+        offs AS (
+            SELECT bucket, n_tokens,
+                   CAST(COALESCE(SUM(n_tokens) OVER (
+                        PARTITION BY bucket
+                        ORDER BY n_tokens DESC, doc_id ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0) AS BIGINT) AS start_offset
+            FROM bkt)
+        SELECT bucket,
+               start_offset // {batch_tokens} AS batch_id,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+               CAST(MAX(n_tokens) AS BIGINT) AS max_tokens,
+               CAST(MAX(n_tokens) * COUNT(*) - SUM(n_tokens) AS BIGINT)
+                   AS pad_tokens
+        FROM offs
+        GROUP BY bucket, start_offset // {batch_tokens}
+    """
+
+
 def sql_pack_sequences(
     src: str = "documents", budget: int = 512, key: str = "source",
     order: str = "doc_id",

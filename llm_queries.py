@@ -2104,6 +2104,20 @@ def q_packing_efficiency(spark, sf_dir):
     return packing_efficiency(_docs(spark, sf_dir), budget=512)
 
 
+def q_length_bucketed_packing(spark, sf_dir):
+    """Length-bucketed batching audit: quantile buckets by token count,
+    longest-first offset chunking inside each bucket, per-batch
+    pad-to-longest waste as exact integers -- the padded-collator cost
+    a training loop pays, measured before anyone ships the layout."""
+    from async_stream_processing_spark.llm.curation import (
+        length_bucketed_packing,
+    )
+
+    return length_bucketed_packing(
+        _docs(spark, sf_dir), n_length_buckets=4, batch_tokens=2048
+    )
+
+
 def q_doremi_mixture(spark, sf_dir):
     """Domain-mixture OPTIMIZATION (DoReMi shape, Xie et al. 2023):
     three multiplicative-weights rounds upweighting the domains most
@@ -2279,6 +2293,7 @@ LLM_QUERIES = {
     "doremi_mixture": q_doremi_mixture,
     "bpe_coverage": q_bpe_coverage,
     "packing_efficiency": q_packing_efficiency,
+    "length_bucketed_packing": q_length_bucketed_packing,
     "trigram_backoff": q_trigram_backoff,
     "stream_trigram_backoff": q_stream_trigram_backoff,
     "source_tv_distance": q_source_tv_distance,
@@ -2629,6 +2644,7 @@ def llm_oracle_sql() -> dict[str, str]:
     from async_stream_processing_spark.llm.curation import (
         sql_doremi_mixture,
         sql_filter_audit,
+        sql_length_bucketed_packing,
         sql_packing_efficiency,
     )
 
@@ -2881,6 +2897,8 @@ def llm_oracle_sql() -> dict[str, str]:
         "doremi_mixture": sql_doremi_mixture(n_rounds=3),
         "bpe_coverage": sql_bpe_coverage(n_merges=3),
         "packing_efficiency": sql_packing_efficiency(budget=512),
+        "length_bucketed_packing": sql_length_bucketed_packing(
+            n_length_buckets=4, batch_tokens=2048),
         "trigram_backoff": sql_trigram_backoff_score(),
         "stream_trigram_backoff": sql_trigram_backoff_score(),
         "source_tv_distance": sql_source_tv_distance(),
