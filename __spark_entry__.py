@@ -3095,6 +3095,30 @@ def q_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS over orders: the two independent marginals
+    (by priority, by status) in ONE shuffle — the general grouping form
+    ROLLUP/CUBE specialize, and the one multi-dim agg shape the engine
+    lacked a gate for.  Neither rollup (nested prefixes) nor cube
+    (every subset incl. the pair and the grand total) produces exactly
+    this set; expressing it as two groupBys would scan the table
+    twice."""
+    from async_stream_processing_spark.operators.analytics import (
+        grouping_sets_agg,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    return grouping_sets_agg(
+        orders,
+        [["o_orderpriority"], ["o_orderstatus"]],
+        {
+            "n_orders": F.count(F.lit(1)),
+            "sum_price": F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double"),
+        },
+    )
+
+
 def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered conversion funnel signup -> click -> purchase: stacked
     window minima over ONE user partitioning (one shuffle for the whole
@@ -3338,6 +3362,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dominant_supplier": q_dominant_supplier,
         "range_join_bands": q_range_join_bands,
         "cube_orders": q_cube_orders,
+        "grouping_sets_orders": q_grouping_sets_orders,
+        "epoch_shuffle": LLM_QUERIES["epoch_shuffle"],
         "funnel_steps": q_funnel_steps,
         "retention_cohorts": q_retention_cohorts,
         "containment_pairs": LLM_QUERIES["containment_pairs"],
@@ -3433,14 +3459,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #: (e) FOUR session-cache consumers re-keyed by the data fingerprint
 #:     (verified-pairs + pipeline persist registry; the other four
 #:     consumers were r8-gated and the cache change is key-only);
-#: (f) re-confirmation filler: the 4 stalest keys (the three rotated
-#:     out for round 8's late adds, plus trade_pnl_asof;
-#:     tpch_q1/q4/q7/vwap_2min rotate to round 10 for late r9 adds).
+#: (f) re-confirmation filler: the 2 stalest keys (set_ops_multiset,
+#:     trade_pnl_asof, tpch_q1/q4/q7 and vwap_2min rotate to round 10
+#:     to make room for the late r9 adds incl. the DELETE/UPDATE DML).
 GATE_WINDOW = [
-    # (a) new in round 9
+    # (a) new in round 9 (versioned_delete/versioned_update are the
+    # late DML additions; two stale fillers rotated out to fit)
     "versioned_restore", "versioned_history", "knn_hamming_rerank",
     "hamming_rerank_recall", "salted_hot_join", "stream_late_events",
-    "length_bucketed_packing",
+    "length_bucketed_packing", "versioned_delete", "versioned_update",
+    "grouping_sets_orders", "epoch_shuffle", "versioned_delete_mor",
     # (b) bounded-state streaming folds (rewritten r9) + the O(k) members
     "stream_cusum", "stream_ewma", "stream_rsi", "stream_ols",
     "stream_max_drawdown", "stream_bollinger", "stream_rolling_corr",
@@ -3454,14 +3482,17 @@ GATE_WINDOW = [
     "versioned_merge_schema", "versioned_changes", "versioned_changes_rows",
     "versioned_compact", "versioned_compact_zorder", "versioned_clone",
     "versioned_prune_read", "versioned_point_lookup",
-    "stream_versioned_sink", "stream_versioned_maintained",
-    "stream_versioned_merge",
-    # (e) session-cache (data-fingerprint) consumers
-    "dedup_minhash_lsh", "dedup_clusters", "dedup_keep_best",
-    "pipeline_end_to_end",
-    # (f) stalest re-confirmations (last gated round 2)
-    "timer_ticks", "topk_per_priority", "set_ops_multiset",
-    "trade_pnl_asof",
+    "stream_versioned_maintained", "stream_versioned_merge",
+    # stream_versioned_sink rotates to round 10: its commit_append path
+    # is untouched by the DV work and the other two stream-lake keys
+    # stay in
+    # (e) session-cache (data-fingerprint) consumers; clusters/keep_best
+    # rotate to round 10 — r8-gated green, the cache-key change they
+    # share is covered by dedup_minhash_lsh staying in
+    "dedup_minhash_lsh", "pipeline_end_to_end",
+    # (f) stalest re-confirmations (last gated round 2;
+    # set_ops_multiset/trade_pnl_asof rotate to round 10 for the DML adds)
+    "timer_ticks", "topk_per_priority",
 ]
 
 
@@ -4557,6 +4588,16 @@ def oracle_sql() -> dict[str, str]:
                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
                    AS sum_price
         FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
+    """
+    out["grouping_sets_orders"] = """
+        SELECT o_orderpriority, o_orderstatus,
+               CAST(GROUPING(o_orderpriority, o_orderstatus) AS BIGINT)
+                   AS grouping_id,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS sum_price
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
     """
     out["funnel_steps"] = """
         WITH s1 AS (

@@ -202,3 +202,70 @@ def sql_train_val_split(
                     ELSE 'train' END AS split
         FROM ranked
     """
+
+
+def epoch_shuffle(
+    docs: DataFrame, n_epochs: int = 2, n_shards: int = 4
+) -> DataFrame:
+    """Deterministic per-epoch global shuffle into shards — the
+    reproducible data-ordering step a training run needs: epoch e's
+    order is the sort by ``hash(doc_id, e)``, so every worker can
+    recompute any shard's exact sequence from (seed-free) document
+    identity alone, each epoch's permutation is independent, and a
+    resumed run re-derives position without any stored state.
+
+    Shard = ``h % n_shards`` (hash-balanced); position = rank within
+    (epoch, shard) ordered by (h, doc_id).  Plan: the rank window is
+    PARTITIONED by (epoch, shard) — at 100 TB each shard sorts
+    independently at shuffle parallelism, there is no global sort; a
+    production writer would follow with
+    ``repartition(epoch, shard).sortWithinPartitions(pos)`` to lay the
+    files out in read order.  Epochs expand map-side from a literal
+    array (no driver loop, no union of N plans)."""
+    e = F.explode(
+        F.array(*[F.lit(i) for i in range(n_epochs)])
+    ).alias("epoch")
+    g = docs.select("doc_id", e).select(
+        "doc_id",
+        "epoch",
+        stable_hash60(
+            F.concat(
+                F.col("doc_id").cast("string"),
+                F.lit(":"),
+                F.col("epoch").cast("string"),
+            )
+        ).alias("h"),
+    )
+    shard = (F.col("h") % n_shards).alias("shard")
+    w = Window.partitionBy("epoch", F.col("h") % n_shards).orderBy(
+        F.col("h").asc(), F.col("doc_id").asc()
+    )
+    return g.select(
+        "epoch",
+        shard,
+        F.row_number().over(w).cast("long").alias("pos"),
+        "doc_id",
+    )
+
+
+def sql_epoch_shuffle(
+    n_epochs: int = 2, n_shards: int = 4, src: str = "documents"
+) -> str:
+    from ..functions.hashing import sql_stable_hash60
+
+    h = sql_stable_hash60(
+        "CAST(doc_id AS VARCHAR) || ':' || CAST(epoch AS VARCHAR)"
+    )
+    epochs = " UNION ALL ".join(
+        f"SELECT {i} AS epoch" for i in range(n_epochs)
+    )
+    return f"""
+        WITH g AS (
+            SELECT doc_id, epoch, {h} AS h
+            FROM {src} CROSS JOIN ({epochs}) e)
+        SELECT epoch, h % {n_shards} AS shard,
+               ROW_NUMBER() OVER (PARTITION BY epoch, h % {n_shards}
+                                  ORDER BY h ASC, doc_id ASC) AS pos,
+               doc_id
+        FROM g
+    """

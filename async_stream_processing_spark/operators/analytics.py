@@ -114,6 +114,27 @@ def cube_agg(
     )
 
 
+def grouping_sets_agg(
+    df: DataFrame, sets: list[list[str]], aggs: dict[str, Column]
+) -> DataFrame:
+    """GROUPING SETS — the general form ROLLUP/CUBE specialize: compute
+    exactly the named subset aggregations (e.g. two independent
+    marginals) in ONE shuffle.  Spark expands the sets map-side before
+    the exchange, so N marginals cost one pass over the data instead of
+    N separate groupBys — at 100 TB that's N-1 table scans saved.
+    ``grouping_id`` disambiguates a subtotal's NULL dim from a genuine
+    NULL value, same contract as :func:`cube_agg`."""
+    dims: list[str] = []
+    for s in sets:
+        for c in s:
+            if c not in dims:
+                dims.append(c)
+    return df.groupingSets([list(s) for s in sets], *dims).agg(
+        F.grouping_id().cast("long").alias("grouping_id"),
+        *[v.alias(k) for k, v in aggs.items()],
+    )
+
+
 def funnel_steps(
     df: DataFrame,
     key: str,

@@ -376,6 +376,55 @@ def commit_overwrite(df: DataFrame, path: str,
             continue
 
 
+def _norm_file_path_col():
+    """Normalize ``_metadata.file_path`` (a ``file:`` URI) to the plain
+    canonical absolute path DV rows are keyed by."""
+    from pyspark.sql import functions as F
+
+    return F.regexp_replace(
+        F.col("_metadata.file_path"), "^file:(//)?", ""
+    )
+
+
+def _dv_rows(spark: SparkSession, path: str, dv_refs: list[str]) -> DataFrame:
+    """Union of deletion-vector parquet files: (file_abs, row_index)."""
+    return spark.read.parquet(
+        *[os.path.join(path, r) for r in sorted(set(dv_refs))]
+    ).select("file_abs", "row_index")
+
+
+def _apply_dvs(spark: SparkSession, path: str, df: DataFrame,
+               dvs: dict, scanned: list[str]) -> DataFrame:
+    """Drop rows whose (file, position) is in a deletion vector —
+    the merge-on-read half of DELETE.  ``dvs`` maps file ref →
+    list of DV parquet refs; only DVs of files actually in ``scanned``
+    are read.  The anti-join keys on (canonical file path, parquet row
+    index); DV rows are the small side (O(deleted rows)), so AQE picks
+    a broadcast anti-join until deletes are huge, at which point the
+    shuffle anti-join is exactly what you want.  Files without a DV
+    pass through the same plan unfiltered (their path simply never
+    matches).  When ``dvs`` is empty the caller skips this entirely —
+    zero overhead for lakes that never MOR-delete."""
+    from pyspark.sql import functions as F
+
+    refs: list[str] = []
+    for f in scanned:
+        refs.extend(dvs.get(f, []))
+    if not refs:
+        return df
+    dv = _dv_rows(spark, path, refs)
+    cols = df.columns
+    keyed = df.withColumn("__dv_path", _norm_file_path_col()).withColumn(
+        "__dv_ri", F.col("_metadata.row_index")
+    )
+    return keyed.join(
+        dv,
+        (keyed["__dv_path"] == dv["file_abs"])
+        & (keyed["__dv_ri"] == dv["row_index"]),
+        "left_anti",
+    ).select(*cols)
+
+
 def read_version(
     spark: SparkSession,
     path: str,
@@ -383,7 +432,9 @@ def read_version(
     merge_schema: bool = False,
 ) -> DataFrame:
     """Load a pinned version (default: head).  Reads exactly the
-    manifest's files -- orphan / in-flight files never appear.
+    manifest's files -- orphan / in-flight files never appear.  If the
+    manifest carries deletion vectors (merge-on-read DELETE), the
+    deleted positions are anti-joined out — the read IS the merge.
 
     ``merge_schema=True`` unions file schemas across commits (schema
     evolution: rows from before a column existed read as NULL) -- the
@@ -398,7 +449,11 @@ def read_version(
     reader = spark.read
     if merge_schema:
         reader = reader.option("mergeSchema", "true")
-    return reader.parquet(*[os.path.join(path, f) for f in m["files"]])
+    df = reader.parquet(*[os.path.join(path, f) for f in m["files"]])
+    dvs = m.get("dvs", {})
+    if dvs:
+        df = _apply_dvs(spark, path, df, dvs, m["files"])
+    return df
 
 
 def table_changes(
@@ -430,19 +485,68 @@ def table_changes(
     for v in (v_from, v_to):
         if _is_torn(path, v):
             raise ValueError(f"version {v} is torn/absent")
-    f_from = set(_read_manifest(path, v_from)["files"])
-    f_to = set(_read_manifest(path, v_to)["files"])
+    m_from = _read_manifest(path, v_from)
+    m_to = _read_manifest(path, v_to)
+    f_from = set(m_from["files"])
+    f_to = set(m_to["files"])
+    dv_from = m_from.get("dvs", {})
+    dv_to = m_to.get("dvs", {})
     added = sorted(f_to - f_from)
     removed = sorted(f_from - f_to)
 
-    def _read(files: list[str]) -> DataFrame | None:
+    def _read(files: list[str], dvs: dict) -> DataFrame | None:
         if not files:
             return None
-        return spark.read.parquet(
+        df = spark.read.parquet(
             *[os.path.join(path, f) for f in files]
         )
+        if dvs:
+            # a file's LIVE rows in its own version, not raw file bytes
+            df = _apply_dvs(spark, path, df, dvs, files)
+        return df
 
-    ins, dels = _read(added), _read(removed)
+    ins, dels = _read(added, dv_to), _read(removed, dv_from)
+
+    # deletion-vector deltas on files present in BOTH versions: a MOR
+    # delete changes no file set, only positions — newly-dead positions
+    # surface as row-level deletes, resurrected ones (restore to a
+    # pre-delete snapshot) as inserts.  Reads only the common files'
+    # DV'd rows, still O(changed data).
+    common = sorted(f_from & f_to)
+    if common and (dv_from or dv_to):
+        def _pos(dvmap) -> DataFrame | None:
+            refs = [r for f in common for r in dvmap.get(f, [])]
+            return _dv_rows(spark, path, refs) if refs else None
+
+        def _rows_at(pos: DataFrame | None) -> DataFrame | None:
+            if pos is None:
+                return None
+            base = spark.read.parquet(
+                *[os.path.join(path, f) for f in common]
+            )
+            keyed = base.withColumn(
+                "__p", _norm_file_path_col()
+            ).withColumn("__ri", F.col("_metadata.row_index"))
+            return keyed.join(
+                pos,
+                (keyed["__p"] == pos["file_abs"])
+                & (keyed["__ri"] == pos["row_index"]),
+                "left_semi",
+            ).select(*base.columns)
+
+        oldp, newp = _pos(dv_from), _pos(dv_to)
+        newly_dead = (newp.exceptAll(oldp) if oldp is not None else newp) \
+            if newp is not None else None
+        resurrected = (oldp.exceptAll(newp) if newp is not None else oldp) \
+            if oldp is not None else None
+        mor_dels = _rows_at(newly_dead)
+        mor_ins = _rows_at(resurrected)
+        if mor_dels is not None:
+            dels = mor_dels if dels is None else dels.unionByName(
+                mor_dels, allowMissingColumns=True)
+        if mor_ins is not None:
+            ins = mor_ins if ins is None else ins.unionByName(
+                mor_ins, allowMissingColumns=True)
     if row_level and ins is not None and dels is not None:
         # exceptAll needs identical schemas; across a schema-evolution
         # boundary (merge_schema merge) the removed files lack the new
@@ -523,9 +627,11 @@ def scan_version(
 
     if not keep:
         return _filtered(read_version(spark, path, v).limit(0))
-    return _filtered(
-        spark.read.parquet(*[os.path.join(path, f) for f in keep])
-    )
+    df = spark.read.parquet(*[os.path.join(path, f) for f in keep])
+    dvs = m.get("dvs", {})
+    if dvs:
+        df = _apply_dvs(spark, path, df, dvs, keep)
+    return _filtered(df)
 
 
 def lookup_version(
@@ -559,6 +665,9 @@ def lookup_version(
             F.col(col) == value
         )
     df = spark.read.parquet(*[os.path.join(path, f) for f in keep])
+    dvs = m.get("dvs", {})
+    if dvs:
+        df = _apply_dvs(spark, path, df, dvs, keep)
     return df.filter(F.col(col) == value)
 
 
@@ -597,6 +706,14 @@ def shallow_clone(src: str, dst: str, version: int | None = None) -> int:
     if m.get("blooms"):
         meta["blooms"] = {remap[f]: b for f, b in m["blooms"].items()
                           if f in remap}
+    if m.get("dvs"):
+        # DV parquet refs resolve into the source lake like data refs;
+        # DV content keys on canonical absolute file paths, which a
+        # clone leaves unchanged
+        meta["dvs"] = {
+            remap[f]: [os.path.join(src_abs, r) for r in refs]
+            for f, refs in m["dvs"].items() if f in remap
+        }
     return _commit(dst, abs_files, parent=None, operation="clone",
                    meta=meta, expected_head=0)
 
@@ -621,6 +738,7 @@ def history(path: str) -> list[dict]:
             "batch_id": m.get("batch_id"),
             "restored_version": m.get("restored_version"),
             "cloned_from": m.get("cloned_from"),
+            "mode": m.get("mode"),
         })
     return out
 
@@ -652,8 +770,9 @@ def restore(path: str, version: int) -> int:
     if _is_torn(path, version):
         raise ValueError(f"version {version} is torn/absent")
     m = _read_manifest(path, version)
+    dv_refs = [r for refs in m.get("dvs", {}).values() for r in refs]
     missing = [
-        f for f in m["files"]
+        f for f in [*m["files"], *dv_refs]
         if not os.path.exists(os.path.join(path, f))
     ]
     if missing:
@@ -666,6 +785,10 @@ def restore(path: str, version: int) -> int:
         meta["stats"] = m["stats"]
     if m.get("blooms"):
         meta["blooms"] = m["blooms"]
+    if m.get("dvs"):
+        # the restored snapshot's deletion vectors are part of its
+        # content — carried verbatim like stats/blooms
+        meta["dvs"] = m["dvs"]
     while True:
         head = _live_head(path)
         hv = _content_version_at(path, head)
@@ -720,7 +843,10 @@ def vacuum(path: str, keep_last: int = 1,
     keep = vs[-keep_last:] if keep_last > 0 else []
     live: set[str] = set()
     for v in keep:
-        live.update(_read_manifest(path, v)["files"])
+        mk = _read_manifest(path, v)
+        live.update(mk["files"])
+        for refs in mk.get("dvs", {}).values():
+            live.update(refs)  # deletion vectors are referenced content
     removed = 0
     droot = os.path.join(path, _DATA_DIR)
     for dp, _, fs in os.walk(droot):
@@ -850,6 +976,7 @@ def merge_into(
         # the semi-join below decides exactly); stat-less files are
         # kept.
         stats = head_manifest.get("stats", {})
+        head_dvs = head_manifest.get("dvs", {})
 
         def _may_touch(f: str) -> bool:
             for c in key_cols:
@@ -873,6 +1000,12 @@ def merge_into(
             target = reader.parquet(
                 *[os.path.join(path, f) for f in candidates]
             ).withColumn("_file", F.input_file_name())
+            if head_dvs:
+                # a key alive only in MOR-deleted rows is NOT matched
+                # (_file tagged BEFORE the anti-join: file-source
+                # expressions are illegal above a two-source join)
+                target = _apply_dvs(spark, path, target, head_dvs,
+                                    candidates)
 
             # 1. touched files: those containing at least one matched key
             touched_abs = [
@@ -909,6 +1042,10 @@ def merge_into(
             touched_rows = reader.parquet(
                 *[os.path.join(path, f) for f in sorted(touched_rel)]
             )
+            if head_dvs:
+                # rewrite materializes the touched files' deletions
+                touched_rows = _apply_dvs(spark, path, touched_rows,
+                                          head_dvs, sorted(touched_rel))
             missing = [c for c in data_cols if c not in touched_rows.columns]
             if missing and not merge_schema:
                 raise ValueError(
@@ -958,6 +1095,9 @@ def merge_into(
                     for c in bloom_cols
                 }
             extra["blooms"] = new_blooms
+        kept_dvs = {f: head_dvs[f] for f in kept if f in head_dvs}
+        if kept_dvs:
+            extra["dvs"] = kept_dvs
         try:
             return _commit(
                 path, sorted(kept) + new_files,
@@ -975,6 +1115,397 @@ def merge_into(
     raise RuntimeError(
         f"merge contention: {max_attempts} attempts lost their commit race"
     )
+
+
+def _prunable_conjuncts(predicate: str) -> list[tuple[str, str, object]]:
+    """Best-effort parse of ``predicate`` into stat-prunable conjuncts
+    ``(col, op, literal)``.  Only a pure AND-of-comparisons shape is
+    attempted — any OR / NOT / IN / parenthesis makes pruning unsound
+    to infer cheaply, so we return ``[]`` and let the scan decide
+    (correctness never depends on this: pruning only SKIPS files whose
+    recorded [min,max] cannot satisfy a conjunct the full predicate
+    implies).  Literals: ints, floats, single-quoted strings."""
+    import re
+
+    if re.search(r"(?i)(?<![a-z_])(or|not|in)(?![a-z_])|[()]", predicate):
+        return []
+    out: list[tuple[str, str, object]] = []
+    for part in re.split(r"(?i)\s+and\s+", predicate):
+        m = re.fullmatch(
+            r"\s*([A-Za-z_][A-Za-z0-9_]*)\s*(=|==|<=|>=|<|>)\s*"
+            r"(-?\d+\.\d+|-?\d+|'[^']*')\s*", part)
+        if m is None:
+            continue  # unparsed conjunct: no pruning from it
+        col, op, lit = m.group(1), m.group(2), m.group(3)
+        val: object
+        if lit.startswith("'"):
+            val = lit[1:-1]
+        elif "." in lit:
+            val = float(lit)
+        else:
+            val = int(lit)
+        out.append((col, "=" if op == "==" else op, val))
+    return out
+
+
+def _stats_may_match(stats_entry: dict,
+                     conjuncts: list[tuple[str, str, object]]) -> bool:
+    """True unless some conjunct is impossible given the file's
+    recorded per-column [min,max].  Type-mismatched or missing stats
+    never prune (conservative)."""
+    for col, op, val in conjuncts:
+        s = stats_entry.get(col)
+        if s is None:
+            continue
+        lo, hi = s[0], s[1]
+        same_num = (isinstance(val, (int, float))
+                    and isinstance(lo, (int, float))
+                    and not isinstance(val, bool) and not isinstance(lo, bool))
+        same_str = isinstance(val, str) and isinstance(lo, str)
+        if not (same_num or same_str):
+            continue
+        if ((op == "=" and not (lo <= val <= hi))
+                or (op == "<" and not (lo < val))
+                or (op == "<=" and not (lo <= val))
+                or (op == ">" and not (hi > val))
+                or (op == ">=" and not (hi >= val))):
+            return False
+    return True
+
+
+def _rewrite_where(spark: SparkSession, path: str, predicate: str,
+                   operation: str, rewrite_fn, meta: dict | None,
+                   max_attempts: int) -> int:
+    """Shared copy-on-write core for :func:`delete_where` /
+    :func:`update_where` — the Delta DELETE/UPDATE mechanism at FILE
+    granularity:
+
+    1. Manifest-stat pre-prune: files whose recorded [min,max] cannot
+       satisfy an AND-conjunct of the predicate are skipped without a
+       read (at 100 TB this bounds the detection scan to candidate
+       files; parquet footer min/max then skips row groups inside
+       them via the pushed filter).
+    2. Touched-file detection: ONE scan of the candidates with the
+       predicate pushed down, aggregated per file — yields both the
+       touched file set and the matched-row count (O(touched files)
+       rows to the driver, never row data).
+    3. Rewrite ONLY the touched files through ``rewrite_fn`` (drop
+       matches for DELETE, transform matches for UPDATE); untouched
+       files are carried by reference — zero bytes moved.
+    4. One atomic manifest publish pinned to the head read in this
+       attempt; a concurrent commit makes the publish raise and the
+       whole operation recomputes against the new head (same
+       lost-update protection as merge/compact).  Stats and blooms
+       are carried for kept files and recomputed for rewrites.
+
+    NULL-predicate rows are NOT matched (SQL WHERE semantics, same as
+    Delta).  Reads use mergeSchema so a schema-evolved head (mixed
+    file schemas after ``merge_into(merge_schema=True)``) rewrites
+    with every column intact — the round-9 compact() lesson."""
+    from pyspark.sql import functions as F
+
+    conjuncts = _prunable_conjuncts(predicate)
+
+    for _ in range(max_attempts):
+        head = _live_head(path)
+        hv = _content_version_at(path, head)
+        if hv is None:
+            raise FileNotFoundError(f"no committed versions under {path}")
+        m = _read_manifest(path, hv)
+        head_files = m["files"]
+        stats = m.get("stats", {})
+        head_dvs = m.get("dvs", {})
+
+        candidates = [
+            f for f in head_files
+            if not (stats.get(f) and conjuncts)
+            or _stats_may_match(stats[f], conjuncts)
+        ]
+        pruned = len(head_files) - len(candidates)
+
+        touched_rel: set[str] = set()
+        rows_matched = 0
+        if candidates:
+            cand_df = (
+                spark.read.option("mergeSchema", "true")
+                .parquet(*[os.path.join(path, f) for f in candidates])
+                .withColumn("_file", F.input_file_name())
+            )
+            if head_dvs:
+                # rows already MOR-deleted can neither match nor count
+                # (_file is tagged BEFORE the DV anti-join: file-source
+                # expressions are illegal above a two-source join)
+                cand_df = _apply_dvs(spark, path, cand_df, head_dvs,
+                                     candidates)
+            scan = (
+                cand_df
+                .filter(F.expr(predicate))
+                .groupBy("_file").count()
+            )
+            abs_to_ref = {
+                os.path.abspath(os.path.join(path, f)): f
+                for f in head_files
+            }
+            for r in scan.collect():
+                uri = r["_file"]
+                p = uri[7:] if uri.startswith("file://") else (
+                    uri[5:] if uri.startswith("file:") else uri)
+                ref = abs_to_ref.get(os.path.abspath(p))
+                if ref is not None:
+                    touched_rel.add(ref)
+                    rows_matched += r["count"]
+        kept = [f for f in head_files if f not in touched_rel]
+
+        new_files: list[str] = []
+        if touched_rel:
+            touched_rows = (
+                spark.read.option("mergeSchema", "true")
+                .parquet(*[os.path.join(path, f) for f in sorted(touched_rel)])
+            )
+            if head_dvs:
+                # rewriting a DV'd file MATERIALIZES its deletions —
+                # dead positions must not resurrect into the new file
+                touched_rows = _apply_dvs(spark, path, touched_rows,
+                                          head_dvs, sorted(touched_rel))
+            matched = F.coalesce(
+                F.expr(predicate).cast("boolean"), F.lit(False)
+            )
+            rewrite = rewrite_fn(touched_rows, matched)
+            new_files = _write_data(rewrite, path)
+            # a file whose every row matched a DELETE rewrites to zero
+            # rows: drop it from the manifest instead of publishing an
+            # empty (stat-less, unprunable) file — footer num_rows is a
+            # metadata-only read
+            import pyarrow.parquet as pq
+
+            new_files = [
+                f for f in new_files
+                if pq.ParquetFile(os.path.join(path, f)).metadata.num_rows > 0
+            ]
+
+        extra: dict = {}
+        if stats:
+            stat_cols = sorted({c for s in stats.values() for c in s})
+            new_stats = {f: stats[f] for f in kept if f in stats}
+            for f in new_files:
+                s = _footer_stats(os.path.join(path, f), stat_cols)
+                if s:
+                    new_stats[f] = s
+            extra["stats"] = new_stats
+        blooms = m.get("blooms", {})
+        if blooms:
+            any_entry = next(iter(blooms.values()))
+            bloom_cols = sorted(any_entry)
+            mb = any_entry[bloom_cols[0]]["m"]
+            kp = any_entry[bloom_cols[0]]["k"]
+            new_blooms = {f: blooms[f] for f in kept if f in blooms}
+            for f in new_files:
+                new_blooms[f] = {
+                    c: {"m": mb, "k": kp,
+                        "b64": _build_file_bloom(
+                            os.path.join(path, f), c, mb, kp)}
+                    for c in bloom_cols
+                }
+            extra["blooms"] = new_blooms
+        kept_dvs = {f: head_dvs[f] for f in kept if f in head_dvs}
+        if kept_dvs:
+            # carried files keep their deletion vectors; rewritten
+            # files materialized theirs above, so their entries drop
+            extra["dvs"] = kept_dvs
+        try:
+            return _commit(
+                path, sorted(kept) + sorted(new_files),
+                parent=hv, operation=operation,
+                meta=_carry_batch_meta(m, {
+                    "predicate": predicate,
+                    "touched_files": len(touched_rel),
+                    "carried_files": len(kept),
+                    "stat_pruned_files": pruned,
+                    "rows_matched": rows_matched,
+                    **extra, **(meta or {}),
+                }),
+                expected_head=head,
+            )
+        except CommitConflict:
+            continue  # recompute against the new head
+    raise RuntimeError(
+        f"{operation} contention: {max_attempts} attempts lost their "
+        f"commit race"
+    )
+
+
+def delete_where(spark: SparkSession, path: str, predicate: str,
+                 meta: dict | None = None, max_attempts: int = 20,
+                 mode: str = "cow") -> int:
+    """``DELETE FROM lake WHERE predicate`` as one new version (Delta
+    DELETE semantics): rows where the predicate is TRUE are removed;
+    NULL/false rows survive.
+
+    ``mode="cow"`` (default): copy-on-write at file granularity — only
+    files actually containing a matched row are rewritten (manifest
+    min/max stats pre-prune candidates; the detection scan pushes the
+    predicate to parquet), untouched files carry by reference, and the
+    pre-delete version stays time-travel-readable until vacuumed.
+
+    ``mode="mor"``: merge-on-read via DELETION VECTORS (the modern
+    Delta DELETE path): NO data file is rewritten — the commit writes
+    a small parquet of (file, row position) pairs and the manifest maps
+    each affected file to its DV; every reader anti-joins the deleted
+    positions out.  This is the 100 TB posture for selective deletes:
+    removing 100 rows from a 1 GB file costs O(100) bytes instead of a
+    1 GB rewrite.  DVs are materialized away by ``compact`` (which
+    reads DV-applied and rewrites clean files) and by any
+    copy-on-write commit that rewrites the affected file; file min/max
+    stats and blooms remain valid over-approximations (same contract
+    as Delta).  Positions already dead in an existing DV are never
+    re-recorded, so ``rows_matched`` is exact and repeated deletes are
+    idempotent.
+
+    Returns the committed version; the manifest records
+    ``rows_matched`` / ``touched_files`` / ``stat_pruned_files`` (and
+    ``mode``) for audit (DESCRIBE HISTORY parity)."""
+    if mode == "mor":
+        return _delete_mor(spark, path, predicate, meta, max_attempts)
+    if mode != "cow":
+        raise ValueError(f"unknown delete mode {mode!r}")
+
+    def _drop_matches(df: DataFrame, matched):
+        return df.filter(~matched)
+
+    return _rewrite_where(spark, path, predicate, "delete",
+                          _drop_matches, meta, max_attempts)
+
+
+def _delete_mor(spark: SparkSession, path: str, predicate: str,
+                meta: dict | None, max_attempts: int) -> int:
+    """Deletion-vector DELETE: see :func:`delete_where` ``mode="mor"``."""
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+
+    conjuncts = _prunable_conjuncts(predicate)
+    for _ in range(max_attempts):
+        head = _live_head(path)
+        hv = _content_version_at(path, head)
+        if hv is None:
+            raise FileNotFoundError(f"no committed versions under {path}")
+        m = _read_manifest(path, hv)
+        head_files = m["files"]
+        stats = m.get("stats", {})
+        dvs = {f: list(r) for f, r in m.get("dvs", {}).items()}
+
+        candidates = [
+            f for f in head_files
+            if not (stats.get(f) and conjuncts)
+            or _stats_may_match(stats[f], conjuncts)
+        ]
+        pruned = len(head_files) - len(candidates)
+
+        touched_rel: set[str] = set()
+        rows_matched = 0
+        new_dv_refs: list[str] = []
+        if candidates:
+            matched = (
+                spark.read.option("mergeSchema", "true")
+                .parquet(*[os.path.join(path, f) for f in candidates])
+                .withColumn("__p", _norm_file_path_col())
+                .withColumn("__ri", F.col("_metadata.row_index"))
+                .filter(F.expr(predicate))
+                .select(F.col("__p").alias("file_abs"),
+                        F.col("__ri").alias("row_index"))
+            )
+            # never re-record a position an existing DV already killed:
+            # keeps rows_matched exact and repeated deletes idempotent
+            old_refs = [r for f in candidates for r in dvs.get(f, [])]
+            if old_refs:
+                matched = matched.join(
+                    _dv_rows(spark, path, old_refs),
+                    ["file_abs", "row_index"], "left_anti",
+                )
+            # one DV parquet per commit (coalesced): a MOR delete is by
+            # definition selective — positions are O(matched rows), tiny
+            # next to the data.  Mass deletes belong to mode="cow"; at
+            # real scale DVs become per-file roaring bitmaps (Delta's
+            # layout), same manifest mechanics.
+            written = _write_data(matched.coalesce(1), path)
+            new_dv_refs = [
+                f for f in written
+                if pq.ParquetFile(os.path.join(path, f)).metadata.num_rows > 0
+            ]
+            if new_dv_refs:
+                abs_to_ref = {
+                    os.path.abspath(os.path.join(path, f)): f
+                    for f in head_files
+                }
+                for r in _dv_rows(spark, path, new_dv_refs) \
+                        .groupBy("file_abs").count().collect():
+                    ref = abs_to_ref.get(os.path.abspath(r["file_abs"]))
+                    if ref is not None:
+                        touched_rel.add(ref)
+                        rows_matched += r["count"]
+                for f in touched_rel:
+                    dvs[f] = dvs.get(f, []) + new_dv_refs
+        extra: dict = {}
+        if stats:
+            extra["stats"] = stats  # still valid over-approximations
+        if m.get("blooms"):
+            extra["blooms"] = m["blooms"]
+        if dvs:
+            extra["dvs"] = dvs
+        try:
+            return _commit(
+                path, list(head_files), parent=hv, operation="delete",
+                meta=_carry_batch_meta(m, {
+                    "predicate": predicate,
+                    "mode": "mor",
+                    "touched_files": len(touched_rel),
+                    "carried_files": len(head_files),
+                    "stat_pruned_files": pruned,
+                    "rows_matched": rows_matched,
+                    "dv_files": len(new_dv_refs),
+                    **extra, **(meta or {}),
+                }),
+                expected_head=head,
+            )
+        except CommitConflict:
+            continue  # recompute against the new head
+    raise RuntimeError(
+        f"mor delete contention: {max_attempts} attempts lost their "
+        f"commit race"
+    )
+
+
+def update_where(spark: SparkSession, path: str, predicate: str,
+                 set_exprs: dict[str, str], meta: dict | None = None,
+                 max_attempts: int = 20) -> int:
+    """``UPDATE lake SET col = expr, ... WHERE predicate`` as one new
+    version (Delta UPDATE semantics): every SET right-hand side is a
+    SQL expression evaluated against the OLD row (so two assignments
+    never see each other's new values), applied only where the
+    predicate is TRUE; other rows pass through byte-identical.  Each
+    assignment is cast back to the column's existing type so the table
+    schema never drifts.  Same copy-on-write / stat-prune / pinned
+    commit mechanics as :func:`delete_where`.  Returns the committed
+    version."""
+    from pyspark.sql import functions as F
+
+    def _apply_sets(df: DataFrame, matched):
+        missing = [c for c in set_exprs if c not in df.columns]
+        if missing:
+            raise ValueError(f"UPDATE SET targets absent columns: {missing}")
+        cols = []
+        for c in df.columns:
+            if c in set_exprs:
+                newv = F.expr(set_exprs[c]).cast(df.schema[c].dataType)
+                cols.append(
+                    F.when(matched, newv).otherwise(F.col(c)).alias(c)
+                )
+            else:
+                cols.append(F.col(c))
+        return df.select(*cols)
+
+    return _rewrite_where(spark, path, predicate, "update",
+                          _apply_sets, meta, max_attempts)
 
 
 def compact(spark: SparkSession, path: str, target_files: int = 1,

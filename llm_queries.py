@@ -857,6 +857,18 @@ def q_train_val_split(spark, sf_dir):
     return train_val_split(_docs(spark, sf_dir), val_pct=1, test_pct=1)
 
 
+def q_epoch_shuffle(spark, sf_dir):
+    """Deterministic per-epoch global shuffle into hash-balanced shards
+    (2 epochs x 4 shards): the reproducible data-ordering step a
+    training run derives its read order from — epoch permutations
+    independent, any shard's exact sequence recomputable from document
+    identity alone (resume without stored state).  Rank window is
+    per-(epoch, shard): no global sort at any scale."""
+    from async_stream_processing_spark.llm.sampling import epoch_shuffle
+
+    return epoch_shuffle(_docs(spark, sf_dir), n_epochs=2, n_shards=4)
+
+
 def q_pq_codes(spark, sf_dir):
     """Product-quantization encoding: 64-dim float vectors -> 8 codebook
     ids (32x compression, the billion-vector ANN memory story); narrow
@@ -1784,6 +1796,141 @@ def q_versioned_restore(spark, sf_dir):
     return out
 
 
+def q_versioned_delete(spark, sf_dir):
+    """DELETE DML gate (Delta `DELETE FROM ... WHERE`): commit the
+    corpus range-partitioned on doc_id with manifest stats, then two
+    copy-on-write deletes — a doc_id RANGE delete that the manifest
+    min/max stats must prune to a file subset (asserted: at least one
+    file skipped without a read, at least one carried by reference),
+    and a non-key predicate delete (n_chars) that rides parquet-footer
+    pushdown.  The head must equal the corpus minus both predicates;
+    NULL-predicate semantics and audit counters are pinned in pytest,
+    the VALUES are hash-gated here."""
+    import shutil
+    import tempfile
+
+    from async_stream_processing_spark.plans.versioned import (
+        _read_manifest,
+        commit_append,
+        delete_where,
+        read_version,
+    )
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    lake = tempfile.mkdtemp(prefix="asp_vdel_")
+    shutil.rmtree(lake, ignore_errors=True)
+    try:
+        commit_append(
+            docs.repartitionByRange(8, "doc_id"), lake,
+            stats_cols=["doc_id", "n_chars"],
+        )
+        v = delete_where(spark, lake, "doc_id >= 100 AND doc_id < 180")
+        m = _read_manifest(lake, v)
+        assert m["stat_pruned_files"] >= 1, (
+            f"range delete should stat-prune files, got {m}"
+        )
+        assert m["carried_files"] >= 1, "untouched files must carry"
+        delete_where(spark, lake, "n_chars < 250")
+        out = read_version(spark, lake).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(lake, ignore_errors=True)
+    return out
+
+
+def q_versioned_delete_mor(spark, sf_dir):
+    """DELETION-VECTOR DELETE gate (Delta merge-on-read DELETE): commit
+    the corpus range-partitioned with stats, then two MOR deletes — the
+    manifest must keep the data FILE SET BYTE-IDENTICAL (asserted: no
+    file rewritten, stats pre-prune the range predicate, DVs recorded)
+    while every reader anti-joins the dead positions out; then COMPACT,
+    which reads DV-applied and materializes the deletions into clean
+    files (asserted: post-compact manifest carries no DVs).  The final
+    head is hash-gated against the corpus minus both predicates —
+    proving delete-as-metadata and delete-materialization agree."""
+    import shutil
+    import tempfile
+
+    from async_stream_processing_spark.plans.versioned import (
+        _read_manifest,
+        commit_append,
+        compact,
+        delete_where,
+        read_version,
+        versions,
+    )
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    lake = tempfile.mkdtemp(prefix="asp_vdelmor_")
+    shutil.rmtree(lake, ignore_errors=True)
+    try:
+        commit_append(
+            docs.repartitionByRange(8, "doc_id"), lake,
+            stats_cols=["doc_id", "n_chars"],
+        )
+        files_v1 = _read_manifest(lake, 1)["files"]
+        v = delete_where(spark, lake, "doc_id >= 200 AND doc_id < 260",
+                         mode="mor")
+        m = _read_manifest(lake, v)
+        assert m["files"] == files_v1, "MOR delete must rewrite no file"
+        assert m["stat_pruned_files"] >= 1, m
+        assert m.get("dvs"), "deletion vectors must be recorded"
+        v = delete_where(spark, lake, "n_chars < 150", mode="mor")
+        m = _read_manifest(lake, v)
+        assert m["files"] == files_v1, "MOR delete must rewrite no file"
+        compact(spark, lake, target_files=2)
+        mc = _read_manifest(lake, versions(lake)[-1])
+        assert not mc.get("dvs"), "compact must materialize DVs away"
+        out = read_version(spark, lake).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(lake, ignore_errors=True)
+    return out
+
+
+def q_versioned_update(spark, sf_dir):
+    """UPDATE DML gate (Delta `UPDATE ... SET ... WHERE`): commit the
+    corpus, then two copy-on-write updates — a source-keyed update
+    whose SET rewrites two columns at once (every right-hand side
+    evaluated against the OLD row: n_chars doubles while lang is
+    replaced), then a second update whose predicate reads the FIRST
+    update's output (rows it already doubled past 800 get re-tagged),
+    proving updates compose across versions.  Untouched rows must
+    survive byte-identical through the rewritten files; the head is
+    hash-gated against the same two CASE WHEN passes in SQL."""
+    import shutil
+    import tempfile
+
+    from async_stream_processing_spark.plans.versioned import (
+        commit_append,
+        read_version,
+        update_where,
+    )
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    lake = tempfile.mkdtemp(prefix="asp_vupd_")
+    shutil.rmtree(lake, ignore_errors=True)
+    try:
+        commit_append(docs.repartitionByRange(4, "doc_id"), lake,
+                      stats_cols=["doc_id"])
+        update_where(
+            spark, lake, "source = 'src7'",
+            {"lang": "'boosted'", "n_chars": "n_chars * 2 + 1"},
+        )
+        update_where(
+            spark, lake, "n_chars > 800 AND lang = 'boosted'",
+            {"lang": "'jumbo'"},
+        )
+        out = read_version(spark, lake).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(lake, ignore_errors=True)
+    return out
+
+
 def q_versioned_history(spark, sf_dir):
     """DESCRIBE HISTORY gate: a four-commit lifecycle (append half,
     append rest, update-only MERGE, RESTORE to v2) read back through
@@ -2264,6 +2411,9 @@ LLM_QUERIES = {
     "versioned_clone": q_versioned_clone,
     "versioned_restore": q_versioned_restore,
     "versioned_history": q_versioned_history,
+    "versioned_delete": q_versioned_delete,
+    "versioned_delete_mor": q_versioned_delete_mor,
+    "versioned_update": q_versioned_update,
     "stream_versioned_merge": q_stream_versioned_merge,
     "versioned_compact": q_versioned_compact,
     "versioned_changes": q_versioned_changes,
@@ -2328,6 +2478,7 @@ LLM_QUERIES = {
     "knn_pq_adc": q_knn_pq_adc,
     "bm25_topk": q_bm25_topk,
     "train_val_split": q_train_val_split,
+    "epoch_shuffle": q_epoch_shuffle,
     "cms_token_counts": q_cms_token_counts,
     "stream_c4_quality": q_stream_c4_quality,
     "gopher_repetition_full": q_gopher_repetition_full,
@@ -2598,6 +2749,7 @@ def llm_oracle_sql() -> dict[str, str]:
     )
 
     from async_stream_processing_spark.llm.sampling import (
+        sql_epoch_shuffle,
         sql_train_val_split,
     )
     from async_stream_processing_spark.llm.text_analysis import sql_bm25_topk
@@ -2812,6 +2964,34 @@ def llm_oracle_sql() -> dict[str, str]:
         """,
         "stream_versioned_maintained": """
             SELECT doc_id, text, lang, source, n_chars FROM documents
+        """,
+        "versioned_delete": """
+            SELECT doc_id, text, lang, source, n_chars
+            FROM documents
+            WHERE NOT (doc_id >= 100 AND doc_id < 180)
+              AND NOT (n_chars < 250)
+        """,
+        "versioned_delete_mor": """
+            SELECT doc_id, text, lang, source, n_chars
+            FROM documents
+            WHERE NOT (doc_id >= 200 AND doc_id < 260)
+              AND NOT (n_chars < 150)
+        """,
+        "versioned_update": """
+            WITH pass1 AS (
+                SELECT doc_id, text,
+                       CASE WHEN source = 'src7' THEN 'boosted'
+                            ELSE lang END AS lang,
+                       source,
+                       CASE WHEN source = 'src7' THEN n_chars * 2 + 1
+                            ELSE n_chars END AS n_chars
+                FROM documents
+            )
+            SELECT doc_id, text,
+                   CASE WHEN n_chars > 800 AND lang = 'boosted'
+                        THEN 'jumbo' ELSE lang END AS lang,
+                   source, n_chars
+            FROM pass1
         """,
         "versioned_history": """
             SELECT 1 AS version, 'append' AS operation,
@@ -3039,6 +3219,7 @@ def llm_oracle_sql() -> dict[str, str]:
         ),
         "bm25_topk": sql_bm25_topk(BM25_TERMS, k=10),
         "train_val_split": sql_train_val_split(val_pct=1, test_pct=1),
+        "epoch_shuffle": sql_epoch_shuffle(n_epochs=2, n_shards=4),
         "cms_token_counts": sql_cms_token_counts(k=20),
         "stream_c4_quality": sql_c4_quality(),
         "gopher_repetition_full": sql_gopher_repetition_full(),

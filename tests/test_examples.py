@@ -35,6 +35,7 @@ EXAMPLES = [
     "e23_lakehouse_cdc",
     "e24_lakehouse_hardening",
     "e25_operational_recovery",
+    "e26_dml_suite",
 ]
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "examples"))

@@ -569,6 +569,71 @@ def test_train_val_split_exact_strata_and_determinism(spark):
     assert all(again[r["doc_id"]] == r["split"] for r in out)
 
 
+def test_epoch_shuffle_deterministic_independent_epochs(spark):
+    """Per-epoch shuffle: deterministic on re-run, epoch permutations
+    genuinely different, positions contiguous 1..n within every
+    (epoch, shard), and every doc appears exactly once per epoch."""
+    from async_stream_processing_spark.llm.sampling import epoch_shuffle
+
+    rows = [(i, f"t{i}", "en", "s", 2) for i in range(200)]
+    docs = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = epoch_shuffle(docs, n_epochs=3, n_shards=4).collect()
+    assert len(out) == 600
+    by_epoch: dict = {}
+    for r in out:
+        by_epoch.setdefault(r["epoch"], []).append(r)
+    for e, rs in by_epoch.items():
+        assert sorted(r["doc_id"] for r in rs) == list(range(200))
+        shards: dict = {}
+        for r in rs:
+            shards.setdefault(r["shard"], []).append(r["pos"])
+        for s, ps in shards.items():
+            assert sorted(ps) == list(range(1, len(ps) + 1)), (e, s)
+        # hash-balanced: no shard takes more than half the epoch
+        assert max(len(p) for p in shards.values()) < 100
+    # different epochs order docs differently (permutation independence)
+    o0 = [(r["shard"], r["pos"]) for r in
+          sorted(by_epoch[0], key=lambda r: r["doc_id"])]
+    o1 = [(r["shard"], r["pos"]) for r in
+          sorted(by_epoch[1], key=lambda r: r["doc_id"])]
+    assert o0 != o1
+    # deterministic re-run
+    again = epoch_shuffle(docs, n_epochs=3, n_shards=4).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+
+
+def test_grouping_sets_two_marginals_one_pass(spark):
+    """GROUPING SETS yields exactly the named marginals — no pair rows,
+    no grand total — with grouping_id telling which dim each row
+    aggregates over, and ONE Exchange in the plan (map-side expand)."""
+    from pyspark.sql import functions as F
+
+    from async_stream_processing_spark.operators.analytics import (
+        grouping_sets_agg,
+    )
+
+    df = spark.createDataFrame(
+        [("a", "x", 1), ("a", "y", 2), ("b", "x", 4)],
+        "p string, s string, v long",
+    )
+    out = grouping_sets_agg(
+        df, [["p"], ["s"]], {"n": F.count(F.lit(1)), "sv": F.sum("v")}
+    ).collect()
+    got = {(r["p"], r["s"], r["grouping_id"], r["n"], r["sv"]) for r in out}
+    assert got == {
+        ("a", None, 1, 2, 3), ("b", None, 1, 1, 4),
+        (None, "x", 2, 2, 5), (None, "y", 2, 1, 2),
+    }
+    plan = (
+        grouping_sets_agg(df, [["p"], ["s"]], {"n": F.count(F.lit(1))})
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") <= 1, plan
+
+
 def _emb_fixture(spark, vecs):
     return spark.createDataFrame(
         [(i, [float(x) for x in v], 0) for i, v in enumerate(vecs)],

@@ -182,6 +182,11 @@ UNPARTITIONED_WINDOW_ALLOWLIST = {
     # cumsum over the per-bucket AGGREGATE (O(corpus/bucket_docs) rows
     # of integers), never the corpus -- documented in vocab_growth
     "vocab_growth": 1,
+    # quantile NTILE over (n_tokens, doc_id) -- fixture-scale shortcut;
+    # at 100 TB bucket boundaries come from approx_percentile (no
+    # global sort), documented in llm/curation.length_bucketed_packing.
+    # (Added by the prior session post-suite; the audit caught it here.)
+    "length_bucketed_packing": 1,
 }
 
 

@@ -1790,12 +1790,14 @@ def test_lake_lifecycle_fuzz_pinned_seeds(spark):
     layer (tools/fuzz_lake.py): random append/merge/compact/vacuum/
     clone walks vs a dict model, head compared after EVERY commit,
     pinned snapshots re-read after churn, bloom lookups spot-checked.
-    Two pinned seeds here; larger sweeps run at round close."""
+    Three pinned seeds here (the third from the grammar era that
+    includes delete/update/mor_delete DML); larger sweeps run at round
+    close."""
     import random
 
     import tools.fuzz_lake as fl
 
-    for seed in (20260815, 20260816):
+    for seed in (20260815, 20260816, 20260827111):
         fl.run_case(spark, random.Random(seed))
 
 
@@ -2033,6 +2035,257 @@ def test_versioned_restore_refuses_vacuumed_target(spark, tmp_path):
     vacuum(lake, keep_last=1)
     with _pytest.raises((FileNotFoundError, ValueError)):
         restore(lake, 2)  # overwrite version: files vacuumed after restore
+
+
+def test_delete_where_stat_prunes_and_carries_untouched(spark, tmp_path):
+    """DELETE WHERE is copy-on-write at file granularity: a range
+    predicate on the stat column rewrites ONLY files whose [min,max]
+    can hold a match — pruned files are never read, kept files carry
+    into the new manifest verbatim (zero bytes moved), the pre-delete
+    version stays time-travel-readable, and the manifest audits
+    rows_matched / touched / stat-pruned counts."""
+    from async_stream_processing_spark.plans.versioned import (
+        _read_manifest,
+        commit_append,
+        delete_where,
+        read_version,
+    )
+
+    lake = str(tmp_path / "lake")
+    df = spark.createDataFrame(
+        [(k, k % 13) for k in range(400)], "k long, v long"
+    ).repartitionByRange(8, "k")
+    commit_append(df, lake, stats_cols=["k"])
+    m1 = _read_manifest(lake, 1)
+    v = delete_where(spark, lake, "k >= 100 AND k < 150")
+    m2 = _read_manifest(lake, v)
+    assert m2["operation"] == "delete"
+    assert m2["rows_matched"] == 50
+    assert m2["stat_pruned_files"] >= 5, m2
+    assert m2["touched_files"] <= 2
+    # untouched files carried by reference (identical path strings)
+    carried = set(m1["files"]) & set(m2["files"])
+    assert len(carried) == m2["carried_files"] >= 6
+    # head correct; pre-delete version intact
+    assert read_version(spark, lake).count() == 350
+    assert read_version(spark, lake, 1).count() == 400
+    # stats recomputed for the rewritten file(s): every head file has them
+    assert set(m2["stats"]) == set(m2["files"])
+
+
+def test_delete_where_null_and_unprunable_predicates(spark, tmp_path):
+    """NULL-predicate rows are NOT matched (SQL WHERE / Delta DELETE
+    semantics) and an OR-shaped predicate — unparseable for manifest
+    stat pruning — still deletes exactly (pruning is an optimization,
+    never a correctness dependency)."""
+    from async_stream_processing_spark.plans.versioned import (
+        commit_append,
+        delete_where,
+        read_version,
+    )
+
+    lake = str(tmp_path / "lake")
+    commit_append(
+        spark.createDataFrame(
+            [(k, None if k % 3 == 0 else k) for k in range(30)],
+            "k long, v long",
+        ).coalesce(2),
+        lake, stats_cols=["k"],
+    )
+    # v > 100 is NULL for every third row: those rows must survive
+    delete_where(spark, lake, "v > 10")
+    kept = {r["k"] for r in read_version(spark, lake).collect()}
+    assert kept == {k for k in range(30) if k % 3 == 0 or k <= 10}
+    delete_where(spark, lake, "k < 3 OR k >= 27")
+    kept2 = {r["k"] for r in read_version(spark, lake).collect()}
+    assert kept2 == {k for k in kept if 3 <= k < 27}
+
+
+def test_update_where_set_reads_old_row(spark, tmp_path):
+    """UPDATE SET semantics: every right-hand side is evaluated against
+    the OLD row (a two-column swap round-trips), assignments cast back
+    to the column's existing type so the schema never drifts, untouched
+    rows pass through unchanged, and SET targets must exist."""
+    import pytest as _pytest
+
+    from async_stream_processing_spark.plans.versioned import (
+        commit_append,
+        read_version,
+        update_where,
+    )
+
+    lake = str(tmp_path / "lake")
+    commit_append(
+        spark.createDataFrame(
+            [(k, k * 10, k * 100) for k in range(20)],
+            "k long, a long, b long",
+        ).coalesce(2),
+        lake,
+    )
+    # swap a and b where k < 5: both RHS must read the pre-update row
+    update_where(spark, lake, "k < 5", {"a": "b", "b": "a"})
+    head = {r["k"]: (r["a"], r["b"])
+            for r in read_version(spark, lake).collect()}
+    for k in range(20):
+        assert head[k] == ((k * 100, k * 10) if k < 5 else (k * 10, k * 100))
+    # cast-back: a float-typed RHS lands as the column's LONG type
+    update_where(spark, lake, "k = 7", {"a": "a / 2 + 0.9"})
+    df = read_version(spark, lake)
+    assert dict(df.dtypes)["a"] == "bigint"
+    assert {r["a"] for r in df.filter("k = 7").collect()} == {35}
+    with _pytest.raises(ValueError, match="absent"):
+        update_where(spark, lake, "k = 0", {"nope": "1"})
+
+
+def test_mor_delete_is_metadata_only_and_idempotent(spark, tmp_path):
+    """Deletion-vector DELETE: the data file set stays byte-identical
+    (no rewrite, stats pre-prune candidates), readers anti-join dead
+    positions out, the pre-delete version time-travels intact, NULL
+    predicates match nothing, and an overlapping second delete records
+    only the newly-dead positions (exact rows_matched, idempotent)."""
+    from async_stream_processing_spark.plans.versioned import (
+        _read_manifest,
+        commit_append,
+        delete_where,
+        lookup_version,
+        read_version,
+        scan_version,
+    )
+
+    lake = str(tmp_path / "lake")
+    commit_append(
+        spark.createDataFrame(
+            [(k, None if k % 10 == 0 else k * 2) for k in range(200)],
+            "k long, v long",
+        ).repartitionByRange(4, "k"),
+        lake, stats_cols=["k"], bloom_cols=["k"], bloom_bits=1 << 12,
+    )
+    files_v1 = _read_manifest(lake, 1)["files"]
+    v = delete_where(spark, lake, "k >= 50 AND k < 80", mode="mor")
+    m = _read_manifest(lake, v)
+    assert m["files"] == files_v1
+    assert m["mode"] == "mor" and m["rows_matched"] == 30
+    assert m["stat_pruned_files"] >= 2
+    assert read_version(spark, lake).count() == 170
+    assert read_version(spark, lake, 1).count() == 200
+    # pruned/bloomed readers are DV-aware too
+    assert scan_version(spark, lake, "k", 40, 90).count() == 21
+    assert lookup_version(spark, lake, "k", 60).count() == 0
+    assert lookup_version(spark, lake, "k", 90).count() == 1
+    # NULL predicate rows (v is NULL every 10th k) never match
+    v = delete_where(spark, lake, "v > 250", mode="mor")
+    assert {r["k"] for r in read_version(spark, lake).collect()} == {
+        k for k in range(200)
+        if not (50 <= k < 80) and (k % 10 == 0 or k * 2 <= 250)
+    }
+    # overlapping re-delete: only the 20 not-yet-dead rows count
+    v = delete_where(spark, lake, "k >= 60 AND k < 100", mode="mor")
+    m = _read_manifest(lake, v)
+    alive_before = {k for k in range(200)
+                    if not (50 <= k < 80) and (k % 10 == 0 or k * 2 <= 250)}
+    assert m["rows_matched"] == len([k for k in alive_before
+                                     if 60 <= k < 100])
+
+
+def test_mor_delete_cow_committers_materialize_and_carry(spark, tmp_path):
+    """Copy-on-write commits over a DV'd lake: a MERGE never
+    resurrects MOR-deleted rows (neither as matches nor carries), a
+    rewritten file's DV entry drops (materialized), an untouched
+    file's DV carries, and compact materializes every DV away."""
+    from async_stream_processing_spark.plans.versioned import (
+        _read_manifest,
+        commit_append,
+        compact,
+        delete_where,
+        merge_into,
+        read_version,
+        versions,
+    )
+
+    lake = str(tmp_path / "lake")
+    # two files: k in [0,50) and [50,100)
+    commit_append(
+        spark.createDataFrame([(k, k) for k in range(100)],
+                              "k long, v long").repartitionByRange(2, "k"),
+        lake, stats_cols=["k"],
+    )
+    delete_where(spark, lake, "k IN (10, 60)", mode="mor")
+    # merge touches ONLY the low file (key 20); high file carries its DV
+    merge_into(
+        spark, lake,
+        spark.createDataFrame([(20, 999)], "k long, v long"), ["k"],
+    )
+    m = _read_manifest(lake, versions(lake)[-1])
+    assert m.get("dvs"), "untouched file's DV must carry through merge"
+    head = {r["k"]: r["v"] for r in read_version(spark, lake).collect()}
+    assert head[20] == 999 and 10 not in head and 60 not in head
+    assert len(head) == 98
+    # merging the dead key 10 re-INSERTS it (not matched: it's deleted)
+    merge_into(
+        spark, lake,
+        spark.createDataFrame([(10, 123)], "k long, v long"), ["k"],
+    )
+    head = {r["k"]: r["v"] for r in read_version(spark, lake).collect()}
+    assert head[10] == 123 and len(head) == 99
+    compact(spark, lake, target_files=1)
+    m = _read_manifest(lake, versions(lake)[-1])
+    assert not m.get("dvs")
+    assert read_version(spark, lake).count() == 99
+
+
+def test_mor_delete_cdf_restore_clone_vacuum(spark, tmp_path):
+    """DV lifecycle vs the audit/undo/reclaim surfaces: row-level CDF
+    reports a MOR delete's rows as deletes and a restore's resurrected
+    positions as inserts; a shallow clone reads DV-applied without
+    touching the source; vacuum keeps DV parquet files while any kept
+    manifest references them and reaps them after compaction."""
+    import glob
+    import os
+
+    from async_stream_processing_spark.plans.versioned import (
+        commit_append,
+        compact,
+        delete_where,
+        read_version,
+        restore,
+        shallow_clone,
+        table_changes,
+        vacuum,
+        versions,
+    )
+
+    lake = str(tmp_path / "lake")
+    commit_append(
+        spark.createDataFrame([(k, k) for k in range(50)],
+                              "k long, v long").coalesce(1),
+        lake,
+    )
+    delete_where(spark, lake, "k >= 40", mode="mor")  # v2
+    ch = table_changes(spark, lake, 1, 2, row_level=True)
+    assert sorted((r["k"], r["_change_type"]) for r in ch.collect()) == [
+        (k, "delete") for k in range(40, 50)
+    ]
+    clone = str(tmp_path / "clone")
+    shallow_clone(lake, clone)
+    assert read_version(spark, clone).count() == 40
+    restore(lake, 1)  # v3: resurrect the 10 rows
+    ch = table_changes(spark, lake, 2, 3, row_level=True)
+    assert sorted((r["k"], r["_change_type"]) for r in ch.collect()) == [
+        (k, "insert") for k in range(40, 50)
+    ]
+    delete_where(spark, lake, "k < 5", mode="mor")  # v4, fresh DV
+    n_dv = lambda: len(  # noqa: E731
+        [f for f in glob.glob(os.path.join(lake, "data", "*", "*.parquet"))]
+    )
+    before = n_dv()
+    vacuum(lake, keep_last=1)
+    # head still DV-complete after vacuum: its DV file survived
+    assert read_version(spark, lake).count() == 45
+    compact(spark, lake, target_files=1)
+    vacuum(lake, keep_last=1)
+    assert read_version(spark, lake).count() == 45
+    # every pre-compact file (data + DV) is now reclaimable and gone
+    assert n_dv() < before
 
 
 def test_topk_by_group_matches_single_window(spark):

@@ -13,6 +13,16 @@ Each case runs a seeded random sequence of:
 * ``clone``   — zero-copy shallow clone; the walk CONTINUES ON THE
   CLONE (source snapshot is pinned in the model and re-checked at the
   end — proves clone independence over arbitrary later mutations)
+* ``delete``  — DELETE WHERE over a random k-range / v-threshold /
+  v-modulus predicate (delete_where, CoW, stat-pruned); the model
+  drops the same keys via the same predicate in Python
+* ``mor_delete`` — the same predicate shapes through deletion vectors
+  (``mode="mor"``): no file rewritten, readers anti-join dead
+  positions; the walk's later merges/compacts/restores/vacuums then
+  exercise DV carry, materialization and reclamation against the model
+* ``update``  — UPDATE SET v = a*v + b WHERE a random predicate
+  (update_where; every RHS reads the OLD row); model applies the same
+  affine map to matching entries
 * ``restore`` — re-publish a random earlier version as a NEW head
   (Delta RESTORE); the model rolls back to that version's snapshot,
   and the walk continues on top.  Restoring to a version whose files
@@ -43,11 +53,13 @@ def run_case(spark, rng: random.Random, n_ops: int = 8) -> None:
     from async_stream_processing_spark.plans.versioned import (
         commit_append,
         compact,
+        delete_where,
         lookup_version,
         merge_into,
         read_version,
         restore,
         shallow_clone,
+        update_where,
         vacuum,
         versions,
     )
@@ -95,9 +107,27 @@ def run_case(spark, rng: random.Random, n_ops: int = 8) -> None:
     for _ in range(n_ops):
         op = rng.choice(
             ["append", "append", "merge", "merge", "compact", "vacuum",
-             "clone", "pin", "restore"]
+             "clone", "pin", "restore", "delete", "update", "mor_delete"]
         )
-        if op == "append":
+        if op == "mor_delete":
+            shape = rng.choice(["krange", "vthresh", "vmod"])
+            if shape == "krange":
+                a = rng.randrange(0, max(next_k, 1))
+                b = a + rng.randrange(1, 15)
+                pred = f"k >= {a} AND k < {b}"
+                hit = lambda k, v: a <= k < b  # noqa: E731
+            elif shape == "vthresh":
+                t = rng.randrange(0, 1000)
+                pred = f"v < {t}"
+                hit = lambda k, v: v < t  # noqa: E731
+            else:
+                mm, r = rng.choice([3, 5, 7]), rng.randrange(0, 3)
+                pred = f"v % {mm} = {r}"
+                hit = lambda k, v: v % mm == r  # noqa: E731
+            for k in [k for k, v in model.items() if hit(k, v)]:
+                del model[k]
+            delete_where(spark, lake, pred, mode="mor")
+        elif op == "append":
             rows = fresh_rows(rng.randrange(1, 20))
             model.update(dict(rows))
             commit_append(
@@ -125,6 +155,38 @@ def run_case(spark, rng: random.Random, n_ops: int = 8) -> None:
                     model[k] = v
             merge_into(spark, lake, df_of(cdc, with_flag=True), ["k"],
                        delete_col="is_delete")
+        elif op == "delete":
+            shape = rng.choice(["krange", "vthresh", "vmod"])
+            if shape == "krange":
+                a = rng.randrange(0, max(next_k, 1))
+                b = a + rng.randrange(1, 15)
+                pred = f"k >= {a} AND k < {b}"
+                hit = lambda k, v: a <= k < b  # noqa: E731
+            elif shape == "vthresh":
+                t = rng.randrange(0, 1000)
+                pred = f"v < {t}"
+                hit = lambda k, v: v < t  # noqa: E731
+            else:
+                m, r = rng.choice([3, 5, 7]), rng.randrange(0, 3)
+                pred = f"v % {m} = {r}"
+                hit = lambda k, v: v % m == r  # noqa: E731
+            for k in [k for k, v in model.items() if hit(k, v)]:
+                del model[k]
+            delete_where(spark, lake, pred)
+        elif op == "update":
+            a = rng.choice([2, 3, 1])
+            b = rng.randrange(-5, 50)
+            if rng.random() < 0.5:
+                t = rng.randrange(0, 1000)
+                pred, hit = f"v >= {t}", (lambda k, v: v >= t)
+            else:
+                lo = rng.randrange(0, max(next_k, 1))
+                hi = lo + rng.randrange(1, 20)
+                pred = f"k >= {lo} AND k <= {hi}"
+                hit = lambda k, v: lo <= k <= hi  # noqa: E731
+            for k in [k for k, v in model.items() if hit(k, v)]:
+                model[k] = a * model[k] + b
+            update_where(spark, lake, pred, {"v": f"v * {a} + {b}"})
         elif op == "compact":
             if rng.random() < 0.5:
                 compact(spark, lake, target_files=rng.choice([1, 2]))
