@@ -3469,12 +3469,15 @@ GATE_WINDOW = [
     "hamming_rerank_recall", "salted_hot_join", "stream_late_events",
     "length_bucketed_packing", "versioned_delete", "versioned_update",
     "grouping_sets_orders", "epoch_shuffle", "versioned_delete_mor",
+    "versioned_update_mor",
     # (b) bounded-state streaming folds (rewritten r9) + the O(k) members
     "stream_cusum", "stream_ewma", "stream_rsi", "stream_ols",
     "stream_max_drawdown", "stream_bollinger", "stream_rolling_corr",
     # (c) bounded top-k + ground-truth-path consumers
+    # sq8_recall rotates to round 10 for the MOR-update DML add (its
+    # shared ground-truth path stays covered by the other recall keys)
     "knn_bruteforce", "knn_sq8", "knn_hamming", "hamming_recall",
-    "matryoshka_recall", "ann_recall", "sq8_recall", "ivfpq_recall",
+    "matryoshka_recall", "ann_recall", "ivfpq_recall",
     "pq_rotation_recall", "hard_negatives",
     "knn_lsh", "knn_ivf", "knn_pq_adc", "knn_ivfpq_served",
     # (d) versioned-lake code changed after the r8 gate

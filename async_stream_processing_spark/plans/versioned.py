@@ -343,6 +343,10 @@ def commit_append(
             extra["stats"] = {**base_stats, **stats}
         if blooms or base_blooms:
             extra["blooms"] = {**base_blooms, **blooms}
+        if head_m and head_m.get("dvs"):
+            # carried files keep their deletion vectors — an append
+            # must not resurrect MOR-deleted rows (fuzz-caught)
+            extra["dvs"] = head_m["dvs"]
         try:
             return _commit(
                 path, sorted(base_files) + new_files,
@@ -1477,19 +1481,30 @@ def _delete_mor(spark: SparkSession, path: str, predicate: str,
 
 def update_where(spark: SparkSession, path: str, predicate: str,
                  set_exprs: dict[str, str], meta: dict | None = None,
-                 max_attempts: int = 20) -> int:
+                 max_attempts: int = 20, mode: str = "cow") -> int:
     """``UPDATE lake SET col = expr, ... WHERE predicate`` as one new
     version (Delta UPDATE semantics): every SET right-hand side is a
     SQL expression evaluated against the OLD row (so two assignments
     never see each other's new values), applied only where the
     predicate is TRUE; other rows pass through byte-identical.  Each
     assignment is cast back to the column's existing type so the table
-    schema never drifts.  Same copy-on-write / stat-prune / pinned
-    commit mechanics as :func:`delete_where`.  Returns the committed
-    version."""
+    schema never drifts.
+
+    ``mode="cow"`` (default): same copy-on-write / stat-prune / pinned
+    commit mechanics as :func:`delete_where` — touched files rewrite.
+
+    ``mode="mor"``: merge-on-read UPDATE (Delta's DV-backed UPDATE):
+    the matched rows' positions are killed via a DELETION VECTOR and
+    their updated images are APPENDED as a new file — the original
+    files are never rewritten.  At 100 TB updating 100 rows inside a
+    1 GB file costs O(100) rows of IO.  Row-level CDF needs no special
+    case: the commit is an added file (insert postimages) plus a DV
+    delta (delete preimages), exactly what ``table_changes`` already
+    reports.  Compaction and copy-on-write commits materialize the DVs
+    as usual.  Returns the committed version."""
     from pyspark.sql import functions as F
 
-    def _apply_sets(df: DataFrame, matched):
+    def _set_cols(df: DataFrame, matched):
         missing = [c for c in set_exprs if c not in df.columns]
         if missing:
             raise ValueError(f"UPDATE SET targets absent columns: {missing}")
@@ -1504,8 +1519,164 @@ def update_where(spark: SparkSession, path: str, predicate: str,
                 cols.append(F.col(c))
         return df.select(*cols)
 
+    if mode == "mor":
+        return _update_mor(spark, path, predicate, set_exprs, meta,
+                           max_attempts)
+    if mode != "cow":
+        raise ValueError(f"unknown update mode {mode!r}")
     return _rewrite_where(spark, path, predicate, "update",
-                          _apply_sets, meta, max_attempts)
+                          _set_cols, meta, max_attempts)
+
+
+def _update_mor(spark: SparkSession, path: str, predicate: str,
+                set_exprs: dict[str, str], meta: dict | None,
+                max_attempts: int) -> int:
+    """DV-backed UPDATE: see :func:`update_where` ``mode="mor"``."""
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+
+    conjuncts = _prunable_conjuncts(predicate)
+    for _ in range(max_attempts):
+        head = _live_head(path)
+        hv = _content_version_at(path, head)
+        if hv is None:
+            raise FileNotFoundError(f"no committed versions under {path}")
+        m = _read_manifest(path, hv)
+        head_files = m["files"]
+        stats = m.get("stats", {})
+        dvs = {f: list(r) for f, r in m.get("dvs", {}).items()}
+
+        candidates = [
+            f for f in head_files
+            if not (stats.get(f) and conjuncts)
+            or _stats_may_match(stats[f], conjuncts)
+        ]
+        pruned = len(head_files) - len(candidates)
+
+        touched_rel: set[str] = set()
+        rows_matched = 0
+        new_dv_refs: list[str] = []
+        new_data_refs: list[str] = []
+        if candidates:
+            base = (
+                spark.read.option("mergeSchema", "true")
+                .parquet(*[os.path.join(path, f) for f in candidates])
+            )
+            data_cols = base.columns
+            missing = [c for c in set_exprs if c not in data_cols]
+            if missing:
+                raise ValueError(
+                    f"UPDATE SET targets absent columns: {missing}"
+                )
+            matched = (
+                base
+                .withColumn("__p", _norm_file_path_col())
+                .withColumn("__ri", F.col("_metadata.row_index"))
+                .filter(F.expr(predicate))
+            )
+            old_refs = [r for f in candidates for r in dvs.get(f, [])]
+            if old_refs:
+                matched = matched.join(
+                    _dv_rows(spark, path, old_refs),
+                    (matched["__p"] == F.col("file_abs"))
+                    & (matched["__ri"] == F.col("row_index")),
+                    "left_anti",
+                )
+            # ONE matched set feeds two writes (positions + postimages);
+            # checkpointed so the predicate scan runs once and both
+            # writes agree even against a racing change to the files
+            matched = matched.localCheckpoint(eager=True)
+            written = _write_data(
+                matched.select(F.col("__p").alias("file_abs"),
+                               F.col("__ri").alias("row_index"))
+                .coalesce(1),
+                path,
+            )
+            new_dv_refs = [
+                f for f in written
+                if pq.ParquetFile(os.path.join(path, f)).metadata.num_rows > 0
+            ]
+            if new_dv_refs:
+                # postimages: every matched row with SET applied
+                # (unconditionally — all rows here matched)
+                post_cols = []
+                for c in data_cols:
+                    if c in set_exprs:
+                        post_cols.append(
+                            F.expr(set_exprs[c])
+                            .cast(matched.schema[c].dataType).alias(c)
+                        )
+                    else:
+                        post_cols.append(F.col(c))
+                new_data_refs = _write_data(
+                    matched.select(*post_cols), path
+                )
+                new_data_refs = [
+                    f for f in new_data_refs
+                    if pq.ParquetFile(
+                        os.path.join(path, f)).metadata.num_rows > 0
+                ]
+                abs_to_ref = {
+                    os.path.abspath(os.path.join(path, f)): f
+                    for f in head_files
+                }
+                for r in _dv_rows(spark, path, new_dv_refs) \
+                        .groupBy("file_abs").count().collect():
+                    ref = abs_to_ref.get(os.path.abspath(r["file_abs"]))
+                    if ref is not None:
+                        touched_rel.add(ref)
+                        rows_matched += r["count"]
+                for f in touched_rel:
+                    dvs[f] = dvs.get(f, []) + new_dv_refs
+        extra: dict = {}
+        if stats:
+            stat_cols = sorted({c for s in stats.values() for c in s})
+            new_stats = dict(stats)
+            for f in new_data_refs:
+                s = _footer_stats(os.path.join(path, f), stat_cols)
+                if s:
+                    new_stats[f] = s
+            extra["stats"] = new_stats
+        blooms = m.get("blooms", {})
+        if blooms:
+            any_entry = next(iter(blooms.values()))
+            bloom_cols = sorted(any_entry)
+            mb = any_entry[bloom_cols[0]]["m"]
+            kp = any_entry[bloom_cols[0]]["k"]
+            new_blooms = dict(blooms)
+            for f in new_data_refs:
+                new_blooms[f] = {
+                    c: {"m": mb, "k": kp,
+                        "b64": _build_file_bloom(
+                            os.path.join(path, f), c, mb, kp)}
+                    for c in bloom_cols
+                }
+            extra["blooms"] = new_blooms
+        if dvs:
+            extra["dvs"] = dvs
+        try:
+            return _commit(
+                path, list(head_files) + new_data_refs,
+                parent=hv, operation="update",
+                meta=_carry_batch_meta(m, {
+                    "predicate": predicate,
+                    "mode": "mor",
+                    "touched_files": len(touched_rel),
+                    "carried_files": len(head_files),
+                    "stat_pruned_files": pruned,
+                    "rows_matched": rows_matched,
+                    "dv_files": len(new_dv_refs),
+                    **extra, **(meta or {}),
+                }),
+                expected_head=head,
+            )
+        except CommitConflict:
+            continue  # recompute against the new head
+    raise RuntimeError(
+        f"mor update contention: {max_attempts} attempts lost their "
+        f"commit race"
+    )
 
 
 def compact(spark: SparkSession, path: str, target_files: int = 1,

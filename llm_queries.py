@@ -1890,6 +1890,57 @@ def q_versioned_delete_mor(spark, sf_dir):
     return out
 
 
+def q_versioned_update_mor(spark, sf_dir):
+    """DV-BACKED UPDATE gate (Delta merge-on-read UPDATE): the matched
+    rows' positions die via a deletion vector and their updated images
+    APPEND as a new file — the original files are asserted to survive
+    verbatim in the manifest.  Two MOR updates compose (the second's
+    predicate reads the first's postimages), then COMPACT materializes
+    (asserted: no DVs left).  Hash-gated against the same two CASE
+    WHEN passes in SQL — metadata-only update and materialized update
+    must agree row for row."""
+    import shutil
+    import tempfile
+
+    from async_stream_processing_spark.plans.versioned import (
+        _read_manifest,
+        commit_append,
+        compact,
+        read_version,
+        update_where,
+        versions,
+    )
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    lake = tempfile.mkdtemp(prefix="asp_vupdmor_")
+    shutil.rmtree(lake, ignore_errors=True)
+    try:
+        commit_append(
+            docs.repartitionByRange(8, "doc_id"), lake,
+            stats_cols=["doc_id", "n_chars"],
+        )
+        files_v1 = _read_manifest(lake, 1)["files"]
+        v = update_where(
+            spark, lake, "doc_id >= 300 AND doc_id < 360",
+            {"lang": "'mor'", "n_chars": "n_chars + 1000"}, mode="mor",
+        )
+        m = _read_manifest(lake, v)
+        assert set(files_v1) <= set(m["files"]), \
+            "MOR update must keep every original file"
+        assert m["stat_pruned_files"] >= 1 and m.get("dvs"), m
+        update_where(spark, lake, "n_chars > 1400",
+                     {"lang": "'jumbo'"}, mode="mor")
+        compact(spark, lake, target_files=2)
+        mc = _read_manifest(lake, versions(lake)[-1])
+        assert not mc.get("dvs"), "compact must materialize DVs away"
+        out = read_version(spark, lake).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(lake, ignore_errors=True)
+    return out
+
+
 def q_versioned_update(spark, sf_dir):
     """UPDATE DML gate (Delta `UPDATE ... SET ... WHERE`): commit the
     corpus, then two copy-on-write updates — a source-keyed update
@@ -2414,6 +2465,7 @@ LLM_QUERIES = {
     "versioned_delete": q_versioned_delete,
     "versioned_delete_mor": q_versioned_delete_mor,
     "versioned_update": q_versioned_update,
+    "versioned_update_mor": q_versioned_update_mor,
     "stream_versioned_merge": q_stream_versioned_merge,
     "versioned_compact": q_versioned_compact,
     "versioned_changes": q_versioned_changes,
@@ -2976,6 +3028,22 @@ def llm_oracle_sql() -> dict[str, str]:
             FROM documents
             WHERE NOT (doc_id >= 200 AND doc_id < 260)
               AND NOT (n_chars < 150)
+        """,
+        "versioned_update_mor": """
+            WITH pass1 AS (
+                SELECT doc_id, text,
+                       CASE WHEN doc_id >= 300 AND doc_id < 360
+                            THEN 'mor' ELSE lang END AS lang,
+                       source,
+                       CASE WHEN doc_id >= 300 AND doc_id < 360
+                            THEN n_chars + 1000 ELSE n_chars END AS n_chars
+                FROM documents
+            )
+            SELECT doc_id, text,
+                   CASE WHEN n_chars > 1400 THEN 'jumbo' ELSE lang END
+                       AS lang,
+                   source, n_chars
+            FROM pass1
         """,
         "versioned_update": """
             WITH pass1 AS (

@@ -1797,7 +1797,8 @@ def test_lake_lifecycle_fuzz_pinned_seeds(spark):
 
     import tools.fuzz_lake as fl
 
-    for seed in (20260815, 20260816, 20260827111):
+    for seed in (20260815, 20260816, 20260827111, 20260828111):
+        # 20260828111 caught the append-after-MOR DV-drop resurrection
         fl.run_case(spark, random.Random(seed))
 
 
@@ -2231,6 +2232,92 @@ def test_mor_delete_cow_committers_materialize_and_carry(spark, tmp_path):
     m = _read_manifest(lake, versions(lake)[-1])
     assert not m.get("dvs")
     assert read_version(spark, lake).count() == 99
+
+
+def test_append_after_mor_delete_carries_dvs(spark, tmp_path):
+    """Regression (fuzz-caught, seed 20260828111): commit_append must
+    carry the head's deletion vectors for its carried files — before
+    the fix an append after a MOR delete/update silently resurrected
+    every MOR-dead row."""
+    from async_stream_processing_spark.plans.versioned import (
+        _read_manifest,
+        commit_append,
+        delete_where,
+        read_version,
+        versions,
+    )
+
+    lake = str(tmp_path / "lake")
+    commit_append(
+        spark.createDataFrame([(k, k) for k in range(30)],
+                              "k long, v long").coalesce(1),
+        lake,
+    )
+    delete_where(spark, lake, "k >= 20", mode="mor")
+    commit_append(
+        spark.createDataFrame([(100, 100)], "k long, v long"), lake,
+    )
+    m = _read_manifest(lake, versions(lake)[-1])
+    assert m.get("dvs"), "append dropped the head's deletion vectors"
+    assert {r["k"] for r in read_version(spark, lake).collect()} == (
+        set(range(20)) | {100}
+    )
+
+
+def test_mor_update_appends_postimages_and_kills_preimages(spark, tmp_path):
+    """DV-backed UPDATE: originals survive verbatim in the manifest,
+    postimages land in an appended file, row-level CDF shows the
+    preimage-delete + postimage-insert pair with no special casing,
+    SET reads the OLD row, updates compose across versions, and the
+    appended postimage file is itself MOR-updatable."""
+    from async_stream_processing_spark.plans.versioned import (
+        _read_manifest,
+        commit_append,
+        read_version,
+        table_changes,
+        update_where,
+        versions,
+    )
+
+    lake = str(tmp_path / "lake")
+    commit_append(
+        spark.createDataFrame([(k, k * 10, k) for k in range(60)],
+                              "k long, a long, b long")
+        .repartitionByRange(3, "k"),
+        lake, stats_cols=["k"],
+    )
+    files_v1 = _read_manifest(lake, 1)["files"]
+    # swap a/b where k < 10: RHS must read the pre-update row
+    v = update_where(spark, lake, "k < 10", {"a": "b", "b": "a"},
+                     mode="mor")
+    m = _read_manifest(lake, v)
+    assert set(files_v1) <= set(m["files"])
+    assert m["rows_matched"] == 10 and m["mode"] == "mor"
+    assert m["stat_pruned_files"] >= 1  # only the low file can match
+    head = {r["k"]: (r["a"], r["b"])
+            for r in read_version(spark, lake).collect()}
+    assert len(head) == 60
+    for k in range(60):
+        assert head[k] == ((k, k * 10) if k < 10 else (k * 10, k))
+    ch = table_changes(spark, lake, 1, v, row_level=True)
+    pairs = sorted((r["k"], r["a"], r["_change_type"])
+                   for r in ch.collect())
+    # 9 preimage-delete + 9 postimage-insert pairs; k=0's swap of (0,0)
+    # is a NO-OP update and row-level netting rightly cancels it
+    assert len(pairs) == 18
+    assert not any(k == 0 for k, _, _ in pairs)
+    assert (3, 30, "delete") in pairs and (3, 3, "insert") in pairs
+    # second MOR update hits ONLY postimage rows (a < 10 now means k<10)
+    update_where(spark, lake, "a < 10 AND k < 10", {"b": "b + 1"},
+                 mode="mor")
+    head = {r["k"]: (r["a"], r["b"])
+            for r in read_version(spark, lake).collect()}
+    assert head[3] == (3, 31) and head[20] == (200, 20)
+    assert read_version(spark, lake).count() == 60
+    # every version still time-travels exactly
+    assert read_version(spark, lake, 1).count() == 60
+    assert {r["k"]: r["a"] for r in
+            read_version(spark, lake, 1).collect()}[3] == 30
 
 
 def test_mor_delete_cdf_restore_clone_vacuum(spark, tmp_path):

@@ -20,6 +20,8 @@ Each case runs a seeded random sequence of:
   (``mode="mor"``): no file rewritten, readers anti-join dead
   positions; the walk's later merges/compacts/restores/vacuums then
   exercise DV carry, materialization and reclamation against the model
+* ``mor_update`` — DV-backed UPDATE: preimage positions die via a DV,
+  postimages append as a new file; same affine map in the model
 * ``update``  — UPDATE SET v = a*v + b WHERE a random predicate
   (update_where; every RHS reads the OLD row); model applies the same
   affine map to matching entries
@@ -107,7 +109,8 @@ def run_case(spark, rng: random.Random, n_ops: int = 8) -> None:
     for _ in range(n_ops):
         op = rng.choice(
             ["append", "append", "merge", "merge", "compact", "vacuum",
-             "clone", "pin", "restore", "delete", "update", "mor_delete"]
+             "clone", "pin", "restore", "delete", "update", "mor_delete",
+             "mor_update"]
         )
         if op == "mor_delete":
             shape = rng.choice(["krange", "vthresh", "vmod"])
@@ -173,7 +176,7 @@ def run_case(spark, rng: random.Random, n_ops: int = 8) -> None:
             for k in [k for k, v in model.items() if hit(k, v)]:
                 del model[k]
             delete_where(spark, lake, pred)
-        elif op == "update":
+        elif op in ("update", "mor_update"):
             a = rng.choice([2, 3, 1])
             b = rng.randrange(-5, 50)
             if rng.random() < 0.5:
@@ -186,7 +189,8 @@ def run_case(spark, rng: random.Random, n_ops: int = 8) -> None:
                 hit = lambda k, v: lo <= k <= hi  # noqa: E731
             for k in [k for k, v in model.items() if hit(k, v)]:
                 model[k] = a * model[k] + b
-            update_where(spark, lake, pred, {"v": f"v * {a} + {b}"})
+            update_where(spark, lake, pred, {"v": f"v * {a} + {b}"},
+                         mode="mor" if op == "mor_update" else "cow")
         elif op == "compact":
             if rng.random() < 0.5:
                 compact(spark, lake, target_files=rng.choice([1, 2]))
