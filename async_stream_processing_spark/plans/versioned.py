@@ -7,14 +7,16 @@ audit at 100 TB:
 * **Data files are immutable**; every commit writes NEW parquet files
   under ``<lake>/data/`` and then publishes ONE manifest JSON listing
   every file visible in that version.  The manifest publish is an
-  atomic ``O_CREAT|O_EXCL`` create -- the single commit point.
+  atomic write-then-link (full body in a hidden temp file, then an
+  ``os.link`` that fails if the slot exists) -- the single commit
+  point, and a claimed slot always carries a complete body.
 * **Readers never list the data directory.**  They read a manifest and
   load exactly its files, so a crashed or in-flight writer's orphan
   files are invisible (snapshot isolation), and reading ``version=N``
   after later commits reproduces the exact bytes of version N (time
   travel -- the "which corpus snapshot trained this model" answer).
 * **Concurrent committers race on the version file**: the loser's
-  ``O_EXCL`` create fails and the commit retries against the new head
+  atomic link fails and the commit retries against the new head
   (optimistic concurrency, append-only semantics make the retry safe).
 * **vacuum** deletes data files referenced by no kept manifest --
   storage reclamation is decoupled from logical deletes.
@@ -73,10 +75,12 @@ def _read_manifest(path: str, version: int) -> dict:
 
 
 def _is_torn(path: str, version: int) -> bool:
-    """A writer that died between claiming the version file (O_EXCL)
-    and writing its body leaves a torn manifest: the version NUMBER is
-    burned (later committers skip past it) but the snapshot never
-    became visible.  Readers treat it as absent."""
+    """An unreadable manifest body: the version NUMBER is burned
+    (later committers skip past it) but the snapshot never became
+    visible, so readers treat it as absent.  Under the write-then-link
+    publish a live writer can no longer present a torn slot (the body
+    is complete before the name exists); the skip survives as defense
+    for pre-link histories and external corruption."""
     try:
         _read_manifest(path, version)
         return False
@@ -113,8 +117,21 @@ def _commit(path: str, files: list[str], parent: int | None,
     erase the concurrent commit's files; the round-8 fix for the
     lost-update race flagged in merge/compact).  Because the version is
     pinned, there is no TOCTOU window between listing and publish —
-    the O_EXCL create IS the conflict check."""
-    os.makedirs(os.path.join(path, _MANIFEST_DIR), exist_ok=True)
+    the atomic link IS the conflict check.
+
+    Publication is WRITE-THEN-LINK: the full body lands in a hidden
+    temp file first and an ``os.link`` (atomic, fails-if-exists)
+    publishes it under the version name — so a claimed slot ALWAYS has
+    a complete body.  The previous O_EXCL-create-then-write left a
+    window where a just-claimed slot read as torn; a concurrent
+    committer then based its content one version back and the
+    mid-write commit's rows were silently dropped from the lineage (a
+    real lost update, caught by the 8-thread stress test on a loaded
+    host).  With link-publish, torn manifests can only come from
+    pre-existing histories or external corruption — the read-side
+    skip-torn machinery stays as defense."""
+    mdir = os.path.join(path, _MANIFEST_DIR)
+    os.makedirs(mdir, exist_ok=True)
     v = expected_head + 1
     body = {
         "version": v,
@@ -123,18 +140,18 @@ def _commit(path: str, files: list[str], parent: int | None,
         "files": files,
         **(meta or {}),
     }
+    tmp = os.path.join(mdir, f".tmp-{uuid.uuid4().hex}")
+    with open(tmp, "w") as f:
+        json.dump(body, f)
     try:
-        fd = os.open(
-            _manifest_path(path, v),
-            os.O_CREAT | os.O_EXCL | os.O_WRONLY,
-        )
+        os.link(tmp, _manifest_path(path, v))
     except FileExistsError:
+        os.remove(tmp)
         raise CommitConflict(
             f"version {v} was committed concurrently; recompute against "
             f"the new head and retry"
         ) from None
-    with os.fdopen(fd, "w") as f:
-        json.dump(body, f)
+    os.remove(tmp)
     return v
 
 
@@ -408,7 +425,12 @@ def _apply_dvs(spark: SparkSession, path: str, df: DataFrame,
     shuffle anti-join is exactly what you want.  Files without a DV
     pass through the same plan unfiltered (their path simply never
     matches).  When ``dvs`` is empty the caller skips this entirely —
-    zero overhead for lakes that never MOR-delete."""
+    zero overhead for lakes that never MOR-delete.
+
+    Prefer :func:`_read_with_dvs` when building the scan yourself — it
+    splits clean files from DV'd files so only the DV'd minority pays
+    the join at all.  This helper remains for callers whose DataFrame
+    already exists (e.g. a scan carrying extra derived columns)."""
     from pyspark.sql import functions as F
 
     refs: list[str] = []
@@ -427,6 +449,59 @@ def _apply_dvs(spark: SparkSession, path: str, df: DataFrame,
         & (keyed["__dv_ri"] == dv["row_index"]),
         "left_anti",
     ).select(*cols)
+
+
+def _read_with_dvs(spark: SparkSession, path: str, files: list[str],
+                   dvs: dict, merge_schema: bool = False) -> DataFrame:
+    """Read ``files`` of a manifest, applying deletion vectors to ONLY
+    the files that have one — the split-scan plan: clean files stream
+    straight from the parquet scan (full pushdown/codegen, no join in
+    their path) and the DV'd minority anti-joins its dead positions,
+    unioned by name.  At 100 TB with a few percent of files carrying
+    DVs, this keeps ~all of the table on the no-join fast path —
+    funneling every row through the anti-join (the naive plan) costs a
+    join probe per row of the whole table.  With no DVs in play the
+    plan IS the plain scan."""
+    return _read_with_dvs_tagged(spark, path, files, dvs, merge_schema,
+                                 tag_file=None)
+
+
+def _read_with_dvs_tagged(spark: SparkSession, path: str,
+                          files: list[str], dvs: dict,
+                          merge_schema: bool = False,
+                          tag_file: str | None = None,
+                          tag_pos: bool = False) -> DataFrame:
+    """:func:`_read_with_dvs` plus optional provenance columns attached
+    PER BRANCH before any join/union — file-source expressions are
+    illegal above multi-source plans, so scans that need them must tag
+    at the scan.  ``tag_file`` adds ``input_file_name()`` under that
+    name; ``tag_pos`` adds ``__p`` (canonical file path) and ``__ri``
+    (parquet row index), the deletion-vector key."""
+    from pyspark.sql import functions as F
+
+    def _scan(fs: list[str]) -> DataFrame:
+        r = spark.read
+        if merge_schema:
+            r = r.option("mergeSchema", "true")
+        df = r.parquet(*[os.path.join(path, f) for f in fs])
+        if tag_file is not None:
+            df = df.withColumn(tag_file, F.input_file_name())
+        if tag_pos:
+            df = df.withColumn("__p", _norm_file_path_col()).withColumn(
+                "__ri", F.col("_metadata.row_index")
+            )
+        return df
+
+    dvd = [f for f in files if dvs.get(f)]
+    clean = [f for f in files if not dvs.get(f)]
+    if not dvd:
+        return _scan(files)
+    dirty = _apply_dvs(spark, path, _scan(dvd), dvs, dvd)
+    if not clean:
+        return dirty
+    # schema evolution: either side may lack columns only the other's
+    # files carry — unionByName aligns, missing columns read as NULL
+    return _scan(clean).unionByName(dirty, allowMissingColumns=True)
 
 
 def read_version(
@@ -450,14 +525,8 @@ def read_version(
     m = _read_manifest(path, v)
     if not m["files"]:
         raise ValueError(f"version {v} is empty")
-    reader = spark.read
-    if merge_schema:
-        reader = reader.option("mergeSchema", "true")
-    df = reader.parquet(*[os.path.join(path, f) for f in m["files"]])
-    dvs = m.get("dvs", {})
-    if dvs:
-        df = _apply_dvs(spark, path, df, dvs, m["files"])
-    return df
+    return _read_with_dvs(spark, path, m["files"], m.get("dvs", {}),
+                          merge_schema=merge_schema)
 
 
 def table_changes(
@@ -501,13 +570,8 @@ def table_changes(
     def _read(files: list[str], dvs: dict) -> DataFrame | None:
         if not files:
             return None
-        df = spark.read.parquet(
-            *[os.path.join(path, f) for f in files]
-        )
-        if dvs:
-            # a file's LIVE rows in its own version, not raw file bytes
-            df = _apply_dvs(spark, path, df, dvs, files)
-        return df
+        # a file's LIVE rows in its own version, not raw file bytes
+        return _read_with_dvs(spark, path, files, dvs)
 
     ins, dels = _read(added, dv_to), _read(removed, dv_from)
 
@@ -522,11 +586,16 @@ def table_changes(
             refs = [r for f in common for r in dvmap.get(f, [])]
             return _dv_rows(spark, path, refs) if refs else None
 
+        # positions can only live in files that carry a DV in either
+        # version — the clean majority of common files never scans here
+        common_dvd = [f for f in common
+                      if dv_from.get(f) or dv_to.get(f)]
+
         def _rows_at(pos: DataFrame | None) -> DataFrame | None:
             if pos is None:
                 return None
             base = spark.read.parquet(
-                *[os.path.join(path, f) for f in common]
+                *[os.path.join(path, f) for f in common_dvd]
             )
             keyed = base.withColumn(
                 "__p", _norm_file_path_col()
@@ -631,11 +700,9 @@ def scan_version(
 
     if not keep:
         return _filtered(read_version(spark, path, v).limit(0))
-    df = spark.read.parquet(*[os.path.join(path, f) for f in keep])
-    dvs = m.get("dvs", {})
-    if dvs:
-        df = _apply_dvs(spark, path, df, dvs, keep)
-    return _filtered(df)
+    return _filtered(
+        _read_with_dvs(spark, path, keep, m.get("dvs", {}))
+    )
 
 
 def lookup_version(
@@ -668,11 +735,9 @@ def lookup_version(
         return read_version(spark, path, v).limit(0).filter(
             F.col(col) == value
         )
-    df = spark.read.parquet(*[os.path.join(path, f) for f in keep])
-    dvs = m.get("dvs", {})
-    if dvs:
-        df = _apply_dvs(spark, path, df, dvs, keep)
-    return df.filter(F.col(col) == value)
+    return _read_with_dvs(spark, path, keep, m.get("dvs", {})).filter(
+        F.col(col) == value
+    )
 
 
 def shallow_clone(src: str, dst: str, version: int | None = None) -> int:
@@ -865,6 +930,19 @@ def vacuum(path: str, keep_last: int = 1,
         if not dirs and not fs and dp != droot:
             shutil.rmtree(dp, ignore_errors=True)
     now = time.time()
+    # a crashed writer's unpublished temp body (.tmp-*) is invisible to
+    # every reader; reap it once it's past the same grace the torn
+    # manifests get (a LIVE writer's temp is at most seconds old)
+    mdir = os.path.join(path, _MANIFEST_DIR)
+    if os.path.isdir(mdir):
+        for f in os.listdir(mdir):
+            if f.startswith(".tmp-"):
+                fp = os.path.join(mdir, f)
+                try:
+                    if now - os.path.getmtime(fp) >= torn_grace_seconds:
+                        os.remove(fp)
+                except OSError:
+                    pass
     for v in all_vs:
         if v in keep:
             continue
@@ -998,18 +1076,12 @@ def merge_into(
         if not candidates:
             touched_abs = []
         else:
-            reader = spark.read
-            if merge_schema:
-                reader = reader.option("mergeSchema", "true")
-            target = reader.parquet(
-                *[os.path.join(path, f) for f in candidates]
-            ).withColumn("_file", F.input_file_name())
-            if head_dvs:
-                # a key alive only in MOR-deleted rows is NOT matched
-                # (_file tagged BEFORE the anti-join: file-source
-                # expressions are illegal above a two-source join)
-                target = _apply_dvs(spark, path, target, head_dvs,
-                                    candidates)
+            # a key alive only in MOR-deleted rows is NOT matched;
+            # split-scan + per-branch _file tag (see _read_with_dvs)
+            target = _read_with_dvs_tagged(
+                spark, path, candidates, head_dvs,
+                merge_schema=merge_schema, tag_file="_file",
+            )
 
             # 1. touched files: those containing at least one matched key
             touched_abs = [
@@ -1040,16 +1112,11 @@ def merge_into(
             else source
         ).select(*data_cols)
         if touched_rel:
-            reader = spark.read
-            if merge_schema:
-                reader = reader.option("mergeSchema", "true")
-            touched_rows = reader.parquet(
-                *[os.path.join(path, f) for f in sorted(touched_rel)]
+            # rewrite materializes the touched files' deletions
+            touched_rows = _read_with_dvs(
+                spark, path, sorted(touched_rel), head_dvs,
+                merge_schema=merge_schema,
             )
-            if head_dvs:
-                # rewrite materializes the touched files' deletions
-                touched_rows = _apply_dvs(spark, path, touched_rows,
-                                          head_dvs, sorted(touched_rel))
             missing = [c for c in data_cols if c not in touched_rows.columns]
             if missing and not merge_schema:
                 raise ValueError(
@@ -1230,17 +1297,14 @@ def _rewrite_where(spark: SparkSession, path: str, predicate: str,
         touched_rel: set[str] = set()
         rows_matched = 0
         if candidates:
-            cand_df = (
-                spark.read.option("mergeSchema", "true")
-                .parquet(*[os.path.join(path, f) for f in candidates])
-                .withColumn("_file", F.input_file_name())
+            # rows already MOR-deleted can neither match nor count;
+            # split-scan keeps clean files off the DV anti-join and
+            # tags _file per branch (file-source expressions are
+            # illegal above multi-source plans)
+            cand_df = _read_with_dvs_tagged(
+                spark, path, candidates, head_dvs,
+                merge_schema=True, tag_file="_file",
             )
-            if head_dvs:
-                # rows already MOR-deleted can neither match nor count
-                # (_file is tagged BEFORE the DV anti-join: file-source
-                # expressions are illegal above a two-source join)
-                cand_df = _apply_dvs(spark, path, cand_df, head_dvs,
-                                     candidates)
             scan = (
                 cand_df
                 .filter(F.expr(predicate))
@@ -1262,15 +1326,12 @@ def _rewrite_where(spark: SparkSession, path: str, predicate: str,
 
         new_files: list[str] = []
         if touched_rel:
-            touched_rows = (
-                spark.read.option("mergeSchema", "true")
-                .parquet(*[os.path.join(path, f) for f in sorted(touched_rel)])
+            # rewriting a DV'd file MATERIALIZES its deletions — dead
+            # positions must not resurrect into the new file
+            touched_rows = _read_with_dvs(
+                spark, path, sorted(touched_rel), head_dvs,
+                merge_schema=True,
             )
-            if head_dvs:
-                # rewriting a DV'd file MATERIALIZES its deletions —
-                # dead positions must not resurrect into the new file
-                touched_rows = _apply_dvs(spark, path, touched_rows,
-                                          head_dvs, sorted(touched_rel))
             matched = F.coalesce(
                 F.expr(predicate).cast("boolean"), F.lit(False)
             )
@@ -1409,23 +1470,18 @@ def _delete_mor(spark: SparkSession, path: str, predicate: str,
         rows_matched = 0
         new_dv_refs: list[str] = []
         if candidates:
+            # the split-scan's DV branch already drops positions an
+            # existing DV killed, so a dead row can never re-record:
+            # rows_matched stays exact and repeated deletes idempotent
             matched = (
-                spark.read.option("mergeSchema", "true")
-                .parquet(*[os.path.join(path, f) for f in candidates])
-                .withColumn("__p", _norm_file_path_col())
-                .withColumn("__ri", F.col("_metadata.row_index"))
+                _read_with_dvs_tagged(
+                    spark, path, candidates, dvs,
+                    merge_schema=True, tag_pos=True,
+                )
                 .filter(F.expr(predicate))
                 .select(F.col("__p").alias("file_abs"),
                         F.col("__ri").alias("row_index"))
             )
-            # never re-record a position an existing DV already killed:
-            # keeps rows_matched exact and repeated deletes idempotent
-            old_refs = [r for f in candidates for r in dvs.get(f, [])]
-            if old_refs:
-                matched = matched.join(
-                    _dv_rows(spark, path, old_refs),
-                    ["file_abs", "row_index"], "left_anti",
-                )
             # one DV parquet per commit (coalesced): a MOR delete is by
             # definition selective — positions are O(matched rows), tiny
             # next to the data.  Mass deletes belong to mode="cow"; at
@@ -1559,30 +1615,20 @@ def _update_mor(spark: SparkSession, path: str, predicate: str,
         new_dv_refs: list[str] = []
         new_data_refs: list[str] = []
         if candidates:
-            base = (
-                spark.read.option("mergeSchema", "true")
-                .parquet(*[os.path.join(path, f) for f in candidates])
+            # split-scan with per-branch position tags; the DV branch
+            # already excludes dead positions (idempotence for free)
+            base = _read_with_dvs_tagged(
+                spark, path, candidates, dvs,
+                merge_schema=True, tag_pos=True,
             )
-            data_cols = base.columns
+            data_cols = [c for c in base.columns
+                         if c not in ("__p", "__ri")]
             missing = [c for c in set_exprs if c not in data_cols]
             if missing:
                 raise ValueError(
                     f"UPDATE SET targets absent columns: {missing}"
                 )
-            matched = (
-                base
-                .withColumn("__p", _norm_file_path_col())
-                .withColumn("__ri", F.col("_metadata.row_index"))
-                .filter(F.expr(predicate))
-            )
-            old_refs = [r for f in candidates for r in dvs.get(f, [])]
-            if old_refs:
-                matched = matched.join(
-                    _dv_rows(spark, path, old_refs),
-                    (matched["__p"] == F.col("file_abs"))
-                    & (matched["__ri"] == F.col("row_index")),
-                    "left_anti",
-                )
+            matched = base.filter(F.expr(predicate))
             # ONE matched set feeds two writes (positions + postimages);
             # checkpointed so the predicate scan runs once and both
             # writes agree even against a racing change to the files

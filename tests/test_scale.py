@@ -2234,6 +2234,42 @@ def test_mor_delete_cow_committers_materialize_and_carry(spark, tmp_path):
     assert read_version(spark, lake).count() == 99
 
 
+def test_dv_read_split_scan_plan_shape(spark, tmp_path):
+    """DV reads are split-scan: files without a deletion vector stream
+    straight from the parquet scan while only the DV'd minority passes
+    through the anti-join — the plan has exactly ONE LeftAnti join and
+    a Union whose clean branch is join-free.  A lake with no DVs plans
+    a plain scan (no join, no union)."""
+    from async_stream_processing_spark.plans.versioned import (
+        commit_append,
+        delete_where,
+        read_version,
+    )
+
+    lake = str(tmp_path / "lake")
+    commit_append(
+        spark.createDataFrame([(k, k) for k in range(400)],
+                              "k long, v long").repartitionByRange(4, "k"),
+        lake, stats_cols=["k"],
+    )
+    plan0 = read_version(spark, lake) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" not in plan0 and "Union" not in plan0
+    # range delete touches exactly one of the four files
+    delete_where(spark, lake, "k >= 110 AND k < 150", mode="mor")
+    df = read_version(spark, lake)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("LeftAnti") == 1, plan
+    assert "Union" in plan
+    # functional: counts agree with the naive expectation
+    assert df.count() == 360
+    # the clean branch reads three files, the dirty branch one: the
+    # join's scan must not cover the whole table (4 files)
+    import re
+    scans = re.findall(r"FileScan parquet.*?(?=\n)", plan)
+    assert len(scans) >= 2  # split into (clean, dirty) scans + DV scan
+
+
 def test_append_after_mor_delete_carries_dvs(spark, tmp_path):
     """Regression (fuzz-caught, seed 20260828111): commit_append must
     carry the head's deletion vectors for its carried files — before
