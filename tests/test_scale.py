@@ -2234,6 +2234,85 @@ def test_mor_delete_cow_committers_materialize_and_carry(spark, tmp_path):
     assert read_version(spark, lake).count() == 99
 
 
+def test_concurrent_mixed_committers_converge(spark, tmp_path):
+    """The write-then-link commit protocol under MIXED concurrent ops:
+    4 appenders, 2 composite MERGEs and 2 MOR deletes race on one lake,
+    each owning a DISJOINT key space so the final state is
+    deterministic regardless of commit interleaving.  Every op's
+    effect must survive into the head (no lost updates of any kind),
+    versions must be contiguous, and the head must equal the closed
+    form."""
+    import threading
+
+    from async_stream_processing_spark.plans.versioned import (
+        commit_append,
+        delete_where,
+        merge_into,
+        read_version,
+        versions,
+    )
+
+    lake = str(tmp_path / "lake")
+    # base: keys 0..399 (merge/delete targets), committed up front
+    commit_append(
+        spark.createDataFrame([(k, k) for k in range(400)],
+                              "k long, v long").repartitionByRange(4, "k"),
+        lake, stats_cols=["k"],
+    )
+    errs = []
+
+    def appender(i):
+        try:
+            commit_append(
+                spark.createDataFrame(
+                    [(k, -1) for k in range(1000 + i * 100,
+                                            1000 + i * 100 + 100)],
+                    "k long, v long").coalesce(1),
+                lake,
+            )
+        except Exception as e:  # noqa: BLE001
+            errs.append(("append", i, e))
+
+    def merger(i):
+        lo = i * 100  # merge thread 0 owns [0,100), thread 1 [100,200)
+        try:
+            merge_into(
+                spark, lake,
+                spark.createDataFrame(
+                    [(k, k + 5000) for k in range(lo, lo + 100)],
+                    "k long, v long"),
+                ["k"],
+            )
+        except Exception as e:  # noqa: BLE001
+            errs.append(("merge", i, e))
+
+    def deleter(i):
+        lo = 200 + i * 100  # delete thread 0 owns [200,300), 1 [300,400)
+        try:
+            delete_where(spark, lake, f"k >= {lo} AND k < {lo + 100}",
+                         mode="mor")
+        except Exception as e:  # noqa: BLE001
+            errs.append(("delete", i, e))
+
+    threads = (
+        [threading.Thread(target=appender, args=(i,)) for i in range(4)]
+        + [threading.Thread(target=merger, args=(i,)) for i in range(2)]
+        + [threading.Thread(target=deleter, args=(i,)) for i in range(2)]
+    )
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs, errs
+    vs = versions(lake)
+    assert vs == list(range(1, 10))  # base + 8 concurrent commits
+    head = {r["k"]: r["v"] for r in read_version(spark, lake).collect()}
+    want = {k: k + 5000 for k in range(200)}  # both merges applied
+    # [200,400) mor-deleted entirely; appended keys all present
+    want.update({k: -1 for k in range(1000, 1400)})
+    assert head == want
+
+
 def test_dv_read_split_scan_plan_shape(spark, tmp_path):
     """DV reads are split-scan: files without a deletion vector stream
     straight from the parquet scan while only the DV'd minority passes
@@ -2268,6 +2347,52 @@ def test_dv_read_split_scan_plan_shape(spark, tmp_path):
     import re
     scans = re.findall(r"FileScan parquet.*?(?=\n)", plan)
     assert len(scans) >= 2  # split into (clean, dirty) scans + DV scan
+
+
+def test_string_column_stats_prune_scans_and_dml(spark, tmp_path):
+    """Manifest min/max stats work for STRING columns end to end:
+    parquet footers record lexicographic bounds, `scan_version` prunes
+    files whose string range cannot intersect, and a DELETE with a
+    string-equality predicate stat-prunes before any read (proven the
+    corruption way: files that should be pruned are unreadable)."""
+    import os
+
+    from async_stream_processing_spark.plans.versioned import (
+        _read_manifest,
+        commit_append,
+        delete_where,
+        read_version,
+        scan_version,
+    )
+
+    lake = str(tmp_path / "lake")
+    rows = [(k, f"src{k % 4}", k) for k in range(200)]
+    df = spark.createDataFrame(rows, "k long, source string, v long") \
+        .repartition(4, "source").sortWithinPartitions("source")
+    commit_append(df, lake, stats_cols=["source", "k"])
+    m = _read_manifest(lake, 1)
+    # footer stats captured string bounds
+    assert any("source" in s for s in m["stats"].values())
+    # hash-partitioned by source: each file holds few distinct sources.
+    # corrupt every file whose range excludes 'src1' — a pruned scan
+    # must still answer
+    survivors = []
+    for f, s in m["stats"].items():
+        lo, hi = s.get("source", (None, None))
+        if isinstance(lo, str) and not (lo <= "src1" <= hi):
+            open(os.path.join(lake, f), "wb").write(b"corrupt")
+        else:
+            survivors.append(f)
+    assert survivors and len(survivors) < len(m["files"]), (
+        "fixture must actually split sources across files")
+    got = scan_version(spark, lake, "source", "src1", "src1")
+    assert got.count() == 50 and \
+        {r["source"] for r in got.collect()} == {"src1"}
+    # string-equality DELETE stat-prunes the corrupted files too
+    v = delete_where(spark, lake, "source = 'src1'")
+    m2 = _read_manifest(lake, v)
+    assert m2["stat_pruned_files"] >= len(m["files"]) - len(survivors)
+    assert m2["rows_matched"] == 50
 
 
 def test_append_after_mor_delete_carries_dvs(spark, tmp_path):
