@@ -21,6 +21,17 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def content_salt(df: DataFrame, salt: int) -> "F.Column":
+    """Deterministic per-row salt bucket for :func:`salted_join`:
+    ``pmod(xxhash64(<every column>), salt)`` — a pure function of row
+    content, invariant under repartitioning, task retries, and AQE
+    re-plans (unlike ``monotonically_increasing_id``, which tracks the
+    physical layout)."""
+    return F.pmod(
+        F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt)
+    ).cast("int")
+
+
 def salted_join(
     big: DataFrame,
     small: DataFrame,
@@ -33,13 +44,19 @@ def salted_join(
     The small side is exploded x``salt`` (cheap when it is genuinely the
     small side); the big side picks a deterministic pseudo-random bucket
     per row, so a single hot key spreads over ``salt`` shuffle partitions.
+
+    The bucket is ``pmod(xxhash64(<every big-side column>), salt)`` —
+    a pure function of ROW CONTENT, so a task retry or an AQE re-plan
+    reproduces identical bucket assignment (r9 verdict item 1: the old
+    ``monotonically_increasing_id`` salt depended on physical partition
+    layout).  Hashing only the join key would collapse each hot key
+    into ONE bucket — the non-key columns are what spread it; fully
+    duplicate rows share a bucket, which is the deterministic floor.
     """
     salted_small = small.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
     )
-    salted_big = big.withColumn(
-        "__salt", (F.abs(F.xxhash64(F.monotonically_increasing_id())) % salt).cast("int")
-    )
+    salted_big = big.withColumn("__salt", content_salt(big, salt))
     return (
         salted_big.join(salted_small, [on, "__salt"], how).drop("__salt")
     )

@@ -144,14 +144,35 @@ def _commit(path: str, files: list[str], parent: int | None,
     with open(tmp, "w") as f:
         json.dump(body, f)
     try:
-        os.link(tmp, _manifest_path(path, v))
-    except FileExistsError:
-        os.remove(tmp)
-        raise CommitConflict(
-            f"version {v} was committed concurrently; recompute against "
-            f"the new head and retry"
-        ) from None
-    os.remove(tmp)
+        try:
+            os.link(tmp, _manifest_path(path, v))
+        except FileExistsError:
+            raise CommitConflict(
+                f"version {v} was committed concurrently; recompute "
+                f"against the new head and retry"
+            ) from None
+        except OSError:
+            # Filesystem without hard-link support (some NFS/SMB/FUSE
+            # object mounts raise EPERM/ENOTSUP): fall back to the
+            # O_EXCL claim-then-write protocol.  The claim keeps the
+            # fails-if-exists conflict check; the body write reopens a
+            # small torn window, which readers already tolerate (torn
+            # manifests skip, the slot stays burned).
+            try:
+                fd = os.open(_manifest_path(path, v),
+                             os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            except FileExistsError:
+                raise CommitConflict(
+                    f"version {v} was committed concurrently; recompute "
+                    f"against the new head and retry"
+                ) from None
+            with os.fdopen(fd, "w") as out:
+                json.dump(body, out)
+    finally:
+        try:
+            os.remove(tmp)
+        except FileNotFoundError:
+            pass
     return v
 
 
@@ -524,7 +545,24 @@ def read_version(
         raise FileNotFoundError(f"no committed versions under {path}")
     m = _read_manifest(path, v)
     if not m["files"]:
-        raise ValueError(f"version {v} is empty")
+        # A legal full-table DELETE commits a manifest with no files;
+        # the version must stay readable as an EMPTY relation (Delta
+        # semantics), not raise.  DELETE/UPDATE never change schema, so
+        # the nearest ancestor that still had files supplies it.
+        p = m.get("parent")
+        seen: set[int] = set()
+        while p is not None and p not in seen:
+            seen.add(p)
+            pm = _read_manifest(path, p)
+            if pm["files"]:
+                return _read_with_dvs(
+                    spark, path, pm["files"], {},
+                    merge_schema=merge_schema,
+                ).limit(0)
+            p = pm.get("parent")
+        raise ValueError(
+            f"version {v} is empty and no ancestor records a schema"
+        )
     return _read_with_dvs(spark, path, m["files"], m.get("dvs", {}),
                           merge_schema=merge_schema)
 
@@ -1195,13 +1233,28 @@ def _prunable_conjuncts(predicate: str) -> list[tuple[str, str, object]]:
     to infer cheaply, so we return ``[]`` and let the scan decide
     (correctness never depends on this: pruning only SKIPS files whose
     recorded [min,max] cannot satisfy a conjunct the full predicate
-    implies).  Literals: ints, floats, single-quoted strings."""
+    implies).  Literals: ints, floats, single-quoted strings.
+
+    String literals are masked out BEFORE the OR/NOT/IN guard and the
+    AND split so text like ``source = 'x AND k < 5'`` can never leak a
+    bogus conjunct from inside quotes (that would prune files the real
+    predicate matches — a silent row loss in delete/update)."""
     import re
 
-    if re.search(r"(?i)(?<![a-z_])(or|not|in)(?![a-z_])|[()]", predicate):
+    lits: list[str] = []
+
+    def _mask(m: "re.Match[str]") -> str:
+        lits.append(m.group(0))
+        return f"\x00{len(lits) - 1}\x00"
+
+    masked = re.sub(r"'[^']*'", _mask, predicate)
+    if "'" in masked:  # unbalanced quote: give up, never prune
+        return []
+    if re.search(r"(?i)(?<![a-z_])(or|not|in)(?![a-z_])|[()]", masked):
         return []
     out: list[tuple[str, str, object]] = []
-    for part in re.split(r"(?i)\s+and\s+", predicate):
+    for part in re.split(r"(?i)\s+and\s+", masked):
+        part = re.sub(r"\x00(\d+)\x00", lambda m: lits[int(m.group(1))], part)
         m = re.fullmatch(
             r"\s*([A-Za-z_][A-Za-z0-9_]*)\s*(=|==|<=|>=|<|>)\s*"
             r"(-?\d+\.\d+|-?\d+|'[^']*')\s*", part)
@@ -1323,6 +1376,10 @@ def _rewrite_where(spark: SparkSession, path: str, predicate: str,
                     touched_rel.add(ref)
                     rows_matched += r["count"]
         kept = [f for f in head_files if f not in touched_rel]
+        if not touched_rel:
+            # Zero matched rows: skip the commit entirely (Delta does
+            # the same) — a no-op version would churn history and CDF.
+            return hv
 
         new_files: list[str] = []
         if touched_rel:
@@ -1505,6 +1562,10 @@ def _delete_mor(spark: SparkSession, path: str, predicate: str,
                         rows_matched += r["count"]
                 for f in touched_rel:
                     dvs[f] = dvs.get(f, []) + new_dv_refs
+        if not new_dv_refs:
+            # nothing newly dead: skip the no-op commit (Delta parity);
+            # the empty probe parquet (if any) stays orphan until vacuum
+            return hv
         extra: dict = {}
         if stats:
             extra["stats"] = stats  # still valid over-approximations
@@ -1675,6 +1736,9 @@ def _update_mor(spark: SparkSession, path: str, predicate: str,
                         rows_matched += r["count"]
                 for f in touched_rel:
                     dvs[f] = dvs.get(f, []) + new_dv_refs
+        if not new_dv_refs:
+            # zero matched rows: skip the no-op commit (Delta parity)
+            return hv
         extra: dict = {}
         if stats:
             stat_cols = sorted({c for s in stats.values() for c in s})

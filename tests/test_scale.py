@@ -1790,7 +1790,7 @@ def test_lake_lifecycle_fuzz_pinned_seeds(spark):
     layer (tools/fuzz_lake.py): random append/merge/compact/vacuum/
     clone walks vs a dict model, head compared after EVERY commit,
     pinned snapshots re-read after churn, bloom lookups spot-checked.
-    Three pinned seeds here (the third from the grammar era that
+    Four pinned seeds here (the later two from the grammar era that
     includes delete/update/mor_delete DML); larger sweeps run at round
     close."""
     import random
@@ -2610,16 +2610,24 @@ def test_salted_hot_join_fans_out_and_matches_plain(spark):
     assert "BroadcastHashJoin" not in plan
     assert "__salt" in plan  # the exchange key carries the salt
     # R-way fan-out: the hot key's big-side rows use ALL 8 salt buckets
-    salted_big = ev.withColumn(
-        "__salt",
-        (F.abs(F.xxhash64(F.monotonically_increasing_id())) % 8)
-        .cast("int"),
-    )
+    # (content-hash salt, r9 verdict item 1)
+    from async_stream_processing_spark.plans.scale import content_salt
+
+    salted_big = ev.withColumn("__salt", content_salt(ev, 8))
     n_buckets = (
         salted_big.filter(F.col("k") == 0)
         .select("__salt").distinct().count()
     )
     assert n_buckets == 8
+    # determinism: the salt is a pure function of row content, so a
+    # different physical layout (task retry / AQE re-plan analog)
+    # reproduces the identical (row -> bucket) assignment
+    def _assignment(df):
+        return sorted(map(tuple,
+                          df.withColumn("__salt", content_salt(df, 8))
+                          .collect()))
+
+    assert _assignment(ev.repartition(3)) == _assignment(ev.repartition(17))
     # values: salted == plain, and the gated query agrees
     plain = ev.join(dim, "k").groupBy("k", "label").agg(
         F.count(F.lit(1)).alias("n_events"),
@@ -2754,3 +2762,112 @@ def test_concurrent_dual_streaming_sinks_independent_watermarks(
         list(range(0, 40)) + list(range(1000, 1010))
     )
     assert got == want  # every batch of BOTH streams, exactly once
+
+
+def test_prunable_conjuncts_respect_quoted_literals(spark, tmp_path):
+    """Round-10 advice (medium): _prunable_conjuncts must not split or
+    keyword-guard INSIDE a quoted string literal.  Before the fix,
+    ``source = 'x AND k < 5 AND y'`` leaked a bogus (k,<,5) conjunct,
+    so stat pruning skipped every file whose k-range was >= 5 and the
+    DELETE silently missed rows it should remove."""
+    from async_stream_processing_spark.plans.versioned import (
+        _prunable_conjuncts,
+        commit_append,
+        delete_where,
+        read_version,
+    )
+
+    weird = "x AND k < 5 AND y"
+    assert _prunable_conjuncts(f"source = '{weird}'") == [
+        ("source", "=", weird)
+    ]
+    assert _prunable_conjuncts(f"k >= 3 AND source = '{weird}'") == [
+        ("k", ">=", 3), ("source", "=", weird),
+    ]
+    # OR/NOT/IN inside a literal must not disable pruning...
+    assert _prunable_conjuncts("source = 'has OR not in it'") == [
+        ("source", "=", "has OR not in it")
+    ]
+    # ...but outside a literal they still do
+    assert _prunable_conjuncts("k > 5 OR k < 2") == []
+    # unbalanced quote: bail, never prune
+    assert _prunable_conjuncts("source = 'oops") == []
+
+    # end-to-end: high-k files (k >= 5 everywhere) hold the matching
+    # rows; the bogus conjunct would have stat-pruned them all away
+    lake = str(tmp_path / "lake")
+    rows = [(k, weird if k >= 100 else "plain") for k in range(120)]
+    df = spark.createDataFrame(rows, "k long, source string") \
+        .repartitionByRange(4, "k")
+    commit_append(df, lake, stats_cols=["k", "source"])
+    v = delete_where(spark, lake, f"source = '{weird}'")
+    from async_stream_processing_spark.plans.versioned import _read_manifest
+    m = _read_manifest(lake, v)
+    assert m["rows_matched"] == 20, m
+    kept = {r["k"] for r in read_version(spark, lake).collect()}
+    assert kept == set(range(100))
+
+
+def test_full_table_delete_head_stays_readable(spark, tmp_path):
+    """Round-10 advice (medium): a legal DELETE that matches every row
+    commits an empty manifest; the head must read as an EMPTY relation
+    with the pre-delete schema (Delta semantics), not raise — and the
+    lake must keep working (append after, time travel before)."""
+    from async_stream_processing_spark.plans.versioned import (
+        commit_append,
+        delete_where,
+        lookup_version,
+        read_version,
+        scan_version,
+    )
+
+    lake = str(tmp_path / "lake")
+    commit_append(
+        spark.createDataFrame([(k, k * 2) for k in range(50)],
+                              "k long, v long").coalesce(2),
+        lake, stats_cols=["k"], bloom_cols=["k"],
+    )
+    v = delete_where(spark, lake, "k >= 0")
+    head = read_version(spark, lake)
+    assert head.count() == 0
+    assert [f.name for f in head.schema.fields] == ["k", "v"]
+    # pruned / bloomed readers survive the empty head too
+    assert scan_version(spark, lake, "k", 0, 10, version=v).count() == 0
+    assert lookup_version(spark, lake, "k", 3, version=v).count() == 0
+    # time travel to the pre-delete version intact
+    assert read_version(spark, lake, 1).count() == 50
+    # the lake keeps working: append lands on top of the empty head
+    commit_append(
+        spark.createDataFrame([(999, 1)], "k long, v long"), lake,
+    )
+    assert read_version(spark, lake).count() == 1
+
+
+def test_noop_delete_update_skip_commit(spark, tmp_path):
+    """Round-10 advice (low): DELETE/UPDATE matching zero rows must
+    not publish a version (Delta skips the commit) — in all four
+    mode combinations the head version is returned unchanged and the
+    history stays clean."""
+    from async_stream_processing_spark.plans.versioned import (
+        commit_append,
+        delete_where,
+        read_version,
+        update_where,
+        versions,
+    )
+
+    lake = str(tmp_path / "lake")
+    commit_append(
+        spark.createDataFrame([(k, k) for k in range(20)],
+                              "k long, v long").coalesce(1),
+        lake, stats_cols=["k"],
+    )
+    before = versions(lake)
+    assert delete_where(spark, lake, "k > 1000") == before[-1]
+    assert delete_where(spark, lake, "k > 1000", mode="mor") == before[-1]
+    assert update_where(spark, lake, "k > 1000", {"v": "v + 1"}) \
+        == before[-1]
+    assert update_where(spark, lake, "k > 1000", {"v": "v + 1"},
+                        mode="mor") == before[-1]
+    assert versions(lake) == before
+    assert read_version(spark, lake).count() == 20
