@@ -867,6 +867,34 @@ def test_bpe_apply_merges_reduce_token_count(spark):
     }
 
 
+def test_bpe_batched_scan_equals_sequential(spark, monkeypatch):
+    """The batched merge acceptance (one scan can advance several
+    rounds, r9 verdict item 8) must learn the IDENTICAL model to the
+    strictly-sequential one-merge-per-scan loop — `_BPE_SCAN_TOP_K=1`
+    degenerates to the old behavior, so a differential run over
+    corpora with ties, runs, and flat tails pins exactness."""
+    import async_stream_processing_spark.llm.text_analysis as ta
+
+    corpora = [
+        [(0, "abab abab ab"), (1, "abab ab")],           # early stop
+        [(0, "aab aab aab"), (1, "aab b")],              # created-pair trap
+        [(0, "the theme there then"), (1, "other brother bother")],
+        [(0, "xy xy za za qq qq"), (1, "xy za qq xy za")],  # flat ties
+        [(0, "a a a a a"), (1, "aaa aa a")],             # run-heavy
+    ]
+    for rows in corpora:
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        batched = [tuple(r) for r in sorted(
+            ta.bpe_train(docs, n_merges=6).collect(),
+            key=lambda r: r["merge_round"])]
+        monkeypatch.setattr(ta, "_BPE_SCAN_TOP_K", 1)
+        seq = [tuple(r) for r in sorted(
+            ta.bpe_train(docs, n_merges=6).collect(),
+            key=lambda r: r["merge_round"])]
+        monkeypatch.undo()
+        assert batched == seq, rows
+
+
 def test_simhash_narrow_equals_agg(spark):
     """The zero-shuffle per-row simhash (array_distinct + bit filters)
     must equal the explode+distinct+groupBy formulation exactly."""
