@@ -1656,10 +1656,9 @@ def tfidf_cosine_pairs(
     on the term key; norms join pair-graph-sized output.  Output:
     (doc_a, doc_b, dot, cosine) for pairs with cosine >= tau.
     """
-    toks = fan_out(docs).select(
-        "doc_id", F.explode(tokens(text)).alias("tok")
-    )
-    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    from .text_analysis import tf_postings_cached
+
+    tf = tf_postings_cached(docs, text)
     stats = tf.agg(
         F.count_distinct("doc_id").alias("n_docs")
     )

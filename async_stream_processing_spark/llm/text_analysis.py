@@ -190,6 +190,64 @@ def sql_token_rarity(src: str = "documents") -> str:
     """
 
 
+#: session-scoped (doc_id, tok, tf) aggregates, keyed like
+#: dedup._PAIRS_CACHE (application, plan hash, file fingerprint)
+_TF_CACHE: dict = {}
+_TF_CACHE_MAX = 8
+
+
+def tf_postings_cached(docs: DataFrame, text: str = "text") -> DataFrame:
+    """The per-document term-frequency relation ``(doc_id, tok, tf)``
+    as ONE session-scoped persisted artifact (r9 verdict item 3):
+    :func:`tfidf_top_terms` and :func:`~.dedup.tfidf_cosine_pairs`
+    both start from the identical token-explode aggregation over the
+    same corpus, and each re-deriving it repaid the corpus scan +
+    explode + shuffle per query.  The relation is vocabulary-sized per
+    doc (far smaller than the exploded token stream), so keeping it
+    ``localCheckpoint``-ed costs little and the second consumer starts
+    from a materialized artifact — the "compute postings once, fan
+    consumers out" structure of a production indexing pipeline.
+
+    Cache key and safety mirror ``verified_pairs_cached``: semantic
+    plan hash + input-file fingerprint, ``sameSemantics`` re-verified
+    on hit (a collision can only recompute, never serve wrong data);
+    unhashable plans (Connect, streaming) fall back to a plain
+    recompute."""
+    from ._cache import data_fingerprint
+    from .dedup import fan_out
+
+    if docs.isStreaming:
+        return docs.select(
+            "doc_id", F.explode(tokens(text)).alias("tok")
+        ).groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    try:
+        key = (
+            docs.sparkSession.sparkContext.applicationId,
+            docs.semanticHash(), data_fingerprint(docs), text,
+        )
+    except Exception:
+        key = None
+    if key is not None and key in _TF_CACHE:
+        stored_docs, tf = _TF_CACHE[key]
+        try:
+            if docs.sameSemantics(stored_docs):
+                return tf
+        except Exception:
+            pass
+    tf = (
+        fan_out(docs)
+        .select("doc_id", F.explode(tokens(text)).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)
+    )
+    if key is not None:
+        while len(_TF_CACHE) >= _TF_CACHE_MAX:
+            _TF_CACHE.pop(next(iter(_TF_CACHE)))
+        _TF_CACHE[key] = (docs, tf)
+    return tf
+
+
 def tfidf_top_terms(docs: DataFrame, text: str = "text", k: int = 5) -> DataFrame:
     """Top-k characteristic terms per document by rational-space TF-IDF.
 
@@ -206,8 +264,7 @@ def tfidf_top_terms(docs: DataFrame, text: str = "text", k: int = 5) -> DataFram
     """
     from pyspark.sql import Window
 
-    toks = docs.select("doc_id", F.explode(tokens(text)).alias("tok"))
-    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    tf = tf_postings_cached(docs, text)
     df_counts = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
