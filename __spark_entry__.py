@@ -916,6 +916,74 @@ def _stream_time_ordered(spark: SparkSession, sf_dir: str,
     )
 
 
+def _events_time_shuffled_dir(spark: SparkSession, sf_dir: str,
+                              n_parts: int = 3,
+                              jitter_s: int = 7200) -> str:
+    """The events table re-landed as ``n_parts`` files bucketed by a
+    JITTERED event time (±``jitter_s``, deterministic per event_id) —
+    so consecutive micro-batches genuinely interleave rows OUT of
+    event-time order across the batch boundary, within a bounded
+    horizon.  This is the arrival shape of a multi-partition log whose
+    partitions drift by minutes-to-hours (e.g. Kafka partitions with
+    skewed producers), and the fixture for the reorder-buffered folds
+    (``streaming/reorder.py``): disorder ≤ 2x jitter < the watermark
+    delay, so nothing is ever late-dropped and the fold must still
+    hash-match the batch oracle."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    key = (sf_dir, n_parts, "shuffled", jitter_s)
+    d = _SPLIT_DIRS.get(key)
+    if d and os.path.isdir(d):
+        return d
+    ev = load_table(spark, sf_dir, "events")
+    j_us = jitter_s * 1_000_000
+    jit = F.pmod(F.xxhash64("event_id"), F.lit(2 * j_us + 1)) - F.lit(j_us)
+    parts = ev.withColumn("__jk", F.unix_micros("ts") + jit).withColumn(
+        "__b",
+        F.ntile(n_parts).over(Window.orderBy("__jk", "event_id")) - 1,
+    ).drop("__jk")
+    d = tempfile.mkdtemp(prefix="asp_tshuf_")
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    sub = os.path.join(d, "__by_bucket")
+    parts.repartition(n_parts, "__b").write.partitionBy("__b") \
+        .mode("overwrite").parquet(sub)
+    for i in range(n_parts):
+        bdir = os.path.join(sub, f"__b={i}")
+        part = next(
+            f for f in os.listdir(bdir)
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        )
+        dst = os.path.join(d, f"events_{i:03d}.parquet")
+        os.replace(os.path.join(bdir, part), dst)
+        os.utime(dst, (1_600_000_000 + i * 10, 1_600_000_000 + i * 10))
+    shutil.rmtree(sub)
+    _SPLIT_DIRS[key] = d
+    return d
+
+
+#: watermark delay for the reorder-buffered fold queries: must exceed
+#: 2x the fixture jitter (7200 s) so no row is ever beyond-watermark
+_REORDER_DELAY = "18000 seconds"
+
+
+def _stream_time_shuffled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming DataFrame over the time-SHUFFLED replay: one
+    micro-batch per file, rows interleaving out of event-time order
+    across batches within the jitter horizon."""
+    d = _events_time_shuffled_dir(spark, sf_dir)
+    schema = spark.read.parquet(d).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+
+
 def _drain_fold(spark: SparkSession, folded_stream: DataFrame) -> DataFrame:
     """Drain an applyInPandasWithState fold (append mode) and keep each
     key's FINAL state row (max ``n`` — the cart-fold convention).  The
@@ -2495,6 +2563,12 @@ def q_stream_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long").alias("y"),
     )
     finals = _drain_fold(spark, ols_fold_stream(s))
+    return _ols_from_finals(finals)
+
+
+def _ols_from_finals(finals: DataFrame) -> DataFrame:
+    """Shared OLS finalization for the ordered and reorder-buffered
+    stream twins — identical IEEE tree to the batch ols_trend."""
     # closed-form sx/sxx in PURE integer arithmetic (`div`, not `/`):
     # double division then cast silently loses exactness once
     # n*(n+1)*(2n+1) exceeds 2^53 (n per key above ~1.6e5), which would
@@ -2585,6 +2659,12 @@ def q_stream_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = drain(bollinger_fold_stream(s), output_mode="append")
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return _bollinger_from_sums(out)
+
+
+def _bollinger_from_sums(out: DataFrame) -> DataFrame:
+    """Shared Bollinger finalization (mean/±2σ IEEE tree) for the
+    ordered and reorder-buffered stream twins."""
     n_d = F.col("n").cast("double")
     sx = F.col("sx_c").cast("double") / F.lit(100.0)
     sxx = F.col("sxx_c4").cast("double") / F.lit(10000.0)
@@ -2639,6 +2719,95 @@ def q_stream_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "user_id", "ts", "event_id", corr.alias("corr20"),
     )
+
+
+def q_stream_cusum_ooo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cusum_drift over an OUT-OF-ORDER stream (r9 verdict item 2):
+    the replay interleaves rows across micro-batches within a ±2 h
+    jitter, and the reorder-buffered fold (``streaming/reorder.py``)
+    holds rows in state until the watermark passes, folds on
+    finalization in event-time order, and emits the exact-so-far
+    speculative state each batch — so the drained final rows
+    hash-match the SAME oracle as the time-ordered ``stream_cusum``,
+    with state bounded by the watermark horizon, never history."""
+    from async_stream_processing_spark.streaming.reorder import (
+        reordered_fold_stream,
+    )
+
+    s = _stream_time_shuffled(spark, sf_dir).select(
+        "ts", "event_id", "user_id",
+        (F.col("value").cast("decimal(18,2)") * 100)
+        .cast("long").alias("x"),
+    )
+    finals = _drain_fold(
+        spark, reordered_fold_stream(s, "cusum", delay=_REORDER_DELAY)
+    )
+    return finals.select(
+        "user_id",
+        F.col("smax").alias("max_cusum"),
+        "n_over",
+        F.col("alarm").alias("first_alarm_event"),
+        F.col("n").alias("n_points"),
+    ).filter(F.col("n_points") >= 10)
+
+
+def q_stream_ols_ooo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ols_trend over an OUT-OF-ORDER stream: the reorder-buffered
+    fold re-sorts within the watermark horizon, so the regression's
+    time index (the 1-based event-time position) is assigned correctly
+    even though arrival interleaves — hash-matches the SAME oracle as
+    the ordered ``stream_ols``."""
+    from async_stream_processing_spark.streaming.reorder import (
+        reordered_fold_stream,
+    )
+
+    s = _stream_time_shuffled(spark, sf_dir).select(
+        "ts", "event_id", "user_id",
+        (F.col("value").cast("decimal(18,2)") * 100)
+        .cast("long").alias("y"),
+    )
+    finals = _drain_fold(
+        spark, reordered_fold_stream(s, "ols", delay=_REORDER_DELAY)
+    )
+    return _ols_from_finals(finals)
+
+
+def q_stream_bollinger_ooo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bollinger_bands over an OUT-OF-ORDER stream — the PER-EVENT
+    member of the reorder family: pending events re-emit speculatively
+    each batch tagged with the per-key emission sequence ``nb``; the
+    drained consumer keeps max-``nb`` per (user_id, event_id), whose
+    value is the event's exact frame (its finalization batch, or the
+    last batch if the tail never finalized).  Hash-matches the SAME
+    oracle as the ordered ``stream_bollinger`` row for row."""
+    from pyspark.sql import Window
+
+    from async_stream_processing_spark.streaming.reorder import (
+        reordered_bollinger_stream,
+    )
+    from async_stream_processing_spark.streaming.replay import drain
+
+    s = _stream_time_shuffled(spark, sf_dir).select(
+        "ts", "event_id", "user_id",
+        (F.col("value").cast("decimal(18,2)") * 100)
+        .cast("long").alias("x"),
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        out = drain(
+            reordered_bollinger_stream(s, delay=_REORDER_DELAY),
+            output_mode="append",
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    w = Window.partitionBy("user_id", "event_id").orderBy(F.desc("nb"))
+    final_rows = (
+        out.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .drop("__rk", "nb")
+    )
+    return _bollinger_from_sums(final_rows)
 
 
 def q_salted_hot_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3307,6 +3476,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_late_events": q_stream_late_events,
         "stream_bollinger": q_stream_bollinger,
         "stream_rolling_corr": q_stream_rolling_corr,
+        "stream_cusum_ooo": q_stream_cusum_ooo,
+        "stream_ols_ooo": q_stream_ols_ooo,
+        "stream_bollinger_ooo": q_stream_bollinger_ooo,
         "stream_fullouter": q_stream_fullouter,
         "stream_leftouter": q_stream_leftouter,
         "demux_counts": q_demux,
@@ -4267,6 +4439,7 @@ def oracle_sql() -> dict[str, str]:
     out["max_drawdown"] = out["stream_max_drawdown"] = sql_max_drawdown()
     out["bollinger_bands"] = sql_bollinger_bands(n_rows=20)
     out["stream_bollinger"] = out["bollinger_bands"]
+    out["stream_bollinger_ooo"] = out["bollinger_bands"]
     out["rolling_corr"] = """
         WITH lagged AS (
             SELECT user_id, ts, event_id,
@@ -4961,11 +5134,14 @@ def oracle_sql() -> dict[str, str]:
         FROM xs
     """
     out["stream_ols"] = out["ols_trend"]
+    out["stream_ols_ooo"] = out["ols_trend"]
     from async_stream_processing_spark.operators.analytics import (
         sql_cusum_drift,
     )
 
     out["cusum_drift"] = out["stream_cusum"] = sql_cusum_drift()
+    # reorder-buffered OOO twin: same oracle (exactness is the point)
+    out["stream_cusum_ooo"] = out["stream_cusum"]
     out["salted_hot_join"] = """
         WITH ev AS (
             SELECT CASE WHEN event_id % 10 < 3 THEN 0

@@ -25,13 +25,19 @@ batch/DuckDB oracle bit-for-bit.  All float math (RSI ratio, OLS
 slope/r2, drawdown dollars) happens AFTER the fold, Spark-side, through
 the identical IEEE expression trees the batch twins use.
 
-Ordering contract: an incremental fold is exact when each key's rows
-arrive across micro-batches in non-decreasing (ts, event_id) order —
-i.e. the source replays time-ordered, the normal shape of a log/CDC
-source (Kafka per-partition order, time-partitioned file landing).
-Within a batch, arrival order is free (we sort).  The gated fixtures
-replay the events table as K time-split files (oldest-first file
-source order), so the cross-batch carry is genuinely exercised.
+Ordering contract: an incremental fold here is exact when each key's
+rows arrive across micro-batches in non-decreasing (ts, event_id)
+order — i.e. the source replays time-ordered, the normal shape of a
+log/CDC source (Kafka per-partition order, time-partitioned file
+landing).  Within a batch, arrival order is free (we sort).  The gated
+fixtures replay the events table as K time-split files (oldest-first
+file source order), so the cross-batch carry is genuinely exercised.
+For sources that interleave rows out of time order ACROSS batches, the
+reorder-buffered twins in :mod:`streaming.reorder` remove this
+contract entirely (exact for any disorder within the watermark delay)
+by holding rows in state until the watermark passes — these ordered
+folds remain the zero-buffer fast path.  Both paths share the pure
+kernels below, so the recurrences cannot drift.
 
 The reference's analog is a per-key Python accumulator in a callback
 (``/root/reference/src/async_stream_processing/processor.py:185-194``
@@ -95,6 +101,167 @@ def _sorted_values(pdfs: Iterator[pd.DataFrame], cols: list[str]):
     return [pdf[c].to_numpy() for c in cols]
 
 
+# ---------------------------------------------------------------------------
+# Pure recurrence kernels.  Each consumes a core tuple plus event-time
+# ordered values and returns the advanced core (and, for the per-event
+# family, the emitted rows).  They are the SINGLE definition of every
+# recurrence — the ordered folds below and the reorder-buffered
+# wrappers in streaming/reorder.py both call them, so the two paths
+# cannot drift (differential-tested besides).
+# ---------------------------------------------------------------------------
+
+CORE_INIT = {
+    "cusum": (0, 0, 0, 0, 0, None, 0),
+    "ewma": (0, 0),
+    "rsi": (0, 0, 0, 0),
+    "ols": (0, 0, 0, 0),
+    "drawdown": (0, 0, 0, 0),
+}
+
+
+def cusum_kernel(core, xs, eids, slack: int = 50,
+                 threshold: int = 2000) -> tuple:
+    anchor, c, m, smax, n_over, alarm, n = core
+    for x, eid in zip(xs, eids):
+        if n == 0:
+            anchor = x
+        c += x - anchor - slack
+        if c < m:
+            m = c
+        s = c - m
+        if s > smax:
+            smax = s
+        if s > threshold:
+            n_over += 1
+            if alarm is None or eid < alarm:
+                alarm = eid
+        n += 1
+    return (anchor, c, m, smax, n_over, alarm, n)
+
+
+def ewma_kernel(core, xs, w_old: int = 7, w_new: int = 3,
+                den: int = 10) -> tuple:
+    ew, n = core
+    for x in xs:
+        if n == 0:
+            ew = x
+        else:
+            y = ew * w_old + x * w_new
+            ew = y // den if y >= 0 else -((-y) // den)
+        n += 1
+    return (ew, n)
+
+
+def rsi_kernel(core, ys, period: int = 14) -> tuple:
+    prev_y, ag, al, n = core
+    for y in ys:
+        if n >= 1:
+            d = y - prev_y
+            g = (d if d > 0 else 0) * 1_000_000
+            loss = (-d if d < 0 else 0) * 1_000_000
+            if n == 1:
+                ag, al = g, loss
+            else:
+                ag = (ag * (period - 1) + g) // period
+                al = (al * (period - 1) + loss) // period
+        prev_y = y
+        n += 1
+    return (prev_y, ag, al, n)
+
+
+def ols_kernel(core, ys) -> tuple:
+    n, sy, sxy, syy = core
+    for y in ys:
+        n += 1
+        sy += y
+        sxy += n * y
+        syy += y * y
+    return (n, sy, sxy, syy)
+
+
+def drawdown_kernel(core, xs) -> tuple:
+    eq, peak, dd, n = core
+    for x in xs:
+        if n == 0:
+            eq = x
+            peak = x
+            dd = 0
+        else:
+            eq += x
+            if eq > peak:
+                peak = eq
+            elif peak - eq > dd:
+                dd = peak - eq
+        n += 1
+    return (eq, peak, dd, n)
+
+
+def bollinger_kernel(core: list, uid, ts_list, eids, xs,
+                     k_carry: int = BOLLINGER_K - 1):
+    """Rolling frame-sum kernel: ``core`` is the list of the k-1 most
+    recent values (oldest first).  Returns (new core, emitted rows) —
+    rows are (user_id, ts, event_id, n, sx_c, sxx_c4)."""
+    buf = list(core)
+    rows = []
+    run_sx = sum(buf)
+    run_sxx = sum(v * v for v in buf)
+    for ts, eid, x in zip(ts_list, eids, xs):
+        rows.append((uid, ts, eid, len(buf) + 1,
+                     run_sx + x, run_sxx + x * x))
+        buf.append(x)
+        run_sx += x
+        run_sxx += x * x
+        if len(buf) > k_carry:
+            old = buf.pop(0)
+            run_sx -= old
+            run_sxx -= old * old
+    assert len(buf) <= k_carry  # bounded BY CONSTRUCTION
+    return buf, rows
+
+
+def corr_kernel(core: tuple, uid, ts_list, eids, xs,
+                k_carry: int = BOLLINGER_K - 1):
+    """Rolling lag-1 Pearson kernel: ``core`` = (prev_x, buf of (x,
+    lag-x) pairs).  Returns (new core, rows) — rows are (user_id, ts,
+    event_id, n, sx_c, sy_c, sxy_c4, sxx_c4, syy_c4)."""
+    prev_x, buf = core
+    buf = list(buf)
+    rows = []
+    n_v = sum(1 for _, b in buf if b is not None)
+    sx = sum(a for a, b in buf if b is not None)
+    sy = sum(b for _, b in buf if b is not None)
+    sxy = sum(a * b for a, b in buf if b is not None)
+    sxx = sum(a * a for a, b in buf if b is not None)
+    syy = sum(b * b for _, b in buf if b is not None)
+    for ts, eid, x in zip(ts_list, eids, xs):
+        y = prev_x
+        if y is not None:
+            rows.append((uid, ts, eid, n_v + 1, sx + x, sy + y,
+                         sxy + x * y, sxx + x * x, syy + y * y))
+        else:
+            rows.append((uid, ts, eid, n_v, sx, sy, sxy, sxx, syy))
+        buf.append((x, y))
+        if y is not None:
+            n_v += 1
+            sx += x
+            sy += y
+            sxy += x * y
+            sxx += x * x
+            syy += y * y
+        if len(buf) > k_carry:
+            ox, oy = buf.pop(0)
+            if oy is not None:
+                n_v -= 1
+                sx -= ox
+                sy -= oy
+                sxy -= ox * oy
+                sxx -= ox * ox
+                syy -= oy * oy
+        prev_x = x
+    assert len(buf) <= k_carry
+    return (prev_x, buf), rows
+
+
 def _emit(state, values: tuple, columns: list[str]) -> pd.DataFrame:
     """Update state and emit ONE row carrying it (per key per batch).
     The drained final row per key is the one with max ``n`` — the same
@@ -131,26 +298,12 @@ def cusum_fold_stream(stream, slack: int = 50, threshold: int = 2000):
 
     def fold(key, pdfs, state):
         uid = int(key[0])
-        anchor, c, m, smax, n_over, alarm, n = (
-            state.get if state.exists else (0, 0, 0, 0, 0, None, 0)
-        )
+        core = tuple(state.get) if state.exists else CORE_INIT["cusum"]
         xs, eids = _sorted_values(pdfs, ["x", "event_id"])
-        for x, eid in zip(xs.tolist(), eids.tolist()):
-            if n == 0:
-                anchor = x
-            c += x - anchor - slack
-            if c < m:
-                m = c
-            s = c - m
-            if s > smax:
-                smax = s
-            if s > threshold:
-                n_over += 1
-                if alarm is None or eid < alarm:
-                    alarm = eid
-            n += 1
+        core = cusum_kernel(core, xs.tolist(), eids.tolist(),
+                            slack, threshold)
         yield _emit(
-            state, (anchor, c, m, smax, n_over, alarm, n),
+            state, core,
             ["anchor", "c", "m", "smax", "n_over", "alarm", "n"],
         ).assign(user_id=uid)
 
@@ -171,16 +324,10 @@ def ewma_fold_stream(stream, w_old: int = 7, w_new: int = 3,
 
     def fold(key, pdfs, state):
         uid = int(key[0])
-        ew, n = state.get if state.exists else (0, 0)
+        core = tuple(state.get) if state.exists else CORE_INIT["ewma"]
         (xs,) = _sorted_values(pdfs, ["x"])
-        for x in xs.tolist():
-            if n == 0:
-                ew = x
-            else:
-                y = ew * w_old + x * w_new
-                ew = y // den if y >= 0 else -((-y) // den)
-            n += 1
-        yield _emit(state, (ew, n), ["ew", "n"]).assign(user_id=uid)
+        core = ewma_kernel(core, xs.tolist(), w_old, w_new, den)
+        yield _emit(state, core, ["ew", "n"]).assign(user_id=uid)
 
     return _apply(stream, fold, "ew BIGINT, n BIGINT, user_id BIGINT", "ewma")
 
@@ -195,22 +342,11 @@ def rsi_fold_stream(stream, period: int = 14):
 
     def fold(key, pdfs, state):
         uid = int(key[0])
-        prev_y, ag, al, n = state.get if state.exists else (0, 0, 0, 0)
+        core = tuple(state.get) if state.exists else CORE_INIT["rsi"]
         (ys,) = _sorted_values(pdfs, ["y"])
-        for y in ys.tolist():
-            if n >= 1:
-                d = y - prev_y
-                g = (d if d > 0 else 0) * 1_000_000
-                loss = (-d if d < 0 else 0) * 1_000_000
-                if n == 1:
-                    ag, al = g, loss
-                else:
-                    ag = (ag * (period - 1) + g) // period
-                    al = (al * (period - 1) + loss) // period
-            prev_y = y
-            n += 1
+        core = rsi_kernel(core, ys.tolist(), period)
         yield _emit(
-            state, (prev_y, ag, al, n), ["prev_y", "ag", "al", "n"]
+            state, core, ["prev_y", "ag", "al", "n"]
         ).assign(user_id=uid)
 
     out_schema = "prev_y BIGINT, ag BIGINT, al BIGINT, n BIGINT, user_id BIGINT"
@@ -227,15 +363,11 @@ def ols_fold_stream(stream):
 
     def fold(key, pdfs, state):
         uid = int(key[0])
-        n, sy, sxy, syy = state.get if state.exists else (0, 0, 0, 0)
+        core = tuple(state.get) if state.exists else CORE_INIT["ols"]
         (ys,) = _sorted_values(pdfs, ["y"])
-        for y in ys.tolist():
-            n += 1
-            sy += y
-            sxy += n * y
-            syy += y * y
+        core = ols_kernel(core, ys.tolist())
         yield _emit(
-            state, (n, sy, sxy, syy), ["n", "sy", "sxy", "syy"]
+            state, core, ["n", "sy", "sxy", "syy"]
         ).assign(user_id=uid)
 
     out_schema = "n BIGINT, sy BIGINT, sxy BIGINT, syy BIGINT, user_id BIGINT"
@@ -272,26 +404,10 @@ def bollinger_fold_stream(stream, n_rows: int = BOLLINGER_K):
             buf = []
         pdf = pd.concat(list(pdfs), ignore_index=True)
         pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
-        rows = []
-        # running sums over the carried frame: O(1) per event (add the
-        # entering value, retire the departing one), not O(k)
-        run_sx = sum(buf)
-        run_sxx = sum(v * v for v in buf)
-        for ts, eid, x in zip(
-            pdf["ts"].tolist(), pdf["event_id"].tolist(), pdf["x"].tolist()
-        ):
-            rows.append((
-                uid, ts, eid, len(buf) + 1,
-                run_sx + x, run_sxx + x * x,
-            ))
-            buf.append(x)
-            run_sx += x
-            run_sxx += x * x
-            if len(buf) > k_carry:
-                old = buf.pop(0)
-                run_sx -= old
-                run_sxx -= old * old
-        assert len(buf) <= k_carry  # bounded BY CONSTRUCTION
+        buf, rows = bollinger_kernel(
+            buf, uid, pdf["ts"].tolist(), pdf["event_id"].tolist(),
+            pdf["x"].tolist(), k_carry,
+        )
         state.update(
             (len(buf), *buf, *([None] * (k_carry - len(buf))))
         )
@@ -338,41 +454,10 @@ def corr_fold_stream(stream, n_rows: int = BOLLINGER_K):
             buf = []
         pdf = pd.concat(list(pdfs), ignore_index=True)
         pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
-        rows = []
-        n_v = sum(1 for _, b in buf if b is not None)
-        sx = sum(a for a, b in buf if b is not None)
-        sy = sum(b for _, b in buf if b is not None)
-        sxy = sum(a * b for a, b in buf if b is not None)
-        sxx = sum(a * a for a, b in buf if b is not None)
-        syy = sum(b * b for _, b in buf if b is not None)
-        for ts, eid, x in zip(
-            pdf["ts"].tolist(), pdf["event_id"].tolist(), pdf["x"].tolist()
-        ):
-            y = prev_x
-            if y is not None:
-                rows.append((uid, ts, eid, n_v + 1, sx + x, sy + y,
-                             sxy + x * y, sxx + x * x, syy + y * y))
-            else:
-                rows.append((uid, ts, eid, n_v, sx, sy, sxy, sxx, syy))
-            buf.append((x, y))
-            if y is not None:
-                n_v += 1
-                sx += x
-                sy += y
-                sxy += x * y
-                sxx += x * x
-                syy += y * y
-            if len(buf) > k_carry:
-                ox, oy = buf.pop(0)
-                if oy is not None:
-                    n_v -= 1
-                    sx -= ox
-                    sy -= oy
-                    sxy -= ox * oy
-                    sxx -= ox * ox
-                    syy -= oy * oy
-            prev_x = x
-        assert len(buf) <= k_carry
+        (prev_x, buf), rows = corr_kernel(
+            (prev_x, buf), uid, pdf["ts"].tolist(),
+            pdf["event_id"].tolist(), pdf["x"].tolist(), k_carry,
+        )
         flat_out: list = []
         for a, b in buf:
             flat_out.extend((a, b))
@@ -400,22 +485,11 @@ def drawdown_fold_stream(stream):
 
     def fold(key, pdfs, state):
         uid = int(key[0])
-        eq, peak, dd, n = state.get if state.exists else (0, 0, 0, 0)
+        core = tuple(state.get) if state.exists else CORE_INIT["drawdown"]
         (xs,) = _sorted_values(pdfs, ["x"])
-        for x in xs.tolist():
-            if n == 0:
-                eq = x
-                peak = x
-                dd = 0
-            else:
-                eq += x
-                if eq > peak:
-                    peak = eq
-                elif peak - eq > dd:
-                    dd = peak - eq
-            n += 1
+        core = drawdown_kernel(core, xs.tolist())
         yield _emit(
-            state, (eq, peak, dd, n), ["eq", "peak", "dd", "n"]
+            state, core, ["eq", "peak", "dd", "n"]
         ).assign(user_id=uid)
 
     out_schema = "eq BIGINT, peak BIGINT, dd BIGINT, n BIGINT, user_id BIGINT"

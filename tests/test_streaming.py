@@ -647,3 +647,235 @@ def test_fold_fuzz_pinned_seeds(spark):
 
     for seed in (20260816, 20260816 + 3):
         run_case(spark, random.Random(seed), "/root/testdata/sf0.001")
+
+
+def _replay_reorder_state(kind, rows, batches, delay_ns, kw=None):
+    """Drive streaming/reorder.reorder_step exactly as the micro-batch
+    engine would: watermark before batch b = max event time of batches
+    < b minus delay (Spark's one-batch watermark lag)."""
+    import pandas as pd
+
+    from async_stream_processing_spark.streaming.folds import CORE_INIT
+    from async_stream_processing_spark.streaming.reorder import (
+        reorder_step,
+    )
+
+    core = CORE_INIT[kind]
+    buf = (None, None, None)
+    wm_ns, seen_max = 0, 0
+    spec = None
+    for batch in batches:
+        pdf = pd.DataFrame(
+            {"ts": pd.to_datetime([rows[i][0] for i in batch]),
+             "event_id": [rows[i][1] for i in batch],
+             "x": [rows[i][2] for i in batch],
+             "y": [rows[i][2] for i in batch]},
+        )
+        core, (bt, be, bv), spec = reorder_step(
+            kind, core, buf, pdf, wm_ns, kw or {})
+        buf = (bt, be, bv)
+        # boundedness: every pending row sits inside the horizon
+        assert all(t >= wm_ns for t in bt)
+        seen_max = max([seen_max] + [rows[i][0] for i in batch])
+        wm_ns = max(wm_ns, seen_max - delay_ns)
+    return spec
+
+
+def test_reorder_step_differential_all_state_kinds():
+    """Spark-free differential for the reorder buffer (r9 verdict item
+    2): time-SHUFFLED batches through the pure reorder step must end in
+    bit-identical state to the ordered kernel over the fully-sorted
+    input, for every O(1) fold kind and several disorder shapes."""
+    import random
+
+    from async_stream_processing_spark.streaming.folds import (
+        CORE_INIT,
+        cusum_kernel,
+        drawdown_kernel,
+        ewma_kernel,
+        ols_kernel,
+        rsi_kernel,
+    )
+
+    direct = {
+        "cusum": lambda t, e, v: cusum_kernel(CORE_INIT["cusum"], v, e),
+        "ewma": lambda t, e, v: ewma_kernel(CORE_INIT["ewma"], v),
+        "rsi": lambda t, e, v: rsi_kernel(CORE_INIT["rsi"], v),
+        "ols": lambda t, e, v: ols_kernel(CORE_INIT["ols"], v),
+        "drawdown": lambda t, e, v: drawdown_kernel(
+            CORE_INIT["drawdown"], v),
+    }
+    rng = random.Random(20260816)
+    for trial in range(4):
+        n = 120
+        base = 1_600_000_000_000_000_000
+        rows = [
+            (base + i * 1_000_000_000, i, rng.randrange(-500, 2500))
+            for i in range(n)
+        ]
+        # jitter each row's BATCH assignment within +-J, J < delay/2
+        j_ns = 20_000_000_000  # 20 s
+        delay_ns = 50_000_000_000  # 50 s
+        keyed = sorted(
+            range(n),
+            key=lambda i: rows[i][0] + rng.randrange(-j_ns, j_ns + 1),
+        )
+        n_batches = 5
+        cuts = [len(keyed) * b // n_batches for b in range(n_batches + 1)]
+        batches = [keyed[cuts[b]:cuts[b + 1]] for b in range(n_batches)]
+        for kind, fn in direct.items():
+            spec = _replay_reorder_state(kind, rows, batches, delay_ns)
+            srt = sorted(range(n), key=lambda i: (rows[i][0], rows[i][1]))
+            want = fn([rows[i][0] for i in srt],
+                      [rows[i][1] for i in srt],
+                      [rows[i][2] for i in srt])
+            assert tuple(spec) == tuple(want), (kind, trial)
+
+
+def test_reorder_rows_step_differential():
+    """Per-event reorder family (bollinger / corr): replay shuffled
+    batches, keep the max-``nb`` emission per event, demand row-level
+    bit-equality with the ordered kernel over the sorted input."""
+    import random
+
+    import pandas as pd
+
+    from async_stream_processing_spark.streaming.folds import (
+        bollinger_kernel,
+        corr_kernel,
+    )
+    from async_stream_processing_spark.streaming.reorder import (
+        reorder_rows_step,
+    )
+
+    rng = random.Random(20260817)
+    n = 90
+    base = 1_700_000_000_000_000_000
+    rows = [(base + i * 1_000_000_000, i, rng.randrange(0, 900))
+            for i in range(n)]
+    j_ns, delay_ns = 15_000_000_000, 40_000_000_000
+    keyed = sorted(range(n),
+                   key=lambda i: rows[i][0] + rng.randrange(-j_ns, j_ns + 1))
+    # contiguous jittered slices: disorder bounded by 2*j_ns < delay
+    cuts = [n * b // 4 for b in range(5)]
+    batches = [keyed[cuts[b]:cuts[b + 1]] for b in range(4)]
+    for kind, init, kernel in (
+        ("bollinger", [], bollinger_kernel),
+        ("corr", (None, []), corr_kernel),
+    ):
+        core, nb, buf = init, 0, (None, None, None)
+        wm_ns, seen_max = 0, 0
+        best: dict = {}
+        for batch in batches:
+            pdf = pd.DataFrame(
+                {"ts": pd.to_datetime([rows[i][0] for i in batch]),
+                 "event_id": [rows[i][1] for i in batch],
+                 "x": [rows[i][2] for i in batch]},
+            )
+            core, nb, buf, emitted = reorder_rows_step(
+                kind, core, nb, buf, pdf, wm_ns, uid=7)
+            assert all(t >= wm_ns for t in buf[0])
+            for r in emitted:
+                eid = r[2]
+                if eid not in best or r[-1] > best[eid][-1]:
+                    best[eid] = r
+            seen_max = max([seen_max] + [rows[i][0] for i in batch])
+            wm_ns = max(wm_ns, seen_max - delay_ns)
+        srt = sorted(range(n), key=lambda i: (rows[i][0], rows[i][1]))
+        _, want_rows = kernel(
+            init, 7,
+            [pd.Timestamp(rows[i][0]) for i in srt],
+            [rows[i][1] for i in srt],
+            [rows[i][2] for i in srt],
+        )
+        got = {r[2]: r[:-1] for r in best.values()}
+        want = {r[2]: tuple(r) for r in want_rows}
+        assert got == want, kind
+
+
+def test_time_shuffled_fixture_really_interleaves(spark):
+    """The OOO gate is not vacuous: the jittered replay files genuinely
+    interleave event time across micro-batch boundaries (a later file
+    contains rows older than an earlier file's max), and the disorder
+    stays within the watermark horizon (no row would be late-dropped)."""
+    import os
+    import sys
+
+    import pyarrow.parquet as pq
+
+    sys.path.insert(0, ".")
+    from __spark_entry__ import _events_time_shuffled_dir
+
+    d = _events_time_shuffled_dir(spark, "/root/testdata/sf0.001")
+    files = sorted(f for f in os.listdir(d) if f.endswith(".parquet"))
+    assert len(files) == 3
+    spans = []
+    for f in files:
+        t = pq.read_table(os.path.join(d, f), columns=["ts"]) \
+            .to_pandas()["ts"]
+        spans.append((t.min(), t.max()))
+    crossings = sum(
+        1 for i in range(1, len(spans)) if spans[i][0] < spans[i - 1][1]
+    )
+    assert crossings >= 1, spans
+    # disorder bounded by 2x jitter < the 18000 s watermark delay
+    import pandas as pd
+
+    for i in range(1, len(spans)):
+        back = (spans[i - 1][1] - spans[i][0]).total_seconds()
+        assert back < 14400, back
+
+
+def test_reordered_corr_stream_matches_batch_kernel(spark):
+    """End-to-end Spark run of the non-gated per-event reorder member
+    (rolling corr) over the time-shuffled replay: drained max-``nb``
+    rows equal the batch kernel over the sorted events exactly."""
+    import collections
+    import sys
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    sys.path.insert(0, ".")
+    from __spark_entry__ import _REORDER_DELAY, _stream_time_shuffled
+    from async_stream_processing_spark.sources.parquet import load_table
+    from async_stream_processing_spark.streaming.folds import corr_kernel
+    from async_stream_processing_spark.streaming.reorder import (
+        reordered_corr_stream,
+    )
+    from async_stream_processing_spark.streaming.replay import drain
+
+    sf = "/root/testdata/sf0.001"
+    s = _stream_time_shuffled(spark, sf).select(
+        "ts", "event_id", "user_id",
+        (F.col("value").cast("decimal(18,2)") * 100)
+        .cast("long").alias("x"),
+    )
+    out = drain(reordered_corr_stream(s, delay=_REORDER_DELAY),
+                output_mode="append")
+    w = Window.partitionBy("user_id", "event_id").orderBy(F.desc("nb"))
+    finals = out.withColumn("rk", F.row_number().over(w)) \
+        .filter("rk = 1").drop("rk", "nb")
+    got = {
+        (r["user_id"], r["event_id"]): (
+            r["n"], r["sx_c"], r["sy_c"], r["sxy_c4"], r["sxx_c4"],
+            r["syy_c4"],
+        )
+        for r in finals.collect()
+    }
+    ev = load_table(spark, sf, "events").select(
+        "user_id", "ts", "event_id",
+        (F.col("value").cast("decimal(18,2)") * 100)
+        .cast("long").alias("x"),
+    ).orderBy("ts", "event_id").collect()
+    per = collections.defaultdict(lambda: ([], [], []))
+    for r in ev:
+        per[r["user_id"]][0].append(r["ts"])
+        per[r["user_id"]][1].append(r["event_id"])
+        per[r["user_id"]][2].append(r["x"])
+    want = {}
+    for uid, (ts, eid, xs) in per.items():
+        _, rws = corr_kernel((None, []), uid, ts, eid, xs)
+        for (u, t, e, n, sx, sy, sxy, sxx, syy) in rws:
+            want[(u, e)] = (n, sx, sy, sxy, sxx, syy)
+    assert got == want
