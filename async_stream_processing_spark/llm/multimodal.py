@@ -417,19 +417,193 @@ def synth_mp4_payload(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
-def decode_pixels(docs_bin: DataFrame) -> DataFrame:
-    """Pixel decode seam: requires Pillow, absent in this container.
+def _px_value(doc_id: int, x, y, c):
+    """Closed-form synthetic pixel value (vectorizes over numpy
+    grids): the SQL oracle recomputes the same expression with
+    generate_series, so decode correctness is cross-checked by two
+    independent routes."""
+    return (doc_id + 3 * x + 7 * y + 11 * c) % 256
 
-    Header metadata does NOT need this -- see ``decode_image_header``.
-    """
-    try:
-        from PIL import Image  # noqa: F401
-    except ImportError as e:  # pragma: no cover
-        raise NotImplementedError(
-            "pixel decode requires Pillow; this container has no image libs"
-            " -- header metadata works without it via decode_image_header"
-        ) from e
-    raise NotImplementedError("wire Image.open over payload bytes here")
+
+def _pixel_dims(doc_id: int) -> tuple[int, int]:
+    return 4 + doc_id % 5, 3 + doc_id % 4
+
+
+def synth_pixel_payload(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic UNCOMPRESSED image payloads from ``doc_id``: even
+    ids a binary P6 PPM (rows top-down, RGB), odd ids a 24-bit
+    uncompressed BMP (rows bottom-up, BGR, 4-byte row padding) — the
+    two layouts exercise both decoder paths while carrying IDENTICAL
+    logical pixels ``v = (id + 3x + 7y + 11c) % 256`` over a
+    ``(4 + id%5) x (3 + id%4)`` grid.  Arrow-batched mapInPandas
+    synthesis (variable-length pixel arrays don't fit column-op
+    concat); at real scale payloads arrive from storage, not synth."""
+    import struct as _s
+
+    import numpy as np
+
+    def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            out_ids, out_payloads = [], []
+            for did in pdf[id_col].tolist():
+                did = int(did)
+                w, h = _pixel_dims(did)
+                ys, xs, cs = np.meshgrid(
+                    np.arange(h), np.arange(w), np.arange(3),
+                    indexing="ij",
+                )
+                px = _px_value(did, xs, ys, cs).astype(np.uint8)
+                if did % 2 == 0:
+                    body = f"P6\n{w} {h}\n255\n".encode() + px.tobytes()
+                else:
+                    stride = (w * 3 + 3) // 4 * 4
+                    rows = []
+                    for y in range(h - 1, -1, -1):  # bottom-up
+                        row = px[y, :, ::-1].tobytes()  # RGB -> BGR
+                        rows.append(row + b"\x00" * (stride - len(row)))
+                    data = b"".join(rows)
+                    body = (
+                        b"BM" + _s.pack("<I", 54 + len(data))
+                        + b"\x00" * 4 + _s.pack("<I", 54)
+                        + _s.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                                  len(data), 2835, 2835, 0, 0)
+                        + data
+                    )
+                out_ids.append(did)
+                out_payloads.append(body)
+            yield pd.DataFrame({"doc_id": out_ids, "payload": out_payloads})
+
+    return docs.select(F.col(id_col)).mapInPandas(
+        gen, "doc_id BIGINT, payload BINARY"
+    )
+
+
+def parse_ppm_pixels(b: bytes):
+    """(HxWx3 RGB uint8 array, w, h) from a binary P6 PPM, or None.
+    Pure numpy: header token scan (whitespace + ``#`` comments per the
+    netpbm spec), then one ``frombuffer`` reshape — no image library."""
+    import numpy as np
+
+    if not b.startswith(b"P6"):
+        return None
+    pos, vals = 2, []
+    while len(vals) < 3 and pos < len(b):
+        while pos < len(b) and b[pos : pos + 1].isspace():
+            pos += 1
+        if b[pos : pos + 1] == b"#":
+            while pos < len(b) and b[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(b) and not b[pos : pos + 1].isspace():
+            pos += 1
+        vals.append(int(b[start:pos]))
+    if len(vals) < 3 or vals[2] != 255:
+        return None
+    pos += 1  # single whitespace after maxval
+    w, h = vals[0], vals[1]
+    need = w * h * 3
+    if len(b) - pos < need:
+        return None
+    arr = np.frombuffer(b, dtype=np.uint8, count=need, offset=pos)
+    return arr.reshape(h, w, 3), w, h
+
+
+def parse_bmp_pixels(b: bytes):
+    """(HxWx3 RGB uint8 array, w, h) from an uncompressed 24-bit BMP,
+    or None: honours the pixel-data offset, bottom-up row order, BGR
+    channel order, and 4-byte row padding."""
+    import struct as _s
+
+    import numpy as np
+
+    if not b.startswith(b"BM") or len(b) < 54:
+        return None
+    (off,) = _s.unpack_from("<I", b, 10)
+    w, h = _s.unpack_from("<ii", b, 18)
+    (bpp,) = _s.unpack_from("<H", b, 28)
+    (comp,) = _s.unpack_from("<I", b, 30)
+    if bpp != 24 or comp != 0 or w <= 0 or h == 0:
+        return None
+    flip = h > 0  # positive height = bottom-up (the common case)
+    h = abs(h)
+    stride = (w * 3 + 3) // 4 * 4
+    if len(b) - off < stride * h:
+        return None
+    rows = np.frombuffer(
+        b, dtype=np.uint8, count=stride * h, offset=off
+    ).reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if flip:
+        rows = rows[::-1]
+    return rows[:, :, ::-1], w, h  # BGR -> RGB
+
+
+#: Output schema of the pixel-decode stage: one row per (doc, channel)
+#: of exact integer statistics (mean derives downstream; all-integer
+#: rows are bit-portable across engines).
+PIXEL_STATS_SCHEMA = (
+    "doc_id BIGINT, fmt STRING, width INT, height INT, channel INT, "
+    "n_px BIGINT, sum_val BIGINT, min_val INT, max_val INT"
+)
+
+
+def decode_pixels(docs_bin: DataFrame) -> DataFrame:
+    """REAL pixel decode (r9 verdict item 5) for the container-safe
+    uncompressed formats — binary PPM (P6) and 24-bit BMP — as an
+    Arrow-batched ``mapInPandas`` stage emitting exact per-channel
+    integer statistics (count / sum / min / max).  The numpy decoders
+    undo each container's quirks (BMP bottom-up rows, BGR order, row
+    padding), so identical logical pixels yield identical stats from
+    either format.
+
+    Compressed formats (PNG/JPEG) still require Pillow and fall into
+    the import-gated seam: absent Pillow they raise with a message
+    naming the natively-supported formats, never silently skip."""
+    import numpy as np
+
+    def it(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            out = []
+            for did, payload in zip(
+                pdf["doc_id"].tolist(), pdf["payload"].tolist()
+            ):
+                if payload is None:
+                    continue
+                b = bytes(payload)
+                got = parse_ppm_pixels(b)
+                fmt = "ppm"
+                if got is None:
+                    got = parse_bmp_pixels(b)
+                    fmt = "bmp"
+                if got is None:
+                    try:
+                        from PIL import Image  # noqa: F401
+                    except ImportError as e:
+                        raise NotImplementedError(
+                            "pixel decode handles binary PPM (P6) and "
+                            "uncompressed 24-bit BMP natively; other "
+                            "formats need Pillow, absent in this "
+                            "container -- header metadata works without "
+                            "it via decode_image_header"
+                        ) from e
+                    raise NotImplementedError(
+                        "wire Image.open over payload bytes here"
+                    )
+                arr, w, h = got
+                ch = arr.astype(np.int64)
+                for c in range(3):
+                    v = ch[:, :, c]
+                    out.append((
+                        int(did), fmt, w, h, c, int(v.size),
+                        int(v.sum()), int(v.min()), int(v.max()),
+                    ))
+            yield pd.DataFrame(
+                out,
+                columns=["doc_id", "fmt", "width", "height", "channel",
+                         "n_px", "sum_val", "min_val", "max_val"],
+            )
+
+    return docs_bin.mapInPandas(it, PIXEL_STATS_SCHEMA)
 
 
 def frame_sample_stub(docs_bin: DataFrame, every_n: int = 10) -> DataFrame:

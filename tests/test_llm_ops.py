@@ -1902,3 +1902,65 @@ def test_hamming_rerank_reads_only_candidates(spark):
     avg_raw = raw.agg(F.avg("recall")).first()[0]
     assert avg_rerank >= avg_raw
     assert avg_rerank > 0.2
+
+
+def test_pixel_decoders_pure():
+    """PPM/BMP pixel decoders (r9 verdict item 5): exact round-trip of
+    the synthesis formats, including the BMP layout quirks (bottom-up
+    rows, BGR order, 4-byte row padding), PPM comment handling, and
+    conservative rejection of malformed payloads."""
+    import struct
+
+    import numpy as np
+
+    from async_stream_processing_spark.llm.multimodal import (
+        parse_bmp_pixels,
+        parse_ppm_pixels,
+    )
+
+    rgb = np.arange(5 * 3 * 3, dtype=np.uint8).reshape(3, 5, 3)
+    # PPM with a header comment
+    ppm = b"P6\n# a comment\n5 3\n255\n" + rgb.tobytes()
+    arr, w, h = parse_ppm_pixels(ppm)
+    assert (w, h) == (5, 3) and np.array_equal(arr, rgb)
+    # BMP: bottom-up, BGR, stride padded 15 -> 16
+    stride = (5 * 3 + 3) // 4 * 4
+    rows = b"".join(
+        rgb[y, :, ::-1].tobytes() + b"\x00" * (stride - 15)
+        for y in range(2, -1, -1)
+    )
+    bmp = (b"BM" + struct.pack("<I", 54 + len(rows)) + b"\x00" * 4
+           + struct.pack("<I", 54)
+           + struct.pack("<IiiHHIIiiII", 40, 5, 3, 1, 24, 0, len(rows),
+                         2835, 2835, 0, 0) + rows)
+    arr2, w2, h2 = parse_bmp_pixels(bmp)
+    assert (w2, h2) == (5, 3) and np.array_equal(arr2, rgb)
+    # malformed: truncated pixel data / wrong bpp reject, never crash
+    assert parse_ppm_pixels(b"P6\n5 3\n255\n" + rgb.tobytes()[:-1]) is None
+    assert parse_bmp_pixels(bmp[:40]) is None
+    assert parse_ppm_pixels(b"P5\n5 3\n255\n") is None
+
+
+def test_decode_pixels_gates_compressed_formats(spark):
+    """A PNG payload (compressed, needs Pillow) must raise the
+    import-gated NotImplementedError naming the native formats — never
+    silently skip or emit wrong stats."""
+    import pytest as _pytest
+
+    from async_stream_processing_spark.llm.multimodal import (
+        decode_pixels,
+        synth_image_payload,
+    )
+
+    docs = spark.createDataFrame([(0,)], "doc_id long")
+    png_payloads = synth_image_payload(docs)  # even id -> PNG
+    try:
+        import PIL  # noqa: F401
+
+        _pytest.skip("Pillow present: the gate does not apply")
+    except ImportError:
+        pass
+    with _pytest.raises(Exception) as ei:
+        decode_pixels(png_payloads).collect()
+    msg = str(ei.value)
+    assert "PPM" in msg and "BMP" in msg, msg
