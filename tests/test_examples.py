@@ -36,6 +36,7 @@ EXAMPLES = [
     "e24_lakehouse_hardening",
     "e25_operational_recovery",
     "e26_dml_suite",
+    "e27_live_feedback",
 ]
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "examples"))
