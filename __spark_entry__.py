@@ -3611,63 +3611,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return out
 
 
-#: Round-9 gate window: the driver checks the FIRST 50 `queries()` keys.
-#: Composition (mechanically verified by tools/check_window.py):
-#: (a) the queries new this round (never driver-gated): lake RESTORE
-#:     and its DESCRIBE-HISTORY audit gate, the Hamming-prefilter
-#:     exact-rerank pipeline + its recall row, the skew-salted hot
-#:     join, and the late-data watermark gate;
-#: (b) the FIVE streaming folds rewritten to bounded O(1) state
-#:     (applyInPandasWithState incremental folds, r8 verdict item 1),
-#:     plus the NEW O(k) rolling member (stream_bollinger);
-#: (c) the FOURTEEN knn/recall keys whose rank path changed: every
-#:     operator converted to the bounded topk_by_group rank
-#:     (bruteforce/sq8/hamming/lsh/ivf/pq_adc/ivfpq(+served)/
-#:     hard_negatives) and the recall consumers of the rewritten
-#:     exact-ground-truth path;
-#: (d) the FOURTEEN versioned-lake keys touched after the r8 gate ran
-#:     (per-app batch-id watermarks, schema-merge compaction, vacuum
-#:     torn-grace — the r9-advice fixes — plus restore's committer);
-#: (e) FOUR session-cache consumers re-keyed by the data fingerprint
-#:     (verified-pairs + pipeline persist registry; the other four
-#:     consumers were r8-gated and the cache change is key-only);
-#: (f) re-confirmation filler: the 2 stalest keys (set_ops_multiset,
-#:     trade_pnl_asof, tpch_q1/q4/q7 and vwap_2min rotate to round 10
-#:     to make room for the late r9 adds incl. the DELETE/UPDATE DML).
+#: Round-10 gate window: the driver checks the FIRST 50 `queries()` keys.
+#: Composition (mechanically verified by tools/check_window.py) follows
+#: the r9 verdict's top item — re-certify the stale half of the registry
+#: (keys last driver-checked in rounds 2-4, predating the folds/top-k/
+#: lake rewrites) — plus everything whose code changed this round:
+#: (a) NEW this round (never driver-gated): the reorder-buffered
+#:     out-of-order fold twins (stream_{cusum,ols,bollinger}_ooo) and
+#:     the Pillow-free pixel-decode gate (multimodal_pixels);
+#: (b) code changed in round 10: the DML quartet (no-op short-circuit +
+#:     quoted-literal prune fix + empty-head read), versioned_prune_read
+#:     (checkpointed scan path), salted_hot_join (content-hash salt),
+#:     both tf-idf keys (shared postings cache), bloom_decontaminate
+#:     (per-worker memo), bpe_train/bpe_apply (batched merge scans),
+#:     and the two O(k) per-event folds covering the kernel-extraction
+#:     refactor (the O(1) folds' extracted kernels gate through their
+#:     OOO twins above; the ordered wrapper is shared machinery);
+#: (c) the FULL r2 cohort — stalest in the registry: the 13 TPC-H keys
+#:     last checked round 2, set_ops_multiset, trade_pnl_asof,
+#:     vwap_2min (the reference-surface flagships, e4_trade_pnl/
+#:     e2_stats);
+#: (d) the r3/r4 keys the verdict names: trade_pnl_bucketed,
+#:     asof_nearest, cart_totals, positions_by_key, resample_1min +
+#:     its stream twin, running_combine, spread_bid_ask,
+#:     stream_first_seen, stream_sessionize, plus r3 family heads
+#:     (sliding_2min + stream twin, rank_family, window_funcs,
+#:     scalar_funcs, value_percentiles, fullouter_daily,
+#:     multimodal_decode).
+#: Rotated out (all r9-gated green, machinery covered by kin in-window):
+#: the knn/recall family, restore/history/clone/compact lake keys,
+#: timer_ticks, dedup/pipeline cache consumers.
 GATE_WINDOW = [
-    # (a) new in round 9 (versioned_delete/versioned_update are the
-    # late DML additions; two stale fillers rotated out to fit)
-    "versioned_restore", "versioned_history", "knn_hamming_rerank",
-    "hamming_rerank_recall", "salted_hot_join", "stream_late_events",
-    "length_bucketed_packing", "versioned_delete", "versioned_update",
-    "grouping_sets_orders", "epoch_shuffle", "versioned_delete_mor",
-    "versioned_update_mor",
-    # (b) bounded-state streaming folds (rewritten r9) + the O(k) members
-    "stream_cusum", "stream_ewma", "stream_rsi", "stream_ols",
-    "stream_max_drawdown", "stream_bollinger", "stream_rolling_corr",
-    # (c) bounded top-k + ground-truth-path consumers
-    # sq8_recall rotates to round 10 for the MOR-update DML add (its
-    # shared ground-truth path stays covered by the other recall keys)
-    "knn_bruteforce", "knn_sq8", "knn_hamming", "hamming_recall",
-    "matryoshka_recall", "ann_recall", "ivfpq_recall",
-    "pq_rotation_recall", "hard_negatives",
-    "knn_lsh", "knn_ivf", "knn_pq_adc", "knn_ivfpq_served",
-    # (d) versioned-lake code changed after the r8 gate
-    "versioned_time_travel", "versioned_merge", "versioned_merge_composite",
-    "versioned_merge_schema", "versioned_changes", "versioned_changes_rows",
-    "versioned_compact", "versioned_compact_zorder", "versioned_clone",
-    "versioned_prune_read", "versioned_point_lookup",
-    "stream_versioned_maintained", "stream_versioned_merge",
-    # stream_versioned_sink rotates to round 10: its commit_append path
-    # is untouched by the DV work and the other two stream-lake keys
-    # stay in
-    # (e) session-cache (data-fingerprint) consumers; clusters/keep_best
-    # rotate to round 10 — r8-gated green, the cache-key change they
-    # share is covered by dedup_minhash_lsh staying in
-    "dedup_minhash_lsh", "pipeline_end_to_end",
-    # (f) stalest re-confirmations (last gated round 2;
-    # set_ops_multiset/trade_pnl_asof rotate to round 10 for the DML adds)
-    "timer_ticks", "topk_per_priority",
+    # (a) new in round 10
+    "stream_cusum_ooo", "stream_ols_ooo", "stream_bollinger_ooo",
+    "multimodal_pixels",
+    # (b) code changed in round 10
+    "versioned_delete", "versioned_update", "versioned_delete_mor",
+    "versioned_update_mor", "versioned_prune_read", "salted_hot_join",
+    "tfidf_top_terms", "tfidf_cosine_pairs", "bloom_decontaminate",
+    "bpe_train", "bpe_apply",
+    "stream_bollinger", "stream_rolling_corr",
+    # (c) the full r2 cohort (stalest)
+    "set_ops_multiset", "trade_pnl_asof", "vwap_2min",
+    "tpch_q1", "tpch_q4", "tpch_q7", "tpch_q8", "tpch_q10", "tpch_q13",
+    "tpch_q15", "tpch_q16", "tpch_q17", "tpch_q19", "tpch_q21", "tpch_q22",
+    # (d) verdict-named r3/r4 flagships + family heads
+    "trade_pnl_bucketed", "asof_nearest", "cart_totals",
+    "positions_by_key", "resample_1min", "stream_resample_1min",
+    "running_combine", "spread_bid_ask", "stream_first_seen",
+    "stream_sessionize", "sliding_2min", "stream_sliding_2min",
+    "rank_family", "window_funcs", "scalar_funcs", "value_percentiles",
+    "fullouter_daily", "multimodal_decode",
 ]
 
 

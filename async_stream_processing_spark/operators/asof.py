@@ -30,6 +30,7 @@ def asof_join(
     on: Sequence[str] = (),
     right_cols: Sequence[str] = (),
     strict: bool = False,
+    single_partition: bool = False,
 ) -> DataFrame:
     """Attach the latest ``right_cols`` (as of each left row's ``(ts, seq)``)
     to every left row.
@@ -39,15 +40,18 @@ def asof_join(
     NOT visible (strictly-before semantics).  The reference processes
     streams in FIFO order at equal times (SURVEY §3.4), so the default
     (inclusive) matches a quote registered before the trade stream.
-    """
+
+    UNKEYED inputs delegate to :func:`asof_join_bucketed` (r9 verdict:
+    default to the scale path instead of warning): a keyless
+    union-and-carry sorts the whole union in ONE partition, while the
+    time-bucketed form is exactly equivalent (property-tested) and
+    embarrassingly parallel across buckets.  ``single_partition=True``
+    forces the plain form — the differential tests use it to keep the
+    two implementations independent."""
     on = list(on)
-    if not on:
-        warnings.warn(
-            "asof_join with no 'on' keys sorts the whole union in ONE "
-            "partition -- fine for small relations, a scale trap otherwise;"
-            " use asof_join_bucketed for unkeyed or heavily skewed inputs",
-            UserWarning,
-            stacklevel=2,
+    if not on and not single_partition:
+        return asof_join_bucketed(
+            left, right, on=on, right_cols=right_cols, strict=strict
         )
     right_cols = list(right_cols)
     lhs = left.withColumn("__side", F.lit(1))

@@ -689,6 +689,116 @@ def table_changes(
     )
 
 
+def _ckpt_dir(path: str, version: int) -> str:
+    return os.path.join(path, _MANIFEST_DIR, f"ckpt-v{version}")
+
+
+#: manifest-checkpoint row layout: one row per (file, stat column) with
+#: the bound pair in its native type (ints stay BIGINT — a DOUBLE cast
+#: above 2^53 could round a bound inward and wrongly prune), one
+#: NULL-col row per stat-less file so it always survives conservatively,
+#: and one ``dv`` row per deletion-vector ref so a checkpointed scan
+#: never has to parse the JSON manifest at all.
+_CKPT_SCHEMA = (
+    "file STRING, col STRING, lo_i BIGINT, hi_i BIGINT, "
+    "lo_d DOUBLE, hi_d DOUBLE, lo_s STRING, hi_s STRING, dv STRING"
+)
+
+
+def checkpoint_manifest(spark: SparkSession, path: str,
+                        version: int | None = None) -> int:
+    """Write a PARQUET manifest checkpoint for a pinned version — the
+    100 TB manifest posture (r9 verdict item 7).  The JSON manifest is
+    the commit log; at 10^5-10^6 files (a 100 TB table) parsing it and
+    looping its stats on the DRIVER makes every pruned scan O(n_files)
+    driver work.  The checkpoint re-lands the per-file stat ranges as a
+    parquet relation, so :func:`scan_version` prunes DISTRIBUTED (a
+    Spark filter over the checkpoint) and the driver receives only the
+    SURVIVING file names — O(survivors), flat in table size
+    (SCALE.md probe).  Same idea as Delta's checkpoint parquet /
+    Iceberg's manifest files; like Delta, checkpointing is periodic
+    maintenance (run it after compaction or every N commits), and
+    readers of versions without a checkpoint fall back to the JSON
+    loop unchanged."""
+    v = _head_version(path) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"no committed versions under {path}")
+    m = _read_manifest(path, v)
+    stats = m.get("stats", {})
+    dvs = m.get("dvs", {})
+    rows = []
+    for f in m["files"]:  # one driver pass at CHECKPOINT time, amortized
+        s = stats.get(f) or {}
+        typed = []
+        for c, bounds in s.items():
+            lo, hi = bounds[0], bounds[1]
+            if isinstance(lo, bool) or isinstance(hi, bool):
+                continue  # unprunable type: conservative
+            if isinstance(lo, str) and isinstance(hi, str):
+                typed.append((f, c, None, None, None, None, lo, hi, None))
+            elif isinstance(lo, int) and isinstance(hi, int):
+                typed.append((f, c, lo, hi, None, None, None, None, None))
+            elif isinstance(lo, (int, float)) and isinstance(hi, (int, float)):
+                typed.append((f, c, None, None, float(lo), float(hi),
+                              None, None, None))
+        if not typed:
+            typed = [(f, None, None, None, None, None, None, None, None)]
+        for ref in dvs.get(f, []):
+            typed.append((f, None, None, None, None, None, None, None, ref))
+        rows.extend(typed)
+    d = _ckpt_dir(path, v)
+    tmp = d + f".tmp-{uuid.uuid4().hex}"
+    spark.createDataFrame(rows, _CKPT_SCHEMA).coalesce(1) \
+        .write.mode("overwrite").parquet(tmp)
+    try:
+        os.rename(tmp, d)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)  # concurrent checkpointer won
+    return v
+
+
+def _pruned_files_distributed(
+    spark: SparkSession, path: str, v: int, ranges: dict,
+) -> tuple[list[str], dict] | None:
+    """Distributed stat pruning over the version's parquet checkpoint;
+    None when no checkpoint exists (caller falls back to the JSON
+    loop).  A file is pruned iff SOME queried column's recorded range
+    provably misses — evaluated as a Spark filter, so the driver sees
+    only the surviving names (plus their deletion-vector refs), never
+    the table-sized manifest."""
+    from pyspark.sql import functions as F
+
+    d = _ckpt_dir(path, v)
+    if not os.path.isdir(d):
+        return None
+    ck = spark.read.parquet(d)
+    miss = F.lit(False)
+    for c, (c_lo, c_hi) in ranges.items():
+        if isinstance(c_lo, str):
+            m_c = (F.col("lo_s").isNotNull()
+                   & ~((F.col("lo_s") <= F.lit(c_hi))
+                       & (F.col("hi_s") >= F.lit(c_lo))))
+        else:
+            m_c = (
+                (F.col("lo_i").isNotNull()
+                 & ~((F.col("lo_i") <= F.lit(c_hi))
+                     & (F.col("hi_i") >= F.lit(c_lo))))
+                | (F.col("lo_d").isNotNull()
+                   & ~((F.col("lo_d") <= F.lit(c_hi))
+                       & (F.col("hi_d") >= F.lit(c_lo))))
+            )
+        miss = miss | ((F.col("col") == F.lit(c)) & m_c)
+    bad = ck.filter(miss).select("file")
+    keep = ck.join(bad, "file", "left_anti").groupBy("file").agg(
+        F.sort_array(
+            F.filter(F.collect_set("dv"), lambda x: x.isNotNull())
+        ).alias("dvs")
+    ).collect()
+    files = sorted(r["file"] for r in keep)
+    dvs = {r["file"]: list(r["dvs"]) for r in keep if r["dvs"]}
+    return files, dvs
+
+
 def scan_version(
     spark: SparkSession,
     path: str,
@@ -718,18 +828,27 @@ def scan_version(
     v = _head_version(path) if version is None else version
     if v is None:
         raise FileNotFoundError(f"no committed versions under {path}")
-    m = _read_manifest(path, v)
-    stats = m.get("stats", {})
-    keep = []
-    for f in m["files"]:
-        ok = True
-        for c, (c_lo, c_hi) in ranges.items():
-            s = stats.get(f, {}).get(c)
-            if s is not None and not (s[0] <= c_hi and s[1] >= c_lo):
-                ok = False
-                break
-        if ok:
-            keep.append(f)
+    # distributed prune over the parquet checkpoint when one exists for
+    # this exact version (checkpoint_manifest): driver work — including
+    # skipping the JSON manifest parse entirely — stays O(survivors)
+    # regardless of table file count
+    got = _pruned_files_distributed(spark, path, v, ranges)
+    if got is not None:
+        keep, dvs = got
+    else:
+        m = _read_manifest(path, v)
+        stats = m.get("stats", {})
+        dvs = m.get("dvs", {})
+        keep = []
+        for f in m["files"]:
+            ok = True
+            for c, (c_lo, c_hi) in ranges.items():
+                s = stats.get(f, {}).get(c)
+                if s is not None and not (s[0] <= c_hi and s[1] >= c_lo):
+                    ok = False
+                    break
+            if ok:
+                keep.append(f)
 
     def _filtered(df: DataFrame) -> DataFrame:
         for c, (c_lo, c_hi) in ranges.items():
@@ -738,9 +857,7 @@ def scan_version(
 
     if not keep:
         return _filtered(read_version(spark, path, v).limit(0))
-    return _filtered(
-        _read_with_dvs(spark, path, keep, m.get("dvs", {}))
-    )
+    return _filtered(_read_with_dvs(spark, path, keep, dvs))
 
 
 def lookup_version(
@@ -996,6 +1113,8 @@ def vacuum(path: str, keep_last: int = 1,
             os.remove(mp)
         except FileNotFoundError:
             pass
+        # a dropped version's parquet checkpoint dies with its manifest
+        shutil.rmtree(_ckpt_dir(path, v), ignore_errors=True)
     return {"versions_kept": keep, "files_removed": removed}
 
 

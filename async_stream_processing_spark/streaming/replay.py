@@ -297,6 +297,13 @@ def stream_stream_join(
     )
 
 
+#: per-process tally of micro-batches drained (bench reads + resets
+#: this around each query so fixed micro-batch drain overhead is
+#: visible per stream query instead of being misread as operator cost
+#: -- r9 verdict item 10)
+DRAIN_BATCH_TALLY = {"batches": 0, "drains": 0}
+
+
 def drain(stream_df: DataFrame, output_mode: str = "complete",
           timeout_s: int = 300, to_files: bool | None = None) -> DataFrame:
     """Run a streaming plan to completion over its current source contents
@@ -335,6 +342,7 @@ def drain(stream_df: DataFrame, output_mode: str = "complete",
         out_dir = tempfile.mkdtemp(prefix="asp_drain_")
 
         def _snapshot(batch_df: DataFrame, batch_id: int) -> None:
+            DRAIN_BATCH_TALLY["batches"] += 1
             batch_df.write.mode("overwrite").parquet(out_dir)
 
         q = (
@@ -344,6 +352,7 @@ def drain(stream_df: DataFrame, output_mode: str = "complete",
             .start()
         )
         q.awaitTermination(timeout_s)
+        DRAIN_BATCH_TALLY["drains"] += 1
         # lazy read over the snapshot files: no extra materialization
         # pass; the temp dir lives until process exit (tiny -- it holds
         # one aggregated result, not data)
@@ -358,6 +367,8 @@ def drain(stream_df: DataFrame, output_mode: str = "complete",
         .start()
     )
     q.awaitTermination(timeout_s)
+    DRAIN_BATCH_TALLY["drains"] += 1
+    DRAIN_BATCH_TALLY["batches"] += len(q.recentProgress)
     return stream_df.sparkSession.table(name)
 
 

@@ -212,11 +212,15 @@ def test_asof_join_bucketed_equivalent(spark, left, right, bucket):
     quotes = _df(spark, right, stream_id=0, value_col="mid")
     for strict in (False, True):
         with _w.catch_warnings():
-            _w.simplefilter("ignore", UserWarning)  # unkeyed trap warning
+            _w.simplefilter("ignore", UserWarning)
+            # single_partition forces the PLAIN union-and-carry so the
+            # differential stays implementation-independent (unkeyed
+            # asof_join now auto-delegates to the bucketed form)
             plain = {
                 r["seq"]: r["mid"]
                 for r in asof_join(
-                    trades, quotes, right_cols=["mid"], strict=strict
+                    trades, quotes, right_cols=["mid"], strict=strict,
+                    single_partition=True,
                 ).collect()
             }
         bucketed = {

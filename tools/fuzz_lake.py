@@ -53,6 +53,7 @@ def run_case(spark, rng: random.Random, n_ops: int = 8) -> None:
     from pyspark.sql import functions as F  # noqa: F401
 
     from async_stream_processing_spark.plans.versioned import (
+        checkpoint_manifest,
         commit_append,
         compact,
         delete_where,
@@ -60,6 +61,7 @@ def run_case(spark, rng: random.Random, n_ops: int = 8) -> None:
         merge_into,
         read_version,
         restore,
+        scan_version,
         shallow_clone,
         update_where,
         vacuum,
@@ -110,8 +112,23 @@ def run_case(spark, rng: random.Random, n_ops: int = 8) -> None:
         op = rng.choice(
             ["append", "append", "merge", "merge", "compact", "vacuum",
              "clone", "pin", "restore", "delete", "update", "mor_delete",
-             "mor_update"]
+             "mor_update", "ckpt_scan"]
         )
+        if op == "ckpt_scan":
+            # parquet manifest checkpoint: the DISTRIBUTED pruned scan
+            # must agree with the model (and with the JSON-loop path,
+            # which a pre-checkpoint scan_version would have used)
+            v = checkpoint_manifest(spark, lake)
+            a = rng.randrange(0, max(next_k, 1))
+            b = a + rng.randrange(1, 30)
+            got = {(r["k"], r["v"])
+                   for r in scan_version(spark, lake, "k", a, b,
+                                         version=v).collect()}
+            want = {(k, vv) for k, vv in model.items() if a <= k <= b}
+            assert got == want, (a, b, got ^ want)
+            check_head()
+            snaps[versions(lake)[-1]] = dict(model)
+            continue
         if op == "mor_delete":
             shape = rng.choice(["krange", "vthresh", "vmod"])
             if shape == "krange":
