@@ -696,12 +696,14 @@ def _ckpt_dir(path: str, version: int) -> str:
 #: manifest-checkpoint row layout: one row per (file, stat column) with
 #: the bound pair in its native type (ints stay BIGINT — a DOUBLE cast
 #: above 2^53 could round a bound inward and wrongly prune), one
-#: NULL-col row per stat-less file so it always survives conservatively,
-#: and one ``dv`` row per deletion-vector ref so a checkpointed scan
-#: never has to parse the JSON manifest at all.
+#: NULL-col row per entry-less file so it always survives
+#: conservatively, one ``dv`` row per deletion-vector ref, and one
+#: bloom row per (file, bloom column) — so a checkpointed scan OR point
+#: lookup never has to parse the JSON manifest at all.
 _CKPT_SCHEMA = (
     "file STRING, col STRING, lo_i BIGINT, hi_i BIGINT, "
-    "lo_d DOUBLE, hi_d DOUBLE, lo_s STRING, hi_s STRING, dv STRING"
+    "lo_d DOUBLE, hi_d DOUBLE, lo_s STRING, hi_s STRING, dv STRING, "
+    "bm INT, bk INT, b64 STRING"
 )
 
 
@@ -726,6 +728,8 @@ def checkpoint_manifest(spark: SparkSession, path: str,
     m = _read_manifest(path, v)
     stats = m.get("stats", {})
     dvs = m.get("dvs", {})
+    blooms = m.get("blooms", {})
+    pad6 = (None, None, None, None, None, None)
     rows = []
     for f in m["files"]:  # one driver pass at CHECKPOINT time, amortized
         s = stats.get(f) or {}
@@ -735,16 +739,21 @@ def checkpoint_manifest(spark: SparkSession, path: str,
             if isinstance(lo, bool) or isinstance(hi, bool):
                 continue  # unprunable type: conservative
             if isinstance(lo, str) and isinstance(hi, str):
-                typed.append((f, c, None, None, None, None, lo, hi, None))
+                typed.append((f, c, None, None, None, None, lo, hi,
+                              None, None, None, None))
             elif isinstance(lo, int) and isinstance(hi, int):
-                typed.append((f, c, lo, hi, None, None, None, None, None))
+                typed.append((f, c, lo, hi, None, None, None, None,
+                              None, None, None, None))
             elif isinstance(lo, (int, float)) and isinstance(hi, (int, float)):
                 typed.append((f, c, None, None, float(lo), float(hi),
-                              None, None, None))
-        if not typed:
-            typed = [(f, None, None, None, None, None, None, None, None)]
+                              None, None, None, None, None, None))
+        for c, entry in (blooms.get(f) or {}).items():
+            typed.append((f, c, *pad6, None,
+                          entry["m"], entry["k"], entry["b64"]))
         for ref in dvs.get(f, []):
-            typed.append((f, None, None, None, None, None, None, None, ref))
+            typed.append((f, None, *pad6, ref, None, None, None))
+        if not typed:
+            typed = [(f, None, *pad6, None, None, None, None)]
         rows.extend(typed)
     d = _ckpt_dir(path, v)
     tmp = d + f".tmp-{uuid.uuid4().hex}"
@@ -860,6 +869,62 @@ def scan_version(
     return _filtered(_read_with_dvs(spark, path, keep, dvs))
 
 
+def _bloom_files_distributed(
+    spark: SparkSession, path: str, v: int, col: str, value: int,
+) -> tuple[list[str], dict] | None:
+    """Distributed Bloom point-lookup pruning over the version's
+    parquet checkpoint (None = no checkpoint; caller falls back to the
+    JSON loop).  The per-file probe runs as an Arrow-batched pandas UDF
+    over the checkpoint's bloom rows — O(n_files / parallelism) work
+    distributed, O(survivors) rows to the driver."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    d = _ckpt_dir(path, v)
+    if not os.path.isdir(d):
+        return None
+    ck = spark.read.parquet(d)
+    if "b64" not in ck.columns:
+        return None  # pre-bloom checkpoint layout: fall back
+
+    def _probe(b64s, ms, ks):
+        import base64
+
+        import numpy as np
+
+        out = []
+        for b, m, k in zip(b64s, ms, ks):
+            bits = np.unpackbits(
+                np.frombuffer(base64.b64decode(b), dtype=np.uint8)
+            )
+            h1, h2 = _bloom_probes([value], int(m), int(k))
+            out.append(all(
+                bits[int((h1[0] + np.uint64(i) * h2[0]) % np.uint64(m))]
+                for i in range(int(k))
+            ))
+        return pd.Series(out)
+
+    _probe.__annotations__ = {
+        "b64s": pd.Series, "ms": pd.Series, "ks": pd.Series,
+        "return": pd.Series,
+    }
+    probe = pandas_udf(_probe, "boolean")
+    bad = ck.filter(
+        F.col("b64").isNotNull() & (F.col("col") == F.lit(col))
+        & ~probe(F.col("b64"), F.col("bm"), F.col("bk"))
+    ).select("file")
+    keep = ck.join(bad, "file", "left_anti").groupBy("file").agg(
+        F.sort_array(
+            F.filter(F.collect_set("dv"), lambda x: x.isNotNull())
+        ).alias("dvs")
+    ).collect()
+    files = sorted(r["file"] for r in keep)
+    dvs = {r["file"]: list(r["dvs"]) for r in keep if r["dvs"]}
+    return files, dvs
+
+
 def lookup_version(
     spark: SparkSession,
     path: str,
@@ -879,18 +944,23 @@ def lookup_version(
     v = _head_version(path) if version is None else version
     if v is None:
         raise FileNotFoundError(f"no committed versions under {path}")
-    m = _read_manifest(path, v)
-    blooms = m.get("blooms", {})
-    keep = []
-    for f in m["files"]:
-        entry = blooms.get(f, {}).get(col)
-        if entry is None or _bloom_might_contain(entry, value):
-            keep.append(f)
+    got = _bloom_files_distributed(spark, path, v, col, value)
+    if got is not None:
+        keep, dvs = got
+    else:
+        m = _read_manifest(path, v)
+        blooms = m.get("blooms", {})
+        dvs = m.get("dvs", {})
+        keep = []
+        for f in m["files"]:
+            entry = blooms.get(f, {}).get(col)
+            if entry is None or _bloom_might_contain(entry, value):
+                keep.append(f)
     if not keep:
         return read_version(spark, path, v).limit(0).filter(
             F.col(col) == value
         )
-    return _read_with_dvs(spark, path, keep, m.get("dvs", {})).filter(
+    return _read_with_dvs(spark, path, keep, dvs).filter(
         F.col(col) == value
     )
 

@@ -2966,3 +2966,41 @@ def test_manifest_checkpoint_lifecycle(spark, tmp_path):
     assert scan_version(spark, lake, "k", 0, 100, version=v1).count() == 50
     vacuum(lake, keep_last=1)
     assert not os.path.isdir(_ckpt_dir(lake, v1))
+
+
+def test_manifest_checkpoint_bloom_lookup(spark, tmp_path):
+    """The checkpoint carries bloom rows, so lookup_version probes
+    DISTRIBUTED (pandas-UDF over the checkpoint relation) without
+    parsing the JSON manifest — exact hits, exact misses, DVs applied,
+    and the probe provably prunes (corrupt every non-matching file)."""
+    import os
+
+    from async_stream_processing_spark.plans.versioned import (
+        _read_manifest,
+        checkpoint_manifest,
+        commit_append,
+        delete_where,
+        lookup_version,
+    )
+
+    lake = str(tmp_path / "lake")
+    df = spark.createDataFrame([(k, k * 2) for k in range(300)],
+                               "k long, v long").repartitionByRange(6, "k")
+    commit_append(df, lake, stats_cols=["k"], bloom_cols=["k"],
+                  bloom_bits=1 << 12)
+    delete_where(spark, lake, "k = 7", mode="mor")
+    v = checkpoint_manifest(spark, lake)
+    assert [tuple(r) for r in
+            lookup_version(spark, lake, "k", 123, version=v).collect()] \
+        == [(123, 246)]
+    assert lookup_version(spark, lake, "k", 7, version=v).count() == 0
+    assert lookup_version(spark, lake, "k", 9999, version=v).count() == 0
+    # corrupt every file the bloom rejects for k=123: probe still exact
+    m = _read_manifest(lake, 1)
+    for f, s in m["stats"].items():
+        lo, hi = s["k"]
+        if not (lo <= 123 <= hi):
+            open(os.path.join(lake, f), "wb").write(b"corrupt")
+    assert [tuple(r) for r in
+            lookup_version(spark, lake, "k", 123, version=v).collect()] \
+        == [(123, 246)]
