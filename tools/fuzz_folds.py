@@ -38,15 +38,29 @@ from pyspark.sql import functions as F  # noqa: E402
 CENTS = "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"
 
 
-def _split_write(spark, df, n_parts: int) -> str:
-    """Land ``df`` as n_parts (ts, event_id)-ordered files with ascending
-    mtimes (one micro-batch each, oldest-first)."""
+def _split_write(spark, df, n_parts: int, jitter_s: int = 0) -> str:
+    """Land ``df`` as n_parts files with ascending mtimes (one
+    micro-batch each, oldest-first).  ``jitter_s=0``: strict
+    (ts, event_id) order across files (the ordered folds' contract);
+    ``jitter_s>0``: files bucket by a deterministically JITTERED event
+    time, so consecutive micro-batches interleave out of order within
+    ±jitter — the reorder-buffered twins' fixture shape."""
     from pyspark.sql import Window
 
     d = tempfile.mkdtemp(prefix="asp_foldfuzz_")
-    parts = df.withColumn(
-        "__b", F.ntile(n_parts).over(Window.orderBy("ts", "event_id")) - 1
-    )
+    if jitter_s:
+        j_us = jitter_s * 1_000_000
+        jit = (F.pmod(F.xxhash64("event_id"), F.lit(2 * j_us + 1))
+               - F.lit(j_us))
+        key = F.unix_micros(F.col("ts")) + jit
+        parts = df.withColumn(
+            "__b", F.ntile(n_parts).over(Window.orderBy(key, "event_id")) - 1
+        )
+    else:
+        parts = df.withColumn(
+            "__b",
+            F.ntile(n_parts).over(Window.orderBy("ts", "event_id")) - 1,
+        )
     sub = os.path.join(d, "__by_bucket")
     parts.repartition(n_parts, "__b").write.partitionBy("__b") \
         .mode("overwrite").parquet(sub)
@@ -220,6 +234,18 @@ def _batch_drawdown(df):
     )
 
 
+def _max_nb(out):
+    """Per-(user, event) row with the highest emission sequence -- the
+    reorder twins' drained-final-row convention."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id", "event_id").orderBy(F.desc("nb"))
+    return (
+        out.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1).drop("__rk", "nb")
+    )
+
+
 def _finals(spark, folded_stream, n_col: str = "n"):
     from pyspark.sql import Window
 
@@ -264,12 +290,23 @@ def run_case(spark, rng: random.Random, sf_dir: str) -> str:
         corr_fold_stream,
     )
 
+    from async_stream_processing_spark.streaming.reorder import (
+        reordered_bollinger_stream,
+        reordered_corr_stream,
+        reordered_fold_stream,
+    )
+
     pred_name, pred = rng.choice(PREDS)
     n_parts = rng.choice([2, 3, 4])
     kind = rng.choice(["cusum", "ewma", "rsi", "ols", "drawdown",
                        "bollinger", "corr"])
+    # delivery shape: ordered replay drives the zero-buffer folds;
+    # jittered replay (±2 h, < half the 5 h watermark delay) drives the
+    # reorder-buffered twins -- SAME batch oracles for both
+    shuffled = rng.random() < 0.5
+    delay = "18000 seconds"
     df = load_table(spark, sf_dir, "events").filter(F.expr(pred))
-    d = _split_write(spark, df, n_parts)
+    d = _split_write(spark, df, n_parts, jitter_s=7200 if shuffled else 0)
     try:
         schema = spark.read.parquet(d).schema
         src = (
@@ -280,37 +317,44 @@ def run_case(spark, rng: random.Random, sf_dir: str) -> str:
             "ts", "event_id", "user_id", F.expr(CENTS).alias("x"),
             F.expr(CENTS).alias("y"),
         )
+
+        def state_fold(cols, ordered_fn, okind, **kw):
+            s = base.select(*cols)
+            if shuffled:
+                return reordered_fold_stream(s, okind, delay=delay, **kw)
+            return ordered_fn(s, **kw)
         if kind == "cusum":
             slack = rng.choice([0, 10, 50, 200])
             th = rng.choice([500, 1000, 2000, 5000])
-            got = _finals(spark, cusum_fold_stream(
-                base.select("ts", "event_id", "user_id", "x"),
-                slack=slack, threshold=th,
+            got = _finals(spark, state_fold(
+                ["ts", "event_id", "user_id", "x"], cusum_fold_stream,
+                "cusum", slack=slack, threshold=th,
             )).select("user_id", "smax", "n_over", "alarm", "n")
             want = _batch_cusum(df, slack, th)
             label = f"cusum(slack={slack},th={th})"
         elif kind == "ewma":
             w_old, w_new, den = rng.choice(
                 [(7, 3, 10), (9, 1, 10), (1, 1, 2), (3, 1, 4)])
-            got = _finals(spark, ewma_fold_stream(
-                base.select("ts", "event_id", "user_id", "x"),
-                w_old=w_old, w_new=w_new, den=den,
+            got = _finals(spark, state_fold(
+                ["ts", "event_id", "user_id", "x"], ewma_fold_stream,
+                "ewma", w_old=w_old, w_new=w_new, den=den,
             )).select("user_id", "ew", "n")
             want = _batch_ewma(df, w_old, w_new, den)
             label = f"ewma({w_old},{w_new},{den})"
         elif kind == "rsi":
             period = rng.choice([3, 7, 14, 21])
-            got = _finals(spark, rsi_fold_stream(
-                base.select("ts", "event_id", "user_id", "y"),
-                period=period,
+            got = _finals(spark, state_fold(
+                ["ts", "event_id", "user_id", "y"], rsi_fold_stream,
+                "rsi", period=period,
             )).filter(F.col("n") >= 2).select(
                 "user_id", (F.col("n") - 1).alias("n_diffs"), "ag", "al")
             want = _batch_rsi(df, period).select(
                 "user_id", "n_diffs", "ag", "al")
             label = f"rsi(period={period})"
         elif kind == "ols":
-            got = _finals(spark, ols_fold_stream(
-                base.select("ts", "event_id", "user_id", "y"),
+            got = _finals(spark, state_fold(
+                ["ts", "event_id", "user_id", "y"], ols_fold_stream,
+                "ols",
             )).select("user_id", "n", "sy", "sxy", "syy")
             want = _batch_ols(df)
             label = "ols"
@@ -324,11 +368,16 @@ def run_case(spark, rng: random.Random, sf_dir: str) -> str:
             prev = spark.conf.get("spark.sql.shuffle.partitions")
             spark.conf.set("spark.sql.shuffle.partitions", "4")
             try:
-                got = drain(
-                    bollinger_fold_stream(
-                        base.select("ts", "event_id", "user_id", "x")),
-                    output_mode="append",
-                ).select("user_id", "event_id", "n", "sx_c", "sxx_c4")
+                s = base.select("ts", "event_id", "user_id", "x")
+                if shuffled:
+                    raw = drain(reordered_bollinger_stream(s, delay=delay),
+                                output_mode="append")
+                    got = _max_nb(raw).select(
+                        "user_id", "event_id", "n", "sx_c", "sxx_c4")
+                else:
+                    got = drain(
+                        bollinger_fold_stream(s), output_mode="append",
+                    ).select("user_id", "event_id", "n", "sx_c", "sxx_c4")
             finally:
                 spark.conf.set("spark.sql.shuffle.partitions", prev)
             want = _batch_bollinger(df, BOLLINGER_K).select(
@@ -342,12 +391,18 @@ def run_case(spark, rng: random.Random, sf_dir: str) -> str:
             prev = spark.conf.get("spark.sql.shuffle.partitions")
             spark.conf.set("spark.sql.shuffle.partitions", "4")
             try:
-                got = drain(
-                    corr_fold_stream(
-                        base.select("ts", "event_id", "user_id", "x")),
-                    output_mode="append",
-                ).select("user_id", "event_id", "n", "sx_c", "sy_c",
-                         "sxy_c4", "sxx_c4", "syy_c4")
+                s = base.select("ts", "event_id", "user_id", "x")
+                if shuffled:
+                    raw = drain(reordered_corr_stream(s, delay=delay),
+                                output_mode="append")
+                    got = _max_nb(raw).select(
+                        "user_id", "event_id", "n", "sx_c", "sy_c",
+                        "sxy_c4", "sxx_c4", "syy_c4")
+                else:
+                    got = drain(
+                        corr_fold_stream(s), output_mode="append",
+                    ).select("user_id", "event_id", "n", "sx_c", "sy_c",
+                             "sxy_c4", "sxx_c4", "syy_c4")
             finally:
                 spark.conf.set("spark.sql.shuffle.partitions", prev)
             want = _batch_corr(df, BOLLINGER_K).select(
@@ -355,8 +410,9 @@ def run_case(spark, rng: random.Random, sf_dir: str) -> str:
                 "sxy_c4", "sxx_c4", "syy_c4")
             label = f"corr(k={BOLLINGER_K})"
         else:
-            got = _finals(spark, drawdown_fold_stream(
-                base.select("ts", "event_id", "user_id", "x"),
+            got = _finals(spark, state_fold(
+                ["ts", "event_id", "user_id", "x"], drawdown_fold_stream,
+                "drawdown",
             )).select("user_id", "eq", "peak", "dd", "n")
             want = _batch_drawdown(df)
             label = "drawdown"
@@ -366,7 +422,9 @@ def run_case(spark, rng: random.Random, sf_dir: str) -> str:
             f"{label} pred={pred_name} parts={n_parts}: "
             f"extra={list(g - w)[:3]} missing={list(w - g)[:3]}"
         )
-        return f"{label:24s} pred={pred_name:12s} parts={n_parts} keys={len(w)}"
+        shape = "shuffled" if shuffled else "ordered"
+        return (f"{label:24s} pred={pred_name:12s} parts={n_parts} "
+                f"{shape:8s} keys={len(w)}")
     finally:
         shutil.rmtree(d, ignore_errors=True)
 
