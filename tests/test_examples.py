@@ -37,6 +37,7 @@ EXAMPLES = [
     "e25_operational_recovery",
     "e26_dml_suite",
     "e27_live_feedback",
+    "e28_out_of_order_ops",
 ]
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "examples"))
