@@ -2112,7 +2112,8 @@ def last_committed_batch_id(path: str,
 def _auto_maintain(spark: SparkSession, path: str, version: int,
                    compact_every: int | None,
                    compact_target_files: int,
-                   vacuum_keep: int | None) -> None:
+                   vacuum_keep: int | None,
+                   checkpoint_every: int | None = None) -> None:
     """Streaming-sink maintenance policy (r7 verdict item 5): a
     long-running stream commits one version + >=1 small file per
     micro-batch — 10^5 manifests/files a week with no policy.  Every
@@ -2127,13 +2128,19 @@ def _auto_maintain(spark: SparkSession, path: str, version: int,
         compact(spark, path, target_files=compact_target_files)
         if vacuum_keep is not None:
             vacuum(path, keep_last=vacuum_keep)
+    if checkpoint_every and version % checkpoint_every == 0:
+        # parquet manifest checkpoint of the CURRENT head (post-compact
+        # when both policies fire together): pruned scans/lookups of
+        # the stream's output plan distributed from this point on
+        checkpoint_manifest(spark, path)
 
 
 def versioned_sink(stream_df: DataFrame, path: str, checkpoint: str,
                    compact_every: int | None = None,
                    compact_target_files: int = 1,
                    vacuum_keep: int | None = None,
-                   txn_app_id: str = "default"):
+                   txn_app_id: str = "default",
+                   checkpoint_every: int | None = None):
     """EXACTLY-ONCE streaming append into the versioned lake: each
     micro-batch commits as one version whose manifest records its
     ``batch_id``; a re-delivered batch (foreachBatch's at-least-once
@@ -2166,7 +2173,8 @@ def versioned_sink(stream_df: DataFrame, path: str, checkpoint: str,
         v = commit_append(batch_df, path, meta={
             "batch_id": batch_id, "txn_app_id": txn_app_id})
         _auto_maintain(batch_df.sparkSession, path, v, compact_every,
-                       compact_target_files, vacuum_keep)
+                       compact_target_files, vacuum_keep,
+                       checkpoint_every)
 
     return (
         stream_df.writeStream.foreachBatch(_merge)
@@ -2186,6 +2194,7 @@ def versioned_merge_sink(
     compact_target_files: int = 1,
     vacuum_keep: int | None = None,
     txn_app_id: str = "default",
+    checkpoint_every: int | None = None,
 ):
     """Streaming CDC APPLY into the versioned lake: every micro-batch
     MERGEs (update/delete/insert by key, copy-on-write at file
@@ -2213,7 +2222,8 @@ def versioned_merge_sink(
             meta={"batch_id": batch_id, "txn_app_id": txn_app_id},
         )
         _auto_maintain(batch_df.sparkSession, path, v, compact_every,
-                       compact_target_files, vacuum_keep)
+                       compact_target_files, vacuum_keep,
+                       checkpoint_every)
 
     return (
         stream_df.writeStream.foreachBatch(_apply)

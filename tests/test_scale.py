@@ -3004,3 +3004,39 @@ def test_manifest_checkpoint_bloom_lookup(spark, tmp_path):
     assert [tuple(r) for r in
             lookup_version(spark, lake, "k", 123, version=v).collect()] \
         == [(123, 246)]
+
+
+def test_versioned_sink_periodic_checkpoint(spark, tmp_path):
+    """checkpoint_every=N on the streaming sink: every Nth commit also
+    lands a parquet manifest checkpoint of the head, so pruned scans of
+    a long-running stream's output plan distributed without an
+    operator ever calling checkpoint_manifest by hand."""
+    import os
+
+    from async_stream_processing_spark.plans.versioned import (
+        _ckpt_dir,
+        _head_version,
+        read_version,
+        scan_version,
+        versioned_sink,
+    )
+
+    src = str(tmp_path / "src")
+    lake = str(tmp_path / "lake")
+    for p in range(4):
+        spark.range(p * 10, p * 10 + 10).withColumnRenamed("id", "k") \
+            .coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema("k long") \
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    versioned_sink(stream, lake, str(tmp_path / "ck"),
+                   checkpoint_every=2).awaitTermination(180)
+    head = _head_version(lake)
+    assert head == 4
+    ckpts = [v for v in range(1, head + 1)
+             if os.path.isdir(_ckpt_dir(lake, v))]
+    assert ckpts == [2, 4]
+    assert read_version(spark, lake).count() == 40
+    # the head scan plans through the v4 checkpoint (distributed prune)
+    got = sorted(r["k"] for r in
+                 scan_version(spark, lake, "k", 5, 14).collect())
+    assert got == list(range(5, 15))
