@@ -545,26 +545,53 @@ def read_version(
         raise FileNotFoundError(f"no committed versions under {path}")
     m = _read_manifest(path, v)
     if not m["files"]:
-        # A legal full-table DELETE commits a manifest with no files;
-        # the version must stay readable as an EMPTY relation (Delta
-        # semantics), not raise.  DELETE/UPDATE never change schema, so
-        # the nearest ancestor that still had files supplies it.
-        p = m.get("parent")
-        seen: set[int] = set()
-        while p is not None and p not in seen:
-            seen.add(p)
-            pm = _read_manifest(path, p)
-            if pm["files"]:
-                return _read_with_dvs(
-                    spark, path, pm["files"], {},
-                    merge_schema=merge_schema,
-                ).limit(0)
-            p = pm.get("parent")
-        raise ValueError(
-            f"version {v} is empty and no ancestor records a schema"
-        )
+        return _empty_relation(spark, path, m, merge_schema)
     return _read_with_dvs(spark, path, m["files"], m.get("dvs", {}),
                           merge_schema=merge_schema)
+
+
+def _empty_relation(spark: SparkSession, path: str, m: dict,
+                    merge_schema: bool) -> DataFrame:
+    """A legal full-table DELETE commits a manifest with no files; the
+    version must stay readable as an EMPTY relation (Delta semantics),
+    not raise.  Schema resolution, in order: the manifest's own
+    recorded ``schema_json`` (empty DML commits self-describe, so the
+    head survives even a vacuum of every ancestor), then the nearest
+    ancestor with files (DELETE/UPDATE never change schema), hopping
+    through shallow-clone pointers into the source lake when the chain
+    starts at an empty clone."""
+    cur_path, pm = path, m
+    seen: set[tuple] = set()
+    while True:
+        key = (cur_path, pm.get("version"))
+        if key in seen:
+            break
+        seen.add(key)
+        if pm.get("schema_json"):
+            from pyspark.sql.types import StructType
+
+            return spark.createDataFrame(
+                [], StructType.fromJson(json.loads(pm["schema_json"]))
+            )
+        if pm["files"]:
+            return _read_with_dvs(
+                spark, cur_path, pm["files"], {},
+                merge_schema=merge_schema,
+            ).limit(0)
+        try:
+            if pm.get("parent") is not None:
+                pm = _read_manifest(cur_path, pm["parent"])
+            elif pm.get("cloned_from") is not None:
+                cur_path, cv = pm["cloned_from"], pm["cloned_version"]
+                pm = _read_manifest(cur_path, cv)
+            else:
+                break
+        except (OSError, json.JSONDecodeError):
+            break  # ancestor vacuumed/torn: no schema source left
+    raise ValueError(
+        f"version {m.get('version')} is empty and no reachable "
+        f"manifest records a schema"
+    )
 
 
 def table_changes(
@@ -994,6 +1021,8 @@ def shallow_clone(src: str, dst: str, version: int | None = None) -> int:
     abs_files = [os.path.join(src_abs, f) for f in m["files"]]
     remap = dict(zip(m["files"], abs_files))
     meta: dict = {"cloned_from": src_abs, "cloned_version": v}
+    if m.get("schema_json"):
+        meta["schema_json"] = m["schema_json"]  # empty-head clone
     if m.get("stats"):
         meta["stats"] = {remap[f]: s for f, s in m["stats"].items()
                          if f in remap}
@@ -1075,6 +1104,8 @@ def restore(path: str, version: int) -> int:
             f"file(s) were vacuumed (e.g. {missing[0]})"
         )
     meta: dict = {"restored_version": version}
+    if m.get("schema_json"):
+        meta["schema_json"] = m["schema_json"]  # empty-snapshot restore
     if m.get("stats"):
         meta["stats"] = m["stats"]
     if m.get("blooms"):
@@ -1595,6 +1626,11 @@ def _rewrite_where(spark: SparkSession, path: str, predicate: str,
             ]
 
         extra: dict = {}
+        if not kept and not new_files:
+            # full-table DELETE: the empty manifest self-describes its
+            # schema so the head stays readable even after every
+            # ancestor manifest is vacuumed
+            extra["schema_json"] = rewrite.schema.json()
         if stats:
             stat_cols = sorted({c for s in stats.values() for c in s})
             new_stats = {f: stats[f] for f in kept if f in stats}

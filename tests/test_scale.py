@@ -1790,15 +1790,17 @@ def test_lake_lifecycle_fuzz_pinned_seeds(spark):
     layer (tools/fuzz_lake.py): random append/merge/compact/vacuum/
     clone walks vs a dict model, head compared after EVERY commit,
     pinned snapshots re-read after churn, bloom lookups spot-checked.
-    Four pinned seeds here (the later two from the grammar era that
-    includes delete/update/mor_delete DML); larger sweeps run at round
-    close."""
+    Five pinned seeds here (the later three from the grammar eras that
+    include delete/update/mor_delete DML and ckpt_scan); larger sweeps
+    run at round close."""
     import random
 
     import tools.fuzz_lake as fl
 
-    for seed in (20260815, 20260816, 20260827111, 20260828111):
-        # 20260828111 caught the append-after-MOR DV-drop resurrection
+    for seed in (20260815, 20260816, 20260827111, 20260828111,
+                 20260834500):
+        # 20260828111 caught the append-after-MOR DV-drop resurrection;
+        # 20260834500 caught the unreadable empty-head shallow clone
         fl.run_case(spark, random.Random(seed))
 
 
@@ -3040,3 +3042,41 @@ def test_versioned_sink_periodic_checkpoint(spark, tmp_path):
     got = sorted(r["k"] for r in
                  scan_version(spark, lake, "k", 5, 14).collect())
     assert got == list(range(5, 15))
+
+
+def test_empty_head_clone_and_vacuum_survival(spark, tmp_path):
+    """Regression (fuzz-caught, seed 20260834500): a shallow clone of
+    an EMPTY head (full-table DELETE) must stay readable — the clone's
+    manifest has no parent chain, so schema resolution hops the clone
+    pointer into the source lake; and because empty DML commits record
+    schema_json, the head survives even after vacuum drops every
+    ancestor manifest."""
+    from async_stream_processing_spark.plans.versioned import (
+        commit_append,
+        delete_where,
+        read_version,
+        shallow_clone,
+        vacuum,
+    )
+
+    lake = str(tmp_path / "lake")
+    commit_append(
+        spark.createDataFrame([(k, k) for k in range(10)],
+                              "k long, v long").coalesce(1),
+        lake, stats_cols=["k"],
+    )
+    delete_where(spark, lake, "k >= 0")  # empty head, schema recorded
+    clone = str(tmp_path / "clone")
+    shallow_clone(lake, clone)
+    got = read_version(spark, clone)
+    assert got.count() == 0
+    assert [f.name for f in got.schema.fields] == ["k", "v"]
+    # vacuum the SOURCE down to its empty head: self-described schema
+    vacuum(lake, keep_last=1)
+    head = read_version(spark, lake)
+    assert head.count() == 0
+    assert [f.name for f in head.schema.fields] == ["k", "v"]
+    # the clone keeps working and evolving independently
+    commit_append(spark.createDataFrame([(99, 1)], "k long, v long"),
+                  clone)
+    assert read_version(spark, clone).count() == 1
