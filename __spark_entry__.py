@@ -1099,7 +1099,9 @@ def q_stream_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     drain; hash-matched against the same ANSI-SQL oracle as the batch
     query -- streaming execution under the correctness gate."""
     from async_stream_processing_spark.sources.parquet import stream_table
-    from async_stream_processing_spark.streaming.replay import drain
+    from async_stream_processing_spark.streaming.replay import (
+        drain_guarded,
+    )
 
     s = stream_table(spark, sf_dir, "events")
     agg = (
@@ -1110,7 +1112,7 @@ def q_stream_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("w.start").alias("bucket_start"), "n_events", "sum_value")
     )
-    return drain(agg)
+    return drain_guarded(agg)
 
 
 def q_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1120,7 +1122,9 @@ def q_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the total-order event_id are micro-batch-order-independent, so
     the drained bars hash-match the SAME oracle as the batch query."""
     from async_stream_processing_spark.sources.parquet import stream_table
-    from async_stream_processing_spark.streaming.replay import drain
+    from async_stream_processing_spark.streaming.replay import (
+        drain_guarded,
+    )
 
     s = stream_table(spark, sf_dir, "events")
     bucket = F.timestamp_micros(
@@ -1136,7 +1140,7 @@ def q_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value"
         ),
     )
-    return drain(agg)
+    return drain_guarded(agg)
 
 
 def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1145,7 +1149,9 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-matched against the same gaps-and-islands SQL oracle."""
     from pyspark.sql import Window
     from async_stream_processing_spark.sources.parquet import stream_table
-    from async_stream_processing_spark.streaming.replay import drain
+    from async_stream_processing_spark.streaming.replay import (
+        drain_guarded,
+    )
 
     s = stream_table(spark, sf_dir, "events")
     sw = (
@@ -1155,7 +1161,7 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
         )
     )
-    out = drain(sw).select(
+    out = drain_guarded(sw).select(
         "user_id",
         F.col("sw.start").alias("session_start"),
         F.col("sw.end").alias("session_end"),
@@ -1176,14 +1182,16 @@ def q_stream_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch ``first_seen``.  ``min_by`` over ``struct(ts, event_id)`` is the
     deterministic tie-break -- arrival order never matters."""
     from async_stream_processing_spark.sources.parquet import stream_table
-    from async_stream_processing_spark.streaming.replay import drain
+    from async_stream_processing_spark.streaming.replay import (
+        drain_guarded,
+    )
 
     s = stream_table(spark, sf_dir, "events")
     agg = s.groupBy("user_id").agg(
         F.min("ts").alias("first_ts"),
         F.min_by("event_type", F.struct("ts", "event_id")).alias("first_event_type"),
     )
-    return drain(agg)
+    return drain_guarded(agg)
 
 
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1800,7 +1808,7 @@ def q_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_table,
     )
     from async_stream_processing_spark.streaming.replay import (
-        drain,
+        drain_guarded,
         stream_static_enrich,
     )
 
@@ -1814,7 +1822,7 @@ def q_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "ts", "user_id", "event_type", "value",
         "c_name", "c_mktsegment",
     )
-    return drain(enriched, output_mode="append")
+    return drain_guarded(enriched, output_mode="append")
 
 
 def q_stream_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3132,7 +3140,9 @@ def q_stream_sliding_2min(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The same sliding-window aggregation EXECUTED BY THE STREAMING
     ENGINE, drained and hash-matched against the identical SQL oracle."""
     from async_stream_processing_spark.sources.parquet import stream_table
-    from async_stream_processing_spark.streaming.replay import drain
+    from async_stream_processing_spark.streaming.replay import (
+        drain_guarded,
+    )
 
     s = stream_table(spark, sf_dir, "events")
     agg = (
@@ -3144,7 +3154,7 @@ def q_stream_sliding_2min(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("w.start").alias("window_start"),
                 F.col("w.end").alias("window_end"), "n_events", "sum_value")
     )
-    return drain(agg)
+    return drain_guarded(agg)
 
 
 def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3342,7 +3352,9 @@ def q_stream_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     execution outright."""
     from async_stream_processing_spark.operators.range_join import range_join
     from async_stream_processing_spark.sources.parquet import stream_table
-    from async_stream_processing_spark.streaming.replay import drain
+    from async_stream_processing_spark.streaming.replay import (
+        drain_guarded,
+    )
 
     s = stream_table(spark, sf_dir, "events").select("event_id", "value")
     bands = load_table(spark, sf_dir, "nation").select(
@@ -3351,7 +3363,7 @@ def q_stream_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_nationkey") * F.lit(17.0) + F.lit(29.0)).alias("hi"),
     )
     joined = range_join(s, bands, "value", bucket_width=20.0)
-    return drain(
+    return drain_guarded(
         joined.select("event_id", "band_id", "value"), output_mode="append"
     )
 

@@ -295,14 +295,16 @@ def q_stream_decontaminate(spark, sf_dir):
         bloom_decontaminate,
     )
     from async_stream_processing_spark.sources.parquet import stream_table
-    from async_stream_processing_spark.streaming.replay import drain
+    from async_stream_processing_spark.streaming.replay import (
+        drain_guarded,
+    )
 
     docs = _docs(spark, sf_dir)
     bench = docs.filter(F.col("doc_id") < 20).select(
         F.col("doc_id").alias("bench_id"), "text"
     )
     s = stream_table(spark, sf_dir, "documents")
-    return drain(
+    return drain_guarded(
         bloom_decontaminate(s, bench, n=8), output_mode="complete"
     )
 
@@ -698,7 +700,9 @@ def q_stream_incremental_dedup(spark, sf_dir):
     )
     from async_stream_processing_spark.plans.scale import write_bucketed
     from async_stream_processing_spark.sources.parquet import stream_table
-    from async_stream_processing_spark.streaming.replay import drain
+    from async_stream_processing_spark.streaming.replay import (
+        drain_guarded,
+    )
 
     docs = _docs(spark, sf_dir)
     store_path = tempfile.mkdtemp(prefix="asp_incr_store_")
@@ -713,9 +717,9 @@ def q_stream_incremental_dedup(spark, sf_dir):
         s = stream_table(spark, sf_dir, "documents").filter(
             F.col("doc_id") % 5 == 0
         )
-        out = drain(
+        out = drain_guarded(
             stream_incremental_dedup(s, stored, threshold=0.25),
-            output_mode="append",
+            output_mode="append", shuffle_partitions="8",
         ).localCheckpoint(eager=True)
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
@@ -2375,12 +2379,14 @@ def q_stream_trigram_backoff(spark, sf_dir):
         trigram_score_on_ingest,
     )
     from async_stream_processing_spark.sources.parquet import stream_table
-    from async_stream_processing_spark.streaming.replay import drain
+    from async_stream_processing_spark.streaming.replay import (
+        drain_guarded,
+    )
 
     docs = _docs(spark, sf_dir)
     model = trigram_model(docs.filter(F.col("doc_id") % 2 == 0))
     s = stream_table(spark, sf_dir, "documents")
-    return drain(trigram_score_on_ingest(s, model), output_mode="complete")
+    return drain_guarded(trigram_score_on_ingest(s, model), output_mode="complete")
 
 
 def q_source_tv_distance(spark, sf_dir):
