@@ -32,6 +32,9 @@ from async_stream_processing_spark.operators.windows import (
 from async_stream_processing_spark.plans.event_relation import events_relation
 from async_stream_processing_spark.sources.parquet import load_table
 from async_stream_processing_spark.sources.synthetic import timer_ticks
+from async_stream_processing_spark.streaming.replay import (
+    shuffle_guard as _shuffle_guard,
+)
 
 SF0001 = "/root/testdata/sf0.001"
 
@@ -990,14 +993,10 @@ def _drain_fold(spark: SparkSession, folded_stream: DataFrame) -> DataFrame:
     local-scale shuffle-partition knob mirrors q_stream_cart."""
     from pyspark.sql import Window
 
-    from async_stream_processing_spark.streaming.replay import drain
+    from async_stream_processing_spark.streaming.replay import drain_guarded
 
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    try:
-        out = drain(folded_stream, output_mode="append")
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    out = drain_guarded(folded_stream, output_mode="append",
+                        shuffle_partitions="4")
     w = Window.partitionBy("user_id").orderBy(F.desc("n"))
     return (
         out.withColumn("__rk", F.row_number().over(w))
@@ -1205,7 +1204,7 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     plain DISTINCT oracle applies."""
     from async_stream_processing_spark.sources.parquet import stream_table
     from async_stream_processing_spark.streaming.replay import (
-        drain,
+        drain_guarded,
         stream_dedup_within_watermark,
     )
 
@@ -1215,12 +1214,8 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # same local-scale knob as stream_join_1h: fewer partitions = fewer
     # state-store instances (restored after the drain; results identical)
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        return drain(dd.select("user_id", "event_type"), output_mode="append")
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return drain_guarded(dd.select("user_id", "event_type"),
+                         output_mode="append", shuffle_partitions="8")
 
 
 def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1231,7 +1226,10 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle.  The reference's closest shape is the quote/trade pairing of
     e4_trade_pnl (B6) -- this is its live form."""
     from async_stream_processing_spark.sources.parquet import stream_table
-    from async_stream_processing_spark.streaming.replay import drain, stream_stream_join
+    from async_stream_processing_spark.streaming.replay import (
+        drain_guarded,
+        stream_stream_join,
+    )
 
     purchases = stream_table(spark, sf_dir, "events").filter(
         F.col("event_type") == "purchase"
@@ -1258,12 +1256,7 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # after the drain -- partition count never changes results, only the
     # state sharding).  On a real cluster size this to executor count.
     # A/B at sf0.1: 4 partitions ~1.5 s faster than 8, identical rows.
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    try:
-        return drain(out, output_mode="append")
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return drain_guarded(out, output_mode="append", shuffle_partitions="4")
 
 
 def q_stream_cart(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1276,7 +1269,7 @@ def q_stream_cart(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
     from async_stream_processing_spark.sources.parquet import stream_table
     from async_stream_processing_spark.streaming.cart import cart_stream
-    from async_stream_processing_spark.streaming.replay import drain
+    from async_stream_processing_spark.streaming.replay import drain_guarded
 
     s = (
         stream_table(spark, sf_dir, "events")
@@ -1286,13 +1279,8 @@ def q_stream_cart(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # same local-scale knob as stream_join_1h: fewer partitions = fewer
     # state-store instances + Python-worker Arrow channels (restored after)
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        out = drain(cart_stream(s, discount=0.9, discount_seconds=3600),
-                    output_mode="append")
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    out = drain_guarded(cart_stream(s, discount=0.9, discount_seconds=3600),
+                        output_mode="append", shuffle_partitions="8")
     finals = out.filter(F.col("event_kind") != "discount_ended")
     w = Window.partitionBy("user_id").orderBy(F.desc("n_updates"))
     return (
@@ -1714,12 +1702,8 @@ def q_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_purchases"),
     )
     top = agg.orderBy(F.desc("total_value"), F.asc("user_id")).limit(10)
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
+    with _shuffle_guard(spark, "8"):
         return drain(top, output_mode="complete")
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def q_user_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1786,12 +1770,8 @@ def q_stream_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
             for k in kinds
         ])
     )
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
+    with _shuffle_guard(spark, "8"):
         return drain(wide, output_mode="complete")
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def q_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1845,12 +1825,8 @@ def q_stream_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
          .alias("total_value"),
         F.count(F.lit(1)).alias("n_purchases"),
     )
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
+    with _shuffle_guard(spark, "8"):
         totals = drain(agg, output_mode="complete")
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
     w_ties = Window.orderBy(F.desc("total_value"))
     w_total = Window.orderBy(F.desc("total_value"), F.asc("user_id"))
     return totals.select(
@@ -1991,15 +1967,11 @@ def _stream_outer_join(
     # state-store instances per partition, and store setup dominates the
     # tiny local state (A/B: 4 parts ~2.5x faster than 8, identical
     # rows).  At scale, size by state volume / throughput instead.
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    try:
+    with _shuffle_guard(spark, "4"):
         # sentinel filter on the DRAINED result -- see docstring
         return drain(out, output_mode="append").filter(
             F.col("user_id") >= 0
         )
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
         # the memory-sink table is materialized; the sentinel files are done
         shutil.rmtree(sent_dir, ignore_errors=True)
 
@@ -2661,12 +2633,8 @@ def q_stream_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("value").cast("decimal(18,2)") * 100)
         .cast("long").alias("x"),
     )
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    try:
+    with _shuffle_guard(spark, "4"):
         out = drain(bollinger_fold_stream(s), output_mode="append")
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return _bollinger_from_sums(out)
 
 
@@ -2706,12 +2674,14 @@ def q_stream_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("value").cast("decimal(18,2)") * 100)
         .cast("long").alias("x"),
     )
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    try:
+    with _shuffle_guard(spark, "4"):
         out = drain(corr_fold_stream(s), output_mode="append")
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return _corr_from_sums(out)
+
+
+def _corr_from_sums(out: DataFrame) -> DataFrame:
+    """Shared rolling-corr finalization (Pearson IEEE tree) for the
+    ordered and reorder-buffered stream twins."""
     n_d = F.col("n").cast("double")
     sx = F.col("sx_c").cast("double") / F.lit(100.0)
     sy = F.col("sy_c").cast("double") / F.lit(100.0)
@@ -2800,15 +2770,11 @@ def q_stream_bollinger_ooo(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("value").cast("decimal(18,2)") * 100)
         .cast("long").alias("x"),
     )
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    try:
+    with _shuffle_guard(spark, "4"):
         out = drain(
             reordered_bollinger_stream(s, delay=_REORDER_DELAY),
             output_mode="append",
         )
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
     w = Window.partitionBy("user_id", "event_id").orderBy(F.desc("nb"))
     final_rows = (
         out.withColumn("__rk", F.row_number().over(w))
@@ -2816,6 +2782,130 @@ def q_stream_bollinger_ooo(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("__rk", "nb")
     )
     return _bollinger_from_sums(final_rows)
+
+
+def q_stream_ewma_ooo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ewma_users over an OUT-OF-ORDER stream (r10 verdict item 2 —
+    gating the remaining reorder-twin kinds): the reorder-buffered
+    fold holds arrivals in state until the watermark passes and feeds
+    the SAME pure ewma kernel as the ordered ``stream_ewma`` in
+    event-time order, so the drained final state hash-matches the SAME
+    oracle despite the ±2 h cross-batch arrival jitter."""
+    from async_stream_processing_spark.streaming.reorder import (
+        reordered_fold_stream,
+    )
+
+    s = _stream_time_shuffled(spark, sf_dir).select(
+        "ts", "event_id", "user_id",
+        ((F.col("value").cast("decimal(18,2)") * 100).cast("long")
+         * F.lit(1_000_000)).alias("x"),
+    )
+    finals = _drain_fold(
+        spark, reordered_fold_stream(s, "ewma", delay=_REORDER_DELAY)
+    )
+    return finals.select(
+        "user_id",
+        F.col("n").alias("n_events"),
+        F.col("ew").alias("ewma_scaled"),
+        (F.col("ew").cast("double") / F.lit(100_000_000.0)).alias("ewma"),
+    )
+
+
+def q_stream_rsi_ooo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rsi_users over an OUT-OF-ORDER stream: the Wilder recurrence is
+    order-sensitive through prev_y and the smoothing chain, so the
+    reorder buffer's event-time re-sort is what keeps the drained
+    result hash-matching the SAME oracle as the ordered
+    ``stream_rsi``."""
+    from async_stream_processing_spark.streaming.reorder import (
+        reordered_fold_stream,
+    )
+
+    s = _stream_time_shuffled(spark, sf_dir).select(
+        "ts", "event_id", "user_id",
+        (F.col("value").cast("decimal(18,2)") * 100)
+        .cast("long").alias("y"),
+    )
+    finals = _drain_fold(
+        spark, reordered_fold_stream(s, "rsi", delay=_REORDER_DELAY,
+                                     period=14)
+    )
+    agg = finals.select(
+        "user_id",
+        (F.col("n") - 1).alias("n_diffs"),
+        F.col("ag").alias("ag_scaled"),
+        F.col("al").alias("al_scaled"),
+    ).filter(F.col("n_diffs") >= 14)
+    ag_d = F.col("ag_scaled").cast("double")
+    al_d = F.col("al_scaled").cast("double")
+    return agg.withColumn(
+        "rsi",
+        F.when(
+            F.col("ag_scaled") + F.col("al_scaled") > 0,
+            F.lit(100.0) * ag_d / (ag_d + al_d),
+        ),
+    )
+
+
+def q_stream_drawdown_ooo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_drawdown over an OUT-OF-ORDER stream: peak/drawdown is a
+    path property of the event-time order (a reordered pair of rows
+    changes the running peak), so this is the sharpest test of the
+    reorder buffer's finalize-in-order contract — hash-matches the
+    SAME oracle as the ordered ``stream_max_drawdown``."""
+    from async_stream_processing_spark.streaming.reorder import (
+        reordered_fold_stream,
+    )
+
+    s = _stream_time_shuffled(spark, sf_dir).select(
+        "ts", "event_id", "user_id",
+        (F.col("value").cast("decimal(18,2)") * 100)
+        .cast("long").alias("x"),
+    )
+    finals = _drain_fold(
+        spark, reordered_fold_stream(s, "drawdown", delay=_REORDER_DELAY)
+    )
+    return finals.select(
+        "user_id",
+        (F.col("dd").cast("double") / F.lit(100.0)).alias("max_drawdown"),
+        (F.col("peak").cast("double") / F.lit(100.0)).alias("peak_equity"),
+        (F.col("eq").cast("double") / F.lit(100.0)).alias("final_equity"),
+        F.col("n").alias("n_events"),
+    )
+
+
+def q_stream_rolling_corr_ooo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rolling_corr over an OUT-OF-ORDER stream — the second PER-EVENT
+    member of the reorder family (lag-1 pairs over a k-row frame, so a
+    misordered arrival corrupts both the lag and the frame): pending
+    events re-emit speculatively tagged with ``nb``; the drained
+    consumer keeps max-``nb`` per (user_id, event_id) and the Pearson
+    tree hash-matches the SAME oracle as the ordered
+    ``stream_rolling_corr`` row for row."""
+    from pyspark.sql import Window
+
+    from async_stream_processing_spark.streaming.reorder import (
+        reordered_corr_stream,
+    )
+    from async_stream_processing_spark.streaming.replay import drain
+
+    s = _stream_time_shuffled(spark, sf_dir).select(
+        "ts", "event_id", "user_id",
+        (F.col("value").cast("decimal(18,2)") * 100)
+        .cast("long").alias("x"),
+    )
+    with _shuffle_guard(spark, "4"):
+        out = drain(
+            reordered_corr_stream(s, delay=_REORDER_DELAY),
+            output_mode="append",
+        )
+    w = Window.partitionBy("user_id", "event_id").orderBy(F.desc("nb"))
+    final_rows = (
+        out.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .drop("__rk", "nb")
+    )
+    return _corr_from_sums(final_rows)
 
 
 def q_salted_hot_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2915,12 +3005,8 @@ def q_stream_late_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # local-scale shuffle-partition guard (the _drain_fold discipline):
     # 32 state stores x 3 batches dominates this tiny stateful agg
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    try:
+    with _shuffle_guard(spark, "4"):
         return drain(agg, output_mode="append")
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def q_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3037,9 +3123,7 @@ def q_stream_upsert_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = stream_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", "value"
     )
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    try:
+    with _shuffle_guard(spark, "4"):
         upsert_sink(
             s, lake, keys=["user_id"], version_col="event_id",
             checkpoint=ck, n_buckets=4,
@@ -3047,8 +3131,6 @@ def q_stream_upsert_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = read_current(spark, lake).select(
             "user_id", "event_id", "event_type", "value"
         ).localCheckpoint(eager=True)
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
         shutil.rmtree(lake, ignore_errors=True)
         shutil.rmtree(ck, ignore_errors=True)
     return out
@@ -3502,6 +3584,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_cusum_ooo": q_stream_cusum_ooo,
         "stream_ols_ooo": q_stream_ols_ooo,
         "stream_bollinger_ooo": q_stream_bollinger_ooo,
+        "stream_ewma_ooo": q_stream_ewma_ooo,
+        "stream_rsi_ooo": q_stream_rsi_ooo,
+        "stream_drawdown_ooo": q_stream_drawdown_ooo,
+        "stream_rolling_corr_ooo": q_stream_rolling_corr_ooo,
         "stream_fullouter": q_stream_fullouter,
         "stream_leftouter": q_stream_leftouter,
         "demux_counts": q_demux,
@@ -4457,6 +4543,7 @@ def oracle_sql() -> dict[str, str]:
     out["bollinger_bands"] = sql_bollinger_bands(n_rows=20)
     out["stream_bollinger"] = out["bollinger_bands"]
     out["stream_bollinger_ooo"] = out["bollinger_bands"]
+    out["stream_drawdown_ooo"] = out["max_drawdown"]
     out["rolling_corr"] = """
         WITH lagged AS (
             SELECT user_id, ts, event_id,
@@ -5159,6 +5246,8 @@ def oracle_sql() -> dict[str, str]:
     out["cusum_drift"] = out["stream_cusum"] = sql_cusum_drift()
     # reorder-buffered OOO twin: same oracle (exactness is the point)
     out["stream_cusum_ooo"] = out["stream_cusum"]
+    out["stream_ewma_ooo"] = out["stream_ewma"]
+    out["stream_rolling_corr_ooo"] = out["rolling_corr"]
     out["salted_hot_join"] = """
         WITH ev AS (
             SELECT CASE WHEN event_id % 10 < 3 THEN 0
@@ -5237,6 +5326,7 @@ def oracle_sql() -> dict[str, str]:
                END AS rsi
         FROM folded
     """
+    out["stream_rsi_ooo"] = out["stream_rsi"]
     out["equidepth_histogram"] = """
         WITH b AS (SELECT l_extendedprice,
                           NTILE(10) OVER (ORDER BY l_extendedprice) AS bucket

@@ -33,7 +33,9 @@ siblings in ``plans/scale.py``).
 
 from __future__ import annotations
 
+import errno
 import json
+import math
 import os
 import shutil
 import time
@@ -151,13 +153,22 @@ def _commit(path: str, files: list[str], parent: int | None,
                 f"version {v} was committed concurrently; recompute "
                 f"against the new head and retry"
             ) from None
-        except OSError:
+        except OSError as e:
             # Filesystem without hard-link support (some NFS/SMB/FUSE
-            # object mounts raise EPERM/ENOTSUP): fall back to the
-            # O_EXCL claim-then-write protocol.  The claim keeps the
-            # fails-if-exists conflict check; the body write reopens a
-            # small torn window, which readers already tolerate (torn
-            # manifests skip, the slot stays burned).
+            # object mounts raise EPERM/ENOTSUP/EXDEV): fall back to the
+            # O_EXCL claim-then-write protocol.  ONLY those errnos take
+            # the fallback — a transient fault (ENOSPC, EIO) re-raises
+            # instead of silently reopening the torn-manifest window the
+            # link-publish protocol exists to close (r10 ADVICE).  The
+            # claim keeps the fails-if-exists conflict check; the body
+            # write reopens a small torn window, which readers already
+            # tolerate (torn manifests skip, the slot stays burned).
+            _no_link = {errno.EPERM, errno.ENOTSUP, errno.EXDEV}
+            _eopnotsupp = getattr(errno, "EOPNOTSUPP", None)
+            if _eopnotsupp is not None:
+                _no_link.add(_eopnotsupp)
+            if e.errno not in _no_link:
+                raise
             try:
                 fd = os.open(_manifest_path(path, v),
                              os.O_CREAT | os.O_EXCL | os.O_WRONLY)
@@ -784,13 +795,44 @@ def checkpoint_manifest(spark: SparkSession, path: str,
         rows.extend(typed)
     d = _ckpt_dir(path, v)
     tmp = d + f".tmp-{uuid.uuid4().hex}"
-    spark.createDataFrame(rows, _CKPT_SCHEMA).coalesce(1) \
+    # SHARDED write (r10 verdict item 5): coalesce(1) serialized the
+    # checkpoint write into one task at the 10^5-10^6-file posture this
+    # exists for.  One task per ~64k stat rows instead; hashing on
+    # `file` keeps a file's rows co-located so the read side's per-file
+    # groupBy shuffles less.  The read side always globbed the whole
+    # directory, so multi-file checkpoints need no reader change.
+    n_shards = max(1, math.ceil(len(rows) / 65536))
+    spark.createDataFrame(rows, _CKPT_SCHEMA) \
+        .repartition(n_shards, "file") \
         .write.mode("overwrite").parquet(tmp)
     try:
         os.rename(tmp, d)
     except OSError:
         shutil.rmtree(tmp, ignore_errors=True)  # concurrent checkpointer won
     return v
+
+
+_I64_MIN, _I64_MAX = -(1 << 63), (1 << 63) - 1
+
+
+def _int_query_bounds(c_lo, c_hi) -> tuple[int, int] | None:
+    """Integer-exact query bounds for comparing BIGINT stat columns
+    (r10 ADVICE): ``F.lit(float)`` promotes the comparison to DOUBLE,
+    and above 2^53 that cast can round a bound inward and wrongly prune
+    a file containing matching rows.  For integer ``lo_i``/``hi_i``,
+    ``lo_i <= c_hi  <=>  lo_i <= floor(c_hi)`` and ``hi_i >= c_lo  <=>
+    hi_i >= ceil(c_lo)``, so the all-integer form is exactly equivalent
+    — never less conservative than the JSON loop's exact Python
+    comparison.  Bounds outside int64 clamp (the clamped comparison is
+    vacuously true on that side, i.e. no pruning).  None = a bound is
+    non-finite: treat the integer stat path as unprunable."""
+    try:
+        hi_f = math.floor(c_hi) if isinstance(c_hi, float) else int(c_hi)
+        lo_c = math.ceil(c_lo) if isinstance(c_lo, float) else int(c_lo)
+    except (OverflowError, ValueError):
+        return None
+    return (max(_I64_MIN, min(lo_c, _I64_MAX)),
+            max(_I64_MIN, min(hi_f, _I64_MAX)))
 
 
 def _pruned_files_distributed(
@@ -801,35 +843,47 @@ def _pruned_files_distributed(
     loop).  A file is pruned iff SOME queried column's recorded range
     provably misses — evaluated as a Spark filter, so the driver sees
     only the surviving names (plus their deletion-vector refs), never
-    the table-sized manifest."""
+    the table-sized manifest.  An unreadable checkpoint (external
+    corruption, partial copy) also returns None — the JSON manifest is
+    the source of truth and gives the identical answer, so a torn
+    checkpoint degrades to the slower path instead of failing the scan
+    (r10 ADVICE)."""
     from pyspark.sql import functions as F
 
     d = _ckpt_dir(path, v)
     if not os.path.isdir(d):
         return None
-    ck = spark.read.parquet(d)
-    miss = F.lit(False)
-    for c, (c_lo, c_hi) in ranges.items():
-        if isinstance(c_lo, str):
-            m_c = (F.col("lo_s").isNotNull()
-                   & ~((F.col("lo_s") <= F.lit(c_hi))
-                       & (F.col("hi_s") >= F.lit(c_lo))))
-        else:
-            m_c = (
-                (F.col("lo_i").isNotNull()
-                 & ~((F.col("lo_i") <= F.lit(c_hi))
-                     & (F.col("hi_i") >= F.lit(c_lo))))
-                | (F.col("lo_d").isNotNull()
-                   & ~((F.col("lo_d") <= F.lit(c_hi))
-                       & (F.col("hi_d") >= F.lit(c_lo))))
-            )
-        miss = miss | ((F.col("col") == F.lit(c)) & m_c)
-    bad = ck.filter(miss).select("file")
-    keep = ck.join(bad, "file", "left_anti").groupBy("file").agg(
-        F.sort_array(
-            F.filter(F.collect_set("dv"), lambda x: x.isNotNull())
-        ).alias("dvs")
-    ).collect()
+    try:
+        ck = spark.read.parquet(d)
+        miss = F.lit(False)
+        for c, (c_lo, c_hi) in ranges.items():
+            if isinstance(c_lo, str):
+                m_c = (F.col("lo_s").isNotNull()
+                       & ~((F.col("lo_s") <= F.lit(c_hi))
+                           & (F.col("hi_s") >= F.lit(c_lo))))
+            else:
+                ib = _int_query_bounds(c_lo, c_hi)
+                if ib is None:
+                    m_i = F.lit(False)  # non-finite bound: never prune
+                else:
+                    lo_c, hi_f = ib
+                    m_i = (F.col("lo_i").isNotNull()
+                           & ~((F.col("lo_i") <= F.lit(hi_f))
+                               & (F.col("hi_i") >= F.lit(lo_c))))
+                m_c = m_i | (
+                    F.col("lo_d").isNotNull()
+                    & ~((F.col("lo_d") <= F.lit(c_hi))
+                        & (F.col("hi_d") >= F.lit(c_lo)))
+                )
+            miss = miss | ((F.col("col") == F.lit(c)) & m_c)
+        bad = ck.filter(miss).select("file")
+        keep = ck.join(bad, "file", "left_anti").groupBy("file").agg(
+            F.sort_array(
+                F.filter(F.collect_set("dv"), lambda x: x.isNotNull())
+            ).alias("dvs")
+        ).collect()
+    except Exception:
+        return None
     files = sorted(r["file"] for r in keep)
     dvs = {r["file"]: list(r["dvs"]) for r in keep if r["dvs"]}
     return files, dvs
@@ -912,7 +966,10 @@ def _bloom_files_distributed(
     d = _ckpt_dir(path, v)
     if not os.path.isdir(d):
         return None
-    ck = spark.read.parquet(d)
+    try:
+        ck = spark.read.parquet(d)
+    except Exception:
+        return None  # torn/corrupt checkpoint: JSON loop is exact
     if "b64" not in ck.columns:
         return None  # pre-bloom checkpoint layout: fall back
 
@@ -938,15 +995,18 @@ def _bloom_files_distributed(
         "return": pd.Series,
     }
     probe = pandas_udf(_probe, "boolean")
-    bad = ck.filter(
-        F.col("b64").isNotNull() & (F.col("col") == F.lit(col))
-        & ~probe(F.col("b64"), F.col("bm"), F.col("bk"))
-    ).select("file")
-    keep = ck.join(bad, "file", "left_anti").groupBy("file").agg(
-        F.sort_array(
-            F.filter(F.collect_set("dv"), lambda x: x.isNotNull())
-        ).alias("dvs")
-    ).collect()
+    try:
+        bad = ck.filter(
+            F.col("b64").isNotNull() & (F.col("col") == F.lit(col))
+            & ~probe(F.col("b64"), F.col("bm"), F.col("bk"))
+        ).select("file")
+        keep = ck.join(bad, "file", "left_anti").groupBy("file").agg(
+            F.sort_array(
+                F.filter(F.collect_set("dv"), lambda x: x.isNotNull())
+            ).alias("dvs")
+        ).collect()
+    except Exception:
+        return None  # lazy read failed mid-job: fall back to JSON loop
     files = sorted(r["file"] for r in keep)
     dvs = {r["file"]: list(r["dvs"]) for r in keep if r["dvs"]}
     return files, dvs

@@ -114,16 +114,25 @@ _STATE_KINDS = {
 
 def _merge_pending(state_tail, pdf: pd.DataFrame, vcol: str):
     """Merge the carried pending buffer with the batch's rows, sorted
-    by (ts, event_id).  Times ride as int64 epoch-nanoseconds (exact
-    round-trip with pandas datetime64[ns])."""
-    bt, be, bv = (list(state_tail[0] or []), list(state_tail[1] or []),
-                  list(state_tail[2] or []))
-    bt += pdf["ts"].astype("int64").tolist()
-    be += pdf["event_id"].tolist()
-    bv += pdf[vcol].tolist()
-    order = sorted(range(len(bt)), key=lambda i: (bt[i], be[i]))
-    return ([bt[i] for i in order], [be[i] for i in order],
-            [bv[i] for i in order])
+    by (ts, event_id).  The carried buffer is ALREADY sorted (it is
+    this function's own output from the previous batch), so only the
+    new batch is sorted and the two runs are merged — O(carry +
+    batch·log batch) per batch instead of re-sorting the whole horizon
+    (r10 verdict item 6: a hot key at high event rate holds its full
+    watermark horizon in the carry).  Times ride as int64
+    epoch-nanoseconds (exact round-trip with pandas datetime64[ns])."""
+    from heapq import merge as _heap_merge
+
+    carry = zip(state_tail[0] or (), state_tail[1] or (),
+                state_tail[2] or ())
+    new = sorted(zip(pdf["ts"].astype("int64").tolist(),
+                     pdf["event_id"].tolist(),
+                     pdf[vcol].tolist()))
+    merged = list(_heap_merge(carry, new))
+    if not merged:
+        return [], [], []
+    bt, be, bv = (list(c) for c in zip(*merged))
+    return bt, be, bv
 
 
 def reorder_step(kind: str, core, buf, pdf: pd.DataFrame, wm_ns: int,

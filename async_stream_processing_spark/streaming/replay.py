@@ -28,7 +28,9 @@ symbol) -- state stores shard by key across executors; use RocksDB
 
 from __future__ import annotations
 
+import threading
 from collections.abc import Callable
+from contextlib import contextmanager
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
@@ -368,8 +370,43 @@ def drain(stream_df: DataFrame, output_mode: str = "complete",
     )
     q.awaitTermination(timeout_s)
     DRAIN_BATCH_TALLY["drains"] += 1
-    DRAIN_BATCH_TALLY["batches"] += len(q.recentProgress)
+    # batchId is 0-based and monotone within this fresh query, so
+    # lastProgress.batchId + 1 == micro-batches run; recentProgress is
+    # CAPPED at spark.sql.streaming.numRecentProgressUpdates (default
+    # 100) and would silently undercount long drains (r10 ADVICE)
+    last = q.lastProgress
+    if last is not None:
+        DRAIN_BATCH_TALLY["batches"] += int(last["batchId"]) + 1
     return stream_df.sparkSession.table(name)
+
+
+#: serializes guarded drains: the shuffle-partition override below flips
+#: SESSION-global conf, so two overlapping guarded drains could restore
+#: each other's temporary value as the "previous" one (r10 ADVICE).  The
+#: lock makes set -> drain -> restore atomic per process.  A query
+#: running concurrently on the same session OUTSIDE drain_guarded can
+#: still observe the reduced value for already-compiled plans'
+#: NEW micro-batches -- callers that interleave guarded drains with
+#: other live stateful queries should size the session conf once
+#: instead (shuffle partitioning is per-cluster-sizing in production;
+#: this guard exists only for local[32] oracle drains).
+_GUARD_LOCK = threading.RLock()
+
+
+@contextmanager
+def shuffle_guard(spark: SparkSession, shuffle_partitions: str):
+    """Temporarily lower ``spark.sql.shuffle.partitions`` for one drain,
+    serialized under ``_GUARD_LOCK`` so overlapping guarded sections
+    can't restore each other's temporary value (r10 ADVICE).  Use this
+    instead of inline set/restore anywhere a local-scale drain needs a
+    per-query partition count."""
+    with _GUARD_LOCK:
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", shuffle_partitions)
+        try:
+            yield
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def drain_guarded(stream_df: DataFrame, output_mode: str = "complete",
@@ -380,16 +417,13 @@ def drain_guarded(stream_df: DataFrame, output_mode: str = "complete",
     shuffle partition PER MICRO-BATCH, so draining a small replay with
     the session's 32 partitions pays ~8x the state-store spin-up the
     data needs (measured: stream_decontaminate 15s -> 3.4s at sf0.1).
-    Setting restored afterwards; a real deployment sizes this once per
-    query via spark.sql.shuffle.partitions on the cluster."""
+    Setting restored afterwards (set/restore serialized under
+    ``_GUARD_LOCK``); a real deployment sizes this once per query via
+    spark.sql.shuffle.partitions on the cluster."""
     spark = stream_df.sparkSession
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", shuffle_partitions)
-    try:
+    with shuffle_guard(spark, shuffle_partitions):
         return drain(stream_df, output_mode=output_mode,
                      timeout_s=timeout_s)
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def with_observed_metrics(

@@ -3080,3 +3080,146 @@ def test_empty_head_clone_and_vacuum_survival(spark, tmp_path):
     commit_append(spark.createDataFrame([(99, 1)], "k long, v long"),
                   clone)
     assert read_version(spark, clone).count() == 1
+
+
+def test_int_query_bounds_exact_above_2_53():
+    """r10 ADVICE: comparing BIGINT stat columns against a float query
+    bound must not promote to DOUBLE (above 2^53 the cast can round a
+    bound inward and wrongly prune).  The integer-exact rewrite
+    (lo_i <= floor(c_hi), hi_i >= ceil(c_lo)) is equivalent for integer
+    stats; non-finite bounds disable the int path; out-of-int64 bounds
+    clamp (vacuously-true side, never prunes)."""
+    from async_stream_processing_spark.plans.versioned import (
+        _I64_MAX,
+        _I64_MIN,
+        _int_query_bounds,
+    )
+
+    assert _int_query_bounds(10.5, 20.5) == (11, 20)
+    assert _int_query_bounds(10, 20) == (10, 20)
+    big = float(2**53 + 2)  # exactly representable (even)
+    assert _int_query_bounds(big, big) == (2**53 + 2, 2**53 + 2)
+    assert _int_query_bounds(float("-inf"), 5.0) is None
+    assert _int_query_bounds(0.0, float("nan")) is None
+    assert _int_query_bounds(-1e300, 1e300) == (_I64_MIN, _I64_MAX)
+
+
+def test_distributed_prune_int64_above_2_53(spark, tmp_path):
+    """End-to-end twin of the helper test: stats recorded above 2^53,
+    checkpointed, queried with FLOAT bounds — the distributed path
+    must keep exactly the files the exact JSON loop keeps."""
+    from async_stream_processing_spark.plans.versioned import (
+        _commit,
+        _pruned_files_distributed,
+        checkpoint_manifest,
+    )
+
+    lake = str(tmp_path / "lake")
+    base = 1 << 53
+    files = [f"data/f{i}.parquet" for i in range(4)]
+    stats = {f: {"k": [base + 4 * i, base + 4 * i + 2]}
+             for i, f in enumerate(files)}
+    _commit(lake, files, None, "append", meta={"stats": stats})
+    v = checkpoint_manifest(spark, lake)
+    # float bounds land exactly on file 1's range [base+4, base+6]
+    got = _pruned_files_distributed(
+        spark, lake, v, {"k": (float(base + 4), float(base + 6))}
+    )
+    assert got is not None
+    keep, _ = got
+    assert keep == [files[1]]
+    # a half-open float bound exercises the floor/ceil path
+    got2 = _pruned_files_distributed(
+        spark, lake, v, {"k": (float(base) + 0.5, float(base + 8))}
+    )
+    assert got2 is not None
+    assert got2[0] == [files[0], files[1], files[2]]
+
+
+def test_checkpoint_write_is_sharded(spark, tmp_path):
+    """r10 verdict item 5: checkpoint_manifest writes one task per
+    ~64k stat rows instead of coalesce(1), so a 10^5-row checkpoint is
+    a parallel write; the read side globs the directory either way."""
+    import os
+
+    from async_stream_processing_spark.plans.versioned import (
+        _ckpt_dir,
+        _commit,
+        _pruned_files_distributed,
+        checkpoint_manifest,
+    )
+
+    lake = str(tmp_path / "lake")
+    n = 70_000
+    files = [f"data/f{i:06d}.parquet" for i in range(n)]
+    stats = {f: {"k": [i * 10, i * 10 + 9]} for i, f in enumerate(files)}
+    _commit(lake, files, None, "append", meta={"stats": stats})
+    v = checkpoint_manifest(spark, lake)
+    parts = [p for p in os.listdir(_ckpt_dir(lake, v))
+             if p.startswith("part-") and p.endswith(".parquet")]
+    assert len(parts) >= 2, parts
+    got = _pruned_files_distributed(spark, lake, v, {"k": (55, 73)})
+    assert got is not None and got[0] == [files[5], files[6], files[7]]
+
+
+def test_corrupt_checkpoint_falls_back_to_json(spark, tmp_path):
+    """r10 ADVICE: an unreadable checkpoint (external corruption,
+    partial copy) degrades to the JSON manifest loop instead of
+    failing the scan/lookup — same rows either way."""
+    import os
+
+    from async_stream_processing_spark.plans.versioned import (
+        _ckpt_dir,
+        checkpoint_manifest,
+        commit_append,
+        lookup_version,
+        scan_version,
+    )
+
+    lake = str(tmp_path / "lake")
+    commit_append(
+        spark.createDataFrame([(k, k * 2) for k in range(100)],
+                              "k long, v long").repartitionByRange(4, "k"),
+        lake, stats_cols=["k"], bloom_cols=["k"], bloom_bits=1 << 12,
+    )
+    v = checkpoint_manifest(spark, lake)
+    d = _ckpt_dir(lake, v)
+    for p in os.listdir(d):
+        full = os.path.join(d, p)
+        if os.path.isfile(full):
+            open(full, "wb").write(b"garbage not parquet")
+    got = {r["k"] for r in scan_version(spark, lake, "k", 10, 20,
+                                        version=v).collect()}
+    assert got == set(range(10, 21))
+    assert lookup_version(spark, lake, "k", 42, version=v).count() == 1
+
+
+def test_commit_link_fallback_only_on_no_link_errnos(tmp_path, monkeypatch):
+    """r10 ADVICE: only EPERM/ENOTSUP/EOPNOTSUPP/EXDEV from os.link take
+    the O_EXCL fallback (filesystems without hard links); a transient
+    fault like ENOSPC re-raises instead of reopening the torn-manifest
+    window."""
+    import errno
+    import os
+
+    from async_stream_processing_spark.plans import versioned as V
+
+    lake = str(tmp_path / "lake")
+
+    def _link_enospc(src, dst):
+        raise OSError(errno.ENOSPC, "no space")
+
+    monkeypatch.setattr(os, "link", _link_enospc)
+    try:
+        V._commit(lake, ["data/a.parquet"], None, "append")
+        raised = False
+    except OSError as e:
+        raised = e.errno == errno.ENOSPC
+    assert raised
+
+    def _link_eperm(src, dst):
+        raise OSError(errno.EPERM, "no hard links here")
+
+    monkeypatch.setattr(os, "link", _link_eperm)
+    v = V._commit(lake, ["data/a.parquet"], None, "append")
+    assert v == 1 and os.path.exists(V._manifest_path(lake, 1))

@@ -879,3 +879,69 @@ def test_reordered_corr_stream_matches_batch_kernel(spark):
         for (u, t, e, n, sx, sy, sxy, sxx, syy) in rws:
             want[(u, e)] = (n, sx, sy, sxy, sxx, syy)
     assert got == want
+
+
+def test_reorder_buffer_hot_key_state_bounded():
+    """r10 verdict item 6: one hot key at FULL watermark horizon under
+    adversarial disorder (every batch reverse-time-sorted, horizon-deep
+    jitter) — the pending buffer never exceeds the rows within the
+    horizon (state = O(horizon), never history), the carried buffer
+    stays sorted across batches (the merged-runs invariant), and the
+    final speculative state is still bit-identical to the ordered
+    kernel over the sorted input."""
+    import random
+
+    import pandas as pd
+
+    from async_stream_processing_spark.streaming.folds import (
+        CORE_INIT,
+        cusum_kernel,
+    )
+    from async_stream_processing_spark.streaming.reorder import (
+        reorder_step,
+    )
+
+    rng = random.Random(20260818)
+    n = 2_000
+    base = 1_600_000_000_000_000_000
+    step_ns = 100_000_000  # 10 events/s on ONE key
+    delay_ns = 30_000_000_000  # 30 s horizon = 300 rows deep
+    rows = [(base + i * step_ns, i, rng.randrange(-500, 2500))
+            for i in range(n)]
+    # adversarial delivery: jitter at (just under) the full horizon,
+    # then REVERSE-sort each batch so every merge hits the worst case
+    keyed = sorted(
+        range(n),
+        key=lambda i: rows[i][0] + rng.randrange(-delay_ns // 2,
+                                                 delay_ns // 2 + 1),
+    )
+    n_batches = 20
+    cuts = [n * b // n_batches for b in range(n_batches + 1)]
+    batches = [sorted(keyed[cuts[b]:cuts[b + 1]],
+                      key=lambda i: -rows[i][0])
+               for b in range(n_batches)]
+
+    core, buf = CORE_INIT["cusum"], (None, None, None)
+    wm_ns, seen_max, spec = 0, 0, None
+    horizon_rows = delay_ns // step_ns + 1
+    for batch in batches:
+        pdf = pd.DataFrame(
+            {"ts": pd.to_datetime([rows[i][0] for i in batch]),
+             "event_id": [rows[i][1] for i in batch],
+             "x": [rows[i][2] for i in batch]},
+        )
+        core, (bt, be, bv), spec = reorder_step(
+            "cusum", core, buf, pdf, wm_ns, {})
+        buf = (bt, be, bv)
+        # O(horizon) bound: pending <= rows inside the horizon + the
+        # batch that has not yet seen its own watermark advance
+        assert len(bt) <= horizon_rows + len(batch), len(bt)
+        # the carried buffer really is sorted (merge-of-runs invariant)
+        assert all(bt[i] <= bt[i + 1] for i in range(len(bt) - 1))
+        seen_max = max([seen_max] + [rows[i][0] for i in batch])
+        wm_ns = max(wm_ns, seen_max - delay_ns)
+    srt = sorted(range(n), key=lambda i: (rows[i][0], rows[i][1]))
+    want = cusum_kernel(CORE_INIT["cusum"],
+                        [rows[i][2] for i in srt],
+                        [rows[i][1] for i in srt])
+    assert tuple(spec) == tuple(want)
