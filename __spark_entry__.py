@@ -2908,6 +2908,81 @@ def q_stream_rolling_corr_ooo(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _corr_from_sums(final_rows)
 
 
+def q_stream_lake_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole round-10/11 machinery composed into ONE oracle-checked
+    plan (r10 verdict item 8): a time-JITTERED replay feeds the
+    reorder-buffered cusum fold (``streaming/reorder.py``); every
+    micro-batch of fold emissions COMMITS to a versioned lake
+    (``foreachBatch`` -> ``commit_append`` with per-file user_id
+    stats, so the sink is itself transactional + time-travelable);
+    after the drain a parquet manifest CHECKPOINT re-lands the stats,
+    and the read-back is a DISTRIBUTED stat-pruned ``scan_version``
+    over a user_id range.  The drained-final convention (max-``n`` row
+    per user) recovers each user's exact fold state, so the result
+    hash-matches the plain batch cusum oracle restricted to the same
+    user range — out-of-order streaming, lake transactions, manifest
+    checkpointing and pruned reads certified against ONE closed form.
+    Reference semantics: processor.py:75-76 (strict time order) +
+    e6_persistence-style sink."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from async_stream_processing_spark.plans.versioned import (
+        checkpoint_manifest,
+        commit_append,
+        scan_version,
+    )
+    from async_stream_processing_spark.streaming.reorder import (
+        reordered_fold_stream,
+    )
+
+    s = _stream_time_shuffled(spark, sf_dir).select(
+        "ts", "event_id", "user_id",
+        (F.col("value").cast("decimal(18,2)") * 100)
+        .cast("long").alias("x"),
+    )
+    folded = reordered_fold_stream(s, "cusum", delay=_REORDER_DELAY)
+    lake = tempfile.mkdtemp(prefix="asp_pipeline_")
+    shutil.rmtree(lake, ignore_errors=True)
+    try:
+        def _commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+            if batch_df.isEmpty():
+                return
+            # range-partition so per-file user_id stats are disjoint
+            # and the read-back prune really skips files
+            commit_append(batch_df.repartitionByRange(2, "user_id"),
+                          lake, stats_cols=["user_id"])
+
+        with _shuffle_guard(spark, "4"):
+            q = (
+                folded.writeStream.foreachBatch(_commit_batch)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(300)
+        checkpoint_manifest(spark, lake)
+        scanned = scan_version(spark, lake, "user_id", 2, 9)
+        w = Window.partitionBy("user_id").orderBy(F.desc("n"))
+        finals = (
+            scanned.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") == 1)
+            .drop("__rk")
+        )
+        out = finals.select(
+            "user_id",
+            F.col("smax").alias("max_cusum"),
+            "n_over",
+            F.col("alarm").alias("first_alarm_event"),
+            F.col("n").alias("n_points"),
+        ).filter(F.col("n_points") >= 10).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(lake, ignore_errors=True)
+    return out
+
+
 def q_salted_hot_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-salted equi-join GATE (plans/scale.salted_join, r8 verdict
     item 6): the derived key deliberately routes ~30% of all events to
@@ -3588,6 +3663,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_rsi_ooo": q_stream_rsi_ooo,
         "stream_drawdown_ooo": q_stream_drawdown_ooo,
         "stream_rolling_corr_ooo": q_stream_rolling_corr_ooo,
+        "stream_lake_roundtrip": q_stream_lake_roundtrip,
         "stream_fullouter": q_stream_fullouter,
         "stream_leftouter": q_stream_leftouter,
         "demux_counts": q_demux,
@@ -3720,57 +3796,63 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return out
 
 
-#: Round-10 gate window: the driver checks the FIRST 50 `queries()` keys.
+#: Round-11 gate window: the driver checks the FIRST 50 `queries()` keys.
 #: Composition (mechanically verified by tools/check_window.py) follows
-#: the r9 verdict's top item — re-certify the stale half of the registry
-#: (keys last driver-checked in rounds 2-4, predating the folds/top-k/
-#: lake rewrites) — plus everything whose code changed this round:
-#: (a) NEW this round (never driver-gated): the reorder-buffered
-#:     out-of-order fold twins (stream_{cusum,ols,bollinger}_ooo) and
-#:     the Pillow-free pixel-decode gate (multimodal_pixels);
-#: (b) code changed in round 10: the DML quartet (no-op short-circuit +
-#:     quoted-literal prune fix + empty-head read), versioned_prune_read
-#:     (checkpointed scan path), salted_hot_join (content-hash salt),
-#:     both tf-idf keys (shared postings cache), bloom_decontaminate
-#:     (per-worker memo), bpe_train/bpe_apply (batched merge scans),
-#:     and the two O(k) per-event folds covering the kernel-extraction
-#:     refactor (the O(1) folds' extracted kernels gate through their
-#:     OOO twins above; the ordered wrapper is shared machinery);
-#: (c) the FULL r2 cohort — stalest in the registry: the 13 TPC-H keys
-#:     last checked round 2, set_ops_multiset, trade_pnl_asof,
-#:     vwap_2min (the reference-surface flagships, e4_trade_pnl/
-#:     e2_stats);
-#: (d) the r3/r4 keys the verdict names: trade_pnl_bucketed,
-#:     asof_nearest, cart_totals, positions_by_key, resample_1min +
-#:     its stream twin, running_combine, spread_bid_ask,
-#:     stream_first_seen, stream_sessionize, plus r3 family heads
-#:     (sliding_2min + stream twin, rank_family, window_funcs,
-#:     scalar_funcs, value_percentiles, fullouter_daily,
-#:     multimodal_decode).
-#: Rotated out (all r9-gated green, machinery covered by kin in-window):
-#: the knn/recall family, restore/history/clone/compact lake keys,
-#: timer_ticks, dedup/pipeline cache consumers.
+#: the r10 verdict's top item — rotate onto the stalest cohort (keys
+#: last driver-gated rounds 3-4) — plus everything new or changed:
+#: (a) NEW this round (never driver-gated): stream_{ewma,rsi,drawdown,
+#:     rolling_corr}_ooo (the remaining reorder-twin kinds),
+#:     approx_quality_stratified (sketch-boundary scale twin), and
+#:     stream_lake_roundtrip (OOO stream -> versioned lake ->
+#:     checkpoint -> pruned scan composed against one oracle);
+#: (b) code changed in round 11: the r10 OOO trio (reorder buffer now
+#:     merges sorted runs), versioned_prune_read / versioned_point_lookup
+#:     (now routed through the SHARDED parquet checkpoint, float query
+#:     bounds exercising the integer-exact compare), and
+#:     quality_stratified_sample (module grew the approx twin);
+#: (c) the FULL r3 cohort — all 28 keys last driver-gated round 3,
+#:     the stalest in the registry (decontaminate, dedup_exact, lang_id,
+#:     the multimodal family, redact_pii, quality/text stats, 4 TPC-H);
+#: (d) 10 of the 34-key r4 cohort: the verdict-named flagships
+#:     (cube_orders, funnel_steps, heavy_hitters, ivf_kmeans_assign,
+#:     pack_sequences, retention_cohorts) + stream_gopher_quality (a
+#:     bench-regression key), gopher_quality and the two sketch keys.
+#: Rotated out (all r10-gated green, machinery covered by kin
+#: in-window): the r2 TPC-H cohort, DML quartet, tf-idf/bpe/bloom keys,
+#: salted_hot_join, multimodal_pixels, r3/r4 flagships re-gated r10.
+#: Still stale after this round: 24 r4 keys (next rotation's head).
 GATE_WINDOW = [
-    # (a) new in round 10
+    # (a) new in round 11 (never driver-gated): the four remaining
+    #     reorder-twin kinds, the sketch-boundary stratified-sample
+    #     scale twin, and the composed OOO-stream -> lake -> checkpoint
+    #     -> pruned-scan key
+    "stream_ewma_ooo", "stream_rsi_ooo", "stream_drawdown_ooo",
+    "stream_rolling_corr_ooo", "approx_quality_stratified",
+    "stream_lake_roundtrip",
+    # (b) code changed in round 11: reorder buffer now merges sorted
+    #     runs (re-gate the r10 OOO trio); prune_read/point_lookup now
+    #     route through the sharded parquet checkpoint with float
+    #     bounds; sampling.py grew the approx path next to the exact
+    #     form
     "stream_cusum_ooo", "stream_ols_ooo", "stream_bollinger_ooo",
-    "multimodal_pixels",
-    # (b) code changed in round 10
-    "versioned_delete", "versioned_update", "versioned_delete_mor",
-    "versioned_update_mor", "versioned_prune_read", "salted_hot_join",
-    "tfidf_top_terms", "tfidf_cosine_pairs", "bloom_decontaminate",
-    "bpe_train", "bpe_apply",
-    "stream_bollinger", "stream_rolling_corr",
-    # (c) the full r2 cohort (stalest)
-    "set_ops_multiset", "trade_pnl_asof", "vwap_2min",
-    "tpch_q1", "tpch_q4", "tpch_q7", "tpch_q8", "tpch_q10", "tpch_q13",
-    "tpch_q15", "tpch_q16", "tpch_q17", "tpch_q19", "tpch_q21", "tpch_q22",
-    # (d) verdict-named r3/r4 flagships + family heads
-    "trade_pnl_bucketed", "asof_nearest", "cart_totals",
-    "positions_by_key", "resample_1min", "stream_resample_1min",
-    "running_combine", "spread_bid_ask", "stream_first_seen",
-    "stream_sessionize", "sliding_2min", "stream_sliding_2min",
-    "rank_family", "window_funcs", "scalar_funcs", "value_percentiles",
-    "fullouter_daily", "multimodal_decode",
+    "versioned_prune_read", "versioned_point_lookup",
+    "quality_stratified_sample",
+    # (c) the FULL r3 cohort -- stalest 28 keys in the registry, last
+    #     driver-gated round 3 (r10 verdict item 1)
+    "ann_lsh_buckets", "decontaminate", "dedup_exact",
+    "doc_fingerprints", "frame_sample", "ivf_assign",
+    "json_extract_props", "knn_lsh_multiprobe", "lang_id",
+    "multimodal_audio", "multimodal_meta", "multimodal_video",
+    "ngram_jaccard_pairs", "quality_score", "redact_pii",
+    "repetition_stats", "stratified_sample", "stream_multimodal_decode",
+    "stream_pivot_daily", "stream_rank_family", "stream_topk_users",
+    "text_stats", "token_counts", "top_terms_per_source",
+    "tpch_q11", "tpch_q2", "tpch_q20", "tpch_q9",
+    # (d) 10 of the r4 cohort: verdict-named flagships + the two
+    #     bench-regression keys of that round
+    "cube_orders", "funnel_steps", "heavy_hitters", "ivf_kmeans_assign",
+    "pack_sequences", "retention_cohorts", "stream_gopher_quality",
+    "gopher_quality", "cardinality_sketch", "quantile_sketch",
 ]
 
 
@@ -5246,6 +5328,10 @@ def oracle_sql() -> dict[str, str]:
     out["cusum_drift"] = out["stream_cusum"] = sql_cusum_drift()
     # reorder-buffered OOO twin: same oracle (exactness is the point)
     out["stream_cusum_ooo"] = out["stream_cusum"]
+    out["stream_lake_roundtrip"] = (
+        "SELECT * FROM (" + sql_cusum_drift()
+        + ") WHERE user_id BETWEEN 2 AND 9"
+    )
     out["stream_ewma_ooo"] = out["stream_ewma"]
     out["stream_rolling_corr_ooo"] = out["rolling_corr"]
     out["salted_hot_join"] = """

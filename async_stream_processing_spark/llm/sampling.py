@@ -139,6 +139,60 @@ def quality_stratified_sample(
     )
 
 
+def _approx_strata(
+    docs: DataFrame, n_strata: int = 10, accuracy: int = 10_000
+) -> DataFrame:
+    """Rarity-stratum assignment for the SCALE path (r10 verdict item
+    3): boundaries from ``percentile_approx`` over the rarity signal —
+    a mergeable rank sketch (map-side partials, ONE ordinary
+    aggregation, O(accuracy) state per partition), broadcast to the
+    assignment scan as a 1-row cross join.  No unkeyed NTILE window,
+    no single-partition sort anywhere.  Stratum ``i`` covers
+    ``(b_{i-1}, b_i]``; boundary ties land in the lower stratum where
+    NTILE would split them by row position, so stratum SIZES may
+    differ from the exact form within the sketch's rank error
+    (<= 1/accuracy relative rank)."""
+    from .text_analysis import token_rarity
+
+    rare = token_rarity(docs).join(docs.select("doc_id", "text"), "doc_id")
+    probs = [i / n_strata for i in range(1, n_strata)]
+    bnds = rare.agg(
+        F.percentile_approx("mean_tok_freq", probs, accuracy)
+        .alias("__bnds")
+    )
+    v = F.col("mean_tok_freq")
+    stratum = (
+        F.size(F.filter(F.col("__bnds"), lambda x: x < v)) + F.lit(1)
+    ).cast("long")
+    return (
+        rare.join(F.broadcast(bnds))
+        .withColumn("stratum", stratum)
+        .withColumn("h", stable_hash60(F.col("text")))
+        .drop("__bnds")
+    )
+
+
+def approx_quality_stratified_sample(
+    docs: DataFrame, n_strata: int = 10, keep_per: int = 5,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Scale-path twin of :func:`quality_stratified_sample`: sketch
+    boundaries (:func:`_approx_strata`) instead of the exact form's
+    global-sort NTILE; the within-stratum deterministic hash-gated
+    keep is UNCHANGED (a keyed window over ``stratum`` — shuffles on
+    the stratum key, never a single partition).  The exact NTILE form
+    stays as the oracle twin; this is the plan to run at 100 TB."""
+    w_keep = Window.partitionBy("stratum").orderBy(
+        F.asc("h"), F.asc("doc_id")
+    )
+    return (
+        _approx_strata(docs, n_strata, accuracy)
+        .withColumn("rk", F.row_number().over(w_keep))
+        .filter(F.col("rk") <= keep_per)
+        .select("doc_id", "stratum", "mean_tok_freq")
+    )
+
+
 def train_val_split(
     docs: DataFrame,
     val_pct: int = 1,

@@ -536,6 +536,61 @@ def q_quality_stratified_sample(spark, sf_dir):
     return quality_stratified_sample(_docs(spark, sf_dir))
 
 
+def q_approx_quality_stratified(spark, sf_dir):
+    """100 TB path for quality_stratified_sample (r10 verdict item 3),
+    checked BY CONTRACT (the approx_equidepth pattern — raw sketch
+    boundaries aren't cross-engine portable, the estimator's properties
+    are).  Per stratum: ``n_kept`` (the deterministic hash-gated keep
+    really returned keep_per rows), ``depth_ok`` (|size - n/10| <= n/50
+    cross-multiplied integers — the sketch's rank error is n/accuracy =
+    n/10000, so 2% depth slack is 200x the bound), ``monotone_ok``
+    (stratum value ranges ordered and disjoint: this stratum's min >=
+    the previous stratum's max, true by construction of interval
+    assignment).  The oracle emits the same 10 constant rows.  The
+    plan has NO single-partition exchange — the sketch aggregates
+    map-side, the keep window shuffles on the stratum key, and the
+    monotone check is a broadcast self-join of the 10-row stratum
+    aggregate (unlike the exact twin's corpus-sized global NTILE
+    sort, which stays as the oracle-scale form)."""
+    from pyspark.sql import Window
+
+    from async_stream_processing_spark.llm.sampling import _approx_strata
+
+    keep_per = 5
+    assigned = _approx_strata(_docs(spark, sf_dir), 10)
+    w_keep = Window.partitionBy("stratum").orderBy(
+        F.asc("h"), F.asc("doc_id")
+    )
+    kept = (
+        assigned.withColumn("rk", F.row_number().over(w_keep))
+        .filter(F.col("rk") <= keep_per)
+        .groupBy("stratum").agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    sizes = assigned.groupBy("stratum").agg(
+        F.count(F.lit(1)).alias("sz"),
+        F.min("mean_tok_freq").alias("mn"),
+        F.max("mean_tok_freq").alias("mx"),
+    )
+    tot = sizes.agg(F.sum("sz").alias("n"))
+    prev = sizes.select(
+        (F.col("stratum") + 1).alias("stratum"),
+        F.col("mx").alias("prev_mx"),
+    )
+    return (
+        sizes.join(kept, "stratum")
+        .join(F.broadcast(prev), "stratum", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "stratum",
+            "n_kept",
+            (F.abs(F.col("sz") * 10 - F.col("n")) * 5 <= F.col("n"))
+            .alias("depth_ok"),
+            (F.col("prev_mx").isNull()
+             | (F.col("mn") >= F.col("prev_mx"))).alias("monotone_ok"),
+        )
+    )
+
+
 def q_gopher_repetition(spark, sf_dir):
     """Gopher Appendix-A1.1 repetition filters: top-{2,3,4}-gram and
     duplicated-5-gram character coverage with integer-exact threshold
@@ -1461,11 +1516,16 @@ def q_versioned_prune_read(spark, sf_dir):
     record footer min/max in the manifest; scan_version(doc_id in
     [lo, hi]) must equal the plain filter (that it opens ONLY the
     intersecting files is proven by the corruption test in pytest --
-    here the VALUES are hash-gated)."""
+    here the VALUES are hash-gated).  Since round 11 the scan runs
+    through the DISTRIBUTED checkpoint-prune path (checkpoint_manifest
+    first, FLOAT query bounds) so the sharded checkpoint write and the
+    integer-exact BIGINT bound comparison are themselves
+    driver-gated."""
     import shutil
     import tempfile
 
     from async_stream_processing_spark.plans.versioned import (
+        checkpoint_manifest,
         commit_append,
         scan_version,
     )
@@ -1486,7 +1546,9 @@ def q_versioned_prune_read(spark, sf_dir):
                 ).coalesce(1),
                 lake, stats_cols=["doc_id"],
             )
-        lo, hi = third // 2, third + third // 2
+        checkpoint_manifest(spark, lake)
+        # float bounds: exercises the floor/ceil integer-exact compare
+        lo, hi = float(third // 2) - 0.5, float(third + third // 2) + 0.5
         out = scan_version(spark, lake, "doc_id", lo, hi) \
             .localCheckpoint(eager=True)
     finally:
@@ -1499,11 +1561,15 @@ def q_versioned_point_lookup(spark, sf_dir):
     primary-key fetches (n/4, n/2, 3n/4) against the head -- each opens
     only files whose manifest bloom might contain the key (no false
     negatives proven in pytest by corrupting rejected files; the VALUES
-    are hash-gated here)."""
+    are hash-gated here).  Since round 11 the lookups run through the
+    DISTRIBUTED checkpoint path (checkpoint_manifest first) so the
+    Arrow-batched bloom probe over the sharded checkpoint is itself
+    driver-gated."""
     import shutil
     import tempfile
 
     from async_stream_processing_spark.plans.versioned import (
+        checkpoint_manifest,
         commit_append,
         lookup_version,
     )
@@ -1524,6 +1590,7 @@ def q_versioned_point_lookup(spark, sf_dir):
                 ).coalesce(1),
                 lake, bloom_cols=["doc_id"],
             )
+        checkpoint_manifest(spark, lake)
         parts = [
             lookup_version(spark, lake, "doc_id", k)
             for k in (n // 4, n // 2, (3 * n) // 4)
@@ -2617,6 +2684,7 @@ LLM_QUERIES = {
     "pca_project": q_pca_project,
     "embedding_dedup_clusters": q_embedding_dedup_clusters,
     "quality_stratified_sample": q_quality_stratified_sample,
+    "approx_quality_stratified": q_approx_quality_stratified,
 }
 
 
@@ -3847,6 +3915,13 @@ def llm_oracle_sql() -> dict[str, str]:
                 UNION
                 SELECT e.a, w.r FROM edges e JOIN walk w ON e.b = w.v)
             SELECT v AS vec_id, MIN(r) AS cluster_id FROM walk GROUP BY v
+        """,
+        "approx_quality_stratified": """
+            SELECT CAST(range AS BIGINT) AS stratum,
+                   CAST(5 AS BIGINT) AS n_kept,
+                   TRUE AS depth_ok,
+                   TRUE AS monotone_ok
+            FROM range(1, 11)
         """,
         "quality_stratified_sample": f"""
             WITH toks AS (
