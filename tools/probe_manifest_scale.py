@@ -57,8 +57,23 @@ def build_lake(spark, n_files: int) -> str:
             "files": files, "stats": stats}
     with open(_manifest_path(lake, 2), "w") as f:
         json.dump(body, f)
-    checkpoint_manifest(spark, lake, version=2)
     return lake
+
+
+def time_checkpoint(spark, lake: str) -> tuple[float, int]:
+    """Time the (sharded, r10 verdict item 5) checkpoint write and
+    report the part-file count it produced."""
+    from async_stream_processing_spark.plans.versioned import (
+        _ckpt_dir,
+        checkpoint_manifest,
+    )
+
+    t0 = time.time()
+    checkpoint_manifest(spark, lake, version=2)
+    dt = time.time() - t0
+    parts = [p for p in os.listdir(_ckpt_dir(lake, 2))
+             if p.startswith("part-") and p.endswith(".parquet")]
+    return dt, len(parts)
 
 
 def probe(spark, lake: str, reps: int = 5) -> tuple[float, float]:
@@ -101,11 +116,14 @@ def main() -> None:
 
     spark = get_spark("mprobe", shuffle_partitions=4)
     spark.sparkContext.setLogLevel("ERROR")
-    print(f"{'n_files':>8} {'json_loop_ms':>13} {'ckpt_prune_ms':>14}")
+    print(f"{'n_files':>8} {'json_loop_ms':>13} {'ckpt_prune_ms':>14} "
+          f"{'ckpt_write_s':>13} {'shards':>7}")
     for n in ns:
         lake = build_lake(spark, n)
+        t_write, n_parts = time_checkpoint(spark, lake)
         t_json, t_ckpt = probe(spark, lake)
-        print(f"{n:>8} {t_json * 1000:>13.1f} {t_ckpt * 1000:>14.1f}")
+        print(f"{n:>8} {t_json * 1000:>13.1f} {t_ckpt * 1000:>14.1f} "
+              f"{t_write:>13.2f} {n_parts:>7}")
         shutil.rmtree(os.path.dirname(lake), ignore_errors=True)
 
 

@@ -134,6 +134,75 @@ def main() -> None:
             flush=True,
         )
 
+    # --- round-10/11 additions (r10 verdict item 7): the reorder-
+    # buffered stream fold (drained end-to-end over a jittered 3-file
+    # replay -- fixed per-batch engine spin-up is the same at both
+    # volumes, so the ratio isolates per-row fold + buffer cost), the
+    # batched BPE trainer, and the sketch-boundary stratified sample. ---
+    import shutil as _sh
+    import tempfile as _tmp
+
+    def _jitter_dir(ev) -> str:
+        sel = ev.select(
+            "ts", "event_id", "user_id",
+            (F.col("value").cast("decimal(18,2)") * 100)
+            .cast("long").alias("x"),
+        ).withColumn(
+            "__j",
+            F.col("ts").cast("long")
+            + F.pmod(F.xxhash64("event_id"), F.lit(7200)) - F.lit(3600),
+        )
+        d = _tmp.mkdtemp(prefix="asp_reorder_probe_")
+        sel.repartitionByRange(3, "__j").drop("__j")             .write.mode("overwrite").parquet(d)
+        return d
+
+    def _reorder_drain(d: str):
+        from async_stream_processing_spark.streaming.reorder import (
+            reordered_fold_stream,
+        )
+        from async_stream_processing_spark.streaming.replay import (
+            drain_guarded,
+        )
+
+        schema = spark.read.parquet(d).schema
+        s = (spark.readStream.schema(schema)
+             .option("maxFilesPerTrigger", 1).parquet(d))
+        return drain_guarded(
+            reordered_fold_stream(s, "cusum", delay="7200 seconds"),
+            output_mode="append", shuffle_partitions="4",
+        )
+
+    if not ONLY or "reorder_cusum_stream" in ONLY:
+        d1, d8 = _jitter_dir(ev1), _jitter_dir(ev8)
+        _reorder_drain(d1).count()  # warm (state-store + codegen)
+        t0 = time.time(); _reorder_drain(d1).count(); t1 = time.time() - t0
+        t0 = time.time(); _reorder_drain(d8).count(); t8 = time.time() - t0
+        print(f"{'reorder_cusum_stream':22s} 1x={t1:6.2f}s  8x={t8:6.2f}s"
+              f"  ratio={t8 / t1:5.2f}x", flush=True)
+        _sh.rmtree(d1, ignore_errors=True)
+        _sh.rmtree(d8, ignore_errors=True)
+
+    if not ONLY or "bpe_train_batched" in ONLY:
+        from async_stream_processing_spark.llm.text_analysis import bpe_train
+
+        bpe_train(docs1, n_merges=24).count()  # warm
+        t0 = time.time(); bpe_train(docs1, n_merges=24).count()
+        t1 = time.time() - t0
+        t0 = time.time(); bpe_train(docs8, n_merges=24).count()
+        t8 = time.time() - t0
+        print(f"{'bpe_train_batched':22s} 1x={t1:6.2f}s  8x={t8:6.2f}s"
+              f"  ratio={t8 / t1:5.2f}x", flush=True)
+
+    if not ONLY or "approx_stratified" in ONLY:
+        from async_stream_processing_spark.llm.sampling import (
+            approx_quality_stratified_sample,
+        )
+
+        t1 = warm_time(approx_quality_stratified_sample(docs1))
+        t8 = warm_time(approx_quality_stratified_sample(docs8))
+        print(f"{'approx_stratified':22s} 1x={t1:6.2f}s  8x={t8:6.2f}s"
+              f"  ratio={t8 / t1:5.2f}x", flush=True)
+
     # --- iterative ops with DRIVER-SIDE loops (eager rounds): time
     # END-TO-END and record round-count stability at 8x -- a convergence
     # loop whose round count grows with volume is a scale bug even when
