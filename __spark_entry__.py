@@ -1174,6 +1174,48 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
              "n_events", "sum_value")
 
 
+def q_stream_sessionize_ooo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization over an OUT-OF-ORDER stream — the NATIVE-engine
+    counterpart of the custom reorder-buffer family: ``session_window``
+    state merging absorbs cross-batch arrival disorder by itself (a
+    late-arriving row that bridges two sessions already in state MERGES
+    them; the micro-batch engine's session store does what
+    streaming/reorder.py does by hand for order-sensitive folds).
+    Replays the same ±2 h jittered split as the ``*_ooo`` fold twins
+    and hash-matches the SAME gaps-and-islands oracle as the ordered
+    ``stream_sessionize`` — proving which operators need a reorder
+    buffer (order-sensitive recurrences) and which Spark's own
+    watermark machinery covers (mergeable aggregations)."""
+    from pyspark.sql import Window
+
+    from async_stream_processing_spark.streaming.replay import (
+        drain_guarded,
+    )
+
+    s = _stream_time_shuffled(spark, sf_dir)
+    sw = (
+        s.groupBy("user_id",
+                  F.session_window("ts", "1800 seconds").alias("sw"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double").alias("sum_value"),
+        )
+    )
+    out = drain_guarded(sw).select(
+        "user_id",
+        F.col("sw.start").alias("session_start"),
+        F.col("sw.end").alias("session_end"),
+        "n_events",
+        "sum_value",
+    )
+    w = Window.partitionBy("user_id").orderBy("session_start")
+    return out.withColumn(
+        "session_id", F.row_number().over(w).cast("long")
+    ).select("user_id", "session_id", "session_start", "session_end",
+             "n_events", "sum_value")
+
+
 def q_stream_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B1 first-seen EXECUTED BY THE STREAMING ENGINE: keyed min/min_by
     aggregation over the replayed events stream (state store holds one row
@@ -2912,57 +2954,76 @@ def q_stream_lake_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The whole round-10/11 machinery composed into ONE oracle-checked
     plan (r10 verdict item 8): a time-JITTERED replay feeds the
     reorder-buffered cusum fold (``streaming/reorder.py``); every
-    micro-batch of fold emissions COMMITS to a versioned lake
-    (``foreachBatch`` -> ``commit_append`` with per-file user_id
-    stats, so the sink is itself transactional + time-travelable);
-    after the drain a parquet manifest CHECKPOINT re-lands the stats,
-    and the read-back is a DISTRIBUTED stat-pruned ``scan_version``
-    over a user_id range.  The drained-final convention (max-``n`` row
+    micro-batch of fold emissions COMMITS to a versioned lake through
+    the PRODUCTION ``versioned_sink`` (EXACTLY-ONCE per-batch commits
+    via the Delta txn watermark, per-file user_id stats recorded at
+    write time, range-partitioned file layout, periodic parquet
+    manifest checkpoint every 2 commits); a SECOND drain with a fresh
+    stream checkpoint then re-delivers every batch and must be fully
+    skipped by the txn watermark (head version pinned in-gate — the
+    end-to-end exactly-once proof); the read-back is a DISTRIBUTED
+    stat-pruned ``scan_version`` over a user_id range.  The drained-final convention (max-``n`` row
     per user) recovers each user's exact fold state, so the result
     hash-matches the plain batch cusum oracle restricted to the same
     user range — out-of-order streaming, lake transactions, manifest
     checkpointing and pruned reads certified against ONE closed form.
     Reference semantics: processor.py:75-76 (strict time order) +
     e6_persistence-style sink."""
+    import os
     import shutil
     import tempfile
 
     from pyspark.sql import Window
 
     from async_stream_processing_spark.plans.versioned import (
+        _head_version,
         checkpoint_manifest,
-        commit_append,
         scan_version,
+        versioned_sink,
     )
     from async_stream_processing_spark.streaming.reorder import (
         reordered_fold_stream,
     )
 
-    s = _stream_time_shuffled(spark, sf_dir).select(
-        "ts", "event_id", "user_id",
-        (F.col("value").cast("decimal(18,2)") * 100)
-        .cast("long").alias("x"),
-    )
-    folded = reordered_fold_stream(s, "cusum", delay=_REORDER_DELAY)
+    def _folded() -> DataFrame:
+        s = _stream_time_shuffled(spark, sf_dir).select(
+            "ts", "event_id", "user_id",
+            (F.col("value").cast("decimal(18,2)") * 100)
+            .cast("long").alias("x"),
+        )
+        return reordered_fold_stream(s, "cusum", delay=_REORDER_DELAY)
+
     lake = tempfile.mkdtemp(prefix="asp_pipeline_")
     shutil.rmtree(lake, ignore_errors=True)
+    ck = tempfile.mkdtemp(prefix="asp_pipeline_ck_")
     try:
-        def _commit_batch(batch_df: DataFrame, batch_id: int) -> None:
-            if batch_df.isEmpty():
-                return
-            # range-partition so per-file user_id stats are disjoint
-            # and the read-back prune really skips files
-            commit_append(batch_df.repartitionByRange(2, "user_id"),
-                          lake, stats_cols=["user_id"])
+        def _drain_into_lake(checkpoint: str) -> None:
+            # the PRODUCTION sink: exactly-once per-micro-batch commits
+            # (Delta txn recipe), per-file user_id stats recorded at
+            # write time, micro-batches range-partitioned so file stats
+            # are disjoint and the read-back prune skips files, and a
+            # PERIODIC parquet manifest checkpoint every 2 commits
+            with _shuffle_guard(spark, "4"):
+                q = versioned_sink(
+                    _folded(), lake, checkpoint,
+                    txn_app_id="lake_roundtrip",
+                    checkpoint_every=2,
+                    stats_cols=["user_id"],
+                    prepare=lambda b: b.repartitionByRange(2, "user_id"),
+                )
+                q.awaitTermination(300)
 
-        with _shuffle_guard(spark, "4"):
-            q = (
-                folded.writeStream.foreachBatch(_commit_batch)
-                .outputMode("append")
-                .trigger(availableNow=True)
-                .start()
-            )
-            q.awaitTermination(300)
+        _drain_into_lake(os.path.join(ck, "first"))
+        head_after_first = _head_version(lake)
+        # REDELIVERY PROOF: a fresh checkpoint replays the same batches
+        # (batch ids 0..n again); the txn watermark must skip them ALL,
+        # leaving the head untouched — exactly-once end to end, not
+        # just at-least-once.  An in-gate failure here errs the key.
+        _drain_into_lake(os.path.join(ck, "second"))
+        assert _head_version(lake) == head_after_first, (
+            "redelivered micro-batches re-committed: exactly-once "
+            "watermark failed"
+        )
         checkpoint_manifest(spark, lake)
         scanned = scan_version(spark, lake, "user_id", 2, 9)
         w = Window.partitionBy("user_id").orderBy(F.desc("n"))
@@ -2980,6 +3041,7 @@ def q_stream_lake_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).filter(F.col("n_points") >= 10).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(lake, ignore_errors=True)
+        shutil.rmtree(ck, ignore_errors=True)
     return out
 
 
@@ -3711,6 +3773,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q18": q_tpch_q18,
         "stream_resample_1min": q_stream_resample,
         "stream_sessionize": q_stream_sessionize,
+        "stream_sessionize_ooo": q_stream_sessionize_ooo,
         "stream_first_seen": q_stream_first_seen,
         "stream_dedup": q_stream_dedup,
         "set_ops_segments": q_set_ops,
@@ -3804,7 +3867,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #:     rolling_corr}_ooo (the remaining reorder-twin kinds),
 #:     approx_quality_stratified (sketch-boundary scale twin), and
 #:     stream_lake_roundtrip (OOO stream -> versioned lake ->
-#:     checkpoint -> pruned scan composed against one oracle);
+#:     checkpoint -> pruned scan composed against one oracle), and
+#:     stream_sessionize_ooo (NATIVE session_window merging absorbing
+#:     the same jittered arrival the custom reorder buffer handles);
 #: (b) code changed in round 11: the r10 OOO trio (reorder buffer now
 #:     merges sorted runs), versioned_prune_read / versioned_point_lookup
 #:     (now routed through the SHARDED parquet checkpoint, float query
@@ -3816,7 +3881,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #: (d) 10 of the 34-key r4 cohort: the verdict-named flagships
 #:     (cube_orders, funnel_steps, heavy_hitters, ivf_kmeans_assign,
 #:     pack_sequences, retention_cohorts) + stream_gopher_quality (a
-#:     bench-regression key), gopher_quality and the two sketch keys.
+#:     bench-regression key), gopher_quality and cardinality_sketch.
 #: Rotated out (all r10-gated green, machinery covered by kin
 #: in-window): the r2 TPC-H cohort, DML quartet, tf-idf/bpe/bloom keys,
 #: salted_hot_join, multimodal_pixels, r3/r4 flagships re-gated r10.
@@ -3828,7 +3893,7 @@ GATE_WINDOW = [
     #     -> pruned-scan key
     "stream_ewma_ooo", "stream_rsi_ooo", "stream_drawdown_ooo",
     "stream_rolling_corr_ooo", "approx_quality_stratified",
-    "stream_lake_roundtrip",
+    "stream_lake_roundtrip", "stream_sessionize_ooo",
     # (b) code changed in round 11: reorder buffer now merges sorted
     #     runs (re-gate the r10 OOO trio); prune_read/point_lookup now
     #     route through the sharded parquet checkpoint with float
@@ -3852,7 +3917,7 @@ GATE_WINDOW = [
     #     bench-regression keys of that round
     "cube_orders", "funnel_steps", "heavy_hitters", "ivf_kmeans_assign",
     "pack_sequences", "retention_cohorts", "stream_gopher_quality",
-    "gopher_quality", "cardinality_sketch", "quantile_sketch",
+    "gopher_quality", "cardinality_sketch",
 ]
 
 
@@ -4545,6 +4610,7 @@ def oracle_sql() -> dict[str, str]:
     }
     out["sessionize_native"] = out["sessionize"]
     out["stream_sessionize"] = out["sessionize"]
+    out["stream_sessionize_ooo"] = out["sessionize"]
     out["stream_resample_1min"] = out["resample_1min"]
     out["stream_first_seen"] = out["first_seen"]
     out["stream_dedup"] = "SELECT DISTINCT user_id, event_type FROM events"

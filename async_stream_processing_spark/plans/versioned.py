@@ -2236,7 +2236,10 @@ def versioned_sink(stream_df: DataFrame, path: str, checkpoint: str,
                    compact_target_files: int = 1,
                    vacuum_keep: int | None = None,
                    txn_app_id: str = "default",
-                   checkpoint_every: int | None = None):
+                   checkpoint_every: int | None = None,
+                   stats_cols: list[str] | None = None,
+                   bloom_cols: list[str] | None = None,
+                   prepare=None):
     """EXACTLY-ONCE streaming append into the versioned lake: each
     micro-batch commits as one version whose manifest records its
     ``batch_id``; a re-delivered batch (foreachBatch's at-least-once
@@ -2260,14 +2263,31 @@ def versioned_sink(stream_df: DataFrame, path: str, checkpoint: str,
     shared key preserves the single-writer crash-redelivery semantics
     (a fresh checkpoint replaying the same source skips).
 
+    ``stats_cols``/``bloom_cols`` record per-file footer ranges /
+    Bloom filters at WRITE time (the Delta/Iceberg sink discipline) so
+    downstream pruned scans and point lookups work from commit one;
+    ``prepare`` is the file-layout hook — a ``DataFrame -> DataFrame``
+    applied to each micro-batch before commit (e.g.
+    ``repartitionByRange`` on the stats column so per-file ranges are
+    DISJOINT and pruning multiplies).
+
     Returns the started StreamingQuery (caller awaits/stops it)."""
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
         last = last_committed_batch_id(path, txn_app_id)
         if last is not None and batch_id <= last:
+            # already committed: SKIP the commit but still CONSUME the
+            # batch — a stateful upstream (e.g. the reorder fold) must
+            # see every state-store partition processed or Spark 4's
+            # commit validation fails the query
+            # (STATE_STORE_COMMIT_VALIDATION_FAILED)
+            batch_df.write.format("noop").mode("overwrite").save()
             return
+        if prepare is not None:
+            batch_df = prepare(batch_df)
         v = commit_append(batch_df, path, meta={
-            "batch_id": batch_id, "txn_app_id": txn_app_id})
+            "batch_id": batch_id, "txn_app_id": txn_app_id},
+            stats_cols=stats_cols, bloom_cols=bloom_cols)
         _auto_maintain(batch_df.sparkSession, path, v, compact_every,
                        compact_target_files, vacuum_keep,
                        checkpoint_every)
@@ -2309,9 +2329,15 @@ def versioned_merge_sink(
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         last = last_committed_batch_id(path, txn_app_id)
         if last is not None and batch_id <= last:
+            # consume-then-skip: a stateful upstream needs every
+            # state-store partition processed (see versioned_sink)
+            batch_df.write.format("noop").mode("overwrite").save()
             return
         if not batch_df.take(1):
-            return  # empty trigger: no version burned
+            # empty trigger: no version burned, but still consume for
+            # the same state-store commit-validation reason
+            batch_df.write.format("noop").mode("overwrite").save()
+            return
         v = merge_into(
             batch_df.sparkSession, path, batch_df, key_cols,
             delete_col=delete_col,

@@ -3223,3 +3223,54 @@ def test_commit_link_fallback_only_on_no_link_errnos(tmp_path, monkeypatch):
     monkeypatch.setattr(os, "link", _link_eperm)
     v = V._commit(lake, ["data/a.parquet"], None, "append")
     assert v == 1 and os.path.exists(V._manifest_path(lake, 1))
+
+
+def test_versioned_sink_redelivery_with_stateful_upstream(spark, tmp_path):
+    """Round-11 regression: the exactly-once SKIP path must still
+    CONSUME a redelivered micro-batch — a stateful upstream
+    (dropDuplicates here; the reorder fold in stream_lake_roundtrip)
+    fails Spark 4's state-store commit validation
+    (STATE_STORE_COMMIT_VALIDATION_FAILED) if foreachBatch returns
+    without processing every partition.  A fresh-checkpoint full
+    redelivery over the stateful plan must skip every batch silently
+    and leave the head untouched; also pins the new stats_cols /
+    prepare sink hooks (pruned read works from commit one)."""
+    from async_stream_processing_spark.plans import versioned as V
+    from async_stream_processing_spark.streaming.replay import (
+        shuffle_guard,
+    )
+
+    src = str(tmp_path / "src")
+    for i in range(3):
+        spark.range(i * 10, i * 10 + 10).selectExpr(
+            "id AS k", "CAST(id % 7 AS LONG) AS dup"
+        ).coalesce(1).write.mode("append").parquet(src)
+    lake = str(tmp_path / "lake")
+
+    def _stream():
+        s = (spark.readStream.schema("k long, dup long")
+             .option("maxFilesPerTrigger", 1).parquet(src))
+        return s.dropDuplicates(["k"])  # stateful: per-key state store
+
+    with shuffle_guard(spark, "4"):
+        q = V.versioned_sink(
+            _stream(), lake, str(tmp_path / "ck1"),
+            txn_app_id="stateful_redeliver", stats_cols=["k"],
+            prepare=lambda b: b.repartitionByRange(2, "k"),
+        )
+        q.awaitTermination(240)
+        head = V.versions(lake)[-1]
+        # fresh checkpoint: every batch redelivers; the stateful plan
+        # must drain cleanly through the consume-then-skip path
+        q2 = V.versioned_sink(
+            _stream(), lake, str(tmp_path / "ck2"),
+            txn_app_id="stateful_redeliver",
+        )
+        q2.awaitTermination(240)
+    assert V.versions(lake)[-1] == head
+    rows = sorted(r["k"] for r in V.read_version(spark, lake).collect())
+    assert rows == list(range(30))
+    # write-time stats prune: the range scan answers from the lake
+    got = sorted(r["k"] for r in V.scan_version(
+        spark, lake, "k", 12, 17).collect())
+    assert got == list(range(12, 18))
