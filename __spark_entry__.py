@@ -2986,7 +2986,13 @@ def q_stream_lake_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def _folded() -> DataFrame:
-        s = _stream_time_shuffled(spark, sf_dir).select(
+        # user_id < 20 pushes to the fixture scan: the composition
+        # proof (reorder + exactly-once commits + checkpoint + pruned
+        # read) doesn't need full volume — the 7 fold twins cover that
+        # — and the scanned range [2, 9] stays complete
+        s = _stream_time_shuffled(spark, sf_dir).filter(
+            F.col("user_id") < 20
+        ).select(
             "ts", "event_id", "user_id",
             (F.col("value").cast("decimal(18,2)") * 100)
             .cast("long").alias("x"),

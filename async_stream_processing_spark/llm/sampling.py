@@ -116,8 +116,14 @@ def quality_stratified_sample(
     Strata come from NTILE over the fully-determined order
     (mean_tok_freq, doc_id); the within-stratum keep is the k smallest
     by (hash, doc_id) -- reproducible across runs, engines and cluster
-    sizes, like stratified_sample.  Plan: the rarity aggregate's output
-    is doc-count-sized; both windows ride one exchange over it.
+    sizes, like stratified_sample.
+
+    EXACT form -- the unpartitioned NTILE is a single-partition global
+    sort over the doc-count-sized rarity relation, so this is the
+    fixture/oracle-scale twin (the equidepth_histogram convention).
+    At corpus scale use :func:`approx_quality_stratified_sample`:
+    sketch boundaries, identical within-stratum keep, no global sort
+    anywhere (r10 verdict item 3).
     """
     from .text_analysis import token_rarity
 

@@ -557,7 +557,11 @@ def q_approx_quality_stratified(spark, sf_dir):
     from async_stream_processing_spark.llm.sampling import _approx_strata
 
     keep_per = 5
-    assigned = _approx_strata(_docs(spark, sf_dir), 10)
+    # pin the assignment once: the contract derives kept/sizes/prev
+    # from it, and Spark re-plans common subtrees per join branch (the
+    # sketch agg would otherwise run 4x)
+    assigned = _approx_strata(_docs(spark, sf_dir), 10) \
+        .localCheckpoint(eager=True)
     w_keep = Window.partitionBy("stratum").orderBy(
         F.asc("h"), F.asc("doc_id")
     )

@@ -539,3 +539,46 @@ def test_versioned_merge_matches_dict_reference(spark, tmp_path_factory,
         assert head == set(state.items())
     pre = {(r["k"], r["v"]) for r in read_version(spark, lake, 1).collect()}
     assert pre == {(k, f"t{k}") for k in target}
+
+
+@given(
+    lo_i=st.integers(min_value=-(1 << 63), max_value=(1 << 63) - 1),
+    width=st.integers(min_value=0, max_value=1 << 40),
+    c_lo=st.one_of(
+        st.integers(min_value=-(1 << 62), max_value=(1 << 62)),
+        st.floats(allow_nan=False, allow_infinity=False, width=64),
+    ),
+    c_width=st.floats(min_value=0, max_value=1e18, allow_nan=False),
+)
+@settings(max_examples=300, deadline=None)
+def test_int_query_bounds_never_prunes_a_true_keep(lo_i, width, c_lo,
+                                                   c_width):
+    """Property (r10 ADVICE, Spark-free): the integer-exact rewrite of
+    the BIGINT stat comparison keeps a file whenever the exact rational
+    comparison keeps it — the distributed prune is NEVER less
+    conservative than the JSON loop.  (It may keep strictly more only
+    through the documented int64 clamp, never fewer.)"""
+    from fractions import Fraction
+
+    from async_stream_processing_spark.plans.versioned import (
+        _int_query_bounds,
+    )
+
+    import math
+
+    from hypothesis import assume
+
+    hi_i = min(lo_i + width, (1 << 63) - 1)
+    c_hi = (float(c_lo) + c_width if isinstance(c_lo, float)
+            else c_lo + int(c_width))
+    assume(not (isinstance(c_hi, float) and math.isinf(c_hi)))
+    ib = _int_query_bounds(c_lo, c_hi)
+    assert ib is not None  # finite bounds always yield integer bounds
+    lo_c, hi_f = ib
+    keep_int = lo_i <= hi_f and hi_i >= lo_c
+    # exact comparison in unbounded rationals (what the JSON loop's
+    # native Python int/float comparison computes)
+    keep_exact = (Fraction(lo_i) <= Fraction(c_hi)
+                  and Fraction(hi_i) >= Fraction(c_lo))
+    if keep_exact:
+        assert keep_int, (lo_i, hi_i, c_lo, c_hi, ib)
