@@ -1142,60 +1142,19 @@ def q_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drain_guarded(agg)
 
 
-def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sessionization EXECUTED BY THE STREAMING ENGINE (native
-    session_window state merging in the micro-batch engine), drained and
-    hash-matched against the same gaps-and-islands SQL oracle."""
-    from pyspark.sql import Window
-    from async_stream_processing_spark.sources.parquet import stream_table
-    from async_stream_processing_spark.streaming.replay import (
-        drain_guarded,
-    )
-
-    s = stream_table(spark, sf_dir, "events")
-    sw = (
-        s.groupBy("user_id", F.session_window("ts", "1800 seconds").alias("sw"))
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
-        )
-    )
-    out = drain_guarded(sw).select(
-        "user_id",
-        F.col("sw.start").alias("session_start"),
-        F.col("sw.end").alias("session_end"),
-        "n_events",
-        "sum_value",
-    )
-    w = Window.partitionBy("user_id").orderBy("session_start")
-    return out.withColumn(
-        "session_id", F.row_number().over(w).cast("long")
-    ).select("user_id", "session_id", "session_start", "session_end",
-             "n_events", "sum_value")
-
-
-def q_stream_sessionize_ooo(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sessionization over an OUT-OF-ORDER stream — the NATIVE-engine
-    counterpart of the custom reorder-buffer family: ``session_window``
-    state merging absorbs cross-batch arrival disorder by itself (a
-    late-arriving row that bridges two sessions already in state MERGES
-    them; the micro-batch engine's session store does what
-    streaming/reorder.py does by hand for order-sensitive folds).
-    Replays the same ±2 h jittered split as the ``*_ooo`` fold twins
-    and hash-matches the SAME gaps-and-islands oracle as the ordered
-    ``stream_sessionize`` — proving which operators need a reorder
-    buffer (order-sensitive recurrences) and which Spark's own
-    watermark machinery covers (mergeable aggregations)."""
+def _sessionize_drained(spark: SparkSession, source: DataFrame) -> DataFrame:
+    """Shared session_window plan + drained projection for the ordered
+    and out-of-order stream twins (round-11 review fix: the twins
+    previously duplicated the whole body and could drift)."""
     from pyspark.sql import Window
 
     from async_stream_processing_spark.streaming.replay import (
         drain_guarded,
     )
 
-    s = _stream_time_shuffled(spark, sf_dir)
     sw = (
-        s.groupBy("user_id",
-                  F.session_window("ts", "1800 seconds").alias("sw"))
+        source.groupBy("user_id",
+                       F.session_window("ts", "1800 seconds").alias("sw"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.sum(F.col("value").cast("decimal(18,2)"))
@@ -1215,6 +1174,28 @@ def q_stream_sessionize_ooo(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("user_id", "session_id", "session_start", "session_end",
              "n_events", "sum_value")
 
+
+def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization EXECUTED BY THE STREAMING ENGINE (native
+    session_window state merging in the micro-batch engine), drained and
+    hash-matched against the same gaps-and-islands SQL oracle."""
+    from async_stream_processing_spark.sources.parquet import stream_table
+
+    return _sessionize_drained(spark, stream_table(spark, sf_dir, "events"))
+
+def q_stream_sessionize_ooo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization over an OUT-OF-ORDER stream — the NATIVE-engine
+    counterpart of the custom reorder-buffer family: ``session_window``
+    state merging absorbs cross-batch arrival disorder by itself (a
+    late-arriving row that bridges two sessions already in state MERGES
+    them; the micro-batch engine's session store does what
+    streaming/reorder.py does by hand for order-sensitive folds).
+    Replays the same ±2 h jittered split as the ``*_ooo`` fold twins
+    and hash-matches the SAME gaps-and-islands oracle as the ordered
+    ``stream_sessionize`` — proving which operators need a reorder
+    buffer (order-sensitive recurrences) and which Spark's own
+    watermark machinery covers (mergeable aggregations)."""
+    return _sessionize_drained(spark, _stream_time_shuffled(spark, sf_dir))
 
 def q_stream_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B1 first-seen EXECUTED BY THE STREAMING ENGINE: keyed min/min_by
@@ -2009,13 +1990,18 @@ def _stream_outer_join(
     # state-store instances per partition, and store setup dominates the
     # tiny local state (A/B: 4 parts ~2.5x faster than 8, identical
     # rows).  At scale, size by state volume / throughput instead.
-    with _shuffle_guard(spark, "4"):
-        # sentinel filter on the DRAINED result -- see docstring
-        return drain(out, output_mode="append").filter(
-            F.col("user_id") >= 0
-        )
-        # the memory-sink table is materialized; the sentinel files are done
+    try:
+        with _shuffle_guard(spark, "4"):
+            drained = drain(out, output_mode="append")
+    finally:
+        # the memory sink is materialized by the drain (or the drain
+        # failed); either way the sentinel files are done.  Round-11
+        # review fix: this cleanup sat AFTER a return since r8 and
+        # never ran — one leaked asp_sentinel_* temp dir per outer-join
+        # query run.
         shutil.rmtree(sent_dir, ignore_errors=True)
+    # sentinel filter on the DRAINED result -- see docstring
+    return drained.filter(F.col("user_id") >= 0)
 
 
 def q_stream_fullouter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3266,14 +3252,18 @@ def q_stream_upsert_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = stream_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", "value"
     )
-    with _shuffle_guard(spark, "4"):
-        upsert_sink(
-            s, lake, keys=["user_id"], version_col="event_id",
-            checkpoint=ck, n_buckets=4,
-        ).awaitTermination()
-        out = read_current(spark, lake).select(
-            "user_id", "event_id", "event_type", "value"
-        ).localCheckpoint(eager=True)
+    try:
+        with _shuffle_guard(spark, "4"):
+            upsert_sink(
+                s, lake, keys=["user_id"], version_col="event_id",
+                checkpoint=ck, n_buckets=4,
+            ).awaitTermination()
+            out = read_current(spark, lake).select(
+                "user_id", "event_id", "event_type", "value"
+            ).localCheckpoint(eager=True)
+    finally:
+        # exception-safe: the temp lake/checkpoint must not leak when
+        # the sink or the read raises (round-11 review fix)
         shutil.rmtree(lake, ignore_errors=True)
         shutil.rmtree(ck, ignore_errors=True)
     return out
@@ -3884,14 +3874,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #: (c) the FULL r3 cohort — all 28 keys last driver-gated round 3,
 #:     the stalest in the registry (decontaminate, dedup_exact, lang_id,
 #:     the multimodal family, redact_pii, quality/text stats, 4 TPC-H);
-#: (d) 10 of the 34-key r4 cohort: the verdict-named flagships
+#: (d) 9 of the 34-key r4 cohort: the verdict-named flagships
 #:     (cube_orders, funnel_steps, heavy_hitters, ivf_kmeans_assign,
 #:     pack_sequences, retention_cohorts) + stream_gopher_quality (a
 #:     bench-regression key), gopher_quality and cardinality_sketch.
 #: Rotated out (all r10-gated green, machinery covered by kin
 #: in-window): the r2 TPC-H cohort, DML quartet, tf-idf/bpe/bloom keys,
 #: salted_hot_join, multimodal_pixels, r3/r4 flagships re-gated r10.
-#: Still stale after this round: 24 r4 keys (next rotation's head).
+#: Still stale after this round: 25 r4 keys (next rotation's head).
 GATE_WINDOW = [
     # (a) new in round 11 (never driver-gated): the four remaining
     #     reorder-twin kinds, the sketch-boundary stratified-sample

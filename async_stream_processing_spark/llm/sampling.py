@@ -160,7 +160,17 @@ def _approx_strata(
     (<= 1/accuracy relative rank)."""
     from .text_analysis import token_rarity
 
-    rare = token_rarity(docs).join(docs.select("doc_id", "text"), "doc_id")
+    # ONE rarity aggregation per call (round-11 review fix): the
+    # boundary sketch AND the assignment scan both consume `rare`, and
+    # Spark re-plans a shared subtree per branch — so pin it.  The
+    # pinned relation is NARROW on purpose: the keep-hash is computed
+    # BEFORE the checkpoint so `text` never materializes into it
+    # (doc_id, mean_tok_freq, h — O(docs) rows of three scalars, the
+    # operator's honest working set; `text` would re-land the corpus).
+    rare = token_rarity(docs).join(
+        docs.select("doc_id", stable_hash60(F.col("text")).alias("h")),
+        "doc_id",
+    ).localCheckpoint(eager=True)
     probs = [i / n_strata for i in range(1, n_strata)]
     bnds = rare.agg(
         F.percentile_approx("mean_tok_freq", probs, accuracy)
@@ -173,7 +183,6 @@ def _approx_strata(
     return (
         rare.join(F.broadcast(bnds))
         .withColumn("stratum", stratum)
-        .withColumn("h", stable_hash60(F.col("text")))
         .drop("__bnds")
     )
 

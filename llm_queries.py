@@ -552,24 +552,23 @@ def q_approx_quality_stratified(spark, sf_dir):
     monotone check is a broadcast self-join of the 10-row stratum
     aggregate (unlike the exact twin's corpus-sized global NTILE
     sort, which stays as the oracle-scale form)."""
-    from pyspark.sql import Window
-
-    from async_stream_processing_spark.llm.sampling import _approx_strata
+    from async_stream_processing_spark.llm.sampling import (
+        _approx_strata,
+        approx_quality_stratified_sample,
+    )
 
     keep_per = 5
-    # pin the assignment once: the contract derives kept/sizes/prev
-    # from it, and Spark re-plans common subtrees per join branch (the
-    # sketch agg would otherwise run 4x)
-    assigned = _approx_strata(_docs(spark, sf_dir), 10) \
-        .localCheckpoint(eager=True)
-    w_keep = Window.partitionBy("stratum").orderBy(
-        F.asc("h"), F.asc("doc_id")
-    )
+    # the keep path goes through the PUBLIC operator (round-11 review
+    # fix: the gate previously re-implemented the within-stratum keep,
+    # so a drift in the library's keep ordering would not have been
+    # caught); sizes/monotone come from the assignment relation, which
+    # _approx_strata pins internally (one rarity aggregation per call)
     kept = (
-        assigned.withColumn("rk", F.row_number().over(w_keep))
-        .filter(F.col("rk") <= keep_per)
+        approx_quality_stratified_sample(_docs(spark, sf_dir), 10,
+                                         keep_per)
         .groupBy("stratum").agg(F.count(F.lit(1)).alias("n_kept"))
     )
+    assigned = _approx_strata(_docs(spark, sf_dir), 10)
     sizes = assigned.groupBy("stratum").agg(
         F.count(F.lit(1)).alias("sz"),
         F.min("mean_tok_freq").alias("mn"),
