@@ -652,3 +652,137 @@ def sql_cusum_drift(
         FROM s GROUP BY {key}
         HAVING COUNT(*) >= {int(min_points)}
     """
+
+
+def scd2_intervals(
+    df: DataFrame,
+    key: str = "user_id",
+    attr: str = "event_type",
+    ts: str = TS,
+    seq: str = SEQ,
+) -> DataFrame:
+    """SCD type-2 dimension history from an event log: per ``key``,
+    consecutive runs of the same ``attr`` collapse into versioned
+    validity intervals (valid_from, valid_to, is_current) -- the
+    lakehouse "dimension snapshot from a CDC feed" operator.  Pure
+    window machinery: a lag-change flag, a running sum to number runs,
+    a groupBy per run, and a lead for the closing timestamp -- ONE
+    shuffle on the dimension key, deterministic under the (ts, seq)
+    total order per key.  Shared by the batch gate and the streaming
+    temporal-join gate (they must agree on the interval derivation)."""
+    w = Window.partitionBy(key).orderBy(ts, seq)
+    prev_attr = F.lag(attr).over(w)
+    chg = F.when(
+        prev_attr.isNull() | (prev_attr != F.col(attr)), F.lit(1)
+    ).otherwise(F.lit(0))
+    runs = df.select(key, ts, seq, attr).withColumn(
+        "version", F.sum(chg).over(w).cast("long")
+    )
+    grouped = runs.groupBy(key, "version", attr).agg(
+        F.min(ts).alias("valid_from"),
+        F.max(ts).alias("last_event_ts"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w2 = Window.partitionBy(key).orderBy("version")
+    nxt = F.lead("valid_from").over(w2)
+    return grouped.select(
+        key,
+        "version",
+        attr,
+        "valid_from",
+        nxt.alias("valid_to"),
+        "last_event_ts",
+        "n_events",
+        nxt.isNull().alias("is_current"),
+    )
+
+
+def seasonal_decompose_daily(
+    df: DataFrame,
+    ts: str = TS,
+    value: str = "value",
+    period: int = 7,
+    trend_window: int = 7,
+) -> DataFrame:
+    """Classical additive seasonal decomposition of the DAILY total
+    series: total = trend + seasonal + residual, with trend a centered
+    ``trend_window``-day moving average and seasonal the per-phase mean
+    of the detrended series (phase = day_index mod ``period`` -- pure
+    arithmetic, so the phase label is engine-portable where DOW
+    functions are not: Spark's dayofweek is 1-based Sunday, DuckDB's
+    0-based).
+
+    Exact-arithmetic discipline (the repo-wide float rule): every
+    aggregate is an INTEGER (cents) sum -- daily totals via a
+    decimal(18,2) sum, the trend numerator via an integer RANGE-frame
+    window sum over day index (gap-safe where a ROWS frame is not), and
+    the seasonal numerators algebraically from those integer sums
+    (sum of detrended = S1 - S2/W computed from exact S1, S2).  Doubles
+    appear only in FINAL single-division expression trees mirrored
+    token-for-token by the SQL oracle, so results are bit-identical
+    across engines.  Plan: one groupBy(day) (input-sized shuffle), one
+    day-count-sized window + aggregation, a ``period``-row broadcast
+    join back -- nothing beyond the first shuffle scales with input.
+
+    Trend/residual are NULL on the ``trend_window//2`` edge days (the
+    centered window is partial there); seasonal joins back to every day
+    by phase.  Output: (day, phase, n_events, total, trend, seasonal,
+    residual)."""
+    half = trend_window // 2
+    daily = (
+        df.select(F.to_date(F.col(ts)).alias("day"), F.col(value))
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(F.col(value).cast("decimal(18,2)")) * 100)
+            .cast("long")
+            .alias("tot_c"),
+        )
+        .withColumn(
+            "day_idx", F.datediff(F.col("day"), F.lit("1970-01-01").cast("date"))
+        )
+        .withColumn("phase", (F.col("day_idx") % period).cast("long"))
+    )
+    wt = (
+        Window.orderBy("day_idx").rangeBetween(-half, trend_window - half - 1)
+    )
+    with_trend = daily.withColumn(
+        "wsum_c", F.sum("tot_c").over(wt)
+    ).withColumn("wcnt", F.count(F.lit(1)).over(wt))
+    full = F.col("wcnt") == trend_window
+    wdiv = float(trend_window) * 100.0
+    trend_dbl = F.when(full, F.col("wsum_c").cast("double") / F.lit(wdiv))
+    seas = (
+        with_trend.filter(full)
+        .groupBy("phase")
+        .agg(
+            F.sum("tot_c").alias("s1_c"),
+            F.sum("wsum_c").alias("s2_c"),
+            F.count(F.lit(1)).alias("n_full"),
+        )
+        .select(
+            "phase",
+            (
+                (
+                    F.col("s1_c").cast("double")
+                    - F.col("s2_c").cast("double") / F.lit(float(trend_window))
+                )
+                / (F.col("n_full").cast("double") * F.lit(100.0))
+            ).alias("seasonal"),
+        )
+    )
+    out = with_trend.join(F.broadcast(seas), "phase", "left")
+    total_dbl = F.col("tot_c").cast("double") / F.lit(100.0)
+    return out.select(
+        # string day: the repo-wide day-grain convention (date dtypes
+        # round-trip differently across engines; strings are exact)
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "phase",
+        "n_events",
+        total_dbl.alias("total"),
+        trend_dbl.alias("trend"),
+        F.col("seasonal"),
+        F.when(
+            full, total_dbl - trend_dbl - F.col("seasonal")
+        ).alias("residual"),
+    )

@@ -395,3 +395,123 @@ def test_cusum_closed_form_equals_naive_recurrence(spark):
     assert r["n_over"] == n_over
     assert r["first_alarm_event"] == alarm
     assert r["n_points"] == len(vals)
+
+
+# ---------------------------------------------------------------- seasonal
+
+
+def _daily_events(spark, days, per_day=2, skip=()):
+    """per_day events on each of `days` consecutive days from T0,
+    values day*1.0 and day*1.0+0.5, skipping day indices in `skip`."""
+    rows = []
+    seq = 0
+    for d in range(days):
+        if d in skip:
+            continue
+        for j in range(per_day):
+            seq += 1
+            rows.append(
+                (T0 + timedelta(days=d, hours=j + 1), seq, 1, d + j * 0.5)
+            )
+    return spark.createDataFrame(
+        rows, "ts timestamp, seq long, user_id long, value double"
+    )
+
+
+def test_seasonal_decompose_matches_hand_computation(spark):
+    from async_stream_processing_spark.operators.analytics import (
+        seasonal_decompose_daily,
+    )
+
+    days = 21
+    df = _daily_events(spark, days)
+    out = {r["day"]: r for r in
+           seasonal_decompose_daily(df, ts="ts", value="value").collect()}
+    assert len(out) == days
+    totals = {d: 2 * d + 0.5 for d in range(days)}  # d + (d+0.5)
+
+    def day_key(d):
+        return (T0 + timedelta(days=d)).strftime("%Y-%m-%d")
+
+    # trend: centered 7-day mean on interior days, NULL on the 3 edges
+    for d in range(days):
+        r = out[day_key(d)]
+        assert abs(r["total"] - totals[d]) < 1e-9
+        if 3 <= d <= days - 4:
+            exp = sum(totals[k] for k in range(d - 3, d + 4)) / 7.0
+            assert abs(r["trend"] - exp) < 1e-9
+            assert abs(r["total"] - r["trend"] - r["seasonal"]
+                       - r["residual"]) < 1e-12
+        else:
+            assert r["trend"] is None and r["residual"] is None
+    # seasonal: per-phase mean of detrended over full-window days
+    import collections
+    det = collections.defaultdict(list)
+    epoch_off = (T0.date() - __import__("datetime").date(1970, 1, 1)).days
+    for d in range(3, days - 3):
+        exp_t = sum(totals[k] for k in range(d - 3, d + 4)) / 7.0
+        det[(epoch_off + d) % 7].append(totals[d] - exp_t)
+    for d in range(days):
+        ph = (epoch_off + d) % 7
+        assert out[day_key(d)]["phase"] == ph
+        exp_s = sum(det[ph]) / len(det[ph])
+        assert abs(out[day_key(d)]["seasonal"] - exp_s) < 1e-9
+
+
+def test_seasonal_decompose_range_frame_is_gap_safe(spark):
+    """A missing day must shrink the centered window (RANGE frame over
+    day index), not silently widen it as a ROWS frame would -- trend is
+    NULL within 3 days of the gap."""
+    from async_stream_processing_spark.operators.analytics import (
+        seasonal_decompose_daily,
+    )
+
+    days = 15
+    df = _daily_events(spark, days, skip={7})
+    out = {r["day"]: r for r in
+           seasonal_decompose_daily(df, ts="ts", value="value").collect()}
+    assert len(out) == days - 1
+
+    def day_key(d):
+        return (T0 + timedelta(days=d)).strftime("%Y-%m-%d")
+
+    for d in (4, 5, 6, 8, 9, 10):  # within 3 of the missing day 7
+        assert out[day_key(d)]["trend"] is None
+    assert out[day_key(3)]["trend"] is not None
+    assert out[day_key(11)]["trend"] is not None
+
+
+# ------------------------------------------------------------- scd2 joins
+
+
+def test_scd2_intervals_partition_each_keys_timeline(spark):
+    """Every event joins to EXACTLY ONE version interval under the
+    temporal predicate the streaming gate uses."""
+    from async_stream_processing_spark.operators.analytics import (
+        scd2_intervals,
+    )
+
+    rows, seq = [], 0
+    for u in (1, 2):
+        for i, attr in enumerate("aabbaacc"):
+            seq += 1
+            rows.append((T0 + timedelta(minutes=i), seq, u, attr))
+    df = spark.createDataFrame(
+        rows, "ts timestamp, seq long, user_id long, attr string"
+    )
+    dim = scd2_intervals(df, key="user_id", attr="attr", ts="ts", seq="seq")
+    matched = df.alias("e").join(
+        dim.alias("s"),
+        (F.col("e.user_id") == F.col("s.user_id"))
+        & (F.col("e.ts") >= F.col("s.valid_from"))
+        & (F.col("s.valid_to").isNull()
+           | (F.col("e.ts") < F.col("s.valid_to"))),
+    )
+    assert matched.count() == df.count()  # exactly-one: counts equal
+    per_event = matched.groupBy("e.seq").count()
+    assert per_event.filter(F.col("count") != 1).count() == 0
+    # attribution: each event's matched attr is its own (runs derive
+    # from the same log)
+    assert matched.filter(F.col("e.attr") != F.col("s.attr")).count() == 0
+    # version runs: user 1 has 4 runs (a,b,a,c)
+    assert dim.filter(F.col("user_id") == 1).count() == 4
