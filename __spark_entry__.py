@@ -4044,7 +4044,7 @@ GATE_WINDOW = [
     "stream_rolling_corr_ooo", "approx_quality_stratified",
     "stream_lake_roundtrip", "stream_sessionize_ooo",
     "fuzzy_linkage", "seasonal_decompose", "stream_scd2_join",
-    "ingest_formats",
+    "ingest_formats", "versioned_mv_incremental",
     # (b) code changed in round 11: prune_read/point_lookup now route
     #     through the sharded parquet checkpoint with float bounds;
     #     sampling.py grew the approx path next to the exact form;
@@ -4063,9 +4063,12 @@ GATE_WINDOW = [
     "stream_pivot_daily", "stream_rank_family", "stream_topk_users",
     "text_stats", "token_counts", "top_terms_per_source",
     "tpch_q11", "tpch_q2", "tpch_q20", "tpch_q9",
-    # (d) 7 of the r4 cohort: the verdict-named flagships + the
+    # (d) 6 of the r4 cohort: verdict-named flagships + the
     #     bench-regression key stream_gopher_quality
-    "cube_orders", "funnel_steps", "heavy_hitters", "ivf_kmeans_assign",
+    #     (ivf_kmeans_assign rotated out for the continuation session's
+    #     versioned_mv_incremental: its IVF-assignment machinery stays
+    #     in-window via the r3 cohort's ivf_assign)
+    "cube_orders", "funnel_steps", "heavy_hitters",
     "pack_sequences", "retention_cohorts", "stream_gopher_quality",
 ]
 

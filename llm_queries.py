@@ -2028,6 +2028,65 @@ def q_versioned_update_mor(spark, sf_dir):
     return out
 
 
+def q_versioned_mv_incremental(spark, sf_dir):
+    """Incremental MATERIALIZED-VIEW maintenance over the lake's CDF
+    (plans/mv.py): a per-(user, event_type) count/sum view seeded at
+    version 1 follows the table through an append, a copy-on-write
+    DELETE and a deletion-vector DELETE by folding ONLY the row-level
+    change feed -- never re-scanning the table.  In-gate asserts pin
+    (a) the incremental view equals a full recompute at the head
+    bit-for-bit, and (b) stepping version-by-version equals one v1->v4
+    jump (CDF deltas compose); the returned view is hash-gated against
+    a plain SQL aggregate mirroring the three predicates.  This is the
+    O(changed rows) refresh a reporting layer runs instead of an
+    O(table) recompute at 100 TB."""
+    import shutil
+    import tempfile
+
+    from async_stream_processing_spark.plans.mv import (
+        maintain_view,
+        sum_count_view,
+    )
+    from async_stream_processing_spark.plans.versioned import (
+        commit_append,
+        delete_where,
+        read_version,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        (F.col("value").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("x_c"),
+    )
+    keys = ["user_id", "event_type"]
+    lake = tempfile.mkdtemp(prefix="asp_vmv_")
+    shutil.rmtree(lake, ignore_errors=True)
+    try:
+        commit_append(ev.filter(F.col("user_id") % 3 == 0), lake,
+                      stats_cols=["user_id"])
+        base = sum_count_view(
+            read_version(spark, lake, 1), keys, "x_c"
+        ).localCheckpoint(eager=True)
+        commit_append(ev.filter(F.col("user_id") % 3 == 1), lake,
+                      stats_cols=["user_id"])
+        delete_where(spark, lake, "x_c < 1000")
+        delete_where(spark, lake, "user_id % 7 = 3", mode="mor")
+        mv = maintain_view(
+            spark, lake, base, keys, "x_c", 1, 4, step=1
+        ).localCheckpoint(eager=True)
+        recompute = sum_count_view(read_version(spark, lake), keys, "x_c")
+        assert mv.exceptAll(recompute).count() == 0
+        assert recompute.exceptAll(mv).count() == 0
+        jump = maintain_view(spark, lake, base, keys, "x_c", 1, 4, step=3)
+        assert mv.exceptAll(jump).count() == 0
+        assert jump.exceptAll(mv).count() == 0
+    finally:
+        shutil.rmtree(lake, ignore_errors=True)
+    return mv
+
+
 def q_versioned_update(spark, sf_dir):
     """UPDATE DML gate (Delta `UPDATE ... SET ... WHERE`): commit the
     corpus, then two copy-on-write updates — a source-keyed update
@@ -2553,6 +2612,7 @@ LLM_QUERIES = {
     "versioned_history": q_versioned_history,
     "versioned_delete": q_versioned_delete,
     "versioned_delete_mor": q_versioned_delete_mor,
+    "versioned_mv_incremental": q_versioned_mv_incremental,
     "versioned_update": q_versioned_update,
     "versioned_update_mor": q_versioned_update_mor,
     "stream_versioned_merge": q_stream_versioned_merge,
@@ -3119,6 +3179,21 @@ def llm_oracle_sql() -> dict[str, str]:
             FROM documents
             WHERE NOT (doc_id >= 200 AND doc_id < 260)
               AND NOT (n_chars < 150)
+        """,
+        "versioned_mv_incremental": """
+            WITH t AS (
+                SELECT user_id, event_type,
+                       CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                           AS x_c
+                FROM events
+                WHERE user_id % 3 <= 1),
+            kept AS (
+                SELECT * FROM t
+                WHERE NOT (x_c < 1000) AND NOT (user_id % 7 = 3))
+            SELECT user_id, event_type,
+                   COUNT(*) AS n_rows,
+                   CAST(SUM(x_c) AS BIGINT) AS sum_m
+            FROM kept GROUP BY user_id, event_type
         """,
         "versioned_update_mor": """
             WITH pass1 AS (

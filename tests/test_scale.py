@@ -3274,3 +3274,70 @@ def test_versioned_sink_redelivery_with_stateful_upstream(spark, tmp_path):
     got = sorted(r["k"] for r in V.scan_version(
         spark, lake, "k", 12, 17).collect())
     assert got == list(range(12, 18))
+
+
+def test_mv_incremental_follows_update_delete_and_drops_empty_keys(
+    spark, tmp_path
+):
+    """plans/mv.py: folding the row-level CDF reproduces the direct
+    aggregate through an UPDATE (delete+insert pair nets into the sum),
+    a full-group DELETE (the key leaves the view exactly as a recompute
+    drops it), and a MERGE upsert; stepping one version at a time equals
+    the single-jump fold (deltas compose)."""
+    from async_stream_processing_spark.plans.mv import (
+        apply_changes,
+        maintain_view,
+        sum_count_view,
+    )
+    from async_stream_processing_spark.plans.versioned import (
+        commit_append,
+        delete_where,
+        read_version,
+        update_where,
+    )
+
+    lake = str(tmp_path / "mvlake")
+    base_rows = [(1, 10), (1, 20), (2, 5), (3, 7), (3, 8)]
+    commit_append(
+        spark.createDataFrame(base_rows, "k long, m long").coalesce(1), lake
+    )
+    view1 = sum_count_view(
+        read_version(spark, lake, 1), ["k"], "m"
+    ).localCheckpoint(eager=True)
+    update_where(spark, lake, "k = 1 AND m = 20", {"m": "m + 100"})
+    delete_where(spark, lake, "k = 2")           # group 2 fully gone
+    delete_where(spark, lake, "k = 3 AND m = 7", mode="mor")
+
+    stepped = maintain_view(spark, lake, view1, ["k"], "m", 1, 4, step=1)
+    jumped = maintain_view(spark, lake, view1, ["k"], "m", 1, 4, step=3)
+    direct = sum_count_view(read_version(spark, lake), ["k"], "m")
+
+    got = {r["k"]: (r["n_rows"], r["sum_m"]) for r in stepped.collect()}
+    assert got == {1: (2, 130), 3: (1, 8)}      # k=2 dropped from view
+    assert {tuple(r) for r in jumped.collect()} == {
+        tuple(r) for r in stepped.collect()
+    }
+    assert {tuple(r) for r in direct.collect()} == {
+        tuple(r) for r in stepped.collect()
+    }
+
+    # a brand-new key arrives purely through the feed
+    commit_append(
+        spark.createDataFrame([(9, 1), (9, 2)], "k long, m long").coalesce(1),
+        lake,
+    )
+    v5 = maintain_view(spark, lake, stepped, ["k"], "m", 4, 5)
+    assert {r["k"]: (r["n_rows"], r["sum_m"]) for r in v5.collect()}[9] == (
+        2, 3,
+    )
+
+    # apply_changes on an EMPTY feed is the identity
+    empty = (
+        read_version(spark, lake)
+        .withColumn("_change_type", F.lit("insert"))
+        .limit(0)
+    )
+    same = apply_changes(v5, empty, ["k"], "m")
+    assert {tuple(r) for r in same.collect()} == {
+        tuple(r) for r in v5.collect()
+    }

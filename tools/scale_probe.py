@@ -124,6 +124,53 @@ def main() -> None:
         "ewma_users": (_ewma, ev1, ev8),
         "zscore_outliers": (_zscore, ev1, ev8),
     }
+
+    # --- continuation-session additions: blocked record linkage and
+    # seasonal decomposition.  Linkage 8x: every token gets a per-copy
+    # prefix, so entity count AND block-key cardinality grow 8x with
+    # constant block sizes (the honest ER growth shape -- more
+    # registries, not hotter blocks); cross-copy pairs share no block
+    # and are never candidates.  Seasonal 8x: 8x event volume over the
+    # SAME 30 days -- the input-sized groupBy scan is the only stage
+    # that grows. ---
+    from async_stream_processing_spark.operators.analytics import (
+        seasonal_decompose_daily,
+    )
+    from async_stream_processing_spark.operators.linkage import (
+        fuzzy_self_pairs,
+        token_blocks,
+    )
+
+    part1 = load_table(spark, SF_DIR, "part")
+    ents1 = (
+        part1.groupBy("p_name", "p_brand")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .select(F.concat_ws(" ", "p_name", "p_brand").alias("name"),
+                "support")
+    )
+    ents8 = None
+    for i in range(8):
+        tag = F.lit(f"c{i}:")
+        copy = ents1.select(
+            F.concat_ws(
+                " ",
+                F.transform(F.split(F.col("name"), " "),
+                            lambda t: F.concat(tag, t)),
+            ).alias("name"),
+            "support",
+        )
+        ents8 = copy if ents8 is None else ents8.unionByName(copy)
+
+    def _linkage(ents):
+        return fuzzy_self_pairs(
+            ents, key="name", text="name",
+            blocks=token_blocks(first_n=2, last_n=1), max_dist=2,
+        )
+
+    ops["fuzzy_linkage"] = (_linkage, ents1, ents8)
+    ops["seasonal_decompose"] = (
+        lambda ev: seasonal_decompose_daily(ev), ev1, ev8)
+
     for name, (fn, one, eight) in ops.items():
         if ONLY and name not in ONLY:
             continue
