@@ -338,3 +338,35 @@ def sql_epoch_shuffle(
                doc_id
         FROM g
     """
+
+
+def group_reservoir(
+    df: DataFrame,
+    keys: list[str],
+    id_expr,
+    k: int = 5,
+    salt: str = "rsv",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Deterministic fixed-k "reservoir" sample per key: every row gets
+    a stable 60-bit hash of ``salt || id`` and each key keeps its k
+    hash-smallest rows -- the uniform-without-replacement per-group
+    sample a pipeline uses for per-source eval slices or debugging
+    exemplars, reproducible across runs, engines and retries (unlike a
+    true streaming reservoir, whose result depends on arrival order).
+
+    Scale path: the rank runs through ``plans.scale.topk_by_group``
+    (partition-partial top-k, then a final rank over P*k survivors per
+    key), so no single window ever funnels the corpus into |keys|
+    tasks; the hash order is total (tiebreak on ``id_expr``), which is
+    the exactness precondition topk_by_group documents.
+    """
+    from ..plans.scale import topk_by_group
+
+    h = stable_hash60(F.concat(F.lit(salt + "|"), id_expr.cast("string")))
+    tagged = df.withColumn("__h", h)
+    out = topk_by_group(
+        tagged, keys, [F.col("__h").asc(), id_expr.asc()], k,
+        rank_col=rank_col,
+    )
+    return out.drop("__h")

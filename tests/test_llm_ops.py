@@ -1966,3 +1966,37 @@ def test_decode_pixels_gates_compressed_formats(spark):
         decode_pixels(png_payloads).collect()
     msg = str(ei.value)
     assert "PPM" in msg and "BMP" in msg, msg
+
+
+def test_group_reservoir_bound_deterministic_and_hash_ordered(spark):
+    from async_stream_processing_spark.functions.hashing import stable_hash60
+    from async_stream_processing_spark.llm.sampling import group_reservoir
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(g, i) for g in range(4) for i in range(g * 100, g * 100 + 20)],
+        "g long, rid long",
+    )
+    out = group_reservoir(df, ["g"], F.col("rid"), k=3, salt="t")
+    rows = out.collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r["g"], []).append((r["rank"], r["rid"]))
+    assert set(per) == {0, 1, 2, 3}
+    assert all(sorted(rk for rk, _ in v) == [1, 2, 3] for v in per.values())
+    # deterministic under repartitioning (retry/AQE invariance)
+    again = group_reservoir(
+        df.repartition(7, "rid"), ["g"], F.col("rid"), k=3, salt="t"
+    ).collect()
+    assert {tuple(r) for r in again} == {tuple(r) for r in rows}
+    # the kept rows really are the k hash-smallest of each group
+    h = df.withColumn(
+        "h", stable_hash60(F.concat(F.lit("t|"), F.col("rid").cast("string")))
+    ).collect()
+    for g, kept in per.items():
+        want = sorted(
+            ((r["h"], r["rid"]) for r in h if r["g"] == g)
+        )[:3]
+        assert [rid for _, rid in want] == [
+            rid for _, rid in sorted(kept)
+        ]
