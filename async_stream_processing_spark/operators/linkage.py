@@ -105,11 +105,14 @@ def blocked_levenshtein_join(
         ).filter(F.col("__blk").isNotNull())
         if max_block_size is not None:
             # per-side block cardinality; one extra aggregation on the
-            # (block, count) relation -- block-count-sized, not pair-sized
+            # (block, count) relation.  NO forced broadcast: the size
+            # relation is block-count-sized (≈ token vocabulary at
+            # corpus scale, far past broadcast limits) — the planner
+            # broadcasts it when small, shuffles on __blk otherwise,
+            # which co-partitions with the candidate join anyway.
             sizes = out.groupBy("__blk").agg(F.count(F.lit(1)).alias("__bn"))
             out = out.join(
-                F.broadcast(sizes.filter(F.col("__bn") <= max_block_size)),
-                "__blk",
+                sizes.filter(F.col("__bn") <= max_block_size), "__blk"
             ).drop("__bn")
         return out
 

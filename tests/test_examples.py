@@ -38,6 +38,7 @@ EXAMPLES = [
     "e26_dml_suite",
     "e27_live_feedback",
     "e28_out_of_order_ops",
+    "e29_entity_resolution",
 ]
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "examples"))
