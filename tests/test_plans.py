@@ -187,6 +187,11 @@ UNPARTITIONED_WINDOW_ALLOWLIST = {
     # global sort), documented in llm/curation.length_bucketed_packing.
     # (Added by the prior session post-suite; the audit caught it here.)
     "length_bucketed_packing": 1,
+    # the centered trend RANGE frame orders the DAY-GRAIN aggregate --
+    # one row per day, volume-invariant (a century is ~37k rows), never
+    # the corpus; documented in analytics.seasonal_decompose_daily.
+    # (4 = the analyzer's per-expression Window nodes over that frame.)
+    "seasonal_decompose": 4,
 }
 
 
