@@ -84,16 +84,24 @@ def maintain_view(
     v_from: int,
     v_to: int,
     step: int = 1,
+    prepare=None,
 ) -> DataFrame:
     """Advance ``view`` (valid at ``v_from``) to ``v_to`` by folding the
     row-level CDF one version-window at a time (``step`` versions per
     window; the per-window cost is O(rows changed in that window)).
     Stepping version-by-version and jumping straight to ``v_to`` give
-    identical results (CDF deltas compose); tests pin that."""
+    identical results (CDF deltas compose); tests pin that.
+
+    ``prepare`` (optional) maps each change-feed DataFrame before the
+    fold — for views grouped on DERIVED keys (a bucket of the table
+    key, a date grain of a timestamp), apply the same derivation here
+    that seeded the base view."""
     v = v_from
     while v < v_to:
         nxt = min(v + step, v_to)
         ch = table_changes(spark, path, v, nxt, row_level=True)
+        if prepare is not None:
+            ch = prepare(ch)
         view = apply_changes(view, ch, keys, measure)
         v = nxt
     return view

@@ -112,8 +112,52 @@ def run_case(spark, rng: random.Random, n_ops: int = 8) -> None:
         op = rng.choice(
             ["append", "append", "merge", "merge", "compact", "vacuum",
              "clone", "pin", "restore", "delete", "update", "mor_delete",
-             "mor_update", "ckpt_scan"]
+             "mor_update", "ckpt_scan", "mv_follow"]
         )
+        if op == "mv_follow":
+            # incremental-MV adversary (plans/mv.py): seed a grouped
+            # count/sum view at a random LIVE earlier version, advance
+            # it to the head by folding ONLY the row-level change feed
+            # across whatever ops the walk did in between (merge / CoW
+            # + DV DML / compact — whose row-level delta must net to
+            # zero — / restore), and demand it equals the model's
+            # aggregate exactly.  Single jump always legal (endpoints
+            # live); stepping requires every intermediate manifest
+            # alive (vacuum may have reaped some).
+            from async_stream_processing_spark.plans.mv import (
+                maintain_view,
+                sum_count_view,
+            )
+
+            all_live = versions(lake)
+            live = [v for v in all_live if v in snaps]
+            head = all_live[-1]
+            cand = [v for v in live if v < head]
+            if cand:
+                v0 = rng.choice(cand)
+                grp = lambda df: df.withColumn(  # noqa: E731
+                    "g", F.pmod(F.col("k"), F.lit(5)).cast("long")
+                )
+                base = sum_count_view(
+                    grp(read_version(spark, lake, v0)), ["g"], "v"
+                )
+                contiguous = all(v in all_live for v in range(v0, head + 1))
+                step = 1 if (contiguous and rng.random() < 0.5) \
+                    else head - v0
+                mv = maintain_view(spark, lake, base, ["g"], "v",
+                                   v0, head, step=step, prepare=grp)
+                got = {(r["g"], r["n_rows"], r["sum_m"])
+                       for r in mv.collect()}
+                want_agg: dict[int, list[int]] = {}
+                for k, vv in model.items():
+                    e = want_agg.setdefault(k % 5, [0, 0])
+                    e[0] += 1
+                    e[1] += vv
+                want = {(g, n, s) for g, (n, s) in want_agg.items()}
+                assert got == want, (v0, head, step, got ^ want)
+            check_head()
+            snaps[versions(lake)[-1]] = dict(model)
+            continue
         if op == "ckpt_scan":
             # parquet manifest checkpoint: the DISTRIBUTED pruned scan
             # must agree with the model (and with the JSON-loop path,
