@@ -250,6 +250,61 @@ def main() -> None:
         print(f"{'approx_stratified':22s} 1x={t1:6.2f}s  8x={t8:6.2f}s"
               f"  ratio={t8 / t1:5.2f}x", flush=True)
 
+    if not ONLY or "mv_refresh_flat" in ONLY:
+        # plans/mv.py's central claim probed directly: refresh cost is
+        # O(changed rows), NOT O(table).  Build a 1x and an 8x lake
+        # (range-partitioned on user_id so a fixed-width delete touches
+        # the same file count at both volumes), apply the SAME
+        # fixed-size MOR delete to each, and time maintain_view over
+        # that one-version window.  The honest comparison is
+        # refresh-at-8x-table vs refresh-at-1x-table with a CONSTANT
+        # delta: flat ratio = the feed, not the table, is what is read.
+        import shutil as _sh2
+        import tempfile as _tmp2
+
+        from async_stream_processing_spark.plans.mv import (
+            maintain_view,
+            sum_count_view,
+        )
+        from async_stream_processing_spark.plans.versioned import (
+            commit_append,
+            delete_where,
+            read_version,
+        )
+
+        def _mv_lake(ev, tag):
+            d = _tmp2.mkdtemp(prefix=f"asp_mvprobe_{tag}_")
+            _sh2.rmtree(d, ignore_errors=True)
+            base = ev.select(
+                "user_id", "event_type",
+                (F.col("value").cast("decimal(18,2)") * 100)
+                .cast("long").alias("x_c"),
+            ).repartitionByRange(16, "user_id")
+            commit_append(base, d, stats_cols=["user_id"])
+            view = sum_count_view(
+                read_version(spark, d, 1),
+                ["user_id", "event_type"], "x_c",
+            ).localCheckpoint(eager=True)
+            # fixed-width delta at BOTH volumes: same user range
+            delete_where(spark, d, "user_id >= 10 AND user_id < 60",
+                         mode="mor")
+            return d, view
+
+        def _refresh(d, view):
+            return maintain_view(
+                spark, d, view, ["user_id", "event_type"], "x_c", 1, 2
+            )
+
+        d1, v1 = _mv_lake(ev1, "1x")
+        d8, v8 = _mv_lake(ev8, "8x")
+        _refresh(d1, v1).count()  # warm the path
+        t0 = time.time(); _refresh(d1, v1).count(); t1 = time.time() - t0
+        t0 = time.time(); _refresh(d8, v8).count(); t8 = time.time() - t0
+        print(f"{'mv_refresh_flat':22s} 1x={t1:6.2f}s  8x={t8:6.2f}s"
+              f"  ratio={t8 / t1:5.2f}x", flush=True)
+        _sh2.rmtree(d1, ignore_errors=True)
+        _sh2.rmtree(d8, ignore_errors=True)
+
     # --- iterative ops with DRIVER-SIDE loops (eager rounds): time
     # END-TO-END and record round-count stability at 8x -- a convergence
     # loop whose round count grows with volume is a scale bug even when
