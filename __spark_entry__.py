@@ -5552,41 +5552,16 @@ def oracle_sql() -> dict[str, str]:
         FROM r WHERE "rank" <= 5
     """
     # mirrors seasonal_decompose_daily's expression trees token for
-    # token (integer-cents sums; doubles only in the final divisions)
-    out["seasonal_decompose"] = """
-        WITH daily AS (
-            SELECT CAST(ts AS DATE) AS day,
-                   COUNT(*) AS n_events,
-                   CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
-                       AS tot_c
-            FROM events GROUP BY 1),
-        d2 AS (
-            SELECT *, CAST(day - DATE '1970-01-01' AS BIGINT) AS day_idx
-            FROM daily),
-        d3 AS (SELECT *, CAST(day_idx % 7 AS BIGINT) AS phase FROM d2),
-        w AS (
-            SELECT *, CAST(SUM(tot_c) OVER win AS BIGINT) AS wsum_c,
-                   COUNT(*) OVER win AS wcnt
-            FROM d3
-            WINDOW win AS (ORDER BY day_idx
-                           RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
-        seas AS (
-            SELECT phase,
-                   (CAST(SUM(tot_c) AS DOUBLE)
-                    - CAST(SUM(wsum_c) AS DOUBLE) / 7.0)
-                   / (CAST(COUNT(*) AS DOUBLE) * 100.0) AS seasonal
-            FROM w WHERE wcnt = 7 GROUP BY phase)
-        SELECT strftime(w.day, '%Y-%m-%d') AS day, w.phase, w.n_events,
-               CAST(tot_c AS DOUBLE) / 100.0 AS total,
-               CASE WHEN wcnt = 7
-                    THEN CAST(wsum_c AS DOUBLE) / 700.0 END AS trend,
-               s.seasonal,
-               CASE WHEN wcnt = 7
-                    THEN CAST(tot_c AS DOUBLE) / 100.0
-                         - CAST(wsum_c AS DOUBLE) / 700.0
-                         - s.seasonal END AS residual
-        FROM w LEFT JOIN seas s USING (phase)
-    """
+    # token (integer-cents sums; doubles only in the final divisions);
+    # the SAME parameterized template feeds the randomized differential
+    # test, so the gate and the fuzz adversary cannot drift
+    from async_stream_processing_spark.operators.analytics import (
+        sql_seasonal_decompose,
+    )
+
+    out["seasonal_decompose"] = sql_seasonal_decompose(
+        "events", period=7, trend_window=7
+    )
     out["ingest_formats"] = """
         WITH agg AS (
             SELECT event_type,

@@ -786,3 +786,57 @@ def seasonal_decompose_daily(
             full, total_dbl - trend_dbl - F.col("seasonal")
         ).alias("residual"),
     )
+
+
+def sql_seasonal_decompose(
+    src: str = "events",
+    ts: str = "ts",
+    value: str = "value",
+    period: int = 7,
+    trend_window: int = 7,
+) -> str:
+    """ANSI-SQL twin of :func:`seasonal_decompose_daily`, mirroring its
+    expression trees token for token (integer-cents sums; doubles only
+    in the final divisions) so DuckDB reproduces the Spark result
+    bit-for-bit at ANY (period, trend_window) — the gate oracle and the
+    randomized differential test both derive from this one template,
+    so the two engines cannot drift apart parameter-by-parameter."""
+    half = trend_window // 2
+    upper = trend_window - half - 1
+    wdiv = float(trend_window) * 100.0
+    return f"""
+        WITH daily AS (
+            SELECT CAST({ts} AS DATE) AS day,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CAST({value} AS DECIMAL(18,2))) * 100 AS BIGINT)
+                       AS tot_c
+            FROM {src} GROUP BY 1),
+        d2 AS (
+            SELECT *, CAST(day - DATE '1970-01-01' AS BIGINT) AS day_idx
+            FROM daily),
+        d3 AS (SELECT *, CAST(day_idx % {period} AS BIGINT) AS phase
+               FROM d2),
+        w AS (
+            SELECT *, CAST(SUM(tot_c) OVER win AS BIGINT) AS wsum_c,
+                   COUNT(*) OVER win AS wcnt
+            FROM d3
+            WINDOW win AS (ORDER BY day_idx
+                           RANGE BETWEEN {half} PRECEDING
+                           AND {upper} FOLLOWING)),
+        seas AS (
+            SELECT phase,
+                   (CAST(SUM(tot_c) AS DOUBLE)
+                    - CAST(SUM(wsum_c) AS DOUBLE) / {float(trend_window)!r})
+                   / (CAST(COUNT(*) AS DOUBLE) * 100.0) AS seasonal
+            FROM w WHERE wcnt = {trend_window} GROUP BY phase)
+        SELECT strftime(w.day, '%Y-%m-%d') AS day, w.phase, w.n_events,
+               CAST(tot_c AS DOUBLE) / 100.0 AS total,
+               CASE WHEN wcnt = {trend_window}
+                    THEN CAST(wsum_c AS DOUBLE) / {wdiv!r} END AS trend,
+               s.seasonal,
+               CASE WHEN wcnt = {trend_window}
+                    THEN CAST(tot_c AS DOUBLE) / 100.0
+                         - CAST(wsum_c AS DOUBLE) / {wdiv!r}
+                         - s.seasonal END AS residual
+        FROM w LEFT JOIN seas s USING (phase)
+    """

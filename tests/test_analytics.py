@@ -515,3 +515,61 @@ def test_scd2_intervals_partition_each_keys_timeline(spark):
     assert matched.filter(F.col("e.attr") != F.col("s.attr")).count() == 0
     # version runs: user 1 has 4 runs (a,b,a,c)
     assert dim.filter(F.col("user_id") == 1).count() == 4
+
+
+def test_seasonal_decompose_differential_random_params(spark):
+    """Randomized cross-engine differential for the seasonal float
+    discipline: random (period, trend_window, predicate) configs must
+    be BIT-IDENTICAL between the Spark operator and the DuckDB SQL
+    template (sql_seasonal_decompose) they both derive from -- the
+    parameter axis the single gate config cannot cover."""
+    import math
+    import random
+
+    import duckdb
+
+    from async_stream_processing_spark.operators.analytics import (
+        seasonal_decompose_daily,
+        sql_seasonal_decompose,
+    )
+    from async_stream_processing_spark.sources.parquet import load_table
+
+    sf = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf, "events")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'"
+    )
+    rng = random.Random(20260817333)
+    preds = [
+        ("all", None, ""),
+        ("mod", F.col("user_id") % 3 == 0, "WHERE user_id % 3 = 0"),
+        ("type", F.col("event_type") == "click",
+         "WHERE event_type = 'click'"),
+    ]
+    for _ in range(8):
+        period = rng.choice([3, 5, 7, 9])
+        window = rng.choice([3, 5, 7, 9])
+        name, pf, psql = preds[rng.randrange(len(preds))]
+        src = ev if pf is None else ev.filter(pf)
+        got = seasonal_decompose_daily(
+            src, ts="ts", value="value", period=period, trend_window=window
+        ).collect()
+        sql = sql_seasonal_decompose(
+            f"(SELECT * FROM events {psql})", period=period,
+            trend_window=window,
+        )
+        want = con.execute(sql).df().to_dict("records")
+        gm = {r["day"]: r for r in got}
+        assert len(gm) == len(want), (period, window, name)
+        for w in want:
+            g = gm[w["day"]]
+            for c in ("phase", "n_events", "total", "trend", "seasonal",
+                      "residual"):
+                a, b = g[c], w[c]
+                both_null = (a is None and
+                             (b is None or (isinstance(b, float)
+                                            and math.isnan(b))))
+                assert both_null or a == b, (
+                    period, window, name, w["day"], c, a, b,
+                )
