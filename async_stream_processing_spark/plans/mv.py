@@ -85,6 +85,7 @@ def maintain_view(
     v_to: int,
     step: int = 1,
     prepare=None,
+    checkpoint_every: int = 8,
 ) -> DataFrame:
     """Advance ``view`` (valid at ``v_from``) to ``v_to`` by folding the
     row-level CDF one version-window at a time (``step`` versions per
@@ -95,13 +96,24 @@ def maintain_view(
     ``prepare`` (optional) maps each change-feed DataFrame before the
     fold — for views grouped on DERIVED keys (a bucket of the table
     key, a date grain of a timestamp), apply the same derivation here
-    that seeded the base view."""
+    that seeded the base view.
+
+    Every ``checkpoint_every`` windows the view's lineage is truncated
+    (``localCheckpoint``): each fold stacks a join + aggregation on the
+    plan, and a long version chain would otherwise hand the analyzer an
+    O(windows)-deep tree.  At cluster scale swap for reliable
+    checkpointing, or land each refresh via ``merge_into`` (module
+    docstring) — a persisted view is its own lineage barrier."""
     v = v_from
+    folds = 0
     while v < v_to:
         nxt = min(v + step, v_to)
         ch = table_changes(spark, path, v, nxt, row_level=True)
         if prepare is not None:
             ch = prepare(ch)
         view = apply_changes(view, ch, keys, measure)
+        folds += 1
+        if checkpoint_every and folds % checkpoint_every == 0 and nxt < v_to:
+            view = view.localCheckpoint(eager=True)
         v = nxt
     return view

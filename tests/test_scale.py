@@ -3341,3 +3341,38 @@ def test_mv_incremental_follows_update_delete_and_drops_empty_keys(
     assert {tuple(r) for r in same.collect()} == {
         tuple(r) for r in v5.collect()
     }
+
+
+def test_mv_long_chain_checkpoints_and_stays_exact(spark, tmp_path):
+    """A 20-version chain folded one version at a time must equal the
+    direct aggregate (checkpoint_every truncates lineage mid-chain; the
+    truncation must not change a single value)."""
+    from async_stream_processing_spark.plans.mv import (
+        maintain_view,
+        sum_count_view,
+    )
+    from async_stream_processing_spark.plans.versioned import (
+        commit_append,
+        read_version,
+    )
+
+    lake = str(tmp_path / "chainlake")
+    commit_append(
+        spark.createDataFrame([(0, 1)], "k long, m long").coalesce(1), lake
+    )
+    view = sum_count_view(
+        read_version(spark, lake, 1), ["k"], "m"
+    ).localCheckpoint(eager=True)
+    for i in range(1, 21):
+        commit_append(
+            spark.createDataFrame(
+                [(i % 4, i), (i % 4, -i), (i % 4, 2 * i)], "k long, m long"
+            ).coalesce(1),
+            lake,
+        )
+    out = maintain_view(spark, lake, view, ["k"], "m", 1, 21,
+                        checkpoint_every=4)
+    direct = sum_count_view(read_version(spark, lake), ["k"], "m")
+    assert {tuple(r) for r in out.collect()} == {
+        tuple(r) for r in direct.collect()
+    }
