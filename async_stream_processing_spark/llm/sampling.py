@@ -347,6 +347,7 @@ def group_reservoir(
     k: int = 5,
     salt: str = "rsv",
     rank_col: str = "rank",
+    hash_mode: str = "md5",
 ) -> DataFrame:
     """Deterministic fixed-k "reservoir" sample per key: every row gets
     a stable 60-bit hash of ``salt || id`` and each key keeps its k
@@ -360,10 +361,16 @@ def group_reservoir(
     key), so no single window ever funnels the corpus into |keys|
     tasks; the hash order is total (tiebreak on ``id_expr``), which is
     the exactness precondition topk_by_group documents.
+    ``hash_mode="xxhash64"`` swaps the oracle-portable md5 hash for the
+    ~3x-cheaper production hash (same knob as the dedup family; no
+    cross-engine parity on that path).
     """
+    from ..functions.hashing import stable_hash60 as _md5h
     from ..plans.scale import topk_by_group
 
-    h = stable_hash60(F.concat(F.lit(salt + "|"), id_expr.cast("string")))
+    tagged_id = F.concat(F.lit(salt + "|"), id_expr.cast("string"))
+    h = (F.abs(F.xxhash64(tagged_id)) if hash_mode == "xxhash64"
+         else _md5h(tagged_id))
     tagged = df.withColumn("__h", h)
     out = topk_by_group(
         tagged, keys, [F.col("__h").asc(), id_expr.asc()], k,
