@@ -5463,29 +5463,18 @@ def oracle_sql() -> dict[str, str]:
          AND e.ts >= s.valid_from
          AND (s.valid_to IS NULL OR e.ts < s.valid_to)
     """
-    out["fuzzy_linkage"] = """
-        WITH e AS (
-            SELECT p_name || ' ' || p_brand AS name, COUNT(*) AS support
-            FROM part GROUP BY p_name, p_brand),
-        b AS (
-            SELECT name, support, blk FROM (
-                SELECT name, support,
-                       unnest(['f0:' || string_split_regex(name, ' +')[1],
-                               'f1:' || string_split_regex(name, ' +')[2],
-                               'l0:' || string_split_regex(name, ' +')[-1]])
-                           AS blk
-                FROM e)
-            WHERE blk IS NOT NULL),
-        cand AS (
-            SELECT DISTINCT a.name AS name_a, a.support AS support_a,
-                            c.name AS name_b, c.support AS support_b
-            FROM b a JOIN b c ON a.blk = c.blk AND a.name < c.name
-            WHERE abs(length(a.name) - length(c.name)) <= 2)
-        SELECT name_a, name_b, support_a, support_b,
-               CAST(levenshtein(name_a, name_b) AS BIGINT) AS edit_distance
-        FROM cand
-        WHERE levenshtein(name_a, name_b) BETWEEN 1 AND 2
-    """
+    # derived from the SAME parameterized template the randomized
+    # linkage differential test uses (operators/linkage.py)
+    from async_stream_processing_spark.operators.linkage import (
+        sql_token_blocked_self_pairs,
+    )
+
+    out["fuzzy_linkage"] = sql_token_blocked_self_pairs(
+        "SELECT p_name || ' ' || p_brand AS name, COUNT(*) AS support "
+        "FROM part GROUP BY p_name, p_brand",
+        first_n=2, last_n=1, max_dist=2, min_dist=1,
+        extra_cols=", support",
+    )
     # ER end to end: same blocking/pairs, then transitive-closure
     # components (recursive CTE -- verifies A~B + B~C collapse without
     # an A~C pair) + canonical election per cluster

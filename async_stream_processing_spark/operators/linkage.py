@@ -154,3 +154,48 @@ def fuzzy_self_pairs(
         max_block_size=max_block_size,
     )
     return out.filter(F.col(key + "_a") < F.col(key + "_b"))
+
+
+def sql_token_blocked_self_pairs(
+    src_entities: str,
+    first_n: int = 1,
+    last_n: int = 1,
+    max_dist: int = 2,
+    min_dist: int = 1,
+    extra_cols: str = "",
+) -> str:
+    """DuckDB twin of :func:`fuzzy_self_pairs` with :func:`token_blocks`
+    blocking, parameterized on the same knobs — the gate oracle and the
+    randomized differential test both derive from this one template.
+    ``src_entities`` must be a CTE body selecting (name, ...); pass any
+    carried columns through ``extra_cols`` (e.g. ``", support"``)."""
+    passes = [
+        f"'f{i}:' || string_split_regex(name, ' +')[{i + 1}]"
+        for i in range(first_n)
+    ] + [
+        f"'l{i}:' || string_split_regex(name, ' +')[-{i + 1}]"
+        for i in range(last_n)
+    ]
+    extras = [c.strip() for c in extra_cols.split(",") if c.strip()]
+    sel_a = "".join(f", a.{c} AS {c}_a" for c in extras)
+    sel_b = "".join(f", c.{c} AS {c}_b" for c in extras)
+    out_extras = "".join(f", {c}_a, {c}_b" for c in extras)
+    return f"""
+        WITH e AS ({src_entities}),
+        b AS (
+            SELECT name{extra_cols}, blk FROM (
+                SELECT name{extra_cols},
+                       unnest([{", ".join(passes)}]) AS blk
+                FROM e)
+            WHERE blk IS NOT NULL),
+        cand AS (
+            SELECT DISTINCT a.name AS name_a{sel_a},
+                            c.name AS name_b{sel_b}
+            FROM b a JOIN b c ON a.blk = c.blk AND a.name < c.name
+            WHERE abs(length(a.name) - length(c.name)) <= {max_dist})
+        SELECT name_a, name_b{out_extras},
+               CAST(levenshtein(name_a, name_b) AS BIGINT) AS edit_distance
+        FROM cand
+        WHERE levenshtein(name_a, name_b)
+              BETWEEN {min_dist} AND {max_dist}
+    """

@@ -116,3 +116,62 @@ def test_plan_has_no_cartesian_or_bnlj(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_linkage_differential_random_configs(spark):
+    """Randomized cross-engine differential for the blocking/edit-
+    distance parity: random (first_n, last_n, max_dist) configs over
+    the real part registry must produce the EXACT pair set on Spark and
+    on DuckDB through the shared sql_token_blocked_self_pairs template
+    — covering the parameter axis the single gate config cannot."""
+    import random
+
+    import duckdb
+
+    from async_stream_processing_spark.operators.linkage import (
+        sql_token_blocked_self_pairs,
+    )
+    from async_stream_processing_spark.sources.parquet import load_table
+
+    sf = "/root/testdata/sf0.001"
+    ents = (
+        load_table(spark, sf, "part")
+        .groupBy("p_name", "p_brand")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .select(
+            F.concat_ws(" ", "p_name", "p_brand").alias("name"), "support"
+        )
+        .localCheckpoint(eager=True)
+    )
+    con = duckdb.connect()
+    src = (
+        f"SELECT p_name || ' ' || p_brand AS name, COUNT(*) AS support "
+        f"FROM '{sf}/part.parquet' GROUP BY p_name, p_brand"
+    )
+    rng = random.Random(20260817777)
+    for _ in range(6):
+        first_n = rng.choice([1, 2])
+        last_n = rng.choice([1, 2])
+        max_dist = rng.choice([1, 2, 3])
+        min_dist = rng.choice([0, 1])
+        got = {
+            (r["name_a"], r["name_b"], r["edit_distance"],
+             r["support_a"], r["support_b"])
+            for r in fuzzy_self_pairs(
+                ents, key="name", text="name",
+                blocks=token_blocks(first_n=first_n, last_n=last_n),
+                max_dist=max_dist, min_dist=min_dist,
+            ).collect()
+        }
+        sql = sql_token_blocked_self_pairs(
+            src, first_n=first_n, last_n=last_n,
+            max_dist=max_dist, min_dist=min_dist, extra_cols=", support",
+        )
+        want = {
+            (r.name_a, r.name_b, r.edit_distance, r.support_a, r.support_b)
+            for r in con.execute(sql).df().itertuples()
+        }
+        assert got == want, (
+            first_n, last_n, max_dist, min_dist,
+            len(got), len(want), list(got ^ want)[:3],
+        )
