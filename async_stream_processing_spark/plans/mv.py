@@ -24,6 +24,12 @@ Correctness rests on two facts, both pytest-pinned:
    for deletes, unlike MIN/MAX — which would need per-group recompute
    of affected keys; documented non-goal here).
 
+Contract: the measure column must be NON-NULL integers (coalesce /
+cast upstream, as the gates' integer-cents derivation does).  With
+NULLs, SQL SUM yields NULL for an all-NULL group where the incremental
+fold's coalesce-to-0 arithmetic yields 0 — a drift this module chooses
+not to paper over silently.
+
 Scale shape: the delta aggregation shuffles O(changed rows) on the view
 key; the refresh joins view-sized + delta-key-sized relations.  At
 100 TB the view itself lives as a lake table and the refresh lands via
