@@ -294,8 +294,13 @@ def jaccard_pairs_direct(
     zero shingles have Jaccard 0 and can never pass a positive threshold,
     so skipping them is exact, and the join itself is the blocking."""
     sizes = shingle_hashes.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = shingle_hashes.alias("a")
-    b = shingle_hashes.alias("b")
+    # hoist the self-join's shuffle into one shared exchange (the
+    # lsh_candidate_pairs lesson): the join would shuffle both sides on
+    # ``h`` anyway; repartitioning first lets AQE stage reuse compute
+    # the shingle-hash derivation ONCE for both join sides.
+    keyed = shingle_hashes.repartition("h")
+    a = keyed.alias("a")
+    b = keyed.alias("b")
     inter = (
         a.join(b, "h")
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
@@ -333,8 +338,10 @@ def containment_pairs(
     boilerplate-heavy corpora.  All-integer counts until one final
     double division, bit-exact everywhere."""
     sizes = shingle_hashes.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = shingle_hashes.alias("a")
-    b = shingle_hashes.alias("b")
+    # shared self-join exchange -- see jaccard_pairs_direct
+    keyed = shingle_hashes.repartition("h")
+    a = keyed.alias("a")
+    b = keyed.alias("b")
     inter = (
         a.join(b, "h")
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
@@ -604,19 +611,30 @@ def lsh_pair_recall(
     scale, which is the point: tune on a slice, deploy the blocker on
     the 100 TB corpus."""
     sh = doc_shingle_hashes(docs, hash_mode=hash_mode)
-    true_pairs = jaccard_pairs_direct(sh, threshold).select("doc_a", "doc_b")
+    true_pairs = jaccard_pairs_direct(sh, threshold).select(
+        "doc_a", "doc_b", F.lit(1).alias("__t")
+    )
     cand = lsh_candidate_pairs(
         minhash_signatures(docs, n_hashes, hash_mode=hash_mode),
         n_hashes,
         bands,
-    )
-    hits = cand.join(true_pairs, ["doc_a", "doc_b"], "left_semi")
-    n_true = true_pairs.agg(F.count(F.lit(1)).alias("n_true"))
-    n_cand = cand.agg(F.count(F.lit(1)).alias("n_cand"))
-    n_hit = hits.agg(F.count(F.lit(1)).alias("n_hit"))
+    ).select("doc_a", "doc_b", F.lit(1).alias("__c"))
+    # ONE full-outer join + ONE aggregate: the former three-aggregate
+    # crossJoin form evaluated the exact-Jaccard self-join and the LSH
+    # candidate self-join TWICE each (n_true + hits, n_cand + hits --
+    # 90 Exchanges / 10 doc scans in the physical plan).  Both pair
+    # relations are distinct on (doc_a, doc_b), so the outer join
+    # preserves exact counts: n_true = rows with __t, n_cand = rows
+    # with __c, n_hit = rows with both (guide #2.4: remove shuffles
+    # outright / never evaluate an expensive subtree twice).
+    both = true_pairs.join(cand, ["doc_a", "doc_b"], "full_outer")
     return (
-        n_true.crossJoin(n_cand)
-        .crossJoin(n_hit)
+        both.agg(
+            F.count("__t").alias("n_true"),
+            F.count("__c").alias("n_cand"),
+            F.count(F.when(F.col("__t").isNotNull()
+                           & F.col("__c").isNotNull(), 1)).alias("n_hit"),
+        )
         .select(
             "n_true",
             "n_cand",

@@ -265,6 +265,26 @@ def pca_project(
     )
 
 
+def fold_sum_first_seeded(arr):
+    """Left fold of ``arr`` seeded with its FIRST element, referencing
+    ``arr`` exactly once.
+
+    The former ``aggregate(slice(arr, 2, d-1), element_at(arr, 1), +)``
+    form references ``arr`` twice, and higher-order functions are
+    evaluated interpreted (no codegen subexpression elimination), so the
+    whole product array was computed TWICE per output dim (guide #1.2:
+    per-task work).  ``coalesce(acc + x, x)`` seeds on the first element
+    (NULL acc + x -> NULL -> coalesce picks x) and then accumulates --
+    the identical left-associated IEEE sequence x1, x1+x2, ... with one
+    ``arr`` reference.  NaN-safe: a NaN acc is not NULL, so coalesce
+    keeps propagating it exactly as ``+`` would."""
+    return F.aggregate(
+        arr,
+        F.lit(None).cast("double"),
+        lambda acc, x: F.coalesce(acc + x, x),
+    )
+
+
 def rp_signs(k: int, d: int, seed: int = 7) -> list[list[int]]:
     """Deterministic ±1 projection matrix (k x d), the database-friendly
     Johnson-Lindenstrauss variant (Achlioptas 2003): entries are unit
@@ -339,13 +359,10 @@ def rp_project(
             F.element_at(F.col("rp_signs"), j + 1),
             lambda x, s: x * s,
         )
-        cols.append(
-            F.aggregate(
-                F.slice(prods, 2, d - 1),
-                F.element_at(prods, 1),
-                lambda a, x: a + x,
-            ).alias(f"rp_{j}")
-        )
+        # single-reference first-seeded fold: same IEEE sequence as the
+        # slice/element_at form but the product array is built once per
+        # output dim instead of twice (interpreted HOFs do no CSE)
+        cols.append(fold_sum_first_seeded(prods).alias(f"rp_{j}"))
     return embeddings.join(F.broadcast(model)).select(*cols)
 
 

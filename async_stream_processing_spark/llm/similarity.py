@@ -1677,9 +1677,23 @@ def semdedup(
         .withColumn("__n", norm(F.col("embedding")))
         .repartition("centroid_id")
     )
+    # SALT the within-cell pair join (guide #2.5): with only n_centroids
+    # distinct join keys the O(cell^2) dot-product work lands on at most
+    # n_centroids tasks, idling the rest of the cluster (and a single
+    # hot cell is an unsplittable-key skew AQE cannot fix).  A
+    # deterministic salt -- pmod(a_id, S) on the probe side, an S-way
+    # explode on the build side -- spreads each cell's pair work over S
+    # tasks; every (a, b) pair still meets exactly once (on the b-copy
+    # whose salt equals a's), so the dominated set is unchanged.  S
+    # derives from the session's parallelism, not a local constant.
+    n_salt = max(
+        1, (embeddings.sparkSession.sparkContext.defaultParallelism * 4)
+        // max(1, n_centroids),
+    )
     a = full.select(
         F.col("vec_id").alias("a_id"),
         F.col("centroid_id"),
+        F.pmod(F.col("vec_id"), F.lit(n_salt)).alias("__salt"),
         F.col("centroid_cosine").alias("a_cc"),
         F.col("embedding").alias("a_emb"),
         F.col("__n").alias("a_n"),
@@ -1690,10 +1704,13 @@ def semdedup(
         F.col("centroid_cosine").alias("b_cc"),
         F.col("embedding").alias("b_emb"),
         F.col("__n").alias("b_n"),
+    ).withColumn(
+        "__salt",
+        F.explode(F.array(*[F.lit(s) for s in range(n_salt)])),
     )
     # b dominates a: same cell, near-identical, b ranks ahead
     dominated = (
-        a.join(b, "centroid_id")
+        a.join(b, ["centroid_id", "__salt"])
         .filter(F.col("a_id") != F.col("b_id"))
         .filter(
             (F.col("b_cc") > F.col("a_cc"))
