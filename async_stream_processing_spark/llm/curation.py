@@ -112,6 +112,41 @@ def _top_ngram_chars(n: int, text_col: str = "__t", min_count: int = 1):
     return out
 
 
+def _dup_element_stats(arr):
+    """Duplicate-element stats of ONE document's element array, PER ROW:
+    struct(n, dup, dup_chars) where ``n`` = total elements, ``dup`` =
+    occurrences beyond the first of any repeated element, ``dup_chars``
+    = their summed lengths.  Same sorted-run fold as
+    :func:`_top_ngram_chars` -- O(E log E) per doc, ZERO shuffles --
+    replacing an explode + (doc, element) shuffle + per-doc re-aggregate
+    + join per granularity.  Equality-run counting only needs equal
+    values adjacent, which ``array_sort`` guarantees, so the integer
+    outputs are identical to the grouped form."""
+    srt = F.array_sort(arr)
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("dup"),
+        F.lit(0).cast("long").alias("dup_chars"),
+    )
+
+    def merge(acc, x):
+        is_dup = x == acc["prev"]
+        return F.struct(
+            x.alias("prev"),
+            F.when(is_dup, acc["dup"] + 1).otherwise(acc["dup"]).alias("dup"),
+            F.when(is_dup, acc["dup_chars"] + F.length(x))
+            .otherwise(acc["dup_chars"])
+            .alias("dup_chars"),
+        )
+
+    folded = F.aggregate(srt, init, merge)
+    return F.struct(
+        F.size(arr).cast("long").alias("n"),
+        folded["dup"].alias("dup"),
+        folded["dup_chars"].alias("dup_chars"),
+    )
+
+
 def gopher_repetition(docs: DataFrame, text: str = "text") -> DataFrame:
     """Per-document Gopher repetition signals + integer-exact keep flags.
 
@@ -139,16 +174,16 @@ def gopher_repetition(docs: DataFrame, text: str = "text") -> DataFrame:
     # the 4-size shingle generation is the CPU hot spot: fan a narrow
     # file scan out to all cores first (no-op when files >= slots)
     base = fan_out(docs.select("doc_id", F.col(text).alias("__t")))
-    totals = base.select(
-        "doc_id", _word_chars(tokens("__t")).alias("total_word_chars")
-    )
 
     # THE most frequent gram per (doc, n) -- not the max-coverage gram:
     # the paper's rule scores the top-count gram's coverage.  Per-doc
     # statistic -> per-row sorted-run fold, no explode, no shuffle
-    # (see _top_ngram_chars).
-    wide = base.select(
+    # (see _top_ngram_chars).  Totals ride in the SAME narrow select --
+    # one scan, no doc-keyed join between totals and the top-gram wide
+    # relation.
+    totals_wide = base.select(
         "doc_id",
+        _word_chars(tokens("__t")).alias("total_word_chars"),
         *[_top_ngram_chars(n).alias(f"top{n}_chars") for n in (2, 3, 4)],
     )
     # dup5: UNIQUE character coverage — positions of every occurrence of a
@@ -178,8 +213,7 @@ def gopher_repetition(docs: DataFrame, text: str = "text") -> DataFrame:
         .agg(F.sum(F.length("tok")).cast("long").alias("dup5_chars"))
     )
     out = (
-        totals.join(wide, "doc_id", "left")
-        .join(dup5, "doc_id", "left")
+        totals_wide.join(dup5, "doc_id", "left")
         .na.fill({f"top{n}_chars": 0 for n in (2, 3, 4)} | {"dup5_chars": 0})
     )
     tot = F.col("total_word_chars")
@@ -1048,41 +1082,38 @@ def gopher_repetition_full(docs: DataFrame, text: str = "text") -> DataFrame:
       from ONE n-tagged posexplode for all six sizes.
 
     Every flag is an integer cross-multiplication; ``keep`` = none
-    fired.  Fractions are reporting-only double divisions.  Shape: one
-    generate per granularity (lines, paragraphs, tagged top-grams,
-    tagged dup-grams), each followed by one keyed shuffle — no
-    per-n corpus rescan.
+    fired.  Fractions are reporting-only double divisions.  Shape: the
+    line/paragraph and top-gram signals are per-document statistics and
+    compute as per-row sorted-run folds in ONE narrow select (zero
+    shuffles); only the positional dup {5..10}-gram coverage pays a
+    tagged posexplode + keyed shuffles, joined back once — no per-n
+    corpus rescan.
     """
     from .dedup import fan_out
 
     base = fan_out(docs.select("doc_id", F.col(text).alias("__t")))
-    totals = base.select(
+
+    # totals, duplicate line/paragraph stats, and top {2,3,4}-grams are
+    # all PER-DOCUMENT statistics -> ONE narrow row-local select (zero
+    # shuffles, zero joins): sorted-run folds per granularity
+    # (_dup_element_stats) and per n (_top_ngram_chars).  The former
+    # shape paid, per granularity, an explode + (doc, element) shuffle +
+    # per-doc shuffle + a doc-keyed join -- 4 extra corpus-sized
+    # exchanges and 4 extra scans of the corpus in the physical plan.
+    # min_count=2: the full rule set only scores a top gram that
+    # actually repeats.
+    lstat = _dup_element_stats(F.split("__t", "\n"))
+    pstat = _dup_element_stats(F.split("__t", "\n\n"))
+    rowlocal = base.select(
         "doc_id",
         _word_chars(tokens("__t")).alias("total_word_chars"),
         F.length("__t").cast("long").alias("total_chars"),
-    )
-
-    def dup_elements(sep: str, tag: str) -> DataFrame:
-        el = base.select(
-            "doc_id", F.explode(F.split("__t", sep)).alias("e")
-        )
-        per = el.groupBy("doc_id", "e").agg(F.count(F.lit(1)).alias("c"))
-        return per.groupBy("doc_id").agg(
-            F.sum("c").cast("long").alias(f"n_{tag}"),
-            F.sum(F.col("c") - 1).cast("long").alias(f"dup_{tag}"),
-            F.sum((F.col("c") - 1) * F.length("e"))
-            .cast("long")
-            .alias(f"dup_{tag}_chars"),
-        )
-
-    lines = dup_elements("\n", "line")
-    paras = dup_elements("\n\n", "para")
-
-    # top {2,3,4}-grams: per-doc statistic -> per-row sorted-run fold
-    # (zero shuffles; see _top_ngram_chars).  min_count=2: the full rule
-    # set only scores a top gram that actually repeats.
-    top_wide = base.select(
-        "doc_id",
+        lstat["n"].alias("n_line"),
+        lstat["dup"].alias("dup_line"),
+        lstat["dup_chars"].alias("dup_line_chars"),
+        pstat["n"].alias("n_para"),
+        pstat["dup"].alias("dup_para"),
+        pstat["dup_chars"].alias("dup_para_chars"),
         *[
             _top_ngram_chars(n, min_count=2).alias(f"top{n}_chars")
             for n in (2, 3, 4)
@@ -1141,10 +1172,7 @@ def gopher_repetition_full(docs: DataFrame, text: str = "text") -> DataFrame:
     )
 
     out = (
-        totals.join(lines, "doc_id", "left")
-        .join(paras, "doc_id", "left")
-        .join(top_wide, "doc_id", "left")
-        .join(dupn, "doc_id", "left")
+        rowlocal.join(dupn, "doc_id", "left")
         .na.fill(
             {f"top{n}_chars": 0 for n in (2, 3, 4)}
             | {f"dup{n}_chars": 0 for n in GOPHER_DUP_NGRAM_FULL}

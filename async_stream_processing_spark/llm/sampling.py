@@ -43,13 +43,44 @@ def top_terms_per_source(docs: DataFrame, k: int = 10) -> DataFrame:
 def repetition_stats(docs: DataFrame, n: int = 3) -> DataFrame:
     """Gopher-style repetition signals: the fraction of n-gram occurrences
     belonging to the most frequent n-gram, and the duplicate-shingle ratio.
-    Heavily repeated boilerplate -> high values -> filter candidates."""
-    sh = docs.select("doc_id", F.explode(shingles("text", n)).alias("s"))
-    per = sh.groupBy("doc_id", "s").agg(F.count(F.lit(1)).alias("c"))
-    agg = per.groupBy("doc_id").agg(
-        F.sum("c").alias("n_shingles"),
-        F.max("c").alias("top_shingle_count"),
-        F.count(F.lit(1)).alias("n_distinct_shingles"),
+    Heavily repeated boilerplate -> high values -> filter candidates.
+
+    All three counts are PER-DOCUMENT statistics, so they compute as a
+    per-row sorted-run fold over each doc's own shingle array -- ZERO
+    shuffles, one narrow pass -- instead of the explode + (doc, gram)
+    shuffle + per-doc re-aggregate (two corpus-sized exchanges at
+    100 TB).  ``array_sort`` puts equal grams adjacent; the fold counts
+    run lengths, tracks the max run and the number of runs, giving
+    bit-identical integers to the grouped form.  Docs with zero shingles
+    (< n tokens) are filtered, exactly as the explode form dropped them.
+    """
+    arr = F.array_sort(shingles("text", n))
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("top"),
+        F.lit(0).cast("long").alias("ndv"),
+    )
+
+    def merge(acc, x):
+        run2 = F.when(x == acc["prev"], acc["run"] + 1).otherwise(
+            F.lit(1).cast("long")
+        )
+        return F.struct(
+            x.alias("prev"),
+            run2.alias("run"),
+            F.greatest(acc["top"], run2).alias("top"),
+            F.when(x == acc["prev"], acc["ndv"])
+            .otherwise(acc["ndv"] + 1)
+            .alias("ndv"),
+        )
+
+    folded = F.aggregate(arr, init, merge)
+    agg = docs.filter(F.size(arr) > 0).select(
+        "doc_id",
+        F.size(arr).cast("long").alias("n_shingles"),
+        folded["top"].alias("top_shingle_count"),
+        folded["ndv"].alias("n_distinct_shingles"),
     )
     return agg.select(
         "doc_id", "n_shingles", "top_shingle_count", "n_distinct_shingles",

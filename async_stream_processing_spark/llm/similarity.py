@@ -385,11 +385,22 @@ def _assign_literal(
             [[float(x) for x in c] for _, c in rows],
         )],
         "c_ids array<bigint>, c_vecs array<array<double>>",
+    ).select(
+        # centroid norms ride precomputed on the broadcast row (constant-
+        # folded on the LocalRelation by the same norm() fold, so the
+        # values are the bits cosine() would compute); the row's own norm
+        # is hoisted below -- per (row, centroid) the interpreted lambda
+        # then does ONE dot instead of dot + two norm re-derivations
+        "c_ids",
+        "c_vecs",
+        F.transform(F.col("c_vecs"), lambda v: norm(v)).alias("c_ns"),
     )
     scored = F.transform(
         F.col("c_vecs"),
         lambda c, i: F.struct(
-            cosine(F.col("embedding"), c).alias("cos"),
+            (dot(F.col("embedding"), c)
+             / (F.col("__en") * F.element_at(F.col("c_ns"), i + F.lit(1))))
+            .alias("cos"),
             (-F.element_at(F.col("c_ids"), i + F.lit(1)))
             .cast("long")
             .alias("neg_id"),
@@ -398,9 +409,13 @@ def _assign_literal(
     best = F.array_max(scored)
     # two-step projection: the multi-referenced `b` alias is not cheap, so
     # CollapseProject keeps it single-evaluation instead of inlining the
-    # whole argmax tree once per extracted field
+    # whole argmax tree once per extracted field; the join boundary keeps
+    # __en evaluated once per row (the knn_bruteforce hoist)
     return (
-        embeddings.crossJoin(F.broadcast(cmat))
+        embeddings.select(
+            "vec_id", "embedding", norm(F.col("embedding")).alias("__en")
+        )
+        .crossJoin(F.broadcast(cmat))
         .select("vec_id", "embedding", best.alias("b"))
         .select(
             "vec_id",
@@ -551,7 +566,9 @@ def knn_ivf(
     cents = centroids if centroids is not None else \
         _seed_centroids(embeddings, n_centroids)
     q = embeddings.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        norm(F.col("embedding")).alias("q_n"),
     )
     probe_scored = q.join(F.broadcast(cents)).withColumn(
         "cos", cosine(F.col("q_emb"), F.col("c_emb"))
@@ -560,14 +577,24 @@ def knn_ivf(
     probes = (
         probe_scored.withColumn("rnk", F.row_number().over(wq))
         .filter(F.col("rnk") <= nprobe)
-        .select("query_id", "q_emb", "centroid_id")
+        .select("query_id", "q_emb", "q_n", "centroid_id")
     )
+    # norms hoisted once per side behind the join boundaries (the
+    # knn_bruteforce discipline): dot/(q_n*c_n) is the same expression
+    # tree cosine() builds, bit-identical values
     cands = (
         assign.join(embeddings, "vec_id")
-        .select("vec_id", "embedding", "centroid_id")
+        .select(
+            "vec_id", "embedding", "centroid_id",
+            norm(F.col("embedding")).alias("__cn"),
+        )
         .join(F.broadcast(probes), "centroid_id")
         .filter(F.col("vec_id") != F.col("query_id"))
-        .withColumn("cos", cosine(F.col("q_emb"), F.col("embedding")))
+        .withColumn(
+            "cos",
+            dot(F.col("q_emb"), F.col("embedding"))
+            / (F.col("q_n") * F.col("__cn")),
+        )
     )
     return topk_by_group(
         cands, ["query_id"], [F.desc("cos"), F.asc("vec_id")], k
@@ -597,20 +624,29 @@ def knn_lsh_multiprobe(
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("q_emb"),
+            norm(F.col("embedding")).alias("q_n"),
             F.explode(probes).alias("bucket"),
         )
     )
     c = withb.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("c_emb"),
+        norm(F.col("embedding")).alias("c_n"),
         F.col("bucket"),
     )
+    # norms hoisted once per side (q_n/c_n are functions of the embedding
+    # columns, so carrying them through the distinct leaves the distinct
+    # pair set unchanged); dot/(q_n*c_n) == cosine() bit-for-bit
     scored = (
         c.join(q, "bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", "q_emb", "c_emb")
+        .select("query_id", "neighbor_id", "q_emb", "c_emb", "q_n", "c_n")
         .distinct()
-        .withColumn("cos", cosine(F.col("q_emb"), F.col("c_emb")))
+        .withColumn(
+            "cos",
+            dot(F.col("q_emb"), F.col("c_emb"))
+            / (F.col("q_n") * F.col("c_n")),
+        )
     )
     return topk_by_group(
         scored, ["query_id"], [F.desc("cos"), F.asc("neighbor_id")], k
@@ -625,6 +661,21 @@ def knn_lsh_multiprobe(
 def _sub_slice(arr: Column, j: int, dsub: int) -> Column:
     """0-based subspace ``j`` of a (double-cast) vector: dims [j*dsub, ...)."""
     return F.slice(arr, j * dsub + 1, dsub)
+
+
+def _subspace_slicer(j: int, dsub: int):
+    """1-arg HOF lambda slicing subspace ``j`` (closure, not a default
+    arg: PySpark derives the HOF's arity from the lambda signature)."""
+    return lambda v: _sub_slice(v, j, dsub)
+
+
+def _code_scorer(sub_col: str, ids_col: str, id_alias: str):
+    """2-arg HOF lambda scoring one precomputed codebook slice against
+    the row's precomputed subspace slice column."""
+    return lambda cs, i: F.struct(
+        _d2q(F.col(sub_col), cs).alias("d2q"),
+        F.element_at(F.col(ids_col), i + F.lit(1)).alias(id_alias),
+    )
 
 
 def _d2q(a: Column, b: Column) -> Column:
@@ -674,20 +725,35 @@ def pq_codes(
             [[float(x) for x in c] for _, c in rows],
         )],
         "c_ids array<bigint>, c_vecs array<array<double>>",
+    ).select(
+        # per-subspace centroid slices precomputed ONCE on the broadcast
+        # row (constant-folded on the LocalRelation): the interpreted
+        # argmin lambda then slices nothing.  NB: closures, not lambda
+        # default args -- PySpark derives HOF arity from the lambda's
+        # parameter count.
+        "c_ids",
+        *[
+            F.transform(F.col("c_vecs"), _subspace_slicer(j, dsub)).alias(
+                f"__c_sub_{j}"
+            )
+            for j in range(m)
+        ],
     )
     emb = _as_double(F.col("embedding"))
     out_cols = [F.col("vec_id")]
     for j in range(m):
-        sub_v = _sub_slice(emb, j, dsub)
+        # the row's own subspace slice is hoisted behind the join
+        # boundary too -- evaluated once per row, not once per centroid
         scored = F.transform(
-            F.col("c_vecs"),
-            lambda c, i: F.struct(
-                _d2q(sub_v, _sub_slice(c, j, dsub)).alias("d2q"),
-                F.element_at(F.col("c_ids"), i + F.lit(1)).alias("cid"),
-            ),
+            F.col(f"__c_sub_{j}"),
+            _code_scorer(f"__sub_{j}", "c_ids", "cid"),
         )
         out_cols.append(F.array_min(scored)["cid"].alias(f"code_{j}"))
-    return embeddings.crossJoin(F.broadcast(cmat)).select(*out_cols)
+    pre = embeddings.select(
+        "vec_id",
+        *[_sub_slice(emb, j, dsub).alias(f"__sub_{j}") for j in range(m)],
+    )
+    return pre.crossJoin(F.broadcast(cmat)).select(*out_cols)
 
 
 def knn_pq_adc(
@@ -980,11 +1046,20 @@ def _ivf_assign_with(
             [[float(x) for x in c] for _, c in coarse],
         )],
         "c_ids array<bigint>, c_vecs array<array<double>>",
+    ).select(
+        # hoisted norms, same discipline as _assign_literal: centroid
+        # norms precomputed once on the broadcast row, row norm once
+        # behind the join boundary -- one dot per (row, centroid)
+        "c_ids",
+        "c_vecs",
+        F.transform(F.col("c_vecs"), lambda v: norm(v)).alias("c_ns"),
     )
     scored = F.transform(
         F.col("c_vecs"),
         lambda c, i: F.struct(
-            cosine(F.col("embedding"), c).alias("cos"),
+            (dot(F.col("embedding"), c)
+             / (F.col("__en") * F.element_at(F.col("c_ns"), i + F.lit(1))))
+            .alias("cos"),
             (-F.element_at(F.col("c_ids"), i + F.lit(1)))
             .cast("long")
             .alias("neg_id"),
@@ -993,7 +1068,10 @@ def _ivf_assign_with(
     )
     best = F.array_max(scored)
     return (
-        embeddings.crossJoin(F.broadcast(cmat))
+        embeddings.select(
+            "vec_id", "embedding", norm(F.col("embedding")).alias("__en")
+        )
+        .crossJoin(F.broadcast(cmat))
         .select("vec_id", "embedding", "c_vecs", best.alias("b"))
         .select(
             "vec_id",
@@ -1030,19 +1108,30 @@ def ivfpq_encode_with_model(
             [[float(x) for x in rv] for _, rv in rcode],
         )],
         "r_ids array<bigint>, r_vecs array<array<double>>",
+    ).select(
+        # per-subspace codebook slices precomputed on the broadcast row
+        # (the pq_codes discipline)
+        "r_ids",
+        *[
+            F.transform(F.col("r_vecs"), _subspace_slicer(j, dsub)).alias(
+                f"__r_sub_{j}"
+            )
+            for j in range(m)
+        ],
     )
     enc_cols = [F.col("vec_id"), F.col("cell")]
     for j in range(m):
-        sub_r = _sub_slice(F.col("r"), j, dsub)
         cand = F.transform(
-            F.col("r_vecs"),
-            lambda c, i: F.struct(
-                _d2q(sub_r, _sub_slice(c, j, dsub)).alias("d2q"),
-                F.element_at(F.col("r_ids"), i + F.lit(1)).alias("rid"),
-            ),
+            F.col(f"__r_sub_{j}"),
+            _code_scorer(f"__sub_{j}", "r_ids", "rid"),
         )
         enc_cols.append(F.array_min(cand)["rid"].alias(f"code_{j}"))
-    codes = assigned.crossJoin(F.broadcast(rmat)).select(*enc_cols)
+    pre = assigned.select(
+        "vec_id",
+        "cell",
+        *[_sub_slice(F.col("r"), j, dsub).alias(f"__sub_{j}") for j in range(m)],
+    )
+    codes = pre.crossJoin(F.broadcast(rmat)).select(*enc_cols)
     return codes.select(
         "vec_id",
         "cell",
@@ -1804,11 +1893,18 @@ def kmeans_silhouette(
             [[float(x) for x in c] for _, c in rows],
         )],
         "c_ids array<bigint>, c_vecs array<array<double>>",
+    ).select(
+        # hoisted norms (the _assign_literal discipline)
+        "c_ids",
+        "c_vecs",
+        F.transform(F.col("c_vecs"), lambda v: norm(v)).alias("c_ns"),
     )
     scored = F.transform(
         F.col("c_vecs"),
         lambda c, i: F.struct(
-            cosine(F.col("embedding"), c).alias("cos"),
+            (dot(F.col("embedding"), c)
+             / (F.col("__en") * F.element_at(F.col("c_ns"), i + F.lit(1))))
+            .alias("cos"),
             (-F.element_at(F.col("c_ids"), i + F.lit(1)))
             .cast("long")
             .alias("neg_id"),
@@ -1816,7 +1912,10 @@ def kmeans_silhouette(
     )
     top = F.array_sort(scored)
     picked = (
-        embeddings.crossJoin(F.broadcast(cmat))
+        embeddings.select(
+            "vec_id", "embedding", norm(F.col("embedding")).alias("__en")
+        )
+        .crossJoin(F.broadcast(cmat))
         .select(
             "vec_id",
             F.element_at(top, -1).alias("b1"),
@@ -2527,15 +2626,15 @@ def rotated_embeddings(
     # ONE nested transform over the sign rows instead of d unrolled fold
     # columns: plan size O(1) in d (A/B: bitwise-equal values, slightly
     # faster -- higher-order functions are interpreted, so the win is
-    # plan/codegen size, not arithmetic)
-    out = F.transform(
-        F.col("rot_signs"),
-        lambda row: F.aggregate(
-            F.slice(prods(row), 2, d - 1),
-            F.element_at(prods(row), 1),
-            lambda a, x: a + x,
-        ),
-    )
+    # plan/codegen size, not arithmetic).  The fold is the
+    # single-reference first-seeded form: the former slice/element_at
+    # seed referenced prods(row) twice and interpreted HOFs do no CSE,
+    # so every rotated dim multiplied the row out twice (guide #1.2) --
+    # A/B at sf0.1: rotated pass 3.5 s -> 1.9 s warm, bit-identical.
+    from .linalg import fold_sum_first_seeded
+
+    out = F.transform(F.col("rot_signs"),
+                      lambda row: fold_sum_first_seeded(prods(row)))
     return embeddings.crossJoin(F.broadcast(model)).select(
         "vec_id", out.alias("embedding")
     )

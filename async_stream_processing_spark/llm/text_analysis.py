@@ -615,30 +615,31 @@ def cms_token_counts(
     """
     from ..functions.hashing import stable_hash60
 
-    toks = docs.select(F.explode(tokens(text)).alias("tok"))
-    rows = toks.select(
-        "tok",
-        F.explode(
-            F.array(*[F.lit(i) for i in range(depth)])
-        ).alias("i"),
-    ).withColumn(
-        "bucket",
-        stable_hash60(F.concat(F.col("i").cast("string"), F.lit("|"),
-                               F.col("tok"))) % width,
+    # ONE corpus pass: pre-aggregate to per-token occurrence counts
+    # first (map-side combined), then both the sketch and the
+    # vocabulary-side probe derive from the SAME token-count relation --
+    # the md5 bucket hash runs 2*depth times per DISTINCT token instead
+    # of depth times per token OCCURRENCE, the second corpus scan
+    # disappears (AQE reuses the groupBy(tok) exchange for both
+    # branches), and every counter is the identical integer: c per
+    # (i, bucket) = SUM of the per-token counts hashing there.
+    tok_counts = (
+        docs.select(F.explode(tokens(text)).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
     )
-    counters = rows.groupBy("i", "bucket").agg(
-        F.count(F.lit(1)).alias("c")
-    )
-    vocab = toks.distinct().select(
+    vh = tok_counts.select(
         "tok",
+        "n",
         F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("i"),
     ).withColumn(
         "bucket",
         stable_hash60(F.concat(F.col("i").cast("string"), F.lit("|"),
                                F.col("tok"))) % width,
     )
+    counters = vh.groupBy("i", "bucket").agg(F.sum("n").alias("c"))
     est = (
-        vocab.join(F.broadcast(counters), ["i", "bucket"])
+        vh.join(F.broadcast(counters), ["i", "bucket"])
         .groupBy("tok")
         .agg(F.min("c").cast("long").alias("est_count"))
     )

@@ -83,6 +83,7 @@ def blocked_levenshtein_join(
     min_dist: int = 0,
     max_block_size: int | None = None,
     suffixes: tuple[str, str] = ("_a", "_b"),
+    pair_filter: Column | None = None,
 ) -> DataFrame:
     """Pairs (all left columns + ``suffixes[0]``, all right columns +
     ``suffixes[1]``, ``edit_distance``) where the two text values agree
@@ -116,18 +117,29 @@ def blocked_levenshtein_join(
             ).drop("__bn")
         return out
 
-    cand = (
+    ta, tb = F.col(left_text + sa), F.col(right_text + sb)
+    band = F.abs(F.length(ta) - F.length(tb)) <= max_dist
+    # cheap row-deterministic predicates run BEFORE the dedup shuffle:
+    # duplicate candidates from overlapping block passes are whole-row
+    # identical, so filtering first keeps the same surviving pair set
+    # while the (key_a, key_b) dedup exchange moves only banded (and,
+    # for self-joins, half as many) candidates.
+    raw = (
         exploded(la, left_text + sa)
         .join(exploded(rb, right_text + sb), "__blk")
         .drop("__blk")
-        .dropDuplicates([left_key + sa, right_key + sb])
+        .filter(band)
     )
-    ta, tb = F.col(left_text + sa), F.col(right_text + sb)
-    band = F.abs(F.length(ta) - F.length(tb)) <= max_dist
-    dist = F.levenshtein(ta, tb)
+    if pair_filter is not None:
+        raw = raw.filter(pair_filter)
+    cand = raw.dropDuplicates([left_key + sa, right_key + sb])
+    # banded DP: levenshtein(a, b, threshold) computes min(dist, t+1) in
+    # O(len * t) instead of O(len^2) and returns -1 past the threshold;
+    # kept rows satisfy dist <= max_dist, where the banded result equals
+    # the exact distance, and -1 can never pass `>= min_dist` (>= 0)
+    dist = F.levenshtein(ta, tb, max_dist)
     return (
-        cand.filter(band)
-        .withColumn("edit_distance", dist.cast("long"))
+        cand.withColumn("edit_distance", dist.cast("long"))
         .filter(
             (F.col("edit_distance") >= min_dist)
             & (F.col("edit_distance") <= max_dist)
@@ -148,12 +160,15 @@ def fuzzy_self_pairs(
     relation whose texts are within edit distance.  ``min_dist=1``
     excludes self/exact matches by default (exact duplicates are the
     hash-groupBy dedup operator's job, not fuzzy matching's)."""
-    out = blocked_levenshtein_join(
+    # the unordered-pair filter is pushed into the join as pair_filter:
+    # it halves the candidate set BEFORE the dedup shuffle and the
+    # edit-distance work, instead of after both
+    return blocked_levenshtein_join(
         df, df, key, key, text, text, blocks,
         max_dist=max_dist, min_dist=min_dist,
         max_block_size=max_block_size,
+        pair_filter=F.col(key + "_a") < F.col(key + "_b"),
     )
-    return out.filter(F.col(key + "_a") < F.col(key + "_b"))
 
 
 def sql_token_blocked_self_pairs(

@@ -45,6 +45,86 @@ def sql_morton_code(x: str, y: str, bits: int = 4) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
+def _prune_stats_onepass(
+    coded: DataFrame,
+    layouts: dict[str, Column],
+    lo: int,
+    hi: int,
+) -> DataFrame:
+    """ONE-pass prune-stats kernel shared by :func:`zorder_prune_stats`
+    and :func:`hilbert_prune_stats`.
+
+    The former per-(layout, predicate) loop evaluated ``coded`` (a scan
+    plus the broadcast anchors aggregate) once per rows_selected
+    predicate and once per layout x predicate zone branch -- 6 scans of
+    the source for the 2-layout form, 134 plan operators.  Every number
+    in the output is derivable in a single pass: explode each row into
+    one (layout, file_id) struct per layout, zone-map with per-file
+    in-band row counts in one groupBy, fold to per-layout totals in a
+    second groupBy, and unpivot the two predicates back into rows.  All
+    counts stay BIGINT end to end, so the values are bit-identical to
+    the looped form (integers; min/max/sum/count commute with the
+    regrouping)."""
+    lf = F.explode(
+        F.array(*[
+            F.struct(
+                F.lit(lname).alias("layout"),
+                fexpr.cast("long").alias("file_id"),
+            )
+            for lname, fexpr in layouts.items()
+        ])
+    ).alias("lf")
+    in_x = (F.col("x") >= lo) & (F.col("x") <= hi)
+    in_y = (F.col("y") >= lo) & (F.col("y") <= hi)
+    zones = (
+        coded.select(lf, "x", "y")
+        .groupBy("lf.layout", "lf.file_id")
+        .agg(
+            F.min("x").alias("min_x"),
+            F.max("x").alias("max_x"),
+            F.min("y").alias("min_y"),
+            F.max("y").alias("max_y"),
+            F.count_if(in_x).alias("rows_x"),
+            F.count_if(in_y).alias("rows_y"),
+        )
+    )
+    per_layout = zones.groupBy("layout").agg(
+        F.count(F.lit(1)).cast("long").alias("files_total"),
+        F.count_if(~((F.col("max_x") < lo) | (F.col("min_x") > hi)))
+        .cast("long")
+        .alias("scanned_x"),
+        F.count_if(~((F.col("max_y") < lo) | (F.col("min_y") > hi)))
+        .cast("long")
+        .alias("scanned_y"),
+        F.sum("rows_x").cast("long").alias("rows_sel_x"),
+        F.sum("rows_y").cast("long").alias("rows_sel_y"),
+    )
+    return per_layout.select(
+        "layout",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("x_band").alias("predicate"),
+                    F.col("scanned_x").alias("files_scanned"),
+                    F.col("rows_sel_x").alias("rows_selected"),
+                ),
+                F.struct(
+                    F.lit("y_band").alias("predicate"),
+                    F.col("scanned_y").alias("files_scanned"),
+                    F.col("rows_sel_y").alias("rows_selected"),
+                ),
+            )
+        ).alias("p"),
+        "files_total",
+    ).select(
+        "layout",
+        F.col("p.predicate").alias("predicate"),
+        "files_total",
+        F.col("p.files_scanned").alias("files_scanned"),
+        F.col("p.rows_selected").alias("rows_selected"),
+    )
+
+
 def zorder_prune_stats(
     orders: DataFrame,
     buckets: int = 16,
@@ -98,41 +178,7 @@ def zorder_prune_stats(
         "linear_x": F.col("x"),
         "zorder": (F.col("m") / buckets).cast("long"),
     }
-    preds = {"x_band": "x", "y_band": "y"}
-    rows_sel = {
-        p: coded.filter(
-            (F.col(c) >= lo) & (F.col(c) <= hi)
-        ).agg(F.count(F.lit(1)).alias(f"rows_{p}"))
-        for p, c in preds.items()
-    }
-    out = None
-    for lname, fexpr in layouts.items():
-        zones = coded.groupBy(fexpr.alias("file_id")).agg(
-            F.min("x").alias("min_x"),
-            F.max("x").alias("max_x"),
-            F.min("y").alias("min_y"),
-            F.max("y").alias("max_y"),
-        )
-        for pname, pcol in preds.items():
-            scanned = F.count_if(
-                ~((F.col(f"max_{pcol}") < lo) | (F.col(f"min_{pcol}") > hi))
-            )
-            stat = (
-                zones.agg(
-                    F.count(F.lit(1)).cast("long").alias("files_total"),
-                    scanned.cast("long").alias("files_scanned"),
-                )
-                .crossJoin(F.broadcast(rows_sel[pname]))
-                .select(
-                    F.lit(lname).alias("layout"),
-                    F.lit(pname).alias("predicate"),
-                    "files_total",
-                    "files_scanned",
-                    F.col(f"rows_{pname}").alias("rows_selected"),
-                )
-            )
-            out = stat if out is None else out.unionByName(stat)
-    return out
+    return _prune_stats_onepass(coded, layouts, lo, hi)
 
 
 def sql_zorder_prune_stats(
@@ -294,41 +340,7 @@ def hilbert_prune_stats(
         "zorder": (F.col("m") / buckets).cast("long"),
         "hilbert": (F.col("hd") / buckets).cast("long"),
     }
-    preds = {"x_band": "x", "y_band": "y"}
-    rows_sel = {
-        p: coded.filter(
-            (F.col(c) >= lo) & (F.col(c) <= hi)
-        ).agg(F.count(F.lit(1)).alias(f"rows_{p}"))
-        for p, c in preds.items()
-    }
-    out = None
-    for lname, fexpr in layouts.items():
-        zones = coded.groupBy(fexpr.alias("file_id")).agg(
-            F.min("x").alias("min_x"),
-            F.max("x").alias("max_x"),
-            F.min("y").alias("min_y"),
-            F.max("y").alias("max_y"),
-        )
-        for pname, pcol in preds.items():
-            scanned = F.count_if(
-                ~((F.col(f"max_{pcol}") < lo) | (F.col(f"min_{pcol}") > hi))
-            )
-            stat = (
-                zones.agg(
-                    F.count(F.lit(1)).cast("long").alias("files_total"),
-                    scanned.cast("long").alias("files_scanned"),
-                )
-                .crossJoin(F.broadcast(rows_sel[pname]))
-                .select(
-                    F.lit(lname).alias("layout"),
-                    F.lit(pname).alias("predicate"),
-                    "files_total",
-                    "files_scanned",
-                    F.col(f"rows_{pname}").alias("rows_selected"),
-                )
-            )
-            out = stat if out is None else out.unionByName(stat)
-    return out
+    return _prune_stats_onepass(coded, layouts, lo, hi)
 
 
 def sql_hilbert_prune_stats(
