@@ -1324,14 +1324,23 @@ def substring_dup_spans(
     """
     from pyspark.sql import Window
 
-    picked = _winnowed_grams(docs, n, w, text)
+    # ONE exchange for the whole gram phase (guide §2.4): the winnowed
+    # fingerprint pipeline (an md5 per char position) is the expensive
+    # subtree, and it used to be re-evaluated for the hot-gram
+    # aggregate, the join's a side, and the join's b side -- 3 shuffles
+    # and up to 4 narrow recomputations of the same relation (8 corpus
+    # scans in the before plan).  Repartitioning on the join/agg key
+    # satisfies every downstream distribution requirement, so AQE stage
+    # reuse computes and moves the fingerprints exactly once
+    # (ReusedExchange on the b side and under the hot aggregate).
+    picked = _winnowed_grams(docs, n, w, text).repartition("gram")
     hot = (
         picked.groupBy("gram")
         .agg(F.count(F.lit(1)).alias("occ"))
         .filter(F.col("occ") > max_occurrences)
         .select("gram")
     )
-    pk = picked.join(hot, "gram", "left_anti")
+    pk = picked.join(F.broadcast(hot), "gram", "left_anti")
     a = pk.alias("a")
     b = pk.alias("b")
     matches = (

@@ -678,6 +678,13 @@ def _code_scorer(sub_col: str, ids_col: str, id_alias: str):
     )
 
 
+def _dtab_scorer(sub_col: str):
+    """1-arg HOF lambda building one subspace's query distance ROW: the
+    floor-quantized d2q of the query's precomputed subspace slice
+    against each codebook slice, in codebook order."""
+    return lambda cs: _d2q(F.col(sub_col), cs)
+
+
 def _d2q(a: Column, b: Column) -> Column:
     """Floor-quantized (1e-9 grid) squared L2 distance.
 
@@ -769,49 +776,76 @@ def knn_pq_adc(
     SUM over subspaces of a precomputed (query, subspace, code) table --
     per corpus vector the scan does m integer table lookups + adds, no
     float math, no d-dim dot product.  That table is O(q * m * ksub)
-    rows -- broadcast model state -- so the corpus never shuffles until
-    the per-query top-k rank (the knn_bruteforce window shape; compose
-    with IVF cell pruning to cut the candidate set at real scale).
-    Distances are floor-quantized BIGINTs (see _d2q): the ADC sum and
-    ranking are engine/partitioning/retry-exact.
+    entries -- broadcast model state -- so the corpus never shuffles
+    until the per-query top-k rank (the knn_bruteforce window shape;
+    compose with IVF cell pruning to cut the candidate set at real
+    scale).  Distances are floor-quantized BIGINTs (see _d2q): the ADC
+    sum and ranking are engine/partitioning/retry-exact.
+
+    Plan shape (guide §2.4 -- remove shuffles outright): the distance
+    table rides as ``n_queries`` broadcast ROWS, one array of d2q per
+    subspace in codebook order, and the ADC sum is a NARROW expression
+    over the wide code columns -- m ``element_at`` lookups + adds per
+    (vector, query).  The former long-form plan exploded the codes m x,
+    hash-joined them against the exploded table, and re-aggregated per
+    (query, vector) -- a corpus-sized shuffle that existed only to undo
+    the explode.  BIGINT addition is associative, so the fold equals
+    the old SUM bit-for-bit.
     """
     dsub = d // m
     codes = pq_codes(embeddings, m=m, ksub=ksub, d=d)
-    codes_long = codes.select(
-        "vec_id",
-        F.posexplode(F.array(*[F.col(f"code_{j}") for j in range(m)])).alias(
-            "j", "code"
-        ),
-    )
     cents = embeddings.filter(F.col("vec_id") < ksub).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("c_emb")
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("c_emb"),
     )
-    q = embeddings.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    rows = sorted(_collect_centroids(cents))
+    cmat = embeddings.sparkSession.createDataFrame(
+        [(
+            [int(cid) for cid, _ in rows],
+            [[float(x) for x in c] for _, c in rows],
+        )],
+        "c_ids array<bigint>, c_vecs array<array<double>>",
+    ).select(
+        "c_ids",
+        *[
+            F.transform(F.col("c_vecs"), _subspace_slicer(j, dsub)).alias(
+                f"__c_sub_{j}"
+            )
+            for j in range(m)
+        ],
     )
-    qe = _as_double(F.col("q_emb"))
-    ce = _as_double(F.col("c_emb"))
-    dtab = (
-        q.crossJoin(F.broadcast(cents))
-        .select(
-            "query_id",
-            "cid",
-            F.posexplode(
-                F.array(*[
-                    _d2q(_sub_slice(qe, j, dsub), _sub_slice(ce, j, dsub))
-                    for j in range(m)
-                ])
-            ).alias("j", "d2q"),
+    qe = _as_double(F.col("embedding"))
+    qpre = embeddings.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        *[
+            _sub_slice(qe, j, dsub).alias(f"__qsub_{j}")
+            for j in range(m)
+        ],
+    )
+    qtab = qpre.crossJoin(F.broadcast(cmat)).select(
+        "query_id",
+        "c_ids",
+        *[
+            F.transform(
+                F.col(f"__c_sub_{j}"), _dtab_scorer(f"__qsub_{j}")
+            ).alias(f"__dt_{j}")
+            for j in range(m)
+        ],
+    )
+    adc_terms = [
+        F.element_at(
+            F.col(f"__dt_{j}"),
+            F.array_position(F.col("c_ids"), F.col(f"code_{j}")).cast("int"),
         )
-    )
+        for j in range(m)
+    ]
+    adc_sum = adc_terms[0]
+    for t in adc_terms[1:]:
+        adc_sum = adc_sum + t
     scored = (
-        codes_long.join(
-            F.broadcast(dtab),
-            (codes_long["j"] == dtab["j"]) & (codes_long["code"] == dtab["cid"]),
-        )
-        .groupBy("query_id", "vec_id")
-        .agg(F.sum("d2q").alias("adc_q"))
+        codes.crossJoin(F.broadcast(qtab))
         .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", adc_sum.alias("adc_q"))
     )
     return topk_by_group(
         scored, ["query_id"], [F.asc("adc_q"), F.asc("vec_id")], k
@@ -1097,8 +1131,10 @@ def ivfpq_encode_with_model(
     index-MAINTENANCE path: a new ingest batch is coded by the serving
     model, never by retraining (retraining re-codes the whole corpus;
     that is a rebuild, the e18 lifecycle).  One narrow pass, two
-    broadcast model rows, no shuffle; returns ``codes_long``
-    (vec_id, cell, j, code)."""
+    broadcast model rows, no shuffle; returns WIDE codes
+    (vec_id, cell, code_0..code_{m-1}) -- one row per vector, the shape
+    the narrow ADC search consumes directly (:func:`ivfpq_read_codes`
+    explodes to the long (vec_id, cell, j, code) result contract)."""
     dsub = d // m
     spark = embeddings.sparkSession
     assigned = _ivf_assign_with(embeddings, coarse)
@@ -1131,13 +1167,27 @@ def ivfpq_encode_with_model(
         "cell",
         *[_sub_slice(F.col("r"), j, dsub).alias(f"__sub_{j}") for j in range(m)],
     )
-    codes = pre.crossJoin(F.broadcast(rmat)).select(*enc_cols)
+    return pre.crossJoin(F.broadcast(rmat)).select(*enc_cols)
+
+
+def _code_cols(codes: DataFrame) -> list[str]:
+    """The ``code_j`` columns of a wide code relation, in subspace
+    order."""
+    return sorted(
+        (c for c in codes.columns if c.startswith("code_")),
+        key=lambda c: int(c.split("_", 1)[1]),
+    )
+
+
+def codes_to_long(codes: DataFrame) -> DataFrame:
+    """Explode wide codes (vec_id, cell, code_0..code_{m-1}) to the
+    long (vec_id, cell, j, code) relation -- a narrow generate, no
+    shuffle."""
+    cols = _code_cols(codes)
     return codes.select(
         "vec_id",
         "cell",
-        F.posexplode(F.array(*[F.col(f"code_{j}") for j in range(m)])).alias(
-            "j", "code"
-        ),
+        F.posexplode(F.array(*[F.col(c) for c in cols])).alias("j", "code"),
     )
 
 
@@ -1146,27 +1196,32 @@ def ivfpq_encode_with_model(
 IVFPQ_IDMAP_BUCKETS = 16
 
 
-def ivfpq_write_store(codes_long: DataFrame, store_path: str) -> None:
+def ivfpq_write_store(codes: DataFrame, store_path: str) -> None:
     """Lay down a full IVF-PQ code store: ``<store>/codes`` partitioned
     by ``cell`` (the search side: probes read only their cells) plus
     ``<store>/idmap`` -- the vec_id -> cell DIRECT MAP partitioned by
     ``idb = vec_id mod {IVFPQ_IDMAP_BUCKETS}`` (the maintenance side:
     an upsert must find a re-ingested vector's OLD cell without
     scanning the corpus; FAISS keeps the same structure as its
-    DirectMap)."""
+    DirectMap).
+
+    ``codes`` is the WIDE relation from the encoder (one row per
+    vector, ``code_0..code_{m-1}``) -- m x fewer stored rows than the
+    former long layout and no ``j`` column at all; the long result
+    contract is re-derived narrow by :func:`ivfpq_read_codes`."""
     # repartition on the partition column before writing: without it
     # every shuffle partition spills a file into every cell directory
     # (shuffle_partitions x n_cells small files -- the classic
     # lakehouse small-file trap; at real scale pair this with
     # maxRecordsPerFile to split hot cells into bounded files)
     (
-        codes_long.repartition("cell")
+        codes.repartition("cell")
         .write.mode("overwrite")
         .partitionBy("cell")
         .parquet(store_path + "/codes")
     )
     idmap = (
-        codes_long.select("vec_id", "cell")
+        codes.select("vec_id", "cell")
         .distinct()
         .withColumn(
             "idb", F.pmod(F.col("vec_id"), F.lit(IVFPQ_IDMAP_BUCKETS))
@@ -1181,12 +1236,20 @@ def ivfpq_write_store(codes_long: DataFrame, store_path: str) -> None:
     )
 
 
-def ivfpq_read_codes(spark: "SparkSession", store_path: str) -> DataFrame:
-    """The stored code relation (vec_id, cell, j, code) with the
-    partition column restored to its logical type."""
-    return spark.read.parquet(store_path + "/codes").select(
-        "vec_id", F.col("cell").cast("long").alias("cell"), "j", "code"
+def ivfpq_read_codes_wide(spark: "SparkSession", store_path: str) -> DataFrame:
+    """The stored WIDE code relation (vec_id, cell, code_0..) with the
+    partition column restored to its logical type -- what the serving
+    search consumes directly."""
+    df = spark.read.parquet(store_path + "/codes")
+    return df.select(
+        "vec_id", F.col("cell").cast("long").alias("cell"), *_code_cols(df)
     )
+
+
+def ivfpq_read_codes(spark: "SparkSession", store_path: str) -> DataFrame:
+    """The stored code relation in its LONG result shape
+    (vec_id, cell, j, code) -- a narrow explode of the wide store."""
+    return codes_to_long(ivfpq_read_codes_wide(spark, store_path))
 
 
 def ivfpq_upsert(
@@ -1261,14 +1324,14 @@ def ivfpq_upsert(
             ).select("cell").distinct().collect()
         }
         touched |= old_cells
-        current = ivfpq_read_codes(spark, store_path).filter(
+        current = ivfpq_read_codes_wide(spark, store_path).filter(
             F.col("cell").isin(sorted(touched))
         )
         kept = current.join(
             F.broadcast(new_id_rel), "vec_id", "left_anti"
         )
         merged = new_codes.unionByName(
-            kept.select("vec_id", "cell", "j", "code")
+            kept.select("vec_id", "cell", *_code_cols(kept))
         )
     touched = sorted(touched)
     # break lineage before overwriting what was just read; the merged
@@ -1348,15 +1411,15 @@ def knn_ivfpq(
     broadcast; the only corpus shuffle is the final per-query top-k.
     At 100 TB, store codes bucketed by ``cell`` so probes become
     partition-pruned reads."""
-    codes_long, coarse, rcode = ivfpq_encode(embeddings, n_coarse, m, ksub, d)
+    codes, coarse, rcode = ivfpq_encode(embeddings, n_coarse, m, ksub, d)
     return ivfpq_search(
-        embeddings, codes_long, coarse, rcode, n_queries, k, nprobe, m, d
+        embeddings, codes, coarse, rcode, n_queries, k, nprobe, m, d
     )
 
 
 def ivfpq_search(
     embeddings: DataFrame,
-    codes_long: DataFrame,
+    codes: DataFrame,
     coarse: list[tuple[int, list[float]]],
     rcode: list[tuple[int, list[float]]],
     n_queries: int = 10,
@@ -1366,10 +1429,22 @@ def ivfpq_search(
     d: int = 64,
     prune_cells: bool = False,
 ) -> DataFrame:
-    """The SEARCH half of IVF-PQ against an existing code relation --
-    what an ANN serving tier runs: queries probe their ``nprobe``
-    nearest cells, build the per-cell integer distance table from the
-    driver-held model, and rank candidates by ADC.
+    """The SEARCH half of IVF-PQ against an existing WIDE code relation
+    (vec_id, cell, code_0..code_{m-1}) -- what an ANN serving tier
+    runs: queries probe their ``nprobe`` nearest cells, build the
+    per-probe integer distance arrays from the driver-held model, and
+    rank candidates by ADC.
+
+    Plan shape (guide §2.4): the distance table rides as
+    O(n_queries * nprobe) broadcast ROWS -- one array of d2q per
+    subspace, in codebook order -- joined to the codes on ``cell``
+    (BroadcastHashJoin, corpus side never shuffles), and the ADC sum is
+    a NARROW expression: m ``element_at`` lookups + BIGINT adds per
+    (candidate, probe).  The former long-form plan exploded the codes
+    m x, hash-joined on (cell, j, code) and re-aggregated per
+    (query, vector) -- a corpus-sized shuffle that existed only to undo
+    the explode.  BIGINT addition is associative, so the fold equals
+    the old SUM bit-for-bit.
 
     ``prune_cells=True`` is the served-from-store path: the union of
     probed cell ids (O(n_queries * nprobe) driver scalars -- model-sized
@@ -1408,25 +1483,39 @@ def ivfpq_search(
             ).alias("q_r"),
         )
     )
-    qe = F.col("q_r")
-    ce = F.col("r_vec")
-    rcode_rel = spark.createDataFrame(
-        [(int(rid), [float(x) for x in rv]) for rid, rv in rcode],
-        "rid bigint, r_vec array<double>",
+    ppre = probes.select(
+        "query_id",
+        "cell",
+        *[
+            _sub_slice(F.col("q_r"), j, dsub).alias(f"__qsub_{j}")
+            for j in range(m)
+        ],
     )
-    dtab = (
-        probes.crossJoin(F.broadcast(rcode_rel))
-        .select(
-            "query_id",
-            "cell",
-            "rid",
-            F.posexplode(
-                F.array(*[
-                    _d2q(_sub_slice(qe, j, dsub), _sub_slice(ce, j, dsub))
-                    for j in range(m)
-                ])
-            ).alias("j", "d2q"),
-        )
+    rmat = spark.createDataFrame(
+        [(
+            [int(rid) for rid, _ in rcode],
+            [[float(x) for x in rv] for _, rv in rcode],
+        )],
+        "r_ids array<bigint>, r_vecs array<array<double>>",
+    ).select(
+        "r_ids",
+        *[
+            F.transform(F.col("r_vecs"), _subspace_slicer(j, dsub)).alias(
+                f"__r_sub_{j}"
+            )
+            for j in range(m)
+        ],
+    )
+    qtab = ppre.crossJoin(F.broadcast(rmat)).select(
+        "query_id",
+        "cell",
+        "r_ids",
+        *[
+            F.transform(
+                F.col(f"__r_sub_{j}"), _dtab_scorer(f"__qsub_{j}")
+            ).alias(f"__dt_{j}")
+            for j in range(m)
+        ],
     )
     if prune_cells:
         # O(n_queries * nprobe) driver scalars; the literal IN list is
@@ -1434,17 +1523,21 @@ def ivfpq_search(
         probed = sorted(
             r["cell"] for r in probes.select("cell").distinct().collect()
         )
-        codes_long = codes_long.filter(F.col("cell").isin(probed))
-    adc = (
-        codes_long.join(
-            F.broadcast(dtab),
-            (codes_long["cell"] == dtab["cell"])
-            & (codes_long["j"] == dtab["j"])
-            & (codes_long["code"] == dtab["rid"]),
+        codes = codes.filter(F.col("cell").isin(probed))
+    adc_terms = [
+        F.element_at(
+            F.col(f"__dt_{j}"),
+            F.array_position(F.col("r_ids"), F.col(f"code_{j}")).cast("int"),
         )
+        for j in range(m)
+    ]
+    adc_sum = adc_terms[0]
+    for t in adc_terms[1:]:
+        adc_sum = adc_sum + t
+    adc = (
+        codes.join(F.broadcast(qtab), "cell")
         .filter(F.col("vec_id") != F.col("query_id"))
-        .groupBy("query_id", "vec_id")
-        .agg(F.sum("d2q").alias("adc_q"))
+        .select("query_id", "vec_id", adc_sum.alias("adc_q"))
     )
     return topk_by_group(
         adc, ["query_id"], [F.asc("adc_q"), F.asc("vec_id")], k

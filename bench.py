@@ -49,9 +49,22 @@ def main() -> None:
         # dedup_clusters warms the CC-loop codegen (pinned-conf joins +
         # checkpoint path) so the measured family number is steady state
         # (r6 verdict item 3)
+        # r11: the warm list had not kept up with the engine paths the
+        # registry grew after r6 -- the FIRST query of each newer
+        # streaming family was silently charged its whole engine
+        # spin-up (measured on the r11 baseline: stream_ewma_ooo 36.9 s
+        # at bench position 0 vs stream_cusum_ooo 9.0 s mid-bench for
+        # the identical reorder machinery).  The added names warm, at
+        # the TINY sf, the applyInPandasWithState fold + reorder
+        # buffer, the session_window stateful agg, the stream-stream
+        # outer-join state store, and the foreachBatch+lake commit
+        # path.  Same methodology as ever: warmup never touches the
+        # measured data.
         for wname in (
             "dedup_minhash_lsh", "vwap_2min", "stream_cart_fold",
             "ivf_kmeans_assign", "dedup_clusters",
+            "stream_ewma_ooo", "stream_sessionize_ooo",
+            "stream_rightouter", "stream_versioned_merge",
         ):
             try:
                 qs[wname](spark, warm_dir).write.format("noop").mode(

@@ -1139,7 +1139,7 @@ def q_knn_ivfpq_served(spark, sf_dir):
 
     from async_stream_processing_spark.llm.similarity import (
         ivfpq_encode,
-        ivfpq_read_codes,
+        ivfpq_read_codes_wide,
         ivfpq_search,
         ivfpq_write_store,
     )
@@ -1148,9 +1148,9 @@ def q_knn_ivfpq_served(spark, sf_dir):
     store = tempfile.mkdtemp(prefix="asp_ivfpq_serve_")
     shutil.rmtree(store)
     try:
-        codes_long, coarse, rcode = ivfpq_encode(emb)
-        ivfpq_write_store(codes_long, store)
-        stored = ivfpq_read_codes(spark, store)
+        codes, coarse, rcode = ivfpq_encode(emb)
+        ivfpq_write_store(codes, store)
+        stored = ivfpq_read_codes_wide(spark, store)
         out = ivfpq_search(
             emb, stored, coarse, rcode,
             n_queries=10, k=5, nprobe=2, prune_cells=True,

@@ -1036,6 +1036,7 @@ def test_ivfpq_upsert_touched_cells_only(spark, tmp_path):
     import os
 
     from async_stream_processing_spark.llm.similarity import (
+        codes_to_long,
         ivfpq_encode,
         ivfpq_encode_with_model,
         ivfpq_read_codes,
@@ -1106,9 +1107,9 @@ def test_ivfpq_upsert_touched_cells_only(spark, tmp_path):
     # mutated corpus pins it)
     assert {r for r in got2 if r[0] != one} == {r for r in got if r[0] != one}
     fresh = {
-        tuple(r) for r in ivfpq_encode_with_model(
+        tuple(r) for r in codes_to_long(ivfpq_encode_with_model(
             mutated, coarse, rcode
-        ).collect()
+        )).collect()
     }
     assert {r for r in got2 if r[0] == one} == fresh
     assert all(r[1] == new_cell for r in got2 if r[0] == one)

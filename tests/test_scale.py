@@ -605,7 +605,10 @@ def test_ivf_codes_bucketed_probe_skips_corpus_shuffle(spark, tmp_path):
     exchange on the corpus side."""
     import re
 
-    from async_stream_processing_spark.llm.similarity import ivfpq_encode
+    from async_stream_processing_spark.llm.similarity import (
+        codes_to_long,
+        ivfpq_encode,
+    )
     from async_stream_processing_spark.plans.scale import (
         read_bucketed,
         write_bucketed,
@@ -622,7 +625,7 @@ def test_ivf_codes_bucketed_probe_skips_corpus_shuffle(spark, tmp_path):
     stored = read_bucketed(spark, "ivf_codes")
     # aggregating the bucketed table by its bucket key: no shuffle at all
     agg_plan = (
-        stored.groupBy("cell", "j", "code").count()
+        codes_to_long(stored).groupBy("cell", "j", "code").count()
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert not re.findall(r"Exchange hashpartitioning\(cell", agg_plan), agg_plan

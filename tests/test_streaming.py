@@ -442,11 +442,20 @@ def test_ivfpq_served_reads_only_probed_cells(spark, tmp_path):
 
     emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
     store = str(tmp_path / "serve_store")
-    codes_long, coarse, rcode = ivfpq_encode(emb)
-    codes_long.write.mode("overwrite").partitionBy("cell").parquet(store)
-    stored = spark.read.parquet(store).select(
-        "vec_id", F.col("cell").cast("long").alias("cell"), "j", "code"
-    )
+    codes_wide, coarse, rcode = ivfpq_encode(emb)
+    codes_wide.write.mode("overwrite").partitionBy("cell").parquet(store)
+
+    def read_store():
+        df = spark.read.parquet(store)
+        code_cols = sorted(
+            (c for c in df.columns if c.startswith("code_")),
+            key=lambda c: int(c.split("_", 1)[1]),
+        )
+        return df.select(
+            "vec_id", F.col("cell").cast("long").alias("cell"), *code_cols
+        )
+
+    stored = read_store()
     unpruned = sorted(map(tuple, ivfpq_search(
         emb, stored, coarse, rcode, n_queries=3, k=4, nprobe=2,
         prune_cells=False,
@@ -481,10 +490,7 @@ def test_ivfpq_served_reads_only_probed_cells(spark, tmp_path):
                 with open(os.path.join(d, f), "wb") as fh:
                     fh.write(b"corrupt")
     served_again = ivfpq_search(
-        emb,
-        spark.read.parquet(store).select(
-            "vec_id", F.col("cell").cast("long").alias("cell"), "j", "code"
-        ),
+        emb, read_store(),
         coarse, rcode, n_queries=3, k=4, nprobe=2, prune_cells=True,
     )
     assert sorted(map(tuple, served_again.collect())) == unpruned
