@@ -1083,7 +1083,7 @@ def test_ivfpq_upsert_touched_cells_only(spark, tmp_path):
     # (b) equal to a clean rebuild over the final corpus (same model:
     # the seed vectors vec_id<16 are all in the corpus split)
     rebuild, _, _ = ivfpq_encode(emb)
-    assert got == {tuple(r) for r in rebuild.collect()}
+    assert got == {tuple(r) for r in codes_to_long(rebuild).collect()}
     # (c) idempotent re-delivery
     ivfpq_upsert(spark, store, batch, coarse, rcode)
     assert content() == got
