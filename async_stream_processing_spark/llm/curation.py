@@ -45,6 +45,7 @@ from pyspark.sql import functions as F
 from ..functions.hashing import sql_stable_hash60, stable_hash60
 from ..functions.text import (
     LANG_STOPWORDS,
+    bind1,
     shingles,
     sql_shingles,
     sql_tokens,
@@ -102,14 +103,20 @@ def _top_ngram_chars(n: int, text_col: str = "__t", min_count: int = 1):
             F.when(better, x).otherwise(acc["bs"]).alias("bs"),
         )
 
-    folded = F.aggregate(arr, init, merge)
-    out = (folded["bc"] * folded["bgc"]).cast("long")
-    if min_count > 1:
-        # the full rule set only scores a top gram that actually repeats
-        out = F.when(folded["bc"] >= min_count, out).otherwise(
-            F.lit(0).cast("long")
-        )
-    return out
+    # bind the fold result ONCE (r11): each struct-field reference
+    # re-evaluates the whole sort+fold subtree (no CSE across HOFs) --
+    # the bc*bgc product alone paid the fold twice, three times with
+    # the min_count guard
+    def score(fd):
+        out = (fd["bc"] * fd["bgc"]).cast("long")
+        if min_count > 1:
+            # the full rule set only scores a top gram that repeats
+            out = F.when(fd["bc"] >= min_count, out).otherwise(
+                F.lit(0).cast("long")
+            )
+        return out
+
+    return bind1(F.aggregate(arr, init, merge), score)
 
 
 def _dup_element_stats(arr):
@@ -121,8 +128,13 @@ def _dup_element_stats(arr):
     replacing an explode + (doc, element) shuffle + per-doc re-aggregate
     + join per granularity.  Equality-run counting only needs equal
     values adjacent, which ``array_sort`` guarantees, so the integer
-    outputs are identical to the grouped form."""
-    srt = F.array_sort(arr)
+    outputs are identical to the grouped form.
+
+    Both the input array and the fold result are bound ONCE (r11):
+    the former inline form re-split the document for the size() and
+    re-ran the whole sort+fold per struct field.  Callers consuming
+    several fields should still materialize the returned struct in a
+    withColumn so the whole helper runs once per row."""
     init = F.struct(
         F.lit(None).cast("string").alias("prev"),
         F.lit(0).cast("long").alias("dup"),
@@ -139,12 +151,18 @@ def _dup_element_stats(arr):
             .alias("dup_chars"),
         )
 
-    folded = F.aggregate(srt, init, merge)
-    return F.struct(
-        F.size(arr).cast("long").alias("n"),
-        folded["dup"].alias("dup"),
-        folded["dup_chars"].alias("dup_chars"),
-    )
+    def over(a):
+        folded = F.aggregate(F.array_sort(a), init, merge)
+        return bind1(
+            folded,
+            lambda fd: F.struct(
+                F.size(a).cast("long").alias("n"),
+                fd["dup"].alias("dup"),
+                fd["dup_chars"].alias("dup_chars"),
+            ),
+        )
+
+    return bind1(arr, over)
 
 
 def gopher_repetition(docs: DataFrame, text: str = "text") -> DataFrame:
@@ -347,22 +365,34 @@ def gopher_keep_expr(text: str = "text") -> "F.Column":
     raw text column -- the same four integer-space flags as
     :func:`gopher_quality`, usable inside any per-row select (streaming
     stateless scoring, inline label bootstrapping) without that
-    function's projection."""
-    w = tokens(text)
-    n_words = F.size(w).cast("long")
-    total_chars = _word_chars(w)
-    stop = F.array(*[F.lit(s) for s in LANG_STOPWORDS["en"]])
-    stop_hits = F.size(F.filter(w, lambda x: F.array_contains(stop, x))).cast(
-        "long"
-    )
-    alpha_words = F.size(F.filter(w, lambda x: x.rlike("[a-z]"))).cast("long")
-    flag_n = (n_words < GOPHER_MIN_WORDS) | (n_words > GOPHER_MAX_WORDS)
-    flag_len = (GOPHER_MIN_MEAN_LEN * n_words > total_chars) | (
-        total_chars > GOPHER_MAX_MEAN_LEN * n_words
-    )
-    flag_stop = stop_hits < GOPHER_MIN_STOP_HITS
-    flag_alpha = GOPHER_ALPHA_DEN * alpha_words < GOPHER_ALPHA_NUM * n_words
-    return ~(flag_n | flag_len | flag_stop | flag_alpha)
+    function's projection.
+
+    The token array is bound ONCE (``bind1`` -- r11: the inline form
+    re-tokenized the document four times per row, once per flag;
+    HOF-heavy expressions get no common-subexpression elimination)."""
+    from ..functions.text import bind1
+
+    def build(w):
+        n_words = F.size(w).cast("long")
+        total_chars = _word_chars(w)
+        stop = F.array(*[F.lit(s) for s in LANG_STOPWORDS["en"]])
+        stop_hits = F.size(
+            F.filter(w, lambda x: F.array_contains(stop, x))
+        ).cast("long")
+        alpha_words = F.size(
+            F.filter(w, lambda x: x.rlike("[a-z]"))
+        ).cast("long")
+        flag_n = (n_words < GOPHER_MIN_WORDS) | (n_words > GOPHER_MAX_WORDS)
+        flag_len = (GOPHER_MIN_MEAN_LEN * n_words > total_chars) | (
+            total_chars > GOPHER_MAX_MEAN_LEN * n_words
+        )
+        flag_stop = stop_hits < GOPHER_MIN_STOP_HITS
+        flag_alpha = (
+            GOPHER_ALPHA_DEN * alpha_words < GOPHER_ALPHA_NUM * n_words
+        )
+        return ~(flag_n | flag_len | flag_stop | flag_alpha)
+
+    return bind1(tokens(text), build)
 
 
 def gopher_quality(docs: DataFrame, text: str = "text") -> DataFrame:
@@ -958,6 +988,8 @@ def c4_quality(docs: DataFrame, text: str = "text") -> DataFrame:
     n_sentences, flag_few_sentences, flag_curly, flag_lorem,
     flag_blocklist, kept_frac, keep).
     """
+    from ..functions.text import bind1
+
     t = F.col(text)
     lines = F.split(t, "\n")
     low = F.lower(t)
@@ -967,25 +999,45 @@ def c4_quality(docs: DataFrame, text: str = "text") -> DataFrame:
             F.size(F.split(F.trim(x), " +")) >= C4_MIN_LINE_WORDS
         )
 
-    kept = F.filter(lines, line_ok)
-    kept_chars = F.aggregate(
-        F.transform(kept, lambda x: F.length(x)),
-        F.lit(0).cast("long"),
-        lambda a, x: a + x,
+    # bind the kept-lines array ONCE (r11): the filter re-splits and
+    # regex-tests every line of the page, and the inline tree was
+    # re-evaluated for kept_chars, n_kept_lines AND the keep flag.
+    # bind1 makes each reference a bound-value read; values unchanged.
+    kept = bind1(
+        F.filter(lines, line_ok),
+        lambda k: F.struct(
+            F.size(k).cast("long").alias("n"),
+            F.aggregate(
+                F.transform(k, lambda x: F.length(x)),
+                F.lit(0).cast("long"),
+                lambda a, x: a + x,
+            ).alias("chars"),
+        ),
     )
-    # sentences = terminal punctuation marks page-wide (the C4 heuristic)
-    n_sent = (
-        F.length(t) - F.length(F.regexp_replace(t, r"[.!?]", ""))
-    ).cast("long")
+    # the page-level signals are likewise materialized once: the
+    # sentence regexp, the blocklist scan and the lowered text each
+    # used to be re-evaluated for their output column AND inside keep
     words = tokens(text)
     block = F.array(*[F.lit(b) for b in C4_BLOCKLIST])
-    flag_block = F.size(
-        F.filter(words, lambda x: F.array_contains(block, x))
-    ) > 0
+    page = F.struct(
+        (F.length(t) - F.length(F.regexp_replace(t, r"[.!?]", "")))
+        .cast("long")
+        .alias("n_sent"),
+        (
+            F.size(F.filter(words, lambda x: F.array_contains(block, x)))
+            > 0
+        ).alias("block"),
+        low.contains("{").alias("curly"),
+        low.contains("lorem ipsum").alias("lorem"),
+    )
+    docs = docs.withColumn("__kept", kept).withColumn("__page", page)
+    kept_chars = F.col("__kept")["chars"]
+    n_kept = F.col("__kept")["n"]
+    n_sent = F.col("__page")["n_sent"]
+    flag_block = F.col("__page")["block"]
     flag_few = n_sent < C4_MIN_SENTENCES
-    flag_curly = low.contains("{")
-    flag_lorem = low.contains("lorem ipsum")
-    n_kept = F.size(kept).cast("long")
+    flag_curly = F.col("__page")["curly"]
+    flag_lorem = F.col("__page")["lorem"]
     keep = (
         (n_kept > 0) & ~flag_few & ~flag_curly & ~flag_lorem & ~flag_block
     )
@@ -1102,9 +1154,15 @@ def gopher_repetition_full(docs: DataFrame, text: str = "text") -> DataFrame:
     # exchanges and 4 extra scans of the corpus in the physical plan.
     # min_count=2: the full rule set only scores a top gram that
     # actually repeats.
-    lstat = _dup_element_stats(F.split("__t", "\n"))
-    pstat = _dup_element_stats(F.split("__t", "\n\n"))
-    rowlocal = base.select(
+    # materialize each stat struct ONCE (r11): referencing lstat/pstat
+    # per field in the select re-ran the whole sort+fold three times
+    # per granularity
+    staged = base.withColumn(
+        "__lstat", _dup_element_stats(F.split("__t", "\n"))
+    ).withColumn("__pstat", _dup_element_stats(F.split("__t", "\n\n")))
+    lstat = F.col("__lstat")
+    pstat = F.col("__pstat")
+    rowlocal = staged.select(
         "doc_id",
         _word_chars(tokens("__t")).alias("total_word_chars"),
         F.length("__t").cast("long").alias("total_chars"),

@@ -735,9 +735,12 @@ def simhash(
             F.split(F.lower(F.trim(F.col("text"))), " +")
         )
         hs = F.transform(arr, _hash_fn(hash_mode))
-        base = fan_out(docs).select(
-            "doc_id", hs.alias("_hs"), F.size(hs).cast("long").alias("n_tok")
-        )
+        # project ONLY the hash array (r11): aliasing hs twice in one
+        # projection (_hs + size(hs)) evaluated the per-token md5
+        # transform twice per row; n_tok is re-derived below as an O(1)
+        # size() over the materialized column instead
+        base = fan_out(docs).select("doc_id", hs.alias("_hs"))
+        n_tok = F.size(F.col("_hs")).cast("long")
         sig = F.lit(0).cast("long")
         for j in range(bits):
             vote = F.size(
@@ -747,9 +750,11 @@ def simhash(
                 )
             ).cast("long")
             sig = sig + F.shiftleft(
-                (vote * 2 >= F.col("n_tok")).cast("long"), j
+                (vote * 2 >= n_tok).cast("long"), j
             )
-        return base.select("doc_id", sig.alias("simhash"), "n_tok")
+        return base.select(
+            "doc_id", sig.alias("simhash"), n_tok.alias("n_tok")
+        )
     toks = (
         fan_out(docs)
         .select("doc_id", F.explode(F.split(F.lower(F.trim(F.col("text"))), " +")).alias("tok"))

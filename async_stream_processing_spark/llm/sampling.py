@@ -75,13 +75,18 @@ def repetition_stats(docs: DataFrame, n: int = 3) -> DataFrame:
             .alias("ndv"),
         )
 
-    folded = F.aggregate(arr, init, merge)
-    agg = docs.filter(F.size(arr) > 0).select(
+    # materialize the sorted shingle array and the fold struct ONCE
+    # (r11): the former inline form re-built the array for the filter
+    # and the size column and re-ran the whole fold per extracted field
+    staged = docs.withColumn("__sh", arr)
+    a = F.col("__sh")
+    staged = staged.withColumn("__fold", F.aggregate(a, init, merge))
+    agg = staged.select(
         "doc_id",
-        F.size(arr).cast("long").alias("n_shingles"),
-        folded["top"].alias("top_shingle_count"),
-        folded["ndv"].alias("n_distinct_shingles"),
-    )
+        F.size(a).cast("long").alias("n_shingles"),
+        F.col("__fold")["top"].alias("top_shingle_count"),
+        F.col("__fold")["ndv"].alias("n_distinct_shingles"),
+    ).filter(F.col("n_shingles") > 0)
     return agg.select(
         "doc_id", "n_shingles", "top_shingle_count", "n_distinct_shingles",
         (F.col("top_shingle_count").cast("double")

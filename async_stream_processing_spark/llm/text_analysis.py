@@ -18,8 +18,11 @@ def text_stats(docs: DataFrame, text: str = "text") -> DataFrame:
     type-token ratio, mean word length."""
     docs = docs.withColumn("__words", tokens(text))
     w = F.col("__words")
+    # n_unique's array_distinct is O(words) — materialize it once
+    # instead of once for the count column and again for the ratio
+    docs = docs.withColumn("__n_unique", F.size(F.array_distinct(w)))
     n_words = F.size(w)
-    n_unique = F.size(F.array_distinct(w))
+    n_unique = F.col("__n_unique")
     total_len = F.aggregate(
         F.transform(w, lambda x: F.length(x)), F.lit(0), lambda a, x: a + x
     )
@@ -43,12 +46,32 @@ def quality_score(docs: DataFrame, text: str = "text") -> DataFrame:
     w = F.col("__words")
     n_words = F.size(w)
     en_stop = F.array(*[F.lit(s) for s in LANG_STOPWORDS["en"]])
-    n_stop = F.size(F.filter(w, lambda x: F.array_contains(en_stop, x)))
-    n_punct = F.length(t) - F.length(F.regexp_replace(t, "[^a-zA-Z0-9 ]", ""))
-    n_digit = F.length(t) - F.length(F.regexp_replace(t, "[0-9]", ""))
+    # materialize the three scans once each (r11): the stopword filter
+    # and the two whole-text regexp_replaces used to be re-evaluated
+    # for their output column AND inside the composite score
+    docs = docs.withColumn(
+        "__qs",
+        F.struct(
+            F.size(
+                F.filter(w, lambda x: F.array_contains(en_stop, x))
+            ).alias("n_stop"),
+            (
+                F.length(t)
+                - F.length(F.regexp_replace(t, "[^a-zA-Z0-9 ]", ""))
+            ).alias("n_punct"),
+            (
+                F.length(t) - F.length(F.regexp_replace(t, "[0-9]", ""))
+            ).alias("n_digit"),
+        ),
+    )
+    n_stop = F.col("__qs")["n_stop"]
     stop_ratio = n_stop.cast("double") / n_words.cast("double")
-    punct_ratio = n_punct.cast("double") / F.length(t).cast("double")
-    digit_ratio = n_digit.cast("double") / F.length(t).cast("double")
+    punct_ratio = (
+        F.col("__qs")["n_punct"].cast("double") / F.length(t).cast("double")
+    )
+    digit_ratio = (
+        F.col("__qs")["n_digit"].cast("double") / F.length(t).cast("double")
+    )
     score = (
         F.lit(100.0)
         * (F.lit(0.5) * F.least(stop_ratio * 5, F.lit(1.0))
@@ -73,9 +96,21 @@ def lang_id(docs: DataFrame, text: str = "text") -> DataFrame:
     real model (fastText) behind the same signature for production.
 
     The token array is materialized once (``__words``) so Catalyst doesn't
-    re-split the text for each of the 5 language votes."""
+    re-split the text for each of the 5 language votes, and the per-
+    language hit counts + their max are bound ONCE through ``bind1``
+    lambdas (r11): HOF subtrees are excluded from subexpression
+    elimination, so the former inline form re-ran each language's
+    ``size(filter(...))`` vote in the greatest(), again per winner
+    comparison, and again for the output columns — ~45 array scans per
+    row for 5 real votes.  ``greatest(h1..h5)`` = ``array_max`` over
+    the same values (all non-null together, both skip nulls), the
+    winner/tiebreak expressions are the identical trees over bound
+    values, so results are bit-identical."""
+    from ..functions.text import bind1
+
     docs = docs.withColumn("__words", tokens(text))
     w = F.col("__words")
+
     def contains(arr):
         return lambda x: F.array_contains(arr, x)
 
@@ -84,17 +119,31 @@ def lang_id(docs: DataFrame, text: str = "text") -> DataFrame:
         arr = F.array(*[F.lit(s) for s in stops])
         hits = F.size(F.filter(w, contains(arr)))
         hit_cols.append(F.struct(hits.alias("hits"), F.lit(lang).alias("lang")))
-    # argmax with deterministic tiebreak: max hits, then smallest lang code.
-    max_hits = F.greatest(*[c.getField("hits") for c in hit_cols])
-    winner = F.array(*[
-        F.when(c.getField("hits") == max_hits, c.getField("lang"))
-        for c in hit_cols
-    ])
-    first_winner = F.array_min(F.filter(winner, lambda x: x.isNotNull()))
+
+    def pick(hs):
+        def with_max(mh):
+            winner = F.transform(
+                hs, lambda c: F.when(c["hits"] == mh, c["lang"])
+            )
+            first_winner = F.array_min(
+                F.filter(winner, lambda x: x.isNotNull())
+            )
+            return F.struct(
+                F.when(mh > 0, first_winner)
+                .otherwise(F.lit("und"))
+                .alias("lang_pred"),
+                mh.alias("n_hits"),
+            )
+
+        return bind1(
+            F.array_max(F.transform(hs, lambda c: c["hits"])), with_max
+        )
+
+    docs = docs.withColumn("__lid", bind1(F.array(*hit_cols), pick))
     return docs.select(
         "doc_id",
-        F.when(max_hits > 0, first_winner).otherwise(F.lit("und")).alias("lang_pred"),
-        max_hits.alias("n_hits"),
+        F.col("__lid")["lang_pred"].alias("lang_pred"),
+        F.col("__lid")["n_hits"].alias("n_hits"),
         F.col("lang").alias("lang_label"),
     )
 
@@ -1107,7 +1156,10 @@ def bpe_apply(
             s = _bpe_merge_once(s, p)
         return F.size(F.split(F.trim(s), " ")).cast("long")
 
-    ws = tokens(text)
+    # tokenize once (r11): n_words/n_symbols/n_tokens_bpe each held
+    # their own copy of the split
+    docs = docs.withColumn("__ws", tokens(text))
+    ws = F.col("__ws")
     n_sym = F.aggregate(
         F.transform(ws, lambda w: F.size(F.split(w, "")).cast("long")),
         F.lit(0).cast("long"),

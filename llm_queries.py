@@ -2033,13 +2033,17 @@ def q_versioned_mv_incremental(spark, sf_dir):
     (plans/mv.py): a per-(user, event_type) count/sum view seeded at
     version 1 follows the table through an append, a copy-on-write
     DELETE and a deletion-vector DELETE by folding ONLY the row-level
-    change feed -- never re-scanning the table.  In-gate asserts pin
-    (a) the incremental view equals a full recompute at the head
-    bit-for-bit, and (b) stepping version-by-version equals one v1->v4
-    jump (CDF deltas compose); the returned view is hash-gated against
-    a plain SQL aggregate mirroring the three predicates.  This is the
-    O(changed rows) refresh a reporting layer runs instead of an
-    O(table) recompute at 100 TB."""
+    change feed -- never re-scanning the table.  The returned view is
+    hash-gated against a plain SQL aggregate mirroring the three
+    predicates, so incremental-equals-recompute is checked by the
+    oracle on every gate; the stepped-equals-jumped composition law and
+    the recompute equivalence through UPDATE/DELETE/MOR are pinned by
+    tests (tests/test_scale.py mv gates, including the fixture-scale
+    replica of this exact flow) rather than re-proven inside the timed
+    query (r11: the former in-gate exceptAll x4 + an extra jump fold +
+    a full recompute were ~half this query's jobs, all redundant with
+    the oracle hash).  This is the O(changed rows) refresh a reporting
+    layer runs instead of an O(table) recompute at 100 TB."""
     import shutil
     import tempfile
 
@@ -2076,12 +2080,6 @@ def q_versioned_mv_incremental(spark, sf_dir):
         mv = maintain_view(
             spark, lake, base, keys, "x_c", 1, 4, step=1
         ).localCheckpoint(eager=True)
-        recompute = sum_count_view(read_version(spark, lake), keys, "x_c")
-        assert mv.exceptAll(recompute).count() == 0
-        assert recompute.exceptAll(mv).count() == 0
-        jump = maintain_view(spark, lake, base, keys, "x_c", 1, 4, step=3)
-        assert mv.exceptAll(jump).count() == 0
-        assert jump.exceptAll(mv).count() == 0
     finally:
         shutil.rmtree(lake, ignore_errors=True)
     return mv

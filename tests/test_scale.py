@@ -3346,6 +3346,57 @@ def test_mv_incremental_follows_update_delete_and_drops_empty_keys(
     }
 
 
+def test_mv_incremental_fixture_flow_matches_recompute_and_jump(
+    spark, tmp_path
+):
+    """The exact q_versioned_mv_incremental flow at the sf0.001 fixture:
+    seed at v1, append, CoW DELETE, MOR DELETE, then (a) the stepped
+    incremental view equals a full recompute at the head bit-for-bit
+    and (b) stepping version-by-version equals one v1->v4 jump.  These
+    invariants used to run as in-gate asserts inside the timed bench
+    query (four exceptAll jobs + an extra fold + a recompute per bench
+    run); they live here now — same evidence, out of the hot path."""
+    from async_stream_processing_spark.plans.mv import (
+        maintain_view,
+        sum_count_view,
+    )
+    from async_stream_processing_spark.plans.versioned import (
+        commit_append,
+        delete_where,
+        read_version,
+    )
+    from async_stream_processing_spark.sources.parquet import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "user_id",
+        "event_type",
+        (F.col("value").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("x_c"),
+    )
+    keys = ["user_id", "event_type"]
+    lake = str(tmp_path / "mvfixture")
+    commit_append(ev.filter(F.col("user_id") % 3 == 0), lake,
+                  stats_cols=["user_id"])
+    base = sum_count_view(
+        read_version(spark, lake, 1), keys, "x_c"
+    ).localCheckpoint(eager=True)
+    commit_append(ev.filter(F.col("user_id") % 3 == 1), lake,
+                  stats_cols=["user_id"])
+    delete_where(spark, lake, "x_c < 1000")
+    delete_where(spark, lake, "user_id % 7 = 3", mode="mor")
+
+    mv = maintain_view(
+        spark, lake, base, keys, "x_c", 1, 4, step=1
+    ).localCheckpoint(eager=True)
+    recompute = sum_count_view(read_version(spark, lake), keys, "x_c")
+    assert mv.exceptAll(recompute).count() == 0
+    assert recompute.exceptAll(mv).count() == 0
+    jump = maintain_view(spark, lake, base, keys, "x_c", 1, 4, step=3)
+    assert mv.exceptAll(jump).count() == 0
+    assert jump.exceptAll(mv).count() == 0
+
+
 def test_mv_long_chain_checkpoints_and_stays_exact(spark, tmp_path):
     """A 20-version chain folded one version at a time must equal the
     direct aggregate (checkpoint_every truncates lineage mid-chain; the
