@@ -1220,8 +1220,17 @@ def ivfpq_write_store(codes: DataFrame, store_path: str) -> None:
         .partitionBy("cell")
         .parquet(store_path + "/codes")
     )
+    # derive the direct map from the JUST-WRITTEN store, not from the
+    # ``codes`` lineage: ``codes`` is usually the un-materialized encode
+    # pipeline (assign + m argmin folds over the corpus), and evaluating
+    # it a second time for a two-int-column relation re-runs the whole
+    # encode (guide #1.2 -- don't compute things twice).  The read-back
+    # is a column-pruned scan of exactly the rows just written (same
+    # rows by definition of the write), so the idmap content is
+    # unchanged.
+    written = ivfpq_read_codes_wide(codes.sparkSession, store_path)
     idmap = (
-        codes.select("vec_id", "cell")
+        written.select("vec_id", "cell")
         .distinct()
         .withColumn(
             "idb", F.pmod(F.col("vec_id"), F.lit(IVFPQ_IDMAP_BUCKETS))
@@ -1297,18 +1306,21 @@ def ivfpq_upsert(
     # batch's vec_ids themselves NEVER cross to the driver (r7 verdict
     # item 1; the only corpus/batch-sized relations stay engine-side
     # as the broadcast new_id_rel)
-    if not new_id_rel.take(1):
+    # ONE model-sized probe job instead of three (emptiness take(1) +
+    # cells distinct + id-bucket distinct): collect_set over the
+    # checkpointed batch returns both literal lists in a single 1-row
+    # collect, and an empty cells set IS the emptiness test (every code
+    # row has a cell).  Driver traffic stays O(model).
+    probe = new_codes.agg(
+        F.collect_set("cell").alias("cells"),
+        F.collect_set(
+            F.pmod(F.col("vec_id"), F.lit(IVFPQ_IDMAP_BUCKETS)).cast("int")
+        ).alias("idbs"),
+    ).collect()[0]
+    if not probe["cells"]:
         return []
-    touched = {
-        r["cell"] for r in new_codes.select("cell").distinct().collect()
-    }
-    id_buckets = sorted(
-        r["idb"]
-        for r in new_id_rel.select(
-            F.pmod(F.col("vec_id"), F.lit(IVFPQ_IDMAP_BUCKETS))
-            .cast("int").alias("idb")
-        ).distinct().collect()
-    )
+    touched = set(probe["cells"])
+    id_buckets = sorted(probe["idbs"])
 
     merged = new_codes
     has_store = os.path.exists(store_path + "/codes")
