@@ -3243,40 +3243,64 @@ def test_versioned_sink_redelivery_with_stateful_upstream(spark, tmp_path):
         shuffle_guard,
     )
 
+    from async_stream_processing_spark.streaming.reorder import (
+        reordered_fold_stream,
+    )
+
     src = str(tmp_path / "src")
     for i in range(3):
         spark.range(i * 10, i * 10 + 10).selectExpr(
-            "id AS k", "CAST(id % 7 AS LONG) AS dup"
+            "timestamp_micros(CAST(1600000000000000 + id * 1000000 "
+            "AS LONG)) AS ts",
+            "id AS event_id", "CAST(id % 4 AS LONG) AS user_id",
+            "CAST(id * 3 AS LONG) AS x",
         ).coalesce(1).write.mode("append").parquet(src)
     lake = str(tmp_path / "lake")
 
     def _stream():
-        s = (spark.readStream.schema("k long, dup long")
+        # the EXACT stream_lake_roundtrip upstream: the reorder-buffered
+        # cusum fold (applyInPandasWithState) — the redelivery skip must
+        # consume every partition of the stateful plan before skipping,
+        # and this is the in-gate proof the bench query used to re-run
+        # per invocation (r12: moved here, result contract unchanged)
+        s = (spark.readStream
+             .schema("ts timestamp, event_id long, user_id long, x long")
              .option("maxFilesPerTrigger", 1).parquet(src))
-        return s.dropDuplicates(["k"])  # stateful: per-key state store
+        return reordered_fold_stream(s, "cusum", delay="60 seconds")
 
     with shuffle_guard(spark, "4"):
         q = V.versioned_sink(
             _stream(), lake, str(tmp_path / "ck1"),
-            txn_app_id="stateful_redeliver", stats_cols=["k"],
-            prepare=lambda b: b.repartitionByRange(2, "k"),
+            txn_app_id="stateful_redeliver", stats_cols=["user_id"],
+            prepare=lambda b: b.repartitionByRange(2, "user_id"),
         )
         q.awaitTermination(240)
         head = V.versions(lake)[-1]
+        before = sorted(
+            tuple(r) for r in V.read_version(spark, lake).collect()
+        )
         # fresh checkpoint: every batch redelivers; the stateful plan
-        # must drain cleanly through the consume-then-skip path
+        # must drain cleanly through the consume-then-skip path and
+        # leave both the head AND the content untouched (the
+        # exactly-once proof stream_lake_roundtrip ran in-gate pre-r12)
         q2 = V.versioned_sink(
             _stream(), lake, str(tmp_path / "ck2"),
             txn_app_id="stateful_redeliver",
         )
         q2.awaitTermination(240)
     assert V.versions(lake)[-1] == head
-    rows = sorted(r["k"] for r in V.read_version(spark, lake).collect())
-    assert rows == list(range(30))
+    after = sorted(
+        tuple(r) for r in V.read_version(spark, lake).collect()
+    )
+    assert after == before
+    users = {
+        r["user_id"] for r in V.read_version(spark, lake).collect()
+    }
+    assert users == {0, 1, 2, 3}
     # write-time stats prune: the range scan answers from the lake
-    got = sorted(r["k"] for r in V.scan_version(
-        spark, lake, "k", 12, 17).collect())
-    assert got == list(range(12, 18))
+    got = {r["user_id"] for r in V.scan_version(
+        spark, lake, "user_id", 1, 2).collect()}
+    assert got == {1, 2}
 
 
 def test_mv_incremental_follows_update_delete_and_drops_empty_keys(
