@@ -995,8 +995,14 @@ def _drain_fold(spark: SparkSession, folded_stream: DataFrame) -> DataFrame:
 
     from async_stream_processing_spark.streaming.replay import drain_guarded
 
+    # 8 partitions, not 4: an applyInPandasWithState batch pays TWO
+    # state-server round-trips per KEY (get + update) serialized within
+    # each task; measured on stream_ewma_ooo the per-batch addBatch time
+    # is 1.45-1.76 s at 4 partitions, 1.0-1.3 s at 8, flat beyond (the
+    # residual is per-batch machinery).  JVM-state drains stay at 4 --
+    # their per-key cost has no Python RPC to parallelize.
     out = drain_guarded(folded_stream, output_mode="append",
-                        shuffle_partitions="4")
+                        shuffle_partitions="8")
     w = Window.partitionBy("user_id").orderBy(F.desc("n"))
     return (
         out.withColumn("__rk", F.row_number().over(w))
@@ -2874,7 +2880,7 @@ def q_stream_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("value").cast("decimal(18,2)") * 100)
         .cast("long").alias("x"),
     )
-    with _shuffle_guard(spark, "4"):
+    with _shuffle_guard(spark, "8"):
         out = drain(bollinger_fold_stream(s), output_mode="append")
     return _bollinger_from_sums(out)
 
@@ -2915,7 +2921,7 @@ def q_stream_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("value").cast("decimal(18,2)") * 100)
         .cast("long").alias("x"),
     )
-    with _shuffle_guard(spark, "4"):
+    with _shuffle_guard(spark, "8"):
         out = drain(corr_fold_stream(s), output_mode="append")
     return _corr_from_sums(out)
 
@@ -3011,7 +3017,7 @@ def q_stream_bollinger_ooo(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("value").cast("decimal(18,2)") * 100)
         .cast("long").alias("x"),
     )
-    with _shuffle_guard(spark, "4"):
+    with _shuffle_guard(spark, "8"):
         out = drain(
             reordered_bollinger_stream(s, delay=_REORDER_DELAY),
             output_mode="append",
@@ -3135,7 +3141,7 @@ def q_stream_rolling_corr_ooo(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("value").cast("decimal(18,2)") * 100)
         .cast("long").alias("x"),
     )
-    with _shuffle_guard(spark, "4"):
+    with _shuffle_guard(spark, "8"):
         out = drain(
             reordered_corr_stream(s, delay=_REORDER_DELAY),
             output_mode="append",
@@ -3207,7 +3213,7 @@ def q_stream_lake_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             # write time, micro-batches range-partitioned so file stats
             # are disjoint and the read-back prune skips files, and a
             # PERIODIC parquet manifest checkpoint every 2 commits
-            with _shuffle_guard(spark, "4"):
+            with _shuffle_guard(spark, "8"):
                 q = versioned_sink(
                     _folded(), lake, checkpoint,
                     txn_app_id="lake_roundtrip",
