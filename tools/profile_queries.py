@@ -7,6 +7,7 @@ PROFILE_SUFFIX=after) and prints one timing line per query.
 
 from __future__ import annotations
 
+import gc
 import os
 import sys
 import time
@@ -45,6 +46,7 @@ def main() -> None:
         times = []
         for _ in range(runs):
             spark.catalog.clearCache()
+            gc.collect()  # detach py4j handles: isolate runs (bench.py)
             t0 = time.time()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             times.append(round(time.time() - t0, 2))
