@@ -44,6 +44,16 @@ def get_spark(
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # A session that plans hundreds of DISTINCT heavy queries blows
+        # through the 100-entry whole-stage-codegen cache and starts
+        # recompiling multi-thousand-line generated classes on every
+        # re-evaluation (this engine's PQ/curation expression trees are
+        # exactly that shape).  The cache is driver memory holding
+        # compiled classes -- thousands of entries are fine on any
+        # driver that runs this many queries.  Static conf: must be set
+        # before the context starts.
+        .config("spark.sql.codegen.cache.maxEntries",
+                os.environ.get("SPARK_GRAFT_CODEGEN_CACHE", "3000"))
         # ContextCleaner reclaims RDD persists (localCheckpoint blocks)
         # only after a JVM GC notices their references died; the default
         # periodic-GC interval is 30 min, far longer than a whole bench
@@ -51,7 +61,8 @@ def get_spark(
         # up in the driver-executor heap.  One forced GC a minute keeps
         # steady-state memory flat (measured: a checkpoint-heavy loop
         # recovers from 89 s back to 14 s once the cleaner fires).
-        .config("spark.cleaner.periodicGC.interval", "60s")
+        .config("spark.cleaner.periodicGC.interval",
+                os.environ.get("SPARK_GRAFT_PERIODIC_GC", "60s"))
     )
     if master is not None:
         builder = builder.master(master)
